@@ -1,0 +1,593 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory (SURVEY.md §2.2–§2.4).
+  *
+  * The reference (milenkovicm/ballista_delta) inherits its whole relational
+  * surface from DataFusion 50.3 (`src/lib.rs:36` `with_default_features()`);
+  * here each family is re-expressed DataFrame-first so Catalyst owns shuffle
+  * placement, broadcast selection and pushdown. Every query is paired with a
+  * DuckDB oracle in [[oracleSql]]: identical column names, identical ORDER BY,
+  * doubles rounded so summation order can't flip the hash compare.
+  *
+  * Scale notes (100 TB posture):
+  *  - dims (region/nation/supplier) are broadcast explicitly;
+  *  - fact-fact joins stay as shuffled hash/SMJ on their natural keys;
+  *  - aggregations are partial+final automatically (HashAggregateExec);
+  *  - every filter/projection is Catalyst-pushed into the parquet scan.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** Register temp views for SQL-surface queries (grouping sets, subqueries,
+    * CTEs) — cheap: schema-only reads until an action runs. */
+  private def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
+  // ---------------------------------------------------------------------------
+  // Aggregation / scan family
+  // ---------------------------------------------------------------------------
+
+  /** TPC-H Q1 pricing summary: partial+final hash agg, filter pushed to scan. */
+  private def q01Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection + filter: both must reach the parquet scan (PushedFilters). */
+  private def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_size").between(10, 20) && col("p_retailprice") > 500.0)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        round(col("p_retailprice") * 1.1, 2).as("marked_up"),
+        col("p_size"))
+      .orderBy(col("p_partkey"))
+
+  // ---------------------------------------------------------------------------
+  // Join family
+  // ---------------------------------------------------------------------------
+
+  /** TPC-H Q5-ish star join: broadcast the dim chain, shuffle the facts. */
+  private def q03JoinMulti(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region")
+    val nation = t(s, dir, "nation")
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** TPC-H Q13-ish: LEFT OUTER join keeps customers with zero orders. */
+  private def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** RIGHT OUTER: every order row survives even without a matching hot part. */
+  private def q05JoinRight(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").filter(col("p_size") > 40)
+    val lineitem = t(s, dir, "lineitem")
+    part
+      .join(lineitem, col("p_partkey") === col("l_partkey"), "right")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(col("p_partkey")).as("matched_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** FULL OUTER join of two daily aggregates, coalescing both sides. */
+  private def q06JoinFull(s: SparkSession, dir: String): DataFrame = {
+    val od = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ld = t(s, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(count(lit(1)).as("n_ships"))
+    od.join(ld, Seq("d"), "full")
+      .select(
+        col("d"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+      .orderBy(col("d"))
+      .limit(100)
+  }
+
+  /** LEFT SEMI = EXISTS: customers having at least one open order. */
+  private def q07SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    customer
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** LEFT ANTI = NOT EXISTS: customers who never placed a big-ticket order. */
+  private def q08AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    customer
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Cross join of two tiny dims — BroadcastNestedLoop, bounded output. */
+  private def q09CrossJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").select(col("r_name"))
+    val status = t(s, dir, "orders").select(col("o_orderstatus")).distinct()
+    region.crossJoin(status)
+      .select(col("r_name"), col("o_orderstatus"))
+      .orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  /** Theta (non-equi) join against an inline VALUES tier table: price-band
+    * classification via BroadcastNestedLoopJoin — the band side is tiny by
+    * construction, so this stays broadcastable at any fact scale. */
+  private def q10ThetaJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(
+      ("T1", 0.0, 50000.0),
+      ("T2", 50000.0, 150000.0),
+      ("T3", 150000.0, 300000.0),
+      ("T4", 300000.0, 1e12)).toDF("tier", "lo", "hi")
+    val orders = t(s, dir, "orders")
+    orders
+      .join(broadcast(tiers), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("tier"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Distinct / grouping sets
+  // ---------------------------------------------------------------------------
+
+  private def q11Distinct(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+  }
+
+  /** Multi-phase distinct-aggregate rewrite (RewriteDistinctAggregates). */
+  private def q12CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_sp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP with grouping() indicator; names coalesced so NULL grouping rows
+    * sort identically in both engines. */
+  private def q13Rollup(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region")
+    val customer = t(s, dir, "customer")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("c_acctbal")), 2).as("bal"),
+        count(lit(1)).as("n"),
+        grouping(col("r_name")).cast("int").as("g_r"),
+        grouping(col("n_name")).cast("int").as("g_n"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("r_name"),
+        coalesce(col("n_name"), lit("(all)")).as("n_name"),
+        col("bal"), col("n"), col("g_r"), col("g_n"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** CUBE over two independent dims. */
+  private def q14Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n"), col("avg_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Explicit GROUPING SETS via SQL (DataFrame API has no direct form). */
+  private def q15GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+             coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus, o_orderpriority
+    """)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Window functions
+  // ---------------------------------------------------------------------------
+
+  /** Ranking family. Window ordering includes the unique key so every rank is
+    * deterministic (and engine-agnostic) even under acctbal ties. */
+  private def q16WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("bal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** Frame family: running/windowed aggregates, lag/lead, first/last. */
+  private def q17WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = w.rowsBetween(-2, Window.currentRow)
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(running), 2).as("run_total"),
+        round(avg(col("o_totalprice")).over(sliding), 4).as("avg3"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        round(first(col("o_totalprice")).over(whole), 2).as("first_price"),
+        round(last(col("o_totalprice")).over(whole), 2).as("last_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Sort / limit / set ops
+  // ---------------------------------------------------------------------------
+
+  /** Top-K: Catalyst plans TakeOrderedAndProject — no full sort at scale. */
+  private def q18TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** LIMIT + OFFSET pagination on a total order. */
+  private def q19Offset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+      .offset(20)
+      .limit(10)
+
+  /** UNION / INTERSECT / EXCEPT in one tagged result. */
+  private def q20SetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val a = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val b = orders.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+    val u = a.union(b).distinct().withColumn("op", lit("union"))
+    val i = a.intersect(b).withColumn("op", lit("intersect"))
+    val e = a.except(b).withColumn("op", lit("except"))
+    u.union(i).union(e)
+      .select(col("op"), col("o_custkey"))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Subqueries / CTEs (SQL surface — Catalyst decorrelates)
+  // ---------------------------------------------------------------------------
+
+  /** Correlated scalar subquery: above-nation-average customers. */
+  private def q21SubqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer")
+    s.sql("""
+      SELECT c_custkey, round(c_acctbal, 2) AS bal
+      FROM customer c
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+        AND c_custkey < 200
+      ORDER BY c_custkey
+    """)
+  }
+
+  /** IN-subquery (rewritten to semi join). */
+  private def q22SubqueryIn(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders", "customer")
+    s.sql("""
+      SELECT o_orderstatus, count(*) AS n
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)
+  }
+
+  /** CTE + EXISTS subquery (TPC-H Q15 flavor): top-revenue suppliers. */
+  private def q23Cte(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem", "supplier")
+    s.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey
+    """)
+  }
+
+  // ---------------------------------------------------------------------------
+  // oracle SQL (DuckDB dialect) — column names/order MUST match the above
+  // ---------------------------------------------------------------------------
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" -> """
+      SELECT p_partkey, upper(p_brand) AS brand_uc,
+             round(p_retailprice * 1.1, 2) AS marked_up, p_size
+      FROM part
+      WHERE p_size BETWEEN 10 AND 20 AND p_retailprice > 500.0
+      ORDER BY p_partkey""",
+    "q03_join_multi" -> """
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""",
+    "q04_join_left" -> """
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+    "q05_join_right" -> """
+      SELECT l_returnflag, count(p_partkey) AS matched_parts, count(*) AS n_rows
+      FROM (SELECT * FROM part WHERE p_size > 40) p
+        RIGHT JOIN lineitem ON p_partkey = l_partkey
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q06_join_full" -> """
+      SELECT coalesce(od.d, ld.d) AS d,
+             coalesce(n_orders, 0) AS n_orders,
+             coalesce(n_ships, 0) AS n_ships
+      FROM (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+            FROM orders GROUP BY 1) od
+        FULL OUTER JOIN
+           (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_ships
+            FROM lineitem GROUP BY 1) ld
+        ON od.d = ld.d
+      ORDER BY d
+      LIMIT 100""",
+    "q07_semi_join" -> """
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+    "q08_anti_join" -> """
+      SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+    "q09_cross_join" -> """
+      SELECT r_name, o_orderstatus
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+      ORDER BY r_name, o_orderstatus""",
+    "q10_theta_join" -> """
+      SELECT tier, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      FROM orders
+        JOIN (VALUES ('T1', 0.0, 50000.0), ('T2', 50000.0, 150000.0),
+                     ('T3', 150000.0, 300000.0), ('T4', 300000.0, 1e12))
+             tiers(tier, lo, hi)
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY tier
+      ORDER BY tier""",
+    "q11_distinct" -> """
+      SELECT DISTINCT c_mktsegment, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      ORDER BY c_mktsegment, o_orderpriority""",
+    "q12_count_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_partkey) AS n_part,
+             count(DISTINCT (l_suppkey, l_partkey)) AS n_sp,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q13_rollup" -> """
+      SELECT coalesce(r_name, '(all)') AS r_name,
+             coalesce(n_name, '(all)') AS n_name,
+             round(sum(c_acctbal), 2) AS bal,
+             count(*) AS n,
+             CAST(grouping(r_name) AS INT) AS g_r,
+             CAST(grouping(n_name) AS INT) AS g_n
+      FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name, n_name""",
+    "q14_cube" -> """
+      SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+             coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+             count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus, o_orderpriority""",
+    "q15_grouping_sets" -> """
+      SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+             coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus, o_orderpriority""",
+    "q16_window_rank" -> """
+      SELECT * FROM (
+        SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
+               row_number() OVER w AS rn,
+               rank() OVER w AS rk,
+               dense_rank() OVER w AS drk,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cdist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+      WHERE rn <= 5
+      ORDER BY c_mktsegment, rn""",
+    "q17_window_frames" -> """
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total,
+             round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3,
+             round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+             round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price,
+             round(first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS first_price,
+             round(last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price
+      FROM orders
+      WHERE o_custkey < 50
+      ORDER BY o_custkey, o_orderkey""",
+    "q18_topk" -> """
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders
+      ORDER BY price DESC, o_orderkey
+      LIMIT 10""",
+    "q19_offset" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      ORDER BY c_custkey
+      LIMIT 10 OFFSET 20""",
+    "q20_set_ops" -> """
+      WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+           b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      SELECT 'union' AS op, o_custkey FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+      UNION ALL
+      SELECT 'intersect' AS op, o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      UNION ALL
+      SELECT 'except' AS op, o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      ORDER BY op, o_custkey""",
+    "q21_subquery_scalar" -> """
+      SELECT c_custkey, round(c_acctbal, 2) AS bal
+      FROM customer c
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+        AND c_custkey < 200
+      ORDER BY c_custkey""",
+    "q22_subquery_in" -> """
+      SELECT o_orderstatus, count(*) AS n
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+    "q23_cte" -> """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> q01Agg,
+    "q02_filter_project" -> q02FilterProject,
+    "q03_join_multi" -> q03JoinMulti,
+    "q04_join_left" -> q04JoinLeft,
+    "q05_join_right" -> q05JoinRight,
+    "q06_join_full" -> q06JoinFull,
+    "q07_semi_join" -> q07SemiJoin,
+    "q08_anti_join" -> q08AntiJoin,
+    "q09_cross_join" -> q09CrossJoin,
+    "q10_theta_join" -> q10ThetaJoin,
+    "q11_distinct" -> q11Distinct,
+    "q12_count_distinct" -> q12CountDistinct,
+    "q13_rollup" -> q13Rollup,
+    "q14_cube" -> q14Cube,
+    "q15_grouping_sets" -> q15GroupingSets,
+    "q16_window_rank" -> q16WindowRank,
+    "q17_window_frames" -> q17WindowFrames,
+    "q18_topk" -> q18TopK,
+    "q19_offset" -> q19Offset,
+    "q20_set_ops" -> q20SetOps,
+    "q21_subquery_scalar" -> q21SubqueryScalar,
+    "q22_subquery_in" -> q22SubqueryIn,
+    "q23_cte" -> q23Cte)
+}
