@@ -189,7 +189,10 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("o_orderpriority"))
   }
 
-  /** Multi-phase distinct-aggregate rewrite (RewriteDistinctAggregates). */
+  /** Multi-phase distinct-aggregate rewrite (RewriteDistinctAggregates).
+    * Spark's countDistinct(a, b) drops rows where ANY argument is NULL; the
+    * oracle mirrors that explicitly with a FILTER clause (DuckDB's
+    * count(DISTINCT (a,b)) would otherwise count a struct with NULL fields). */
   private def q12CountDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -222,27 +225,36 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
-  /** CUBE over two independent dims. */
+  /** CUBE over two independent dims. grouping() flags are emitted (as in
+    * q13) so a genuine data NULL can never collide with the subtotal
+    * sentinel, and the ORDER BY (which includes them) is total. */
   private def q14Cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"),
+        grouping(col("o_orderstatus")).cast("int").as("g_s"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"))
       .select(
         coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
         coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
-        col("n"), col("avg_price"))
-      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+        col("n"), col("avg_price"), col("g_s"), col("g_p"))
+      .orderBy(col("g_s"), col("g_p"), col("o_orderstatus"), col("o_orderpriority"))
 
-  /** Explicit GROUPING SETS via SQL (DataFrame API has no direct form). */
+  /** Explicit GROUPING SETS via SQL (DataFrame API has no direct form).
+    * grouping() flags distinguish data-NULLs from subtotal rows. */
   private def q15GroupingSets(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "orders")
     s.sql("""
       SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
              coalesce(o_orderpriority, '(all)') AS o_orderpriority,
-             count(*) AS n
+             count(*) AS n,
+             CAST(grouping(o_orderstatus) AS INT) AS g_s,
+             CAST(grouping(o_orderpriority) AS INT) AS g_p
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-      ORDER BY o_orderstatus, o_orderpriority
+      ORDER BY g_s, g_p, o_orderstatus, o_orderpriority
     """)
   }
 
@@ -325,13 +337,16 @@ object Relational {
   // Subqueries / CTEs (SQL surface — Catalyst decorrelates)
   // ---------------------------------------------------------------------------
 
-  /** Correlated scalar subquery: above-nation-average customers. */
+  /** Correlated scalar subquery: above-nation-average customers. The avg is
+    * rounded to 4 digits in BOTH engines before the comparison so a row
+    * within float epsilon of the boundary (summation order differs between
+    * Spark shuffles and DuckDB) can't flip membership. */
   private def q21SubqueryScalar(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "customer")
     s.sql("""
       SELECT c_custkey, round(c_acctbal, 2) AS bal
       FROM customer c
-      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+      WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer c2
                          WHERE c2.c_nationkey = c.c_nationkey)
         AND c_custkey < 200
       ORDER BY c_custkey
@@ -350,19 +365,24 @@ object Relational {
     """)
   }
 
-  /** CTE + EXISTS subquery (TPC-H Q15 flavor): top-revenue suppliers. */
+  /** CTE + scalar subquery (TPC-H Q15 flavor): top-revenue suppliers.
+    * Revenue is summed as DECIMAL(18,6) — exact, order-independent — so the
+    * `total_revenue = max(total_revenue)` equality is deterministic in both
+    * engines regardless of shuffle/summation order; only the final display
+    * value is cast back to DOUBLE. */
   private def q23Cte(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "lineitem", "supplier")
     s.sql("""
       WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_exact
         FROM lineitem
         GROUP BY l_suppkey
       )
-      SELECT s_suppkey, s_name, total_revenue
+      SELECT s_suppkey, s_name,
+             round(CAST(rev_exact AS DOUBLE), 2) AS total_revenue
       FROM supplier JOIN revenue ON s_suppkey = supplier_no
-      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      WHERE rev_exact = (SELECT max(rev_exact) FROM revenue)
       ORDER BY s_suppkey
     """)
   }
@@ -463,7 +483,8 @@ object Relational {
       SELECT l_returnflag,
              count(DISTINCT l_suppkey) AS n_supp,
              count(DISTINCT l_partkey) AS n_part,
-             count(DISTINCT (l_suppkey, l_partkey)) AS n_sp,
+             count(DISTINCT (l_suppkey, l_partkey))
+               FILTER (WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL) AS n_sp,
              count(*) AS n_rows
       FROM lineitem
       GROUP BY l_returnflag
@@ -483,17 +504,21 @@ object Relational {
     "q14_cube" -> """
       SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
              coalesce(o_orderpriority, '(all)') AS o_orderpriority,
-             count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+             count(*) AS n, round(avg(o_totalprice), 2) AS avg_price,
+             CAST(grouping(o_orderstatus) AS INT) AS g_s,
+             CAST(grouping(o_orderpriority) AS INT) AS g_p
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
-      ORDER BY o_orderstatus, o_orderpriority""",
+      ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""",
     "q15_grouping_sets" -> """
       SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
              coalesce(o_orderpriority, '(all)') AS o_orderpriority,
-             count(*) AS n
+             count(*) AS n,
+             CAST(grouping(o_orderstatus) AS INT) AS g_s,
+             CAST(grouping(o_orderpriority) AS INT) AS g_p
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-      ORDER BY o_orderstatus, o_orderpriority""",
+      ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""",
     "q16_window_rank" -> """
       SELECT * FROM (
         SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
@@ -544,7 +569,7 @@ object Relational {
     "q21_subquery_scalar" -> """
       SELECT c_custkey, round(c_acctbal, 2) AS bal
       FROM customer c
-      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+      WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer c2
                          WHERE c2.c_nationkey = c.c_nationkey)
         AND c_custkey < 200
       ORDER BY c_custkey""",
@@ -557,13 +582,14 @@ object Relational {
     "q23_cte" -> """
       WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_exact
         FROM lineitem
         GROUP BY l_suppkey
       )
-      SELECT s_suppkey, s_name, total_revenue
+      SELECT s_suppkey, s_name,
+             round(CAST(rev_exact AS DOUBLE), 2) AS total_revenue
       FROM supplier JOIN revenue ON s_suppkey = supplier_no
-      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      WHERE rev_exact = (SELECT max(rev_exact) FROM revenue)
       ORDER BY s_suppkey""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

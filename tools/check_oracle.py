@@ -5,9 +5,10 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
 Reads each <name>/ parquet dump produced by graft.Verify, runs the matching
 DuckDB oracle from oracle_sql.json against the sf parquet tables, and
-compares: schema (column names), row count, and values (columns sorted by
-name, rows sorted, floats compared exactly after both engines' own rounding
-— mismatches are printed with a diff sample).
+compares the way the driver does: columns sorted by NAME, but rows in
+EMITTED order — so a wrong/missing ORDER BY fails here too. A sorted-rows
+comparison is reported only as a secondary diagnostic to tell "ordering
+bug" apart from "value bug".
 """
 import json, math, os, sys
 import duckdb
@@ -29,15 +30,16 @@ def canon(v):
         return f"{v:.10g}"
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
 def rows_of(cols, data):
+    """Columns sorted by name (driver semantics); rows kept in emitted order."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in data:
-        out.append(tuple(canon(row[i]) for i in order))
-    return sorted(out), [cols[i] for i in order]
+    out = [tuple(canon(row[i]) for i in order) for row in data]
+    return out, [cols[i] for i in order]
 
 
 def main():
@@ -67,24 +69,27 @@ def main():
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1; failures.append(name)
             continue
-        s_sorted, s_names = rows_of(scols, srows)
-        d_sorted, d_names = rows_of(dcols, drows)
+        s_rows, s_names = rows_of(scols, srows)
+        d_rows, d_names = rows_of(dcols, drows)
         if s_names != d_names:
             print(f"FAIL {name}: columns spark={s_names} duck={d_names}")
             n_fail += 1; failures.append(name)
             continue
-        if len(s_sorted) != len(d_sorted):
-            print(f"FAIL {name}: rows spark={len(s_sorted)} duck={len(d_sorted)}")
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
             n_fail += 1; failures.append(name)
             continue
-        diff = [(a, b) for a, b in zip(s_sorted, d_sorted) if a != b]
+        diff = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
         if diff:
-            print(f"FAIL {name}: {len(diff)}/{len(s_sorted)} differing rows; cols={s_names}")
+            order_only = sorted(s_rows) == sorted(d_rows)
+            kind = "ROW-ORDER mismatch (values equal when sorted)" if order_only \
+                else "value mismatch"
+            print(f"FAIL {name}: {len(diff)}/{len(s_rows)} differing rows; {kind}; cols={s_names}")
             for a, b in diff[:3]:
                 print(f"   spark={a}\n   duck ={b}")
             n_fail += 1; failures.append(name)
         else:
-            print(f"PASS {name} ({len(s_sorted)} rows)")
+            print(f"PASS {name} ({len(s_rows)} rows)")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed" + (f": {failures}" if failures else ""))
     sys.exit(1 if n_fail else 0)
