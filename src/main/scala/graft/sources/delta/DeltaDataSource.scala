@@ -1,0 +1,95 @@
+package graft.sources.delta
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+
+/** `format("delta")` entry point, registered via
+  * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister.
+  *
+  * Reference parity (SURVEY.md §2.1): the reference registers a
+  * `TableProviderFactory` keyed `"DELTA"` (`src/lib.rs:37`) reachable as
+  * `CREATE EXTERNAL TABLE … STORED AS DELTA LOCATION …` (`tests/local.rs:48`)
+  * — here the same surface is `CREATE TABLE c USING delta LOCATION '…'` and
+  * `spark.read.format("delta").load(path)`. The read path hands Catalyst a
+  * [[HadoopFsRelation]] over a [[DeltaFileIndex]], so FileSourceStrategy
+  * drives partition pruning / stats skipping / vectorized parquet scan
+  * natively; the write path ([[DeltaWriter]]) EXCEEDS the reference's
+  * documented INSERT gap (`tests/local.rs:92-103`).
+  *
+  * Time travel: `.option("versionAsOf", n)` / `.option("timestampAsOf", ts)`.
+  */
+class DeltaDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "delta"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val snap = DeltaLog.snapshot(
+      spark, path,
+      versionAsOf = caseGet(parameters, "versionAsOf").map(_.toLong),
+      timestampAsOf = caseGet(parameters, "timestampAsOf"))
+    HadoopFsRelation(
+      location = new DeltaFileIndex(spark, snap),
+      partitionSchema = snap.partitionSchema,
+      dataSchema = snap.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = parameters)(spark)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    DeltaWriter.write(data, path, mode, partitionColumnsOf(parameters))
+    createRelation(sqlContext, parameters)
+  }
+
+  private def pathOf(parameters: Map[String, String]): String =
+    caseGet(parameters, "path").getOrElse(
+      throw new IllegalArgumentException("'path' is required for the delta source"))
+
+  private def caseGet(parameters: Map[String, String], key: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  /** DataFrameWriter.partitionBy arrives JSON-encoded under
+    * `__partition_columns` (DataSourceUtils.PARTITIONING_COLUMNS_KEY);
+    * `option("partitionBy", "a,b")` is accepted as a convenience too. */
+  private def partitionColumnsOf(parameters: Map[String, String]): Seq[String] =
+    caseGet(parameters, "__partition_columns") match {
+      case Some(json) =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        import scala.jdk.CollectionConverters._
+        node.elements().asScala.map(_.asText()).toSeq
+      case None =>
+        caseGet(parameters, "partitionBy").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+    }
+}
+
+/** Scala-friendly facade mirroring the reference's session-builder surface
+  * (`custom_session_state`, `src/lib.rs:30-42`): one call registers nothing
+  * globally — the format is service-loaded — but gives a typed read/write
+  * API with time travel. */
+object DeltaTable {
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("delta").load(path)
+
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+    spark.read.format("delta").option("versionAsOf", version).load(path)
+
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Append,
+      partitionBy: Seq[String] = Nil): Unit =
+    DeltaWriter.write(df, path, mode, partitionBy)
+
+  def snapshot(spark: SparkSession, path: String): DeltaSnapshot =
+    DeltaLog.snapshot(spark, path)
+}

@@ -1,0 +1,252 @@
+package graft.sources.delta
+
+import java.net.URI
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or, And => CatalystAnd, Predicate => CatalystPredicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst-integrated [[FileIndex]] over a Delta snapshot.
+  *
+  * This is where the two scan-time optimizations the reference gets from
+  * delta-rs's `DeltaScan` (SURVEY.md §4) are re-expressed Spark-first:
+  *
+  *  1. partition pruning — `listFiles` evaluates the pushed partition
+  *     filters against each file's `partitionValues` before anything is
+  *     read (reference: log `partitionColumns`, fixture `…0.json:3-6`);
+  *  2. stats-based file skipping — pushed data filters are tested against
+  *     per-file `add.stats` min/max/nullCount (fixture `…0.json:4-6`), so
+  *     files that provably contain no matching row are never opened.
+  *
+  * Everything downstream (vectorized parquet read, row-group pruning,
+  * column projection, partition-column injection from the InternalRow we
+  * return here) is the stock Spark `ParquetFileFormat` — at 100 TB the scan
+  * cost is bounded by surviving files only, and the driver-side replay
+  * cost by commits-since-checkpoint.
+  */
+class DeltaFileIndex(spark: SparkSession, snapshot: DeltaSnapshot) extends FileIndex {
+
+  private val tableRoot = new Path(snapshot.tablePath)
+
+  override def rootPaths: Seq[Path] = Seq(tableRoot)
+
+  override def partitionSchema: StructType = snapshot.partitionSchema
+
+  override def sizeInBytes: Long = snapshot.files.map(_.size).sum
+
+  override def refresh(): Unit = ()
+
+  override def inputFiles: Array[String] =
+    snapshot.files.map(f => absolutePath(f.path).toString).toArray
+
+  /** add.path is a URL-encoded path relative to the table root. */
+  private def absolutePath(p: String): Path = {
+    val decoded = try new URI(p) catch { case _: Exception => null }
+    if (decoded != null && decoded.isAbsolute) new Path(decoded)
+    else if (decoded != null) new Path(tableRoot, new Path(decoded.getPath))
+    else new Path(tableRoot, p)
+  }
+
+  /** Cast the string partition values of one file into an InternalRow laid
+    * out like `partitionSchema` (same injection Spark's
+    * PartitioningAwareFileIndex does for hive layouts). */
+  private def partitionRow(values: Map[String, String]): InternalRow = {
+    val casted = partitionSchema.fields.map { f =>
+      values.get(f.name).flatMap(Option(_)) match {
+        case None => null
+        case Some(raw) =>
+          Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
+            Some(java.time.ZoneOffset.UTC.getId)).eval(null)
+      }
+    }
+    InternalRow.fromSeq(casted.toIndexedSeq)
+  }
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+
+    // --- 1. group files by partition values, prune with partitionFilters
+    val groups: Seq[(Map[String, String], Seq[DeltaAddFile])] =
+      snapshot.files.groupBy(_.partitionValues).toSeq
+
+    val prunedGroups =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) groups
+      else {
+        val bound = partitionFilters.reduce(CatalystAnd).transform {
+          case a: Attribute =>
+            val idx = partitionSchema.fieldIndex(a.name)
+            BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+        }
+        val predicate = CatalystPredicate.create(bound)
+        predicate.initialize(0)
+        groups.filter { case (values, _) => predicate.eval(partitionRow(values)) }
+      }
+
+    // --- 2. per-file stats skipping with dataFilters
+    prunedGroups.map { case (values, files) =>
+      val kept = if (dataFilters.isEmpty) files else files.filter { f =>
+        DeltaStatsSkipping.mightMatch(dataFilters, f.stats, snapshot.dataSchema)
+      }
+      val statuses = kept.map { f =>
+        new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime, absolutePath(f.path))
+      }.toArray
+      PartitionDirectory(partitionRow(values), statuses)
+    }.filter(_.files.nonEmpty)
+  }
+}
+
+/** Conservative per-file pruning on Delta `add.stats`
+  * (minValues/maxValues/nullCount/numRecords). A file is dropped only when a
+  * pushed filter PROVABLY matches no row; any uncertainty (missing stats,
+  * unsupported expression shape, truncated string bounds — still sound as
+  * prefix bounds) keeps the file. */
+object DeltaStatsSkipping {
+
+  private val mapper = new ObjectMapper()
+
+  private final case class ColStats(
+      min: Option[Any], max: Option[Any], nullCount: Option[Long])
+
+  private final case class FileStats(
+      numRecords: Option[Long], cols: Map[String, ColStats])
+
+  def mightMatch(filters: Seq[Expression], statsJson: Option[String], dataSchema: StructType): Boolean =
+    statsJson match {
+      case None => true
+      case Some(json) =>
+        val stats = try parse(json, dataSchema) catch { case _: Exception => return true }
+        filters.forall(f => mightMatchExpr(f, stats))
+    }
+
+  private def parse(json: String, schema: StructType): FileStats = {
+    val node = mapper.readTree(json)
+    val numRecords = if (node.has("numRecords")) Some(node.get("numRecords").asLong()) else None
+    def section(name: String): Map[String, Any] =
+      if (!node.has(name) || node.get(name).isNull) Map.empty
+      else {
+        val obj = node.get(name)
+        schema.fields.flatMap { f =>
+          if (obj.has(f.name) && !obj.get(f.name).isNull)
+            jsonToComparable(obj.get(f.name).asText(), f.dataType).map(f.name -> _)
+          else None
+        }.toMap
+      }
+    val mins = section("minValues")
+    val maxs = section("maxValues")
+    val nulls: Map[String, Long] =
+      if (!node.has("nullCount") || node.get("nullCount").isNull) Map.empty
+      else schema.fields.flatMap { f =>
+        val nc = node.get("nullCount")
+        if (nc.has(f.name) && nc.get(f.name).isNumber) Some(f.name -> nc.get(f.name).asLong())
+        else None
+      }.toMap
+    FileStats(numRecords, schema.fieldNames.map { n =>
+      n -> ColStats(mins.get(n), maxs.get(n), nulls.get(n))
+    }.toMap)
+  }
+
+  /** Stats and literals are compared in a common ordered domain:
+    * Double for numerics, String for strings, epoch millis for date/ts. */
+  private def jsonToComparable(raw: String, dt: DataType): Option[Any] = dt match {
+    case _: NumericType => raw.toDoubleOption
+    case StringType => Some(raw)
+    case DateType =>
+      try Some(java.time.LocalDate.parse(raw.take(10)).toEpochDay.toDouble)
+      catch { case _: Exception => None }
+    case TimestampType | TimestampNTZType =>
+      try Some(DeltaLog.parseTimestampMillis(raw).toDouble) catch { case _: Exception => None }
+    case BooleanType => raw.toBooleanOption.map(b => if (b) 1.0 else 0.0)
+    case _ => None
+  }
+
+  private def litToComparable(value: Any, dt: DataType): Option[Any] = (value, dt) match {
+    case (null, _) => None
+    case (v: UTF8String, StringType) => Some(v.toString)
+    case (v: String, StringType) => Some(v)
+    case (v: Number, DateType) => Some(v.doubleValue()) // days since epoch → days
+    case (v: Number, TimestampType | TimestampNTZType) => Some(v.doubleValue() / 1000.0) // micros → millis
+    case (v: Number, _: NumericType) => Some(v.doubleValue())
+    case (v: java.math.BigDecimal, _) => Some(v.doubleValue())
+    case (v: org.apache.spark.sql.types.Decimal, _) => Some(v.toDouble)
+    case (v: Boolean, BooleanType) => Some(if (v) 1.0 else 0.0)
+    case _ => None
+  }
+
+  // DateType stats are epoch DAYS on both sides; fix jsonToComparable's date
+  // domain to days (LocalDate.toEpochDay) and litToComparable already emits
+  // days for DateType literals (Spark stores dates as Int days internally).
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  private def mightMatchExpr(e: Expression, s: FileStats): Boolean = e match {
+    case CatalystAnd(l, r) => mightMatchExpr(l, s) && mightMatchExpr(r, s)
+    case Or(l, r) => mightMatchExpr(l, s) || mightMatchExpr(r, s)
+    case Not(IsNull(a: Attribute)) => mightMatchExpr(IsNotNull(a), s)
+    case Not(IsNotNull(a: Attribute)) => mightMatchExpr(IsNull(a), s)
+    case IsNull(a: Attribute) =>
+      (s.cols.get(a.name).flatMap(_.nullCount), s.numRecords) match {
+        case (Some(nc), _) => nc > 0
+        case _ => true
+      }
+    case IsNotNull(a: Attribute) =>
+      (s.cols.get(a.name).flatMap(_.nullCount), s.numRecords) match {
+        case (Some(nc), Some(n)) => nc < n
+        case _ => true
+      }
+    case EqualTo(a: Attribute, Literal(v, dt)) => boundCheck(a.name, v, dt, s, eq = true, lt = false, gt = false)
+    case EqualTo(Literal(v, dt), a: Attribute) => boundCheck(a.name, v, dt, s, eq = true, lt = false, gt = false)
+    case EqualNullSafe(a: Attribute, Literal(v, dt)) if v != null =>
+      boundCheck(a.name, v, dt, s, eq = true, lt = false, gt = false)
+    case LessThan(a: Attribute, Literal(v, dt)) => boundCheck(a.name, v, dt, s, eq = false, lt = true, gt = false)
+    case LessThan(Literal(v, dt), a: Attribute) => boundCheck(a.name, v, dt, s, eq = false, lt = false, gt = true)
+    case LessThanOrEqual(a: Attribute, Literal(v, dt)) => boundCheck(a.name, v, dt, s, eq = true, lt = true, gt = false)
+    case LessThanOrEqual(Literal(v, dt), a: Attribute) => boundCheck(a.name, v, dt, s, eq = true, lt = false, gt = true)
+    case GreaterThan(a: Attribute, Literal(v, dt)) => boundCheck(a.name, v, dt, s, eq = false, lt = false, gt = true)
+    case GreaterThan(Literal(v, dt), a: Attribute) => boundCheck(a.name, v, dt, s, eq = false, lt = true, gt = false)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) => boundCheck(a.name, v, dt, s, eq = true, lt = false, gt = true)
+    case GreaterThanOrEqual(Literal(v, dt), a: Attribute) => boundCheck(a.name, v, dt, s, eq = true, lt = true, gt = false)
+    case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists { case Literal(v, dt) => boundCheck(a.name, v, dt, s, eq = true, lt = false, gt = false) }
+    case _ => true
+  }
+
+  /** Can a value v' with (v' < v | v' = v | v' > v, per flags) exist in
+    * [min, max]? DateType literal arrives as Int days; timestamp as Long
+    * micros — converted to the same domain as the parsed stats. */
+  private def boundCheck(
+      col: String, v: Any, dt: DataType, s: FileStats,
+      eq: Boolean, lt: Boolean, gt: Boolean): Boolean = {
+    val litDomain: Option[Any] = dt match {
+      case DateType => v match {
+        case d: Int => Some(d.toDouble)
+        case _ => litToComparable(v, dt)
+      }
+      case TimestampType | TimestampNTZType => v match {
+        case micros: Long => Some(micros / 1000.0)
+        case _ => litToComparable(v, dt)
+      }
+      case _ => litToComparable(v, dt)
+    }
+    val cs = s.cols.get(col)
+    (litDomain, cs) match {
+      case (Some(lit), Some(ColStats(minO, maxO, _))) =>
+        // eq: need min <= lit <= max; lt: need min < lit; gt: need max > lit
+        val eqPossible = eq && minO.flatMap(m => cmp(m, lit)).forall(_ <= 0) &&
+          maxO.flatMap(m => cmp(m, lit)).forall(_ >= 0)
+        val ltPossible = lt && minO.flatMap(m => cmp(m, lit)).forall(_ < 0)
+        val gtPossible = gt && maxO.flatMap(m => cmp(m, lit)).forall(_ > 0)
+        eqPossible || ltPossible || gtPossible
+      case _ => true
+    }
+  }
+}

@@ -1,0 +1,270 @@
+package graft.sources.delta
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delta Lake transaction-log model + replay (protocol reader v1).
+  *
+  * The reference (milenkovicm/ballista_delta) consumes exactly this protocol
+  * surface through delta-rs: JSON commits carrying `commitInfo` / `protocol`
+  * / `metaData` / `add` / `remove` actions, hive-partitioned parquet data
+  * files that do NOT contain the partition column, and per-file `stats`
+  * (reference fixture: `data/people_countries_delta_dask/_delta_log/
+  * 00000000000000000000.json:1-6`). This is a from-scratch Spark-side
+  * re-implementation of the published Delta protocol — not a port of
+  * delta-rs: replay is a single pass over (checkpoint ∪ JSON deltas) with
+  * last-metaData-wins and add/remove file-set semantics.
+  */
+final case class DeltaProtocol(minReaderVersion: Int, minWriterVersion: Int)
+
+final case class DeltaMetadata(
+    id: String,
+    schemaString: String,
+    partitionColumns: Seq[String],
+    configuration: Map[String, String]) {
+  /** `schemaString` is Spark DataType JSON (Delta lifted Spark's schema
+    * serialization — the reference fixture was itself written by Spark 3.4,
+    * `_delta_log/…0.json:1` engineInfo). */
+  lazy val schema: StructType = DataType.fromJson(schemaString).asInstanceOf[StructType]
+}
+
+final case class DeltaAddFile(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long,
+    modificationTime: Long,
+    stats: Option[String])
+
+final case class DeltaSnapshot(
+    tablePath: String,
+    version: Long,
+    protocol: DeltaProtocol,
+    metadata: DeltaMetadata,
+    files: Seq[DeltaAddFile]) {
+  def schema: StructType = metadata.schema
+  def partitionColumns: Seq[String] = metadata.partitionColumns
+  /** Partition columns are injected from `partitionValues`, never read from
+    * parquet (verified absent from the reference fixture's footers). */
+  def partitionSchema: StructType =
+    StructType(partitionColumns.map(c => schema(c)))
+  def dataSchema: StructType =
+    StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+}
+
+object DeltaLog {
+
+  private val mapper = new ObjectMapper()
+
+  val LogDirName = "_delta_log"
+  private val CommitRe = """(\d{20})\.json""".r
+  private val CheckpointRe = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultipartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+
+  def logDir(tablePath: String): Path = new Path(tablePath, LogDirName)
+
+  def isDeltaTable(spark: SparkSession, tablePath: String): Boolean = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(dir) && fs.listStatus(dir).exists(s => CommitRe.pattern.matcher(s.getPath.getName).matches())
+  }
+
+  /** All commit JSONs and checkpoint parquets in the log, sorted by version. */
+  private def listLog(spark: SparkSession, tablePath: String): (Seq[(Long, FileStatus)], Seq[(Long, Seq[FileStatus])]) = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) throw new IllegalArgumentException(
+      s"$tablePath is not a Delta table: no $LogDirName directory")
+    val entries = fs.listStatus(dir).toSeq
+    val commits = entries.flatMap { s =>
+      s.getPath.getName match {
+        case CommitRe(v) => Some(v.toLong -> s)
+        case _ => None
+      }
+    }.sortBy(_._1)
+    val checkpoints = entries.flatMap { s =>
+      s.getPath.getName match {
+        case CheckpointRe(v) => Some(v.toLong -> s)
+        case MultipartCheckpointRe(v, _, _) => Some(v.toLong -> s)
+        case _ => None
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.getPath.getName)).toSeq.sortBy(_._1)
+    (commits, checkpoints)
+  }
+
+  /** Replay the log into a snapshot at `versionAsOf`/`timestampAsOf` (or
+    * latest). Uses the newest complete checkpoint at or below the target
+    * version, then applies JSON deltas — so replay cost is O(commits since
+    * checkpoint), not O(table history). */
+  def snapshot(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[String] = None): DeltaSnapshot = {
+    val (commits, checkpoints) = listLog(spark, tablePath)
+    if (commits.isEmpty && checkpoints.isEmpty)
+      throw new IllegalArgumentException(s"$tablePath: empty _delta_log")
+
+    val maxVersion = (commits.map(_._1) ++ checkpoints.map(_._1)).max
+    val target: Long = versionAsOf match {
+      case Some(v) =>
+        require(v <= maxVersion, s"versionAsOf $v > latest version $maxVersion")
+        v
+      case None => timestampAsOf match {
+        case Some(ts) =>
+          val cutoff = parseTimestampMillis(ts)
+          val eligible = commits.filter(_._2.getModificationTime <= cutoff).map(_._1)
+          if (eligible.isEmpty) throw new IllegalArgumentException(
+            s"timestampAsOf $ts precedes the earliest commit of $tablePath")
+          eligible.max
+        case None => maxVersion
+      }
+    }
+
+    var protocol: Option[DeltaProtocol] = None
+    var metadata: Option[DeltaMetadata] = None
+    val live = mutable.LinkedHashMap.empty[String, DeltaAddFile]
+
+    // 1. newest checkpoint at or below target
+    val cp = checkpoints.filter(_._1 <= target).lastOption
+    cp.foreach { case (_, parts) =>
+      val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
+      val cols = cpDf.schema.fieldNames.toSet
+      val sel = Seq("protocol", "metaData", "add").filter(cols.contains)
+      cpDf.select(sel.head, sel.tail: _*).collect().foreach { row =>
+        sel.zipWithIndex.foreach { case (name, i) =>
+          if (!row.isNullAt(i)) {
+            val r = row.getStruct(i)
+            name match {
+              case "protocol" =>
+                protocol = Some(DeltaProtocol(
+                  r.getAs[Int]("minReaderVersion"), r.getAs[Int]("minWriterVersion")))
+              case "metaData" =>
+                metadata = Some(DeltaMetadata(
+                  Option(r.getAs[String]("id")).getOrElse(""),
+                  r.getAs[String]("schemaString"),
+                  Option(r.getAs[scala.collection.Seq[String]]("partitionColumns"))
+                    .map(_.toSeq).getOrElse(Nil),
+                  Option(r.getAs[scala.collection.Map[String, String]]("configuration"))
+                    .map(_.toMap).getOrElse(Map.empty)))
+              case "add" =>
+                val fields = r.schema.fieldNames.toSet
+                val add = DeltaAddFile(
+                  r.getAs[String]("path"),
+                  Option(r.getAs[scala.collection.Map[String, String]]("partitionValues"))
+                    .map(_.toMap).getOrElse(Map.empty),
+                  r.getAs[Long]("size"),
+                  if (fields.contains("modificationTime")) r.getAs[Long]("modificationTime") else 0L,
+                  if (fields.contains("stats")) Option(r.getAs[String]("stats")) else None)
+                live(add.path) = add
+            }
+          }
+        }
+      }
+    }
+
+    // 2. JSON deltas after the checkpoint, up to target
+    val fromVersion = cp.map(_._1 + 1).getOrElse(0L)
+    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    commits.filter { case (v, _) => v >= fromVersion && v <= target }.foreach { case (_, status) =>
+      val in = fs.open(status.getPath)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      // Within one commit, removes apply before adds (a remove+add of the
+      // same path in a single commit nets to add).
+      val commitAdds = mutable.ArrayBuffer.empty[DeltaAddFile]
+      val commitRemoves = mutable.ArrayBuffer.empty[String]
+      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("protocol")) {
+          val p = node.get("protocol")
+          protocol = Some(DeltaProtocol(
+            p.get("minReaderVersion").asInt(), p.get("minWriterVersion").asInt()))
+        }
+        if (node.has("metaData")) {
+          val m = node.get("metaData")
+          metadata = Some(DeltaMetadata(
+            if (m.has("id")) m.get("id").asText() else "",
+            m.get("schemaString").asText(),
+            if (m.has("partitionColumns"))
+              m.get("partitionColumns").elements().asScala.map(_.asText()).toSeq
+            else Nil,
+            if (m.has("configuration"))
+              m.get("configuration").properties().asScala
+                .map(e => e.getKey -> e.getValue.asText()).toMap
+            else Map.empty))
+        }
+        if (node.has("add")) {
+          val a = node.get("add")
+          commitAdds += DeltaAddFile(
+            a.get("path").asText(),
+            jsonStringMap(a.get("partitionValues")),
+            a.get("size").asLong(),
+            if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
+            if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None)
+        }
+        if (node.has("remove")) {
+          commitRemoves += node.get("remove").get("path").asText()
+        }
+      }
+      commitRemoves.foreach(live.remove)
+      commitAdds.foreach(a => live(a.path) = a)
+    }
+
+    val proto = protocol.getOrElse(DeltaProtocol(1, 2))
+    if (proto.minReaderVersion > 1) throw new UnsupportedOperationException(
+      s"$tablePath requires Delta reader version ${proto.minReaderVersion}; " +
+        "this engine implements reader version 1 (no deletion vectors / column mapping)")
+    val meta = metadata.getOrElse(throw new IllegalStateException(
+      s"$tablePath: no metaData action found in log replay up to version $target"))
+    DeltaSnapshot(tablePath, target, proto, meta, live.values.toSeq)
+  }
+
+  private def jsonStringMap(node: JsonNode): Map[String, String] =
+    if (node == null || node.isNull) Map.empty
+    else node.properties().asScala.map { e =>
+      e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+    }.toMap
+
+  private[delta] def parseTimestampMillis(ts: String): Long = {
+    val normalized = ts.trim.replace(' ', 'T')
+    val localTried =
+      try java.time.LocalDateTime.parse(normalized)
+        .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      catch {
+        case _: Exception =>
+          try java.time.LocalDate.parse(ts.trim)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          catch {
+            case _: Exception => java.time.Instant.parse(normalized).toEpochMilli
+          }
+      }
+    localTried
+  }
+
+  /** Atomically publish `_delta_log/<version>.json` with `content`.
+    * Returns false when that version already exists (concurrent writer —
+    * caller re-reads state and retries at version+1). Local-FS commit via
+    * hard-link-from-temp, which is atomic create-exclusive (the same
+    * single-writer local-FS scope the reference exercises; its S3 path is
+    * out of scope here — no hadoop-aws jar, documented gap). */
+  def tryCommit(spark: SparkSession, tablePath: String, version: Long, content: String): Boolean = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val target = new java.io.File(new Path(dir, f"$version%020d.json").toUri.getPath)
+    val tmp = new java.io.File(target.getParentFile, s".tmp-${java.util.UUID.randomUUID()}.json")
+    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+    try {
+      java.nio.file.Files.createLink(target.toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      tmp.delete()
+    }
+  }
+}

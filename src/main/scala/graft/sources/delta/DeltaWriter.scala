@@ -1,0 +1,331 @@
+package graft.sources.delta
+
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delta writer (protocol writer v2): parquet files under hive partition
+  * dirs + an atomically-published JSON commit with `add`/`remove`/
+  * `commitInfo` actions and per-file min/max/nullCount stats, plus a parquet
+  * checkpoint every [[DeltaWriter.CheckpointInterval]] commits.
+  *
+  * This EXCEEDS the reference, where INSERT over the distributed engine is
+  * a documented failure (`examples/local_standalone.rs:38-47`,
+  * `tests/local.rs:100-103` asserts the error): Spark ships closures to
+  * executors natively, so the provider-serialization problem that blocked
+  * delta-rs over Ballista does not exist here.
+  *
+  * Scale posture: the data files are written by Spark's distributed parquet
+  * writer (one task per partition); per-file stats are collected in ONE
+  * extra distributed pass grouped by `input_file_name()` (not per-file
+  * driver loops); only the O(#files) commit-JSON assembly is driver-side,
+  * same as any Delta writer.
+  */
+object DeltaWriter {
+
+  val CheckpointInterval = 10
+  private val mapper = new ObjectMapper()
+
+  def write(
+      data: DataFrame,
+      tablePath: String,
+      mode: SaveMode,
+      partitionByOpt: Seq[String]): Unit = {
+    val spark = data.sparkSession
+    val exists = try DeltaLog.isDeltaTable(spark, tablePath) catch { case _: Exception => false }
+
+    val existing: Option[DeltaSnapshot] =
+      if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
+
+    existing match {
+      case Some(_) if mode == SaveMode.ErrorIfExists =>
+        throw new IllegalArgumentException(s"Delta table already exists at $tablePath (mode=ErrorIfExists)")
+      case Some(_) if mode == SaveMode.Ignore => return
+      case _ =>
+    }
+
+    val partitionCols: Seq[String] = existing match {
+      case Some(snap) =>
+        if (partitionByOpt.nonEmpty && partitionByOpt != snap.partitionColumns)
+          throw new IllegalArgumentException(
+            s"partitionBy ${partitionByOpt.mkString(",")} does not match existing " +
+              s"table partitioning ${snap.partitionColumns.mkString(",")}")
+        snap.partitionColumns
+      case None => partitionByOpt
+    }
+
+    existing.foreach { snap =>
+      val want = snap.schema.fieldNames.toSet
+      val have = data.schema.fieldNames.toSet
+      if (want != have) throw new IllegalArgumentException(
+        s"schema mismatch: table has ${want.toSeq.sorted.mkString(",")}, " +
+          s"write has ${have.toSeq.sorted.mkString(",")}")
+    }
+
+    // ---- 1. write data files to a staging dir (distributed parquet write)
+    val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
+    val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val writer = data.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(stagingDir.toString)
+
+    val stagedFiles = listParquetFilesRecursively(fs, stagingDir)
+    val dataSchema = StructType(data.schema.filterNot(f => partitionCols.contains(f.name)))
+
+    // ---- 2. one distributed pass for per-file stats
+    val statsByStagedPath: Map[String, ObjectNode] =
+      if (stagedFiles.isEmpty) Map.empty
+      else collectFileStats(spark, stagedFiles.map(_.toString), dataSchema)
+
+    // ---- 3. move staged files into the table dir (keeping hive dirs)
+    val adds = stagedFiles.map { staged =>
+      val rel = relativize(stagingDir, staged)
+      val target = new Path(tablePath, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(staged, target))
+        throw new java.io.IOException(s"failed to publish $staged -> $target")
+      val st = fs.getFileStatus(target)
+      val stats = statsByStagedPath.get(staged.toString)
+      (rel, partitionValuesOf(rel, partitionCols), st.getLen, st.getModificationTime, stats)
+    }
+    fs.delete(stagingDir, true)
+
+    // ---- 4. commit (retry on concurrent-writer version conflict)
+    var attempt = 0
+    var committed = false
+    while (!committed && attempt < 20) {
+      val current: Option[DeltaSnapshot] =
+        if (DeltaLog.isDeltaTable(spark, tablePath)) Some(DeltaLog.snapshot(spark, tablePath)) else None
+      val version = current.map(_.version + 1).getOrElse(0L)
+      val lines = Seq.newBuilder[String]
+
+      val commitInfo = mapper.createObjectNode()
+      val ci = commitInfo.putObject("commitInfo")
+      ci.put("timestamp", System.currentTimeMillis())
+      ci.put("operation", "WRITE")
+      val params = ci.putObject("operationParameters")
+      params.put("mode", mode.toString)
+      params.put("partitionBy", mapper.writeValueAsString(
+        partitionCols.foldLeft(mapper.createArrayNode())((a, c) => a.add(c))))
+      ci.put("engineInfo", "graft-spark/0.1.0")
+      lines += mapper.writeValueAsString(commitInfo)
+
+      if (version == 0L) {
+        val protoLine = mapper.createObjectNode()
+        val p = protoLine.putObject("protocol")
+        p.put("minReaderVersion", 1)
+        p.put("minWriterVersion", 2)
+        lines += mapper.writeValueAsString(protoLine)
+
+        val metaLine = mapper.createObjectNode()
+        val m = metaLine.putObject("metaData")
+        m.put("id", UUID.randomUUID().toString)
+        val fmt = m.putObject("format")
+        fmt.put("provider", "parquet")
+        fmt.putObject("options")
+        m.put("schemaString", data.schema.json)
+        partitionCols.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
+        m.putObject("configuration")
+        m.put("createdTime", System.currentTimeMillis())
+        lines += mapper.writeValueAsString(metaLine)
+      }
+
+      if (mode == SaveMode.Overwrite) {
+        current.foreach(_.files.foreach { f =>
+          val rm = mapper.createObjectNode()
+          val r = rm.putObject("remove")
+          r.put("path", f.path)
+          r.put("deletionTimestamp", System.currentTimeMillis())
+          r.put("dataChange", true)
+          lines += mapper.writeValueAsString(rm)
+        })
+      }
+
+      adds.foreach { case (rel, pv, size, modTime, stats) =>
+        val addLine = mapper.createObjectNode()
+        val a = addLine.putObject("add")
+        a.put("path", encodePath(rel))
+        val pvNode = a.putObject("partitionValues")
+        pv.foreach { case (k, v) =>
+          if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
+        }
+        a.put("size", size)
+        a.put("modificationTime", modTime)
+        a.put("dataChange", true)
+        stats.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
+        lines += mapper.writeValueAsString(addLine)
+      }
+
+      committed = DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n"))
+      if (committed && version > 0 && version % CheckpointInterval == 0) {
+        writeCheckpoint(spark, tablePath, version)
+      }
+      attempt += 1
+    }
+    if (!committed) throw new java.io.IOException(
+      s"could not commit to $tablePath after $attempt attempts (concurrent writers)")
+  }
+
+  private def listParquetFilesRecursively(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {
+    val out = Seq.newBuilder[Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    }
+    out.result()
+  }
+
+  private def relativize(base: Path, file: Path): String = {
+    val baseUri = base.toUri.getPath
+    val fileUri = file.toUri.getPath
+    require(fileUri.startsWith(baseUri), s"$file not under $base")
+    fileUri.stripPrefix(baseUri).stripPrefix("/")
+  }
+
+  private def encodePath(rel: String): String =
+    try new java.net.URI(null, null, rel, null).toASCIIString
+    catch { case _: Exception => rel }
+
+  private def partitionValuesOf(rel: String, partitionCols: Seq[String]): Map[String, String] = {
+    val dirs = rel.split('/').dropRight(1)
+    val fromPath = dirs.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val k = seg.substring(0, i)
+        val raw = seg.substring(i + 1)
+        val v = if (raw == "__HIVE_DEFAULT_PARTITION__") null
+        else java.net.URLDecoder.decode(raw, "UTF-8")
+        Some(k -> v)
+      }
+    }.toMap
+    partitionCols.map(c => c -> fromPath.getOrElse(c, null)).toMap
+  }
+
+  /** One distributed scan over the just-written files: per file (group key =
+    * input_file_name) count + min/max/nullCount per supported column. */
+  private def collectFileStats(
+      spark: SparkSession,
+      files: Seq[String],
+      dataSchema: StructType): Map[String, ObjectNode] = {
+    val statable = dataSchema.fields.filter(f => isStatsType(f.dataType))
+    val df = spark.read.schema(dataSchema).parquet(files: _*)
+    val aggs =
+      statable.flatMap { f =>
+        Seq(
+          min(col(f.name)).as(s"min__${f.name}"),
+          max(col(f.name)).as(s"max__${f.name}"),
+          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls__${f.name}"))
+      } :+ count(lit(1L)).as("numRecords")
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byPath: Map[String, ObjectNode] = rows.map { row =>
+      val node = mapper.createObjectNode()
+      node.put("numRecords", row.getAs[Long]("numRecords"))
+      val mins = node.putObject("minValues")
+      val maxs = node.putObject("maxValues")
+      val nulls = node.putObject("nullCount")
+      statable.foreach { f =>
+        putStatValue(mins, f, row.getAs[Any](s"min__${f.name}"))
+        putStatValue(maxs, f, row.getAs[Any](s"max__${f.name}"))
+        nulls.put(f.name, row.getAs[Long](s"nulls__${f.name}"))
+      }
+      // input_file_name returns a URI ("file:///..."); key by raw fs path
+      val uri = row.getAs[String]("__file")
+      new Path(new java.net.URI(uri)).toUri.getPath -> node
+    }.toMap
+    files.flatMap(f => byPath.get(new Path(f).toUri.getPath).map(f -> _)).toMap
+  }
+
+  private def isStatsType(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType | TimestampNTZType | BooleanType => true
+    case _ => false
+  }
+
+  private def putStatValue(node: ObjectNode, f: StructField, v: Any): Unit = v match {
+    case null => ()
+    case x: Byte => node.put(f.name, x.toInt)
+    case x: Short => node.put(f.name, x.toInt)
+    case x: Int => node.put(f.name, x)
+    case x: Long => node.put(f.name, x)
+    case x: Float => node.put(f.name, x)
+    case x: Double => node.put(f.name, x)
+    case x: java.math.BigDecimal => node.put(f.name, x)
+    case x: String => node.put(f.name, x)
+    case x: Boolean => node.put(f.name, x)
+    case x: java.sql.Date => node.put(f.name, x.toString)
+    case x: java.time.LocalDate => node.put(f.name, x.toString)
+    case x: java.sql.Timestamp =>
+      node.put(f.name, x.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+    case x: java.time.Instant =>
+      node.put(f.name, x.atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+    case x: java.time.LocalDateTime => node.put(f.name, x.toString)
+    case other => node.put(f.name, other.toString)
+  }
+
+  /** Aggregate the full live state into `<v>.checkpoint.parquet` +
+    * `_last_checkpoint`, bounding future replay to commits-after-checkpoint. */
+  def writeCheckpoint(spark: SparkSession, tablePath: String, version: Long): Unit = {
+    val snap = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(version))
+    val mapT = MapType(StringType, StringType)
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", mapT)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", mapT)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", mapT),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType))))))
+    val rows: Seq[Row] =
+      Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion), null, null) +:
+      Row(null, Row(snap.metadata.id, Row("parquet", Map.empty[String, String]),
+        snap.metadata.schemaString, snap.metadata.partitionColumns,
+        snap.metadata.configuration), null) +:
+      snap.files.map(f => Row(null, null,
+        Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull)))
+    val tmp = new Path(tablePath, s"_cp-${UUID.randomUUID()}")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.createDataFrame(rows.asJava, schema).repartition(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+    val target = new Path(DeltaLog.logDir(tablePath), f"$version%020d.checkpoint.parquet")
+    fs.rename(part, target)
+    fs.delete(tmp, true)
+    val last = mapper.createObjectNode()
+    last.put("version", version)
+    last.put("size", rows.size)
+    val lastPath = new Path(DeltaLog.logDir(tablePath), "_last_checkpoint")
+    val out = fs.create(lastPath, true)
+    out.write(mapper.writeValueAsString(last).getBytes("UTF-8"))
+    out.close()
+  }
+
+  private implicit class SeqAsJava[T](s: Seq[T]) {
+    def asJava: java.util.List[T] = {
+      val l = new java.util.ArrayList[T](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+}
