@@ -1,0 +1,433 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar + aggregate function surface (SURVEY.md §2.3–§2.4) plus the
+  * unnest / table-function / recursive-CTE families (§2.2 tail).
+  *
+  * The reference inherits this whole surface from DataFusion's default
+  * feature set (`src/lib.rs:36`); here each family is exercised through
+  * `org.apache.spark.sql.functions` (codegen'd built-ins — no UDFs) with a
+  * DuckDB oracle per query. Engine-parity rules baked in:
+  *
+  *  - doubles rounded on BOTH sides before compare (summation order);
+  *  - DuckDB `sum(BIGINT)` → HUGEINT: oracle casts back to BIGINT;
+  *  - Spark `weekday()+1` == DuckDB `isodow()` (dayofweek origins differ);
+  *  - booleans cast to INT on both sides (canonical form);
+  *  - higher-order folds seeded identically: Spark `aggregate(arr, 0, …)`
+  *    == DuckDB `list_reduce(list_prepend(0, …))` (left fold, same order).
+  *
+  * Scale notes: everything here is a per-row expression or a partial+final
+  * aggregate — no shuffles beyond the terminal groupBy/orderBy; all of it
+  * stays inside WholeStageCodegen on the parquet scan.
+  */
+object Functions {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  private def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
+  // -------------------------------------------------------------------------
+  // Scalar families
+  // -------------------------------------------------------------------------
+
+  /** String surface: length/case/substr/pad/translate/levenshtein/etc. */
+  private def fn01String(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 150)
+      .select(
+        col("p_partkey"),
+        length(col("p_name")).cast("long").as("name_len"),
+        upper(substring(col("p_name"), 1, 8)).as("head_uc"),
+        expr("split_part(p_name, ' ', 1)").as("tok1"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        translate(col("p_type"), " ", "_").as("type_t"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        reverse(expr("split_part(p_name, ' ', 1)")).as("tok1_rev"),
+        instr(col("p_name"), "a").cast("long").as("pos_a"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+        expr("right(p_name, 4)").as("tail4"))
+      .orderBy(col("p_partkey"))
+
+  /** Regex surface: extract / count / replace / match-test. */
+  private def fn02Regex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 150)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        expr("regexp_count(p_name, '[aeiou]')").cast("long").as("n_vowels"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        col("p_name").rlike("e").cast("int").as("has_e"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"))
+      .orderBy(col("p_partkey"))
+
+  /** Datetime surface: trunc/extract/add/diff/format/last_day. */
+  private def fn03Datetime(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .select(
+        col("o_orderkey"),
+        col("d"),
+        date_trunc("month", col("d")).cast("date").as("mon"),
+        year(col("d")).cast("long").as("y"),
+        month(col("d")).cast("long").as("m"),
+        dayofmonth(col("d")).cast("long").as("dom"),
+        (expr("weekday(d)") + 1).cast("long").as("isodw"),
+        dayofyear(col("d")).cast("long").as("doy"),
+        date_add(col("d"), 7).as("plus7"),
+        last_day(col("d")).as("mend"),
+        datediff(to_date(lit("1998-01-01")), col("d")).cast("long").as("dd98"),
+        date_format(col("d"), "yyyy-MM").as("ym"))
+      .orderBy(col("o_orderkey"))
+
+  /** Conditional / null surface: CASE, coalesce, nullif, greatest/least. */
+  private def fn04Conditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(redacted)")).as("seg2"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_pos"),
+        round(least(col("c_acctbal"), lit(1000.0)), 2).as("bal_cap"),
+        when(col("c_acctbal") > 0, "pos").otherwise("nonpos").as("flag"))
+      .orderBy(col("c_custkey"))
+
+  /** Hash/encoding surface: md5, sha2-256, hex, base64. */
+  private def fn05Hash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .filter(col("s_suppkey") <= 200)
+      .select(
+        col("s_suppkey"),
+        md5(col("s_name")).as("m"),
+        sha2(col("s_name"), 256).as("sh"),
+        lower(hex(col("s_suppkey"))).as("hx"),
+        base64(encode(col("s_name"), "utf-8")).as("b64"))
+      .orderBy(col("s_suppkey"))
+
+  /** Array surface: sequence/transform/filter/aggregate/slice/sort/union.
+    * Seeded fold parity: aggregate(arr, 0, +) == list_reduce(list_prepend(0,…)). */
+  private def fn06Array(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 150)
+      .withColumn("arr", sequence(lit(1), pmod(col("p_size"), lit(5)) + lit(2)))
+      .select(
+        col("p_partkey"),
+        size(col("arr")).cast("long").as("n"),
+        expr("aggregate(arr, 0L, (a, x) -> a + x * x)").as("sq_sum"),
+        expr("size(filter(arr, x -> x % 2 = 0))").cast("long").as("n_even"),
+        array_max(col("arr")).cast("long").as("mx"),
+        array_contains(col("arr"), 3).cast("int").as("has3"),
+        array_join(slice(col("arr"), 1, 2), ",").as("s12"),
+        array_join(sort_array(col("arr"), asc = false), ",").as("desc_s"),
+        array_join(array_union(col("arr"), array(lit(99))), ",").as("uni"))
+      .orderBy(col("p_partkey"))
+
+  /** Map surface: construct, element_at, keys/values, cardinality. */
+  private def fn07Map(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 150)
+      .withColumn("m", map_from_arrays(
+        array(lit("brand"), lit("typ")),
+        array(col("p_brand"), col("p_type"))))
+      .select(
+        col("p_partkey"),
+        element_at(col("m"), "brand").as("brand_v"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("ks"),
+        size(map_values(col("m"))).cast("long").as("n_vals"),
+        size(col("m")).cast("long").as("n_m"))
+      .orderBy(col("p_partkey"))
+
+  // -------------------------------------------------------------------------
+  // Aggregate families
+  // -------------------------------------------------------------------------
+
+  /** Statistical aggregates: stddev/var/corr/covar/regr_* /median/percentile.
+    * All rounded — both engines sum in different orders. */
+  private def fn08StatsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
+        round(stddev_pop(col("l_quantity")), 6).as("sp_q"),
+        round(var_samp(col("l_quantity")), 6).as("vs_q"),
+        round(var_pop(col("l_quantity")), 6).as("vp_q"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cv"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("cvp"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("rsl"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("rin"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").cast("long").as("rcnt"),
+        round(expr("median(l_quantity)"), 4).as("med_q"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("pc_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Order-sensitive collection aggregates: collect_list/set, string_agg. */
+  private def fn09Collect(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "nation")
+    s.sql("""
+      SELECT n_regionkey,
+             array_join(array_sort(collect_list(n_name)), ',') AS names,
+             array_join(array_sort(collect_set(substring(n_name, 1, 1))), ',') AS initials,
+             string_agg(n_name, ';') WITHIN GROUP (ORDER BY n_name DESC) AS names_desc,
+             min(n_name) AS mn, max(n_name) AS mx, count(*) AS n
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey
+    """)
+  }
+
+  /** Bitwise / boolean aggregates. */
+  private def fn10BitBool(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bit_and(l_linenumber)").cast("long").as("ba"),
+        expr("bit_or(l_linenumber)").cast("long").as("bo"),
+        expr("bit_xor(l_linenumber)").cast("long").as("bx"),
+        expr("bool_and(l_quantity > 0)").cast("int").as("all_pos"),
+        expr("bool_or(l_discount > 0.05)").cast("int").as("any_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate sketches (HLL, quantile digest) beside their exact
+    * counterparts. No SQL oracle — sketch internals are engine-specific —
+    * so the driver records a rows-only check; the exact columns let a
+    * human eyeball the sketch error. */
+  private def fn11ApproxSketch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_med"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_med"))
+      .orderBy(col("l_returnflag"))
+
+  /** JSON surface over events.props (exceeds reference parity — DataFusion's
+    * default feature set has no JSON functions, SURVEY §2.3). */
+  private def fn12Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+        round(avg(get_json_object(col("props"), "$.k").cast("long")), 4).as("k_avg"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  // -------------------------------------------------------------------------
+  // Unnest / table functions / recursion (§2.2 tail)
+  // -------------------------------------------------------------------------
+
+  /** explode == UnnestExec: token frequency over part names. */
+  private def un01Explode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  /** posexplode: position-aware unnest (DuckDB zips parallel unnests). */
+  private def un02Posexplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("pos") < 8)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** sequence() as a table generator: month calendar LEFT JOIN monthly order
+    * counts (generate_series parity). */
+  private def un03SequenceJoin(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders")
+    s.sql("""
+      SELECT mon, coalesce(n, 0L) AS n_orders
+      FROM (SELECT explode(sequence(DATE'1996-01-01', DATE'1996-12-01', INTERVAL 1 MONTH)) AS mon)
+      LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS md, count(*) AS n
+                 FROM orders GROUP BY 1) ON mon = md
+      ORDER BY mon
+    """)
+  }
+
+  /** WITH RECURSIVE (Spark 4.x, SPARK-24497): Fibonacci mod p — pure
+    * recursion, engine-identical. */
+  private def un04RecursiveCte(s: SparkSession, dir: String): DataFrame =
+    s.sql("""
+      WITH RECURSIVE fib(n, a, b) AS (
+        SELECT 1, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT n + 1, b, (a + b) % 1000000007 FROM fib WHERE n < 40
+      )
+      SELECT n, a AS fib FROM fib ORDER BY n
+    """)
+
+  // -------------------------------------------------------------------------
+  // Oracle SQL (DuckDB dialect)
+  // -------------------------------------------------------------------------
+
+  val oracleSql: Map[String, String] = Map(
+    "fn01_string" -> """
+      SELECT p_partkey,
+             length(p_name) AS name_len,
+             upper(substr(p_name, 1, 8)) AS head_uc,
+             split_part(p_name, ' ', 1) AS tok1,
+             lpad(p_brand, 12, '*') AS brand_pad,
+             translate(p_type, ' ', '_') AS type_t,
+             levenshtein(p_brand, p_type) AS lev,
+             reverse(split_part(p_name, ' ', 1)) AS tok1_rev,
+             instr(p_name, 'a') AS pos_a,
+             concat_ws('|', p_brand, p_type) AS cat,
+             right(p_name, 4) AS tail4
+      FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""",
+    "fn02_regex" -> """
+      SELECT p_partkey,
+             regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+             len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+             regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+             regexp_matches(p_name, 'e')::INT AS has_e,
+             regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+      FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""",
+    "fn03_datetime" -> """
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS d,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+             date_part('year', o_orderdate) AS y,
+             date_part('month', o_orderdate) AS m,
+             date_part('day', o_orderdate) AS dom,
+             isodow(o_orderdate) AS isodw,
+             date_part('doy', o_orderdate) AS doy,
+             (CAST(o_orderdate AS DATE) + INTERVAL 7 DAY)::DATE AS plus7,
+             last_day(CAST(o_orderdate AS DATE)) AS mend,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS dd98,
+             strftime(o_orderdate, '%Y-%m') AS ym
+      FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""",
+    "fn04_conditional" -> """
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS tier,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg2,
+             round(greatest(c_acctbal, 0.0), 2) AS bal_pos,
+             round(least(c_acctbal, 1000.0), 2) AS bal_cap,
+             CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS flag
+      FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""",
+    "fn05_hash" -> """
+      SELECT s_suppkey,
+             md5(s_name) AS m,
+             sha256(s_name) AS sh,
+             lower(hex(s_suppkey)) AS hx,
+             base64(encode(s_name)) AS b64
+      FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey""",
+    "fn06_array" -> """
+      SELECT p_partkey,
+             len(arr) AS n,
+             list_reduce(list_prepend(0, list_transform(arr, x -> x * x)), (a, b) -> a + b) AS sq_sum,
+             len(list_filter(arr, x -> x % 2 = 0)) AS n_even,
+             list_max(arr) AS mx,
+             list_contains(arr, 3)::INT AS has3,
+             array_to_string(list_slice(arr, 1, 2), ',') AS s12,
+             array_to_string(list_sort(arr, 'DESC'), ',') AS desc_s,
+             array_to_string(list_append(arr, 99), ',') AS uni
+      FROM (SELECT p_partkey, generate_series(1, (p_size % 5) + 2) AS arr
+            FROM part WHERE p_partkey <= 150)
+      ORDER BY p_partkey""",
+    "fn07_map" -> """
+      SELECT p_partkey,
+             m['brand'][1] AS brand_v,
+             array_to_string(list_sort(map_keys(m)), ',') AS ks,
+             len(map_values(m)) AS n_vals,
+             cardinality(m) AS n_m
+      FROM (SELECT p_partkey, map(['brand', 'typ'], [p_brand, p_type]) AS m
+            FROM part WHERE p_partkey <= 150)
+      ORDER BY p_partkey""",
+    "fn08_stats_agg" -> """
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 6) AS sd_q,
+             round(stddev_pop(l_quantity), 6) AS sp_q,
+             round(var_samp(l_quantity), 6) AS vs_q,
+             round(var_pop(l_quantity), 6) AS vp_q,
+             round(corr(l_quantity, l_extendedprice), 6) AS cr,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS cv,
+             round(covar_pop(l_quantity, l_extendedprice), 2) AS cvp,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS rsl,
+             round(regr_intercept(l_extendedprice, l_quantity), 2) AS rin,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS rcnt,
+             round(median(l_quantity), 4) AS med_q,
+             round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS pc_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "fn09_collect" -> """
+      SELECT n_regionkey,
+             string_agg(n_name, ',' ORDER BY n_name) AS names,
+             string_agg(DISTINCT substr(n_name, 1, 1), ',' ORDER BY substr(n_name, 1, 1)) AS initials,
+             string_agg(n_name, ';' ORDER BY n_name DESC) AS names_desc,
+             min(n_name) AS mn, max(n_name) AS mx, count(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "fn10_bitbool" -> """
+      SELECT l_returnflag,
+             CAST(bit_and(l_linenumber) AS BIGINT) AS ba,
+             CAST(bit_or(l_linenumber) AS BIGINT) AS bo,
+             CAST(bit_xor(l_linenumber) AS BIGINT) AS bx,
+             bool_and(l_quantity > 0)::INT AS all_pos,
+             bool_or(l_discount > 0.05)::INT AS any_disc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "fn12_json" -> """
+      SELECT event_type,
+             CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,
+             round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS k_avg,
+             count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "un01_explode" -> """
+      SELECT tok, count(*) AS n
+      FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part)
+      WHERE tok <> ''
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "un02_posexplode" -> """
+      SELECT doc_id, pos, tok FROM (
+        SELECT doc_id,
+               unnest(generate_series(0, len(l) - 1)) AS pos,
+               unnest(l) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents WHERE doc_id < 5))
+      WHERE pos < 8 ORDER BY doc_id, pos""",
+    "un03_sequence_join" -> """
+      SELECT mon::DATE AS mon, coalesce(n, 0) AS n_orders
+      FROM (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-01', INTERVAL 1 MONTH)) AS mon)
+      LEFT JOIN (SELECT date_trunc('month', o_orderdate)::DATE AS md, count(*) AS n
+                 FROM orders GROUP BY 1) ON mon = md
+      ORDER BY mon""",
+    "un04_recursive_cte" -> """
+      WITH RECURSIVE fib(n, a, b) AS (
+        SELECT 1, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT n + 1, b, (a + b) % 1000000007 FROM fib WHERE n < 40
+      )
+      SELECT n, a AS fib FROM fib ORDER BY n""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn01_string" -> fn01String,
+    "fn02_regex" -> fn02Regex,
+    "fn03_datetime" -> fn03Datetime,
+    "fn04_conditional" -> fn04Conditional,
+    "fn05_hash" -> fn05Hash,
+    "fn06_array" -> fn06Array,
+    "fn07_map" -> fn07Map,
+    "fn08_stats_agg" -> fn08StatsAgg,
+    "fn09_collect" -> fn09Collect,
+    "fn10_bitbool" -> fn10BitBool,
+    "fn11_approx_sketch" -> fn11ApproxSketch,
+    "fn12_json" -> fn12Json,
+    "un01_explode" -> un01Explode,
+    "un02_posexplode" -> un02Posexplode,
+    "un03_sequence_join" -> un03SequenceJoin,
+    "un04_recursive_cte" -> un04RecursiveCte)
+}
