@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Functions, Relational}
+import graft.operators.{Events, Functions, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,8 +14,8 @@ object SparkEntry {
     Relational.queries("q03_join_multi")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Functions.queries
+    Relational.queries ++ Functions.queries ++ Events.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Functions.oracleSql
+    Relational.oracleSql ++ Functions.oracleSql ++ Events.oracleSql
 }

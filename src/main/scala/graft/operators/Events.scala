@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series / windowed analytics over the `events` fixture (the
+  * stream-shaped table; SURVEY.md §2.5 maps the reference's absent streaming
+  * surface to Spark's `window`/`session_window` — exercised here in batch
+  * mode; the Structured Streaming path over the same operators lives in
+  * StreamingSuite).
+  *
+  * Engine-parity rules:
+  *  - events.ts is TIMESTAMP(NANOS): Spark reads it as micros
+  *    ([[Tables.events]]); any oracle comparing sub-second arithmetic
+  *    truncates with date_trunc('microseconds', ts) first;
+  *  - durations are summed in integer MICROSECONDS (exact), never double
+  *    seconds (a sum landing exactly on a rounding boundary would flip);
+  *  - Spark session semantics: a gap >= the timeout starts a new session
+  *    (window end = last event + gap, end-exclusive) — the oracle's
+  *    lag-based sessionization mirrors that with `>= INTERVAL`.
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregates on
+  * (bucket, keys) — partial+final, no skew; session windows shuffle once on
+  * user_id and sort within partitions (Spark plans UpdatingSessionsExec);
+  * sliding windows multiply rows by window/slide (here 2×) before the
+  * partial agg, which is the standard spark windowing cost model.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type. */
+  private def ev01Tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sv"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Sliding windows: 1 hour long, every 30 minutes (each event lands in
+    * exactly 2 windows). */
+  private def ev02Sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("dau"),
+        round(sum(col("value")), 2).as("sv"))
+      .select(col("w.start").as("w_start"), col("n"), col("dau"), col("sv"))
+      .orderBy(col("w_start"))
+
+  /** Session windows (5-minute inactivity gap) rolled up per user. */
+  private def ev03Session(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "5 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_n"),
+        sum(unix_micros(col("sw.end")) - unix_micros(col("sw.start"))).as("dur_us"))
+      .orderBy(col("user_id"))
+
+  /** Daily rollup: DAU, counts, conditional aggregates. */
+  private def ev04Daily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        countDistinct(col("user_id")).as("dau"),
+        count(lit(1)).as("n"),
+        expr("count_if(event_type = 'purchase')").as("n_purch"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2).as("purch_rev"),
+        round(avg(col("value")), 4).as("avg_v"))
+      .orderBy(col("d"))
+
+  val oracleSql: Map[String, String] = Map(
+    "ev01_tumbling" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS w_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS sv
+      FROM events
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ev02_sliding" -> """
+      SELECT w_start, count(*) AS n, count(DISTINCT user_id) AS dau,
+             round(sum(value), 2) AS sv
+      FROM (SELECT (time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL 30 MINUTE)::TIMESTAMP AS w_start,
+                   user_id, value
+            FROM events, (VALUES (0), (1)) g(k))
+      GROUP BY w_start ORDER BY w_start""",
+    "ev03_session" -> """
+      WITH e AS (
+        SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
+      flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      sess AS (
+        SELECT user_id, sid, count(*) AS n,
+               epoch_us(max(ts)) - epoch_us(min(ts)) + 300000000 AS dur_us
+        FROM numbered GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(n) AS BIGINT) AS n_events, max(n) AS max_n,
+             CAST(sum(dur_us) AS BIGINT) AS dur_us
+      FROM sess GROUP BY user_id ORDER BY user_id""",
+    "ev04_daily" -> """
+      SELECT date_trunc('day', ts)::DATE AS d,
+             count(DISTINCT user_id) AS dau, count(*) AS n,
+             CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purch,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purch_rev,
+             round(avg(value), 4) AS avg_v
+      FROM events
+      GROUP BY 1 ORDER BY 1""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev01_tumbling" -> ev01Tumbling,
+    "ev02_sliding" -> ev02Sliding,
+    "ev03_session" -> ev03Session,
+    "ev04_daily" -> ev04Daily)
+}
