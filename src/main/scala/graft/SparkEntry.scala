@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Events, Functions, Relational}
+import graft.operators.{Events, Functions, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,8 +14,10 @@ object SparkEntry {
     Relational.queries("q03_join_multi")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Functions.queries ++ Events.queries
+    Relational.queries ++ Functions.queries ++ Events.queries ++
+      TextAnalysis.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Functions.oracleSql ++ Events.oracleSql
+    Relational.oracleSql ++ Functions.oracleSql ++ Events.oracleSql ++
+      TextAnalysis.oracleSql
 }

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *    truncates with date_trunc('microseconds', ts) first;
   *  - durations are summed in integer MICROSECONDS (exact), never double
   *    seconds (a sum landing exactly on a rounding boundary would flip);
+  *  - `value` sums go through DECIMAL(18,6) (exact, order-independent) and
+  *    are rounded IN THE DECIMAL DOMAIN — round() on a double that
+  *    shortest-prints as .XXXX5 differs between Spark (decimal-string
+  *    half-up) and DuckDB (binary) — averages use floor-scaling instead;
   *  - Spark session semantics: a gap >= the timeout starts a new session
   *    (window end = last event + gap, end-exclusive) — the oracle's
   *    lag-based sessionization mirrors that with `>= INTERVAL`.
@@ -31,7 +35,8 @@ object Events {
   private def ev01Tumbling(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sv"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sv"))
       .orderBy(col("w_start"), col("event_type"))
 
@@ -43,7 +48,7 @@ object Events {
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("dau"),
-        round(sum(col("value")), 2).as("sv"))
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sv"))
       .select(col("w.start").as("w_start"), col("n"), col("dau"), col("sv"))
       .orderBy(col("w_start"))
 
@@ -68,19 +73,22 @@ object Events {
         countDistinct(col("user_id")).as("dau"),
         count(lit(1)).as("n"),
         expr("count_if(event_type = 'purchase')").as("n_purch"),
-        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2).as("purch_rev"),
-        round(avg(col("value")), 4).as("avg_v"))
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0).cast("decimal(18,6)")), 2).cast("double").as("purch_rev"),
+        (floor(sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)) * lit(10000.0)) / lit(10000.0)).as("avg_v"))
       .orderBy(col("d"))
 
   val oracleSql: Map[String, String] = Map(
     "ev01_tumbling" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS w_start, event_type,
-             count(*) AS n, round(sum(value), 2) AS sv
+             count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
       FROM events
       GROUP BY 1, 2 ORDER BY 1, 2""",
     "ev02_sliding" -> """
       SELECT w_start, count(*) AS n, count(DISTINCT user_id) AS dau,
-             round(sum(value), 2) AS sv
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
       FROM (SELECT (time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL 30 MINUTE)::TIMESTAMP AS w_start,
                    user_id, value
             FROM events, (VALUES (0), (1)) g(k))
@@ -111,8 +119,10 @@ object Events {
       SELECT date_trunc('day', ts)::DATE AS d,
              count(DISTINCT user_id) AS dau, count(*) AS n,
              CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purch,
-             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purch_rev,
-             round(avg(value), 4) AS avg_v
+             CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                                 AS DECIMAL(18,6))), 2) AS DOUBLE) AS purch_rev,
+             floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) * 10000.0) / 10000.0 AS avg_v
       FROM events
       GROUP BY 1 ORDER BY 1""")
 

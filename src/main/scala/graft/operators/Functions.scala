@@ -218,7 +218,10 @@ object Functions {
       .groupBy(col("event_type"))
       .agg(
         sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
-        round(avg(get_json_object(col("props"), "$.k").cast("long")), 4).as("k_avg"),
+        // floor-scaling: sum/count of exact ints is bit-identical across
+        // engines, but round() on a .XXXX5 double is not (see Events note).
+        (floor(sum(get_json_object(col("props"), "$.k").cast("long")).cast("double")
+          / count(lit(1)) * lit(10000.0)) / lit(10000.0)).as("k_avg"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
@@ -383,7 +386,8 @@ object Functions {
     "fn12_json" -> """
       SELECT event_type,
              CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,
-             round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS k_avg,
+             floor(CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS DOUBLE)
+                   / count(*) * 10000.0) / 10000.0 AS k_avg,
              count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
     "un01_explode" -> """

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` fixture — the language-ID /
+  * quality-scoring / token-counting / fingerprinting layer a training-data
+  * pipeline runs before dedup (north-star extras beyond the reference's SQL
+  * surface, SURVEY.md §7 PR6).
+  *
+  * Everything is built from codegen'd built-ins + higher-order functions —
+  * no UDFs — so the whole pass stays inside WholeStageCodegen and runs
+  * embarrassingly parallel per document (no shuffle until the terminal
+  * aggregate/sort). Cross-engine parity:
+  *
+  *  - tokenization = split on ' ' + drop empties (DuckDB list_filter same);
+  *  - ratios divide identically-ordered doubles, rounded on both sides;
+  *  - the polynomial fingerprint folds left with the same seed/modulus in
+  *    both engines (Spark aggregate == DuckDB list_reduce w/ prepended 0);
+  *  - the md5 fingerprint maps hex→int via Spark conv() == DuckDB 0x-cast.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val tokenize = "filter(split(text, ' '), x -> x != '')"
+
+  /** Token counting: counts, distinct counts, mean token length, TTR. */
+  private def tx01Tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", expr(tokenize))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        round(expr("aggregate(transform(toks, x -> length(x)), 0L, (a, b) -> a + b)")
+          .cast("double") / nullif(size(col("toks")).cast("double"), lit(0.0)), 4).as("avg_len"),
+        round(size(array_distinct(col("toks"))).cast("double")
+          / nullif(size(col("toks")).cast("double"), lit(0.0)), 4).as("ttr"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: stopword ratio, length score, punctuation ratio →
+    * weighted score → grade. The CASE reads the already-rounded score so
+    * both engines grade identical inputs. */
+  private def tx02Quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", expr(tokenize))
+      .withColumn("n_tok", size(col("toks")).cast("double"))
+      .withColumn("sr",
+        expr("size(filter(toks, x -> array_contains(array('the','a','of','and','to','in','is'), x)))")
+          .cast("double") / nullif(col("n_tok"), lit(0.0)))
+      .withColumn("ls", least(lit(1.0), col("n_tok") / lit(100.0)))
+      .withColumn("pr",
+        expr("regexp_count(text, '[^a-z0-9 ]')").cast("double")
+          / nullif(length(col("text")).cast("double"), lit(0.0)))
+      // floor-scaling, not round(): the weighted score can land exactly on a
+      // .XXXX5 boundary where Spark (decimal half-up) and DuckDB (binary)
+      // round() disagree; floor of a bit-identical double is engine-exact.
+      .withColumn("score",
+        floor((lit(0.5) * col("sr") + lit(0.3) * col("ls") + lit(0.2) * (lit(1.0) - col("pr")))
+          * lit(10000.0)) / lit(10000.0))
+      .select(
+        col("doc_id"),
+        col("n_tok").cast("long").as("n_tok"),
+        round(col("sr"), 4).as("stop_ratio"),
+        round(col("pr"), 4).as("punct_ratio"),
+        col("score"),
+        when(col("score") >= 0.4, "good")
+          .when(col("score") >= 0.25, "ok")
+          .otherwise("poor").as("grade"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID: per-language stopword hit counts → argmax with a fixed
+    * tie-break order; output is the (label, prediction) confusion matrix. */
+  private def tx03Langid(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", expr(tokenize))
+      .withColumn("s_en", expr("size(filter(toks, x -> array_contains(array('the','a','of','and','is'), x)))"))
+      .withColumn("s_de", expr("size(filter(toks, x -> array_contains(array('der','die','das','und','ist'), x)))"))
+      .withColumn("s_es", expr("size(filter(toks, x -> array_contains(array('el','la','de','los','es'), x)))"))
+      .withColumn("s_fr", expr("size(filter(toks, x -> array_contains(array('le','la','de','et','est'), x)))"))
+      .withColumn("pred",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+
+  /** Document fingerprinting: 48-bit md5 prefix + a 31-ary rolling hash of
+    * the first 80 chars (both exact-integer, engine-portable). */
+  private def tx04Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        expr("CAST(conv(substr(md5(text), 1, 12), 16, 10) AS BIGINT)").as("fp_md5"),
+        expr("""aggregate(
+                  transform(split(substring(text, 1, 80), ''), c -> CAST(ascii(c) AS BIGINT)),
+                  0L, (a, c) -> (a * 31 + c) % 1000000007)""").as("fp_poly"))
+      .orderBy(col("doc_id"))
+
+  private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+    "tx01_tokens" -> s"""
+      SELECT doc_id,
+             len(l) AS n_tok,
+             len(list_distinct(l)) AS n_uniq,
+             round(CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
+                   / nullif(len(l)::DOUBLE, 0.0), 4) AS avg_len,
+             round(len(list_distinct(l))::DOUBLE / nullif(len(l)::DOUBLE, 0.0), 4) AS ttr
+      FROM (SELECT doc_id, $duckToks AS l FROM documents)
+      ORDER BY doc_id""",
+    "tx02_quality" -> s"""
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             round(sr, 4) AS stop_ratio, round(pr, 4) AS punct_ratio, score,
+             CASE WHEN score >= 0.4 THEN 'good'
+                  WHEN score >= 0.25 THEN 'ok'
+                  ELSE 'poor' END AS grade
+      FROM (
+        SELECT doc_id, n_tok, sr, pr,
+               floor((0.5 * sr + 0.3 * ls + 0.2 * (1.0 - pr)) * 10000.0) / 10000.0 AS score
+        FROM (
+          SELECT doc_id, len(l)::DOUBLE AS n_tok,
+                 len(list_filter(l, x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE
+                   / nullif(len(l)::DOUBLE, 0.0) AS sr,
+                 least(1.0, len(l)::DOUBLE / 100.0) AS ls,
+                 len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+                   / nullif(length(text)::DOUBLE, 0.0) AS pr
+          FROM (SELECT doc_id, text, $duckToks AS l FROM documents)))
+      ORDER BY doc_id""",
+    "tx03_langid" -> s"""
+      SELECT lang, pred, count(*) AS n FROM (
+        SELECT lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS pred
+        FROM (
+          SELECT lang,
+                 len(list_filter(l, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+                 len(list_filter(l, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+                 len(list_filter(l, x -> list_contains(['el','la','de','los','es'], x))) AS s_es,
+                 len(list_filter(l, x -> list_contains(['le','la','de','et','est'], x))) AS s_fr
+          FROM (SELECT lang, $duckToks AS l FROM documents)))
+      GROUP BY lang, pred ORDER BY lang, pred""",
+    "tx04_fingerprint" -> """
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 12))::BIGINT AS fp_md5,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(substr(text, 1, 80), ''), c -> ascii(c)::BIGINT)),
+               (a, c) -> (a * 31 + c) % 1000000007) AS fp_poly
+      FROM documents ORDER BY doc_id""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx01_tokens" -> tx01Tokens,
+    "tx02_quality" -> tx02Quality,
+    "tx03_langid" -> tx03Langid,
+    "tx04_fingerprint" -> tx04Fingerprint)
+}
