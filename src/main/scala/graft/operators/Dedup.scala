@@ -1,0 +1,306 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the core of a
+  * training-data pipeline at 100 TB (north-star extras; the reference's SQL
+  * engine has none of these as built-ins).
+  *
+  * Design for scale (every variant avoids the O(n²) all-pairs trap):
+  *  - dd02: exact n-gram Jaccard via an INVERTED-INDEX self-join — pairs are
+  *    generated only for docs sharing a shingle, intersection sizes fall out
+  *    of the join group-count (no array intersects on the hot path), and a
+  *    document-frequency cap (≤ 20) bounds bucket fan-out against hot
+  *    shingles, exactly like prefix-filtering set-similarity joins;
+  *  - dd03: MinHash signatures (16 perms) + LSH banding (8 bands × 2 rows):
+  *    candidates come from an equi-join on band keys — shuffle-friendly,
+  *    linear in data size; candidates are then verified with exact Jaccard;
+  *  - dd04: SimHash (16-bit, frequency-weighted) + 4-nibble banding; the
+  *    pigeonhole principle makes nibble-band candidates EXACT for
+  *    hamming ≤ 3 (a pair differing in ≤3 bits must agree on ≥1 nibble);
+  *  - dd05: embedding cosine near-dup within label blocks (the global ANN
+  *    path is Similarity.ss02's hyperplane LSH).
+  *
+  * Engine parity: token/shingle hashes are the first 8 hex chars of md5
+  * (Spark conv(…,16,10) == DuckDB 0x-cast), permutations are (a·h+b) mod p
+  * with literal constants (p = 4294967311 > 2^32; a < 2^31 so a·h < 2^63),
+  * and every floating output is a ratio of exact integers or a
+  * floor-scaled bit-identical double (see Events for why round() can't be
+  * trusted at .5 boundaries).
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Word 3-gram shingle sets (deduplicated per doc). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("shingles", expr(
+        """array_distinct(
+             IF(size(toks) >= 3,
+                transform(sequence(1, size(toks) - 2),
+                          i -> concat_ws(' ', element_at(toks, i),
+                                              element_at(toks, i + 1),
+                                              element_at(toks, i + 2))),
+                CAST(array() AS ARRAY<STRING>)))"""))
+      .select(col("doc_id"), col("shingles"))
+
+  private val duckShingled =
+    """SELECT doc_id,
+              list_distinct(CASE WHEN len(l) >= 3
+                THEN list_transform(generate_series(1, len(l) - 2),
+                                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                ELSE [] END) AS shingles
+       FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+             FROM documents)"""
+
+  /** Exact dedup: hash-groupBy summary (keeper = min id per group is the
+    * removal policy; here we report the group stats). */
+  private def dd01Exact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        expr("count_if(c > 1)").as("n_dup_groups"),
+        (sum(col("c")) - count(lit(1))).as("n_dropped"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join-count. */
+  private def dd02NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    // document-frequency cap: hot shingles produce quadratic bucket fan-out
+    // and carry no near-dup signal; Jaccard below is exact over the capped
+    // shingle universe (both sizes and intersections use the same universe).
+    val capped = ex.join(
+      ex.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 20).select("g"),
+      "g")
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = capped.as("a")
+      .join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("n_inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 4).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  // 16 universal-hash permutations (a·h + b) mod p, p prime > 2^32.
+  private val P = "4294967311"
+  private val A = Seq(1540483477L, 1203793171L, 1096911139L, 1043968403L, 999999937L,
+    920419823L, 879190841L, 824633789L, 790738119L, 754974721L, 715827883L,
+    678901234L, 654321987L, 612345679L, 576460799L, 536870923L)
+  private val B = Seq(12820163L, 65537L, 40503L, 99991L, 7368787L, 531441L, 131071L,
+    999983L, 271828L, 141421L, 314159L, 987654L, 555557L, 777777L, 123457L, 999331L)
+  private val aArr = A.mkString("array(", "L, ", "L)")
+  private val bArr = B.mkString("array(", "L, ", "L)")
+  private val aLst = A.mkString("[", ", ", "]")
+  private val bLst = B.mkString("[", ", ", "]")
+
+  /** MinHash + LSH banding: signature → band-key equi-join → candidate
+    * pairs → exact-Jaccard verification (≥ 0.5). */
+  private def dd03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).filter(size(col("shingles")) > 0)
+    val sigs = sh
+      .withColumn("hs", expr(
+        "transform(shingles, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, 15), k ->
+              array_min(transform(hs, h ->
+                (element_at($aArr, k + 1) * h + element_at($bArr, k + 1)) % $P)))"""))
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(expr(
+        """transform(sequence(0, 7), b ->
+             concat(CAST(element_at(sig, 2 * b + 1) AS STRING), '_',
+                    CAST(element_at(sig, 2 * b + 2) AS STRING)))"""))
+        .as(Seq("band", "key")))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jac",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  /** SimHash (16-bit, token-frequency weighted) + nibble-band candidates;
+    * hamming ≤ 3 pairs (candidates are exhaustive by pigeonhole). */
+  private def dd04Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = docs(s, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("ths", expr(
+        "transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("sig", expr(
+        """aggregate(
+             transform(sequence(0, 15), b ->
+               IF(aggregate(ths, 0L, (acc, h) ->
+                    acc + IF(((h >> b) & 1) = 1, 1, -1)) > 0,
+                  shiftleft(1L, b), 0L)),
+             0L, (a, x) -> a + x)"""))
+      .select(col("doc_id"), col("sig"))
+    val bands = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (sig >> (4 * b)) & 15)"))
+        .as(Seq("band", "nib")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("ham"))
+      .distinct()
+      .filter(col("ham") <= 3)
+      .orderBy(col("ham"), col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  /** Embedding-cosine near-dup within label blocks (exact left-fold dot
+    * product — bit-identical across engines; floor-scaled output). */
+  private def dd05EmbedDup(s: SparkSession, dir: String): DataFrame = {
+    val v = s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("nrm", expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"))
+      .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"))
+    v.as("a")
+      .join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(a.e, b.e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"))
+      .withColumn("sim", floor(col("dot") / sqrt(col("a.nrm") * col("b.nrm")) * lit(1000000.0)) / lit(1000000.0))
+      .filter(col("sim") >= 0.45)
+      .select(
+        col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "dd01_exact" -> """
+      SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+             count(*) AS n_distinct,
+             CAST(count_if(c > 1) AS BIGINT) AS n_dup_groups,
+             CAST(sum(c) - count(*) AS BIGINT) AS n_dropped
+      FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)""",
+    "dd02_ngram_jaccard" -> s"""
+      WITH sh AS ($duckShingled),
+      ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+      capped AS (SELECT ex.doc_id, ex.g FROM ex
+                 JOIN (SELECT g FROM ex GROUP BY g HAVING count(*) <= 20) ok
+                 ON ex.g = ok.g),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM capped a JOIN capped b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_inter,
+             round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter)::DOUBLE, 4) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      ORDER BY jac DESC, doc_a, doc_b LIMIT 20""",
+    "dd03_minhash_lsh" -> s"""
+      WITH sh AS ($duckShingled),
+      sh1 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+      sigs AS (
+        SELECT doc_id, shingles,
+               list_transform(generate_series(0, 15), k ->
+                 list_min(list_transform(
+                   list_transform(shingles, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+                   h -> (($aLst)[k + 1] * h + ($bLst)[k + 1]) % $P))) AS sig
+        FROM sh1),
+      bands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, 7)) AS band,
+               unnest(list_transform(generate_series(0, 7), b ->
+                 sig[2 * b + 1]::VARCHAR || '_' || sig[2 * b + 2]::VARCHAR)) AS key
+        FROM sigs),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jac FROM (
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                     / len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 4) AS jac
+        FROM cands
+        JOIN sh1 x ON x.doc_id = doc_a
+        JOIN sh1 y ON y.doc_id = doc_b)
+      WHERE jac >= 0.5
+      ORDER BY jac DESC, doc_a, doc_b LIMIT 50""",
+    "dd04_simhash" -> """
+      WITH sigs AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(0, 15), b ->
+                   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(
+                            list_transform(l, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+                            h -> CASE WHEN ((h >> b) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                          (acc, v) -> acc + v) > 0
+                        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)),
+                 (a, x) -> a + x) AS sig
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents)
+        WHERE len(l) > 0),
+      bands AS (
+        SELECT doc_id, sig,
+               unnest(generate_series(0, 3)) AS band,
+               unnest(list_transform(generate_series(0, 3), b -> (sig >> (4 * b)) & 15)) AS nib
+        FROM sigs)
+      SELECT doc_a, doc_b, ham FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sig, b.sig)) AS ham
+        FROM bands a JOIN bands b
+        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+      WHERE ham <= 3
+      ORDER BY ham, doc_a, doc_b LIMIT 50""",
+    "dd05_embed_dup" -> """
+      WITH v AS (
+        SELECT vec_id, label, embedding AS e,
+               list_reduce(list_prepend(0.0,
+                 list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+                 (a, b) -> a + b) AS nrm
+        FROM embeddings)
+      SELECT label, vec_a, vec_b, sim FROM (
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               floor(list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, 64),
+                         i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE)),
+                       (s, x) -> s + x)
+                     / sqrt(a.nrm * b.nrm) * 1000000.0) / 1000000.0 AS sim
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE sim >= 0.45
+      ORDER BY sim DESC, vec_a, vec_b LIMIT 100""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd01_exact" -> dd01Exact,
+    "dd02_ngram_jaccard" -> dd02NgramJaccard,
+    "dd03_minhash_lsh" -> dd03MinhashLsh,
+    "dd04_simhash" -> dd04Simhash,
+    "dd05_embed_dup" -> dd05EmbedDup)
+}
