@@ -1,0 +1,147 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (north-star extra: similarity search for a training-data pipeline).
+  *
+  *  - ss01: brute-force cosine top-k — the correctness baseline. The query
+  *    side is tiny and broadcast; the scan side streams once. O(Q·N).
+  *  - ss02: random-hyperplane LSH — the scale path. Each vector gets an
+  *    8-bit bucket (sign pattern of 8 fixed ±1 hyperplane projections);
+  *    search touches only the query's bucket (expected N/256 of the data),
+  *    an equi-join Catalyst shuffles/broadcasts like any other key join.
+  *
+  * Engine parity: hyperplane signs derive from md5("p_d") hex-digit parity —
+  * computed driver-side here (same md5, embedded as a plan literal) and
+  * inline in the DuckDB oracle; dot products are strict left folds over
+  * d = 1..64 in BOTH engines (bit-identical doubles), outputs floor-scaled.
+  */
+object Similarity {
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("nrm", expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"))
+      .select(col("vec_id"), col("embedding").as("e"), col("nrm"))
+
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+
+  /** Brute-force cosine top-3 per query vector (vec_id < 5), self excluded. */
+  private def ss01TopkBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val q = v.select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+      .filter(col("qid") < 5)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    broadcast(q)
+      .join(v, col("qid") =!= col("vec_id"))
+      .withColumn("sim",
+        floor(expr(dotExpr("qe", "e")) / sqrt(col("qnrm") * col("nrm")) * lit(1000000.0)) / lit(1000000.0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** 8 fixed ±1 hyperplanes: sign(p,d) = parity of the first hex digit of
+    * md5("p_d") (d = 1..64). The same formula is inlined in the oracle. */
+  private lazy val planes: Seq[Seq[Double]] = {
+    def sign(p: Int, d: Int): Double = {
+      val md = MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${p}_${d}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(hex.charAt(0)) % 2 == 0) 1.0 else -1.0
+    }
+    for (p <- 0 until 8) yield for (d <- 1 to 64) yield sign(p, d)
+  }
+
+  private lazy val planesSql: String =
+    planes.map(_.map(x => if (x > 0) "1.0D" else "-1.0D")
+      .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+
+  /** LSH-bucketed ANN: join queries to candidates sharing the 8-bit
+    * hyperplane bucket, then exact cosine top-3 within the bucket. */
+  private def ss02AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = expr(
+      s"""aggregate(sequence(0, 7), 0L, (acc, p) ->
+            acc + IF(aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (s, d) ->
+                       s + element_at(element_at($planesSql, p + 1), d)
+                           * CAST(element_at(e, d) AS DOUBLE)) > 0,
+                     shiftleft(1L, p), 0L))""")
+    val v = vecs(s, dir).withColumn("bucket", bucketExpr)
+    val q = v.select(col("vec_id").as("qid"), col("e").as("qe"),
+      col("nrm").as("qnrm"), col("bucket"))
+      .filter(col("qid") < 5)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    broadcast(q)
+      .join(v, Seq("bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim",
+        floor(expr(dotExpr("qe", "e")) / sqrt(col("qnrm") * col("nrm")) * lit(1000000.0)) / lit(1000000.0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("bucket").cast("long").as("bucket"),
+        col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val duckDot =
+    """list_reduce(list_prepend(0.0,
+         list_transform(generate_series(1, 64), i -> QA[i]::DOUBLE * QB[i]::DOUBLE)),
+         (s, x) -> s + x)"""
+
+  private def dDot(a: String, b: String): String =
+    duckDot.replace("QA", a).replace("QB", b)
+
+  private val duckNrm =
+    """list_reduce(list_prepend(0.0,
+         list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)"""
+
+  private val duckBucket =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(generate_series(0, 7), p ->
+           CASE WHEN list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, 64), d ->
+                    (CASE WHEN substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)
+                            IN ('0','2','4','6','8','a','c','e')
+                          THEN 1.0 ELSE -1.0 END) * e[d]::DOUBLE)),
+                  (s, x) -> s + x) > 0
+                THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)),
+         (a, x) -> a + x)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "ss01_topk_bruteforce" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM v WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, vec_id,
+               floor(${dDot("qe", "e")} / sqrt(qnrm * nrm) * 1000000.0) / 1000000.0 AS sim
+        FROM q JOIN v ON qid <> vec_id),
+      ranked AS (
+        SELECT qid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        FROM scored)
+      SELECT qid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""",
+    "ss02_ann_lsh" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm, $duckBucket AS bucket
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm, bucket FROM v WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, q.bucket AS bucket, vec_id,
+               floor(${dDot("qe", "e")} / sqrt(qnrm * nrm) * 1000000.0) / 1000000.0 AS sim
+        FROM q JOIN v ON q.bucket = v.bucket AND qid <> vec_id),
+      ranked AS (
+        SELECT qid, bucket, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        FROM scored)
+      SELECT qid, bucket, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss01_topk_bruteforce" -> ss01TopkBruteforce,
+    "ss02_ann_lsh" -> ss02AnnLsh)
+}
