@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media record: opaque binary payload + typed metadata. The fixture has
+  * no real image/audio bytes, so payloads are the documents' UTF-8 bytes
+  * and metadata is derived deterministically — the SCHEMA and the typed
+  * Dataset/mapPartitions plumbing are the real deliverable. */
+case class MediaRecord(
+    doc_id: Long, kind: String, payload: Array[Byte],
+    width: Int, height: Int, n_frames: Int)
+
+/** Decoded per-record features (mm02 output row). */
+case class MediaFeatures(
+    doc_id: Long, kind: String, n_bytes: Long,
+    mean_byte: Double, aspect: Double, n_sampled: Int)
+
+/** Multimodal columns (SURVEY.md §7 PR6 / north-star): image/audio/video as
+  * opaque `binary` columns with typed metadata, processed by a typed
+  * Dataset + mapPartitions pipeline (the Scala-native analog of
+  * mapInPandas batch processing: one iterator pass per partition, no
+  * per-row driver work, closures ship with tasks).
+  *
+  * ==== STUB boundary ====
+  * Real decoders (JPEG/PNG, PCM, video codecs) are NOT available in this
+  * container. [[Multimodal.decodeStub]] stands in with a deterministic
+  * byte-level computation (mean byte value, aspect from metadata, stride-4
+  * frame sampling). Swapping in a real decoder changes ONLY that function —
+  * schema, partitioning, and batch shape stay as tested here.
+  *
+  * Engine parity for the oracle: payloads are pure-ASCII text bytes
+  * (verified: octet_length == char length over the fixture), so byte
+  * features equal char-code features, which DuckDB can compute.
+  */
+object Multimodal {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** documents → media table: binary payload + deterministic metadata. */
+  def media(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "utf-8").as("payload"),
+      (lit(16) + col("n_chars") % 64).cast("int").as("width"),
+      (lit(16) + (col("n_chars") * 7) % 64).cast("int").as("height"),
+      (lit(1) + col("doc_id") % 24).cast("int").as("n_frames"))
+
+  /** STUB decode: deterministic byte-level features in place of a real
+    * codec. Pure function of the record — safe to re-run, shippable in a
+    * task closure. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length
+    val sum = {
+      var acc = 0L; var i = 0
+      while (i < n) { acc += (r.payload(i) & 0xff).toLong; i += 1 }
+      acc
+    }
+    val mean = if (n == 0) 0.0 else sum.toDouble / n
+    val aspect = r.width.toDouble / r.height
+    val sampled = (0 until r.n_frames by 4).length // stride-4 frame sample
+    MediaFeatures(
+      r.doc_id, r.kind, n.toLong,
+      math.floor(mean * 10000.0) / 10000.0,
+      math.floor(aspect * 10000.0) / 10000.0,
+      sampled)
+  }
+
+  /** Binary + metadata projection (DSL surface over the media table). */
+  private def mm01BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    media(s, dir).select(
+      col("doc_id"), col("kind"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"),
+      col("n_frames").cast("long").as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  /** Typed decode pipeline: Dataset[MediaRecord] → mapPartitions(decode) →
+    * Dataset[MediaFeatures]. */
+  private def mm02MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).as[MediaRecord]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "mm01_binary_meta" -> """
+      SELECT doc_id,
+             (['image', 'audio', 'video'])[((doc_id % 3) + 1)::INT] AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS payload_md5,
+             CAST(16 + n_chars % 64 AS BIGINT) AS width,
+             CAST(16 + (n_chars * 7) % 64 AS BIGINT) AS height,
+             CAST(1 + doc_id % 24 AS BIGINT) AS n_frames
+      FROM documents ORDER BY doc_id""",
+    "mm02_media_features" -> """
+      SELECT doc_id,
+             (['image', 'audio', 'video'])[((doc_id % 3) + 1)::INT] AS kind,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             floor(CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
+                   / length(text) * 10000.0) / 10000.0 AS mean_byte,
+             floor((16 + n_chars % 64)::DOUBLE / (16 + (n_chars * 7) % 64) * 10000.0) / 10000.0 AS aspect,
+             ((1 + doc_id % 24 + 3) // 4)::INT AS n_sampled
+      FROM documents ORDER BY doc_id""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm01_binary_meta" -> mm01BinaryMeta,
+    "mm02_media_features" -> mm02MediaFeatures)
+}

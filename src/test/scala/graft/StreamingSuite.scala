@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming coverage (SURVEY.md §2.5): the reference has no
+  * streaming surface; these specs pin the Spark-native mapping the repo
+  * claims for stream-shaped workloads — watermarked tumbling windows,
+  * streaming dedup, and arbitrary stateful aggregation — using
+  * MemoryStream sources and memory sinks (no external infra).
+  */
+class StreamingSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minutes: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minutes / 60}%02d:${minutes % 60}%02d:00")
+
+  test("watermarked tumbling-window aggregation finalizes closed windows (append mode)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = in.toDF().toDF("ts", "typ", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val q = agg.writeStream.format("memory").queryName("tumble")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(5), "a", 1.0), (ts(20), "a", 2.0), (ts(30), "b", 4.0))
+      q.processAllAvailable()
+      // watermark still inside hour 0 → nothing finalized yet
+      assert(spark.table("tumble").count() === 0)
+      // an event at 02:30 pushes the watermark past hour 0 + 10 min
+      in.addData((ts(150), "a", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble")
+        .select(col("typ"), col("n"), col("sv")).orderBy("typ")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("a", 2L, 3.0), ("b", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup: dropDuplicates removes re-delivered event ids across batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val dedup = in.toDF().toDF("event_id", "payload").dropDuplicates("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "x"), (2L, "y"), (1L, "x-dup"))
+      q.processAllAvailable()
+      in.addData((2L, "y-redelivered"), (3L, "z"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("arbitrary stateful aggregation: flatMapGroupsWithState running totals") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val totals = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          val total = state.getOption.getOrElse(0.0) + rows.map(_._2).sum
+          state.update(total)
+          Iterator((user, total))
+      }
+    val q = totals.toDF("user", "total").writeStream.format("memory")
+      .queryName("totals").outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1L, 10.0), (2L, 5.0))
+      q.processAllAvailable()
+      in.addData((1L, 7.0))
+      q.processAllAvailable()
+      // update-mode memory sink appends each update; latest per user wins
+      val latest = spark.table("totals")
+        .groupBy("user").agg(max("total").as("total"))
+        .as[(Long, Double)].collect().toMap
+      assert(latest === Map(1L -> 17.0, 2L -> 5.0))
+    } finally q.stop()
+  }
+
+  test("streaming session_window parity with the batch operator") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val sessions = in.toDF().toDF("ts", "user")
+      .groupBy(session_window(col("ts"), "5 minutes").as("sw"), col("user"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // user 1: two sessions (gap 30 min); user 2: one session
+      in.addData((ts(0), 1L), (ts(3), 1L), (ts(40), 1L), (ts(0), 2L))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select(col("user"), col("n")).orderBy(col("user"), col("n"))
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+}
