@@ -71,23 +71,31 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join-count. */
   private def dd02NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingled(s, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    import org.apache.spark.sql.expressions.Window
+    // persist BEFORE the explode: Generate re-evaluates a non-codegen
+    // (higher-order-function) child expression per emitted row, so the
+    // shingling must be materialized first — one evaluation per document.
+    val sh = shingled(s, dir).persist()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
     // document-frequency cap: hot shingles produce quadratic bucket fan-out
     // and carry no near-dup signal; Jaccard below is exact over the capped
     // shingle universe (both sizes and intersections use the same universe).
-    val capped = ex.join(
-      ex.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 20).select("g"),
-      "g")
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = capped.as("a")
+    // df and set size come from window counts (one shuffle each, no joins),
+    // and the result is persisted so the self-join doesn't re-run the
+    // interpreted shingling expression on both sides.
+    val capped = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("df") <= 20)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("g"), col("sz"))
+      .persist()
+    capped.as("a")
       .join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .select(
         col("doc_a"), col("doc_b"), col("n_inter"),
         round(col("n_inter").cast("double")
@@ -111,14 +119,26 @@ object Dedup {
   /** MinHash + LSH banding: signature → band-key equi-join → candidate
     * pairs → exact-Jaccard verification (≥ 0.5). */
   private def dd03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).filter(size(col("shingles")) > 0)
-    val sigs = sh
-      .withColumn("hs", expr(
-        "transform(shingles, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+    // persisted: read once, reused by the band self-join (both sides) and
+    // the two candidate-verification joins — signature hashing is the
+    // dominant cost and must not be recomputed per branch.
+    val sh = shingled(s, dir).filter(size(col("shingles")) > 0).persist()
+    // materialized separately: Catalyst collapses projections, so an
+    // unmaterialized `hs` would be inlined into the 16-permutation lambda
+    // below and the md5 hashing would run 16× per shingle instead of once.
+    val hashed = sh
+      .select(col("doc_id"), expr(
+        "transform(shingles, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))").as("hs"))
+      .persist()
+    val sigs = hashed
       .withColumn("sig", expr(
         s"""transform(sequence(0, 15), k ->
               array_min(transform(hs, h ->
                 (element_at($aArr, k + 1) * h + element_at($bArr, k + 1)) % $P)))"""))
+      .select(col("doc_id"), col("sig"))
+      // materialize sig before the band explode (see dd02 note): the
+      // posexplode child must read an attribute, not the minhash pipeline
+      .persist()
     val bands = sigs.select(
       col("doc_id"),
       posexplode(expr(
@@ -150,8 +170,11 @@ object Dedup {
     val sigs = docs(s, dir)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .filter(size(col("toks")) > 0)
-      .withColumn("ths", expr(
-        "transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), expr(
+        "transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))").as("ths"))
+      // materialize ths (see dd03): otherwise the 16-bit loop below inlines
+      // the hashing and runs md5 16× per token
+      .persist()
       .withColumn("sig", expr(
         """aggregate(
              transform(sequence(0, 15), b ->
@@ -160,6 +183,7 @@ object Dedup {
                   shiftleft(1L, b), 0L)),
              0L, (a, x) -> a + x)"""))
       .select(col("doc_id"), col("sig"))
+      .persist() // sig hashing is the dominant cost; both join sides reuse it
     val bands = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(expr(
