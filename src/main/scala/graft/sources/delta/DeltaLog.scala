@@ -74,7 +74,7 @@ object DeltaLog {
   }
 
   /** All commit JSONs and checkpoint parquets in the log, sorted by version. */
-  private def listLog(spark: SparkSession, tablePath: String): (Seq[(Long, FileStatus)], Seq[(Long, Seq[FileStatus])]) = {
+  private[delta] def listLog(spark: SparkSession, tablePath: String): (Seq[(Long, FileStatus)], Seq[(Long, Seq[FileStatus])]) = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) throw new IllegalArgumentException(

@@ -1,0 +1,189 @@
+package graft.sources.delta
+
+import java.net.URI
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Result of an OPTIMIZE run. */
+final case class OptimizeMetrics(
+    filesRemoved: Long, filesAdded: Long, bytesCompacted: Long, committedVersion: Long)
+
+/** Table-maintenance operations the 100 TB story needs and the reference
+  * cannot do at all (its write path is a documented failure —
+  * `examples/local_standalone.rs:38-47`):
+  *
+  *  - [[optimize]]: bin-packing compaction. Small-files are THE delta-lake
+  *    scale killer (every query's file listing, task scheduling and footer
+  *    reads are O(#files)); compaction rewrites each partition's small
+  *    files into ~target-size files in ONE distributed job and commits
+  *    `add`+`remove` with `dataChange=false` (readers of any version stay
+  *    correct; incremental consumers skip the rewrite).
+  *  - [[vacuum]]: physically deletes files no longer referenced by the
+  *    current snapshot once they age out of the retention window —
+  *    time-travel to versions older than the retention is sacrificed,
+  *    exactly like production Delta.
+  *  - [[history]]: the commitInfo audit trail as a DataFrame.
+  */
+object DeltaMaintenance {
+
+  private val mapper = new ObjectMapper()
+
+  private def decodeRel(p: String): String =
+    try {
+      val u = new URI(p)
+      if (u.isAbsolute) p else u.getPath
+    } catch { case _: Exception => p }
+
+  /** Bin-packing compaction of files smaller than `targetFileBytes`.
+    * No-op (returns metrics with the current version) when no partition has
+    * two or more small files. */
+  def optimize(
+      spark: SparkSession,
+      tablePath: String,
+      targetFileBytes: Long = 128L << 20): OptimizeMetrics = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val groups = snap.files
+      .filter(_.size < targetFileBytes)
+      .groupBy(_.partitionValues)
+      .filter(_._2.size >= 2)
+    if (groups.isEmpty)
+      return OptimizeMetrics(0, 0, 0, snap.version)
+
+    val partSchema = snap.partitionSchema
+    // one logical plan over all partitions: per-partition scans with the
+    // partition values re-injected, unioned, then re-written partitioned —
+    // a single distributed job regardless of partition count.
+    val compacted = groups.map { case (pv, files) =>
+      val paths = files.map(f => new Path(tablePath, decodeRel(f.path)).toString)
+      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
+      snap.partitionColumns.foldLeft(base) { (df, c) =>
+        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(partSchema(c).dataType))
+      }
+    }.reduce(_ unionByName _)
+      // bound output file count: ~one file per target size per partition
+      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+
+    // stage the rewrite like DeltaWriter.write does
+    val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
+    val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val writer = compacted.coalesce(
+      math.max(1, (groups.values.flatten.map(_.size).sum / math.max(1L, targetFileBytes)).toInt + groups.size))
+      .write.mode(SaveMode.Overwrite)
+    (if (snap.partitionColumns.nonEmpty) writer.partitionBy(snap.partitionColumns: _*) else writer)
+      .parquet(stagingDir.toString)
+
+    val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
+    val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString), snap.dataSchema)
+    val adds = stagedFiles.map { staged =>
+      val rel = DeltaWriter.relativize(stagingDir, staged)
+      val target = new Path(tablePath, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(staged, target))
+        throw new java.io.IOException(s"failed to publish $staged -> $target")
+      val st = fs.getFileStatus(target)
+      (rel, DeltaWriter.partitionValuesOf(rel, snap.partitionColumns), st.getLen,
+        st.getModificationTime, stats.get(staged.toString))
+    }
+    fs.delete(stagingDir, true)
+
+    val removed = groups.values.flatten.toSeq
+    var attempt = 0
+    var committedVersion = -1L
+    while (committedVersion < 0 && attempt < 20) {
+      val version = DeltaLog.snapshot(spark, tablePath).version + 1
+      val lines = Seq.newBuilder[String]
+      val ciLine = mapper.createObjectNode()
+      val ci = ciLine.putObject("commitInfo")
+      ci.put("timestamp", System.currentTimeMillis())
+      ci.put("operation", "OPTIMIZE")
+      val params = ci.putObject("operationParameters")
+      params.put("targetFileBytes", targetFileBytes)
+      ci.put("engineInfo", "graft-spark/0.1.0")
+      lines += mapper.writeValueAsString(ciLine)
+      removed.foreach { f =>
+        val rmLine = mapper.createObjectNode()
+        val r = rmLine.putObject("remove")
+        r.put("path", f.path)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", false)
+        lines += mapper.writeValueAsString(rmLine)
+      }
+      adds.foreach { case (rel, pv, size, modTime, st) =>
+        val addLine = mapper.createObjectNode()
+        val a = addLine.putObject("add")
+        a.put("path", DeltaWriter.encodePath(rel))
+        val pvNode = a.putObject("partitionValues")
+        pv.foreach { case (k, v) => if (v == null) pvNode.putNull(k) else pvNode.put(k, v) }
+        a.put("size", size)
+        a.put("modificationTime", modTime)
+        a.put("dataChange", false)
+        st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
+        lines += mapper.writeValueAsString(addLine)
+      }
+      if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
+        committedVersion = version
+      attempt += 1
+    }
+    if (committedVersion < 0) throw new java.io.IOException(
+      s"OPTIMIZE could not commit to $tablePath after $attempt attempts")
+    OptimizeMetrics(removed.size, adds.size, removed.map(_.size).sum, committedVersion)
+  }
+
+  /** Delete data files not referenced by the CURRENT snapshot whose
+    * modification time is older than `retentionMs`. Returns #deleted.
+    * Time travel to versions needing those files stops working — that is
+    * the vacuum contract. */
+  def vacuum(
+      spark: SparkSession,
+      tablePath: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val live: Set[String] =
+      snap.files.map(f => new Path(tablePath, decodeRel(f.path)).toUri.getPath).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    var deleted = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      val rel = p.toUri.getPath
+      val inLog = rel.contains(s"/${DeltaLog.LogDirName}/")
+      if (!inLog && p.getName.endsWith(".parquet") && !live.contains(rel)
+          && f.getModificationTime < cutoff) {
+        if (fs.delete(p, false)) deleted += 1
+      }
+    }
+    deleted
+  }
+
+  /** Commit history (newest first): version, timestamp, operation, engine. */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val (commits, _) = DeltaLog.listLog(spark, tablePath)
+    val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = commits.map { case (version, status) =>
+      val in = fs.open(status.getPath)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val ci = content.linesIterator
+        .map(mapper.readTree)
+        .collectFirst { case n if n.has("commitInfo") => n.get("commitInfo") }
+      Row(
+        version,
+        ci.flatMap(c => Option(c.get("timestamp")).map(_.asLong())).getOrElse(0L),
+        ci.flatMap(c => Option(c.get("operation")).map(_.asText())).getOrElse(""),
+        ci.flatMap(c => Option(c.get("engineInfo")).map(_.asText())).getOrElse(""))
+    }.sortBy(-_.getLong(0))
+    val schema = StructType(Seq(
+      StructField("version", LongType),
+      StructField("timestamp", LongType),
+      StructField("operation", StringType),
+      StructField("engineInfo", StringType)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+}

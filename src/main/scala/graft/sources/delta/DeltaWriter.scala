@@ -171,7 +171,7 @@ object DeltaWriter {
       s"could not commit to $tablePath after $attempt attempts (concurrent writers)")
   }
 
-  private def listParquetFilesRecursively(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {
+  private[delta] def listParquetFilesRecursively(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {
     val out = Seq.newBuilder[Path]
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
@@ -181,18 +181,18 @@ object DeltaWriter {
     out.result()
   }
 
-  private def relativize(base: Path, file: Path): String = {
+  private[delta] def relativize(base: Path, file: Path): String = {
     val baseUri = base.toUri.getPath
     val fileUri = file.toUri.getPath
     require(fileUri.startsWith(baseUri), s"$file not under $base")
     fileUri.stripPrefix(baseUri).stripPrefix("/")
   }
 
-  private def encodePath(rel: String): String =
+  private[delta] def encodePath(rel: String): String =
     try new java.net.URI(null, null, rel, null).toASCIIString
     catch { case _: Exception => rel }
 
-  private def partitionValuesOf(rel: String, partitionCols: Seq[String]): Map[String, String] = {
+  private[delta] def partitionValuesOf(rel: String, partitionCols: Seq[String]): Map[String, String] = {
     val dirs = rel.split('/').dropRight(1)
     val fromPath = dirs.flatMap { seg =>
       val i = seg.indexOf('=')
@@ -210,7 +210,7 @@ object DeltaWriter {
 
   /** One distributed scan over the just-written files: per file (group key =
     * input_file_name) count + min/max/nullCount per supported column. */
-  private def collectFileStats(
+  private[delta] def collectFileStats(
       spark: SparkSession,
       files: Seq[String],
       dataSchema: StructType): Map[String, ObjectNode] = {
