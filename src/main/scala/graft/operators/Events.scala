@@ -79,7 +79,65 @@ object Events {
           / count(lit(1)) * lit(10000.0)) / lit(10000.0)).as("avg_v"))
       .orderBy(col("d"))
 
+  /** Cohort retention: users bucketed by first-seen day; how many are
+    * active again 1 and 7 days later. Two shuffles (per-user min, then
+    * per-cohort distinct counts) — no self-join on the raw events. */
+  private def ev05Retention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    e.join(cohort, "user_id")
+      .groupBy(col("cohort_d"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(datediff(col("d"), col("cohort_d")) === 1, col("user_id"))).as("d1"),
+        countDistinct(when(datediff(col("d"), col("cohort_d")) === 7, col("user_id"))).as("d7"))
+      .orderBy(col("cohort_d"))
+  }
+
+  /** Batch analog of streaming dropDuplicates: keep the first event per
+    * (user, type, minute) by (ts, event_id), then count per type. */
+  private def ev06EventDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), date_trunc("minute", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(
+        Tables.events(s, dir).groupBy(col("event_type")).agg(count(lit(1)).as("n_total")),
+        "event_type")
+      .select(col("event_type"), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"))
+      .orderBy(col("event_type"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ev05_retention" -> """
+      WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events),
+      cohort AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY user_id)
+      SELECT cohort_d,
+             count(DISTINCT e.user_id) AS n_users,
+             count(DISTINCT CASE WHEN date_diff('day', cohort_d, d) = 1 THEN e.user_id END) AS d1,
+             count(DISTINCT CASE WHEN date_diff('day', cohort_d, d) = 7 THEN e.user_id END) AS d7
+      FROM e JOIN cohort ON e.user_id = cohort.user_id
+      GROUP BY cohort_d ORDER BY cohort_d""",
+    "ev06_event_dedup" -> """
+      WITH ranked AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY user_id, event_type,
+                                  date_trunc('minute', ts)
+                                  ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+        FROM events),
+      kept AS (SELECT event_type, count(*) AS n_kept FROM ranked WHERE rn = 1 GROUP BY event_type),
+      total AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type)
+      SELECT total.event_type AS event_type, n_total, n_kept, n_total - n_kept AS n_dropped
+      FROM total JOIN kept ON total.event_type = kept.event_type
+      ORDER BY event_type""",
     "ev01_tumbling" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS w_start, event_type,
              count(*) AS n,
@@ -130,5 +188,7 @@ object Events {
     "ev01_tumbling" -> ev01Tumbling,
     "ev02_sliding" -> ev02Sliding,
     "ev03_session" -> ev03Session,
-    "ev04_daily" -> ev04Daily)
+    "ev04_daily" -> ev04Daily,
+    "ev05_retention" -> ev05Retention,
+    "ev06_event_dedup" -> ev06EventDedup)
 }

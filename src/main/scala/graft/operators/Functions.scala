@@ -225,6 +225,86 @@ object Functions {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Math surface: abs/ceil/floor, exp/ln/log10/log2, power/sqrt/cbrt,
+    * atan2/signum/pi/factorial. Transcendentals rounded to 6 (libm agreement
+    * to well below 1e-6 on these magnitudes; same posture as corr()).
+    * NB DuckDB: `ln` is natural log (Spark `log`), DuckDB `log` is log10. */
+  private def fn13Math(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 4).as("ab"),
+        ceil(col("l_extendedprice") / 1000.0).cast("long").as("ce"),
+        floor(col("l_extendedprice") / 1000.0).cast("long").as("fl"),
+        round(col("l_extendedprice") / 7.0, 2).as("rn"),
+        round(exp(col("l_quantity") % 5.0), 6).as("ex"),
+        round(log(col("l_extendedprice")), 6).as("lnp"),
+        round(log10(col("l_extendedprice")), 6).as("lg10"),
+        round(log2(col("l_quantity") + 1.0), 6).as("lg2"),
+        round(pow(col("l_quantity"), 2), 4).as("pw"),
+        round(sqrt(col("l_extendedprice")), 6).as("sq"),
+        round(cbrt(col("l_quantity")), 6).as("cb"),
+        round(atan2(col("l_quantity"), lit(10.0)), 6).as("at2"),
+        signum(col("l_discount") - 0.05).cast("int").as("sgn"),
+        round(lit(math.Pi), 6).as("pi_v"),
+        factorial((col("l_quantity") % 5 + 1).cast("int")).as("fact"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** String surface #2: chr/ascii, repeat, trim, octet length, position in
+    * a set, starts/ends/contains. */
+  private def fn14String2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 150)
+      .select(
+        col("p_partkey"),
+        expr("char(65 + CAST(p_partkey % 26 AS INT))").as("ch"),
+        ascii(col("p_name")).cast("long").as("asc"),
+        expr("repeat(substr(p_name, 1, 2), 3)").as("rep"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("tr"),
+        length(encode(col("p_name"), "utf-8")).cast("long").as("olen"),
+        expr("array_position(array('small','red','blue','big'), split_part(p_name, ' ', 1))")
+          .cast("long").as("word_pos"),
+        expr("startswith(p_name, 'sm')").cast("int").as("sw"),
+        expr("endswith(p_name, 'lt')").cast("int").as("ew"),
+        expr("contains(p_name, 'ring')").cast("int").as("ct"))
+      .orderBy(col("p_partkey"))
+
+  /** Datetime surface #2: unix epoch round-trips, add_months (with
+    * month-end clamping), next_day, quarter/week. */
+  private def fn15Datetime2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"), col("o_orderdate"))
+      .select(
+        col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("unix_s"),
+        from_unixtime(unix_timestamp(col("o_orderdate")) + 3600).as("plus1h"),
+        add_months(col("d"), 1).as("am"),
+        next_day(col("d"), "MON").as("next_mon"),
+        quarter(col("d")).cast("long").as("qt"),
+        weekofyear(col("d")).cast("long").as("wk"))
+      .orderBy(col("o_orderkey"))
+
+  /** Array surface #2: position/remove/overlap/repeat/except, zip_with,
+    * exists/forall, stepped sequence. */
+  private def fn16Array2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 150)
+      .withColumn("arr", sequence(lit(1), pmod(col("p_size"), lit(5)) + lit(2)))
+      .select(
+        col("p_partkey"),
+        expr("array_position(arr, 3)").cast("long").as("pos3"),
+        array_join(array_remove(col("arr"), 2), ",").as("rm2"),
+        expr("arrays_overlap(arr, array(4, 5))").cast("int").as("ovl"),
+        array_join(array_repeat(pmod(col("p_size"), lit(3)), 3), ",").as("rep3"),
+        array_join(array_except(col("arr"), array(lit(1), lit(2))), ",").as("exc"),
+        expr("aggregate(zip_with(arr, reverse(arr), (x, y) -> x * y), 0L, (a, v) -> a + v)").as("zw"),
+        expr("exists(arr, x -> x > 4)").cast("int").as("any_gt4"),
+        expr("forall(arr, x -> x > 0)").cast("int").as("all_pos"),
+        array_join(sequence(lit(0), col("p_size"), lit(10)), ",").as("seq10"))
+      .orderBy(col("p_partkey"))
+
   // -------------------------------------------------------------------------
   // Unnest / table functions / recursion (§2.2 tail)
   // -------------------------------------------------------------------------
@@ -390,6 +470,62 @@ object Functions {
                    / count(*) * 10000.0) / 10000.0 AS k_avg,
              count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "fn13_math" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(abs(l_discount - 0.05), 4) AS ab,
+             CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS ce,
+             CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS fl,
+             round(l_extendedprice / 7.0, 2) AS rn,
+             round(exp(l_quantity % 5.0), 6) AS ex,
+             round(ln(l_extendedprice), 6) AS lnp,
+             round(log(l_extendedprice), 6) AS lg10,
+             round(log2(l_quantity + 1.0), 6) AS lg2,
+             round(pow(l_quantity, 2), 4) AS pw,
+             round(sqrt(l_extendedprice), 6) AS sq,
+             round(cbrt(l_quantity), 6) AS cb,
+             round(atan2(l_quantity, 10.0), 6) AS at2,
+             sign(l_discount - 0.05)::INT AS sgn,
+             round(pi(), 6) AS pi_v,
+             factorial(((l_quantity::BIGINT % 5) + 1)::INT) AS fact
+      FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber""",
+    "fn14_string2" -> """
+      SELECT p_partkey,
+             chr((65 + p_partkey % 26)::INT) AS ch,
+             ascii(p_name) AS asc,
+             repeat(substr(p_name, 1, 2), 3) AS rep,
+             trim('  ' || p_name || '  ') AS tr,
+             CAST(octet_length(encode(p_name)) AS BIGINT) AS olen,
+             list_position(['small','red','blue','big'], split_part(p_name, ' ', 1)) AS word_pos,
+             starts_with(p_name, 'sm')::INT AS sw,
+             ends_with(p_name, 'lt')::INT AS ew,
+             contains(p_name, 'ring')::INT AS ct
+      FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""",
+    "fn15_datetime2" -> """
+      SELECT o_orderkey,
+             epoch(o_orderdate)::BIGINT AS unix_s,
+             strftime(to_timestamp(epoch(o_orderdate)::BIGINT + 3600), '%Y-%m-%d %H:%M:%S') AS plus1h,
+             (CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH)::DATE AS am,
+             (CAST(o_orderdate AS DATE) + to_days(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                                                       ELSE (8 - isodow(o_orderdate)) % 7 END::INT))::DATE AS next_mon,
+             quarter(o_orderdate) AS qt,
+             week(o_orderdate) AS wk
+      FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""",
+    "fn16_array2" -> """
+      SELECT p_partkey,
+             list_position(arr, 3) AS pos3,
+             array_to_string(list_filter(arr, x -> x != 2), ',') AS rm2,
+             (len(list_intersect(arr, [4, 5])) > 0)::INT AS ovl,
+             array_to_string(list_transform(generate_series(1, 3), i -> p_size % 3), ',') AS rep3,
+             coalesce(array_to_string(list_filter(arr, x -> NOT list_contains([1, 2], x)), ','), '') AS exc,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len(arr)), i -> (arr[i] * arr[len(arr) + 1 - i])::BIGINT)),
+               (a, v) -> a + v) AS zw,
+             (len(list_filter(arr, x -> x > 4)) > 0)::INT AS any_gt4,
+             (len(list_filter(arr, x -> NOT (x > 0))) = 0)::INT AS all_pos,
+             array_to_string(generate_series(0, p_size, 10), ',') AS seq10
+      FROM (SELECT p_partkey, p_size, generate_series(1, (p_size % 5) + 2) AS arr
+            FROM part WHERE p_partkey <= 150)
+      ORDER BY p_partkey""",
     "un01_explode" -> """
       SELECT tok, count(*) AS n
       FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part)
@@ -430,6 +566,10 @@ object Functions {
     "fn10_bitbool" -> fn10BitBool,
     "fn11_approx_sketch" -> fn11ApproxSketch,
     "fn12_json" -> fn12Json,
+    "fn13_math" -> fn13Math,
+    "fn14_string2" -> fn14String2,
+    "fn15_datetime2" -> fn15Datetime2,
+    "fn16_array2" -> fn16Array2,
     "un01_explode" -> un01Explode,
     "un02_posexplode" -> un02Posexplode,
     "un03_sequence_join" -> un03SequenceJoin,
