@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.delta.{DeltaTable, DeltaWriter}
+
+/** Delta-provider queries INSIDE the driver's correctness gate: each one
+  * writes a scratch Delta table from a fixture table, reads it back through
+  * the `delta` source, and aggregates — the DuckDB oracle computes the same
+  * aggregate over the RAW parquet fixture, so a bug anywhere in the
+  * write → log → replay → scan → partition-injection pipeline shows up as a
+  * hash mismatch (the reference's own golden test is the 5-row fixture in
+  * DeltaSuite; these add driver-checked value parity at fixture scale). */
+object DeltaQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft-delta-q").toString
+
+  /** Write supplier partitioned by nation → read back via the provider →
+    * aggregate. Exercises partition-value injection end to end. */
+  private def dl01Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    t(s, dir, "supplier")
+      .write.format("delta").partitionBy("s_nationkey").save(path)
+    DeltaTable.read(s, path)
+      .groupBy(col("s_nationkey").cast("int").as("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Two commits (even keys, then odd keys appended); VERSION AS OF 0 must
+    * see only the first commit. */
+  private def dl02TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 2 === 0), path, SaveMode.Append, Nil)
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 2 === 1), path, SaveMode.Append, Nil)
+    DeltaTable.readVersion(s, path, 0L)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+  }
+
+  /** Partition-pruned read through the provider (the pruning itself is
+    * plan-checked in DeltaSuite; this pins the values). */
+  private def dl03PrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    t(s, dir, "supplier")
+      .write.format("delta").partitionBy("s_nationkey").save(path)
+    DeltaTable.read(s, path)
+      .filter(col("s_nationkey") === 3)
+      .select(col("s_suppkey"), col("s_name"), round(col("s_acctbal"), 2).as("bal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "dl01_delta_roundtrip" -> """
+      SELECT s_nationkey,
+             count(*) AS n,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "dl02_delta_time_travel" -> """
+      SELECT count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier WHERE s_suppkey % 2 = 0""",
+    "dl03_delta_pruned_read" -> """
+      SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
+      FROM supplier WHERE s_nationkey = 3 ORDER BY s_suppkey""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dl01_delta_roundtrip" -> dl01Roundtrip,
+    "dl02_delta_time_travel" -> dl02TimeTravel,
+    "dl03_delta_pruned_read" -> dl03PrunedRead)
+}
