@@ -305,6 +305,19 @@ object Functions {
         array_join(sequence(lit(0), col("p_size"), lit(10)), ",").as("seq10"))
       .orderBy(col("p_partkey"))
 
+  /** Custom typed UDAF (§2.6): quantity-weighted mean price per return
+    * flag via [[graft.functions.WeightedMeanAgg]] — DECIMAL-exact partial
+    * aggregation (order-independent merges), floor-scaled finish. */
+  private def fn17UdafWeightedMean(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftAggregates.register(s)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("weighted_mean(l_quantity, l_extendedprice)").as("wmean_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // -------------------------------------------------------------------------
   // Unnest / table functions / recursion (§2.2 tail)
   // -------------------------------------------------------------------------
@@ -526,6 +539,13 @@ object Functions {
       FROM (SELECT p_partkey, p_size, generate_series(1, (p_size % 5) + 2) AS arr
             FROM part WHERE p_partkey <= 150)
       ORDER BY p_partkey""",
+    "fn17_udaf_weighted_mean" -> """
+      SELECT l_returnflag,
+             floor(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                   / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   * 10000.0) / 10000.0 AS wmean_price,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "un01_explode" -> """
       SELECT tok, count(*) AS n
       FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part)
@@ -570,6 +590,7 @@ object Functions {
     "fn14_string2" -> fn14String2,
     "fn15_datetime2" -> fn15Datetime2,
     "fn16_array2" -> fn16Array2,
+    "fn17_udaf_weighted_mean" -> fn17UdafWeightedMean,
     "un01_explode" -> un01Explode,
     "un02_posexplode" -> un02Posexplode,
     "un03_sequence_join" -> un03SequenceJoin,
