@@ -97,6 +97,10 @@ object GraftFunctions {
     "cosine_sim" -> { exprs =>
       require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
       CosineSimilarity(exprs.head, exprs(1))
+    },
+    "simhash16" -> { exprs =>
+      require(exprs.length == 1, s"simhash16 expects 1 argument, got ${exprs.length}")
+      SimHash16(exprs.head)
     })
 
   /** Imperative per-session registration (idempotent) — lets any session

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native 16-bit SimHash over an array of 32-bit token hashes (stored as
+  * BIGINT): bit b of the signature is set iff more than half the tokens
+  * have bit b set (equivalently, the ±1 vote sum is positive — exactly the
+  * declarative fold in Dedup.dd04's oracle, which this replaces on the hot
+  * path; integer sums are order-independent so parity is exact).
+  *
+  * As with [[CosineSimilarity]]: the HOF formulation is CodegenFallback
+  * (interpreted lambda dispatch per token × 16 bits); this codegen'd loop
+  * is a branch-free pass over the hash array. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash16"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val cnt = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 16) {
+        cnt(b) += ((h >> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 16) {
+      if (2 * cnt(b) > n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $cnt = new int[16];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 16; $b++) {
+         |    $cnt[$b] += (int) (($h >> $b) & 1L);
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 16; $b++) {
+         |  if (2 * $cnt[$b] > $n) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}

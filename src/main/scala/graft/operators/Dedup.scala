@@ -167,37 +167,48 @@ object Dedup {
   /** SimHash (16-bit, token-frequency weighted) + nibble-band candidates;
     * hamming ≤ 3 pairs (candidates are exhaustive by pigeonhole). */
   private def dd04Simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val sigs = docs(s, dir)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .filter(size(col("toks")) > 0)
+      // native codegen'd simhash16 over the token hashes — same ±1 vote
+      // semantics as the oracle's declarative fold (integer sums are
+      // order-independent, so parity is exact)
       .select(col("doc_id"), expr(
-        "transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))").as("ths"))
-      // materialize ths (see dd03): otherwise the 16-bit loop below inlines
-      // the hashing and runs md5 16× per token
-      .persist()
-      .withColumn("sig", expr(
-        """aggregate(
-             transform(sequence(0, 15), b ->
-               IF(aggregate(ths, 0L, (acc, h) ->
-                    acc + IF(((h >> b) & 1) = 1, 1, -1)) > 0,
-                  shiftleft(1L, b), 0L)),
-             0L, (a, x) -> a + x)"""))
-      .select(col("doc_id"), col("sig"))
-      .persist() // sig hashing is the dominant cost; both join sides reuse it
-    val bands = sigs.select(
-      col("doc_id"), col("sig"),
+        "simhash16(transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))").as("sig"))
+      .persist() // reused by the sig-level join and both doc expansions
+    // Band-join at the DISTINCT-signature level, not the document level: a
+    // low-diversity corpus collapses to few signatures (5000 docs → ~1.4k
+    // sigs at sf0.1), while document-level nibble buckets are quadratically
+    // skewed (measured 13.8M candidate pairs). Pigeonhole recall is
+    // unchanged — every doc pair with ham ≤ 3 is either intra-sig (ham 0)
+    // or expands from a close sig pair.
+    val sigSet = sigs.select(col("sig")).distinct().persist()
+    val bands = sigSet.select(
+      col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (sig >> (4 * b)) & 15)"))
         .as(Seq("band", "nib")))
-    bands.as("a")
+    val sigPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          && col("a.sig") < col("b.sig"))
+      .select(col("a.sig").as("s1"), col("b.sig").as("s2"),
         expr("bit_count(a.sig ^ b.sig)").cast("long").as("ham"))
-      .distinct()
       .filter(col("ham") <= 3)
+      .distinct()
+    val inter = sigPairs
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), "s1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), "s2")
+      .select(least(col("id1"), col("id2")).as("doc_a"),
+        greatest(col("id1"), col("id2")).as("doc_b"), col("ham"))
+    val intra = sigs.as("x")
+      .join(sigs.as("y"),
+        col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("ham"))
+    // top-50 via TakeOrdered (map-side heaps) — the expansions never shuffle
+    inter.union(intra)
       .orderBy(col("ham"), col("doc_a"), col("doc_b"))
       .limit(50)
   }
@@ -291,17 +302,28 @@ object Dedup {
         FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
               FROM documents)
         WHERE len(l) > 0),
+      sigset AS (SELECT DISTINCT sig FROM sigs),
       bands AS (
-        SELECT doc_id, sig,
+        SELECT sig,
                unnest(generate_series(0, 3)) AS band,
                unnest(list_transform(generate_series(0, 3), b -> (sig >> (4 * b)) & 15)) AS nib
-        FROM sigs)
-      SELECT doc_a, doc_b, ham FROM (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.sig, b.sig)) AS ham
+        FROM sigset),
+      sigpairs AS (
+        SELECT DISTINCT a.sig AS s1, b.sig AS s2, bit_count(xor(a.sig, b.sig)) AS ham
         FROM bands a JOIN bands b
-        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
-      WHERE ham <= 3
+        ON a.band = b.band AND a.nib = b.nib AND a.sig < b.sig
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+      inter AS (
+        SELECT least(d1.doc_id, d2.doc_id) AS doc_a,
+               greatest(d1.doc_id, d2.doc_id) AS doc_b, ham
+        FROM sigpairs
+        JOIN sigs d1 ON d1.sig = s1
+        JOIN sigs d2 ON d2.sig = s2),
+      intra AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(0 AS BIGINT) AS ham
+        FROM sigs x JOIN sigs y ON x.sig = y.sig AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, CAST(ham AS BIGINT) AS ham FROM
+        (SELECT * FROM inter UNION ALL SELECT * FROM intra)
       ORDER BY ham, doc_a, doc_b LIMIT 50""",
     "dd05_embed_dup" -> """
       WITH v AS (
