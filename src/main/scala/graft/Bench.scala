@@ -16,6 +16,12 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
+    // untimed warmup: JVM/codegen/parquet-footer costs otherwise land on
+    // whichever query happens to run first (measured ~5s of noise)
+    try {
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      l.filter(l("l_quantity") > 0).groupBy("l_returnflag").count().collect()
+    } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
