@@ -388,10 +388,80 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------------
+  // TPC-H classic shapes (adapted to the fixture schema)
+  // ---------------------------------------------------------------------------
+
+  /** TPC-H Q7 flavor: shipping volume between customer/supplier nation
+    * pairs — two independent broadcast dim chains off the same fact join. */
+  private def q24VolumePairs(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val lineitem = t(s, dir, "lineitem").filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")))
+    lineitem
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(nation.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .filter(col("cust_nation") < col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      // decimal-exact sum (price and discount have 2 decimals → the product
+      // is a 4-decimal rational, lossless in DECIMAL(18,6)); the rounded
+      // value also decides row membership, so it must be order-independent
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2)
+        .cast("double").as("revenue"))
+      .filter(col("revenue") > 50000.0)
+      .orderBy(col("cust_nation"), col("supp_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q19 flavor: disjunction of conjunctive band predicates across
+    * the join — Catalyst splits the common `p_partkey = l_partkey` out and
+    * pushes the residual OR; exercises complex predicate pushdown. */
+  private def q25Disjunctive(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) && col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 40) && col("l_quantity").between(20, 35)))
+      .agg(
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q22 flavor: customers above the global positive-balance average
+    * with no big-ticket orders — uncorrelated scalar subquery + anti join. */
+  private def q26GlobalAvgAnti(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders")
+    s.sql("""
+      SELECT substring(c_name, 1, 9) AS cntrycode,
+             count(*) AS numcust,
+             CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      GROUP BY substring(c_name, 1, 9)
+      ORDER BY cntrycode""")
+  }
+
+  /** TPC-H Q17 flavor: small-quantity orders vs 20% of the per-part
+    * average — correlated aggregate subquery, decorrelated to a join. */
+  private def q27AvgQtyCorrelated(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem", "part")
+    s.sql("""
+      SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0 AS DOUBLE), 2) AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+        AND l_quantity < (SELECT round(0.2 * avg(l_quantity), 6)
+                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+  }
+
+  // ---------------------------------------------------------------------------
   // oracle SQL (DuckDB dialect) — column names/order MUST match the above
   // ---------------------------------------------------------------------------
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = classicOracles ++ Map(
     "q01_agg" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
@@ -592,7 +662,52 @@ object Relational {
       WHERE rev_exact = (SELECT max(rev_exact) FROM revenue)
       ORDER BY s_suppkey""")
 
+  // lazy: referenced by oracleSql, which is declared earlier in the file
+  private lazy val classicOracles: Map[String, String] = Map(
+    "q24_volume_pairs" -> """
+      SELECT cust_nation, supp_nation, l_year, revenue FROM (
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               date_part('year', l_shipdate) AS l_year,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND cn.n_name < sn.n_name
+        GROUP BY 1, 2, 3)
+      WHERE revenue > 50000.0
+      ORDER BY cust_nation, supp_nation, l_year""",
+    "q25_disjunctive" -> """
+      SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+             count(*) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 25)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 35)""",
+    "q26_global_avg_anti" -> """
+      SELECT substring(c_name, 1, 9) AS cntrycode,
+             count(*) AS numcust,
+             CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      GROUP BY substring(c_name, 1, 9)
+      ORDER BY cntrycode""",
+    "q27_avg_qty_correlated" -> """
+      SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0 AS DOUBLE), 2) AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+        AND l_quantity < (SELECT round(0.2 * avg(l_quantity), 6)
+                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_volume_pairs" -> q24VolumePairs,
+    "q25_disjunctive" -> q25Disjunctive,
+    "q26_global_avg_anti" -> q26GlobalAvgAnti,
+    "q27_avg_qty_correlated" -> q27AvgQtyCorrelated,
     "q01_agg" -> q01Agg,
     "q02_filter_project" -> q02FilterProject,
     "q03_join_multi" -> q03JoinMulti,
