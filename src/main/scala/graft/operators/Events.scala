@@ -116,7 +116,47 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** AS-OF join — an operator Spark has no built-in for (SURVEY brief's
+    * custom-operator list). Composed the scale-correct way (preference (a):
+    * existing ops): union probe marks with events, ONE shuffle+sort per
+    * user, and `last(_, ignoreNulls)` over an unbounded-preceding frame
+    * carries the most recent event forward into each mark. No range
+    * explosion, no per-row subquery — O(n log n) per key at any scale.
+    * Oracle: DuckDB's native ASOF LEFT JOIN (`e.ts <= qts`; events sort
+    * before equal-ts marks via the is_mark key, matching the inclusive
+    * bound). */
+  private def ev07AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), lit(0).as("is_mark"),
+        col("ts").as("ev_ts"), col("value").as("ev_val"))
+    val marks = Tables.events(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(23))).as("h"))
+      .select(col("user_id"),
+        expr("timestampadd(HOUR, h, TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        lit(1).as("is_mark"),
+        lit(null).cast("timestamp").as("ev_ts"),
+        lit(null).cast("double").as("ev_val"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_mark"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(marks)
+      .withColumn("asof_ts", last(col("ev_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_val", round(last(col("ev_val"), ignoreNulls = true).over(w), 2))
+      .filter(col("is_mark") === 1)
+      .select(col("user_id"), col("ts").as("qts"), col("asof_ts"), col("asof_val"))
+      .orderBy(col("user_id"), col("qts"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ev07_asof_join" -> """
+      WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
+      marks AS (SELECT u.user_id, (TIMESTAMP '2024-01-01 00:00:00' + to_hours(h.h)) AS qts
+                FROM (SELECT DISTINCT user_id FROM events) u, generate_series(0, 23) h(h))
+      SELECT m.user_id, m.qts, e.ts AS asof_ts, round(e.value, 2) AS asof_val
+      FROM marks m ASOF LEFT JOIN e
+        ON m.user_id = e.user_id AND e.ts <= m.qts
+      ORDER BY m.user_id, m.qts""",
     "ev05_retention" -> """
       WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events),
       cohort AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY user_id)
@@ -190,5 +230,6 @@ object Events {
     "ev03_session" -> ev03Session,
     "ev04_daily" -> ev04Daily,
     "ev05_retention" -> ev05Retention,
-    "ev06_event_dedup" -> ev06EventDedup)
+    "ev06_event_dedup" -> ev06EventDedup,
+    "ev07_asof_join" -> ev07AsofJoin)
 }
