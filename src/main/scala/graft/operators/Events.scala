@@ -148,7 +148,63 @@ object Events {
       .orderBy(col("user_id"), col("qts"))
   }
 
+  /** Range (interval-containment) join — the second custom-operator shape
+    * from the brief. The naive form is a non-equi nested-loop join; the
+    * scale path composes it as a BUCKETED EQUI-JOIN: intervals (per-user
+    * sessions) explode into the hour buckets they span (sessions are
+    * minutes long → 1–2 buckets each), probes hash-join on
+    * (user, bucket), and the exact range predicate refines. Shuffle-based,
+    * linear, skew-free — vs BroadcastNestedLoopJoin which cannot scale
+    * past a broadcastable interval side. */
+  private def ev08RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "5 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").as("st"), col("sw.end").as("en"))
+    val exploded = sess.select(
+      col("user_id"), col("st"), col("en"),
+      explode(expr(
+        "sequence(unix_micros(st) div 3600000000, (unix_micros(en) - 1) div 3600000000)")).as("hb"))
+    val marks = Tables.events(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(23))).as("h"))
+      .select(col("user_id"),
+        expr("timestampadd(HOUR, h, TIMESTAMP'2024-01-01 00:00:00')").as("qts"))
+      .withColumn("hb", expr("unix_micros(qts) div 3600000000"))
+    marks
+      .join(exploded,
+        marks("user_id") === exploded("user_id") && marks("hb") === exploded("hb")
+          && col("st") <= col("qts") && col("qts") < col("en"),
+        "left")
+      .groupBy(marks("user_id").as("user_id"), col("qts"))
+      .agg(count(col("st")).as("in_sess"), min(col("st")).as("sess_start"))
+      .orderBy(col("user_id"), col("qts"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ev08_range_join" -> """
+      WITH e AS (
+        SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
+      flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      sess AS (
+        SELECT user_id, min(ts) AS st, max(ts) + INTERVAL 5 MINUTE AS en
+        FROM numbered GROUP BY user_id, sid),
+      marks AS (
+        SELECT u.user_id, (TIMESTAMP '2024-01-01 00:00:00' + to_hours(h.h)) AS qts
+        FROM (SELECT DISTINCT user_id FROM events) u, generate_series(0, 23) h(h))
+      SELECT m.user_id, m.qts, count(s.st) AS in_sess, min(s.st) AS sess_start
+      FROM marks m LEFT JOIN sess s
+        ON s.user_id = m.user_id AND s.st <= m.qts AND m.qts < s.en
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "ev07_asof_join" -> """
       WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
       marks AS (SELECT u.user_id, (TIMESTAMP '2024-01-01 00:00:00' + to_hours(h.h)) AS qts
@@ -231,5 +287,6 @@ object Events {
     "ev04_daily" -> ev04Daily,
     "ev05_retention" -> ev05Retention,
     "ev06_event_dedup" -> ev06EventDedup,
-    "ev07_asof_join" -> ev07AsofJoin)
+    "ev07_asof_join" -> ev07AsofJoin,
+    "ev08_range_join" -> ev08RangeJoin)
 }
