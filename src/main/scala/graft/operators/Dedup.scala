@@ -118,7 +118,14 @@ object Dedup {
 
   /** MinHash + LSH banding: signature → band-key equi-join → candidate
     * pairs → exact-Jaccard verification (≥ 0.5). */
-  private def dd03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  private def dd03MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir)
+      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+
+  /** The MinHash-LSH verified near-dup edge list (doc_a < doc_b, jac ≥ 0.5)
+    * — dd03's output (unlimited) and dd06's input graph. */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     // persisted: read once, reused by the band self-join (both sides) and
     // the two candidate-verification joins — signature hashing is the
     // dominant cost and must not be recomputed per branch.
@@ -160,8 +167,45 @@ object Dedup {
           / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
       .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jac"))
-      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
-      .limit(50)
+  }
+
+  /** Cluster-level dedup: connected components over the verified near-dup
+    * graph via iterative min-label propagation (the keeper of each cluster
+    * is its minimum doc_id — the standard removal policy). Iterations are
+    * bounded by the component diameter; each round is one hash join +
+    * partial-min aggregate, and localCheckpoint truncates the growing plan
+    * lineage — the same shape GraphX/Pregel uses, expressed DataFrame-first.
+    * Oracle: a recursive CTE computing the same min-reachable-id fixpoint. */
+  private def dd06ClusterDedup(s: SparkSession, dir: String): DataFrame = {
+    val edges = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val sym = edges.select(col("doc_a").as("doc"), col("doc_b").as("nbr"))
+      .union(edges.select(col("doc_b").as("doc"), col("doc_a").as("nbr")))
+      .persist()
+    var labels = sym.select(col("doc")).distinct()
+      .withColumn("lab", col("doc"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val msgs = sym
+        .join(labels.select(col("doc").as("nbr"), col("lab").as("nlab")), "nbr")
+        .groupBy(col("doc")).agg(min(col("nlab")).as("nmin"))
+      val next = labels.join(msgs, Seq("doc"), "left")
+        .select(col("doc"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lab", "old"), "doc")
+        .filter(col("lab") < col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+      .groupBy(col("lab").as("keeper"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        // sort numerically BEFORE stringifying ("10" < "9" lexicographically)
+        expr("array_join(transform(array_sort(collect_list(doc)), x -> CAST(x AS STRING)), ',')")
+          .as("members"))
+      .orderBy(col("keeper"))
   }
 
   /** SimHash (16-bit, token-frequency weighted) + nibble-band candidates;
@@ -234,6 +278,38 @@ object Dedup {
       .limit(100)
   }
 
+  /** Shared oracle CTE chain ending in `verified` = the MinHash-LSH
+    * verified near-dup edge list (mirrors [[verifiedPairs]]). */
+  private lazy val duckVerifiedCtes: String = s"""
+      sh AS ($duckShingled),
+      sh1 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+      sigs AS (
+        SELECT doc_id, shingles,
+               list_transform(generate_series(0, 15), k ->
+                 list_min(list_transform(
+                   list_transform(shingles, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+                   h -> (($aLst)[k + 1] * h + ($bLst)[k + 1]) % $P))) AS sig
+        FROM sh1),
+      bands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, 7)) AS band,
+               unnest(list_transform(generate_series(0, 7), b ->
+                 sig[2 * b + 1]::VARCHAR || '_' || sig[2 * b + 2]::VARCHAR)) AS key
+        FROM sigs),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT doc_a, doc_b, jac FROM (
+          SELECT doc_a, doc_b,
+                 round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                       / len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 4) AS jac
+          FROM cands
+          JOIN sh1 x ON x.doc_id = doc_a
+          JOIN sh1 y ON y.doc_id = doc_b)
+        WHERE jac >= 0.5)"""
+
   val oracleSql: Map[String, String] = Map(
     "dd01_exact" -> """
       SELECT CAST(sum(c) AS BIGINT) AS n_docs,
@@ -259,34 +335,22 @@ object Dedup {
       JOIN sizes sb ON sb.doc_id = doc_b
       ORDER BY jac DESC, doc_a, doc_b LIMIT 20""",
     "dd03_minhash_lsh" -> s"""
-      WITH sh AS ($duckShingled),
-      sh1 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
-      sigs AS (
-        SELECT doc_id, shingles,
-               list_transform(generate_series(0, 15), k ->
-                 list_min(list_transform(
-                   list_transform(shingles, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
-                   h -> (($aLst)[k + 1] * h + ($bLst)[k + 1]) % $P))) AS sig
-        FROM sh1),
-      bands AS (
-        SELECT doc_id,
-               unnest(generate_series(0, 7)) AS band,
-               unnest(list_transform(generate_series(0, 7), b ->
-                 sig[2 * b + 1]::VARCHAR || '_' || sig[2 * b + 2]::VARCHAR)) AS key
-        FROM sigs),
-      cands AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, jac FROM (
-        SELECT doc_a, doc_b,
-               round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
-                     / len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 4) AS jac
-        FROM cands
-        JOIN sh1 x ON x.doc_id = doc_a
-        JOIN sh1 y ON y.doc_id = doc_b)
-      WHERE jac >= 0.5
+      WITH $duckVerifiedCtes
+      SELECT doc_a, doc_b, jac FROM verified
       ORDER BY jac DESC, doc_a, doc_b LIMIT 50""",
+    "dd06_cluster_dedup" -> s"""
+      WITH RECURSIVE $duckVerifiedCtes,
+      sym AS (SELECT doc_a AS doc, doc_b AS nbr FROM verified
+              UNION ALL
+              SELECT doc_b AS doc, doc_a AS nbr FROM verified),
+      lab(doc, lab) AS (
+        SELECT DISTINCT doc, doc FROM sym
+        UNION
+        SELECT sym.doc, lab.lab FROM sym JOIN lab ON lab.doc = sym.nbr)
+      SELECT keeper, count(*) AS n_members,
+             string_agg(doc::VARCHAR, ',' ORDER BY doc) AS members
+      FROM (SELECT doc, min(lab) AS keeper FROM lab GROUP BY doc)
+      GROUP BY keeper ORDER BY keeper""",
     "dd04_simhash" -> """
       WITH sigs AS (
         SELECT doc_id,
@@ -348,5 +412,6 @@ object Dedup {
     "dd02_ngram_jaccard" -> dd02NgramJaccard,
     "dd03_minhash_lsh" -> dd03MinhashLsh,
     "dd04_simhash" -> dd04Simhash,
-    "dd05_embed_dup" -> dd05EmbedDup)
+    "dd05_embed_dup" -> dd05EmbedDup,
+    "dd06_cluster_dedup" -> dd06ClusterDedup)
 }

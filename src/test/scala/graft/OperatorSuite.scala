@@ -13,7 +13,8 @@ class OperatorSuite extends AnyFunSuite {
 
   // queries whose result can legitimately be empty at tiny scale
   // (near-dup pair lists depend on planted duplicates per SF)
-  private val mayBeEmpty = Set("dd03_minhash_lsh", "dd04_simhash", "dd05_embed_dup")
+  private val mayBeEmpty =
+    Set("dd03_minhash_lsh", "dd04_simhash", "dd05_embed_dup", "dd06_cluster_dedup")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001 with rows") {
