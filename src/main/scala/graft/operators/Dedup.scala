@@ -186,6 +186,7 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
+    var labelSum = Long.MinValue
     while (!converged && iter < 25) {
       val msgs = sym
         .join(labels.select(col("doc").as("nbr"), col("lab").as("nlab")), "nbr")
@@ -193,8 +194,11 @@ object Dedup {
       val next = labels.join(msgs, Seq("doc"), "left")
         .select(col("doc"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lab", "old"), "doc")
-        .filter(col("lab") < col("old")).isEmpty
+      // labels only ever decrease, so an unchanged sum ⇔ fixpoint — one
+      // cheap aggregate instead of a join-based diff per round
+      val sumNow = next.agg(coalesce(sum(col("lab")), lit(0L))).first().getLong(0)
+      converged = labelSum == sumNow
+      labelSum = sumNow
       labels = next
       iter += 1
     }
