@@ -91,7 +91,30 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-modal join: text documents ↔ their embedding rows (shared id
+    * space, verified 1:1) — per-embedding-label text statistics, the shape
+    * of a multimodal curation query (filter text quality per vector
+    * cluster). */
+  private def mm03CrossmodalJoin(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .join(s.read.parquet(s"$dir/embeddings.parquet"),
+        col("doc_id") === col("vec_id"))
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (floor(sum(col("n_chars")).cast("double") / count(lit(1)) * lit(10000.0)) / lit(10000.0)).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("lang")).as("first_lang"))
+      .orderBy(col("label"))
+
   val oracleSql: Map[String, String] = Map(
+    "mm03_crossmodal_join" -> """
+      SELECT label, count(*) AS n_docs,
+             floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 10000.0) / 10000.0 AS avg_chars,
+             count(DISTINCT lang) AS n_langs,
+             min(lang) AS first_lang
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      GROUP BY label ORDER BY label""",
     "mm01_binary_meta" -> """
       SELECT doc_id,
              (['image', 'audio', 'video'])[((doc_id % 3) + 1)::INT] AS kind,
@@ -113,5 +136,6 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_binary_meta" -> mm01BinaryMeta,
-    "mm02_media_features" -> mm02MediaFeatures)
+    "mm02_media_features" -> mm02MediaFeatures,
+    "mm03_crossmodal_join" -> mm03CrossmodalJoin)
 }

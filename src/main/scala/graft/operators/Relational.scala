@@ -387,6 +387,26 @@ object Relational {
     """)
   }
 
+  /** RANGE window frames (value-based bounds — peers by value, not row
+    * position) + nth_value: completes the §2.2 frame family next to q17's
+    * ROWS frames. */
+  private def q28RangeFrames(s: SparkSession, dir: String): DataFrame = {
+    val wRange = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-5000, 0)
+    val wRows = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        count(lit(1)).over(wRange).as("n_in_band"),
+        nth_value(col("o_orderkey"), 2).over(wRows).as("second_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------------------------
   // TPC-H classic shapes (adapted to the fixture schema)
   // ---------------------------------------------------------------------------
@@ -664,6 +684,14 @@ object Relational {
 
   // lazy: referenced by oracleSql, which is declared earlier in the file
   private lazy val classicOracles: Map[String, String] = Map(
+    "q28_range_frames" -> """
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                            RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_in_band,
+             nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey""",
     "q24_volume_pairs" -> """
       SELECT cust_nation, supp_nation, l_year, revenue FROM (
         SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
@@ -704,6 +732,7 @@ object Relational {
                           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_range_frames" -> q28RangeFrames,
     "q24_volume_pairs" -> q24VolumePairs,
     "q25_disjunctive" -> q25Disjunctive,
     "q26_global_avg_anti" -> q26GlobalAvgAnti,

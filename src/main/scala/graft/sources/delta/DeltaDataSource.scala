@@ -49,7 +49,8 @@ class DeltaDataSource extends RelationProvider
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
     val path = pathOf(parameters)
-    DeltaWriter.write(data, path, mode, partitionColumnsOf(parameters))
+    DeltaWriter.write(data, path, mode, partitionColumnsOf(parameters),
+      mergeSchema = caseGet(parameters, "mergeSchema").exists(_.toBoolean))
     createRelation(sqlContext, parameters)
   }
 
@@ -87,8 +88,8 @@ object DeltaTable {
     spark.read.format("delta").option("versionAsOf", version).load(path)
 
   def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Append,
-      partitionBy: Seq[String] = Nil): Unit =
-    DeltaWriter.write(df, path, mode, partitionBy)
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Unit =
+    DeltaWriter.write(df, path, mode, partitionBy, mergeSchema)
 
   def snapshot(spark: SparkSession, path: String): DeltaSnapshot =
     DeltaLog.snapshot(spark, path)

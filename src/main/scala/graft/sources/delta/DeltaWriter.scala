@@ -35,7 +35,8 @@ object DeltaWriter {
       data: DataFrame,
       tablePath: String,
       mode: SaveMode,
-      partitionByOpt: Seq[String]): Unit = {
+      partitionByOpt: Seq[String],
+      mergeSchema: Boolean = false): Unit = {
     val spark = data.sparkSession
     val exists = try DeltaLog.isDeltaTable(spark, tablePath) catch { case _: Exception => false }
 
@@ -59,12 +60,23 @@ object DeltaWriter {
       case None => partitionByOpt
     }
 
-    existing.foreach { snap =>
+    // Schema evolution (writer v2 metadata update): with mergeSchema, a
+    // write whose columns are a SUPERSET of the table's appends the new
+    // columns (nullable) to the log schema — existing files simply read
+    // NULL for them (the parquet reader fills missing columns). Anything
+    // else stays a hard error: silent drift is how data lakes rot.
+    val evolvedSchema: Option[StructType] = existing.flatMap { snap =>
       val want = snap.schema.fieldNames.toSet
       val have = data.schema.fieldNames.toSet
-      if (want != have) throw new IllegalArgumentException(
+      if (want == have) None
+      else if (mergeSchema && (want -- have).isEmpty) {
+        val added = data.schema.filter(f => !want.contains(f.name)).map(_.copy(nullable = true))
+        Some(StructType(snap.schema.fields ++ added))
+      } else throw new IllegalArgumentException(
         s"schema mismatch: table has ${want.toSeq.sorted.mkString(",")}, " +
-          s"write has ${have.toSeq.sorted.mkString(",")}")
+          s"write has ${have.toSeq.sorted.mkString(",")}" +
+          (if (!mergeSchema && (want -- have).isEmpty)
+            " (set mergeSchema=true to add the new columns)" else ""))
     }
 
     // ---- 1. write data files to a staging dir (distributed parquet write)
@@ -115,24 +127,31 @@ object DeltaWriter {
       ci.put("engineInfo", "graft-spark/0.1.0")
       lines += mapper.writeValueAsString(commitInfo)
 
+      def metaLine(id: String, schemaJson: String): String = {
+        val node = mapper.createObjectNode()
+        val m = node.putObject("metaData")
+        m.put("id", id)
+        val fmt = m.putObject("format")
+        fmt.put("provider", "parquet")
+        fmt.putObject("options")
+        m.put("schemaString", schemaJson)
+        partitionCols.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
+        m.putObject("configuration")
+        m.put("createdTime", System.currentTimeMillis())
+        mapper.writeValueAsString(node)
+      }
+
       if (version == 0L) {
         val protoLine = mapper.createObjectNode()
         val p = protoLine.putObject("protocol")
         p.put("minReaderVersion", 1)
         p.put("minWriterVersion", 2)
         lines += mapper.writeValueAsString(protoLine)
-
-        val metaLine = mapper.createObjectNode()
-        val m = metaLine.putObject("metaData")
-        m.put("id", UUID.randomUUID().toString)
-        val fmt = m.putObject("format")
-        fmt.put("provider", "parquet")
-        fmt.putObject("options")
-        m.put("schemaString", data.schema.json)
-        partitionCols.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
-        m.putObject("configuration")
-        m.put("createdTime", System.currentTimeMillis())
-        lines += mapper.writeValueAsString(metaLine)
+        lines += metaLine(UUID.randomUUID().toString, data.schema.json)
+      } else evolvedSchema.foreach { evolved =>
+        // re-emit metaData with the SAME table id — replay is
+        // last-metaData-wins, so this version onward reads the new schema
+        lines += metaLine(current.get.metadata.id, evolved.json)
       }
 
       if (mode == SaveMode.Overwrite) {
