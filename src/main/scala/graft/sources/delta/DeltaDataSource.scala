@@ -93,4 +93,37 @@ object DeltaTable {
 
   def snapshot(spark: SparkSession, path: String): DeltaSnapshot =
     DeltaLog.snapshot(spark, path)
+
+  /** Incremental change read (append-level CDC): the rows ADDED in
+    * versions (fromExclusive, toInclusive], each tagged with
+    * `_commit_version`. Compaction rewrites (dataChange=false) are
+    * excluded, so polling this in a loop — or from a foreachBatch driver —
+    * consumes each row exactly once; this is the batch surface a streaming
+    * reader of the log needs. */
+  def readChanges(
+      spark: SparkSession,
+      path: String,
+      fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = DeltaLog.snapshot(spark, path)
+    val outSchema = snap.schema.add("_commit_version", "bigint")
+    val perVersion = for {
+      (version, adds) <- DeltaLog.changes(spark, path, fromExclusive, toInclusive)
+      if adds.nonEmpty
+      (pv, files) <- adds.groupBy(_.partitionValues)
+    } yield {
+      val paths = files.map(f =>
+        new org.apache.hadoop.fs.Path(path, DeltaMaintenance.decodeRel(f.path)).toString)
+      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
+      val withParts = snap.partitionColumns.foldLeft(base) { (df, c) =>
+        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(snap.partitionSchema(c).dataType))
+      }
+      withParts
+        .withColumn("_commit_version", lit(version))
+        .select(outSchema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    perVersion.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema))
+  }
 }

@@ -223,6 +223,40 @@ object DeltaLog {
     DeltaSnapshot(tablePath, target, proto, meta, live.values.toSeq)
   }
 
+  /** Per-commit DATA-CHANGE add actions in versions (fromExclusive,
+    * toInclusive] — the incremental-consumption view of the log: compaction
+    * rewrites (`dataChange=false`, e.g. OPTIMIZE) are skipped, so a
+    * consumer never sees a row twice. */
+  def changes(
+      spark: SparkSession,
+      tablePath: String,
+      fromExclusive: Long,
+      toInclusive: Long): Seq[(Long, Seq[DeltaAddFile])] = {
+    val (commits, _) = listLog(spark, tablePath)
+    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    commits
+      .filter { case (v, _) => v > fromExclusive && v <= toInclusive }
+      .map { case (v, status) =>
+        val in = fs.open(status.getPath)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val adds = content.linesIterator.filter(_.trim.nonEmpty).flatMap { line =>
+          val node = mapper.readTree(line)
+          if (node.has("add")) {
+            val a = node.get("add")
+            val dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean(true)
+            if (dataChange) Some(DeltaAddFile(
+              a.get("path").asText(),
+              jsonStringMap(a.get("partitionValues")),
+              a.get("size").asLong(),
+              if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
+              if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None))
+            else None
+          } else None
+        }.toSeq
+        v -> adds
+      }
+  }
+
   private def jsonStringMap(node: JsonNode): Map[String, String] =
     if (node == null || node.isNull) Map.empty
     else node.properties().asScala.map { e =>

@@ -33,7 +33,7 @@ object DeltaMaintenance {
 
   private val mapper = new ObjectMapper()
 
-  private def decodeRel(p: String): String =
+  private[delta] def decodeRel(p: String): String =
     try {
       val u = new URI(p)
       if (u.isAbsolute) p else u.getPath
