@@ -176,7 +176,19 @@ object Dedup {
     * partial-min aggregate, and localCheckpoint truncates the growing plan
     * lineage — the same shape GraphX/Pregel uses, expressed DataFrame-first.
     * Oracle: a recursive CTE computing the same min-reachable-id fixpoint. */
-  private def dd06ClusterDedup(s: SparkSession, dir: String): DataFrame = {
+  private def dd06ClusterDedup(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .groupBy(col("lab").as("keeper"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        // sort numerically BEFORE stringifying ("10" < "9" lexicographically)
+        expr("array_join(transform(array_sort(collect_list(doc)), x -> CAST(x AS STRING)), ',')")
+          .as("members"))
+      .orderBy(col("keeper"))
+
+  /** Connected-component labels (doc → min reachable doc_id) over the
+    * verified near-dup graph; docs not in any near-dup pair are absent. */
+  private[operators] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val edges = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val sym = edges.select(col("doc_a").as("doc"), col("doc_b").as("nbr"))
       .union(edges.select(col("doc_b").as("doc"), col("doc_a").as("nbr")))
@@ -203,13 +215,6 @@ object Dedup {
       iter += 1
     }
     labels
-      .groupBy(col("lab").as("keeper"))
-      .agg(
-        count(lit(1)).as("n_members"),
-        // sort numerically BEFORE stringifying ("10" < "9" lexicographically)
-        expr("array_join(transform(array_sort(collect_list(doc)), x -> CAST(x AS STRING)), ',')")
-          .as("members"))
-      .orderBy(col("keeper"))
   }
 
   /** SimHash (16-bit, token-frequency weighted) + nibble-band candidates;
@@ -284,7 +289,7 @@ object Dedup {
 
   /** Shared oracle CTE chain ending in `verified` = the MinHash-LSH
     * verified near-dup edge list (mirrors [[verifiedPairs]]). */
-  private lazy val duckVerifiedCtes: String = s"""
+  private[operators] lazy val duckVerifiedCtes: String = s"""
       sh AS ($duckShingled),
       sh1 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
       sigs AS (

@@ -43,7 +43,9 @@ object TextAnalysis {
   /** Quality scoring: stopword ratio, length score, punctuation ratio →
     * weighted score → grade. The CASE reads the already-rounded score so
     * both engines grade identical inputs. */
-  private def tx02Quality(s: SparkSession, dir: String): DataFrame =
+  /** Shared quality-scoring frame (doc_id, lang, n_chars, n_tok, sr, pr,
+    * score, grade) — tx02's body, reused by the curation pipeline. */
+  private[operators] def qualityScored(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", expr(tokenize))
       .withColumn("n_tok", size(col("toks")).cast("double"))
@@ -60,6 +62,13 @@ object TextAnalysis {
       .withColumn("score",
         floor((lit(0.5) * col("sr") + lit(0.3) * col("ls") + lit(0.2) * (lit(1.0) - col("pr")))
           * lit(10000.0)) / lit(10000.0))
+      .withColumn("grade",
+        when(col("score") >= 0.4, "good")
+          .when(col("score") >= 0.25, "ok")
+          .otherwise("poor"))
+
+  private def tx02Quality(s: SparkSession, dir: String): DataFrame =
+    qualityScored(s, dir)
       .select(
         col("doc_id"),
         col("n_tok").cast("long").as("n_tok"),
