@@ -101,6 +101,15 @@ object GraftFunctions {
     "simhash16" -> { exprs =>
       require(exprs.length == 1, s"simhash16 expects 1 argument, got ${exprs.length}")
       SimHash16(exprs.head)
+    },
+    "word_ngrams" -> { exprs =>
+      require(exprs.length == 2, s"word_ngrams expects 2 arguments, got ${exprs.length}")
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams: n must be an integer literal, got $other")
+      }
+      WordNGrams(exprs.head, n)
     })
 
   /** Imperative per-session registration (idempotent) — lets any session

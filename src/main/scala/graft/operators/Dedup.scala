@@ -72,11 +72,13 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join-count. */
   private def dd02NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persist BEFORE the explode: Generate re-evaluates a non-codegen
-    // (higher-order-function) child expression per emitted row, so the
-    // shingling must be materialized first — one evaluation per document.
-    val sh = shingled(s, dir).persist()
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    graft.functions.GraftFunctions.register(s)
+    // word_ngrams is a custom Generator (one evaluation per document by
+    // Generate's contract — no HOF-re-evaluation-per-output-row wart);
+    // persisted because the self-join below consumes it on both sides.
+    val ex = docs(s, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), expr("word_ngrams(toks, 3)").as("g"))
     // document-frequency cap: hot shingles produce quadratic bucket fan-out
     // and carry no near-dup signal; Jaccard below is exact over the capped
     // shingle universe (both sizes and intersections use the same universe).
