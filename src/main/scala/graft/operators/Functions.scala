@@ -318,6 +318,22 @@ object Functions {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ANSI-mode error-safe family: try_cast/try_divide/try_element_at/
+    * try_to_timestamp return NULL where strict ANSI evaluation (Spark 4's
+    * default) would raise. DuckDB mirrors with TRY_CAST, NULL-on-/0
+    * division, NULL out-of-bounds list index, and try_strptime. */
+  private def fn18TryAnsi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 150)
+      .select(
+        col("p_partkey"),
+        expr("try_cast(split_part(p_name, ' ', 1) AS INT)").as("tc_word"),
+        expr("try_cast(CAST(p_size AS STRING) AS INT)").cast("long").as("tc_num"),
+        round(expr("try_divide(p_retailprice, p_size % 3)"), 4).as("td"),
+        expr("try_element_at(sequence(1, 3), p_size + 100)").cast("long").as("tea"),
+        expr("try_to_timestamp(p_brand)").as("tt"))
+      .orderBy(col("p_partkey"))
+
   // -------------------------------------------------------------------------
   // Unnest / table functions / recursion (§2.2 tail)
   // -------------------------------------------------------------------------
@@ -546,6 +562,14 @@ object Functions {
                    * 10000.0) / 10000.0 AS wmean_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "fn18_try_ansi" -> """
+      SELECT p_partkey,
+             TRY_CAST(split_part(p_name, ' ', 1) AS INT) AS tc_word,
+             CAST(TRY_CAST(p_size::VARCHAR AS INT) AS BIGINT) AS tc_num,
+             round(p_retailprice / (p_size % 3), 4) AS td,
+             CAST((generate_series(1, 3))[p_size + 100] AS BIGINT) AS tea,
+             try_strptime(p_brand, '%Y-%m-%d') AS tt
+      FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""",
     "un01_explode" -> """
       SELECT tok, count(*) AS n
       FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part)
@@ -591,6 +615,7 @@ object Functions {
     "fn15_datetime2" -> fn15Datetime2,
     "fn16_array2" -> fn16Array2,
     "fn17_udaf_weighted_mean" -> fn17UdafWeightedMean,
+    "fn18_try_ansi" -> fn18TryAnsi,
     "un01_explode" -> un01Explode,
     "un02_posexplode" -> un02Posexplode,
     "un03_sequence_join" -> un03SequenceJoin,
