@@ -407,6 +407,26 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Salted two-phase aggregation — the skew-mitigation pattern for hot
+    * grouping keys at scale: phase 1 aggregates on (key, salt) so a hot
+    * key's rows spread over N reducers; phase 2 merges the N partials.
+    * Results are EXACTLY the plain groupBy (counts/decimal sums are
+    * associative), which is what the oracle checks. Salt here derives from
+    * a row attribute (deterministic for the gate); production salting uses
+    * a random or hash salt — same plan shape. */
+  private def q29SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast("decimal(18,6)")).as("pq"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("pn")).as("n"),
+        round(sum(col("pq")), 2).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------------------
   // TPC-H classic shapes (adapted to the fixture schema)
   // ---------------------------------------------------------------------------
@@ -684,6 +704,10 @@ object Relational {
 
   // lazy: referenced by oracleSql, which is declared earlier in the file
   private lazy val classicOracles: Map[String, String] = Map(
+    "q29_salted_agg" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q28_range_frames" -> """
       SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
              count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
@@ -733,6 +757,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_range_frames" -> q28RangeFrames,
+    "q29_salted_agg" -> q29SaltedAgg,
     "q24_volume_pairs" -> q24VolumePairs,
     "q25_disjunctive" -> q25Disjunctive,
     "q26_global_avg_anti" -> q26GlobalAvgAnti,
