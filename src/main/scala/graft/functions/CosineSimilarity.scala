@@ -102,6 +102,10 @@ object GraftFunctions {
       require(exprs.length == 1, s"simhash16 expects 1 argument, got ${exprs.length}")
       SimHash16(exprs.head)
     },
+    "minhash16" -> { exprs =>
+      require(exprs.length == 1, s"minhash16 expects 1 argument, got ${exprs.length}")
+      MinHash16(exprs.head)
+    },
     "word_ngrams" -> { exprs =>
       require(exprs.length == 2, s"word_ngrams expects 2 arguments, got ${exprs.length}")
       val n = exprs(1) match {

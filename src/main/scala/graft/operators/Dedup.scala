@@ -106,17 +106,11 @@ object Dedup {
       .limit(20)
   }
 
-  // 16 universal-hash permutations (a·h + b) mod p, p prime > 2^32.
-  private val P = "4294967311"
-  private val A = Seq(1540483477L, 1203793171L, 1096911139L, 1043968403L, 999999937L,
-    920419823L, 879190841L, 824633789L, 790738119L, 754974721L, 715827883L,
-    678901234L, 654321987L, 612345679L, 576460799L, 536870923L)
-  private val B = Seq(12820163L, 65537L, 40503L, 99991L, 7368787L, 531441L, 131071L,
-    999983L, 271828L, 141421L, 314159L, 987654L, 555557L, 777777L, 123457L, 999331L)
-  private val aArr = A.mkString("array(", "L, ", "L)")
-  private val bArr = B.mkString("array(", "L, ", "L)")
-  private val aLst = A.mkString("[", ", ", "]")
-  private val bLst = B.mkString("[", ", ", "]")
+  // Permutation constants live in MinHashConstants (single source of truth
+  // for the native expression AND these oracle-SQL literals).
+  private val P = graft.functions.MinHashConstants.P.toString
+  private val aLst = graft.functions.MinHashConstants.A.mkString("[", ", ", "]")
+  private val bLst = graft.functions.MinHashConstants.B.mkString("[", ", ", "]")
 
   /** MinHash + LSH banding: signature → band-key equi-join → candidate
     * pairs → exact-Jaccard verification (≥ 0.5). */
@@ -128,23 +122,16 @@ object Dedup {
   /** The MinHash-LSH verified near-dup edge list (doc_a < doc_b, jac ≥ 0.5)
     * — dd03's output (unlimited) and dd06's input graph. */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     // persisted: read once, reused by the band self-join (both sides) and
-    // the two candidate-verification joins — signature hashing is the
-    // dominant cost and must not be recomputed per branch.
+    // the two candidate-verification joins.
     val sh = shingled(s, dir).filter(size(col("shingles")) > 0).persist()
-    // materialized separately: Catalyst collapses projections, so an
-    // unmaterialized `hs` would be inlined into the 16-permutation lambda
-    // below and the md5 hashing would run 16× per shingle instead of once.
-    val hashed = sh
+    // native minhash16 expression: the md5-hash HOF argument evaluates once
+    // per row (projection contract) and the 16-permutation min loop is
+    // codegen'd — no 16× re-hashing, no interpreted lambda dispatch.
+    val sigs = sh
       .select(col("doc_id"), expr(
-        "transform(shingles, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))").as("hs"))
-      .persist()
-    val sigs = hashed
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, 15), k ->
-              array_min(transform(hs, h ->
-                (element_at($aArr, k + 1) * h + element_at($bArr, k + 1)) % $P)))"""))
-      .select(col("doc_id"), col("sig"))
+        "minhash16(transform(shingles, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))").as("sig"))
       // materialize sig before the band explode (see dd02 note): the
       // posexplode child must read an attribute, not the minhash pipeline
       .persist()
