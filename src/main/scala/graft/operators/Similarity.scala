@@ -117,7 +117,62 @@ object Similarity {
                 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)),
          (a, x) -> a + x)"""
 
+  /** IVF-style ANN (the second scale path beside hyperplane LSH): vectors
+    * are assigned to their nearest of K=16 coarse-quantizer centroids
+    * (deterministically the first 16 vectors here; production uses k-means
+    * — the plan shape is identical), and a query probes ONLY its own
+    * centroid's inverted list (nprobe=1): expected N/K of the data per
+    * query, reached by an equi-join on the centroid id. */
+  private def ss03AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    // nearest-centroid assignment: broadcast the 16 centroids over all vecs
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = v.join(broadcast(cents))
+      .withColumn("csim",
+        floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("e"), col("cid"))
+      .persist() // probed by both the query side and the candidate side
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("cid"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    broadcast(q)
+      .join(assigned, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim",
+        floor(expr("cosine_sim(qe, e)") * lit(1000000.0)) / lit(1000000.0))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cid").cast("long").as("cid"),
+        col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ss03_ann_ivf" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
+      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, e, nrm, cid FROM (
+          SELECT v.vec_id, v.e, v.nrm, cents.cid,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   floor(${dDot("v.e", "ce")} / sqrt(v.nrm * cnrm) * 1000000.0) / 1000000.0 DESC,
+                   cents.cid) AS arn
+          FROM v CROSS JOIN cents)
+        WHERE arn = 1),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm, cid FROM assigned WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, q.cid AS cid, a.vec_id,
+               floor(${dDot("qe", "a.e")} / sqrt(qnrm * a.nrm) * 1000000.0) / 1000000.0 AS sim
+        FROM q JOIN assigned a ON q.cid = a.cid AND qid <> a.vec_id),
+      ranked AS (
+        SELECT qid, cid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        FROM scored)
+      SELECT qid, cid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""",
     "ss01_topk_bruteforce" -> s"""
       WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
       q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM v WHERE vec_id < 5),
@@ -146,5 +201,6 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss01_topk_bruteforce" -> ss01TopkBruteforce,
-    "ss02_ann_lsh" -> ss02AnnLsh)
+    "ss02_ann_lsh" -> ss02AnnLsh,
+    "ss03_ann_ivf" -> ss03AnnIvf)
 }
