@@ -22,14 +22,19 @@ object Bench {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.filter(l("l_quantity") > 0).groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
-    val results = selected.map { case (name, fn) =>
+    // fixed name order: run-to-run comparable timings, and queries sharing
+    // cached sub-plans (dd03/dd06/pp01's minhash pipeline) warm predictably
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: executes the FULL plan (count() would let Catalyst prune
+      // the projected expressions and under-measure expression-heavy queries)
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
