@@ -114,6 +114,15 @@ object GraftFunctions {
           s"word_ngrams: n must be an integer literal, got $other")
       }
       WordNGrams(exprs.head, n)
+    },
+    "word_ngrams_arr" -> { exprs =>
+      require(exprs.length == 2, s"word_ngrams_arr expects 2 arguments, got ${exprs.length}")
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams_arr: n must be an integer literal, got $other")
+      }
+      WordNGramsArray(exprs.head, n)
     })
 
   /** Imperative per-session registration (idempotent) — lets any session

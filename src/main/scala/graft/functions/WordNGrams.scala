@@ -58,3 +58,46 @@ case class WordNGrams(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
     copy(child = newChild)
 }
+
+/** Array-returning sibling of [[WordNGrams]]: the distinct n-grams as ONE
+  * `array<string>` value (same set, same first-occurrence order as
+  * `array_distinct(transform(sequence(...), concat_ws(...)))`, which it
+  * replaces ~an-order-of-magnitude faster — a single Scala pass instead of
+  * per-element interpreted lambda dispatch). Shorter-than-n inputs yield an
+  * empty array. */
+case class WordNGramsArray(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams_arr expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: ArrayType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams_arr"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() < n)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val toks = new Array[UTF8String](arr.numElements())
+      var i = 0
+      while (i < toks.length) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val seen = mutable.LinkedHashSet.empty[UTF8String]
+      val space = UTF8String.fromString(" ")
+      var start = 0
+      while (start + n <= toks.length) {
+        seen += UTF8String.concatWs(space, toks.slice(start, start + n).toIndexedSeq: _*)
+        start += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(seen.toArray[Any])
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGramsArray =
+    copy(child = newChild)
+}

@@ -34,19 +34,15 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Word 3-gram shingle sets (deduplicated per doc). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  /** Word 3-gram shingle sets (deduplicated per doc) via the native
+    * word_ngrams_arr expression — one Scala pass per document instead of
+    * interpreted per-element lambda dispatch. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     docs(s, dir)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
-      .withColumn("shingles", expr(
-        """array_distinct(
-             IF(size(toks) >= 3,
-                transform(sequence(1, size(toks) - 2),
-                          i -> concat_ws(' ', element_at(toks, i),
-                                              element_at(toks, i + 1),
-                                              element_at(toks, i + 2))),
-                CAST(array() AS ARRAY<STRING>)))"""))
-      .select(col("doc_id"), col("shingles"))
+      .select(col("doc_id"), expr("word_ngrams_arr(toks, 3)").as("shingles"))
+  }
 
   private val duckShingled =
     """SELECT doc_id,

@@ -42,6 +42,16 @@ class WordNGramsSuite extends AnyFunSuite {
     }
   }
 
+  test("word_ngrams_arr matches the declarative array composition exactly") {
+    GraftFunctions.register(spark)
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(expr("word_ngrams_arr(toks, 3)").as("a"), expr(declarative).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("direct eval emits distinct grams in first-occurrence order") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
