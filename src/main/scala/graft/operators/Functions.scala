@@ -130,19 +130,23 @@ object Functions {
         array_join(array_union(col("arr"), array(lit(99))), ",").as("uni"))
       .orderBy(col("p_partkey"))
 
-  /** Map surface: construct, element_at, keys/values, cardinality. */
+  /** Map + struct surface: construct, element_at/get_field, keys/values,
+    * cardinality. */
   private def fn07Map(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
       .filter(col("p_partkey") <= 150)
       .withColumn("m", map_from_arrays(
         array(lit("brand"), lit("typ")),
         array(col("p_brand"), col("p_type"))))
+      .withColumn("st", expr("named_struct('b', p_brand, 'sz', p_size)"))
       .select(
         col("p_partkey"),
         element_at(col("m"), "brand").as("brand_v"),
         array_join(array_sort(map_keys(col("m"))), ",").as("ks"),
         size(map_values(col("m"))).cast("long").as("n_vals"),
-        size(col("m")).cast("long").as("n_m"))
+        size(col("m")).cast("long").as("n_m"),
+        col("st").getField("b").as("st_b"),
+        col("st").getField("sz").cast("long").as("st_sz"))
       .orderBy(col("p_partkey"))
 
   // -------------------------------------------------------------------------
@@ -464,8 +468,11 @@ object Functions {
              m['brand'][1] AS brand_v,
              array_to_string(list_sort(map_keys(m)), ',') AS ks,
              len(map_values(m)) AS n_vals,
-             cardinality(m) AS n_m
-      FROM (SELECT p_partkey, map(['brand', 'typ'], [p_brand, p_type]) AS m
+             cardinality(m) AS n_m,
+             struct_extract(st, 'b') AS st_b,
+             CAST(struct_extract(st, 'sz') AS BIGINT) AS st_sz
+      FROM (SELECT p_partkey, map(['brand', 'typ'], [p_brand, p_type]) AS m,
+                   struct_pack(b := p_brand, sz := p_size) AS st
             FROM part WHERE p_partkey <= 150)
       ORDER BY p_partkey""",
     "fn08_stats_agg" -> """
