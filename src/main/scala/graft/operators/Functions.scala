@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scalar + aggregate function surface (SURVEY.md §2.3–§2.4) plus the
@@ -237,30 +237,34 @@ object Functions {
       .orderBy(col("event_type"))
 
   /** Math surface: abs/ceil/floor, exp/ln/log10/log2, power/sqrt/cbrt,
-    * atan2/signum/pi/factorial. Transcendentals rounded to 6 (libm agreement
-    * to well below 1e-6 on these magnitudes; same posture as corr()).
+    * atan2/signum/pi/factorial. Division/transcendental doubles are
+    * floor-scaled, not round()ed: floor of bit-identical doubles is
+    * engine-exact, while round() half-up diverges at .XXXX5 shortest-prints
+    * (the repo parity rule; this was CORRECTNESS_r02's one red row).
     * NB DuckDB: `ln` is natural log (Spark `log`), DuckDB `log` is log10. */
-  private def fn13Math(s: SparkSession, dir: String): DataFrame =
+  private def fn13Math(s: SparkSession, dir: String): DataFrame = {
+    def fs6(c: Column): Column = floor(c * lit(1000000.0)) / lit(1000000.0)
     t(s, dir, "lineitem")
       .filter(col("l_orderkey") <= 200)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(abs(col("l_discount") - 0.05), 4).as("ab"),
+        (floor(abs(col("l_discount") - 0.05) * lit(10000.0)) / lit(10000.0)).as("ab"),
         ceil(col("l_extendedprice") / 1000.0).cast("long").as("ce"),
         floor(col("l_extendedprice") / 1000.0).cast("long").as("fl"),
-        round(col("l_extendedprice") / 7.0, 2).as("rn"),
-        round(exp(col("l_quantity") % 5.0), 6).as("ex"),
-        round(log(col("l_extendedprice")), 6).as("lnp"),
-        round(log10(col("l_extendedprice")), 6).as("lg10"),
-        round(log2(col("l_quantity") + 1.0), 6).as("lg2"),
+        (floor(col("l_extendedprice") / 7.0 * lit(100.0)) / lit(100.0)).as("rn"),
+        fs6(exp(col("l_quantity") % 5.0)).as("ex"),
+        fs6(log(col("l_extendedprice"))).as("lnp"),
+        fs6(log10(col("l_extendedprice"))).as("lg10"),
+        fs6(log2(col("l_quantity") + 1.0)).as("lg2"),
         round(pow(col("l_quantity"), 2), 4).as("pw"),
-        round(sqrt(col("l_extendedprice")), 6).as("sq"),
-        round(cbrt(col("l_quantity")), 6).as("cb"),
-        round(atan2(col("l_quantity"), lit(10.0)), 6).as("at2"),
+        fs6(sqrt(col("l_extendedprice"))).as("sq"),
+        fs6(cbrt(col("l_quantity"))).as("cb"),
+        fs6(atan2(col("l_quantity"), lit(10.0))).as("at2"),
         signum(col("l_discount") - 0.05).cast("int").as("sgn"),
-        round(lit(math.Pi), 6).as("pi_v"),
+        fs6(lit(math.Pi)).as("pi_v"),
         factorial((col("l_quantity") % 5 + 1).cast("int")).as("fact"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
 
   /** String surface #2: chr/ascii, repeat, trim, octet length, position in
     * a set, starts/ends/contains. */
@@ -515,20 +519,20 @@ object Functions {
       FROM events GROUP BY event_type ORDER BY event_type""",
     "fn13_math" -> """
       SELECT l_orderkey, l_linenumber,
-             round(abs(l_discount - 0.05), 4) AS ab,
+             floor(abs(l_discount - 0.05) * 10000.0) / 10000.0 AS ab,
              CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS ce,
              CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS fl,
-             round(l_extendedprice / 7.0, 2) AS rn,
-             round(exp(l_quantity % 5.0), 6) AS ex,
-             round(ln(l_extendedprice), 6) AS lnp,
-             round(log(l_extendedprice), 6) AS lg10,
-             round(log2(l_quantity + 1.0), 6) AS lg2,
+             floor(l_extendedprice / 7.0 * 100.0) / 100.0 AS rn,
+             floor(exp(l_quantity % 5.0) * 1000000.0) / 1000000.0 AS ex,
+             floor(ln(l_extendedprice) * 1000000.0) / 1000000.0 AS lnp,
+             floor(log(l_extendedprice) * 1000000.0) / 1000000.0 AS lg10,
+             floor(log2(l_quantity + 1.0) * 1000000.0) / 1000000.0 AS lg2,
              round(pow(l_quantity, 2), 4) AS pw,
-             round(sqrt(l_extendedprice), 6) AS sq,
-             round(cbrt(l_quantity), 6) AS cb,
-             round(atan2(l_quantity, 10.0), 6) AS at2,
+             floor(sqrt(l_extendedprice) * 1000000.0) / 1000000.0 AS sq,
+             floor(cbrt(l_quantity) * 1000000.0) / 1000000.0 AS cb,
+             floor(atan2(l_quantity, 10.0) * 1000000.0) / 1000000.0 AS at2,
              sign(l_discount - 0.05)::INT AS sgn,
-             round(pi(), 6) AS pi_v,
+             floor(pi() * 1000000.0) / 1000000.0 AS pi_v,
              factorial(((l_quantity::BIGINT % 5) + 1)::INT) AS fact
       FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber""",
     "fn14_string2" -> """
