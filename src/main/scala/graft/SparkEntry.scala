@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Dedup, DeltaQueries, Events, Functions, Multimodal, Pipeline, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DeltaQueries, Events, Functions, Multimodal, Pipeline, Relational, ScanSources, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,10 +16,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Functions.queries ++ Events.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ DeltaQueries.queries ++ Pipeline.queries
+      Multimodal.queries ++ DeltaQueries.queries ++ Pipeline.queries ++
+      ScanSources.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Functions.oracleSql ++ Events.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      Multimodal.oracleSql ++ DeltaQueries.oracleSql ++ Pipeline.oracleSql
+      Multimodal.oracleSql ++ DeltaQueries.oracleSql ++ Pipeline.oracleSql ++
+      ScanSources.oracleSql
 }
