@@ -62,6 +62,31 @@ object DeltaQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** SQL-level `INSERT INTO` (the reference's documented negative,
+    * `tests/local.rs:92-103`, turned positive): seed half of nation via the
+    * DataFrame writer, CREATE TABLE … USING delta over it, INSERT the other
+    * half through SQL, REFRESH (DSv1 plan-cache contract), aggregate the
+    * union. The oracle aggregates the whole raw fixture, so a missing or
+    * doubled commit shows as a row/hash mismatch. */
+  private def dl04SqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    // table name unique per invocation: bench/verify may run this repeatedly
+    val tbl = "graft_dl04_" + java.lang.Long.toHexString(
+      java.util.UUID.randomUUID().getMostSignificantBits & Long.MaxValue)
+    t(s, dir, "nation").filter(col("n_nationkey") < 10)
+      .write.format("delta").save(path)
+    s.sql(s"CREATE TABLE $tbl USING delta LOCATION '$path'")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM parquet.`$dir/nation.parquet` WHERE n_nationkey >= 10")
+    s.sql(s"REFRESH TABLE $tbl")
+    s.table(tbl)
+      .groupBy(col("n_regionkey").cast("int").as("n_regionkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_nationkey")).as("key_sum"),
+        max(col("n_name")).as("name_max"))
+      .orderBy(col("n_regionkey"))
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dl01_delta_roundtrip" -> """
       SELECT s_nationkey,
@@ -75,10 +100,17 @@ object DeltaQueries {
       FROM supplier WHERE s_suppkey % 2 = 0""",
     "dl03_delta_pruned_read" -> """
       SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
-      FROM supplier WHERE s_nationkey = 3 ORDER BY s_suppkey""")
+      FROM supplier WHERE s_nationkey = 3 ORDER BY s_suppkey""",
+    "dl04_sql_insert" -> """
+      SELECT CAST(n_regionkey AS INT) AS n_regionkey,
+             count(*) AS n,
+             CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+             max(n_name) AS name_max
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dl01_delta_roundtrip" -> dl01Roundtrip,
     "dl02_delta_time_travel" -> dl02TimeTravel,
-    "dl03_delta_pruned_read" -> dl03PrunedRead)
+    "dl03_delta_pruned_read" -> dl03PrunedRead,
+    "dl04_sql_insert" -> dl04SqlInsert)
 }

@@ -3,7 +3,7 @@ package graft.sources.delta
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider}
 
 /** `format("delta")` entry point, registered via
   * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister.
@@ -34,13 +34,30 @@ class DeltaDataSource extends RelationProvider
       spark, path,
       versionAsOf = caseGet(parameters, "versionAsOf").map(_.toLong),
       timestampAsOf = caseGet(parameters, "timestampAsOf"))
-    HadoopFsRelation(
+    // InsertableRelation is mixed in so `INSERT INTO tbl …` at the SQL
+    // level routes through DataSourceAnalysis's InsertIntoDataSourceCommand
+    // (which calls insert() below → a log-aware ACID commit) instead of the
+    // HadoopFsRelation fallback, InsertIntoHadoopFsRelationCommand, which
+    // would drop raw parquet files into the directory BEHIND the delta log.
+    // This turns the reference's negative test (`tests/local.rs:92-103`:
+    // INSERT fails by design) into a positive at the SQL level too, not
+    // just via df.write.format("delta"). NB DSv1 caveat: the session
+    // catalog caches the resolved plan per table name — a reader that
+    // resolved the table BEFORE the insert must `REFRESH TABLE` to see the
+    // new snapshot (same contract as any DSv1 file source).
+    new HadoopFsRelation(
       location = new DeltaFileIndex(spark, snap),
       partitionSchema = snap.partitionSchema,
       dataSchema = snap.dataSchema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
-      options = parameters)(spark)
+      options = parameters)(spark) with InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit =
+        DeltaWriter.write(
+          data, path,
+          if (overwrite) SaveMode.Overwrite else SaveMode.Append,
+          snap.partitionColumns)
+    }
   }
 
   override def createRelation(

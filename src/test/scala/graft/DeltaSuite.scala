@@ -190,6 +190,32 @@ class DeltaSuite extends AnyFunSuite {
     assert(e.getMessage.contains("reader version 3"))
   }
 
+  test("SQL INSERT INTO … VALUES commits a delta version (reference negative → positive)") {
+    // The reference documents INSERT as failing by design over Ballista
+    // (tests/local.rs:92-103); here the DSv1 relation mixes in
+    // InsertableRelation, so the SQL statement routes to the log-aware
+    // writer instead of InsertIntoHadoopFsRelationCommand's raw file drop.
+    val dir = tmpDir()
+    import spark.implicits._
+    DeltaTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir, SaveMode.Overwrite)
+    spark.sql("DROP TABLE IF EXISTS ins_demo")
+    spark.sql(s"CREATE TABLE ins_demo USING delta LOCATION '$dir'")
+    spark.sql("INSERT INTO ins_demo VALUES (3, 'c'), (4, 'd')")
+    spark.sql("REFRESH TABLE ins_demo")
+    assert(spark.table("ins_demo").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // the insert must be a LOG commit (version 1), not loose parquet files
+    assert(DeltaTable.snapshot(spark, dir).version == 1L)
+    // INSERT OVERWRITE replaces the table contents in one ACID commit
+    spark.sql("INSERT OVERWRITE ins_demo VALUES (9, 'z')")
+    spark.sql("REFRESH TABLE ins_demo")
+    assert(spark.table("ins_demo").as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    assert(DeltaTable.snapshot(spark, dir).version == 2L)
+    // time travel still sees the pre-overwrite state
+    assert(DeltaTable.readVersion(spark, dir, 1L).count() == 4)
+    spark.sql("DROP TABLE ins_demo")
+  }
+
   test("remove tombstones: files removed in later versions disappear") {
     val dir = tmpDir()
     import spark.implicits._
