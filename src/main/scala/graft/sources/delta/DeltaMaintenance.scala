@@ -45,7 +45,17 @@ object DeltaMaintenance {
   def optimize(
       spark: SparkSession,
       tablePath: String,
-      targetFileBytes: Long = 128L << 20): OptimizeMetrics = {
+      targetFileBytes: Long = 128L << 20): OptimizeMetrics =
+    optimize(spark, tablePath, targetFileBytes, () => ())
+
+  /** Test seam: `beforeCommit` runs after the rewrite is staged but before
+    * the commit loop — a deterministic window to inject a concurrent
+    * commit in specs. Production callers use the 3-arg overload. */
+  private[graft] def optimize(
+      spark: SparkSession,
+      tablePath: String,
+      targetFileBytes: Long,
+      beforeCommit: () => Unit): OptimizeMetrics = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     val groups = snap.files
       .filter(_.size < targetFileBytes)
@@ -92,10 +102,30 @@ object DeltaMaintenance {
     fs.delete(stagingDir, true)
 
     val removed = groups.values.flatten.toSeq
+    beforeCommit()
     var attempt = 0
     var committedVersion = -1L
     while (committedVersion < 0 && attempt < 20) {
-      val version = DeltaLog.snapshot(spark, tablePath).version + 1
+      // Conflict validation (the same check production Delta performs for
+      // OPTIMIZE): `removed` was computed from a pre-rewrite snapshot; if a
+      // concurrent Overwrite / second OPTIMIZE has since removed any of
+      // those files, committing our stale remove+add would duplicate rows
+      // (both compactions re-add the same data) or resurrect deleted data.
+      // Re-read the latest snapshot each attempt and abort — cleaning up
+      // the staged (never-referenced) compacted files — on any conflict.
+      val latest = DeltaLog.snapshot(spark, tablePath)
+      val live = latest.files.map(_.path).toSet
+      val gone = removed.filterNot(f => live.contains(f.path))
+      if (gone.nonEmpty) {
+        adds.foreach { case (rel, _, _, _, _) =>
+          fs.delete(new Path(tablePath, rel), false)
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"OPTIMIZE aborted on $tablePath: ${gone.size} of ${removed.size} " +
+            s"source file(s) were removed by a concurrent commit " +
+            s"(e.g. ${gone.head.path}); rerun OPTIMIZE against the new snapshot")
+      }
+      val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
       val ci = ciLine.putObject("commitInfo")

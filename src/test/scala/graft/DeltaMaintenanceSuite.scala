@@ -54,6 +54,46 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     assert(ops.count(_ == "WRITE") === 4)
   }
 
+  test("optimize aborts when a concurrent commit removed a source file") {
+    val dir = freshTable()
+    val victim = DeltaLog.snapshot(spark, dir).files.head
+    // Inject the race deterministically: after OPTIMIZE staged its rewrite
+    // (from the pre-rewrite snapshot) but before it commits, a "concurrent
+    // writer" removes one of the files OPTIMIZE planned to remove.
+    val e = intercept[java.util.ConcurrentModificationException] {
+      DeltaMaintenance.optimize(spark, dir, 128L << 20, () => {
+        val v = DeltaLog.snapshot(spark, dir).version + 1
+        assert(DeltaLog.tryCommit(spark, dir, v,
+          s"""{"remove":{"path":"${victim.path}","dataChange":true,"deletionTimestamp":0}}"""))
+      })
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the aborted rewrite must not have committed anything: the latest
+    // version is the injected remove, and the live file set reflects it
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.size === 7)
+    assert(!snap.files.map(_.path).contains(victim.path))
+    // data is intact minus the concurrently-removed file's single row
+    assert(DeltaTable.read(spark, dir).count() === 7)
+  }
+
+  test("optimize retries cleanly past a version-number conflict (no file overlap)") {
+    val dir = freshTable()
+    val before = DeltaLog.snapshot(spark, dir)
+    // A concurrent APPEND (adds a file, removes nothing) steals the next
+    // version number: OPTIMIZE must retry at version+2 and still commit,
+    // because none of ITS source files were touched.
+    import spark.implicits._
+    val m = DeltaMaintenance.optimize(spark, dir, 128L << 20, () => {
+      DeltaWriter.write(Seq((100, "a", "late")).toDF("id", "k", "payload"),
+        dir, SaveMode.Append, Seq("k"))
+    })
+    assert(m.committedVersion === before.version + 2)
+    // 8 compacted into 2, plus the late concurrent file
+    assert(DeltaLog.snapshot(spark, dir).files.size === 3)
+    assert(DeltaTable.read(spark, dir).count() === 9)
+  }
+
   test("optimize is a no-op when every partition is already compact") {
     val dir = freshTable()
     DeltaMaintenance.optimize(spark, dir)
