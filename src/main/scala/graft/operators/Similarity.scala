@@ -127,14 +127,21 @@ object Similarity {
     val v = vecs(s, dir)
     val cents = v.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
-    // nearest-centroid assignment: broadcast the 16 centroids over all vecs
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    // nearest-centroid assignment: broadcast the 16 centroids over all vecs,
+    // then pick argmax(csim) per vector with an AGGREGATE, not a window —
+    // min(struct(-csim, cid)) gets partial (map-side) aggregation, so the
+    // N×K scored rows collapse to N before any shuffle; a row_number()
+    // window would sort all N×K rows. Tie-break matches the oracle:
+    // csim desc, then cid asc. e is constant per vec_id, so first(e) is
+    // deterministic in value.
     val assigned = v.join(broadcast(cents))
       .withColumn("csim",
         floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("e"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct((-col("csim")).as("ns"), col("cid"))).as("m"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"), col("m.cid").as("cid"))
       .persist() // probed by both the query side and the candidate side
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("cid"))

@@ -17,6 +17,11 @@ class PlanShapeSuite extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** AQE's toString prints the Initial Plan after the Final one — operator
+    * COUNTS must only look at what actually executed. */
+  private def finalPlanOf(name: String): String =
+    planOf(name).split("== Initial Plan ==")(0)
+
   test("q02: filter and projection are pushed into the parquet scan") {
     val p = planOf("q02_filter_project")
     assert(p.contains("PushedFilters:") && p.contains("p_size"),
@@ -45,6 +50,30 @@ class PlanShapeSuite extends AnyFunSuite {
     val p = planOf("ss01_topk_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
     assert(p.contains("vec_id"), s"expected vec_id pushdown in:\n$p")
+  }
+
+  test("q12: distinct rewrite stays one Expand + partial/final aggregates, no extra shuffle") {
+    // The 4-way Expand the distinct-rewrite plans for three countDistincts
+    // is the honest linear cost (VERDICT r2); this pin keeps a future edit
+    // from silently regressing it into per-distinct shuffles or a sort.
+    val p = finalPlanOf("q12_count_distinct")
+    assert(p.contains("Expand"), s"expected distinct-rewrite Expand in:\n$p")
+    assert(!p.contains("SortAggregate"), "distinct agg fell out of hash aggregation")
+    // exactly the two shuffle rounds the rewrite needs: expand-key agg,
+    // then final group-key agg (plus AQE reads) — a third means regression
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges in:\n$p")
+  }
+
+  test("ss03: centroid assignment is an aggregate, not an N×K window sort") {
+    val p = finalPlanOf("ss03_ann_ivf")
+    // row_number survives only in the FINAL per-query top-k ranking (which
+    // gets WindowGroupLimit rank pushdown); assignment must aggregate so
+    // the N×K scored rows collapse map-side before any shuffle
+    assert("Window \\[".r.findAllIn(p).length <= 1,
+      s"expected at most the final ranking window in:\n$p")
+    assert(p.contains("partial_min(struct"),
+      s"expected map-side partial argmin assignment in:\n$p")
   }
 
   test("ev01: single partial+final aggregate over a column-pruned scan") {
