@@ -407,6 +407,43 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** GROUPS window frames (frame bounds count PEER GROUPS — distinct
+    * ORDER BY values — not rows or value ranges). DataFusion/DuckDB have
+    * them natively; Spark does not (the one §2.2 frame-family gap), so
+    * compose: collapse rows to one row per (partition, order-value) group
+    * with that group's partial aggregates, index groups with row_number
+    * (at group level each order-value is unique, so row_number == the
+    * group index dense_rank would give the base rows), run an INTEGER
+    * RANGE frame over the group index — `RANGE BETWEEN 1 PRECEDING AND
+    * CURRENT ROW` over consecutive indices IS `GROUPS 1 PRECEDING` — and
+    * broadcast-join the per-group result back to the base rows. Scales:
+    * the window runs over the collapsed group-level table, not the fact. */
+  private def q30GroupsFrame(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .withColumn("m", date_trunc("month", col("o_orderdate")).cast("date"))
+    val grp = base.groupBy(col("o_custkey"), col("m"))
+      .agg(
+        count(lit(1)).as("mcnt"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("msum"))
+    val gidx = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+    val band = Window.partitionBy(col("o_custkey")).orderBy(col("gi"))
+      .rangeBetween(-1, 0)
+    val gwin = grp
+      .withColumn("gi", row_number().over(gidx))
+      .withColumn("band_cnt", sum(col("mcnt")).over(band))
+      .withColumn("band_sum",
+        round(sum(col("msum")).over(band), 2).cast("double"))
+      .select(col("o_custkey"), col("m"), col("band_cnt"), col("band_sum"))
+    base
+      .join(broadcast(gwin), Seq("o_custkey", "m"))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("m"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("band_cnt"), col("band_sum"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Salted two-phase aggregation — the skew-mitigation pattern for hot
     * grouping keys at scale: phase 1 aggregates on (key, salt) so a hot
     * key's rows spread over N reducers; phase 2 merges the N partials.
@@ -704,6 +741,28 @@ object Relational {
 
   // lazy: referenced by oracleSql, which is declared earlier in the file
   private lazy val classicOracles: Map[String, String] = Map(
+    "q30_groups_frame" -> """
+      -- this DuckDB build has no GROUPS frames either ("not implemented
+      -- yet"), so the oracle computes them FROM THE DEFINITION: for each
+      -- row, aggregate over all partition rows whose peer-group index
+      -- (dense_rank of the ORDER BY value) is within 1 — deliberately NOT
+      -- the group-collapse+RANGE composition the Spark side uses, so the
+      -- two sides stay independent.
+      WITH base AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               date_trunc('month', o_orderdate) AS m,
+               dense_rank() OVER (PARTITION BY o_custkey
+                                  ORDER BY date_trunc('month', o_orderdate)) AS g
+        FROM orders WHERE o_custkey < 100)
+      SELECT b.o_custkey, b.o_orderkey, CAST(b.m AS DATE) AS m,
+             round(b.o_totalprice, 2) AS price,
+             (SELECT CAST(count(*) AS BIGINT) FROM base b2
+              WHERE b2.o_custkey = b.o_custkey AND b2.g BETWEEN b.g - 1 AND b.g) AS band_cnt,
+             (SELECT CAST(round(sum(CAST(b2.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+              FROM base b2
+              WHERE b2.o_custkey = b.o_custkey AND b2.g BETWEEN b.g - 1 AND b.g) AS band_sum
+      FROM base b
+      ORDER BY o_custkey, o_orderkey""",
     "q29_salted_agg" -> """
       SELECT l_returnflag, count(*) AS n,
              CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
@@ -758,6 +817,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_range_frames" -> q28RangeFrames,
     "q29_salted_agg" -> q29SaltedAgg,
+    "q30_groups_frame" -> q30GroupsFrame,
     "q24_volume_pairs" -> q24VolumePairs,
     "q25_disjunctive" -> q25Disjunctive,
     "q26_global_avg_anti" -> q26GlobalAvgAnti,
