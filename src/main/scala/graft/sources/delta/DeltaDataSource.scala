@@ -115,18 +115,22 @@ object DeltaTable {
     * versions (fromExclusive, toInclusive], each tagged with
     * `_commit_version`. Compaction rewrites (dataChange=false) are
     * excluded, so polling this in a loop — or from a foreachBatch driver —
-    * consumes each row exactly once; this is the batch surface a streaming
-    * reader of the log needs. */
+    * consumes each row exactly once WHILE the range is append-only; a
+    * data-removing commit (Overwrite/DELETE) in the range fails fast
+    * unless `ignoreDataChangeRemoves=true` (production Delta's
+    * `ignoreChanges` analog — consumer accepts reprocessed rows). */
   def readChanges(
       spark: SparkSession,
       path: String,
       fromExclusive: Long,
-      toInclusive: Long): DataFrame = {
+      toInclusive: Long,
+      ignoreDataChangeRemoves: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val snap = DeltaLog.snapshot(spark, path)
     val outSchema = snap.schema.add("_commit_version", "bigint")
     val perVersion = for {
-      (version, adds) <- DeltaLog.changes(spark, path, fromExclusive, toInclusive)
+      (version, adds) <- DeltaLog.changes(spark, path, fromExclusive, toInclusive,
+        ignoreDataChangeRemoves)
       if adds.nonEmpty
       (pv, files) <- adds.groupBy(_.partitionValues)
     } yield {

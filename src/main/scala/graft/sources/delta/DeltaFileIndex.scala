@@ -178,9 +178,9 @@ object DeltaStatsSkipping {
     case _ => None
   }
 
-  // DateType stats are epoch DAYS on both sides; fix jsonToComparable's date
-  // domain to days (LocalDate.toEpochDay) and litToComparable already emits
-  // days for DateType literals (Spark stores dates as Int days internally).
+  // Invariant: DateType is compared in epoch DAYS on both sides —
+  // jsonToComparable parses stats dates via LocalDate.toEpochDay, and
+  // litToComparable receives Spark's internal Int-days representation.
 
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))

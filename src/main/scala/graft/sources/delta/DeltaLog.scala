@@ -226,12 +226,22 @@ object DeltaLog {
   /** Per-commit DATA-CHANGE add actions in versions (fromExclusive,
     * toInclusive] — the incremental-consumption view of the log: compaction
     * rewrites (`dataChange=false`, e.g. OPTIMIZE) are skipped, so a
-    * consumer never sees a row twice. */
+    * consumer never sees a rewritten row twice.
+    *
+    * Exactly-once holds only while the range is append-only. A commit that
+    * REMOVES data (`remove` with `dataChange=true` — Overwrite, DELETE)
+    * invalidates pure add-consumption (the adds of a rewrite would be
+    * double-counted against rows the consumer already took), so such a
+    * commit FAILS FAST by default — same contract as production Delta's
+    * streaming source. Pass `ignoreDataChangeRemoves=true` (the
+    * `ignoreChanges` analog) to consume the adds anyway, accepting
+    * possibly-reprocessed rows. */
   def changes(
       spark: SparkSession,
       tablePath: String,
       fromExclusive: Long,
-      toInclusive: Long): Seq[(Long, Seq[DeltaAddFile])] = {
+      toInclusive: Long,
+      ignoreDataChangeRemoves: Boolean = false): Seq[(Long, Seq[DeltaAddFile])] = {
     val (commits, _) = listLog(spark, tablePath)
     val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     commits
@@ -239,21 +249,29 @@ object DeltaLog {
       .map { case (v, status) =>
         val in = fs.open(status.getPath)
         val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        val adds = content.linesIterator.filter(_.trim.nonEmpty).flatMap { line =>
+        val adds = Seq.newBuilder[DeltaAddFile]
+        content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
           if (node.has("add")) {
             val a = node.get("add")
             val dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean(true)
-            if (dataChange) Some(DeltaAddFile(
+            if (dataChange) adds += DeltaAddFile(
               a.get("path").asText(),
               jsonStringMap(a.get("partitionValues")),
               a.get("size").asLong(),
               if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
-              if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None))
-            else None
-          } else None
-        }.toSeq
-        v -> adds
+              if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None)
+          } else if (node.has("remove") && !ignoreDataChangeRemoves) {
+            val r = node.get("remove")
+            val dataChange = !r.has("dataChange") || r.get("dataChange").asBoolean(true)
+            if (dataChange) throw new UnsupportedOperationException(
+              s"$tablePath version $v removes data (${r.get("path").asText()}): " +
+                "incremental add-consumption would double-count rewritten rows. " +
+                "Re-read the full snapshot, or pass ignoreDataChangeRemoves=true " +
+                "to consume the adds anyway (possibly-reprocessed rows).")
+          }
+        }
+        v -> adds.result()
       }
   }
 

@@ -44,4 +44,26 @@ class DeltaChangesSuite extends AnyFunSuite {
     assert(empty.isEmpty)
     assert(empty.schema.fieldNames.last === "_commit_version")
   }
+
+  test("a data-removing commit in the range fails fast unless explicitly ignored") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cdc-rm").toString
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), dir, SaveMode.Append, Nil)
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "k"), dir, SaveMode.Append, Nil)
+    // version 2: Overwrite = dataChange=true removes + adds — the adds
+    // REWRITE rows a pure add-consumer already took at v0/v1
+    DeltaWriter.write(Seq((9L, "z")).toDF("id", "k"), dir, SaveMode.Overwrite, Nil)
+
+    // append-only prefix still reads fine
+    assert(DeltaTable.readChanges(spark, dir, -1L, 1L)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // range covering the overwrite: exactly-once is impossible → throw
+    val e = intercept[UnsupportedOperationException] {
+      DeltaTable.readChanges(spark, dir, 1L, 2L).collect()
+    }
+    assert(e.getMessage.contains("removes data"))
+    // opt-in ignoreChanges semantics: consume the overwrite's adds
+    assert(DeltaTable.readChanges(spark, dir, 1L, 2L, ignoreDataChangeRemoves = true)
+      .select("id").as[Long].collect().toSeq === Seq(9L))
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import java.net.URI
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta.DeltaTable
+
+/** A Hadoop FileSystem registered under a NON-file scheme but backed by
+  * local disk — the analog of the reference's PrefixStore-wrapped fake for
+  * store tests (`tests/store.rs:20-70` runs against MinIO; no container
+  * runtime here). Registering it under `graftfs://` proves the engine's
+  * store access is resolved purely by URL scheme through the Hadoop FS
+  * registry, which is the entire S3 story minus the s3a jar.
+  *
+  * Statuses are re-issued with permissions pre-filled: RawLocalFileSystem
+  * loads permissions lazily via `new File(uri)`, which rejects any scheme
+  * other than `file` — an S3-like store has no POSIX permissions anyway. */
+class FakeStoreFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: URI = URI.create("graftfs:///")
+
+  private def fix(s: FileStatus): FileStatus =
+    new FileStatus(s.getLen, s.isDirectory, 1, s.getBlockSize,
+      s.getModificationTime, 0L, FsPermission.getFileDefault, "", "", s.getPath)
+
+  override def getFileStatus(f: Path): FileStatus = fix(super.getFileStatus(f))
+  override def listStatus(f: Path): Array[FileStatus] = super.listStatus(f).map(fix)
+}
+
+/** Object-store resolution (SURVEY §2.1, reference `src/object_store.rs`).
+  *
+  * The reference resolves `file://` / `http(s)://` / `s3://` URLs to
+  * object_store implementations (`src/object_store.rs:31-97`); the Spark
+  * mapping is Hadoop's FileSystem registry keyed by URI scheme. `file://`
+  * is exercised by every other suite; this one pins (a) that a foreign
+  * scheme flows through the whole delta read path, and (b) the exact s3a
+  * configuration surface, runnable the moment a hadoop-aws jar is present.
+  */
+class ObjectStoreSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("URL-scheme store resolution: full delta write→log-replay→scan through graftfs://") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[FakeStoreFileSystem].getName)
+    val local = Files.createTempDirectory("graft-store").toString
+    DeltaTable.write(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k"),
+      local, SaveMode.Append, partitionBy = Seq("k"))
+    // read back through the registered scheme: log listing, JSON replay,
+    // parquet scan and partition injection all resolve graftfs:// paths
+    val viaScheme = DeltaTable.read(spark, s"graftfs:$local")
+    assert(viaScheme.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // and write through it too: a commit lands in the local _delta_log
+    DeltaTable.write(Seq((4L, "b")).toDF("id", "k"), s"graftfs:$local",
+      SaveMode.Append, partitionBy = Seq("k"))
+    assert(DeltaTable.read(spark, local).count() == 4)
+  }
+
+  test("s3a store mapping (reference object_store.rs:42-47) — needs hadoop-aws jar") {
+    val s3aPresent =
+      try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(s3aPresent,
+      """hadoop-aws is not on /opt/spark/jars in this environment (verified:
+        |zero-egress container, SURVEY §2.1), so an S3/MinIO run is
+        |impossible here. The mapping this test would exercise, mirroring
+        |the reference's env-credential store (src/object_store.rs:42-47)
+        |and MinIO endpoint override (tests/store.rs:20-40):
+        |  AWS_ACCESS_KEY_ID     -> spark.hadoop.fs.s3a.access.key
+        |  AWS_SECRET_ACCESS_KEY -> spark.hadoop.fs.s3a.secret.key
+        |  AWS_ENDPOINT_URL      -> spark.hadoop.fs.s3a.endpoint
+        |  allow_http / MinIO    -> fs.s3a.path.style.access=true,
+        |                           fs.s3a.connection.ssl.enabled=false
+        |after which DeltaTable.read(spark, "s3a://bucket/table") runs the
+        |identical code path the graftfs:// test above pins.""".stripMargin)
+    // runnable body, for when the jar IS present:
+    val conf = spark.sparkContext.hadoopConfiguration
+    sys.env.get("AWS_ACCESS_KEY_ID").foreach(conf.set("fs.s3a.access.key", _))
+    sys.env.get("AWS_SECRET_ACCESS_KEY").foreach(conf.set("fs.s3a.secret.key", _))
+    sys.env.get("AWS_ENDPOINT_URL").foreach { ep =>
+      conf.set("fs.s3a.endpoint", ep)
+      conf.set("fs.s3a.path.style.access", "true")
+    }
+    val bucket = sys.env.getOrElse("GRAFT_S3_TEST_BUCKET", "graft-test")
+    val df = DeltaTable.read(spark, s"s3a://$bucket/table")
+    assert(df.count() >= 0)
+  }
+}
