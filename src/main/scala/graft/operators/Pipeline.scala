@@ -79,8 +79,140 @@ object Pipeline {
       FROM curated JOIN embeddings ON doc_id = vec_id
       GROUP BY lang ORDER BY lang"""
 
-  val oracleSql: Map[String, String] = Map("pp01_curation" -> oracle)
+  /** Deterministic hash-bucket train/validation/test split — THE split
+    * mechanism at 100 TB: no sampling pass, no global shuffle, stable
+    * under reruns and table growth (membership depends only on doc_id).
+    * Portable hash per the repo parity rule:
+    * Spark `conv(substr(md5(x),1,8),16,10)` == DuckDB `('0x'||…)::BIGINT`. */
+  private def pp02HashSplit(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+
+  /** Decontamination: drop corpus documents sharing ANY 5-word shingle
+    * with the benchmark/eval set (held out here as doc_id % 97 == 0 — a
+    * deterministic stand-in for a real eval suite). Scale shape: the
+    * benchmark shingle set is tiny → broadcast to the corpus-shingle
+    * equi-join; contaminated ids then anti-join the corpus. Linear in
+    * corpus shingles, no all-pairs anything. */
+  private def pp03Decontam(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    def shingles(df: DataFrame): DataFrame = df
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), expr("word_ngrams(toks, 5)").as("g"))
+    val benchG = shingles(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct()
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = shingles(corpus)
+      .join(broadcast(benchG), "g")
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_clean"),
+        sum(col("n_chars")).as("clean_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Domain mixing: per-source quality quota — keep the top 10 documents
+    * of each source by quality score (deterministic doc_id tie-break),
+    * then report the per-source mix. The row_number window gets
+    * WindowGroupLimit rank pushdown, so each task retains only its local
+    * top-K before the shuffle — the 100 TB-safe top-K-per-group shape. */
+  private def pp04DomainMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    TextAnalysis.qualityScored(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        // score is floor-scaled on both engines → min is engine-exact
+        min(col("score")).as("cutoff_score"),
+        sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val duckQualityCte: String = """
+      quality AS (
+        SELECT doc_id, source, n_chars,
+               floor((0.5 * sr + 0.3 * ls + 0.2 * (1.0 - pr)) * 10000.0) / 10000.0 AS score
+        FROM (
+          SELECT doc_id, source, n_chars,
+                 len(list_filter(l, x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE
+                   / nullif(len(l)::DOUBLE, 0.0) AS sr,
+                 least(1.0, len(l)::DOUBLE / 100.0) AS ls,
+                 len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+                   / nullif(length(text)::DOUBLE, 0.0) AS pr
+          FROM (SELECT doc_id, source, n_chars, text,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents)))"""
+
+  val oracleSql: Map[String, String] = Map(
+    "pp01_curation" -> oracle,
+    "pp02_hash_split" -> """
+      SELECT split, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM (SELECT lang, n_chars,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM (SELECT lang, n_chars,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+                  FROM documents))
+      GROUP BY split ORDER BY split""",
+    "pp03_decontam" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               list_filter(string_split(text, ' '), x -> x <> '') AS l
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(l) >= 5
+                   THEN list_transform(generate_series(1, len(l) - 4),
+                          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])
+                   ELSE [] END)) AS g
+        FROM toks),
+      bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+      contaminated AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g)
+        WHERE g.doc_id % 97 <> 0)
+      SELECT lang, count(*) AS n_clean, CAST(sum(n_chars) AS BIGINT) AS clean_chars
+      FROM documents
+      WHERE doc_id % 97 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      GROUP BY lang ORDER BY lang""",
+    "pp04_domain_mix" -> s"""
+      WITH $duckQualityCte,
+      ranked AS (
+        SELECT source, n_chars, score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM quality)
+      SELECT source, count(*) AS n_kept,
+             min(score) AS cutoff_score,
+             CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      FROM ranked WHERE rk <= 10
+      GROUP BY source ORDER BY source""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pp01_curation" -> pp01Curation)
+    "pp01_curation" -> pp01Curation,
+    "pp02_hash_split" -> pp02HashSplit,
+    "pp03_decontam" -> pp03Decontam,
+    "pp04_domain_mix" -> pp04DomainMix)
 }
