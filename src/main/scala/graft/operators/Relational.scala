@@ -333,6 +333,24 @@ object Relational {
       .orderBy(col("op"), col("o_custkey"))
   }
 
+  /** Multiset (ALL) set-op variants — duplicate-preserving semantics:
+    * unionAll keeps every occurrence, intersectAll keeps min(multiplicity),
+    * exceptAll subtracts multiplicities. Result is aggregated to
+    * (op, key, multiplicity) so the compare is order-insensitive within
+    * the pinned ORDER BY. */
+  private def q31SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val a = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val b = orders.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+    val u = a.unionAll(b).withColumn("op", lit("union_all"))
+    val i = a.intersectAll(b).withColumn("op", lit("intersect_all"))
+    val e = a.exceptAll(b).withColumn("op", lit("except_all"))
+    u.union(i).union(e)
+      .groupBy(col("op"), col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
   // ---------------------------------------------------------------------------
   // Subqueries / CTEs (SQL surface — Catalyst decorrelates)
   // ---------------------------------------------------------------------------
@@ -713,6 +731,17 @@ object Relational {
       UNION ALL
       SELECT 'except' AS op, o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
       ORDER BY op, o_custkey""",
+    "q31_set_ops_all" -> """
+      WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+           b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+      m AS (
+        SELECT 'union_all' AS op, o_custkey FROM (SELECT o_custkey FROM a UNION ALL SELECT o_custkey FROM b)
+        UNION ALL
+        SELECT 'intersect_all' AS op, o_custkey FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+        UNION ALL
+        SELECT 'except_all' AS op, o_custkey FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b))
+      SELECT op, o_custkey, count(*) AS n FROM m
+      GROUP BY op, o_custkey ORDER BY op, o_custkey""",
     "q21_subquery_scalar" -> """
       SELECT c_custkey, round(c_acctbal, 2) AS bal
       FROM customer c
@@ -842,6 +871,7 @@ object Relational {
     "q18_topk" -> q18TopK,
     "q19_offset" -> q19Offset,
     "q20_set_ops" -> q20SetOps,
+    "q31_set_ops_all" -> q31SetOpsAll,
     "q21_subquery_scalar" -> q21SubqueryScalar,
     "q22_subquery_in" -> q22SubqueryIn,
     "q23_cte" -> q23Cte)
