@@ -392,6 +392,25 @@ object Functions {
         expr("try_to_timestamp(p_brand)").as("tt"))
       .orderBy(col("p_partkey"))
 
+  /** Bitwise scalar surface: shifts, and/or/xor/not, popcount, bit test.
+    * All exact-integer — no rounding parity needed. DuckDB spellings
+    * differ (`<<`, `>>`, `xor(a,b)`, `(x >> n) & 1`); Spark's bit_count
+    * and bit_get return INT/TINYINT → cast to BIGINT/INT on both sides. */
+  private def fn19Bitwise(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 300)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("shiftleft(l_linenumber, 3)").as("shl"),
+        expr("shiftright(l_orderkey, 2)").as("shr"),
+        expr("l_orderkey & l_linenumber").as("band"),
+        expr("l_orderkey | l_linenumber").as("bor"),
+        expr("l_orderkey ^ l_linenumber").as("bxor"),
+        expr("~l_linenumber").as("bnot"),
+        expr("bit_count(l_orderkey)").cast("long").as("bcnt"),
+        expr("bit_get(l_orderkey, 3)").cast("int").as("bget"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   // -------------------------------------------------------------------------
   // Unnest / table functions / recursion (§2.2 tail)
   // -------------------------------------------------------------------------
@@ -623,6 +642,18 @@ object Functions {
                    * 10000.0) / 10000.0 AS wmean_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "fn19_bitwise" -> """
+      SELECT l_orderkey, l_linenumber,
+             l_linenumber << 3 AS shl,
+             l_orderkey >> 2 AS shr,
+             l_orderkey & l_linenumber AS band,
+             l_orderkey | l_linenumber AS bor,
+             xor(l_orderkey, l_linenumber) AS bxor,
+             ~l_linenumber AS bnot,
+             CAST(bit_count(l_orderkey) AS BIGINT) AS bcnt,
+             CAST((l_orderkey >> 3) & 1 AS INT) AS bget
+      FROM lineitem WHERE l_orderkey <= 300
+      ORDER BY l_orderkey, l_linenumber""",
     "fn18_try_ansi" -> """
       SELECT p_partkey,
              TRY_CAST(split_part(p_name, ' ', 1) AS INT) AS tc_word,
@@ -677,6 +708,7 @@ object Functions {
     "fn16_array2" -> fn16Array2,
     "fn17_udaf_weighted_mean" -> fn17UdafWeightedMean,
     "fn18_try_ansi" -> fn18TryAnsi,
+    "fn19_bitwise" -> fn19Bitwise,
     "un01_explode" -> un01Explode,
     "un02_posexplode" -> un02Posexplode,
     "un03_sequence_join" -> un03SequenceJoin,

@@ -193,6 +193,83 @@ object DeltaMaintenance {
     deleted
   }
 
+  /** RESTORE TABLE … TO VERSION AS OF v: roll the table back to snapshot
+    * `toVersion` as a NEW commit (the history is preserved — time travel
+    * to the undone versions still works until VACUUM ages their files
+    * out). The commit removes files live now but not at `toVersion` and
+    * re-adds files live at `toVersion` but not now, both `dataChange=true`
+    * (a restore IS a data change for incremental consumers — changes()
+    * will fail fast over it, correctly). Requires `toVersion`'s files to
+    * still exist, i.e. not vacuumed — verified before committing.
+    * Production Delta's RESTORE contract. */
+  def restore(spark: SparkSession, tablePath: String, toVersion: Long): Long = {
+    val target = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(toVersion))
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val missing = target.files.filterNot(f =>
+      fs.exists(new Path(tablePath, decodeRel(f.path))))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cannot RESTORE $tablePath to version $toVersion: ${missing.size} " +
+        s"file(s) already vacuumed (e.g. ${missing.head.path})")
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0 && attempt < 20) {
+      val current = DeltaLog.snapshot(spark, tablePath)
+      if (current.version == toVersion) return current.version // no-op
+      val currentPaths = current.files.map(_.path).toSet
+      val targetPaths = target.files.map(_.path).toSet
+      val lines = Seq.newBuilder[String]
+      val ciLine = mapper.createObjectNode()
+      val ci = ciLine.putObject("commitInfo")
+      ci.put("timestamp", System.currentTimeMillis())
+      ci.put("operation", "RESTORE")
+      ci.putObject("operationParameters").put("version", toVersion)
+      ci.put("engineInfo", "graft-spark/0.1.0")
+      lines += mapper.writeValueAsString(ciLine)
+      // metadata at the target version wins (schema/partitioning rollback);
+      // same table id — replay is last-metaData-wins
+      val mdLine = mapper.createObjectNode()
+      val m = mdLine.putObject("metaData")
+      m.put("id", target.metadata.id)
+      val fmt = m.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      m.put("schemaString", target.metadata.schemaString)
+      target.partitionColumns.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
+      val cfg = m.putObject("configuration")
+      target.metadata.configuration.foreach { case (k, v) => cfg.put(k, v) }
+      lines += mapper.writeValueAsString(mdLine)
+      current.files.filterNot(f => targetPaths.contains(f.path)).foreach { f =>
+        val rm = mapper.createObjectNode()
+        val r = rm.putObject("remove")
+        r.put("path", f.path)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", true)
+        lines += mapper.writeValueAsString(rm)
+      }
+      target.files.filterNot(f => currentPaths.contains(f.path)).foreach { f =>
+        val ad = mapper.createObjectNode()
+        val a = ad.putObject("add")
+        a.put("path", f.path)
+        val pv = a.putObject("partitionValues")
+        f.partitionValues.foreach { case (k, v) =>
+          if (v == null) pv.putNull(k) else pv.put(k, v)
+        }
+        a.put("size", f.size)
+        a.put("modificationTime", f.modificationTime)
+        a.put("dataChange", true)
+        f.stats.foreach(st => a.put("stats", st))
+        lines += mapper.writeValueAsString(ad)
+      }
+      if (DeltaLog.tryCommit(spark, tablePath, current.version + 1,
+          lines.result().mkString("\n")))
+        committed = current.version + 1
+      attempt += 1
+    }
+    if (committed < 0) throw new java.io.IOException(
+      s"RESTORE could not commit to $tablePath after $attempt attempts")
+    committed
+  }
+
   /** Commit history (newest first): version, timestamp, operation, engine. */
   def history(spark: SparkSession, tablePath: String): DataFrame = {
     val (commits, _) = DeltaLog.listLog(spark, tablePath)

@@ -103,6 +103,35 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     assert(DeltaLog.snapshot(spark, dir).version === v) // no empty commit
   }
 
+  test("restore rolls back to an earlier version as a new commit, history preserved") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-restore").toString
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), dir, SaveMode.Append, Nil)  // v0
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "k"), dir, SaveMode.Append, Nil)             // v1
+    DeltaWriter.write(Seq((9L, "z")).toDF("id", "k"), dir, SaveMode.Overwrite, Nil)          // v2
+
+    val v = DeltaMaintenance.restore(spark, dir, 1L)
+    assert(v === 3L)
+    // current state == v1's state
+    assert(DeltaTable.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    // the undone overwrite is still time-travelable (files not vacuumed)
+    assert(DeltaTable.readVersion(spark, dir, 2L).select("id").as[Long].collect().toSeq
+      === Seq(9L))
+    // restore is a data change: incremental consumers must not silently
+    // re-consume the re-added files
+    intercept[UnsupportedOperationException] {
+      DeltaTable.readChanges(spark, dir, 2L, 3L).collect()
+    }
+    // restoring to the current state is a no-op (no new commit)
+    assert(DeltaMaintenance.restore(spark, dir, 3L) === 3L)
+    assert(DeltaLog.snapshot(spark, dir).version === 3L)
+    // history records the RESTORE operation at v3
+    val ops = DeltaMaintenance.history(spark, dir)
+      .select("version", "operation").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ops.contains((3L, "RESTORE")))
+  }
+
   test("vacuum deletes aged-out unreferenced files; current reads survive") {
     val dir = freshTable()
     val before = DeltaLog.snapshot(spark, dir)

@@ -76,6 +76,20 @@ class PlanShapeSuite extends AnyFunSuite {
       s"expected map-side partial argmin assignment in:\n$p")
   }
 
+  test("pp03: benchmark shingle set broadcasts; survivors reach a broadcast anti join") {
+    val p = finalPlanOf("pp03_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(p.contains("LeftAnti"), s"expected anti join in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "tiny benchmark/contaminated sides must not sort-merge")
+  }
+
+  test("pp04: per-domain top-K gets WindowGroupLimit rank pushdown") {
+    val p = finalPlanOf("pp04_domain_mix")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected rank-limit pushdown before the shuffle in:\n$p")
+  }
+
   test("ev01: single partial+final aggregate over a column-pruned scan") {
     val p = planOf("ev01_tumbling")
     assert(p.contains("HashAggregate"))
