@@ -87,6 +87,23 @@ object DeltaQueries {
       .orderBy(col("n_regionkey"))
   }
 
+  /** RESTORE in the gate: seed even suppliers (v0), overwrite with odd
+    * ones (v1), RESTORE to v0 (v2), aggregate — the oracle aggregates the
+    * even slice of the raw fixture, so a restore that leaks post-restore
+    * rows or loses pre-restore ones hash-mismatches. */
+  private def dl05Restore(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 2 === 0), path, SaveMode.Append, Nil)
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 2 === 1), path, SaveMode.Overwrite, Nil)
+    graft.sources.delta.DeltaMaintenance.restore(s, path, 0L)
+    DeltaTable.read(s, path)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dl01_delta_roundtrip" -> """
       SELECT s_nationkey,
@@ -106,11 +123,17 @@ object DeltaQueries {
              count(*) AS n,
              CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
              max(n_name) AS name_max
-      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "dl05_restore" -> """
+      SELECT count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier WHERE s_suppkey % 2 = 0""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dl01_delta_roundtrip" -> dl01Roundtrip,
     "dl02_delta_time_travel" -> dl02TimeTravel,
     "dl03_delta_pruned_read" -> dl03PrunedRead,
-    "dl04_sql_insert" -> dl04SqlInsert)
+    "dl04_sql_insert" -> dl04SqlInsert,
+    "dl05_restore" -> dl05Restore)
 }
