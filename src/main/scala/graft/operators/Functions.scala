@@ -411,6 +411,25 @@ object Functions {
         expr("bit_get(l_orderkey, 3)").cast("int").as("bget"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** String surface #3: edit distance, translate, padding, reverse,
+    * left/right, hex, 1-based substring position. (initcap exists in Spark
+    * but not this DuckDB build — left un-gated rather than weakly gated.) */
+  private def fn20String3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 150)
+      .select(
+        col("p_partkey"),
+        levenshtein(expr("split_part(p_name, ' ', 1)"), lit("small")).cast("long").as("lev"),
+        translate(col("p_name"), "aeiou", "01234").as("tr"),
+        lpad(col("p_size").cast("string"), 5, "0").as("lp"),
+        rpad(col("p_size").cast("string"), 5, "0").as("rp"),
+        reverse(col("p_name")).as("rev"),
+        expr("left(p_name, 5)").as("lft"),
+        expr("right(p_name, 4)").as("rgt"),
+        hex(col("p_partkey")).as("hx"),
+        instr(col("p_name"), "al").cast("long").as("pos"))
+      .orderBy(col("p_partkey"))
+
   // -------------------------------------------------------------------------
   // Unnest / table functions / recursion (§2.2 tail)
   // -------------------------------------------------------------------------
@@ -642,6 +661,18 @@ object Functions {
                    * 10000.0) / 10000.0 AS wmean_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "fn20_string3" -> """
+      SELECT p_partkey,
+             CAST(levenshtein(split_part(p_name, ' ', 1), 'small') AS BIGINT) AS lev,
+             translate(p_name, 'aeiou', '01234') AS tr,
+             lpad(p_size::VARCHAR, 5, '0') AS lp,
+             rpad(p_size::VARCHAR, 5, '0') AS rp,
+             reverse(p_name) AS rev,
+             left(p_name, 5) AS lft,
+             right(p_name, 4) AS rgt,
+             to_hex(p_partkey) AS hx,
+             CAST(strpos(p_name, 'al') AS BIGINT) AS pos
+      FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""",
     "fn19_bitwise" -> """
       SELECT l_orderkey, l_linenumber,
              l_linenumber << 3 AS shl,
@@ -709,6 +740,7 @@ object Functions {
     "fn17_udaf_weighted_mean" -> fn17UdafWeightedMean,
     "fn18_try_ansi" -> fn18TryAnsi,
     "fn19_bitwise" -> fn19Bitwise,
+    "fn20_string3" -> fn20String3,
     "un01_explode" -> un01Explode,
     "un02_posexplode" -> un02Posexplode,
     "un03_sequence_join" -> un03SequenceJoin,
