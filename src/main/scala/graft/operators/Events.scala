@@ -180,7 +180,46 @@ object Events {
       .orderBy(col("user_id"), col("qts"))
   }
 
+  /** Gaps-and-islands: per-user streaks of CONSECUTIVE active days. Spark
+    * side uses the anchor idiom (day minus per-user row_number is constant
+    * within an island); the oracle detects island starts with lag()+running
+    * sum — a different mechanism, so the two sides stay independent. */
+  private def ev09Streaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .withColumn("anchor", date_sub(col("d"), col("rn")))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("len")).as("max_streak"),
+        count(lit(1)).as("n_islands"),
+        sum(col("len")).as("active_days"))
+      .orderBy(col("user_id"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ev09_streaks" -> """
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+      flagged AS (
+        SELECT user_id, d,
+               CASE WHEN lag(d) OVER w IS NULL OR d <> lag(d) OVER w + INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END AS new_island
+        FROM days WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+      islands AS (
+        SELECT user_id, d,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING) AS iid
+        FROM flagged),
+      sized AS (SELECT user_id, iid, count(*) AS len FROM islands GROUP BY user_id, iid)
+      SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+             count(*) AS n_islands, CAST(sum(len) AS BIGINT) AS active_days
+      FROM sized GROUP BY user_id ORDER BY user_id""",
     "ev08_range_join" -> """
       WITH e AS (
         SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events),
@@ -288,5 +327,6 @@ object Events {
     "ev05_retention" -> ev05Retention,
     "ev06_event_dedup" -> ev06EventDedup,
     "ev07_asof_join" -> ev07AsofJoin,
-    "ev08_range_join" -> ev08RangeJoin)
+    "ev08_range_join" -> ev08RangeJoin,
+    "ev09_streaks" -> ev09Streaks)
 }

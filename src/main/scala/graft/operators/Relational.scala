@@ -462,6 +462,21 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** PIVOT (exceeds reference parity — DataFusion 50 has no PIVOT; Spark's
+    * RelationalGroupedDataset.pivot is native). Pivot values are given
+    * EXPLICITLY — omitting them adds a whole extra distinct-collect job
+    * over the fact table at scale. The oracle lowers the pivot to FILTERed
+    * conditional aggregation, which is also what Catalyst plans (one pass,
+    * no shuffle beyond the group-by). */
+  private def q32Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity").cast("decimal(18,6)")), 2).cast("double"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy(col("l_returnflag"))
+
   /** Salted two-phase aggregation — the skew-mitigation pattern for hot
     * grouping keys at scale: phase 1 aggregates on (key, salt) so a hot
     * key's rows spread over N reducers; phase 2 merges the N partials.
@@ -770,6 +785,11 @@ object Relational {
 
   // lazy: referenced by oracleSql, which is declared earlier in the file
   private lazy val classicOracles: Map[String, String] = Map(
+    "q32_pivot" -> """
+      SELECT l_returnflag,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F'), 2) AS DOUBLE) AS qty_f,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'O'), 2) AS DOUBLE) AS qty_o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q30_groups_frame" -> """
       -- this DuckDB build has no GROUPS frames either ("not implemented
       -- yet"), so the oracle computes them FROM THE DEFINITION: for each
@@ -847,6 +867,7 @@ object Relational {
     "q28_range_frames" -> q28RangeFrames,
     "q29_salted_agg" -> q29SaltedAgg,
     "q30_groups_frame" -> q30GroupsFrame,
+    "q32_pivot" -> q32Pivot,
     "q24_volume_pairs" -> q24VolumePairs,
     "q25_disjunctive" -> q25Disjunctive,
     "q26_global_avg_anti" -> q26GlobalAvgAnti,
