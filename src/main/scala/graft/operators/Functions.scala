@@ -430,6 +430,30 @@ object Functions {
         instr(col("p_name"), "al").cast("long").as("pos"))
       .orderBy(col("p_partkey"))
 
+  /** Trigonometry + hyperbolics + degree/radian conversion, floor-scaled
+    * at 1e-6 like the fn13 transcendentals (libm last-ulp differences are
+    * far below the scale; floor of near-identical bits is engine-stable
+    * at this magnitude). Inputs derive from small exact ints. */
+  private def fn21Trig(s: SparkSession, dir: String): DataFrame = {
+    def fs6(c: Column): Column = floor(c * lit(1000000.0)) / lit(1000000.0)
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        fs6(sin(col("l_quantity") / 10.0)).as("sn"),
+        fs6(cos(col("l_quantity") / 10.0)).as("cs"),
+        fs6(tan(col("l_linenumber") / 10.0)).as("tn"),
+        fs6(asin(col("l_discount"))).as("asn"),
+        fs6(acos(col("l_discount"))).as("acs"),
+        fs6(atan(col("l_quantity"))).as("atn"),
+        fs6(degrees(col("l_discount"))).as("dg"),
+        fs6(radians(col("l_quantity"))).as("rd"),
+        fs6(sinh(col("l_discount"))).as("snh"),
+        fs6(cosh(col("l_discount"))).as("csh"),
+        fs6(tanh(col("l_quantity") / 10.0)).as("tnh"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   // -------------------------------------------------------------------------
   // Unnest / table functions / recursion (§2.2 tail)
   // -------------------------------------------------------------------------
@@ -661,6 +685,23 @@ object Functions {
                    * 10000.0) / 10000.0 AS wmean_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "fn21_trig" -> """
+      SELECT l_orderkey, l_linenumber,
+             floor(sin(l_quantity / 10.0) * 1000000.0) / 1000000.0 AS sn,
+             floor(cos(l_quantity / 10.0) * 1000000.0) / 1000000.0 AS cs,
+             floor(tan(l_linenumber / 10.0) * 1000000.0) / 1000000.0 AS tn,
+             floor(asin(l_discount) * 1000000.0) / 1000000.0 AS asn,
+             floor(acos(l_discount) * 1000000.0) / 1000000.0 AS acs,
+             floor(atan(l_quantity) * 1000000.0) / 1000000.0 AS atn,
+             floor(degrees(l_discount) * 1000000.0) / 1000000.0 AS dg,
+             floor(radians(l_quantity) * 1000000.0) / 1000000.0 AS rd,
+             floor((exp(l_discount) - exp(-l_discount)) / 2.0 * 1000000.0) / 1000000.0 AS snh,
+             floor((exp(l_discount) + exp(-l_discount)) / 2.0 * 1000000.0) / 1000000.0 AS csh,
+             floor((exp(l_quantity / 10.0) - exp(-l_quantity / 10.0))
+                   / (exp(l_quantity / 10.0) + exp(-l_quantity / 10.0))
+                   * 1000000.0) / 1000000.0 AS tnh
+      FROM lineitem WHERE l_orderkey <= 200
+      ORDER BY l_orderkey, l_linenumber""",
     "fn20_string3" -> """
       SELECT p_partkey,
              CAST(levenshtein(split_part(p_name, ' ', 1), 'small') AS BIGINT) AS lev,
@@ -741,6 +782,7 @@ object Functions {
     "fn18_try_ansi" -> fn18TryAnsi,
     "fn19_bitwise" -> fn19Bitwise,
     "fn20_string3" -> fn20String3,
+    "fn21_trig" -> fn21Trig,
     "un01_explode" -> un01Explode,
     "un02_posexplode" -> un02Posexplode,
     "un03_sequence_join" -> un03SequenceJoin,

@@ -477,6 +477,24 @@ object Relational {
       .withColumnRenamed("O", "qty_o")
       .orderBy(col("l_returnflag"))
 
+  /** UNPIVOT (melt) — the inverse of q32: wide per-measure columns to long
+    * (measure, value) rows via Dataset.unpivot (Spark 3.4+ native; plans
+    * as Expand, no shuffle). Values decimal-rounded on both sides. */
+  private def q33Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity").cast("decimal(18,6)")), 2).cast("double").as("qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").as("price"),
+        round(sum(col("l_discount").cast("decimal(18,6)")), 2).cast("double").as("disc"))
+    wide.unpivot(
+      ids = Array(col("l_returnflag")),
+      values = Array(col("qty"), col("price"), col("disc")),
+      variableColumnName = "measure",
+      valueColumnName = "v")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
   /** Salted two-phase aggregation — the skew-mitigation pattern for hot
     * grouping keys at scale: phase 1 aggregates on (key, salt) so a hot
     * key's rows spread over N reducers; phase 2 merges the N partials.
@@ -790,6 +808,16 @@ object Relational {
              CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F'), 2) AS DOUBLE) AS qty_f,
              CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'O'), 2) AS DOUBLE) AS qty_o
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q33_unpivot" -> """
+      WITH wide AS (
+        SELECT l_returnflag,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS price,
+               CAST(round(sum(CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, measure, v
+      FROM wide UNPIVOT (v FOR measure IN (qty, price, disc))
+      ORDER BY l_returnflag, measure""",
     "q30_groups_frame" -> """
       -- this DuckDB build has no GROUPS frames either ("not implemented
       -- yet"), so the oracle computes them FROM THE DEFINITION: for each
@@ -868,6 +896,7 @@ object Relational {
     "q29_salted_agg" -> q29SaltedAgg,
     "q30_groups_frame" -> q30GroupsFrame,
     "q32_pivot" -> q32Pivot,
+    "q33_unpivot" -> q33Unpivot,
     "q24_volume_pairs" -> q24VolumePairs,
     "q25_disjunctive" -> q25Disjunctive,
     "q26_global_avg_anti" -> q26GlobalAvgAnti,
