@@ -104,6 +104,44 @@ object DeltaQueries {
         round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
   }
 
+  /** Copy-on-write DELETE in the gate: write supplier partitioned by
+    * nation, DELETE a predicate that spans a partition column AND a data
+    * column (exercising partition pruning + stats skipping in the find
+    * phase and the rewrite of only touched files), aggregate the survivors.
+    * The oracle aggregates the raw fixture under NOT(predicate). */
+  private def dl06Delete(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    t(s, dir, "supplier")
+      .write.format("delta").partitionBy("s_nationkey").save(path)
+    graft.sources.delta.DeltaDml.delete(
+      s, path, "s_nationkey = 3 OR s_acctbal < 0")
+    DeltaTable.read(s, path)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+  }
+
+  /** Copy-on-write UPDATE in the gate: SET is evaluated against the
+    * pre-update row (simultaneous assignment); +100.0 on a double is
+    * bit-exact cross-engine (no rounding parity needed until the terminal
+    * decimal-domain sum). The oracle replays the UPDATE as CASE WHEN over
+    * the raw fixture. */
+  private def dl07Update(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    t(s, dir, "supplier").write.format("delta").save(path)
+    graft.sources.delta.DeltaDml.update(
+      s, path, "s_suppkey % 10 = 0",
+      Map("s_acctbal" -> "s_acctbal + 100.0", "s_name" -> "upper(s_name)"))
+    DeltaTable.read(s, path)
+      .groupBy((col("s_suppkey") % 10 === 0).cast("int").as("updated"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"),
+        max(col("s_name")).as("name_max"))
+      .orderBy(col("updated"))
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dl01_delta_roundtrip" -> """
       SELECT s_nationkey,
@@ -128,12 +166,27 @@ object DeltaQueries {
       SELECT count(*) AS n,
              CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
              CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
-      FROM supplier WHERE s_suppkey % 2 = 0""")
+      FROM supplier WHERE s_suppkey % 2 = 0""",
+    "dl06_delete" -> """
+      SELECT count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier WHERE NOT (s_nationkey = 3 OR s_acctbal < 0)""",
+    "dl07_update" -> """
+      SELECT CAST(s_suppkey % 10 = 0 AS INT) AS updated,
+             count(*) AS n,
+             CAST(round(sum(CAST(
+               CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100.0 ELSE s_acctbal END
+               AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal,
+             max(CASE WHEN s_suppkey % 10 = 0 THEN upper(s_name) ELSE s_name END) AS name_max
+      FROM supplier GROUP BY 1 ORDER BY 1""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dl01_delta_roundtrip" -> dl01Roundtrip,
     "dl02_delta_time_travel" -> dl02TimeTravel,
     "dl03_delta_pruned_read" -> dl03PrunedRead,
     "dl04_sql_insert" -> dl04SqlInsert,
-    "dl05_restore" -> dl05Restore)
+    "dl05_restore" -> dl05Restore,
+    "dl06_delete" -> dl06Delete,
+    "dl07_update" -> dl07Update)
 }

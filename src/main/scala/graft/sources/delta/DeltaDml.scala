@@ -1,0 +1,217 @@
+package graft.sources.delta
+
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Result of a DELETE / UPDATE run. */
+final case class DmlMetrics(
+    filesRewritten: Long, filesAdded: Long, rowsAffected: Long, committedVersion: Long)
+
+/** Copy-on-write row-level DML over the Delta provider — the write-path
+  * surface production Delta exposes as `DELETE FROM` / `UPDATE` and the
+  * reference cannot do at all (its write path is a documented failure,
+  * `examples/local_standalone.rs:38-47`; delta-rs grew these ops outside
+  * the reference's pinned version).
+  *
+  * Scale posture (100 TB): the expensive part of row-level DML is finding
+  * the files that actually contain matching rows. The find phase reads the
+  * table through [[DeltaTable.read]] — i.e. through the provider's file
+  * index, so PARTITION PRUNING and per-file STATS SKIPPING narrow the scan
+  * before any row is read — and resolves matching rows to their source
+  * files with `input_file_name()` in ONE distributed aggregate (per-file
+  * match counts). Only touched files are rewritten; untouched files (the
+  * overwhelming majority under a selective predicate) are carried over by
+  * the log untouched. Commit is remove+add with `dataChange=true`
+  * (incremental consumers must see a row-level change; cf. OPTIMIZE's
+  * `dataChange=false`).
+  *
+  * Concurrency: same validated commit loop as OPTIMIZE — on version
+  * conflict re-read the snapshot and ABORT if any file we are about to
+  * remove is no longer live (a concurrent Overwrite/OPTIMIZE/DML rewrote
+  * it; blindly committing would resurrect or double rows). Concurrent
+  * blind APPENDS are allowed to interleave — that is Delta's default
+  * WriteSerializable isolation: appended rows that would have matched the
+  * predicate survive, exactly as in production Delta.
+  */
+object DeltaDml {
+
+  private val mapper = new ObjectMapper()
+
+  /** `DELETE FROM table WHERE condition` (condition is a Spark SQL boolean
+    * expression over the table's columns, partition columns included). */
+  def delete(spark: SparkSession, tablePath: String, condition: String): DmlMetrics =
+    runDml(spark, tablePath, condition, set = Map.empty, op = "DELETE", () => ())
+
+  /** Test seam: `beforeCommit` runs after the rewrite is staged but before
+    * the validated commit loop (same seam as OPTIMIZE). */
+  private[graft] def delete(
+      spark: SparkSession, tablePath: String, condition: String,
+      beforeCommit: () => Unit): DmlMetrics =
+    runDml(spark, tablePath, condition, set = Map.empty, op = "DELETE", beforeCommit)
+
+  /** `UPDATE table SET col = expr, … WHERE condition`. All SET expressions
+    * are evaluated against the PRE-update row (simultaneous-assignment
+    * semantics, like SQL). Partition columns cannot be SET (a row may not
+    * change partitions in this implementation). */
+  def update(
+      spark: SparkSession,
+      tablePath: String,
+      condition: String,
+      set: Map[String, String]): DmlMetrics = {
+    require(set.nonEmpty, "UPDATE requires at least one SET assignment")
+    runDml(spark, tablePath, condition, set, op = "UPDATE", () => ())
+  }
+
+  private def runDml(
+      spark: SparkSession,
+      tablePath: String,
+      condition: String,
+      set: Map[String, String],
+      op: String,
+      beforeCommit: () => Unit): DmlMetrics = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val badSet = set.keySet.intersect(snap.partitionColumns.toSet)
+    if (badSet.nonEmpty) throw new IllegalArgumentException(
+      s"cannot SET partition column(s) ${badSet.mkString(",")}")
+    val unknown = set.keySet -- snap.schema.fieldNames
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"SET references unknown column(s) ${unknown.mkString(",")}")
+
+    // ---- 1. find: which files contain matching rows, and how many each.
+    // Goes through the provider scan, so partition pruning + stats skipping
+    // trim the read set before any row is touched.
+    val matchesByFile: Map[String, Long] =
+      DeltaTable.read(spark, tablePath)
+        .filter(expr(condition))
+        .groupBy(input_file_name().as("_gf"))
+        .count()
+        .collect()
+        .map(r => normalize(r.getString(0)) -> r.getLong(1))
+        .toMap
+    val rowsAffected = matchesByFile.values.sum
+    if (matchesByFile.isEmpty)
+      return DmlMetrics(0, 0, 0, snap.version)
+
+    val touched = snap.files.filter { f =>
+      matchesByFile.contains(normalize(
+        new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString))
+    }
+    require(touched.nonEmpty,
+      s"internal: matched files not found in snapshot (${matchesByFile.keys.take(3).mkString(",")})")
+
+    // ---- 2. rewrite touched files only: one unioned plan across partition
+    // groups (partition values re-injected — data files do not store them),
+    // a single distributed job regardless of file count.
+    val partSchema = snap.partitionSchema
+    val outCols = snap.schema.fieldNames.toIndexedSeq
+    val rewritten = touched.groupBy(_.partitionValues).map { case (pv, files) =>
+      val paths = files.map(f =>
+        new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)
+      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
+      val withParts = snap.partitionColumns.foldLeft(base) { (df, c) =>
+        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(partSchema(c).dataType))
+      }
+      if (op == "DELETE") withParts.filter(!expr(condition))
+      else {
+        // one SELECT so every SET expression sees the pre-update row
+        val cond = expr(condition)
+        withParts.select(outCols.map { c =>
+          set.get(c) match {
+            case Some(e) => when(cond, expr(e).cast(snap.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      }
+    }.reduce(_ unionByName _)
+      .select(outCols.map(col): _*)
+
+    // ---- 3. stage + publish like DeltaWriter/OPTIMIZE
+    val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
+    val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val writer = rewritten.write.mode(SaveMode.Overwrite)
+    (if (snap.partitionColumns.nonEmpty) writer.partitionBy(snap.partitionColumns: _*)
+     else writer).parquet(stagingDir.toString)
+
+    val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
+    val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString), snap.dataSchema)
+    val adds = stagedFiles.map { staged =>
+      val rel = DeltaWriter.relativize(stagingDir, staged)
+      val target = new Path(tablePath, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(staged, target))
+        throw new java.io.IOException(s"failed to publish $staged -> $target")
+      val st = fs.getFileStatus(target)
+      (rel, DeltaWriter.partitionValuesOf(rel, snap.partitionColumns), st.getLen,
+        st.getModificationTime, stats.get(staged.toString))
+    }
+    fs.delete(stagingDir, true)
+
+    // ---- 4. validated commit loop (abort if a touched file was rewritten
+    // by a concurrent commit between our snapshot and our commit)
+    beforeCommit()
+    var attempt = 0
+    var committedVersion = -1L
+    while (committedVersion < 0 && attempt < 20) {
+      val latest = DeltaLog.snapshot(spark, tablePath)
+      val live = latest.files.map(_.path).toSet
+      val gone = touched.filterNot(f => live.contains(f.path))
+      if (gone.nonEmpty) {
+        adds.foreach { case (rel, _, _, _, _) =>
+          fs.delete(new Path(tablePath, rel), false)
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"$op aborted on $tablePath: ${gone.size} of ${touched.size} " +
+            s"source file(s) were removed by a concurrent commit " +
+            s"(e.g. ${gone.head.path}); rerun against the new snapshot")
+      }
+      val version = latest.version + 1
+      val lines = Seq.newBuilder[String]
+      val ciLine = mapper.createObjectNode()
+      val ci = ciLine.putObject("commitInfo")
+      ci.put("timestamp", System.currentTimeMillis())
+      ci.put("operation", op)
+      val params = ci.putObject("operationParameters")
+      params.put("predicate", condition)
+      if (set.nonEmpty) params.put("set", set.map { case (k, v) => s"$k = $v" }.mkString(", "))
+      ci.put("engineInfo", "graft-spark/0.1.0")
+      lines += mapper.writeValueAsString(ciLine)
+      touched.foreach { f =>
+        val rmLine = mapper.createObjectNode()
+        val r = rmLine.putObject("remove")
+        r.put("path", f.path)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", true)
+        lines += mapper.writeValueAsString(rmLine)
+      }
+      adds.foreach { case (rel, pv, size, modTime, st) =>
+        val addLine = mapper.createObjectNode()
+        val a = addLine.putObject("add")
+        a.put("path", DeltaWriter.encodePath(rel))
+        val pvNode = a.putObject("partitionValues")
+        pv.foreach { case (k, v) => if (v == null) pvNode.putNull(k) else pvNode.put(k, v) }
+        a.put("size", size)
+        a.put("modificationTime", modTime)
+        a.put("dataChange", true)
+        st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
+        lines += mapper.writeValueAsString(addLine)
+      }
+      if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
+        committedVersion = version
+      attempt += 1
+    }
+    if (committedVersion < 0) throw new java.io.IOException(
+      s"$op could not commit to $tablePath after $attempt attempts")
+    DmlMetrics(touched.size, adds.size, rowsAffected, committedVersion)
+  }
+
+  /** input_file_name() URIs and Path.toString spellings differ
+    * (file:///x vs file:/x) — compare on the scheme-less path. */
+  private def normalize(uri: String): String =
+    try new Path(new java.net.URI(uri)).toUri.getPath
+    catch { case _: Exception => new Path(uri).toUri.getPath }
+}

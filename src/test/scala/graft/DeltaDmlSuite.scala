@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta.{DeltaDml, DeltaLog, DeltaTable, DeltaWriter}
+
+/** Copy-on-write DELETE / UPDATE specs: only touched files are rewritten,
+  * SET is simultaneous, history survives, concurrent removals abort. */
+class DeltaDmlSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Partitioned table: partitions a/b, two files each (two appends). */
+  private def freshTable(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml").toString
+    (0 until 2).foreach { i =>
+      val df = Seq(
+        (i * 10 + 1, "a", 100 + i), (i * 10 + 2, "a", 200 + i),
+        (i * 10 + 3, "b", 300 + i), (i * 10 + 4, "b", 400 + i))
+        .toDF("id", "k", "v").coalesce(1) // one file per hive partition per append
+      DeltaWriter.write(df, dir, SaveMode.Append, Seq("k"))
+    }
+    dir
+  }
+
+  test("delete rewrites only files containing matching rows") {
+    val dir = freshTable()
+    val before = DeltaLog.snapshot(spark, dir)
+    assert(before.files.size === 4)
+
+    // predicate matches rows in partition a, second append only (v >= 201)
+    val m = DeltaDml.delete(spark, dir, "k = 'a' AND v >= 201")
+    assert(m.rowsAffected === 1)   // (12, a, 201)
+    assert(m.filesRewritten === 1) // only the one a-file from append #2
+    assert(m.committedVersion === before.version + 1)
+
+    val rows = DeltaTable.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("k"), r.getAs[Int]("v"))).toSeq
+    assert(rows === Seq(
+      (1, "a", 100), (2, "a", 200), (3, "b", 300), (4, "b", 400),
+      (11, "a", 101), (13, "b", 301), (14, "b", 401)))
+
+    // untouched files carried over byte-identically (same add paths)
+    val after = DeltaLog.snapshot(spark, dir)
+    val beforePaths = before.files.map(_.path).toSet
+    assert(after.files.count(f => beforePaths.contains(f.path)) === 3)
+
+    // time travel still sees the deleted row
+    assert(DeltaTable.readVersion(spark, dir, before.version).count() === 8)
+  }
+
+  test("delete matching nothing is a no-op (no commit)") {
+    val dir = freshTable()
+    val before = DeltaLog.snapshot(spark, dir)
+    val m = DeltaDml.delete(spark, dir, "v > 100000")
+    assert(m.rowsAffected === 0 && m.committedVersion === before.version)
+    assert(DeltaLog.snapshot(spark, dir).version === before.version)
+  }
+
+  test("update applies SET simultaneously against the pre-update row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml-swap").toString
+    DeltaWriter.write(
+      Seq((1, 10, 20), (2, 30, 40)).toDF("id", "x", "y"),
+      dir, SaveMode.Append, Nil)
+    // swap: both expressions must see the ORIGINAL x and y
+    val m = DeltaDml.update(spark, dir, "id = 1", Map("x" -> "y", "y" -> "x"))
+    assert(m.rowsAffected === 1)
+    val rows = DeltaTable.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Int]("x"), r.getAs[Int]("y"))).toSeq
+    assert(rows === Seq((1, 20, 10), (2, 30, 40)))
+  }
+
+  test("update rejects SET on a partition column or unknown column") {
+    val dir = freshTable()
+    intercept[IllegalArgumentException] {
+      DeltaDml.update(spark, dir, "id = 1", Map("k" -> "'z'"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaDml.update(spark, dir, "id = 1", Map("nope" -> "1"))
+    }
+  }
+
+  test("delete aborts when a concurrent commit removed a touched file") {
+    val dir = freshTable()
+    // race injected at the seam: overwrite the whole table (removing every
+    // live file) after DELETE staged its rewrite but before it commits
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      DeltaDml.delete(spark, dir, "k = 'a'", { () =>
+        import spark.implicits._
+        DeltaWriter.write(
+          Seq((99, "a", 999)).toDF("id", "k", "v"),
+          dir, SaveMode.Overwrite, Seq("k"))
+      })
+    }
+    assert(ex.getMessage.contains("DELETE aborted"))
+    // the concurrent overwrite's data is intact; no stale rewrite leaked
+    val rows = DeltaTable.read(spark, dir)
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("k"), r.getAs[Int]("v"))).toSeq
+    assert(rows === Seq((99, "a", 999)))
+  }
+
+  test("history records DELETE and UPDATE operations") {
+    val dir = freshTable()
+    DeltaDml.delete(spark, dir, "v = 400")
+    DeltaDml.update(spark, dir, "v = 300", Map("v" -> "v + 1"))
+    val ops = graft.sources.delta.DeltaMaintenance.history(spark, dir)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.take(2) === Seq("UPDATE", "DELETE"))
+  }
+}
