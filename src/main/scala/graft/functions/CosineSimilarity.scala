@@ -115,6 +115,14 @@ object GraftFunctions {
       }
       WordNGrams(exprs.head, n)
     },
+    "gcd" -> { exprs =>
+      require(exprs.length == 2, s"gcd expects 2 arguments, got ${exprs.length}")
+      Gcd(exprs.head, exprs(1))
+    },
+    "lcm" -> { exprs =>
+      require(exprs.length == 2, s"lcm expects 2 arguments, got ${exprs.length}")
+      Lcm(exprs.head, exprs(1))
+    },
     "word_ngrams_arr" -> { exprs =>
       require(exprs.length == 2, s"word_ngrams_arr expects 2 arguments, got ${exprs.length}")
       val n = exprs(1) match {

@@ -454,6 +454,72 @@ object Functions {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Math surface #2, closing the §2.3 math row: gcd/lcm (NATIVE codegen'd
+    * expressions, [[graft.functions.Gcd]] — absent from Spark's builtin
+    * registry), nanvl/isnan (the NaN is injected as a literal on both
+    * sides: float 0/0 is NaN in Spark but NULL in DuckDB, so arithmetic
+    * NaN generation is not cross-engine), pmod (DuckDB % follows the
+    * dividend sign → oracle composes ((a%b)+b)%b), width_bucket (DuckDB
+    * lacks it → oracle recomputes from the definition; inputs are small
+    * exact ints and the bucket width is a power of two, so the division
+    * is float-exact on both engines). */
+  private def fn22Math2(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 150)
+      .withColumn("x",
+        when(col("p_partkey") % 7 === 0, lit(Double.NaN))
+          .otherwise(col("p_retailprice")))
+      .select(
+        col("p_partkey"),
+        expr("gcd(p_partkey, CAST(p_size AS BIGINT))").as("g"),
+        expr("lcm(p_partkey % 12 + 1, CAST(p_size % 8 + 1 AS BIGINT))").as("lc"),
+        nanvl(col("x"), lit(-1.0)).as("nv"),
+        isnan(col("x")).cast("int").as("isn"),
+        pmod(col("p_partkey") - 75, lit(7)).as("pm"),
+        expr("width_bucket(CAST(p_size AS DOUBLE), 0.0D, 52.0D, 13)").as("wb"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** String surface #4, closing the §2.3 string row: bit_length, overlay,
+    * substring_index, find_in_set, locate-with-start, elt, format_string.
+    * DuckDB lacks overlay/substring_index/find_in_set/elt → the oracle
+    * composes them from substr/string_split/list_position/list indexing
+    * (original derivations, same pattern as the GROUPS-frame oracle). */
+  private def fn23String4(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 150)
+      .select(
+        col("p_partkey"),
+        bit_length(col("p_name")).cast("long").as("bl"),
+        overlay(col("p_name"), lit("XX"), lit(3)).as("ov"),
+        substring_index(col("p_name"), " ", 2).as("si"),
+        expr("find_in_set(split_part(p_name, ' ', 1), 'small,red,blue,big')")
+          .cast("long").as("fis"),
+        locate("al", col("p_name"), 2).cast("long").as("loc"),
+        expr("elt(p_size % 3 + 1, 'x', 'y', 'z')").as("el"),
+        format_string("%s#%04d", expr("split_part(p_name, ' ', 2)"), col("p_partkey")).as("fmt"))
+      .orderBy(col("p_partkey"))
+
+  /** Regex surface #2: regexp_substr (NULL on no match → coalesce'' to
+    * DuckDB regexp_extract's ''), regexp_instr (absent in DuckDB — the
+    * oracle recovers the match position as strpos(s, match): for a pure
+    * unanchored pattern the leftmost-match property makes the first
+    * literal occurrence of the matched text BE the match position),
+    * group extraction, backreference-style replacement ($1 vs \1, 'g'
+    * flag for DuckDB's default-first-only replace). */
+  private def fn24Regex2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 150)
+      .select(
+        col("p_partkey"),
+        coalesce(regexp_substr(col("p_name"), lit("[a-z]+ol[a-z]+")), lit("")).as("rs"),
+        expr("regexp_instr(p_name, '[a-z]+ol[a-z]+')").cast("long").as("ri"),
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("rx"),
+        regexp_replace(col("p_name"), "([aeiou])", "<$1>").as("rr"),
+        col("p_name").rlike("^[a-z]+ ").cast("int").as("rl"))
+      .orderBy(col("p_partkey"))
+
   // -------------------------------------------------------------------------
   // Unnest / table functions / recursion (§2.2 tail)
   // -------------------------------------------------------------------------
@@ -702,6 +768,43 @@ object Functions {
                    * 1000000.0) / 1000000.0 AS tnh
       FROM lineitem WHERE l_orderkey <= 200
       ORDER BY l_orderkey, l_linenumber""",
+    "fn22_math2" -> """
+      SELECT p_partkey,
+             gcd(p_partkey, CAST(p_size AS BIGINT)) AS g,
+             lcm(p_partkey % 12 + 1, CAST(p_size % 8 + 1 AS BIGINT)) AS lc,
+             CASE WHEN isnan(x) THEN -1.0 ELSE x END AS nv,
+             CAST(isnan(x) AS INT) AS isn,
+             CAST(((p_partkey - 75) % 7 + 7) % 7 AS BIGINT) AS pm,
+             CASE WHEN CAST(p_size AS DOUBLE) < 0.0 THEN 0
+                  WHEN CAST(p_size AS DOUBLE) >= 52.0 THEN 14
+                  ELSE CAST(floor(CAST(p_size AS DOUBLE) / 4.0) AS BIGINT) + 1 END AS wb
+      FROM (SELECT *,
+              CASE WHEN p_partkey % 7 = 0 THEN CAST('nan' AS DOUBLE)
+                   ELSE p_retailprice END AS x
+            FROM part)
+      WHERE p_partkey <= 150 ORDER BY p_partkey""",
+    "fn23_string4" -> """
+      SELECT p_partkey,
+             CAST(bit_length(p_name) AS BIGINT) AS bl,
+             substr(p_name, 1, 2) || 'XX' || substr(p_name, 5) AS ov,
+             array_to_string((string_split(p_name, ' '))[1:2], ' ') AS si,
+             CAST(coalesce(list_position(string_split('small,red,blue,big', ','),
+                                         split_part(p_name, ' ', 1)), 0) AS BIGINT) AS fis,
+             CAST(CASE WHEN strpos(substr(p_name, 2), 'al') = 0 THEN 0
+                       ELSE strpos(substr(p_name, 2), 'al') + 1 END AS BIGINT) AS loc,
+             (['x','y','z'])[p_size % 3 + 1] AS el,
+             printf('%s#%04d', split_part(p_name, ' ', 2), p_partkey) AS fmt
+      FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""",
+    "fn24_regex2" -> """
+      SELECT p_partkey,
+             regexp_extract(p_name, '[a-z]+ol[a-z]+') AS rs,
+             CAST(CASE WHEN regexp_extract(p_name, '[a-z]+ol[a-z]+') = '' THEN 0
+                       ELSE strpos(p_name, regexp_extract(p_name, '[a-z]+ol[a-z]+')) END
+                  AS BIGINT) AS ri,
+             regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS rx,
+             regexp_replace(p_name, '([aeiou])', '<\1>', 'g') AS rr,
+             CAST(regexp_matches(p_name, '^[a-z]+ ') AS INT) AS rl
+      FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""",
     "fn20_string3" -> """
       SELECT p_partkey,
              CAST(levenshtein(split_part(p_name, ' ', 1), 'small') AS BIGINT) AS lev,
@@ -783,6 +886,9 @@ object Functions {
     "fn19_bitwise" -> fn19Bitwise,
     "fn20_string3" -> fn20String3,
     "fn21_trig" -> fn21Trig,
+    "fn22_math2" -> fn22Math2,
+    "fn23_string4" -> fn23String4,
+    "fn24_regex2" -> fn24Regex2,
     "un01_explode" -> un01Explode,
     "un02_posexplode" -> un02Posexplode,
     "un03_sequence_join" -> un03SequenceJoin,
