@@ -142,6 +142,33 @@ object DeltaQueries {
       .orderBy(col("updated"))
   }
 
+  /** MERGE (upsert) in the gate: target = even-key suppliers; source =
+    * suppliers with key % 4 == 0 (matched → UPDATE bal + name) plus odd
+    * keys (not matched → INSERT). The oracle replays the merge over the
+    * raw fixture: evens get the CASE-WHEN update, odds union in. */
+  private def dl08Merge(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    supplier.filter(col("s_suppkey") % 2 === 0)
+      .write.format("delta").save(path)
+    val source = supplier.filter(col("s_suppkey") % 4 === 0 || col("s_suppkey") % 2 === 1)
+    graft.sources.delta.DeltaMerge.merge(
+      s, path, source,
+      condition = "t.s_suppkey = s.s_suppkey",
+      matchedUpdate = Some(Map(
+        "s_acctbal" -> "s.s_acctbal + 50.0",
+        "s_name" -> "upper(s.s_name)")),
+      notMatchedInsert = Some(
+        supplier.columns.map(c => c -> s"s.$c").toMap))
+    DeltaTable.read(s, path)
+      .groupBy((col("s_suppkey") % 2).cast("int").as("parity"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"),
+        max(col("s_name")).as("name_max"))
+      .orderBy(col("parity"))
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dl01_delta_roundtrip" -> """
       SELECT s_nationkey,
@@ -179,7 +206,20 @@ object DeltaQueries {
                CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100.0 ELSE s_acctbal END
                AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal,
              max(CASE WHEN s_suppkey % 10 = 0 THEN upper(s_name) ELSE s_name END) AS name_max
-      FROM supplier GROUP BY 1 ORDER BY 1""")
+      FROM supplier GROUP BY 1 ORDER BY 1""",
+    "dl08_merge" -> """
+      WITH merged AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 4 = 0 THEN s_acctbal + 50.0 ELSE s_acctbal END AS s_acctbal,
+               CASE WHEN s_suppkey % 4 = 0 THEN upper(s_name) ELSE s_name END AS s_name
+        FROM supplier WHERE s_suppkey % 2 = 0
+        UNION ALL
+        SELECT s_suppkey, s_acctbal, s_name FROM supplier WHERE s_suppkey % 2 = 1)
+      SELECT CAST(s_suppkey % 2 AS INT) AS parity,
+             count(*) AS n,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal,
+             max(s_name) AS name_max
+      FROM merged GROUP BY 1 ORDER BY 1""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dl01_delta_roundtrip" -> dl01Roundtrip,
@@ -188,5 +228,6 @@ object DeltaQueries {
     "dl04_sql_insert" -> dl04SqlInsert,
     "dl05_restore" -> dl05Restore,
     "dl06_delete" -> dl06Delete,
-    "dl07_update" -> dl07Update)
+    "dl07_update" -> dl07Update,
+    "dl08_merge" -> dl08Merge)
 }
