@@ -520,6 +520,44 @@ object Functions {
         col("p_name").rlike("^[a-z]+ ").cast("int").as("rl"))
       .orderBy(col("p_partkey"))
 
+  /** Datetime surface #3: make_date, date_part, whole-month
+    * months_between (both sides truncated to month-firsts so the result
+    * is an exact integer — Spark's /31 fractional rule never engages),
+    * last_day, datediff (DuckDB spells it date_diff('day', a, b)),
+    * dayofweek (Spark is 1=Sunday, DuckDB 0=Sunday → +1), dayofyear. */
+  private def fn25Datetime3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .select(
+        col("o_orderkey"),
+        make_date(lit(1995), (col("o_orderkey") % 12 + 1).cast("int"), lit(15)).as("md"),
+        expr("date_part('YEAR', d)").cast("long").as("dp_y"),
+        months_between(date_trunc("month", col("d")), lit("1995-06-01").cast("date")).as("mb"),
+        last_day(col("d")).as("ld"),
+        datediff(lit("1996-01-01").cast("date"), col("d")).cast("long").as("dd"),
+        dayofweek(col("d")).cast("long").as("dw"),
+        dayofyear(col("d")).cast("long").as("dy"))
+      .orderBy(col("o_orderkey"))
+
+  /** Aggregate surface #2: max_by/min_by (= DuckDB arg_max/arg_min; the
+    * ordering key l_orderkey*8+l_linenumber is UNIQUE per row, so ties —
+    * where the two engines may legitimately disagree — cannot occur),
+    * count_if, and DISTINCT-set sum/avg (distinct l_quantity values are
+    * small integers-as-doubles: their sum is exact in any order, so no
+    * rounding parity is needed). */
+  private def fn26Agg2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("max_by(l_partkey, l_orderkey * 8 + l_linenumber)").as("mxb"),
+        expr("min_by(l_partkey, l_orderkey * 8 + l_linenumber)").as("mnb"),
+        expr("count_if(l_discount > 0.05)").as("cif"),
+        sumDistinct(col("l_quantity")).as("sd"),
+        expr("avg(DISTINCT l_quantity)").as("ad"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   // -------------------------------------------------------------------------
   // Unnest / table functions / recursion (§2.2 tail)
   // -------------------------------------------------------------------------
@@ -805,6 +843,27 @@ object Functions {
              regexp_replace(p_name, '([aeiou])', '<\1>', 'g') AS rr,
              CAST(regexp_matches(p_name, '^[a-z]+ ') AS INT) AS rl
       FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""",
+    "fn25_datetime3" -> """
+      SELECT o_orderkey,
+             make_date(1995, CAST(o_orderkey % 12 + 1 AS INT), 15) AS md,
+             CAST(date_part('year', d) AS BIGINT) AS dp_y,
+             CAST((date_part('year', d) - 1995) * 12 + (date_part('month', d) - 6)
+                  AS DOUBLE) AS mb,
+             last_day(d) AS ld,
+             CAST(date_diff('day', d, DATE '1996-01-01') AS BIGINT) AS dd,
+             CAST(dayofweek(d) + 1 AS BIGINT) AS dw,
+             CAST(dayofyear(d) AS BIGINT) AS dy
+      FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+      WHERE o_orderkey <= 200 ORDER BY o_orderkey""",
+    "fn26_agg2" -> """
+      SELECT l_returnflag,
+             arg_max(l_partkey, l_orderkey * 8 + l_linenumber) AS mxb,
+             arg_min(l_partkey, l_orderkey * 8 + l_linenumber) AS mnb,
+             count_if(l_discount > 0.05) AS cif,
+             sum(DISTINCT l_quantity) AS sd,
+             avg(DISTINCT l_quantity) AS ad,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "fn20_string3" -> """
       SELECT p_partkey,
              CAST(levenshtein(split_part(p_name, ' ', 1), 'small') AS BIGINT) AS lev,
@@ -889,6 +948,8 @@ object Functions {
     "fn22_math2" -> fn22Math2,
     "fn23_string4" -> fn23String4,
     "fn24_regex2" -> fn24Regex2,
+    "fn25_datetime3" -> fn25Datetime3,
+    "fn26_agg2" -> fn26Agg2,
     "un01_explode" -> un01Explode,
     "un02_posexplode" -> un02Posexplode,
     "un03_sequence_join" -> un03SequenceJoin,
