@@ -123,6 +123,7 @@ object GraftFunctions {
       require(exprs.length == 2, s"lcm expects 2 arguments, got ${exprs.length}")
       Lcm(exprs.head, exprs(1))
     },
+    "interleave_bits" -> { exprs => InterleaveBits(exprs) },
     "word_ngrams_arr" -> { exprs =>
       require(exprs.length == 2, s"word_ngrams_arr expects 2 arguments, got ${exprs.length}")
       val n = exprs(1) match {

@@ -164,6 +164,191 @@ object DeltaMaintenance {
     OptimizeMetrics(removed.size, adds.size, removed.map(_.size).sum, committedVersion)
   }
 
+  /** `OPTIMIZE … ZORDER BY (cols)`: rewrite the table (per partition)
+    * clustered along a Morton curve over `zorderBy`, so every output
+    * file's min/max stats are tight on EVERY clustered column — the
+    * multi-column stats-skipping story at 100 TB (a total sort by one
+    * column gives perfect skipping on it and none on the others; the
+    * Z-curve trades a little of each for skipping on all).
+    *
+    * Mechanics: each column is quantized to an 8-bit bucket by linear
+    * min/max scaling (one stats-only aggregate scan computes the bounds;
+    * numeric columns only in this implementation), buckets are interleaved
+    * by the codegen'd [[graft.functions.InterleaveBits]] expression, and
+    * the data is range-repartitioned + sorted by the Z value before the
+    * staged write. Commits `remove`+`add` with `dataChange=false` exactly
+    * like plain OPTIMIZE — readers of any version stay correct, and the
+    * same concurrent-removal conflict validation applies.
+    *
+    * @param outputFiles overrides the size-derived output file count
+    *                    (test seam / explicit tuning) */
+  def zorder(
+      spark: SparkSession,
+      tablePath: String,
+      zorderBy: Seq[String],
+      targetFileBytes: Long = 128L << 20,
+      outputFiles: Option[Int] = None): OptimizeMetrics = {
+    require(zorderBy.size >= 2 && zorderBy.size <= 4,
+      s"ZORDER BY expects 2 to 4 columns, got ${zorderBy.size}")
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val badPart = zorderBy.filter(snap.partitionColumns.contains)
+    require(badPart.isEmpty,
+      s"cannot ZORDER BY partition column(s) ${badPart.mkString(",")} " +
+        "(they are constant within every rewritten file)")
+    val nonNumeric = zorderBy.filter(c => !snap.schema(c).dataType.isInstanceOf[NumericType])
+    require(nonNumeric.isEmpty,
+      s"ZORDER BY supports numeric columns; got ${nonNumeric.mkString(",")}")
+    if (snap.files.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)
+    graft.functions.GraftFunctions.register(spark)
+
+    // bucket bounds: one stats-only scan (vectorized min/max over the
+    // zorder columns — the rewrite below reads everything anyway)
+    val boundsRow = DeltaTable.read(spark, tablePath)
+      .agg(
+        min(col(zorderBy.head).cast("double")).as("mn0"),
+        (zorderBy.tail.flatMap(c => Seq(
+          min(col(c).cast("double")), max(col(c).cast("double")))) :+
+          max(col(zorderBy.head).cast("double"))): _*)
+      .collect()(0)
+    val bounds: Seq[(Double, Double)] = {
+      // an all-NULL column has NULL min/max → degenerate (0,0) → bucket 0
+      def d(i: Int) = if (boundsRow.isNullAt(i)) 0.0 else boundsRow.getDouble(i)
+      (d(0), d(boundsRow.length - 1)) +: zorderBy.tail.indices.map(i =>
+        (d(1 + 2 * i), d(2 + 2 * i)))
+    }
+    val bucketSql = zorderBy.zip(bounds).map { case (c, (mn, mx)) =>
+      if (mx <= mn) "0"
+      else s"CAST(least(greatest(floor((CAST($c AS DOUBLE) - $mn) / ${mx - mn} * 256.0), 0.0), 255.0) AS INT)"
+    }
+    val zExpr = s"interleave_bits(${bucketSql.mkString(", ")})"
+
+    val partSchema = snap.partitionSchema
+    val clustered = snap.files.groupBy(_.partitionValues).map { case (pv, files) =>
+      val paths = files.map(f => new Path(tablePath, decodeRel(f.path)).toString)
+      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
+      snap.partitionColumns.foldLeft(base) { (df, c) =>
+        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(partSchema(c).dataType))
+      }
+    }.reduce(_ unionByName _)
+      .withColumn("_z", expr(zExpr))
+    val numOut = outputFiles.getOrElse(
+      math.max(1, (snap.files.map(_.size).sum / math.max(1L, targetFileBytes)).toInt + 1))
+    // range by (partition cols, z): output partitions stay within one hive
+    // dir (≈ one file each), Z-ordered inside
+    val rangeCols = (snap.partitionColumns.map(col) :+ col("_z"))
+    val rewritten = clustered
+      .repartitionByRange(numOut, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+
+    val (adds, fs) = stagePublish(spark, tablePath, snap, rewritten)
+    val removed = snap.files
+    val committed = commitReplace(spark, tablePath, fs, removed, adds,
+      dataChange = false, op = "OPTIMIZE",
+      params = Map("zOrderBy" -> zorderBy.mkString(","), "targetFileBytes" -> targetFileBytes.toString),
+      abortOp = "ZORDER")
+    OptimizeMetrics(removed.size, adds.size, removed.map(_.size).sum, committed)
+  }
+
+  /** Stage `df` under the table dir, publish the parquet files into place,
+    * and return the pending add tuples (rel path, partition values, size,
+    * mtime, stats) + the filesystem handle. */
+  private def stagePublish(
+      spark: SparkSession,
+      tablePath: String,
+      snap: DeltaSnapshot,
+      df: DataFrame): (Seq[(String, Map[String, String], Long, Long,
+        Option[com.fasterxml.jackson.databind.node.ObjectNode])],
+        org.apache.hadoop.fs.FileSystem) = {
+    val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
+    val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (snap.partitionColumns.nonEmpty) writer.partitionBy(snap.partitionColumns: _*)
+     else writer).parquet(stagingDir.toString)
+    val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
+    val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString), snap.dataSchema)
+    val adds = stagedFiles.map { staged =>
+      val rel = DeltaWriter.relativize(stagingDir, staged)
+      val target = new Path(tablePath, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(staged, target))
+        throw new java.io.IOException(s"failed to publish $staged -> $target")
+      val st = fs.getFileStatus(target)
+      (rel, DeltaWriter.partitionValuesOf(rel, snap.partitionColumns), st.getLen,
+        st.getModificationTime, stats.get(staged.toString))
+    }
+    fs.delete(stagingDir, true)
+    (adds, fs)
+  }
+
+  /** Validated remove+add commit loop shared by the rewrite operations:
+    * re-reads the snapshot each attempt and aborts (cleaning up the staged
+    * adds) if any file in `removed` was removed by a concurrent commit. */
+  private def commitReplace(
+      spark: SparkSession,
+      tablePath: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      removed: Seq[DeltaAddFile],
+      adds: Seq[(String, Map[String, String], Long, Long,
+        Option[com.fasterxml.jackson.databind.node.ObjectNode])],
+      dataChange: Boolean,
+      op: String,
+      params: Map[String, String],
+      abortOp: String): Long = {
+    var attempt = 0
+    var committedVersion = -1L
+    while (committedVersion < 0 && attempt < 20) {
+      val latest = DeltaLog.snapshot(spark, tablePath)
+      val live = latest.files.map(_.path).toSet
+      val gone = removed.filterNot(f => live.contains(f.path))
+      if (gone.nonEmpty) {
+        adds.foreach { case (rel, _, _, _, _) =>
+          fs.delete(new Path(tablePath, rel), false)
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"$abortOp aborted on $tablePath: ${gone.size} of ${removed.size} " +
+            s"source file(s) were removed by a concurrent commit " +
+            s"(e.g. ${gone.head.path}); rerun against the new snapshot")
+      }
+      val version = latest.version + 1
+      val lines = Seq.newBuilder[String]
+      val ciLine = mapper.createObjectNode()
+      val ci = ciLine.putObject("commitInfo")
+      ci.put("timestamp", System.currentTimeMillis())
+      ci.put("operation", op)
+      val p = ci.putObject("operationParameters")
+      params.foreach { case (k, v) => p.put(k, v) }
+      ci.put("engineInfo", "graft-spark/0.1.0")
+      lines += mapper.writeValueAsString(ciLine)
+      removed.foreach { f =>
+        val rmLine = mapper.createObjectNode()
+        val r = rmLine.putObject("remove")
+        r.put("path", f.path)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", dataChange)
+        lines += mapper.writeValueAsString(rmLine)
+      }
+      adds.foreach { case (rel, pv, size, modTime, st) =>
+        val addLine = mapper.createObjectNode()
+        val a = addLine.putObject("add")
+        a.put("path", DeltaWriter.encodePath(rel))
+        val pvNode = a.putObject("partitionValues")
+        pv.foreach { case (k, v) => if (v == null) pvNode.putNull(k) else pvNode.put(k, v) }
+        a.put("size", size)
+        a.put("modificationTime", modTime)
+        a.put("dataChange", dataChange)
+        st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
+        lines += mapper.writeValueAsString(addLine)
+      }
+      if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
+        committedVersion = version
+      attempt += 1
+    }
+    if (committedVersion < 0) throw new java.io.IOException(
+      s"$abortOp could not commit to $tablePath after $attempt attempts")
+    committedVersion
+  }
+
   /** Delete data files not referenced by the CURRENT snapshot whose
     * modification time is older than `retentionMs`. Returns #deleted.
     * Time travel to versions needing those files stops working — that is

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta.{DeltaLog, DeltaMaintenance, DeltaTable, DeltaWriter}
+
+/** OPTIMIZE ZORDER BY: Morton clustering tightens per-file min/max stats
+  * on EVERY clustered column (the multi-column stats-skipping predicate
+  * for 100 TB scans). */
+class ZOrderSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  /** Full 32×32 (x, y) grid, hash-shuffled into 4 files: before Z-order,
+    * each file's x and y ranges cover ~the whole domain. */
+  private def gridTable(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y))
+      .toDF("x", "y")
+      .orderBy(hash(col("x"), col("y")))
+      .repartition(4)
+    DeltaWriter.write(grid, dir, SaveMode.Append, Nil)
+    dir
+  }
+
+  /** Mean over files of (x-span × y-span) / domain area — 1.0 ≈ random
+    * placement, 0.25 ≈ perfect 4-quadrant clustering. */
+  private def meanAreaFraction(dir: String): Double = {
+    val snap = DeltaLog.snapshot(spark, dir)
+    val fracs = snap.files.map { f =>
+      val stats = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(f.stats.get)
+      def span(c: String): Double =
+        (stats.get("maxValues").get(c).asDouble() -
+          stats.get("minValues").get(c).asDouble() + 1) / 32.0
+      span("x") * span("y")
+    }
+    fracs.sum / fracs.size
+  }
+
+  test("zorder clusters both columns; data, stats and history survive") {
+    val dir = gridTable()
+    val before = meanAreaFraction(dir)
+    assert(before > 0.8, s"hash-shuffled files should be unclustered, got $before")
+    val expected = DeltaTable.read(spark, dir)
+      .orderBy("x", "y").collect().map(_.toString).toSeq
+
+    val m = DeltaMaintenance.zorder(spark, dir, Seq("x", "y"), outputFiles = Some(4))
+    assert(m.filesRemoved === 4)
+    assert(m.filesAdded >= 3) // range partitioner may emit an empty slice
+
+    val after = meanAreaFraction(dir)
+    assert(after < 0.5, s"Z-ordered files should cluster both columns, got $after")
+
+    // data intact, stats re-collected, dataChange=false time travel intact
+    val got = DeltaTable.read(spark, dir)
+      .orderBy("x", "y").collect().map(_.toString).toSeq
+    assert(got === expected)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.forall(_.stats.nonEmpty))
+    assert(DeltaTable.readVersion(spark, dir, 0L).count() === 1024)
+    val ops = DeltaMaintenance.history(spark, dir)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.head === "OPTIMIZE")
+  }
+
+  test("zorder rejects partition columns, non-numeric columns, bad arity") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder-bad").toString
+    DeltaWriter.write(
+      Seq((1, "a", 2.0, "s")).toDF("x", "k", "y", "t").coalesce(1),
+      dir, SaveMode.Append, Seq("k"))
+    intercept[IllegalArgumentException] {
+      DeltaMaintenance.zorder(spark, dir, Seq("x", "k"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaMaintenance.zorder(spark, dir, Seq("x", "t"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaMaintenance.zorder(spark, dir, Seq("x"))
+    }
+  }
+
+  test("interleave_bits: Morton encoding, null-as-zero, codegen = kernel") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // bit i of arg j lands at i*n + j
+    val r = spark.sql(
+      "SELECT interleave_bits(1, 0) a, interleave_bits(0, 1) b, " +
+        "interleave_bits(255, 255) c, interleave_bits(CAST(NULL AS INT), 3) d")
+      .collect()(0)
+    assert(r.getLong(0) === 1L)     // x bit0 -> bit0
+    assert(r.getLong(1) === 2L)     // y bit0 -> bit1
+    assert(r.getLong(2) === 65535L) // all 16 bits set
+    assert(r.getLong(3) === 10L)    // null -> 0; 3 -> bits 1,3 of y lane
+    // monotone-in-quadrant property over a small grid
+    val z = (for { x <- 0 until 4; y <- 0 until 4 } yield (x, y))
+      .toDF("x", "y")
+      .selectExpr("x", "y", "interleave_bits(x * 64, y * 64) AS z")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    // quadrant of (x, y) is determined by the top interleaved bits
+    assert(z((0, 0)) < z((2, 2)))
+    assert(z((1, 1)) < z((2, 0)) || z((1, 1)) < z((0, 2))) // low quadrant before highs
+  }
+}
