@@ -1,0 +1,115 @@
+package graft.sources.delta
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thrown when a write would violate a CHECK constraint. */
+final class DeltaConstraintViolationException(msg: String)
+  extends IllegalArgumentException(msg)
+
+/** CHECK constraints, stored exactly where the Delta protocol puts them:
+  * `metaData.configuration["delta.constraints.<name>"] = <sql expr>`.
+  * Enforcement is SQL-standard — a row violates only when the expression
+  * evaluates to FALSE (NULL passes) — and happens on every row-producing
+  * commit path: appends/overwrites ([[DeltaWriter.write]]), UPDATE
+  * rewrites ([[DeltaDml]]) and MERGE rewrites+inserts ([[DeltaMerge]]).
+  * DELETE never creates rows, so it never checks.
+  *
+  * Scale note: validation is one extra `filter(violated).limit(1)` pass
+  * over the rows being written (NOT over the table) — the same rows are
+  * about to be parquet-encoded anyway, so the marginal cost is one
+  * predicate evaluation per written row.
+  */
+object DeltaConstraints {
+
+  private val mapper = new ObjectMapper()
+  val ConfPrefix = "delta.constraints."
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)`: validates EXISTING
+    * rows first (production Delta scans the table before accepting the
+    * constraint), then commits a metaData re-emission with the constraint
+    * in the configuration. */
+  def addCheckConstraint(
+      spark: SparkSession, tablePath: String, name: String, expression: String): Long = {
+    require(name.nonEmpty && !name.contains("="), s"bad constraint name: $name")
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    if (snap.metadata.configuration.contains(ConfPrefix + name))
+      throw new IllegalArgumentException(s"constraint $name already exists")
+    val existingViolation = DeltaTable.read(spark, tablePath)
+      .filter(!coalesce(expr(expression), lit(true))).limit(1).count()
+    if (existingViolation > 0) throw new DeltaConstraintViolationException(
+      s"cannot add CHECK constraint $name ($expression): existing rows violate it")
+    commitConfig(spark, tablePath,
+      snap.metadata.configuration + (ConfPrefix + name -> expression),
+      op = "ADD CONSTRAINT", paramK = "name", paramV = name)
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT name`. */
+  def dropConstraint(spark: SparkSession, tablePath: String, name: String): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    if (!snap.metadata.configuration.contains(ConfPrefix + name))
+      throw new IllegalArgumentException(s"no such constraint: $name")
+    commitConfig(spark, tablePath,
+      snap.metadata.configuration - (ConfPrefix + name),
+      op = "DROP CONSTRAINT", paramK = "name", paramV = name)
+  }
+
+  /** Constraints of a snapshot as (name, expression). */
+  def constraintsOf(snap: DeltaSnapshot): Seq[(String, String)] =
+    snap.metadata.configuration.collect {
+      case (k, v) if k.startsWith(ConfPrefix) => k.stripPrefix(ConfPrefix) -> v
+    }.toSeq.sortBy(_._1)
+
+  /** Enforce `snap`'s constraints over rows about to be committed; throws
+    * on the first violating constraint. Call before staging. */
+  private[delta] def validate(df: DataFrame, snap: DeltaSnapshot, op: String): Unit = {
+    val cs = constraintsOf(snap)
+    if (cs.isEmpty) return
+    // one pass: count violations of each constraint simultaneously
+    val aggs = cs.map { case (n, e) =>
+      count(when(!coalesce(expr(e), lit(true)), 1)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      if (row.getLong(i) > 0) throw new DeltaConstraintViolationException(
+        s"$op violates CHECK constraint $n ($e): ${row.getLong(i)} row(s)")
+    }
+  }
+
+  private def commitConfig(
+      spark: SparkSession, tablePath: String, newConfig: Map[String, String],
+      op: String, paramK: String, paramV: String): Long = {
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0 && attempt < 20) {
+      val current = DeltaLog.snapshot(spark, tablePath)
+      val lines = Seq.newBuilder[String]
+      val ciLine = mapper.createObjectNode()
+      val ci = ciLine.putObject("commitInfo")
+      ci.put("timestamp", System.currentTimeMillis())
+      ci.put("operation", op)
+      ci.putObject("operationParameters").put(paramK, paramV)
+      ci.put("engineInfo", "graft-spark/0.1.0")
+      lines += mapper.writeValueAsString(ciLine)
+      val mdLine = mapper.createObjectNode()
+      val m = mdLine.putObject("metaData")
+      m.put("id", current.metadata.id)
+      val fmt = m.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      m.put("schemaString", current.metadata.schemaString)
+      current.partitionColumns.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
+      val cfg = m.putObject("configuration")
+      newConfig.foreach { case (k, v) => cfg.put(k, v) }
+      lines += mapper.writeValueAsString(mdLine)
+      if (DeltaLog.tryCommit(spark, tablePath, current.version + 1,
+          lines.result().mkString("\n")))
+        committed = current.version + 1
+      attempt += 1
+    }
+    if (committed < 0) throw new java.io.IOException(
+      s"$op could not commit to $tablePath after $attempt attempts")
+    committed
+  }
+}

@@ -130,6 +130,9 @@ object DeltaDml {
     }.reduce(_ unionByName _)
       .select(outCols.map(col): _*)
 
+    // UPDATE creates rows -> CHECK constraints apply (DELETE never does)
+    if (op == "UPDATE") DeltaConstraints.validate(rewritten, snap, op)
+
     // ---- 3. stage + publish like DeltaWriter/OPTIMIZE
     val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
     val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -206,6 +209,7 @@ object DeltaDml {
     }
     if (committedVersion < 0) throw new java.io.IOException(
       s"$op could not commit to $tablePath after $attempt attempts")
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion)
     DmlMetrics(touched.size, adds.size, rowsAffected, committedVersion)
   }
 

@@ -78,89 +78,15 @@ object DeltaMaintenance {
       // bound output file count: ~one file per target size per partition
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
 
-    // stage the rewrite like DeltaWriter.write does
-    val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
-    val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val writer = compacted.coalesce(
-      math.max(1, (groups.values.flatten.map(_.size).sum / math.max(1L, targetFileBytes)).toInt + groups.size))
-      .write.mode(SaveMode.Overwrite)
-    (if (snap.partitionColumns.nonEmpty) writer.partitionBy(snap.partitionColumns: _*) else writer)
-      .parquet(stagingDir.toString)
-
-    val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
-    val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString), snap.dataSchema)
-    val adds = stagedFiles.map { staged =>
-      val rel = DeltaWriter.relativize(stagingDir, staged)
-      val target = new Path(tablePath, rel)
-      fs.mkdirs(target.getParent)
-      if (!fs.rename(staged, target))
-        throw new java.io.IOException(s"failed to publish $staged -> $target")
-      val st = fs.getFileStatus(target)
-      (rel, DeltaWriter.partitionValuesOf(rel, snap.partitionColumns), st.getLen,
-        st.getModificationTime, stats.get(staged.toString))
-    }
-    fs.delete(stagingDir, true)
-
+    // stage + publish + commit through the shared rewrite helpers
+    val (adds, fs) = stagePublish(spark, tablePath, snap, compacted.coalesce(
+      math.max(1, (groups.values.flatten.map(_.size).sum / math.max(1L, targetFileBytes)).toInt + groups.size)))
     val removed = groups.values.flatten.toSeq
     beforeCommit()
-    var attempt = 0
-    var committedVersion = -1L
-    while (committedVersion < 0 && attempt < 20) {
-      // Conflict validation (the same check production Delta performs for
-      // OPTIMIZE): `removed` was computed from a pre-rewrite snapshot; if a
-      // concurrent Overwrite / second OPTIMIZE has since removed any of
-      // those files, committing our stale remove+add would duplicate rows
-      // (both compactions re-add the same data) or resurrect deleted data.
-      // Re-read the latest snapshot each attempt and abort — cleaning up
-      // the staged (never-referenced) compacted files — on any conflict.
-      val latest = DeltaLog.snapshot(spark, tablePath)
-      val live = latest.files.map(_.path).toSet
-      val gone = removed.filterNot(f => live.contains(f.path))
-      if (gone.nonEmpty) {
-        adds.foreach { case (rel, _, _, _, _) =>
-          fs.delete(new Path(tablePath, rel), false)
-        }
-        throw new java.util.ConcurrentModificationException(
-          s"OPTIMIZE aborted on $tablePath: ${gone.size} of ${removed.size} " +
-            s"source file(s) were removed by a concurrent commit " +
-            s"(e.g. ${gone.head.path}); rerun OPTIMIZE against the new snapshot")
-      }
-      val version = latest.version + 1
-      val lines = Seq.newBuilder[String]
-      val ciLine = mapper.createObjectNode()
-      val ci = ciLine.putObject("commitInfo")
-      ci.put("timestamp", System.currentTimeMillis())
-      ci.put("operation", "OPTIMIZE")
-      val params = ci.putObject("operationParameters")
-      params.put("targetFileBytes", targetFileBytes)
-      ci.put("engineInfo", "graft-spark/0.1.0")
-      lines += mapper.writeValueAsString(ciLine)
-      removed.foreach { f =>
-        val rmLine = mapper.createObjectNode()
-        val r = rmLine.putObject("remove")
-        r.put("path", f.path)
-        r.put("deletionTimestamp", System.currentTimeMillis())
-        r.put("dataChange", false)
-        lines += mapper.writeValueAsString(rmLine)
-      }
-      adds.foreach { case (rel, pv, size, modTime, st) =>
-        val addLine = mapper.createObjectNode()
-        val a = addLine.putObject("add")
-        a.put("path", DeltaWriter.encodePath(rel))
-        val pvNode = a.putObject("partitionValues")
-        pv.foreach { case (k, v) => if (v == null) pvNode.putNull(k) else pvNode.put(k, v) }
-        a.put("size", size)
-        a.put("modificationTime", modTime)
-        a.put("dataChange", false)
-        st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
-        lines += mapper.writeValueAsString(addLine)
-      }
-      if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
-        committedVersion = version
-      attempt += 1
-    }
-    if (committedVersion < 0) throw new java.io.IOException(
-      s"OPTIMIZE could not commit to $tablePath after $attempt attempts")
+    val committedVersion = commitReplace(spark, tablePath, fs, removed, adds,
+      dataChange = false, op = "OPTIMIZE",
+      params = Map("targetFileBytes" -> targetFileBytes.toString),
+      abortOp = "OPTIMIZE")
     OptimizeMetrics(removed.size, adds.size, removed.map(_.size).sum, committedVersion)
   }
 
@@ -346,6 +272,7 @@ object DeltaMaintenance {
     }
     if (committedVersion < 0) throw new java.io.IOException(
       s"$abortOp could not commit to $tablePath after $attempt attempts")
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion)
     committedVersion
   }
 
@@ -452,7 +379,38 @@ object DeltaMaintenance {
     }
     if (committed < 0) throw new java.io.IOException(
       s"RESTORE could not commit to $tablePath after $attempt attempts")
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committed)
     committed
+  }
+
+  /** `DESCRIBE DETAIL`: one-row table summary — the operational numbers a
+    * 100 TB operator checks before/after maintenance (file count and bytes
+    * are what OPTIMIZE/VACUUM move). */
+  def detail(spark: SparkSession, tablePath: String): DataFrame = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val row = Row(
+      "delta",
+      snap.metadata.id,
+      tablePath,
+      snap.version,
+      snap.partitionColumns.mkString(","),
+      snap.files.size.toLong,
+      snap.files.map(_.size).sum,
+      snap.metadata.configuration.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(";"),
+      snap.protocol.minReaderVersion,
+      snap.protocol.minWriterVersion)
+    val schema = StructType(Seq(
+      StructField("format", StringType),
+      StructField("id", StringType),
+      StructField("location", StringType),
+      StructField("version", LongType),
+      StructField("partitionColumns", StringType),
+      StructField("numFiles", LongType),
+      StructField("sizeInBytes", LongType),
+      StructField("properties", StringType),
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    spark.createDataFrame(java.util.Arrays.asList(row), schema)
   }
 
   /** Commit history (newest first): version, timestamp, operation, engine. */

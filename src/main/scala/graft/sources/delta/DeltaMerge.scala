@@ -145,6 +145,8 @@ object DeltaMerge {
               }
             }: _*)
           }
+        // updated rows must satisfy the table's CHECK constraints
+        DeltaConstraints.validate(result, snap, "MERGE")
         // stage NOW (inside persist scope): the write is the terminal action
         stageAndReturn(spark, tablePath, snap, result)
       } finally tt.unpersist()
@@ -160,6 +162,7 @@ object DeltaMerge {
             case None => lit(null).cast(snap.schema(c).dataType).as(c)
           }
         }: _*)
+      DeltaConstraints.validate(insertRows, snap, "MERGE INSERT")
       stageAndReturn(spark, tablePath, snap, insertRows)
     }
 
@@ -221,6 +224,7 @@ object DeltaMerge {
     }
     if (committedVersion < 0) throw new java.io.IOException(
       s"MERGE could not commit to $tablePath after $attempt attempts")
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion)
     MergeMetrics(rowsUpdated, rowsDeleted, rowsInserted, touched.size, committedVersion)
   }
 

@@ -36,7 +36,8 @@ object DeltaWriter {
       tablePath: String,
       mode: SaveMode,
       partitionByOpt: Seq[String],
-      mergeSchema: Boolean = false): Unit = {
+      mergeSchema: Boolean = false,
+      optimizeWrite: Boolean = false): Unit = {
     val spark = data.sparkSession
     val exists = try DeltaLog.isDeltaTable(spark, tablePath) catch { case _: Exception => false }
 
@@ -79,10 +80,20 @@ object DeltaWriter {
             " (set mergeSchema=true to add the new columns)" else ""))
     }
 
-    // ---- 1. write data files to a staging dir (distributed parquet write)
+    // CHECK constraints of the existing table apply to every incoming row
+    existing.foreach(snap => DeltaConstraints.validate(data, snap, "WRITE"))
+
+    // ---- 1. write data files to a staging dir (distributed parquet write).
+    // optimizeWrite: one shuffle by the partition columns so each hive
+    // partition is written by one task -> ~one file per partition per
+    // commit (prevents the small-files problem OPTIMIZE exists to cure).
+    val toWrite =
+      if (optimizeWrite && partitionCols.nonEmpty)
+        data.repartition(partitionCols.map(col): _*)
+      else data
     val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
     val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val writer = data.write.mode(SaveMode.Overwrite)
+    val writer = toWrite.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(stagingDir.toString)
 
@@ -181,9 +192,7 @@ object DeltaWriter {
       }
 
       committed = DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n"))
-      if (committed && version > 0 && version % CheckpointInterval == 0) {
-        writeCheckpoint(spark, tablePath, version)
-      }
+      if (committed) maybeCheckpoint(spark, tablePath, version)
       attempt += 1
     }
     if (!committed) throw new java.io.IOException(
@@ -290,6 +299,13 @@ object DeltaWriter {
     case x: java.time.LocalDateTime => node.put(f.name, x.toString)
     case other => node.put(f.name, other.toString)
   }
+
+  /** Checkpoint on the cadence — called by EVERY commit path (append,
+    * DML, MERGE, OPTIMIZE, RESTORE, constraint DDL), so long maintenance
+    * chains bound replay cost the same way append chains do. */
+  private[delta] def maybeCheckpoint(spark: SparkSession, tablePath: String, version: Long): Unit =
+    if (version > 0 && version % CheckpointInterval == 0)
+      writeCheckpoint(spark, tablePath, version)
 
   /** Aggregate the full live state into `<v>.checkpoint.parquet` +
     * `_last_checkpoint`, bounding future replay to commits-after-checkpoint. */
