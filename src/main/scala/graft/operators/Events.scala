@@ -202,7 +202,42 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Ordered funnel analysis (view → click → purchase): per user, each
+    * stage's timestamp is the EARLIEST event of that type strictly after
+    * the previous stage — three chained min-aggregates, each joined back
+    * to the (pruned) event scan; the final count per stage is the classic
+    * conversion funnel. Timestamps are micro-truncated per the ns rule;
+    * strictly-after comparisons happen on the truncated values on both
+    * engines, so boundary ties resolve identically. */
+  private def ev10Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("microsecond", col("ts")).as("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ev10_funnel" -> """
+      WITH e AS (
+        SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+      s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+             WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+             WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM s1) AS n_view,
+             (SELECT count(*) FROM s2) AS n_view_click,
+             (SELECT count(*) FROM s3) AS n_view_click_purchase""",
     "ev09_streaks" -> """
       WITH days AS (
         SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
@@ -328,5 +363,6 @@ object Events {
     "ev06_event_dedup" -> ev06EventDedup,
     "ev07_asof_join" -> ev07AsofJoin,
     "ev08_range_join" -> ev08RangeJoin,
-    "ev09_streaks" -> ev09Streaks)
+    "ev09_streaks" -> ev09Streaks,
+    "ev10_funnel" -> ev10Funnel)
 }

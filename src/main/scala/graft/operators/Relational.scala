@@ -495,6 +495,47 @@ object Relational {
       .orderBy(col("l_returnflag"), col("measure"))
   }
 
+  /** TPC-H Q15 flavor (top supplier): a derived revenue view consumed
+    * twice — once as the join input, once inside a scalar subquery
+    * computing the global max — with membership decided by EQUALITY on
+    * the aggregate. The sum must therefore be decimal-exact (order-
+    * independent): a double sum can differ in last ulps between the two
+    * evaluations and drop the top row nondeterministically. */
+  private def q34TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val revenue = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("mr"))
+    t(s, dir, "supplier")
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_revenue") === col("mr"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_revenue"), 2).cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q11 flavor (important stock, adapted to the fixture tables):
+    * per-part revenue share exceeding a fraction of the global total.
+    * The comparison stays in the DECIMAL domain on BOTH sides —
+    * `part_sum * 5000 > global_sum` instead of `part_sum > 0.0002 *
+    * global_sum` — because scaling by an integer is exact while
+    * multiplying by a double fraction is not. */
+  private def q35RevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).as("value"))
+    val total = li.agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")).as("grand"))
+    perPart.join(broadcast(total))
+      .filter(col("value") * 5000 > col("grand"))
+      .select(col("l_partkey"), round(col("value"), 2).cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
   /** Salted two-phase aggregation — the skew-mitigation pattern for hot
     * grouping keys at scale: phase 1 aggregates on (key, salt) so a hot
     * key's rows spread over N reducers; phase 2 merges the N partials.
@@ -889,7 +930,31 @@ object Relational {
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE p_brand = 'Brand#1'
         AND l_quantity < (SELECT round(0.2 * avg(l_quantity), 6)
-                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "q34_top_supplier" -> """
+      WITH revenue AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+             CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""",
+    "q35_revenue_share" -> """
+      WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS value
+        FROM lineitem GROUP BY l_partkey),
+      total AS (
+        SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS grand
+        FROM lineitem)
+      SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS value
+      FROM per_part, total
+      WHERE value * 5000 > grand
+      ORDER BY value DESC, l_partkey""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_range_frames" -> q28RangeFrames,
@@ -897,6 +962,8 @@ object Relational {
     "q30_groups_frame" -> q30GroupsFrame,
     "q32_pivot" -> q32Pivot,
     "q33_unpivot" -> q33Unpivot,
+    "q34_top_supplier" -> q34TopSupplier,
+    "q35_revenue_share" -> q35RevenueShare,
     "q24_volume_pairs" -> q24VolumePairs,
     "q25_disjunctive" -> q25Disjunctive,
     "q26_global_avg_anti" -> q26GlobalAvgAnti,
