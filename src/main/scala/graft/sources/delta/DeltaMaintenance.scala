@@ -121,9 +121,20 @@ object DeltaMaintenance {
     require(badPart.isEmpty,
       s"cannot ZORDER BY partition column(s) ${badPart.mkString(",")} " +
         "(they are constant within every rewritten file)")
-    val nonNumeric = zorderBy.filter(c => !snap.schema(c).dataType.isInstanceOf[NumericType])
-    require(nonNumeric.isEmpty,
-      s"ZORDER BY supports numeric columns; got ${nonNumeric.mkString(",")}")
+    // numeric + temporal columns quantize linearly; temporal types map to
+    // their integer epoch representation first (DATE does not cast to
+    // DOUBLE directly)
+    def numericized(c: String): String = snap.schema(c).dataType match {
+      case DateType => s"CAST(unix_date($c) AS DOUBLE)"
+      case TimestampType => s"CAST(unix_micros($c) AS DOUBLE)"
+      case _ => s"CAST($c AS DOUBLE)"
+    }
+    val unsupported = zorderBy.filter { c =>
+      val dt = snap.schema(c).dataType
+      !dt.isInstanceOf[NumericType] && dt != DateType && dt != TimestampType
+    }
+    require(unsupported.isEmpty,
+      s"ZORDER BY supports numeric/date/timestamp columns; got ${unsupported.mkString(",")}")
     if (snap.files.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)
     graft.functions.GraftFunctions.register(spark)
 
@@ -131,10 +142,10 @@ object DeltaMaintenance {
     // zorder columns — the rewrite below reads everything anyway)
     val boundsRow = DeltaTable.read(spark, tablePath)
       .agg(
-        min(col(zorderBy.head).cast("double")).as("mn0"),
+        min(expr(numericized(zorderBy.head))).as("mn0"),
         (zorderBy.tail.flatMap(c => Seq(
-          min(col(c).cast("double")), max(col(c).cast("double")))) :+
-          max(col(zorderBy.head).cast("double"))): _*)
+          min(expr(numericized(c))), max(expr(numericized(c))))) :+
+          max(expr(numericized(zorderBy.head)))): _*)
       .collect()(0)
     val bounds: Seq[(Double, Double)] = {
       // an all-NULL column has NULL min/max → degenerate (0,0) → bucket 0
@@ -144,7 +155,7 @@ object DeltaMaintenance {
     }
     val bucketSql = zorderBy.zip(bounds).map { case (c, (mn, mx)) =>
       if (mx <= mn) "0"
-      else s"CAST(least(greatest(floor((CAST($c AS DOUBLE) - $mn) / ${mx - mn} * 256.0), 0.0), 255.0) AS INT)"
+      else s"CAST(least(greatest(floor((${numericized(c)} - $mn) / ${mx - mn} * 256.0), 0.0), 255.0) AS INT)"
     }
     val zExpr = s"interleave_bits(${bucketSql.mkString(", ")})"
 

@@ -95,4 +95,18 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
     assert(!p.contains("props"), "events scan should prune unused columns")
   }
+
+  test("q34: global-max revenue side broadcasts; no cartesian product") {
+    val p = finalPlanOf("q34_top_supplier")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected the 1-row max side broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), "max comparison must never cartesian")
+  }
+
+  test("q35: the 1-row global total broadcasts into the share filter") {
+    val p = finalPlanOf("q35_revenue_share")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast of the global total in:\n$p")
+    assert(!p.contains("CartesianProduct"), "1-row join must never cartesian")
+  }
 }

