@@ -31,13 +31,25 @@ object DeltaWriter {
   val CheckpointInterval = 10
   private val mapper = new ObjectMapper()
 
+  val GenerationExpressionKey = "delta.generationExpression"
+
+  /** Generation expressions declared in a schema's field metadata —
+    * exactly where the Delta protocol's generated-columns feature puts
+    * them. */
+  private[delta] def generationExprsOf(schema: StructType): Map[String, String] =
+    schema.fields.collect {
+      case f if f.metadata.contains(GenerationExpressionKey) =>
+        f.name -> f.metadata.getString(GenerationExpressionKey)
+    }.toMap
+
   def write(
       data: DataFrame,
       tablePath: String,
       mode: SaveMode,
       partitionByOpt: Seq[String],
       mergeSchema: Boolean = false,
-      optimizeWrite: Boolean = false): Unit = {
+      optimizeWrite: Boolean = false,
+      generatedColumns: Map[String, String] = Map.empty): Unit = {
     val spark = data.sparkSession
     val exists = try DeltaLog.isDeltaTable(spark, tablePath) catch { case _: Exception => false }
 
@@ -49,6 +61,44 @@ object DeltaWriter {
         throw new IllegalArgumentException(s"Delta table already exists at $tablePath (mode=ErrorIfExists)")
       case Some(_) if mode == SaveMode.Ignore => return
       case _ =>
+    }
+
+    // Generated columns (`GENERATED ALWAYS AS (expr)`): the expressions
+    // come from the table's schema metadata once it exists — the creating
+    // write declares them via `generatedColumns`. A write that OMITS a
+    // generated column gets it computed; a write that PROVIDES one is
+    // validated value-by-value against the expression (production Delta's
+    // contract — silently diverging materialized values would corrupt
+    // every downstream pruning decision on them).
+    val genExprs: Map[String, String] = existing match {
+      case Some(snap) =>
+        val declared = generationExprsOf(snap.schema)
+        if (generatedColumns.nonEmpty && generatedColumns != declared)
+          throw new IllegalArgumentException(
+            s"generatedColumns ${generatedColumns.mkString(",")} does not match " +
+              s"the table's declared generation expressions ${declared.mkString(",")}")
+        declared
+      case None => generatedColumns
+    }
+    val data1 = genExprs.foldLeft(data) { case (df, (c, e)) =>
+      if (df.columns.contains(c)) df
+      else {
+        val computed = df.withColumn(c, expr(e))
+        existing.foldLeft(computed)((d, snap) =>
+          d.withColumn(c, col(c).cast(snap.schema(c).dataType)))
+      }
+    }
+    val toValidate = genExprs.filter { case (c, _) => data.columns.contains(c) }
+    if (toValidate.nonEmpty) {
+      val aggs = toValidate.toSeq.map { case (c, e) =>
+        count(when(!(col(c) <=> expr(e)), 1)).as(c)
+      }
+      val row = data1.agg(aggs.head, aggs.tail: _*).collect()(0)
+      toValidate.toSeq.zipWithIndex.foreach { case ((c, e), i) =>
+        if (row.getLong(i) > 0) throw new IllegalArgumentException(
+          s"provided values for generated column $c do not match its " +
+            s"generation expression ($e): ${row.getLong(i)} row(s)")
+      }
     }
 
     val partitionCols: Seq[String] = existing match {
@@ -68,10 +118,10 @@ object DeltaWriter {
     // else stays a hard error: silent drift is how data lakes rot.
     val evolvedSchema: Option[StructType] = existing.flatMap { snap =>
       val want = snap.schema.fieldNames.toSet
-      val have = data.schema.fieldNames.toSet
+      val have = data1.schema.fieldNames.toSet
       if (want == have) None
       else if (mergeSchema && (want -- have).isEmpty) {
-        val added = data.schema.filter(f => !want.contains(f.name)).map(_.copy(nullable = true))
+        val added = data1.schema.filter(f => !want.contains(f.name)).map(_.copy(nullable = true))
         Some(StructType(snap.schema.fields ++ added))
       } else throw new IllegalArgumentException(
         s"schema mismatch: table has ${want.toSeq.sorted.mkString(",")}, " +
@@ -81,7 +131,7 @@ object DeltaWriter {
     }
 
     // CHECK constraints of the existing table apply to every incoming row
-    existing.foreach(snap => DeltaConstraints.validate(data, snap, "WRITE"))
+    existing.foreach(snap => DeltaConstraints.validate(data1, snap, "WRITE"))
 
     // ---- 1. write data files to a staging dir (distributed parquet write).
     // optimizeWrite: one shuffle by the partition columns so each hive
@@ -89,8 +139,8 @@ object DeltaWriter {
     // commit (prevents the small-files problem OPTIMIZE exists to cure).
     val toWrite =
       if (optimizeWrite && partitionCols.nonEmpty)
-        data.repartition(partitionCols.map(col): _*)
-      else data
+        data1.repartition(partitionCols.map(col): _*)
+      else data1
     val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
     val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
     val writer = toWrite.write.mode(SaveMode.Overwrite)
@@ -98,7 +148,7 @@ object DeltaWriter {
       .parquet(stagingDir.toString)
 
     val stagedFiles = listParquetFilesRecursively(fs, stagingDir)
-    val dataSchema = StructType(data.schema.filterNot(f => partitionCols.contains(f.name)))
+    val dataSchema = StructType(data1.schema.filterNot(f => partitionCols.contains(f.name)))
 
     // ---- 2. one distributed pass for per-file stats
     val statsByStagedPath: Map[String, ObjectNode] =
@@ -158,7 +208,7 @@ object DeltaWriter {
         p.put("minReaderVersion", 1)
         p.put("minWriterVersion", 2)
         lines += mapper.writeValueAsString(protoLine)
-        lines += metaLine(UUID.randomUUID().toString, data.schema.json)
+        lines += metaLine(UUID.randomUUID().toString, withGenMetadata(data1.schema, genExprs).json)
       } else evolvedSchema.foreach { evolved =>
         // re-emit metaData with the SAME table id — replay is
         // last-metaData-wins, so this version onward reads the new schema
@@ -299,6 +349,18 @@ object DeltaWriter {
     case x: java.time.LocalDateTime => node.put(f.name, x.toString)
     case other => node.put(f.name, other.toString)
   }
+
+  /** Stamp generation expressions into the schema's field metadata (the
+    * protocol location) before it is serialized into the v0 metaData. */
+  private def withGenMetadata(schema: StructType, genExprs: Map[String, String]): StructType =
+    if (genExprs.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      genExprs.get(f.name) match {
+        case Some(e) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putString(GenerationExpressionKey, e).build())
+        case None => f
+      }
+    })
 
   /** Checkpoint on the cadence — called by EVERY commit path (append,
     * DML, MERGE, OPTIMIZE, RESTORE, constraint DDL), so long maintenance
