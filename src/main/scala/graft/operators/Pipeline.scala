@@ -147,6 +147,26 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** PII pseudonymization pass — the redaction step a compliance-bound
+    * pipeline runs before any text leaves the trust boundary. Per-row and
+    * shuffle-free (the 100 TB shape): identifier digits masked except a
+    * 3-char verification suffix, the full name replaced by a stable md5
+    * pseudonym (joinable across tables without exposing the source value),
+    * balances coarsened to 1k buckets so the output is k-anonymous-ish
+    * rather than exact. Regex is a plain char class — identical semantics
+    * in Java regex and DuckDB's RE2 (no lookaround, which RE2 lacks). */
+  private def pp05PiiRedact(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+      .select(
+        col("c_custkey"),
+        expr("substr(md5(c_name), 1, 16)").as("pseudonym"),
+        concat(
+          regexp_replace(expr("substring(c_name, 1, length(c_name) - 3)"), "[0-9]", "*"),
+          expr("substring(c_name, length(c_name) - 2, 3)")).as("masked_name"),
+        expr("regexp_count(c_name, '[0-9]')").cast("long").as("n_digits"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"))
+      .orderBy(col("c_custkey"))
+
   private val duckQualityCte: String = """
       quality AS (
         SELECT doc_id, source, n_chars,
@@ -208,11 +228,20 @@ object Pipeline {
              min(score) AS cutoff_score,
              CAST(sum(n_chars) AS BIGINT) AS kept_chars
       FROM ranked WHERE rk <= 10
-      GROUP BY source ORDER BY source""")
+      GROUP BY source ORDER BY source""",
+    "pp05_pii_redact" -> """
+      SELECT c_custkey,
+             substr(md5(c_name), 1, 16) AS pseudonym,
+             regexp_replace(substr(c_name, 1, length(c_name) - 3), '[0-9]', '*', 'g')
+               || substr(c_name, length(c_name) - 2, 3) AS masked_name,
+             CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT) AS n_digits,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      FROM customer ORDER BY c_custkey""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pp01_curation" -> pp01Curation,
     "pp02_hash_split" -> pp02HashSplit,
     "pp03_decontam" -> pp03Decontam,
-    "pp04_domain_mix" -> pp04DomainMix)
+    "pp04_domain_mix" -> pp04DomainMix,
+    "pp05_pii_redact" -> pp05PiiRedact)
 }

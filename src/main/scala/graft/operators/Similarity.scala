@@ -158,7 +158,79 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Multi-probe IVF (nprobe=2): identical inverted-list layout to ss03,
+    * but each query probes its TWO nearest centroids' lists — the standard
+    * recall knob when a true neighbor falls just across a Voronoi boundary.
+    * Cost is still ~nprobe·N/K candidates per query via equi-join; the
+    * probe fan-out is a 2-row-per-query broadcast, and candidate lists are
+    * disjoint (a vector lives in exactly one list) so no dedup pass is
+    * needed. The probe ranking windows over Q×K rows (K=16 constant —
+    * unlike the N×K assignment, which stays the ss03 partial-agg shape). */
+  private def ss04AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val assigned = v.join(broadcast(cents))
+      .withColumn("csim",
+        floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct((-col("csim")).as("ns"), col("cid"))).as("m"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"), col("m.cid").as("cid"))
+      .persist()
+    // top-2 probe centroids per query: Q×K scored rows, Q tiny and K=16
+    // constant, so the per-query window is bounded and broadcastable.
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("pcid"))
+    val probes = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .join(broadcast(cents.select(col("cid").as("pcid"), col("ce"))))
+      .withColumn("csim",
+        floor(expr("cosine_sim(qe, ce)") * lit(1000000.0)) / lit(1000000.0))
+      .withColumn("prb", row_number().over(wProbe))
+      .filter(col("prb") <= 2)
+      .select(col("qid"), col("qe"), col("pcid"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    broadcast(probes)
+      .join(assigned, col("pcid") === col("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim",
+        floor(expr("cosine_sim(qe, e)") * lit(1000000.0)) / lit(1000000.0))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ss04_ann_multiprobe" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
+      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, e, nrm, cid FROM (
+          SELECT v.vec_id, v.e, v.nrm, cents.cid,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   floor(${dDot("v.e", "ce")} / sqrt(v.nrm * cnrm) * 1000000.0) / 1000000.0 DESC,
+                   cents.cid) AS arn
+          FROM v CROSS JOIN cents)
+        WHERE arn = 1),
+      probes AS (
+        SELECT qid, qe, qnrm, pcid FROM (
+          SELECT v.vec_id AS qid, v.e AS qe, v.nrm AS qnrm, cents.cid AS pcid,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   floor(${dDot("v.e", "ce")} / sqrt(v.nrm * cnrm) * 1000000.0) / 1000000.0 DESC,
+                   cents.cid) AS prn
+          FROM v CROSS JOIN cents WHERE v.vec_id < 5)
+        WHERE prn <= 2),
+      scored AS (
+        SELECT qid, a.vec_id,
+               floor(${dDot("qe", "a.e")} / sqrt(qnrm * a.nrm) * 1000000.0) / 1000000.0 AS sim
+        FROM probes JOIN assigned a ON probes.pcid = a.cid AND qid <> a.vec_id),
+      ranked AS (
+        SELECT qid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        FROM scored)
+      SELECT qid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""",
     "ss03_ann_ivf" -> s"""
       WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
       cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16),
@@ -209,5 +281,6 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss01_topk_bruteforce" -> ss01TopkBruteforce,
     "ss02_ann_lsh" -> ss02AnnLsh,
-    "ss03_ann_ivf" -> ss03AnnIvf)
+    "ss03_ann_ivf" -> ss03AnnIvf,
+    "ss04_ann_multiprobe" -> ss04AnnMultiprobe)
 }

@@ -110,6 +110,41 @@ object TextAnalysis {
                   0L, (a, c) -> (a * 31 + c) % 1000000007)""").as("fp_poly"))
       .orderBy(col("doc_id"))
 
+  /** Repetition signals (the Gopher-style "repetitious document" filters a
+    * curation pipeline runs before training): most-frequent-token fraction
+    * plus duplicate 2-gram / 3-gram fractions, and the resulting drop flag.
+    * Pure per-row array math — no shuffle until the terminal sort, so the
+    * pass stays embarrassingly parallel at 100 TB. n-gram indexing is
+    * 1-based `element_at` == DuckDB `l[i]`; fractions are floor-scaled
+    * (count ratios can land on .XXXX5 where round() diverges between
+    * engines) and the flag compares the already-floor-scaled values so both
+    * engines gate identical inputs. */
+  private def tx05Repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", expr(tokenize))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") >= 3)
+      .withColumn("top_cnt",
+        expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+          .cast("long"))
+      .withColumn("g2", expr(
+        "transform(sequence(1, CAST(n_tok AS INT) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+      .withColumn("g3", expr(
+        "transform(sequence(1, CAST(n_tok AS INT) - 2), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+      .withColumn("top_frac",
+        floor(col("top_cnt").cast("double") / col("n_tok").cast("double") * lit(10000.0)) / lit(10000.0))
+      .withColumn("dup2_frac",
+        floor((lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")).cast("double"))
+          * lit(10000.0)) / lit(10000.0))
+      .withColumn("dup3_frac",
+        floor((lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")).cast("double"))
+          * lit(10000.0)) / lit(10000.0))
+      .select(
+        col("doc_id"), col("n_tok"), col("top_cnt"),
+        col("top_frac"), col("dup2_frac"), col("dup3_frac"),
+        (col("top_frac") >= 0.2 || col("dup3_frac") >= 0.05).cast("int").as("repetitive"))
+      .orderBy(col("doc_id"))
+
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracleSql: Map[String, String] = Map(
@@ -155,6 +190,27 @@ object TextAnalysis {
                  len(list_filter(l, x -> list_contains(['le','la','de','et','est'], x))) AS s_fr
           FROM (SELECT lang, $duckToks AS l FROM documents)))
       GROUP BY lang, pred ORDER BY lang, pred""",
+    "tx05_repetition" -> s"""
+      WITH t AS (SELECT doc_id, l, len(l) AS n
+                 FROM (SELECT doc_id, $duckToks AS l FROM documents)
+                 WHERE len(l) >= 3),
+      g AS (SELECT doc_id, n,
+              list_max(list_transform(list_distinct(l),
+                t -> len(list_filter(l, x -> x = t)))) AS top_cnt,
+              list_transform(generate_series(1, n - 1),
+                i -> l[i] || ' ' || l[i+1]) AS g2,
+              list_transform(generate_series(1, n - 2),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g3
+            FROM t),
+      f AS (SELECT doc_id, n, top_cnt,
+              floor(top_cnt::DOUBLE / n::DOUBLE * 10000.0) / 10000.0 AS top_frac,
+              floor((1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE) * 10000.0) / 10000.0 AS dup2_frac,
+              floor((1.0 - len(list_distinct(g3))::DOUBLE / len(g3)::DOUBLE) * 10000.0) / 10000.0 AS dup3_frac
+            FROM g)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tok, CAST(top_cnt AS BIGINT) AS top_cnt,
+             top_frac, dup2_frac, dup3_frac,
+             CAST(top_frac >= 0.2 OR dup3_frac >= 0.05 AS INT) AS repetitive
+      FROM f ORDER BY doc_id""",
     "tx04_fingerprint" -> """
       SELECT doc_id,
              ('0x' || substr(md5(text), 1, 12))::BIGINT AS fp_md5,
@@ -168,5 +224,6 @@ object TextAnalysis {
     "tx01_tokens" -> tx01Tokens,
     "tx02_quality" -> tx02Quality,
     "tx03_langid" -> tx03Langid,
-    "tx04_fingerprint" -> tx04Fingerprint)
+    "tx04_fingerprint" -> tx04Fingerprint,
+    "tx05_repetition" -> tx05Repetition)
 }
