@@ -103,6 +103,22 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "max comparison must never cartesian")
   }
 
+  test("ss04: assignment aggregates map-side; probe sides broadcast; no cartesian") {
+    val p = finalPlanOf("ss04_ann_multiprobe")
+    assert(p.contains("partial_min(struct"),
+      s"expected map-side partial argmin assignment in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the probe→inverted-list equi-join to broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), "probe join must never cartesian")
+  }
+
+  test("tx05: repetition signals are per-row — no shuffle before the terminal sort") {
+    val p = finalPlanOf("tx05_repetition")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row pass must not hash-shuffle:\n$p")
+    assert(!p.contains("lang"), "documents scan should prune columns the signals never read")
+  }
+
   test("q35: the 1-row global total broadcasts into the share filter") {
     val p = finalPlanOf("q35_revenue_share")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
