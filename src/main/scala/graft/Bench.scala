@@ -37,11 +37,13 @@ object Bench {
       // broken query must not masquerade as a fast one in bench compares
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // ms precision: keeps the one-line JSON small enough that the driver's
-    // tail capture retains every per-query entry (r2's tail lost 13)
+    // ms precision + short keys (the unique "q01"/"fn13" prefix of each
+    // query name): the driver parses the line from a 2000-char stdout tail
+    // capture, so with 100+ queries every byte of the map counts — full
+    // names blew past the window in r2 (13 entries lost) and would again
     def ms(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
