@@ -536,6 +536,35 @@ object Relational {
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
+  /** TPC-H Q21 shape (adapted — the fixture carries no commit/receipt
+    * dates, so "kept the order waiting" becomes "sole 'R'-return supplier
+    * on a multi-supplier finished order"): one EXISTS plus one NOT EXISTS
+    * both correlated into the same fact table — the classic multi-subquery
+    * decorrelation stress. Catalyst rewrites them to a semi join + anti
+    * join on l_orderkey (no per-row re-scan of lineitem), which is the
+    * only shape that survives at 100 TB. */
+  private def q36BlameSupplier(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "supplier", "lineitem", "orders")
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 10
+    """)
+  }
+
   /** Salted two-phase aggregation — the skew-mitigation pattern for hot
     * grouping keys at scale: phase 1 aggregates on (key, salt) so a hot
     * key's rows spread over N reducers; phase 2 merges the N partials.
@@ -954,7 +983,24 @@ object Relational {
       SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS value
       FROM per_part, total
       WHERE value * 5000 > grand
-      ORDER BY value DESC, l_partkey""")
+      ORDER BY value DESC, l_partkey""",
+    "q36_blame_supplier" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 10""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_range_frames" -> q28RangeFrames,
@@ -964,6 +1010,7 @@ object Relational {
     "q33_unpivot" -> q33Unpivot,
     "q34_top_supplier" -> q34TopSupplier,
     "q35_revenue_share" -> q35RevenueShare,
+    "q36_blame_supplier" -> q36BlameSupplier,
     "q24_volume_pairs" -> q24VolumePairs,
     "q25_disjunctive" -> q25Disjunctive,
     "q26_global_avg_anti" -> q26GlobalAvgAnti,

@@ -394,6 +394,80 @@ object DeltaMaintenance {
     committed
   }
 
+  /** `CREATE TABLE … SHALLOW CLONE src`: a zero-copy metadata-only fork.
+    * The clone's v0 commit re-adds every live source file by ABSOLUTE URI
+    * (the protocol's escape hatch for files outside the table root), so no
+    * data is copied or rewritten — cloning a 100 TB table is a metadata
+    * write. Safety properties, each pinned by DeltaCloneSuite:
+    *
+    *  - writes/DML/OPTIMIZE on the clone commit to the CLONE's log and add
+    *    files under the clone's root; the source is never mutated;
+    *  - VACUUM on the clone scans only the clone's root, so shared source
+    *    files are never deleted from under the source table;
+    *  - per-file stats and partitionValues carry over verbatim — pruning
+    *    and stats skipping work on the clone unchanged;
+    *  - the clone gets a fresh table id and starts its own history at v0
+    *    (time travel into pre-clone versions belongs to the source).
+    *
+    * cf. production Delta's SHALLOW CLONE semantics (delta.io protocol:
+    * add.path is "a relative path ... or an absolute path"). */
+  def shallowClone(spark: SparkSession, sourcePath: String, targetPath: String): Long = {
+    if (DeltaLog.isDeltaTable(spark, targetPath))
+      throw new IllegalArgumentException(s"CLONE target $targetPath is already a delta table")
+    val src = DeltaLog.snapshot(spark, sourcePath)
+    val conf = spark.sessionState.newHadoopConf()
+    val srcRoot = new Path(sourcePath).getFileSystem(conf)
+      .makeQualified(new Path(sourcePath))
+    def absoluteUri(addPath: String): String = {
+      val u = try new URI(addPath) catch { case _: Exception => null }
+      if (u != null && u.isAbsolute) addPath // source is itself a clone
+      else new Path(srcRoot, decodeRel(addPath)).toUri.toString
+    }
+    val lines = Seq.newBuilder[String]
+    val ciLine = mapper.createObjectNode()
+    val ci = ciLine.putObject("commitInfo")
+    ci.put("timestamp", System.currentTimeMillis())
+    ci.put("operation", "CLONE")
+    val cp = ci.putObject("operationParameters")
+    cp.put("source", srcRoot.toString)
+    cp.put("sourceVersion", src.version)
+    ci.put("engineInfo", "graft-spark/0.1.0")
+    lines += mapper.writeValueAsString(ciLine)
+    val protoLine = mapper.createObjectNode()
+    val proto = protoLine.putObject("protocol")
+    proto.put("minReaderVersion", 1)
+    proto.put("minWriterVersion", 2)
+    lines += mapper.writeValueAsString(protoLine)
+    val mdLine = mapper.createObjectNode()
+    val m = mdLine.putObject("metaData")
+    m.put("id", UUID.randomUUID().toString) // a clone is a NEW table
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    m.put("schemaString", src.metadata.schemaString)
+    src.partitionColumns.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
+    val cfg = m.putObject("configuration")
+    src.metadata.configuration.foreach { case (k, v) => cfg.put(k, v) }
+    lines += mapper.writeValueAsString(mdLine)
+    src.files.foreach { f =>
+      val adLine = mapper.createObjectNode()
+      val a = adLine.putObject("add")
+      a.put("path", absoluteUri(f.path))
+      val pv = a.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      a.put("size", f.size)
+      a.put("modificationTime", f.modificationTime)
+      a.put("dataChange", true)
+      f.stats.foreach(st => a.put("stats", st))
+      lines += mapper.writeValueAsString(adLine)
+    }
+    if (!DeltaLog.tryCommit(spark, targetPath, 0L, lines.result().mkString("\n")))
+      throw new java.io.IOException(s"CLONE lost the race creating $targetPath")
+    0L
+  }
+
   /** `DESCRIBE DETAIL`: one-row table summary — the operational numbers a
     * 100 TB operator checks before/after maintenance (file count and bytes
     * are what OPTIMIZE/VACUUM move). */

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta.{DeltaDml, DeltaLog, DeltaMaintenance, DeltaTable, DeltaWriter}
+
+/** SHALLOW CLONE: zero-copy metadata fork — every safety property the
+  * scaladoc promises, pinned over a scratch partitioned table. */
+class DeltaCloneSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshSource(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-clone-src").toString
+    (0 until 3).foreach { i =>
+      val df = Seq((i * 2, "a", s"row${i}a"), (i * 2 + 1, "b", s"row${i}b"))
+        .toDF("id", "k", "payload")
+      DeltaWriter.write(df, dir, SaveMode.Append, Seq("k"))
+    }
+    dir
+  }
+
+  private def rows(path: String): Seq[String] =
+    DeltaTable.read(spark, path).orderBy("id").collect().map(_.toString).toSeq
+
+  test("clone reads the source's content without copying any data file") {
+    val src = freshSource()
+    val dst = Files.createTempDirectory("graft-clone-dst").toString + "/t"
+    val v = DeltaMaintenance.shallowClone(spark, src, dst)
+    assert(v === 0L)
+    assert(rows(dst) === rows(src))
+    // metadata-only: the clone's root holds no parquet at all
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dst), true)
+    var copied = List.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) copied ::= p.toString
+    }
+    assert(copied.isEmpty, s"clone copied data files: $copied")
+    // fresh identity, history starts at v0
+    val srcSnap = DeltaLog.snapshot(spark, src)
+    val dstSnap = DeltaLog.snapshot(spark, dst)
+    assert(dstSnap.metadata.id !== srcSnap.metadata.id)
+    assert(dstSnap.version === 0L)
+    // stats carried over verbatim: skipping works on the clone unchanged
+    assert(dstSnap.files.forall(_.stats.nonEmpty))
+  }
+
+  test("writes and DML on the clone never mutate the source") {
+    import spark.implicits._
+    val src = freshSource()
+    val dst = Files.createTempDirectory("graft-clone-dst").toString + "/t"
+    DeltaMaintenance.shallowClone(spark, src, dst)
+    val srcBefore = rows(src)
+
+    DeltaWriter.write(Seq((100, "a", "new")).toDF("id", "k", "payload"),
+      dst, SaveMode.Append, Seq("k"))
+    val del = DeltaDml.delete(spark, dst, "id = 1")
+    assert(del.rowsAffected === 1)
+
+    assert(rows(src) === srcBefore, "source mutated by clone-side write/DML")
+    val got = rows(dst)
+    assert(got.exists(_.contains("100")) && !got.exists(_.contains("[1,")))
+    assert(DeltaLog.snapshot(spark, src).version ===
+      DeltaLog.snapshot(spark, src).version) // source log untouched by dst commits
+  }
+
+  test("vacuum on the clone never deletes shared source files") {
+    val src = freshSource()
+    val dst = Files.createTempDirectory("graft-clone-dst").toString + "/t"
+    DeltaMaintenance.shallowClone(spark, src, dst)
+    // age everything out: retention 0 deletes any unreferenced local file
+    val deleted = DeltaMaintenance.vacuum(spark, dst, retentionMs = 0L)
+    assert(deleted === 0L, "clone vacuum deleted files")
+    assert(rows(dst) === rows(src))
+    assert(rows(src).nonEmpty)
+  }
+
+  test("cloning a clone resolves already-absolute paths") {
+    val src = freshSource()
+    val mid = Files.createTempDirectory("graft-clone-mid").toString + "/t"
+    val dst = Files.createTempDirectory("graft-clone-dst2").toString + "/t"
+    DeltaMaintenance.shallowClone(spark, src, mid)
+    DeltaMaintenance.shallowClone(spark, mid, dst)
+    assert(rows(dst) === rows(src))
+  }
+
+  test("clone refuses an existing delta target") {
+    val src = freshSource()
+    intercept[IllegalArgumentException] {
+      DeltaMaintenance.shallowClone(spark, src, src)
+    }
+  }
+}
