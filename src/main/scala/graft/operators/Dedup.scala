@@ -272,6 +272,35 @@ object Dedup {
       .limit(100)
   }
 
+  /** GLOBAL embedding near-dup — the 100 TB path dd05 deliberately is not
+    * (dd05 all-pairs within label blocks; this bucketizes the WHOLE corpus
+    * by [[Similarity.bucketCol]]'s 8 hyperplane signs and only compares
+    * within a bucket: an equi-self-join with expected N²/256 candidate
+    * pairs instead of N², then exact cosine verification ≥ 0.3). Nearly
+    * identical vectors agree on every hyperplane sign with high
+    * probability, so true near-dups stay in-bucket; production tightens
+    * recall with multiple band tables, same plan shape. The bucketed frame
+    * is persisted: the interpreted 8×64 projection fold must not re-run on
+    * both sides of the self-join (repo HOF-reuse rule). */
+  private def dd07EmbedLshDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val v = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("bucket", Similarity.bucketCol)
+      .persist()
+    v.as("a")
+      .join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        floor(expr("cosine_sim(a.e, b.e)") * lit(1000000.0)) / lit(1000000.0))
+      .filter(col("sim") >= 0.3)
+      .select(
+        col("a.bucket").cast("long").as("bucket"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
   /** Shared oracle CTE chain ending in `verified` = the MinHash-LSH
     * verified near-dup edge list (mirrors [[verifiedPairs]]). */
   private[operators] lazy val duckVerifiedCtes: String = s"""
@@ -399,6 +428,17 @@ object Dedup {
                      / sqrt(a.nrm * b.nrm) * 1000000.0) / 1000000.0 AS sim
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE sim >= 0.45
+      ORDER BY sim DESC, vec_a, vec_b LIMIT 100""",
+    "dd07_embed_lsh_dup" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, ${Similarity.duckNrm} AS nrm,
+                        ${Similarity.duckBucket} AS bucket
+                 FROM embeddings)
+      SELECT bucket, vec_a, vec_b, sim FROM (
+        SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               floor(${Similarity.dDot("a.e", "b.e")} / sqrt(a.nrm * b.nrm) * 1000000.0)
+                 / 1000000.0 AS sim
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      WHERE sim >= 0.3
       ORDER BY sim DESC, vec_a, vec_b LIMIT 100""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -407,5 +447,6 @@ object Dedup {
     "dd03_minhash_lsh" -> dd03MinhashLsh,
     "dd04_simhash" -> dd04Simhash,
     "dd05_embed_dup" -> dd05EmbedDup,
-    "dd06_cluster_dedup" -> dd06ClusterDedup)
+    "dd06_cluster_dedup" -> dd06ClusterDedup,
+    "dd07_embed_lsh_dup" -> dd07EmbedLshDup)
 }

@@ -60,15 +60,15 @@ object Similarity {
     for (p <- 0 until 8) yield for (d <- 1 to 64) yield sign(p, d)
   }
 
-  /** LSH-bucketed ANN: join queries to candidates sharing the 8-bit
-    * hyperplane bucket, then exact cosine top-3 within the bucket.
+  /** The 8-bit hyperplane bucket of col("e") — ss02's partitioner, shared
+    * with Dedup's dd07 (global embedding near-dup via the same buckets).
     * The plane matrix is a [[typedLit]] — a real Literal node. An inline
     * `array(array(…))` SQL literal is NOT constant-folded inside lambda
     * bodies, so every element access would rebuild the 512-element array
-    * (measured 3–4× slower on this query). */
-  private def ss02AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    * (measured 3–4× slower on ss02). */
+  private[operators] def bucketCol: org.apache.spark.sql.Column = {
     val planesLit = typedLit(planes.map(_.toSeq))
-    val bucketExpr = aggregate(
+    aggregate(
       sequence(lit(0), lit(7)), lit(0L),
       (acc, p) => acc + when(
         aggregate(
@@ -77,7 +77,12 @@ object Similarity {
             + element_at(element_at(planesLit, p + lit(1)), d)
               * element_at(col("e"), d).cast("double")) > 0,
         pow(lit(2.0), p).cast("long")).otherwise(lit(0L)))
-    val v = vecs(s, dir).withColumn("bucket", bucketExpr)
+  }
+
+  /** LSH-bucketed ANN: join queries to candidates sharing the 8-bit
+    * hyperplane bucket, then exact cosine top-3 within the bucket. */
+  private def ss02AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir).withColumn("bucket", bucketCol)
     val q = v.select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"))
       .filter(col("qid") < 5)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
@@ -93,19 +98,19 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
-  private val duckDot =
+  private[operators] val duckDot =
     """list_reduce(list_prepend(0.0,
          list_transform(generate_series(1, 64), i -> QA[i]::DOUBLE * QB[i]::DOUBLE)),
          (s, x) -> s + x)"""
 
-  private def dDot(a: String, b: String): String =
+  private[operators] def dDot(a: String, b: String): String =
     duckDot.replace("QA", a).replace("QB", b)
 
-  private val duckNrm =
+  private[operators] val duckNrm =
     """list_reduce(list_prepend(0.0,
          list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)"""
 
-  private val duckBucket =
+  private[operators] val duckBucket =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
          list_transform(generate_series(0, 7), p ->
            CASE WHEN list_reduce(list_prepend(0.0,

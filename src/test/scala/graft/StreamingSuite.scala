@@ -106,4 +106,37 @@ class StreamingSuite extends AnyFunSuite {
       assert(got === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: watermarked impressions x clicks (exceeds reference)") {
+    // SURVEY §2.2 row 18: DataFusion's SymmetricHashJoinExec is unreachable
+    // from the reference's API; Spark's watermarked stream-stream join is
+    // the native equivalent — pinned here so the engine's streaming story
+    // covers two-sided state cleanly. Clicks join impressions on ad id
+    // within [0, +30 min) of the impression; both sides watermarked so
+    // Spark can evict joined state (unbounded state = the streaming
+    // scale-killer).
+    implicit val ctx = spark.sqlContext
+    val imp = MemoryStream[(Timestamp, Long)]
+    val clk = MemoryStream[(Timestamp, Long)]
+    val impDf = imp.toDF().toDF("its", "ad").withWatermark("its", "10 minutes")
+    val clkDf = clk.toDF().toDF("cts", "cad").withWatermark("cts", "10 minutes")
+    val joined = impDf.join(
+      clkDf,
+      col("ad") === col("cad") &&
+        col("cts") >= col("its") && col("cts") < col("its") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imp.addData((ts(0), 1L), (ts(5), 2L))
+      clk.addData((ts(10), 1L), (ts(45), 1L)) // 2nd click outside the window
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").select(col("ad"), col("cts"))
+        .as[(Long, Timestamp)].collect().toSeq.sorted
+      assert(got === Seq((1L, ts(10))))
+      // late-but-in-window click still joins while state is retained
+      clk.addData((ts(20), 2L))
+      q.processAllAvailable()
+      assert(spark.table("ssjoin").count() === 2)
+    } finally q.stop()
+  }
 }
