@@ -150,9 +150,13 @@ object GraftFunctions {
   * `examples/custom_scheduler.rs:34-35` — closures/registries here ship
   * with the session, not via codecs). */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    // Delta DML/maintenance SQL statements (DELETE/UPDATE/OPTIMIZE/VACUUM/
+    // RESTORE/SHALLOW CLONE) — the delta-spark DeltaSqlParser pattern
+    ext.injectParser((_, delegate) => new graft.sources.delta.GraftSqlParser(delegate))
+  }
 }

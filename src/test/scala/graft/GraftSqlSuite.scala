@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta.{DeltaLog, DeltaTable, DeltaWriter, GraftSqlCommands}
+
+/** The SQL statement surface GraftSqlParser adds on top of Spark's grammar
+  * — each maintenance/DML statement drives the same Delta layer the API
+  * specs pin, so these tests check ROUTING (SQL → command → effect), not
+  * re-test the semantics. */
+class GraftSqlSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(rows: Int = 8): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sql").toString
+    (0 until rows by 2).foreach { i =>
+      DeltaWriter.write(
+        Seq((i, s"p$i", i * 10.0), (i + 1, s"p${i + 1}", (i + 1) * 10.0))
+          .toDF("id", "name", "score"),
+        dir, SaveMode.Append, Seq.empty)
+    }
+    dir
+  }
+
+  test("DELETE FROM delta.`path` WHERE routes to copy-on-write delete") {
+    val dir = freshTable()
+    val out = spark.sql(s"DELETE FROM delta.`$dir` WHERE id >= 6").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(DeltaTable.read(spark, dir).count() === 6)
+  }
+
+  test("UPDATE … SET (multi-assignment with commas in exprs) routes to copy-on-write update") {
+    val dir = freshTable()
+    spark.sql(
+      s"UPDATE delta.`$dir` SET score = score + 1, name = concat(name, '!') WHERE id = 0")
+    val r = DeltaTable.read(spark, dir).filter("id = 0").collect().head
+    assert(r.getAs[String]("name") === "p0!" && r.getAs[Double]("score") === 1.0)
+  }
+
+  test("OPTIMIZE compacts; OPTIMIZE ZORDER BY clusters") {
+    val dir = freshTable()
+    val before = DeltaLog.snapshot(spark, dir).files.size
+    assert(before === 8) // 2 files per 2-row append at local[4]
+    val m = spark.sql(s"OPTIMIZE delta.`$dir`").collect().head
+    assert(m.getLong(0) === 8 && m.getLong(1) === 1)
+    val z = spark.sql(s"OPTIMIZE delta.`$dir` ZORDER BY (id, score)").collect().head
+    assert(z.getLong(2) === DeltaLog.snapshot(spark, dir).version)
+  }
+
+  test("RESTORE TO VERSION AS OF and VACUUM RETAIN 0 HOURS") {
+    val dir = freshTable()
+    spark.sql(s"DELETE FROM delta.`$dir` WHERE id < 4")
+    assert(DeltaTable.read(spark, dir).count() === 4)
+    val v = spark.sql(s"RESTORE TABLE delta.`$dir` TO VERSION AS OF 3").collect().head
+    assert(v.getLong(0) > 3)
+    assert(DeltaTable.read(spark, dir).count() === 8)
+    val deleted = spark.sql(s"VACUUM delta.`$dir` RETAIN 0 HOURS").collect().head.getLong(0)
+    assert(deleted >= 1) // the delete-rewrite files are now unreferenced
+    assert(DeltaTable.read(spark, dir).count() === 8)
+  }
+
+  test("CREATE TABLE SHALLOW CLONE routes to the zero-copy fork") {
+    val dir = freshTable()
+    val dst = Files.createTempDirectory("graft-sql-clone").toString + "/t"
+    spark.sql(s"CREATE TABLE delta.`$dst` SHALLOW CLONE delta.`$dir`")
+    assert(DeltaTable.read(spark, dst).count() === 8)
+  }
+
+  test("quoted-path target form and ordinary SQL passthrough") {
+    val dir = freshTable()
+    spark.sql(s"DELETE FROM '$dir' WHERE id = 7")
+    assert(DeltaTable.read(spark, dir).count() === 7)
+    // the stock grammar is untouched (also exercised by every other spec)
+    assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) === 2)
+    intercept[Exception] { spark.sql("DELETE FROM WHERE") } // garbage still errors
+  }
+
+  test("SET assignment splitter respects parens and string literals") {
+    val m = GraftSqlCommands.splitAssignments(
+      "a = f(x, ',') , b = concat(c, d), e = 'x,y'")
+    assert(m === Map("a" -> "f(x, ',')", "b" -> "concat(c, d)", "e" -> "'x,y'"))
+  }
+}

@@ -11,6 +11,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // every spec parses through the graft parser — "normal SQL is
+      // undisturbed" is pinned by the entire suite
+      .config("spark.sql.extensions", classOf[graft.functions.GraftSparkExtensions].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
