@@ -471,6 +471,24 @@ object DeltaMaintenance {
   /** `DESCRIBE DETAIL`: one-row table summary — the operational numbers a
     * 100 TB operator checks before/after maintenance (file count and bytes
     * are what OPTIMIZE/VACUUM move). */
+  val detailSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("id", StringType),
+    StructField("location", StringType),
+    StructField("version", LongType),
+    StructField("partitionColumns", StringType),
+    StructField("numFiles", LongType),
+    StructField("sizeInBytes", LongType),
+    StructField("properties", StringType),
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType)))
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("version", LongType),
+    StructField("timestamp", LongType),
+    StructField("operation", StringType),
+    StructField("engineInfo", StringType)))
+
   def detail(spark: SparkSession, tablePath: String): DataFrame = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     val row = Row(
@@ -484,18 +502,7 @@ object DeltaMaintenance {
       snap.metadata.configuration.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(";"),
       snap.protocol.minReaderVersion,
       snap.protocol.minWriterVersion)
-    val schema = StructType(Seq(
-      StructField("format", StringType),
-      StructField("id", StringType),
-      StructField("location", StringType),
-      StructField("version", LongType),
-      StructField("partitionColumns", StringType),
-      StructField("numFiles", LongType),
-      StructField("sizeInBytes", LongType),
-      StructField("properties", StringType),
-      StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
-    spark.createDataFrame(java.util.Arrays.asList(row), schema)
+    spark.createDataFrame(java.util.Arrays.asList(row), detailSchema)
   }
 
   /** Commit history (newest first): version, timestamp, operation, engine. */
@@ -514,11 +521,6 @@ object DeltaMaintenance {
         ci.flatMap(c => Option(c.get("operation")).map(_.asText())).getOrElse(""),
         ci.flatMap(c => Option(c.get("engineInfo")).map(_.asText())).getOrElse(""))
     }.sortBy(-_.getLong(0))
-    val schema = StructType(Seq(
-      StructField("version", LongType),
-      StructField("timestamp", LongType),
-      StructField("operation", StringType),
-      StructField("engineInfo", StringType)))
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), historySchema)
   }
 }

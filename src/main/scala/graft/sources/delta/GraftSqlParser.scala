@@ -27,6 +27,7 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *   VACUUM <target> [RETAIN <n> HOURS]
   *   RESTORE [TABLE] <target> TO VERSION AS OF <v>
   *   CREATE TABLE <target> SHALLOW CLONE <target>
+  *   DESCRIBE DETAIL | HISTORY <target>
   *
   * cf. the reference's negative write path (`tests/local.rs:92-103`):
   * there, even INSERT fails by design; here the full maintenance surface
@@ -71,6 +72,7 @@ private[graft] object GraftSqlCommands {
   private val Vacuum = re(s"""^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$$""")
   private val Restore = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
   private val Clone = re(s"""^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T\\s*;?\\s*$$""")
+  private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T\\s*;?\\s*$$""")
 
   /** Split `a = f(x, y), b = 2` on top-level commas only. */
   private[graft] def splitAssignments(s: String): Map[String, String] = {
@@ -115,11 +117,27 @@ private[graft] object GraftSqlCommands {
     val c = Clone.matcher(sql)
     if (c.matches())
       return Some(DeltaCloneCommand(path(c, 3), path(c, 1)))
+    val de = Describe.matcher(sql)
+    if (de.matches())
+      return Some(DeltaDescribeCommand(path(de, 2), de.group(1).toUpperCase == "DETAIL"))
     None
   }
 
   private[delta] def longAttrs(names: String*): Seq[Attribute] =
     names.map(n => AttributeReference(n, LongType, nullable = false)())
+
+  private[delta] def attrsOf(schema: StructType): Seq[Attribute] =
+    schema.fields.toSeq.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+}
+
+/** DESCRIBE DETAIL / DESCRIBE HISTORY over a delta path. */
+case class DeltaDescribeCommand(path: String, detail: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlCommands.attrsOf(
+    if (detail) DeltaMaintenance.detailSchema else DeltaMaintenance.historySchema)
+  override def run(spark: SparkSession): Seq[Row] =
+    (if (detail) DeltaMaintenance.detail(spark, path)
+     else DeltaMaintenance.history(spark, path)).collect().toSeq
 }
 
 case class DeltaDeleteCommand(path: String, condition: String)

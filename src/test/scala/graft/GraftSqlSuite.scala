@@ -80,6 +80,14 @@ class GraftSqlSuite extends AnyFunSuite {
     intercept[Exception] { spark.sql("DELETE FROM WHERE") } // garbage still errors
   }
 
+  test("DESCRIBE DETAIL and DESCRIBE HISTORY route to the maintenance layer") {
+    val dir = freshTable()
+    val det = spark.sql(s"DESCRIBE DETAIL delta.`$dir`").collect().head
+    assert(det.getAs[String]("format") === "delta" && det.getAs[Long]("numFiles") === 8)
+    val hist = spark.sql(s"DESCRIBE HISTORY delta.`$dir`").collect()
+    assert(hist.length === 4 && hist.forall(_.getAs[String]("operation") === "WRITE"))
+  }
+
   test("SET assignment splitter respects parens and string literals") {
     val m = GraftSqlCommands.splitAssignments(
       "a = f(x, ',') , b = concat(c, d), e = 'x,y'")
