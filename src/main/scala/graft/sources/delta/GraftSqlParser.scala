@@ -73,9 +73,18 @@ private[graft] object GraftSqlCommands {
   private val Restore = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
   private val Clone = re(s"""^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T\\s*;?\\s*$$""")
   private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T\\s*;?\\s*$$""")
+  // Restricted MERGE grammar: fixed t/s aliases (DeltaMerge's contract),
+  // source = delta target, quoted path, or a registered view/table name;
+  // the MATCHED clause (UPDATE SET | DELETE) precedes the NOT MATCHED one.
+  private val Merge = re(
+    """^\s*MERGE\s+INTO\s+(?:delta\s*\.\s*`(?<tp1>[^`]+)`|'(?<tp2>[^']+)')\s+(?:AS\s+)?t\s+""" +
+    """USING\s+(?:delta\s*\.\s*`(?<sp1>[^`]+)`|'(?<sp2>[^']+)'|(?<sv>[A-Za-z_]\w*))\s+(?:AS\s+)?s\s+""" +
+    """ON\s+(?<cond>.+?)""" +
+    """(?:\s+WHEN\s+MATCHED\s+THEN\s+(?:UPDATE\s+SET\s+(?<set>.+?)|(?<del>DELETE)))?""" +
+    """(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(?:\((?<icols>[^)]*)\)\s*VALUES\s*\((?<ivals>.+?)\)|(?<istar>\*)))?\s*;?\s*$$""")
 
-  /** Split `a = f(x, y), b = 2` on top-level commas only. */
-  private[graft] def splitAssignments(s: String): Map[String, String] = {
+  /** Split on top-level commas only (parens and string literals opaque). */
+  private[graft] def splitTop(s: String): Seq[String] = {
     val parts = Seq.newBuilder[String]
     var depth = 0; var inStr = false; var start = 0
     s.zipWithIndex.foreach { case (c, i) =>
@@ -88,12 +97,16 @@ private[graft] object GraftSqlCommands {
       }
     }
     parts += s.substring(start)
-    parts.result().map { a =>
+    parts.result()
+  }
+
+  /** Split `a = f(x, y), b = 2` on top-level commas only. */
+  private[graft] def splitAssignments(s: String): Map[String, String] =
+    splitTop(s).map { a =>
       val eq = a.indexOf('=')
       require(eq > 0, s"malformed SET assignment: '$a'")
       a.substring(0, eq).trim -> a.substring(eq + 1).trim
     }.toMap
-  }
 
   def parse(sql: String): Option[LogicalPlan] = {
     val d = Delete.matcher(sql)
@@ -120,6 +133,26 @@ private[graft] object GraftSqlCommands {
     val de = Describe.matcher(sql)
     if (de.matches())
       return Some(DeltaDescribeCommand(path(de, 2), de.group(1).toUpperCase == "DETAIL"))
+    val mg = Merge.matcher(sql)
+    if (mg.matches()) {
+      def g(n: String) = Option(mg.group(n))
+      val insert: Option[DeltaMergeCommand.Insert] =
+        if (g("istar").isDefined) Some(DeltaMergeCommand.InsertStar)
+        else for (cs <- g("icols"); vs <- g("ivals")) yield {
+          val cols = cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val vals = splitTop(vs).map(_.trim)
+          require(cols.size == vals.size,
+            s"INSERT columns (${cols.size}) and VALUES (${vals.size}) differ")
+          DeltaMergeCommand.InsertCols(cols.zip(vals).toMap)
+        }
+      return Some(DeltaMergeCommand(
+        g("tp1").orElse(g("tp2")).get,
+        g("sp1").orElse(g("sp2")), g("sv"),
+        mg.group("cond").trim,
+        g("set").map(splitAssignments),
+        g("del").isDefined,
+        insert))
+    }
     None
   }
 
@@ -189,4 +222,39 @@ case class DeltaCloneCommand(sourcePath: String, targetPath: String)
   override val output: Seq[Attribute] = GraftSqlCommands.longAttrs("committed_version")
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(DeltaMaintenance.shallowClone(spark, sourcePath, targetPath)))
+}
+
+object DeltaMergeCommand {
+  sealed trait Insert
+  case object InsertStar extends Insert
+  final case class InsertCols(assignments: Map[String, String]) extends Insert
+}
+
+/** `MERGE INTO <target> t USING <source> s ON … WHEN …` routed onto
+  * [[DeltaMerge.merge]]. `INSERT *` expands to the target schema with
+  * `s.<col>` sources at run time (the snapshot isn't read at parse time). */
+case class DeltaMergeCommand(
+    targetPath: String,
+    sourcePath: Option[String],
+    sourceView: Option[String],
+    condition: String,
+    matchedUpdate: Option[Map[String, String]],
+    matchedDelete: Boolean,
+    insert: Option[DeltaMergeCommand.Insert])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftSqlCommands.longAttrs("rows_updated", "rows_deleted", "rows_inserted")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = sourcePath.map(DeltaTable.read(spark, _))
+      .getOrElse(spark.table(sourceView.get))
+    val ins = insert.map {
+      case DeltaMergeCommand.InsertStar =>
+        DeltaLog.snapshot(spark, targetPath).schema.fieldNames
+          .map(c => c -> s"s.$c").toMap
+      case DeltaMergeCommand.InsertCols(a) => a
+    }
+    val m = DeltaMerge.merge(spark, targetPath, src, condition,
+      matchedUpdate, matchedDelete, ins)
+    Seq(Row(m.rowsUpdated, m.rowsDeleted, m.rowsInserted))
+  }
 }

@@ -88,6 +88,34 @@ class GraftSqlSuite extends AnyFunSuite {
     assert(hist.length === 4 && hist.forall(_.getAs[String]("operation") === "WRITE"))
   }
 
+  test("MERGE INTO … USING view … upserts: UPDATE SET + INSERT star and explicit forms") {
+    import spark.implicits._
+    val dir = freshTable() // ids 0..7
+    Seq((6, "six", 600.0), (7, "seven", 700.0), (100, "hundred", 1.0))
+      .toDF("id", "name", "score").createOrReplaceTempView("merge_src")
+    val m = spark.sql(
+      s"""MERGE INTO delta.`$dir` t USING merge_src s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET name = s.name
+         WHEN NOT MATCHED THEN INSERT *""").collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) === ((2L, 0L, 1L)))
+    val got = DeltaTable.read(spark, dir).filter("id in (6, 7, 100)")
+      .orderBy("id").collect().map(_.getAs[String]("name")).toSeq
+    assert(got === Seq("six", "seven", "hundred"))
+
+    // explicit column INSERT with expressions; MATCHED DELETE form
+    Seq((100, "x", 0.0), (200, "two-hundred", 2.0))
+      .toDF("id", "name", "score").createOrReplaceTempView("merge_src2")
+    val m2 = spark.sql(
+      s"""MERGE INTO delta.`$dir` t USING merge_src2 s ON t.id = s.id
+         WHEN MATCHED THEN DELETE
+         WHEN NOT MATCHED THEN INSERT (id, name, score) VALUES (s.id, upper(s.name), s.score * 10)""")
+      .collect().head
+    assert((m2.getLong(0), m2.getLong(1), m2.getLong(2)) === ((0L, 1L, 1L)))
+    val r200 = DeltaTable.read(spark, dir).filter("id = 200").collect().head
+    assert(r200.getAs[String]("name") === "TWO-HUNDRED" && r200.getAs[Double]("score") === 20.0)
+    assert(DeltaTable.read(spark, dir).filter("id = 100").count() === 0)
+  }
+
   test("SET assignment splitter respects parens and string literals") {
     val m = GraftSqlCommands.splitAssignments(
       "a = f(x, ',') , b = concat(c, d), e = 'x,y'")
