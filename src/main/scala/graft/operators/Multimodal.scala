@@ -107,6 +107,24 @@ object Multimodal {
         min(col("lang")).as("first_lang"))
       .orderBy(col("label"))
 
+  /** Exact media dedup: group binary payloads by content hash per
+    * modality and report the dedup profile (keeper = min doc_id). The
+    * binary-column twin of Dedup.dd01 — the first pass any multimodal
+    * corpus runs (identical bytes are identical media regardless of
+    * metadata). Hash-groupBy: linear, shuffle on (kind, md5). */
+  private def mm04MediaDedup(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .groupBy(col("kind"), md5(col("payload")).as("h"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("keeper"))
+      .groupBy(col("kind"))
+      .agg(
+        sum(col("c")).as("n_media"),
+        count(lit(1)).as("n_distinct"),
+        expr("count_if(c > 1)").as("n_dup_groups"),
+        (sum(col("c")) - count(lit(1))).as("n_dropped"),
+        min(col("keeper")).as("first_keeper"))
+      .orderBy(col("kind"))
+
   val oracleSql: Map[String, String] = Map(
     "mm03_crossmodal_join" -> """
       SELECT label, count(*) AS n_docs,
@@ -115,6 +133,17 @@ object Multimodal {
              min(lang) AS first_lang
       FROM documents JOIN embeddings ON doc_id = vec_id
       GROUP BY label ORDER BY label""",
+    "mm04_media_dedup" -> """
+      SELECT kind,
+             CAST(sum(c) AS BIGINT) AS n_media,
+             count(*) AS n_distinct,
+             CAST(count_if(c > 1) AS BIGINT) AS n_dup_groups,
+             CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
+             CAST(min(keeper) AS BIGINT) AS first_keeper
+      FROM (SELECT (['image', 'audio', 'video'])[((doc_id % 3) + 1)::INT] AS kind,
+                   md5(text) AS h, count(*) AS c, min(doc_id) AS keeper
+            FROM documents GROUP BY 1, 2)
+      GROUP BY kind ORDER BY kind""",
     "mm01_binary_meta" -> """
       SELECT doc_id,
              (['image', 'audio', 'video'])[((doc_id % 3) + 1)::INT] AS kind,
@@ -137,5 +166,6 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_binary_meta" -> mm01BinaryMeta,
     "mm02_media_features" -> mm02MediaFeatures,
-    "mm03_crossmodal_join" -> mm03CrossmodalJoin)
+    "mm03_crossmodal_join" -> mm03CrossmodalJoin,
+    "mm04_media_dedup" -> mm04MediaDedup)
 }
