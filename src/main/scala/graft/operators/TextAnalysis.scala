@@ -145,6 +145,30 @@ object TextAnalysis {
         (col("top_frac") >= 0.2 || col("dup3_frac") >= 0.05).cast("int").as("repetitive"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-frequency scoring — the integer-exact analog of a CCNet-style
+    * perplexity filter: score each document by how common its tokens are
+    * corpus-wide (mean corpus frequency) and how many are rare
+    * (freq ≤ 2). Two aggregations: global token frequencies (the "model"),
+    * then a broadcast join back onto the exploded tokens — at 100 TB the
+    * frequency table is the Zipf head + tail, still a standard shuffled
+    * or broadcast equi-join, never per-row driver work. All signals are
+    * ratios of exact integers (no log/perplexity — libm differs across
+    * engines, integer counts cannot). */
+  private def tx06Rarity(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(expr(tokenize)).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    toks.join(broadcast(freq), "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        (floor(sum(col("freq")).cast("double") / count(lit(1)).cast("double")
+          * lit(10000.0)) / lit(10000.0)).as("mean_freq"),
+        (floor(expr("count_if(freq <= 2)").cast("double") / count(lit(1)).cast("double")
+          * lit(10000.0)) / lit(10000.0)).as("rare_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracleSql: Map[String, String] = Map(
@@ -190,6 +214,15 @@ object TextAnalysis {
                  len(list_filter(l, x -> list_contains(['le','la','de','et','est'], x))) AS s_fr
           FROM (SELECT lang, $duckToks AS l FROM documents)))
       GROUP BY lang, pred ORDER BY lang, pred""",
+    "tx06_rarity" -> s"""
+      WITH t AS (SELECT doc_id, unnest(l) AS tok
+                 FROM (SELECT doc_id, $duckToks AS l FROM documents)),
+      f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok)
+      SELECT doc_id, count(*) AS n_tok,
+             floor(CAST(sum(freq) AS DOUBLE) / count(*) * 10000.0) / 10000.0 AS mean_freq,
+             floor(CAST(count_if(freq <= 2) AS DOUBLE) / count(*) * 10000.0) / 10000.0 AS rare_ratio
+      FROM t JOIN f USING (tok)
+      GROUP BY doc_id ORDER BY doc_id""",
     "tx05_repetition" -> s"""
       WITH t AS (SELECT doc_id, l, len(l) AS n
                  FROM (SELECT doc_id, $duckToks AS l FROM documents)
@@ -225,5 +258,6 @@ object TextAnalysis {
     "tx02_quality" -> tx02Quality,
     "tx03_langid" -> tx03Langid,
     "tx04_fingerprint" -> tx04Fingerprint,
-    "tx05_repetition" -> tx05Repetition)
+    "tx05_repetition" -> tx05Repetition,
+    "tx06_rarity" -> tx06Rarity)
 }
