@@ -119,6 +119,20 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!p.contains("lang"), "documents scan should prune columns the signals never read")
   }
 
+  test("q36: EXISTS/NOT EXISTS decorrelate to semi + anti hash joins, no re-scan loop") {
+    val p = finalPlanOf("q36_blame_supplier")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("InSubquery"),
+      "correlated subqueries must not survive as per-row subplans")
+  }
+
+  test("tx06: the token-frequency 'model' broadcasts back onto the corpus") {
+    val p = finalPlanOf("tx06_rarity")
+    assert(p.contains("BroadcastHashJoin"), s"freq join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "freq join must not sort-merge at this scale")
+  }
+
   test("q35: the 1-row global total broadcasts into the share filter") {
     val p = finalPlanOf("q35_revenue_share")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
