@@ -265,6 +265,34 @@ object Functions {
       .orderBy(col("l_returnflag"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch — the companion to fn11
+    * that CAN be oracle-gated: unlike HLL (engine-private registers), a KMV
+    * estimate is a deterministic function of the data — the k smallest
+    * md5-derived 32-bit hash values of the distinct keys, estimate =
+    * (k-1) · 2³² / h_k, all exact integer arithmetic. The k smallest
+    * hashes come from a TakeOrderedAndProject (top-k, no global sort) over
+    * a distinct — both linear, shuffle-friendly, mergeable at 100 TB (the
+    * union of two KMV sets re-sorted is the sketch of the union — same
+    * merge law production sketches rely on). Estimate lands within ~1/√k
+    * of exact, and the gate checks the VALUE, not a tolerance. */
+  private def fn27KmvSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val hashes = t(s, dir, "lineitem")
+      .select(col("l_partkey")).distinct()
+      .select(expr("CAST(conv(substr(md5(CAST(l_partkey AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .orderBy(col("h")).limit(k)
+    val exact = t(s, dir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    hashes
+      .agg(count(lit(1)).cast("long").as("k_used"), max(col("h")).as("hk"))
+      .select(
+        col("k_used"),
+        floor((col("k_used") - 1).cast("double") * lit(4294967296.0) / col("hk").cast("double"))
+          .cast("long").as("kmv_estimate"))
+      .join(broadcast(exact))
+      .select(col("k_used"), col("kmv_estimate"), col("exact_parts"))
+  }
+
   /** JSON surface over events.props (exceeds reference parity — DataFusion's
     * default feature set has no JSON functions, SURVEY §2.3). */
   private def fn12Json(s: SparkSession, dir: String): DataFrame =
@@ -855,6 +883,17 @@ object Functions {
              CAST(dayofyear(d) AS BIGINT) AS dy
       FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
       WHERE o_orderkey <= 200 ORDER BY o_orderkey""",
+    "fn27_kmv_sketch" -> """
+      WITH h AS (
+        SELECT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 8))::BIGINT AS h
+        FROM (SELECT DISTINCT l_partkey FROM lineitem)
+        ORDER BY h LIMIT 64),
+      s AS (SELECT count(*) AS k_used, max(h) AS hk FROM h),
+      e AS (SELECT count(DISTINCT l_partkey) AS exact_parts FROM lineitem)
+      SELECT CAST(k_used AS BIGINT) AS k_used,
+             CAST(floor((k_used - 1)::DOUBLE * 4294967296.0 / hk::DOUBLE) AS BIGINT) AS kmv_estimate,
+             CAST(exact_parts AS BIGINT) AS exact_parts
+      FROM s, e""",
     "fn26_agg2" -> """
       SELECT l_returnflag,
              arg_max(l_partkey, l_orderkey * 8 + l_linenumber) AS mxb,
@@ -950,6 +989,7 @@ object Functions {
     "fn24_regex2" -> fn24Regex2,
     "fn25_datetime3" -> fn25Datetime3,
     "fn26_agg2" -> fn26Agg2,
+    "fn27_kmv_sketch" -> fn27KmvSketch,
     "un01_explode" -> un01Explode,
     "un02_posexplode" -> un02Posexplode,
     "un03_sequence_join" -> un03SequenceJoin,
