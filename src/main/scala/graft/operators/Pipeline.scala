@@ -167,6 +167,29 @@ object Pipeline {
         floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"))
       .orderBy(col("c_custkey"))
 
+  /** Deterministic mixture sampling — hitting a target domain mix without
+    * a sampling pass or a shuffle: each source gets a keep-rate, membership
+    * is md5-bucket < rate·100 (same portable hash as pp02, so the sample
+    * is stable under reruns and table growth, and composes with the pp02
+    * split — a doc's split and its sample fate are independent hash bits
+    * because the salts differ). The rates table is a tiny literal map —
+    * broadcast-free per-row math at 100 TB. */
+  private def pp06MixtureSample(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(concat('mix_', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("rate",
+        when(col("source") === "src0", 100)
+          .when(col("source") === "src1", 50)
+          .when(col("source") === "src2", 25)
+          .otherwise(10))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        expr("count_if(bucket < rate)").as("n_kept"),
+        sum(when(col("bucket") < col("rate"), col("n_chars")).otherwise(lit(0L))).as("kept_chars"))
+      .orderBy(col("source"))
+
   private val duckQualityCte: String = """
       quality AS (
         SELECT doc_id, source, n_chars,
@@ -229,6 +252,16 @@ object Pipeline {
              CAST(sum(n_chars) AS BIGINT) AS kept_chars
       FROM ranked WHERE rk <= 10
       GROUP BY source ORDER BY source""",
+    "pp06_mixture_sample" -> """
+      SELECT source, count(*) AS n_total,
+             CAST(count_if(bucket < rate) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM (SELECT source, n_chars,
+                   ('0x' || substr(md5('mix_' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+                   CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                               WHEN 'src2' THEN 25 ELSE 10 END AS rate
+            FROM documents)
+      GROUP BY source ORDER BY source""",
     "pp05_pii_redact" -> """
       SELECT c_custkey,
              substr(md5(c_name), 1, 16) AS pseudonym,
@@ -243,5 +276,6 @@ object Pipeline {
     "pp02_hash_split" -> pp02HashSplit,
     "pp03_decontam" -> pp03Decontam,
     "pp04_domain_mix" -> pp04DomainMix,
-    "pp05_pii_redact" -> pp05PiiRedact)
+    "pp05_pii_redact" -> pp05PiiRedact,
+    "pp06_mixture_sample" -> pp06MixtureSample)
 }
