@@ -40,9 +40,10 @@ object DeltaConstraints {
       .filter(!coalesce(expr(expression), lit(true))).limit(1).count()
     if (existingViolation > 0) throw new DeltaConstraintViolationException(
       s"cannot add CHECK constraint $name ($expression): existing rows violate it")
-    commitConfig(spark, tablePath,
+    commitMetadata(spark, tablePath,
       snap.metadata.configuration + (ConfPrefix + name -> expression),
-      op = "ADD CONSTRAINT", paramK = "name", paramV = name)
+      newSchemaString = None,
+      op = "ADD CONSTRAINT", params = Map("name" -> name))
   }
 
   /** `ALTER TABLE … DROP CONSTRAINT name`. */
@@ -50,9 +51,10 @@ object DeltaConstraints {
     val snap = DeltaLog.snapshot(spark, tablePath)
     if (!snap.metadata.configuration.contains(ConfPrefix + name))
       throw new IllegalArgumentException(s"no such constraint: $name")
-    commitConfig(spark, tablePath,
+    commitMetadata(spark, tablePath,
       snap.metadata.configuration - (ConfPrefix + name),
-      op = "DROP CONSTRAINT", paramK = "name", paramV = name)
+      newSchemaString = None,
+      op = "DROP CONSTRAINT", params = Map("name" -> name))
   }
 
   /** Constraints of a snapshot as (name, expression). */
@@ -77,9 +79,12 @@ object DeltaConstraints {
     }
   }
 
-  private def commitConfig(
+  /** Metadata-only commit: re-emit metaData with a new configuration
+    * and/or schemaString (same table id — replay is last-metaData-wins).
+    * Shared by constraints and [[DeltaSchema]]'s ALTER TABLE surface. */
+  private[delta] def commitMetadata(
       spark: SparkSession, tablePath: String, newConfig: Map[String, String],
-      op: String, paramK: String, paramV: String): Long = {
+      newSchemaString: Option[String], op: String, params: Map[String, String]): Long = {
     var attempt = 0
     var committed = -1L
     while (committed < 0 && attempt < 20) {
@@ -89,7 +94,8 @@ object DeltaConstraints {
       val ci = ciLine.putObject("commitInfo")
       ci.put("timestamp", System.currentTimeMillis())
       ci.put("operation", op)
-      ci.putObject("operationParameters").put(paramK, paramV)
+      val pn = ci.putObject("operationParameters")
+      params.foreach { case (k, v) => pn.put(k, v) }
       ci.put("engineInfo", "graft-spark/0.1.0")
       lines += mapper.writeValueAsString(ciLine)
       val mdLine = mapper.createObjectNode()
@@ -98,7 +104,7 @@ object DeltaConstraints {
       val fmt = m.putObject("format")
       fmt.put("provider", "parquet")
       fmt.putObject("options")
-      m.put("schemaString", current.metadata.schemaString)
+      m.put("schemaString", newSchemaString.getOrElse(current.metadata.schemaString))
       current.partitionColumns.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
       val cfg = m.putObject("configuration")
       newConfig.foreach { case (k, v) => cfg.put(k, v) }

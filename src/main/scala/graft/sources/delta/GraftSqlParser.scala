@@ -73,6 +73,10 @@ private[graft] object GraftSqlCommands {
   private val Restore = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
   private val Clone = re(s"""^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T\\s*;?\\s*$$""")
   private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T\\s*;?\\s*$$""")
+  private val AlterAddCols = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val AlterSetProps = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val AlterAddConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val AlterDropConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
   // Restricted MERGE grammar: fixed t/s aliases (DeltaMerge's contract),
   // source = delta target, quoted path, or a registered view/table name;
   // the MATCHED clause (UPDATE SET | DELETE) precedes the NOT MATCHED one.
@@ -133,6 +137,29 @@ private[graft] object GraftSqlCommands {
     val de = Describe.matcher(sql)
     if (de.matches())
       return Some(DeltaDescribeCommand(path(de, 2), de.group(1).toUpperCase == "DETAIL"))
+    val aac = AlterAddCols.matcher(sql)
+    if (aac.matches())
+      return Some(DeltaAlterCommand(path(aac, 1), DeltaAlterCommand.AddColumns(aac.group(3))))
+    val asp = AlterSetProps.matcher(sql)
+    if (asp.matches()) {
+      val props = splitTop(asp.group(3)).map { kv =>
+        val eq = kv.indexOf('=')
+        require(eq > 0, s"malformed TBLPROPERTIES entry: '$kv'")
+        def unq(x: String) = {
+          val t = x.trim
+          if (t.length >= 2 && t.head == '\'' && t.last == '\'') t.substring(1, t.length - 1) else t
+        }
+        unq(kv.substring(0, eq)) -> unq(kv.substring(eq + 1))
+      }.toMap
+      return Some(DeltaAlterCommand(path(asp, 1), DeltaAlterCommand.SetProps(props)))
+    }
+    val aco = AlterAddConstraint.matcher(sql)
+    if (aco.matches())
+      return Some(DeltaAlterCommand(path(aco, 1),
+        DeltaAlterCommand.AddConstraint(aco.group(3), aco.group(4))))
+    val dco = AlterDropConstraint.matcher(sql)
+    if (dco.matches())
+      return Some(DeltaAlterCommand(path(dco, 1), DeltaAlterCommand.DropConstraint(dco.group(3))))
     val mg = Merge.matcher(sql)
     if (mg.matches()) {
       def g(n: String) = Option(mg.group(n))
@@ -256,5 +283,31 @@ case class DeltaMergeCommand(
     val m = DeltaMerge.merge(spark, targetPath, src, condition,
       matchedUpdate, matchedDelete, ins)
     Seq(Row(m.rowsUpdated, m.rowsDeleted, m.rowsInserted))
+  }
+}
+
+object DeltaAlterCommand {
+  sealed trait Op
+  final case class AddColumns(colsDdl: String) extends Op
+  final case class SetProps(props: Map[String, String]) extends Op
+  final case class AddConstraint(name: String, check: String) extends Op
+  final case class DropConstraint(name: String) extends Op
+}
+
+/** The metadata-only ALTER TABLE statements over a delta path. */
+case class DeltaAlterCommand(path: String, op: DeltaAlterCommand.Op)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlCommands.longAttrs("committed_version")
+  override def run(spark: SparkSession): Seq[Row] = {
+    import DeltaAlterCommand._
+    val v = op match {
+      case AddColumns(ddl) =>
+        DeltaSchema.addColumns(spark, path, StructType.fromDDL(ddl).fields.toSeq)
+      case SetProps(props) => DeltaSchema.setTblProperties(spark, path, props)
+      case AddConstraint(name, check) =>
+        DeltaConstraints.addCheckConstraint(spark, path, name, check)
+      case DropConstraint(name) => DeltaConstraints.dropConstraint(spark, path, name)
+    }
+    Seq(Row(v))
   }
 }

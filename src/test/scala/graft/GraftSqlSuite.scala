@@ -116,6 +116,43 @@ class GraftSqlSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).filter("id = 100").count() === 0)
   }
 
+  test("ALTER TABLE ADD COLUMNS is metadata-only: old rows NULL-fill, new rows carry values") {
+    import spark.implicits._
+    val dir = freshTable()
+    val filesBefore = DeltaLog.snapshot(spark, dir).files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE delta.`$dir` ADD COLUMNS (lang STRING, weight DOUBLE)")
+    assert(DeltaLog.snapshot(spark, dir).files.map(_.path).toSet === filesBefore,
+      "ADD COLUMNS must not touch data files")
+    val r = DeltaTable.read(spark, dir).filter("id = 0").collect().head
+    assert(r.getAs[String]("lang") == null && r.isNullAt(r.fieldIndex("weight")))
+    DeltaWriter.write(
+      Seq((50, "p50", 5.0, "en", 1.5)).toDF("id", "name", "score", "lang", "weight"),
+      dir, SaveMode.Append, Seq.empty)
+    val n = DeltaTable.read(spark, dir).filter("lang = 'en'").collect().head
+    assert(n.getAs[Double]("weight") === 1.5)
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES merges configuration; visible in DESCRIBE DETAIL") {
+    val dir = freshTable()
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('delta.appendOnly' = 'false', 'team' = 'graft')")
+    val props = spark.sql(s"DESCRIBE DETAIL delta.`$dir`").collect().head.getAs[String]("properties")
+    assert(props.contains("team=graft") && props.contains("delta.appendOnly=false"))
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT routes to CHECK enforcement") {
+    import spark.implicits._
+    val dir = freshTable()
+    spark.sql(s"ALTER TABLE delta.`$dir` ADD CONSTRAINT nonneg CHECK (score >= 0)")
+    intercept[Exception] {
+      DeltaWriter.write(Seq((99, "bad", -5.0)).toDF("id", "name", "score"),
+        dir, SaveMode.Append, Seq.empty)
+    }
+    spark.sql(s"ALTER TABLE delta.`$dir` DROP CONSTRAINT nonneg")
+    DeltaWriter.write(Seq((99, "ok-now", -5.0)).toDF("id", "name", "score"),
+      dir, SaveMode.Append, Seq.empty)
+    assert(DeltaTable.read(spark, dir).filter("score < 0").count() === 1)
+  }
+
   test("SET assignment splitter respects parens and string literals") {
     val m = GraftSqlCommands.splitAssignments(
       "a = f(x, ',') , b = concat(c, d), e = 'x,y'")
