@@ -133,4 +133,27 @@ class DeltaTableManagementSuite extends AnyFunSuite {
     // replay through the checkpoint still reads correctly
     assert(DeltaTable.read(spark, dir).count() === 7)
   }
+
+  test("time travel by timestamp resolves the newest commit at or before the cutoff") {
+    import spark.implicits._
+    val dir = freshTable() // v0: 2 rows
+    val v0File = new org.apache.hadoop.fs.Path(DeltaLog.logDir(dir), "0" * 19 + "0.json")
+    val fs = v0File.getFileSystem(spark.sessionState.newHadoopConf())
+    val t0 = fs.getFileStatus(v0File).getModificationTime
+    DeltaWriter.write(Seq((3, "c", 300)).toDF("id", "k", "v").coalesce(1),
+      dir, SaveMode.Append, Nil) // v1
+    // cutoff = v0's own commit time → exactly v0 (modtime comparison is <=)
+    val atV0 = spark.read.format("delta")
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(t0).toString)
+      .load(dir)
+    assert(atV0.count() === 2)
+    // a cutoff in the far future resolves to latest
+    val atNow = spark.read.format("delta")
+      .option("timestampAsOf", "2099-01-01").load(dir)
+    assert(atNow.count() === 3)
+    // a cutoff before the table existed is an error
+    intercept[Exception] {
+      spark.read.format("delta").option("timestampAsOf", "2000-01-01").load(dir).count()
+    }
+  }
 }
