@@ -124,6 +124,10 @@ object GraftFunctions {
       Lcm(exprs.head, exprs(1))
     },
     "interleave_bits" -> { exprs => InterleaveBits(exprs) },
+    "top_count" -> { exprs =>
+      require(exprs.length == 1, s"top_count expects 1 argument, got ${exprs.length}")
+      TopCount(exprs.head)
+    },
     "word_ngrams_arr" -> { exprs =>
       require(exprs.length == 2, s"word_ngrams_arr expects 2 arguments, got ${exprs.length}")
       val n = exprs(1) match {
