@@ -66,8 +66,15 @@ class DeltaDataSource extends RelationProvider
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
     val path = pathOf(parameters)
-    DeltaWriter.write(data, path, mode, partitionColumnsOf(parameters),
-      mergeSchema = caseGet(parameters, "mergeSchema").exists(_.toBoolean))
+    caseGet(parameters, "replaceWhere") match {
+      case Some(cond) =>
+        require(mode == SaveMode.Overwrite,
+          "replaceWhere requires SaveMode.Overwrite")
+        DeltaMaintenance.replaceWhere(sqlContext.sparkSession, path, data, cond)
+      case None =>
+        DeltaWriter.write(data, path, mode, partitionColumnsOf(parameters),
+          mergeSchema = caseGet(parameters, "mergeSchema").exists(_.toBoolean))
+    }
     createRelation(sqlContext, parameters)
   }
 

@@ -394,6 +394,50 @@ object DeltaMaintenance {
     committed
   }
 
+  /** `.option("replaceWhere", cond)` overwrite — production Delta's
+    * selective overwrite: atomically replace exactly the rows matching
+    * `condition` with `data` (every new row must itself satisfy the
+    * condition — rejected otherwise), leaving all other rows untouched.
+    * THE backfill primitive at 100 TB: overwriting one day/partition
+    * touches only the files that contain matching rows (found through the
+    * pruned provider scan — a partition-column condition prunes to that
+    * partition), never the whole table. Commit = remove(touched) +
+    * add(survivor rewrites + new data), dataChange=true, same validated
+    * conflict loop as OPTIMIZE/DML. */
+  def replaceWhere(
+      spark: SparkSession, tablePath: String, data: DataFrame, condition: String): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val badNew = data.filter(!coalesce(expr(condition), lit(false))).limit(1).count()
+    if (badNew > 0) throw new IllegalArgumentException(
+      s"replaceWhere: new rows do not all match '$condition'")
+    DeltaConstraints.validate(data, snap, "REPLACE WHERE")
+    def norm(uri: String): String =
+      try new Path(new URI(uri)).toUri.getPath
+      catch { case _: Exception => new Path(uri).toUri.getPath }
+    val touchedPaths: Set[String] =
+      DeltaTable.read(spark, tablePath).filter(expr(condition))
+        .select(input_file_name().as("_f")).distinct()
+        .collect().map(r => norm(r.getString(0))).toSet
+    val touched = snap.files.filter(f =>
+      touchedPaths.contains(norm(new Path(tablePath, decodeRel(f.path)).toString)))
+    val partSchema = snap.partitionSchema
+    val outCols = snap.schema.fieldNames.toIndexedSeq
+    val survivors = touched.groupBy(_.partitionValues).map { case (pv, files) =>
+      val paths = files.map(f => new Path(tablePath, decodeRel(f.path)).toString)
+      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
+      val withParts = snap.partitionColumns.foldLeft(base) { (df, c) =>
+        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(partSchema(c).dataType))
+      }
+      withParts.filter(!coalesce(expr(condition), lit(false)))
+    }
+    val out = (survivors.toSeq :+ data).map(_.select(outCols.map(col): _*))
+      .reduce(_ unionByName _)
+    val (adds, fs) = stagePublish(spark, tablePath, snap, out)
+    commitReplace(spark, tablePath, fs, touched, adds, dataChange = true,
+      op = "REPLACE WHERE", params = Map("condition" -> condition),
+      abortOp = "REPLACE WHERE")
+  }
+
   /** `CREATE TABLE … SHALLOW CLONE src`: a zero-copy metadata-only fork.
     * The clone's v0 commit re-adds every live source file by ABSOLUTE URI
     * (the protocol's escape hatch for files outside the table root), so no

@@ -112,4 +112,46 @@ class DeltaDmlSuite extends AnyFunSuite {
       .select("operation").collect().map(_.getString(0)).toSeq
     assert(ops.take(2) === Seq("UPDATE", "DELETE"))
   }
+
+  test("replaceWhere overwrites exactly the matching slice; other partitions' files untouched") {
+    import spark.implicits._
+    val dir = freshTable() // partitions a/b, 2 files each, 8 rows
+    val bFilesBefore = DeltaLog.snapshot(spark, dir).files
+      .filter(_.partitionValues.get("k").contains("b")).map(_.path).toSet
+
+    // backfill partition a with two fresh rows
+    Seq((91, "a", 910), (92, "a", 920)).toDF("id", "k", "v")
+      .write.format("delta").mode(SaveMode.Overwrite)
+      .option("replaceWhere", "k = 'a'").save(dir)
+
+    val after = DeltaTable.read(spark, dir)
+    assert(after.filter("k = 'a'").orderBy("id")
+      .collect().map(_.getInt(0)).toSeq === Seq(91, 92))
+    assert(after.filter("k = 'b'").count() === 4) // untouched
+    val bFilesAfter = DeltaLog.snapshot(spark, dir).files
+      .filter(_.partitionValues.get("k").contains("b")).map(_.path).toSet
+    assert(bFilesAfter === bFilesBefore, "partition b files must not be rewritten")
+
+    // new rows violating the predicate are rejected before any commit
+    val vBefore = DeltaLog.snapshot(spark, dir).version
+    intercept[Exception] {
+      Seq((93, "b", 930)).toDF("id", "k", "v")
+        .write.format("delta").mode(SaveMode.Overwrite)
+        .option("replaceWhere", "k = 'a'").save(dir)
+    }
+    assert(DeltaLog.snapshot(spark, dir).version === vBefore)
+  }
+
+  test("replaceWhere with a row-level (non-partition) predicate keeps non-matching rows of touched files") {
+    import spark.implicits._
+    val dir = freshTable()
+    // replace only v >= 300 (partition b holds 300/301/400/401)
+    Seq((77, "b", 777)).toDF("id", "k", "v")
+      .write.format("delta").mode(SaveMode.Overwrite)
+      .option("replaceWhere", "v >= 300").save(dir)
+    val got = DeltaTable.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("k"), r.getAs[Int]("v"))).toSeq
+    assert(got.count(_._2 == "a") === 4)      // partition a fully intact
+    assert(got.filter(_._2 == "b").map(_._1) === Seq(77)) // b rows replaced
+  }
 }
