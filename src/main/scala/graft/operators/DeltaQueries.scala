@@ -169,6 +169,27 @@ object DeltaQueries {
       .orderBy(col("parity"))
   }
 
+  /** replaceWhere selective overwrite in the gate: overwrite nation 3's
+    * slice with a doubled-balance version; every other nation's rows (and
+    * files) must come through untouched. The oracle replays the arithmetic
+    * over the raw fixture, so a replaceWhere that leaks into other
+    * partitions, drops survivors, or double-writes shows as a mismatch. */
+  private def dl09ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    supplier.write.format("delta").partitionBy("s_nationkey").save(path)
+    supplier.filter(col("s_nationkey") === 3)
+      .withColumn("s_acctbal", col("s_acctbal") * 2)
+      .write.format("delta").mode(SaveMode.Overwrite)
+      .option("replaceWhere", "s_nationkey = 3").save(path)
+    DeltaTable.read(s, path)
+      .groupBy(col("s_nationkey").cast("int").as("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dl01_delta_roundtrip" -> """
       SELECT s_nationkey,
@@ -207,6 +228,11 @@ object DeltaQueries {
                AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal,
              max(CASE WHEN s_suppkey % 10 = 0 THEN upper(s_name) ELSE s_name END) AS name_max
       FROM supplier GROUP BY 1 ORDER BY 1""",
+    "dl09_replace_where" -> """
+      SELECT CAST(s_nationkey AS INT) AS s_nationkey, count(*) AS n,
+             CAST(round(sum(CAST(CASE WHEN s_nationkey = 3 THEN s_acctbal * 2
+                                      ELSE s_acctbal END AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier GROUP BY 1 ORDER BY 1""",
     "dl08_merge" -> """
       WITH merged AS (
         SELECT s_suppkey,
@@ -229,5 +255,6 @@ object DeltaQueries {
     "dl05_restore" -> dl05Restore,
     "dl06_delete" -> dl06Delete,
     "dl07_update" -> dl07Update,
-    "dl08_merge" -> dl08Merge)
+    "dl08_merge" -> dl08Merge,
+    "dl09_replace_where" -> dl09ReplaceWhere)
 }

@@ -122,24 +122,21 @@ object Similarity {
                 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)),
          (a, x) -> a + x)"""
 
-  /** IVF-style ANN (the second scale path beside hyperplane LSH): vectors
-    * are assigned to their nearest of K=16 coarse-quantizer centroids
-    * (deterministically the first 16 vectors here; production uses k-means
-    * — the plan shape is identical), and a query probes ONLY its own
-    * centroid's inverted list (nprobe=1): expected N/K of the data per
-    * query, reached by an equi-join on the centroid id. */
-  private def ss03AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
-    val cents = v.filter(col("vec_id") < 16)
+  /** First-16-vectors coarse quantizer (production: k-means, same shape). */
+  private def centroids(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
-    // nearest-centroid assignment: broadcast the 16 centroids over all vecs,
-    // then pick argmax(csim) per vector with an AGGREGATE, not a window —
-    // min(struct(-csim, cid)) gets partial (map-side) aggregation, so the
-    // N×K scored rows collapse to N before any shuffle; a row_number()
-    // window would sort all N×K rows. Tie-break matches the oracle:
-    // csim desc, then cid asc. e is constant per vec_id, so first(e) is
-    // deterministic in value.
-    val assigned = v.join(broadcast(cents))
+
+  /** Nearest-centroid inverted-list assignment, shared by ss03/ss04:
+    * broadcast the K centroids over all vecs, then pick argmax(csim) per
+    * vector with an AGGREGATE, not a window — min(struct(-csim, cid)) gets
+    * partial (map-side) aggregation, so the N×K scored rows collapse to N
+    * before any shuffle; a row_number() window would sort all N×K rows.
+    * Tie-break matches the oracle: csim desc, then cid asc. e is constant
+    * per vec_id, so first(e) is deterministic in value. Persisted: probed
+    * by both the query side and the candidate side. */
+  private def assignedFrame(v: DataFrame, cents: DataFrame): DataFrame =
+    v.join(broadcast(cents))
       .withColumn("csim",
         floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
       .groupBy(col("vec_id"))
@@ -147,7 +144,16 @@ object Similarity {
         min(struct((-col("csim")).as("ns"), col("cid"))).as("m"),
         first(col("e")).as("e"))
       .select(col("vec_id"), col("e"), col("m.cid").as("cid"))
-      .persist() // probed by both the query side and the candidate side
+      .persist()
+
+  /** IVF-style ANN (the second scale path beside hyperplane LSH): vectors
+    * are assigned to their nearest of K=16 coarse-quantizer centroids, and
+    * a query probes ONLY its own centroid's inverted list (nprobe=1):
+    * expected N/K of the data per query, reached by an equi-join on the
+    * centroid id. */
+  private def ss03AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val assigned = assignedFrame(v, centroids(v))
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("cid"))
     val wRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
@@ -173,17 +179,8 @@ object Similarity {
     * unlike the N×K assignment, which stays the ss03 partial-agg shape). */
   private def ss04AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
-    val cents = v.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
-    val assigned = v.join(broadcast(cents))
-      .withColumn("csim",
-        floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
-      .groupBy(col("vec_id"))
-      .agg(
-        min(struct((-col("csim")).as("ns"), col("cid"))).as("m"),
-        first(col("e")).as("e"))
-      .select(col("vec_id"), col("e"), col("m.cid").as("cid"))
-      .persist()
+    val cents = centroids(v)
+    val assigned = assignedFrame(v, cents)
     // top-2 probe centroids per query: Q×K scored rows, Q tiny and K=16
     // constant, so the per-query window is bounded and broadcastable.
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("pcid"))

@@ -106,15 +106,9 @@ object DeltaDml {
     // ---- 2. rewrite touched files only: one unioned plan across partition
     // groups (partition values re-injected — data files do not store them),
     // a single distributed job regardless of file count.
-    val partSchema = snap.partitionSchema
     val outCols = snap.schema.fieldNames.toIndexedSeq
-    val rewritten = touched.groupBy(_.partitionValues).map { case (pv, files) =>
-      val paths = files.map(f =>
-        new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)
-      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
-      val withParts = snap.partitionColumns.foldLeft(base) { (df, c) =>
-        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(partSchema(c).dataType))
-      }
+    val rewritten = DeltaMaintenance.partitionInjected(
+      spark, tablePath, snap, touched).map { withParts =>
       if (op == "DELETE") withParts.filter(!expr(condition))
       else {
         // one SELECT so every SET expression sees the pre-update row
@@ -215,7 +209,7 @@ object DeltaDml {
 
   /** input_file_name() URIs and Path.toString spellings differ
     * (file:///x vs file:/x) — compare on the scheme-less path. */
-  private def normalize(uri: String): String =
+  private[delta] def normalize(uri: String): String =
     try new Path(new java.net.URI(uri)).toUri.getPath
     catch { case _: Exception => new Path(uri).toUri.getPath }
 }

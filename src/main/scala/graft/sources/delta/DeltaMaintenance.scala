@@ -39,6 +39,25 @@ object DeltaMaintenance {
       if (u.isAbsolute) p else u.getPath
     } catch { case _: Exception => p }
 
+  /** Per-partition-group frames of `files` with the hive partition values
+    * re-injected (data files do not store them) — the shared read side of
+    * every rewrite operation (OPTIMIZE, DML, replaceWhere). One frame per
+    * distinct partitionValues map, in stable group order. */
+  private[delta] def partitionInjected(
+      spark: SparkSession,
+      tablePath: String,
+      snap: DeltaSnapshot,
+      files: Seq[DeltaAddFile]): Seq[DataFrame] = {
+    val partSchema = snap.partitionSchema
+    files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
+      val paths = fs.map(f => new Path(tablePath, decodeRel(f.path)).toString)
+      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
+      snap.partitionColumns.foldLeft(base) { (df, c) =>
+        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(partSchema(c).dataType))
+      }
+    }
+  }
+
   /** Bin-packing compaction of files smaller than `targetFileBytes`.
     * No-op (returns metrics with the current version) when no partition has
     * two or more small files. */
@@ -64,17 +83,11 @@ object DeltaMaintenance {
     if (groups.isEmpty)
       return OptimizeMetrics(0, 0, 0, snap.version)
 
-    val partSchema = snap.partitionSchema
     // one logical plan over all partitions: per-partition scans with the
     // partition values re-injected, unioned, then re-written partitioned —
     // a single distributed job regardless of partition count.
-    val compacted = groups.map { case (pv, files) =>
-      val paths = files.map(f => new Path(tablePath, decodeRel(f.path)).toString)
-      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
-      snap.partitionColumns.foldLeft(base) { (df, c) =>
-        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(partSchema(c).dataType))
-      }
-    }.reduce(_ unionByName _)
+    val compacted = partitionInjected(spark, tablePath, snap, groups.values.flatten.toSeq)
+      .reduce(_ unionByName _)
       // bound output file count: ~one file per target size per partition
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
 
@@ -411,26 +424,16 @@ object DeltaMaintenance {
     if (badNew > 0) throw new IllegalArgumentException(
       s"replaceWhere: new rows do not all match '$condition'")
     DeltaConstraints.validate(data, snap, "REPLACE WHERE")
-    def norm(uri: String): String =
-      try new Path(new URI(uri)).toUri.getPath
-      catch { case _: Exception => new Path(uri).toUri.getPath }
     val touchedPaths: Set[String] =
       DeltaTable.read(spark, tablePath).filter(expr(condition))
         .select(input_file_name().as("_f")).distinct()
-        .collect().map(r => norm(r.getString(0))).toSet
-    val touched = snap.files.filter(f =>
-      touchedPaths.contains(norm(new Path(tablePath, decodeRel(f.path)).toString)))
-    val partSchema = snap.partitionSchema
+        .collect().map(r => DeltaDml.normalize(r.getString(0))).toSet
+    val touched = snap.files.filter(f => touchedPaths.contains(
+      DeltaDml.normalize(new Path(tablePath, decodeRel(f.path)).toString)))
     val outCols = snap.schema.fieldNames.toIndexedSeq
-    val survivors = touched.groupBy(_.partitionValues).map { case (pv, files) =>
-      val paths = files.map(f => new Path(tablePath, decodeRel(f.path)).toString)
-      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
-      val withParts = snap.partitionColumns.foldLeft(base) { (df, c) =>
-        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(partSchema(c).dataType))
-      }
-      withParts.filter(!coalesce(expr(condition), lit(false)))
-    }
-    val out = (survivors.toSeq :+ data).map(_.select(outCols.map(col): _*))
+    val survivors = partitionInjected(spark, tablePath, snap, touched)
+      .map(_.filter(!coalesce(expr(condition), lit(false))))
+    val out = (survivors :+ data).map(_.select(outCols.map(col): _*))
       .reduce(_ unionByName _)
     val (adds, fs) = stagePublish(spark, tablePath, snap, out)
     commitReplace(spark, tablePath, fs, touched, adds, dataChange = true,

@@ -67,7 +67,7 @@ private[graft] object GraftSqlCommands {
     p, java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
   private val Delete = re(s"""^\\s*DELETE\\s+FROM\\s+$T(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""")
-  private val Update = re(s"""^\\s*UPDATE\\s+$T\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""")
+  private val Update = re(s"""^\\s*UPDATE\\s+$T\\s+SET\\s+(.+?)\\s*;?\\s*$$""")
   private val Optimize = re(s"""^\\s*OPTIMIZE\\s+$T(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""")
   private val Vacuum = re(s"""^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$$""")
   private val Restore = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
@@ -87,21 +87,49 @@ private[graft] object GraftSqlCommands {
     """(?:\s+WHEN\s+MATCHED\s+THEN\s+(?:UPDATE\s+SET\s+(?<set>.+?)|(?<del>DELETE)))?""" +
     """(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(?:\((?<icols>[^)]*)\)\s*VALUES\s*\((?<ivals>.+?)\)|(?<istar>\*)))?\s*;?\s*$$""")
 
-  /** Split on top-level commas only (parens and string literals opaque). */
+  /** Split on top-level commas only (parens and string literals opaque;
+    * backslash-escaped quotes inside literals do not close them). */
   private[graft] def splitTop(s: String): Seq[String] = {
     val parts = Seq.newBuilder[String]
-    var depth = 0; var inStr = false; var start = 0
-    s.zipWithIndex.foreach { case (c, i) =>
-      c match {
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if inStr => i += 1 // skip the escaped char
         case '\'' => inStr = !inStr
         case '(' if !inStr => depth += 1
         case ')' if !inStr => depth -= 1
         case ',' if !inStr && depth == 0 => parts += s.substring(start, i); start = i + 1
         case _ =>
       }
+      i += 1
     }
     parts += s.substring(start)
     parts.result()
+  }
+
+  /** Index of the first TOP-LEVEL (outside quotes/parens) occurrence of
+    * ` word ` (case-insensitive, word-bounded), or -1 — the quote-aware
+    * way to find clause boundaries a lazy regex would mis-split when the
+    * keyword appears inside a string literal. */
+  private[graft] def topLevelKeyword(s: String, word: String): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    val w = word.toUpperCase(java.util.Locale.ROOT)
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if inStr => i += 1
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case c if !inStr && depth == 0 && i + w.length <= s.length &&
+            s.regionMatches(true, i, w, 0, w.length) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i + w.length == s.length || !Character.isLetterOrDigit(s.charAt(i + w.length))) =>
+          return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Split `a = f(x, y), b = 2` on top-level commas only. */
@@ -117,9 +145,16 @@ private[graft] object GraftSqlCommands {
     if (d.matches())
       return Some(DeltaDeleteCommand(path(d, 1), Option(d.group(3)).getOrElse("true")))
     val u = Update.matcher(sql)
-    if (u.matches())
-      return Some(DeltaUpdateCommand(path(u, 1),
-        splitAssignments(u.group(3)), Option(u.group(4)).getOrElse("true")))
+    if (u.matches()) {
+      // WHERE must be found quote-aware: a lazy regex binds a ' WHERE '
+      // inside a string literal (e.g. SET note = 'fix WHERE needed')
+      val blob = u.group(3)
+      val w = topLevelKeyword(blob, "WHERE")
+      val (setPart, cond) =
+        if (w < 0) (blob, "true")
+        else (blob.substring(0, w).trim, blob.substring(w + 5).trim)
+      return Some(DeltaUpdateCommand(path(u, 1), splitAssignments(setPart), cond))
+    }
     val o = Optimize.matcher(sql)
     if (o.matches())
       return Some(DeltaOptimizeCommand(path(o, 1),
@@ -136,7 +171,7 @@ private[graft] object GraftSqlCommands {
       return Some(DeltaCloneCommand(path(c, 3), path(c, 1)))
     val de = Describe.matcher(sql)
     if (de.matches())
-      return Some(DeltaDescribeCommand(path(de, 2), de.group(1).toUpperCase == "DETAIL"))
+      return Some(DeltaDescribeCommand(path(de, 2), de.group(1).equalsIgnoreCase("DETAIL")))
     val aac = AlterAddCols.matcher(sql)
     if (aac.matches())
       return Some(DeltaAlterCommand(path(aac, 1), DeltaAlterCommand.AddColumns(aac.group(3))))

@@ -58,6 +58,7 @@ class DeltaCloneSuite extends AnyFunSuite {
     val dst = Files.createTempDirectory("graft-clone-dst").toString + "/t"
     DeltaMaintenance.shallowClone(spark, src, dst)
     val srcBefore = rows(src)
+    val srcVersionBefore = DeltaLog.snapshot(spark, src).version
 
     DeltaWriter.write(Seq((100, "a", "new")).toDF("id", "k", "payload"),
       dst, SaveMode.Append, Seq("k"))
@@ -67,8 +68,8 @@ class DeltaCloneSuite extends AnyFunSuite {
     assert(rows(src) === srcBefore, "source mutated by clone-side write/DML")
     val got = rows(dst)
     assert(got.exists(_.contains("100")) && !got.exists(_.contains("[1,")))
-    assert(DeltaLog.snapshot(spark, src).version ===
-      DeltaLog.snapshot(spark, src).version) // source log untouched by dst commits
+    assert(DeltaLog.snapshot(spark, src).version === srcVersionBefore,
+      "clone-side commits must land in the CLONE's log, not the source's")
   }
 
   test("vacuum on the clone never deletes shared source files") {

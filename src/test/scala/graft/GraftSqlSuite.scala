@@ -153,9 +153,22 @@ class GraftSqlSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).filter("score < 0").count() === 1)
   }
 
-  test("SET assignment splitter respects parens and string literals") {
+  test("SET assignment splitter respects parens, string literals, and escaped quotes") {
     val m = GraftSqlCommands.splitAssignments(
       "a = f(x, ',') , b = concat(c, d), e = 'x,y'")
     assert(m === Map("a" -> "f(x, ',')", "b" -> "concat(c, d)", "e" -> "'x,y'"))
+    // backslash-escaped quote must not close the literal
+    val esc = GraftSqlCommands.splitAssignments("a = 'it\\'s, fine', b = 2")
+    assert(esc === Map("a" -> "'it\\'s, fine'", "b" -> "2"))
+  }
+
+  test("UPDATE with ' WHERE ' inside a string literal does not split at the literal") {
+    val dir = freshTable()
+    spark.sql(s"UPDATE delta.`$dir` SET name = 'fix WHERE needed' WHERE id = 2")
+    val got = DeltaTable.read(spark, dir).filter("id = 2").collect().head
+    assert(got.getAs[String]("name") === "fix WHERE needed")
+    // and with no WHERE clause at all, every row updates
+    spark.sql(s"UPDATE delta.`$dir` SET score = 0.0")
+    assert(DeltaTable.read(spark, dir).filter("score <> 0.0").count() === 0)
   }
 }
