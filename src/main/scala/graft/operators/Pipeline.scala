@@ -190,6 +190,59 @@ object Pipeline {
         sum(when(col("bucket") < col("rate"), col("n_chars")).otherwise(lit(0L))).as("kept_chars"))
       .orderBy(col("source"))
 
+  /** Capstone #2 — the corpus-build composition over the NEWER operator
+    * set: repetition filter (tx05's flag) → rarity filter (tx06's
+    * corpus-frequency signal) → deterministic mixture sampling (pp06) →
+    * hash split (pp02) → per-(split, source) corpus report. Every stage is
+    * per-row math or one shuffle; the oracle replays the whole composition
+    * in a single DuckDB statement, so the gate checks stage INTERACTIONS
+    * (filter-before-sample ordering, hash-bit independence), not just the
+    * parts. */
+  private def pp07CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val toks = s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") >= 3)
+    // tx05 repetition flag
+    val flagged = toks
+      .withColumn("top_frac",
+        floor(expr("top_count(toks)").cast("double") / col("n_tok").cast("double")
+          * lit(10000.0)) / lit(10000.0))
+      .withColumn("dup3_frac",
+        floor((lit(1.0) - size(expr("word_ngrams_arr(toks, 3)")).cast("double")
+          / (col("n_tok") - 2).cast("double")) * lit(10000.0)) / lit(10000.0))
+      .filter(!(col("top_frac") >= 0.2 || col("dup3_frac") >= 0.05))
+    // tx06 rarity: drop rare-heavy docs (rare_ratio over the FULL corpus
+    // frequency table — computed before any filtering, like a real model)
+    val tokRows = s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val freq = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val rare = tokRows.join(broadcast(freq), "tok")
+      .groupBy(col("doc_id"))
+      .agg((floor(expr("count_if(freq <= 2)").cast("double")
+        / count(lit(1)).cast("double") * lit(10000.0)) / lit(10000.0)).as("rare_ratio"))
+    val kept = flagged.join(rare, "doc_id").filter(col("rare_ratio") <= 0.02)
+    // pp06 mixture sample + pp02 split (independent salted hash bits)
+    kept
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(concat('mix_', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("rate",
+        when(col("source") === "src0", 100)
+          .when(col("source") === "src1", 50)
+          .when(col("source") === "src2", 25)
+          .otherwise(10))
+      .filter(col("bucket") < col("rate"))
+      .withColumn("sb",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("sb") < 80, "train").when(col("sb") < 90, "validation").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"), col("source"))
+  }
+
   private val duckQualityCte: String = """
       quality AS (
         SELECT doc_id, source, n_chars,
@@ -252,6 +305,49 @@ object Pipeline {
              CAST(sum(n_chars) AS BIGINT) AS kept_chars
       FROM ranked WHERE rk <= 10
       GROUP BY source ORDER BY source""",
+    "pp07_corpus_build" -> """
+      WITH d AS (SELECT doc_id, source, n_chars,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS l
+                 FROM documents),
+      t3 AS (SELECT doc_id, source, n_chars, l, len(l) AS n FROM d WHERE len(l) >= 3),
+      flagged AS (
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 floor(list_max(list_transform(list_distinct(l),
+                     t -> len(list_filter(l, x -> x = t))))::DOUBLE
+                   / n::DOUBLE * 10000.0) / 10000.0 AS top_frac,
+                 floor((1.0 - len(list_distinct(list_transform(generate_series(1, n - 2),
+                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])))::DOUBLE
+                   / (n - 2)::DOUBLE) * 10000.0) / 10000.0 AS dup3_frac
+          FROM t3)
+        WHERE NOT (top_frac >= 0.2 OR dup3_frac >= 0.05)),
+      tok AS (SELECT doc_id, unnest(l) AS tok FROM d),
+      f AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
+      rare AS (
+        SELECT doc_id,
+               floor(CAST(count_if(freq <= 2) AS DOUBLE) / count(*) * 10000.0) / 10000.0 AS rare_ratio
+        FROM tok JOIN f USING (tok) GROUP BY doc_id),
+      kept AS (
+        SELECT flagged.doc_id, source, n_chars FROM flagged
+        JOIN rare ON rare.doc_id = flagged.doc_id
+        WHERE rare_ratio <= 0.02),
+      sampled AS (
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 ('0x' || substr(md5('mix_' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+                 CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                             WHEN 'src2' THEN 25 ELSE 10 END AS rate
+          FROM kept)
+        WHERE bucket < rate)
+      SELECT split, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM (SELECT source, n_chars,
+                   CASE WHEN sb < 80 THEN 'train'
+                        WHEN sb < 90 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM (SELECT source, n_chars,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS sb
+                  FROM sampled))
+      GROUP BY split, source ORDER BY split, source""",
     "pp06_mixture_sample" -> """
       SELECT source, count(*) AS n_total,
              CAST(count_if(bucket < rate) AS BIGINT) AS n_kept,
@@ -277,5 +373,6 @@ object Pipeline {
     "pp03_decontam" -> pp03Decontam,
     "pp04_domain_mix" -> pp04DomainMix,
     "pp05_pii_redact" -> pp05PiiRedact,
-    "pp06_mixture_sample" -> pp06MixtureSample)
+    "pp06_mixture_sample" -> pp06MixtureSample,
+    "pp07_corpus_build" -> pp07CorpusBuild)
 }
