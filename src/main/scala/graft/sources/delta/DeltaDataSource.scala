@@ -3,7 +3,8 @@ package graft.sources.delta
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /** `format("delta")` entry point, registered via
   * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister.
@@ -21,7 +22,8 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   * Time travel: `.option("versionAsOf", n)` / `.option("timestampAsOf", ts)`.
   */
 class DeltaDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "delta"
 
@@ -76,6 +78,28 @@ class DeltaDataSource extends RelationProvider
           mergeSchema = caseGet(parameters, "mergeSchema").exists(_.toBoolean))
     }
     createRelation(sqlContext, parameters)
+  }
+
+  // ---- streaming source (readStream.format("delta")) ----
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      DeltaLog.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val path = pathOf(parameters)
+    val s = schema.getOrElse(DeltaLog.snapshot(sqlContext.sparkSession, path).schema)
+    new DeltaStreamingSource(sqlContext, path, s,
+      caseGet(parameters, "ignoreDataChangeRemoves").exists(_.toBoolean))
   }
 
   private def pathOf(parameters: Map[String, String]): String =

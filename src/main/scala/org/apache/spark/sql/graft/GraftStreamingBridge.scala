@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** The one Spark-internal bridge a DSv1 streaming Source needs:
+  * `SparkSession.internalCreateDataFrame(..., isStreaming = true)` is
+  * `private[sql]`, so the call must live under `org.apache.spark.sql` —
+  * the same packaging escape hatch every production v1 connector uses
+  * (delta-spark ships all of `org.apache.spark.sql.delta` this way).
+  * Kept to a single one-line object so the engine's own code stays
+  * entirely in the `graft` namespace. */
+object GraftStreamingBridge {
+  def streamingDataFrame(
+      spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+}
