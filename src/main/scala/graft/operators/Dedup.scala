@@ -178,13 +178,26 @@ object Dedup {
     val sym = edges.select(col("doc_a").as("doc"), col("doc_b").as("nbr"))
       .union(edges.select(col("doc_b").as("doc"), col("doc_a").as("nbr")))
       .persist()
+    try propagateMinLabels(sym)
+    finally sym.unpersist()
+  }
+
+  /** Min-label propagation to fixpoint over a symmetric adjacency list
+    * (`doc`, `nbr`). Throws rather than returning wrong labels when the
+    * iteration cap is hit: a silent cap would hand back iteration-N
+    * labels for any component whose diameter exceeds `maxIters`, which at
+    * corpus scale is a correctness bug, not a tuning knob. The cap exists
+    * only as a runaway guard — diameters past it mean the near-dup graph
+    * is pathological (one giant chain) and the caller must raise the cap
+    * deliberately. */
+  private[operators] def propagateMinLabels(sym: DataFrame, maxIters: Int = 25): DataFrame = {
     var labels = sym.select(col("doc")).distinct()
       .withColumn("lab", col("doc"))
       .localCheckpoint()
     var converged = false
     var iter = 0
     var labelSum = Long.MinValue
-    while (!converged && iter < 25) {
+    while (!converged && iter < maxIters) {
       val msgs = sym
         .join(labels.select(col("doc").as("nbr"), col("lab").as("nlab")), "nbr")
         .groupBy(col("doc")).agg(min(col("nlab")).as("nmin"))
@@ -199,6 +212,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected-components min-label propagation did not converge within " +
+          s"$maxIters iterations — a component's diameter exceeds the cap; " +
+          s"returning partial labels would silently mislabel clusters. " +
+          s"Raise maxIters for pathologically chained near-dup graphs.")
     labels
   }
 

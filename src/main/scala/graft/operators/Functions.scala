@@ -770,7 +770,7 @@ object Functions {
              floor(atan2(l_quantity, 10.0) * 1000000.0) / 1000000.0 AS at2,
              sign(l_discount - 0.05)::INT AS sgn,
              floor(pi() * 1000000.0) / 1000000.0 AS pi_v,
-             factorial(((l_quantity::BIGINT % 5) + 1)::INT) AS fact
+             CAST(factorial(((l_quantity::BIGINT % 5) + 1)::INT) AS BIGINT) AS fact
       FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber""",
     "fn14_string2" -> """
       SELECT p_partkey,
@@ -898,7 +898,7 @@ object Functions {
       SELECT l_returnflag,
              arg_max(l_partkey, l_orderkey * 8 + l_linenumber) AS mxb,
              arg_min(l_partkey, l_orderkey * 8 + l_linenumber) AS mnb,
-             count_if(l_discount > 0.05) AS cif,
+             CAST(count_if(l_discount > 0.05) AS BIGINT) AS cif,
              sum(DISTINCT l_quantity) AS sd,
              avg(DISTINCT l_quantity) AS ad,
              count(*) AS n

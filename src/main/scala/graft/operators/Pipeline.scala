@@ -219,7 +219,9 @@ object Pipeline {
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
     val freq = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    val rare = tokRows.join(broadcast(freq), "tok")
+    // No broadcast hint: the vocabulary is Zipf-unbounded at corpus scale;
+    // AQE picks broadcast only when the frequency table is actually small.
+    val rare = tokRows.join(freq, "tok")
       .groupBy(col("doc_id"))
       .agg((floor(expr("count_if(freq <= 2)").cast("double")
         / count(lit(1)).cast("double") * lit(10000.0)) / lit(10000.0)).as("rare_ratio"))

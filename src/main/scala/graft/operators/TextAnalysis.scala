@@ -150,16 +150,18 @@ object TextAnalysis {
     * perplexity filter: score each document by how common its tokens are
     * corpus-wide (mean corpus frequency) and how many are rare
     * (freq ≤ 2). Two aggregations: global token frequencies (the "model"),
-    * then a broadcast join back onto the exploded tokens — at 100 TB the
-    * frequency table is the Zipf head + tail, still a standard shuffled
-    * or broadcast equi-join, never per-row driver work. All signals are
+    * then an equi-join back onto the exploded tokens. No broadcast hint:
+    * at 100 TB the frequency table is the full Zipf vocabulary (far past
+    * any broadcast threshold) — the join must stay a shuffled equi-join,
+    * with AQE free to downgrade to broadcast when the vocab is actually
+    * small. All signals are
     * ratios of exact integers (no log/perplexity — libm differs across
     * engines, integer counts cannot). */
   private def tx06Rarity(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(expr(tokenize)).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    toks.join(broadcast(freq), "tok")
+    toks.join(freq, "tok")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tok"),
