@@ -150,7 +150,8 @@ object DeletionVectors {
     writeLongLE(out, (maxKey + 1).toLong)
     (0 to maxKey).foreach { key =>
       writeIntLE(out, key)
-      val containers = byKey.getOrElse(key, scala.collection.mutable.SortedMap.empty)
+      val containers = byKey.getOrElse(key,
+        scala.collection.mutable.SortedMap.empty[Int, java.util.TreeSet[Int]])
       // standard 32-bit roaring, no-run cookie
       writeIntLE(out, 12346)
       writeIntLE(out, containers.size)
