@@ -190,7 +190,35 @@ object DeltaQueries {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Merge-on-read DELETE (deletion vectors, reader v3) in the gate: two
+    * successive DV deletes — the second merges bitmaps into files the first
+    * already marked — then a filtered read back through the DV-filtering
+    * scan (the filter is pushed into parquet, exercising the row-index /
+    * pushdown interplay). The oracle applies both predicates' complements
+    * to the raw fixture; a resurrected or doubly-hidden row mismatches. */
+  private def dl10DvDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    t(s, dir, "supplier").write.format("delta").save(path)
+    graft.sources.delta.DeltaDml.deleteWithDv(
+      s, path, "s_acctbal < 0 OR s_suppkey % 7 = 0")
+    graft.sources.delta.DeltaDml.deleteWithDv(s, path, "s_suppkey % 11 = 0")
+    DeltaTable.read(s, path)
+      .filter(col("s_nationkey") < 20)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl10_dv_delete" -> """
+      SELECT count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier
+      WHERE NOT (s_acctbal < 0 OR s_suppkey % 7 = 0)
+        AND NOT (s_suppkey % 11 = 0)
+        AND s_nationkey < 20""",
     "dl01_delta_roundtrip" -> """
       SELECT s_nationkey,
              count(*) AS n,
@@ -256,5 +284,6 @@ object DeltaQueries {
     "dl06_delete" -> dl06Delete,
     "dl07_update" -> dl07Update,
     "dl08_merge" -> dl08Merge,
-    "dl09_replace_where" -> dl09ReplaceWhere)
+    "dl09_replace_where" -> dl09ReplaceWhere,
+    "dl10_dv_delete" -> dl10DvDelete)
 }

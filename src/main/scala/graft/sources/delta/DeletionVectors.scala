@@ -310,6 +310,17 @@ object DeletionVectors {
         throw new UnsupportedOperationException(s"deletion vector storageType '$other'")
     }
 
+  /** Emit `d` as the `deletionVector` member of an `add` action node. */
+  private[delta] def putDvNode(
+      add: com.fasterxml.jackson.databind.node.ObjectNode, d: DvDescriptor): Unit = {
+    val n = add.putObject("deletionVector")
+    n.put("storageType", d.storageType)
+    n.put("pathOrInlineDv", d.pathOrInlineDv)
+    d.offset.foreach(o => n.put("offset", o))
+    n.put("sizeInBytes", d.sizeInBytes)
+    n.put("cardinality", d.cardinality)
+  }
+
   private def writeIntLE(out: DataOutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >>> 8) & 0xff)
     out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)

@@ -207,6 +207,178 @@ object DeltaDml {
     DmlMetrics(touched.size, adds.size, rowsAffected, committedVersion)
   }
 
+  /** DELETE via deletion vectors (merge-on-read, Delta reader v3): instead
+    * of rewriting every touched file, write a roaring bitmap of deleted row
+    * indexes per file and commit `remove`+`add` of the SAME data file with
+    * the bitmap attached — readers anti-filter at scan time
+    * ([[DvParquetFileFormat]]).
+    *
+    * Scale posture (100 TB): copy-on-write [[delete]] rewrites whole files
+    * to drop a few rows — at large file sizes that is write-amplification
+    * of 10⁴–10⁶×. Merge-on-read writes O(deleted rows) bits instead; the
+    * read-side cost (a binary search per row in touched files only) is
+    * reclaimed by the next OPTIMIZE, which physically drops DV'd rows
+    * (its rewrite reads through the DV filter) and clears the DVs. The
+    * find phase runs through the provider scan (partition pruning + stats
+    * skipping), matching row indexes via `_metadata.file_path/row_index`;
+    * per-file bitmaps are assembled driver-side — O(newly deleted rows),
+    * the same driver contract as the commit JSON itself. A file whose
+    * rows are ALL deleted (merged cardinality == stats numRecords) is
+    * removed outright, no DV.
+    *
+    * Concurrency: like copy-on-write DML, but stricter — the validated
+    * commit loop aborts if a touched file's add entry changed AT ALL since
+    * the find snapshot (a concurrent DV delete on the same file would
+    * otherwise have its bitmap silently overwritten by our merge-from-
+    * stale-state). Reference capability: delta-rs 0.29.4
+    * (`/root/reference/Cargo.toml:16`) reads DV tables; this implements
+    * both sides of the published format from scratch. */
+  def deleteWithDv(spark: SparkSession, tablePath: String, condition: String): DmlMetrics =
+    deleteWithDv(spark, tablePath, condition, () => ())
+
+  private[graft] def deleteWithDv(
+      spark: SparkSession, tablePath: String, condition: String,
+      beforeCommit: () => Unit): DmlMetrics = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val conf = spark.sessionState.newHadoopConf()
+
+    // ---- 1. find: matching LIVE rows → (file, row index), via the
+    // provider scan (pruning + stats skipping + existing-DV filtering)
+    val matches: Map[String, Array[Long]] =
+      DeltaTable.read(spark, tablePath)
+        .filter(expr(condition))
+        .select(col("_metadata.file_path").as("_f"), col("_metadata.row_index").as("_i"))
+        .collect()
+        .groupBy(r => normalize(r.getString(0)))
+        .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
+    val rowsAffected = matches.valuesIterator.map(_.length.toLong).sum
+    if (matches.isEmpty) return DmlMetrics(0, 0, 0, snap.version)
+
+    val touched = snap.files.filter { f =>
+      matches.contains(normalize(
+        new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString))
+    }
+    require(touched.size == matches.size,
+      s"internal: matched files not found in snapshot " +
+        s"(${matches.keys.take(3).mkString(",")})")
+
+    // ---- 2. merge each file's new indexes with its existing DV (disjoint
+    // by construction — the find phase only sees live rows) and serialize
+    val merged: Seq[(DeltaAddFile, Array[Long])] = touched.map { f =>
+      val key = normalize(new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)
+      val fresh = matches(key)
+      val all = f.deletionVector match {
+        case None => fresh
+        case Some(d) =>
+          val existing = DeletionVectors.read(conf, tablePath, d)
+          val out = new Array[Long](existing.length + fresh.length)
+          System.arraycopy(existing, 0, out, 0, existing.length)
+          System.arraycopy(fresh, 0, out, existing.length, fresh.length)
+          java.util.Arrays.sort(out)
+          out
+      }
+      f -> all
+    }
+
+    def numRecordsOf(f: DeltaAddFile): Option[Long] = f.stats.flatMap { s =>
+      try {
+        val n = mapper.readTree(s)
+        if (n.has("numRecords")) Some(n.get("numRecords").asLong()) else None
+      } catch { case _: Exception => None }
+    }
+    // fully-deleted files are dropped outright — no DV, no dangling add
+    val (emptied, kept) = merged.partition { case (f, all) =>
+      numRecordsOf(f).contains(all.length.toLong)
+    }
+
+    // ---- 3. one DV file for all kept blobs (the production layout:
+    // one deletion_vector_<uuid>.bin per commit)
+    val blobs = kept.map { case (_, all) =>
+      DeletionVectors.DvBlob(DeletionVectors.serialize(all.iterator), all.length.toLong)
+    }
+    val descriptors: Seq[DvDescriptor] =
+      if (blobs.isEmpty) Nil
+      else DeletionVectors.writeDvFile(conf, tablePath, blobs)
+
+    // ---- 4. validated commit loop: abort unless every touched add entry
+    // is byte-identical to the find snapshot's (path AND current DV)
+    beforeCommit()
+    var attempt = 0
+    var committedVersion = -1L
+    while (committedVersion < 0 && attempt < 20) {
+      val latest = DeltaLog.snapshot(spark, tablePath)
+      val liveByPath = latest.files.map(f => f.path -> f).toMap
+      val changed = touched.filterNot(f => liveByPath.get(f.path).contains(f))
+      if (changed.nonEmpty) {
+        descriptors.headOption.foreach { d =>
+          val fs = new Path(tablePath).getFileSystem(conf)
+          fs.delete(d.absolutePath(tablePath), false)
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"DELETE (merge-on-read) aborted on $tablePath: ${changed.size} of " +
+            s"${touched.size} touched file(s) changed under a concurrent commit " +
+            s"(e.g. ${changed.head.path}); rerun against the new snapshot")
+      }
+      val version = latest.version + 1
+      val lines = Seq.newBuilder[String]
+      val ciLine = mapper.createObjectNode()
+      val ci = ciLine.putObject("commitInfo")
+      ci.put("timestamp", System.currentTimeMillis())
+      ci.put("operation", "DELETE")
+      val params = ci.putObject("operationParameters")
+      params.put("predicate", condition)
+      params.put("mode", "merge-on-read")
+      ci.put("engineInfo", "graft-spark/0.1.0")
+      lines += mapper.writeValueAsString(ciLine)
+      // first DV on the table upgrades the protocol to table features,
+      // carrying the legacy writer capabilities forward explicitly
+      val p0 = latest.protocol
+      if (p0.minReaderVersion < 3 || !p0.readerFeatures.contains("deletionVectors")) {
+        val protoLine = mapper.createObjectNode()
+        val p = protoLine.putObject("protocol")
+        p.put("minReaderVersion", 3)
+        p.put("minWriterVersion", 7)
+        val rf = p.putArray("readerFeatures")
+        (p0.readerFeatures + "deletionVectors").toSeq.sorted.foreach(rf.add)
+        val wf = p.putArray("writerFeatures")
+        (p0.writerFeatures ++ Set("appendOnly", "invariants", "deletionVectors"))
+          .toSeq.sorted.foreach(wf.add)
+        lines += mapper.writeValueAsString(protoLine)
+      }
+      (emptied.map(_._1) ++ kept.map(_._1)).foreach { f =>
+        val rmLine = mapper.createObjectNode()
+        val r = rmLine.putObject("remove")
+        r.put("path", f.path)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", true)
+        lines += mapper.writeValueAsString(rmLine)
+      }
+      kept.zip(descriptors).foreach { case ((f, _), desc) =>
+        val addLine = mapper.createObjectNode()
+        val a = addLine.putObject("add")
+        a.put("path", f.path)
+        val pvNode = a.putObject("partitionValues")
+        f.partitionValues.foreach { case (k, v) =>
+          if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
+        }
+        a.put("size", f.size)
+        a.put("modificationTime", f.modificationTime)
+        a.put("dataChange", true)
+        f.stats.foreach(s => a.put("stats", s))
+        DeletionVectors.putDvNode(a, desc)
+        lines += mapper.writeValueAsString(addLine)
+      }
+      if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
+        committedVersion = version
+      attempt += 1
+    }
+    if (committedVersion < 0) throw new java.io.IOException(
+      s"DELETE (merge-on-read) could not commit to $tablePath after $attempt attempts")
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion)
+    DmlMetrics(touched.size, 0, rowsAffected, committedVersion)
+  }
+
   /** input_file_name() URIs and Path.toString spellings differ
     * (file:///x vs file:/x) — compare on the scheme-less path. */
   private[delta] def normalize(uri: String): String =

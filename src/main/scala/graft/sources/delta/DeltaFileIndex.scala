@@ -45,12 +45,7 @@ class DeltaFileIndex(spark: SparkSession, snapshot: DeltaSnapshot) extends FileI
     snapshot.files.map(f => absolutePath(f.path).toString).toArray
 
   /** add.path is a URL-encoded path relative to the table root. */
-  private def absolutePath(p: String): Path = {
-    val decoded = try new URI(p) catch { case _: Exception => null }
-    if (decoded != null && decoded.isAbsolute) new Path(decoded)
-    else if (decoded != null) new Path(tableRoot, new Path(decoded.getPath))
-    else new Path(tableRoot, p)
-  }
+  private def absolutePath(p: String): Path = DeltaFileIndex.absoluteDataPath(tableRoot, p)
 
   /** Cast the string partition values of one file into an InternalRow laid
     * out like `partitionSchema` (same injection Spark's
@@ -98,6 +93,17 @@ class DeltaFileIndex(spark: SparkSession, snapshot: DeltaSnapshot) extends FileI
       }.toArray
       PartitionDirectory(partitionRow(values), statuses)
     }.filter(_.files.nonEmpty)
+  }
+}
+
+object DeltaFileIndex {
+  /** add.path (URL-encoded, table-relative — or absolute, e.g. a shallow
+    * clone's source files) → absolute filesystem Path. */
+  private[delta] def absoluteDataPath(tableRoot: Path, p: String): Path = {
+    val decoded = try new URI(p) catch { case _: Exception => null }
+    if (decoded != null && decoded.isAbsolute) new Path(decoded)
+    else if (decoded != null) new Path(tableRoot, new Path(decoded.getPath))
+    else new Path(tableRoot, p)
   }
 }
 

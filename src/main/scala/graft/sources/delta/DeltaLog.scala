@@ -20,7 +20,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * delta-rs: replay is a single pass over (checkpoint ∪ JSON deltas) with
   * last-metaData-wins and add/remove file-set semantics.
   */
-final case class DeltaProtocol(minReaderVersion: Int, minWriterVersion: Int)
+final case class DeltaProtocol(
+    minReaderVersion: Int,
+    minWriterVersion: Int,
+    readerFeatures: Set[String] = Set.empty,
+    writerFeatures: Set[String] = Set.empty)
 
 final case class DeltaMetadata(
     id: String,
@@ -38,7 +42,8 @@ final case class DeltaAddFile(
     partitionValues: Map[String, String],
     size: Long,
     modificationTime: Long,
-    stats: Option[String])
+    stats: Option[String],
+    deletionVector: Option[DvDescriptor] = None)
 
 final case class DeltaSnapshot(
     tablePath: String,
@@ -141,8 +146,15 @@ object DeltaLog {
             val r = row.getStruct(i)
             name match {
               case "protocol" =>
+                val pFields = r.schema.fieldNames.toSet
+                def featureSet(field: String): Set[String] =
+                  if (pFields.contains(field))
+                    Option(r.getAs[scala.collection.Seq[String]](field))
+                      .map(_.toSet).getOrElse(Set.empty)
+                  else Set.empty
                 protocol = Some(DeltaProtocol(
-                  r.getAs[Int]("minReaderVersion"), r.getAs[Int]("minWriterVersion")))
+                  r.getAs[Int]("minReaderVersion"), r.getAs[Int]("minWriterVersion"),
+                  featureSet("readerFeatures"), featureSet("writerFeatures")))
               case "metaData" =>
                 metadata = Some(DeltaMetadata(
                   Option(r.getAs[String]("id")).getOrElse(""),
@@ -153,13 +165,24 @@ object DeltaLog {
                     .map(_.toMap).getOrElse(Map.empty)))
               case "add" =>
                 val fields = r.schema.fieldNames.toSet
+                val dv: Option[DvDescriptor] =
+                  if (fields.contains("deletionVector") && !r.isNullAt(r.fieldIndex("deletionVector"))) {
+                    val d = r.getStruct(r.fieldIndex("deletionVector"))
+                    Some(DvDescriptor(
+                      d.getAs[String]("storageType"),
+                      d.getAs[String]("pathOrInlineDv"),
+                      if (d.isNullAt(d.fieldIndex("offset"))) None else Some(d.getAs[Int]("offset")),
+                      d.getAs[Int]("sizeInBytes"),
+                      d.getAs[Long]("cardinality")))
+                  } else None
                 val add = DeltaAddFile(
                   r.getAs[String]("path"),
                   Option(r.getAs[scala.collection.Map[String, String]]("partitionValues"))
                     .map(_.toMap).getOrElse(Map.empty),
                   r.getAs[Long]("size"),
                   if (fields.contains("modificationTime")) r.getAs[Long]("modificationTime") else 0L,
-                  if (fields.contains("stats")) Option(r.getAs[String]("stats")) else None)
+                  if (fields.contains("stats")) Option(r.getAs[String]("stats")) else None,
+                  dv)
                 live(add.path) = add
             }
           }
@@ -181,8 +204,13 @@ object DeltaLog {
         val node = mapper.readTree(line)
         if (node.has("protocol")) {
           val p = node.get("protocol")
+          def featureSet(field: String): Set[String] =
+            if (p.has(field) && !p.get(field).isNull)
+              p.get(field).elements().asScala.map(_.asText()).toSet
+            else Set.empty
           protocol = Some(DeltaProtocol(
-            p.get("minReaderVersion").asInt(), p.get("minWriterVersion").asInt()))
+            p.get("minReaderVersion").asInt(), p.get("minWriterVersion").asInt(),
+            featureSet("readerFeatures"), featureSet("writerFeatures")))
         }
         if (node.has("metaData")) {
           val m = node.get("metaData")
@@ -204,7 +232,8 @@ object DeltaLog {
             jsonStringMap(a.get("partitionValues")),
             a.get("size").asLong(),
             if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
-            if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None)
+            if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None,
+            parseDv(a))
         }
         if (node.has("remove")) {
           commitRemoves += node.get("remove").get("path").asText()
@@ -215,9 +244,22 @@ object DeltaLog {
     }
 
     val proto = protocol.getOrElse(DeltaProtocol(1, 2))
-    if (proto.minReaderVersion > 1) throw new UnsupportedOperationException(
-      s"$tablePath requires Delta reader version ${proto.minReaderVersion}; " +
-        "this engine implements reader version 1 (no deletion vectors / column mapping)")
+    // Reader-version gate: v1 unconditionally; v3 iff every listed reader
+    // feature is implemented (table features are per-feature capabilities —
+    // an unknown feature MUST fail loudly, not read wrong results). v2
+    // (legacy column mapping) is still rejected until columnMapping lands.
+    proto.minReaderVersion match {
+      case v if v <= 1 => ()
+      case 3 =>
+        val unsupported = proto.readerFeatures -- SupportedReaderFeatures
+        if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+          s"$tablePath requires unsupported reader feature(s) " +
+            s"${unsupported.toSeq.sorted.mkString(", ")}; " +
+            s"supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}")
+      case v => throw new UnsupportedOperationException(
+        s"$tablePath requires Delta reader version $v; this engine implements " +
+          "reader versions 1 and 3 (table feature: deletionVectors)")
+    }
     val meta = metadata.getOrElse(throw new IllegalStateException(
       s"$tablePath: no metaData action found in log replay up to version $target"))
     DeltaSnapshot(tablePath, target, proto, meta, live.values.toSeq)
@@ -274,6 +316,22 @@ object DeltaLog {
         v -> adds.result()
       }
   }
+
+  /** Reader-version-3 table features this engine can actually honor. */
+  val SupportedReaderFeatures: Set[String] = Set("deletionVectors")
+
+  /** `add.deletionVector` → descriptor (absent/null → None). */
+  private def parseDv(add: JsonNode): Option[DvDescriptor] =
+    if (!add.has("deletionVector") || add.get("deletionVector").isNull) None
+    else {
+      val d = add.get("deletionVector")
+      Some(DvDescriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        if (d.has("offset") && !d.get("offset").isNull) Some(d.get("offset").asInt()) else None,
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong()))
+    }
 
   private def jsonStringMap(node: JsonNode): Map[String, String] =
     if (node == null || node.isNull) Map.empty

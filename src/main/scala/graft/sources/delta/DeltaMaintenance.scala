@@ -40,21 +40,35 @@ object DeltaMaintenance {
     } catch { case _: Exception => p }
 
   /** Per-partition-group frames of `files` with the hive partition values
-    * re-injected (data files do not store them) — the shared read side of
-    * every rewrite operation (OPTIMIZE, DML, replaceWhere). One frame per
-    * distinct partitionValues map, in stable group order. */
+    * re-injected (data files do not store them) AND deletion vectors
+    * applied — the shared read side of every rewrite operation (OPTIMIZE,
+    * DML, replaceWhere). One frame per distinct partitionValues map, in
+    * stable group order (callers size output files per group). Each frame
+    * reads through the provider's own [[DeltaFileIndex]] + file format so
+    * a rewrite of a DV-carrying file NEVER resurrects its deleted rows;
+    * the rewritten output is then committed without a DV. */
   private[delta] def partitionInjected(
       spark: SparkSession,
       tablePath: String,
       snap: DeltaSnapshot,
       files: Seq[DeltaAddFile]): Seq[DataFrame] = {
-    val partSchema = snap.partitionSchema
-    files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
-      val paths = fs.map(f => new Path(tablePath, decodeRel(f.path)).toString)
-      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
-      snap.partitionColumns.foldLeft(base) { (df, c) =>
-        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(partSchema(c).dataType))
-      }
+    val tableRoot = new Path(tablePath)
+    files.groupBy(_.partitionValues).toSeq.map { case (_, fs) =>
+      val sub = snap.copy(files = fs)
+      val dvByPath: Map[String, DvDescriptor] = fs.iterator.flatMap(f =>
+        f.deletionVector.map(d =>
+          DeltaFileIndex.absoluteDataPath(tableRoot, f.path).toUri.getPath -> d)).toMap
+      val rel = new org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        location = new DeltaFileIndex(spark, sub),
+        partitionSchema = sub.partitionSchema,
+        dataSchema = sub.dataSchema,
+        bucketSpec = None,
+        fileFormat =
+          if (dvByPath.isEmpty)
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+          else new DvParquetFileFormat(tablePath, dvByPath),
+        options = Map.empty)(spark)
+      spark.baseRelationToDataFrame(rel)
     }
   }
 
@@ -312,7 +326,11 @@ object DeltaMaintenance {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val live: Set[String] =
-      snap.files.map(f => new Path(tablePath, decodeRel(f.path)).toUri.getPath).toSet
+      snap.files.map(f => new Path(tablePath, decodeRel(f.path)).toUri.getPath).toSet ++
+        snap.files.flatMap(_.deletionVector).collect {
+          case d if d.storageType == "u" || d.storageType == "p" =>
+            d.absolutePath(tablePath).toUri.getPath
+        }
     val cutoff = System.currentTimeMillis() - retentionMs
     var deleted = 0L
     val it = fs.listFiles(root, true)
@@ -321,7 +339,9 @@ object DeltaMaintenance {
       val p = f.getPath
       val rel = p.toUri.getPath
       val inLog = rel.contains(s"/${DeltaLog.LogDirName}/")
-      if (!inLog && p.getName.endsWith(".parquet") && !live.contains(rel)
+      val vacuumable = p.getName.endsWith(".parquet") ||
+        (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin"))
+      if (!inLog && vacuumable && !live.contains(rel)
           && f.getModificationTime < cutoff) {
         if (fs.delete(p, false)) deleted += 1
       }
@@ -341,8 +361,11 @@ object DeltaMaintenance {
   def restore(spark: SparkSession, tablePath: String, toVersion: Long): Long = {
     val target = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(toVersion))
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
-    val missing = target.files.filterNot(f =>
-      fs.exists(new Path(tablePath, decodeRel(f.path))))
+    val missing = target.files.filterNot { f =>
+      fs.exists(new Path(tablePath, decodeRel(f.path))) &&
+        f.deletionVector.filter(d => d.storageType != "i")
+          .forall(d => fs.exists(d.absolutePath(tablePath)))
+    }
     if (missing.nonEmpty) throw new IllegalStateException(
       s"cannot RESTORE $tablePath to version $toVersion: ${missing.size} " +
         s"file(s) already vacuumed (e.g. ${missing.head.path})")
@@ -394,6 +417,7 @@ object DeltaMaintenance {
         a.put("modificationTime", f.modificationTime)
         a.put("dataChange", true)
         f.stats.foreach(st => a.put("stats", st))
+        f.deletionVector.foreach(d => DeletionVectors.putDvNode(a, d))
         lines += mapper.writeValueAsString(ad)
       }
       if (DeltaLog.tryCommit(spark, tablePath, current.version + 1,
@@ -482,8 +506,18 @@ object DeltaMaintenance {
     lines += mapper.writeValueAsString(ciLine)
     val protoLine = mapper.createObjectNode()
     val proto = protoLine.putObject("protocol")
-    proto.put("minReaderVersion", 1)
-    proto.put("minWriterVersion", 2)
+    // a clone of a DV-carrying source must itself declare the feature
+    val srcHasDv = src.files.exists(_.deletionVector.isDefined)
+    if (srcHasDv) {
+      proto.put("minReaderVersion", 3)
+      proto.put("minWriterVersion", 7)
+      proto.putArray("readerFeatures").add("deletionVectors")
+      val wf = proto.putArray("writerFeatures")
+      Seq("appendOnly", "invariants", "deletionVectors").foreach(wf.add)
+    } else {
+      proto.put("minReaderVersion", 1)
+      proto.put("minWriterVersion", 2)
+    }
     lines += mapper.writeValueAsString(protoLine)
     val mdLine = mapper.createObjectNode()
     val m = mdLine.putObject("metaData")
@@ -508,6 +542,16 @@ object DeltaMaintenance {
       a.put("modificationTime", f.modificationTime)
       a.put("dataChange", true)
       f.stats.foreach(st => a.put("stats", st))
+      // a "u"-storage DV resolves against the table root, which for the
+      // clone is the WRONG root — pin it to the source's absolute path
+      f.deletionVector.foreach { d =>
+        val pinned =
+          if (d.storageType == "u")
+            DvDescriptor("p", d.absolutePath(sourcePath).toUri.toString,
+              d.offset, d.sizeInBytes, d.cardinality)
+          else d
+        DeletionVectors.putDvNode(a, pinned)
+      }
       lines += mapper.writeValueAsString(adLine)
     }
     if (!DeltaLog.tryCommit(spark, targetPath, 0L, lines.result().mkString("\n")))

@@ -377,7 +377,9 @@ object DeltaWriter {
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -392,14 +394,26 @@ object DeltaWriter {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType))))))
+        StructField("stats", StringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))))))
+    def dvRow(f: DeltaAddFile): Row = f.deletionVector.map(d =>
+      Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
+        d.sizeInBytes, d.cardinality)).orNull
     val rows: Seq[Row] =
-      Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion), null, null) +:
+      Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
+        if (snap.protocol.readerFeatures.isEmpty) null else snap.protocol.readerFeatures.toSeq.sorted,
+        if (snap.protocol.writerFeatures.isEmpty) null else snap.protocol.writerFeatures.toSeq.sorted),
+        null, null) +:
       Row(null, Row(snap.metadata.id, Row("parquet", Map.empty[String, String]),
         snap.metadata.schemaString, snap.metadata.partitionColumns,
         snap.metadata.configuration), null) +:
       snap.files.map(f => Row(null, null,
-        Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull)))
+        Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull, dvRow(f))))
     val tmp = new Path(tablePath, s"_cp-${UUID.randomUUID()}")
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     spark.createDataFrame(rows.asJava, schema).repartition(1).write.parquet(tmp.toString)

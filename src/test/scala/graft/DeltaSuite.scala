@@ -176,18 +176,19 @@ class DeltaSuite extends AnyFunSuite {
     assert(DeltaTable.readVersion(spark, dir, 4).count() == 5)
   }
 
-  test("protocol gate: reader version > 1 fails loudly") {
+  test("protocol gate: unimplemented reader version fails loudly") {
     val dir = tmpDir()
     import spark.implicits._
     DeltaTable.write(Seq((1, "a")).toDF("id", "s"), dir, SaveMode.Overwrite)
-    // forge a protocol bump
+    // forge a protocol bump past anything this engine implements
+    // (v3 with supported features is readable — DeletionVectorSuite)
     val log = new java.io.File(s"$dir/_delta_log/00000000000000000001.json")
     Files.write(log.toPath,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""".getBytes)
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":8}}""".getBytes)
     val e = intercept[UnsupportedOperationException] {
       DeltaTable.read(spark, dir).collect()
     }
-    assert(e.getMessage.contains("reader version 3"))
+    assert(e.getMessage.contains("reader version 4"))
   }
 
   test("SQL INSERT INTO … VALUES commits a delta version (reference negative → positive)") {
