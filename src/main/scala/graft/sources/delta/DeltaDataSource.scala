@@ -47,20 +47,15 @@ class DeltaDataSource extends RelationProvider
     // catalog caches the resolved plan per table name — a reader that
     // resolved the table BEFORE the insert must `REFRESH TABLE` to see the
     // new snapshot (same contract as any DSv1 file source).
-    // Snapshots carrying deletion vectors scan through the DV-filtering
-    // format; everything else stays on the stock (batch-capable) one.
-    val tableRoot = new org.apache.hadoop.fs.Path(path)
-    val dvByPath: Map[String, DvDescriptor] = snap.files.iterator.flatMap(f =>
-      f.deletionVector.map(d =>
-        DeltaFileIndex.absoluteDataPath(tableRoot, f.path).toUri.getPath -> d)).toMap
+    // Snapshots carrying deletion vectors or column mapping scan through
+    // the Graft format; everything else stays on the stock (batch-capable)
+    // one — forSnapshot picks, and rejects unreadable mapping modes loudly.
     new HadoopFsRelation(
       location = new DeltaFileIndex(spark, snap),
       partitionSchema = snap.partitionSchema,
       dataSchema = snap.dataSchema,
       bucketSpec = None,
-      fileFormat =
-        if (dvByPath.isEmpty) new ParquetFileFormat
-        else new DvParquetFileFormat(path, dvByPath),
+      fileFormat = GraftParquetFileFormat.forSnapshot(path, snap),
       options = parameters)(spark) with InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit =
         DeltaWriter.write(

@@ -211,7 +211,7 @@ object DeltaDml {
     * of rewriting every touched file, write a roaring bitmap of deleted row
     * indexes per file and commit `remove`+`add` of the SAME data file with
     * the bitmap attached — readers anti-filter at scan time
-    * ([[DvParquetFileFormat]]).
+    * ([[GraftParquetFileFormat]]).
     *
     * Scale posture (100 TB): copy-on-write [[delete]] rewrites whole files
     * to drop a few rows — at large file sizes that is write-amplification

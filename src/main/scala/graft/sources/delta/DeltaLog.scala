@@ -35,6 +35,33 @@ final case class DeltaMetadata(
     * serialization — the reference fixture was itself written by Spark 3.4,
     * `_delta_log/…0.json:1` engineInfo). */
   lazy val schema: StructType = DataType.fromJson(schemaString).asInstanceOf[StructType]
+
+  /** Column mapping (reader v2 / table feature `columnMapping`): logical
+    * names live in `schemaString`, data files and per-file metadata
+    * (stats keys, partitionValues keys) use the per-field
+    * `delta.columnMapping.physicalName`. `none` (default) is identity. */
+  lazy val columnMappingMode: String =
+    configuration.getOrElse("delta.columnMapping.mode", "none")
+
+  /** logical → physical top-level column name (identity when unmapped). */
+  lazy val physicalNames: Map[String, String] = schema.fields.map { f =>
+    f.name -> (
+      if (f.metadata.contains(DeltaMetadata.PhysicalNameKey))
+        f.metadata.getString(DeltaMetadata.PhysicalNameKey)
+      else f.name)
+  }.toMap
+
+  def physicalOf(logical: String): String = physicalNames.getOrElse(logical, logical)
+
+  /** True when any mapping entry differs from identity. */
+  lazy val hasColumnMapping: Boolean = physicalNames.exists { case (l, p) => l != p }
+}
+
+object DeltaMetadata {
+  val ColumnIdKey = "delta.columnMapping.id"
+  val PhysicalNameKey = "delta.columnMapping.physicalName"
+  val ModeKey = "delta.columnMapping.mode"
+  val MaxColumnIdKey = "delta.columnMapping.maxColumnId"
 }
 
 final case class DeltaAddFile(
@@ -244,12 +271,13 @@ object DeltaLog {
     }
 
     val proto = protocol.getOrElse(DeltaProtocol(1, 2))
-    // Reader-version gate: v1 unconditionally; v3 iff every listed reader
-    // feature is implemented (table features are per-feature capabilities —
-    // an unknown feature MUST fail loudly, not read wrong results). v2
-    // (legacy column mapping) is still rejected until columnMapping lands.
+    // Reader-version gate: v1 unconditionally; v2 (legacy column mapping —
+    // the scan path additionally rejects `id` mode and nested mappings,
+    // DeltaFileIndex.checkReadable); v3 iff every listed reader feature is
+    // implemented (table features are per-feature capabilities — an unknown
+    // feature MUST fail loudly, not read wrong results).
     proto.minReaderVersion match {
-      case v if v <= 1 => ()
+      case v if v <= 2 => ()
       case 3 =>
         val unsupported = proto.readerFeatures -- SupportedReaderFeatures
         if (unsupported.nonEmpty) throw new UnsupportedOperationException(
@@ -258,7 +286,7 @@ object DeltaLog {
             s"supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}")
       case v => throw new UnsupportedOperationException(
         s"$tablePath requires Delta reader version $v; this engine implements " +
-          "reader versions 1 and 3 (table feature: deletionVectors)")
+          "reader versions 1-3 (table features: deletionVectors, columnMapping)")
     }
     val meta = metadata.getOrElse(throw new IllegalStateException(
       s"$tablePath: no metaData action found in log replay up to version $target"))
@@ -318,7 +346,7 @@ object DeltaLog {
   }
 
   /** Reader-version-3 table features this engine can actually honor. */
-  val SupportedReaderFeatures: Set[String] = Set("deletionVectors")
+  val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
 
   /** `add.deletionVector` → descriptor (absent/null → None). */
   private def parseDv(add: JsonNode): Option[DvDescriptor] =

@@ -52,21 +52,14 @@ object DeltaMaintenance {
       tablePath: String,
       snap: DeltaSnapshot,
       files: Seq[DeltaAddFile]): Seq[DataFrame] = {
-    val tableRoot = new Path(tablePath)
     files.groupBy(_.partitionValues).toSeq.map { case (_, fs) =>
       val sub = snap.copy(files = fs)
-      val dvByPath: Map[String, DvDescriptor] = fs.iterator.flatMap(f =>
-        f.deletionVector.map(d =>
-          DeltaFileIndex.absoluteDataPath(tableRoot, f.path).toUri.getPath -> d)).toMap
       val rel = new org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         location = new DeltaFileIndex(spark, sub),
         partitionSchema = sub.partitionSchema,
         dataSchema = sub.dataSchema,
         bucketSpec = None,
-        fileFormat =
-          if (dvByPath.isEmpty)
-            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-          else new DvParquetFileFormat(tablePath, dvByPath),
+        fileFormat = GraftParquetFileFormat.forSnapshot(tablePath, sub),
         options = Map.empty)(spark)
       spark.baseRelationToDataFrame(rel)
     }

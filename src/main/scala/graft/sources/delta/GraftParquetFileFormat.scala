@@ -1,0 +1,220 @@
+package graft.sources.delta
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** [[ParquetFileFormat]] that implements the two Delta reader capabilities
+  * the stock format cannot: deletion vectors (reader v3, feature
+  * `deletionVectors`) and column mapping (reader v2 / feature
+  * `columnMapping`, `name` mode).
+  *
+  * Column mapping: the relation's schema keeps LOGICAL names; this format
+  * translates the data/required schemas and the pushed filters to the
+  * per-field `delta.columnMapping.physicalName` just before the parquet
+  * read. `InternalRow`/`ColumnarBatch` are positional, so nothing needs
+  * renaming on the way out — the columnar (whole-stage) path survives
+  * mapping untouched.
+  *
+  * Deletion vectors, Spark-first: Spark's parquet readers generate a
+  * file-global row index when the required schema carries the reserved
+  * `ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME` column (the engine
+  * behind `_metadata.row_index` — correct under splits, predicate pushdown
+  * and page skipping, because indexes come from the parquet row-group/page
+  * offset metadata, not from counting emitted rows). We append that column
+  * to every read, drop rows whose index is in the file's DV roaring bitmap
+  * (binary search over the sorted index array), and project the temp
+  * column away — so everything else (vectorized decode, pushdown, column
+  * pruning, partition-value injection) stays the stock parquet path.
+  * `supportBatch` turns off only when a DV is present (the filter is
+  * per-row); mapping-only snapshots keep returning batches.
+  *
+  * The reference reads DV / column-mapped tables through delta-rs 0.29.4
+  * (`/root/reference/Cargo.toml:16`); this is the Spark-native equivalent
+  * of both capabilities, implemented from the published protocol.
+  *
+  * @param tablePath      table root ("u"-storage DV files resolve against it)
+  * @param dvByPath       DV descriptor per data file, keyed by the
+  *                       scheme-less absolute path (`Path.toUri.getPath`)
+  * @param physicalByLogical logical → physical top-level column names
+  *                       (identity entries may be omitted)
+  */
+class GraftParquetFileFormat(
+    private val tablePath: String,
+    private val dvByPath: Map[String, DvDescriptor],
+    private val physicalByLogical: Map[String, String] = Map.empty)
+  extends ParquetFileFormat {
+
+  override def supportBatch(sparkSession: SparkSession, schema: StructType): Boolean =
+    dvByPath.isEmpty && super.supportBatch(sparkSession, schema)
+
+  private def physName(logical: String): String = {
+    // nested pushdown references arrive dotted ("s.x"): only the top-level
+    // segment is renamed (nested physical names are rejected at scan build)
+    val dot = logical.indexOf('.')
+    if (dot < 0) physicalByLogical.getOrElse(logical, logical)
+    else physicalByLogical.get(logical.take(dot))
+      .map(_ + logical.substring(dot)).getOrElse(logical)
+  }
+
+  private def toPhysical(schema: StructType): StructType =
+    if (physicalByLogical.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      physicalByLogical.get(f.name).map(n => f.copy(name = n)).getOrElse(f)
+    })
+
+  /** Rename a pushed filter's column references to physical names. Every
+    * leaf translates exactly (unknown names pass through), so semantics
+    * are preserved; a filter SHAPE we don't know is dropped — sound, since
+    * pushdown is advisory (Spark re-applies the original predicate). */
+  private def translate(f: Filter): Option[Filter] = f match {
+    case EqualTo(a, v) => Some(EqualTo(physName(a), v))
+    case EqualNullSafe(a, v) => Some(EqualNullSafe(physName(a), v))
+    case GreaterThan(a, v) => Some(GreaterThan(physName(a), v))
+    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(physName(a), v))
+    case LessThan(a, v) => Some(LessThan(physName(a), v))
+    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(physName(a), v))
+    case In(a, vs) => Some(In(physName(a), vs))
+    case IsNull(a) => Some(IsNull(physName(a)))
+    case IsNotNull(a) => Some(IsNotNull(physName(a)))
+    case StringStartsWith(a, v) => Some(StringStartsWith(physName(a), v))
+    case StringEndsWith(a, v) => Some(StringEndsWith(physName(a), v))
+    case StringContains(a, v) => Some(StringContains(physName(a), v))
+    case And(l, r) => (translate(l), translate(r)) match {
+      case (Some(a), Some(b)) => Some(And(a, b))
+      case (one, other) => one.orElse(other) // weakened conjunct: still sound
+    }
+    case Or(l, r) => for { a <- translate(l); b <- translate(r) } yield Or(a, b)
+    case Not(c) => translateExact(c).map(Not(_)) // Not(weakened) would flip soundness
+    case AlwaysTrue() => Some(AlwaysTrue())
+    case AlwaysFalse() => Some(AlwaysFalse())
+    case _ => None
+  }
+
+  private def translateExact(f: Filter): Option[Filter] = f match {
+    case And(l, r) => for { a <- translateExact(l); b <- translateExact(r) } yield And(a, b)
+    case other => translate(other)
+  }
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    val physFilters =
+      if (physicalByLogical.isEmpty) filters else filters.flatMap(translate)
+
+    // Mapping-only: a pure rename before the stock read; rows/batches come
+    // back positionally correct under the logical output attributes.
+    if (dvByPath.isEmpty)
+      return super.buildReaderWithPartitionValues(
+        sparkSession, toPhysical(dataSchema), partitionSchema,
+        toPhysical(requiredSchema), physFilters, options, hadoopConf)
+
+    val riName = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+    // A query that itself reads `_metadata.row_index` (e.g. the DV-delete
+    // find phase) already carries the temp column in requiredSchema — reuse
+    // it and keep the layout; otherwise append one and project it away.
+    val preExisting = requiredSchema.fieldNames.indexOf(riName)
+    val augmented =
+      if (preExisting >= 0) requiredSchema
+      else
+        // nullable = true: the column is absent from the file, so the
+        // parquet requested schema must mark it OPTIONAL — the reader then
+        // recognizes the reserved name and fills row indexes, not nulls
+        requiredSchema.add(StructField(riName, LongType, nullable = true))
+    val baseReader = super.buildReaderWithPartitionValues(
+      sparkSession, toPhysical(dataSchema), partitionSchema,
+      toPhysical(augmented), physFilters, options, hadoopConf)
+
+    // closure state must not capture `this` (FileFormat is not Serializable)
+    val table = tablePath
+    val dvMap = dvByPath
+    val serConf = new SerializableHadoopConf(hadoopConf)
+    val riOrdinal = if (preExisting >= 0) preExisting else requiredSchema.length
+    val stripColumn = preExisting < 0
+    // appended case: reader output layout is requiredSchema ++ [rowIndex] ++
+    // partitionSchema; downstream expects requiredSchema ++ partitionSchema
+    val outRefs = (requiredSchema.fields.zipWithIndex.map { case (f, i) =>
+      BoundReference(i, f.dataType, nullable = true)
+    } ++ partitionSchema.fields.zipWithIndex.map { case (f, i) =>
+      BoundReference(requiredSchema.length + 1 + i, f.dataType, nullable = true)
+    }).toIndexedSeq
+
+    (file: PartitionedFile) => {
+      val rows = baseReader(file)
+      val filtered = dvMap.get(file.toPath.toUri.getPath) match {
+        case None => rows
+        case Some(desc) =>
+          val deleted = DeletionVectors.read(serConf.value, table, desc) // sorted
+          rows.filter { r =>
+            java.util.Arrays.binarySearch(deleted, r.getLong(riOrdinal)) < 0
+          }
+      }
+      if (stripColumn) {
+        val project = UnsafeProjection.create(outRefs)
+        filtered.map(project)
+      } else filtered
+    }
+  }
+
+  // plan-node equality must distinguish DV/mapped snapshots from plain
+  // parquet and from each other (ParquetFileFormat.equals treats all
+  // instances equal, which would let exchange/subquery reuse unify scans
+  // with different DVs or mappings)
+  override def equals(other: Any): Boolean = other match {
+    case d: GraftParquetFileFormat =>
+      d.tablePath == tablePath && d.dvByPath == dvByPath &&
+        d.physicalByLogical == physicalByLogical
+    case _ => false
+  }
+  override def hashCode(): Int = (tablePath, dvByPath, physicalByLogical).##
+}
+
+object GraftParquetFileFormat {
+
+  /** Scan-time readability checks + format selection for a snapshot: the
+    * stock [[ParquetFileFormat]] whenever neither DVs nor a non-identity
+    * mapping are present; otherwise a [[GraftParquetFileFormat]] carrying
+    * exactly what this snapshot needs. Fails loudly on `id`-mode mapping
+    * (parquet field-id matching not implemented) and on nested physical
+    * names (only top-level renames are translated). */
+  private[delta] def forSnapshot(
+      tablePath: String, snap: DeltaSnapshot): ParquetFileFormat = {
+    checkReadable(tablePath, snap)
+    val tableRoot = new org.apache.hadoop.fs.Path(tablePath)
+    val dvByPath: Map[String, DvDescriptor] = snap.files.iterator.flatMap(f =>
+      f.deletionVector.map(d =>
+        DeltaFileIndex.absoluteDataPath(tableRoot, f.path).toUri.getPath -> d)).toMap
+    val nameMap = snap.metadata.physicalNames.filter { case (l, p) => l != p }
+    if (dvByPath.isEmpty && nameMap.isEmpty) new ParquetFileFormat
+    else new GraftParquetFileFormat(tablePath, dvByPath, nameMap)
+  }
+
+  private[delta] def checkReadable(tablePath: String, snap: DeltaSnapshot): Unit = {
+    val mode = snap.metadata.columnMappingMode
+    if (mode != "none" && mode != "name") throw new UnsupportedOperationException(
+      s"$tablePath uses column mapping mode '$mode'; this engine implements " +
+        "'name' mode (physical-name matching), not parquet field-id matching")
+    def nestedMapped(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f =>
+        f.metadata.contains(DeltaMetadata.PhysicalNameKey) || nestedMapped(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => nestedMapped(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        nestedMapped(m.keyType) || nestedMapped(m.valueType)
+      case _ => false
+    }
+    if (snap.schema.fields.exists(f => nestedMapped(f.dataType)))
+      throw new UnsupportedOperationException(
+        s"$tablePath maps NESTED column names; this engine translates " +
+          "top-level physical names only")
+  }
+}
