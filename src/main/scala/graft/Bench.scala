@@ -8,6 +8,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // same engine surface as Verify (delta SQL parser + native functions)
+      .config("spark.sql.extensions", classOf[graft.functions.GraftSparkExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated name-prefix filter for targeted local runs

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // full engine surface: native functions + the Delta SQL statement /
+      // time-travel parser (dl12 runs `… VERSION AS OF …` through SQL)
+      .config("spark.sql.extensions", classOf[graft.functions.GraftSparkExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -161,6 +161,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     // Delta DML/maintenance SQL statements (DELETE/UPDATE/OPTIMIZE/VACUUM/
     // RESTORE/SHALLOW CLONE) — the delta-spark DeltaSqlParser pattern
-    ext.injectParser((_, delegate) => new graft.sources.delta.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.sources.delta.GraftSqlParser(session, delegate))
   }
 }

@@ -210,7 +210,43 @@ object DeltaQueries {
         round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
   }
 
+  /** SQL time travel in the gate: two commits (even keys at v0, odd keys
+    * appended at v1), then one statement reads BOTH the v0 snapshot
+    * (`VERSION AS OF 0`) and the latest (`FOR TIMESTAMP AS OF` a cutoff
+    * after every commit) through the parser's rewrite path. The oracle
+    * recomputes each snapshot from the raw fixture, so a travel that
+    * resolves the wrong version — or leaks latest rows into v0 — shows as
+    * a hash mismatch. */
+  private def dl12SqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 2 === 0), path, SaveMode.Append, Nil)
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 2 === 1), path, SaveMode.Append, Nil)
+    s.sql(
+      s"""SELECT 'v0' AS snap, count(*) AS n,
+                 CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+                 CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+          FROM delta.`$path` VERSION AS OF 0
+          UNION ALL
+          SELECT 'latest' AS snap, count(*) AS n,
+                 CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+                 CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+          FROM delta.`$path` FOR TIMESTAMP AS OF '2099-01-01 00:00:00'
+          ORDER BY snap""")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl12_sql_time_travel" -> """
+      SELECT 'v0' AS snap, count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier WHERE s_suppkey % 2 = 0
+      UNION ALL
+      SELECT 'latest' AS snap, count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier
+      ORDER BY snap""",
     "dl10_dv_delete" -> """
       SELECT count(*) AS n,
              CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
@@ -285,5 +321,6 @@ object DeltaQueries {
     "dl07_update" -> dl07Update,
     "dl08_merge" -> dl08Merge,
     "dl09_replace_where" -> dl09ReplaceWhere,
-    "dl10_dv_delete" -> dl10DvDelete)
+    "dl10_dv_delete" -> dl10DvDelete,
+    "dl12_sql_time_travel" -> dl12SqlTimeTravel)
 }

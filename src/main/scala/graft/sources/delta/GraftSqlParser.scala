@@ -29,14 +29,29 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *   CREATE TABLE <target> SHALLOW CLONE <target>
   *   DESCRIBE DETAIL | HISTORY <target>
   *
+  * Plus SQL time travel inside any SELECT (`spark.read` option parity):
+  *
+  *   … FROM delta.`/path` [FOR] VERSION AS OF <v> …
+  *   … FROM delta.`/path` [FOR] TIMESTAMP AS OF '<ts>' …
+  *
+  * handled as a pre-parse rewrite: each time-traveled table reference is
+  * materialized as a temp view over the version-parameterized log replay
+  * (`DeltaLog.snapshot(versionAsOf/timestampAsOf)`) and the reference text
+  * is substituted with the view name, so arbitrary surrounding SQL (joins,
+  * subqueries, CTEs) works unchanged. Plain `delta.`/path`` SELECTs need no
+  * help — Spark's ResolveSQLOnFile resolves them through the registered
+  * source.
+  *
   * cf. the reference's negative write path (`tests/local.rs:92-103`):
   * there, even INSERT fails by design; here the full maintenance surface
   * is one `spark.sql(...)` away.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlCommands.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val sql = GraftSqlCommands.rewriteTimeTravel(session, sqlText)
+    GraftSqlCommands.parse(sql).getOrElse(delegate.parsePlan(sql))
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -80,6 +95,42 @@ private[graft] object GraftSqlCommands {
   // Restricted MERGE grammar: fixed t/s aliases (DeltaMerge's contract),
   // source = delta target, quoted path, or a registered view/table name;
   // the MATCHED clause (UPDATE SET | DELETE) precedes the NOT MATCHED one.
+  // SELECT-side time travel: `delta.`/path`` followed DIRECTLY by
+  // [FOR] VERSION|TIMESTAMP AS OF. RESTORE's `TO VERSION AS OF` cannot
+  // match (the intervening TO breaks adjacency). Versions are bare digits;
+  // timestamps must be quoted (standard literal form), so the value can
+  // never swallow trailing punctuation like a closing paren.
+  private val TimeTravel = re(
+    """delta\s*\.\s*`([^`]+)`\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']*)'|(\d+))""")
+
+  /** Replace every time-traveled `delta.`path`` reference with a temp view
+    * over the corresponding snapshot read. No-op (returns `sql` as-is)
+    * when the pattern is absent — the common path costs one regex probe. */
+  def rewriteTimeTravel(spark: SparkSession, sql: String): String = {
+    val m = TimeTravel.matcher(sql)
+    if (!m.find()) return sql
+    m.reset()
+    val sb = new StringBuffer
+    while (m.find()) {
+      val path = m.group(1)
+      val kind = m.group(2).toUpperCase(java.util.Locale.ROOT)
+      val value = Option(m.group(3)).getOrElse(m.group(4))
+      require(kind == "VERSION" || m.group(3) != null,
+        s"TIMESTAMP AS OF requires a quoted timestamp literal (got $value)")
+      val reader = spark.read.format("delta")
+      val df = (if (kind == "VERSION") reader.option("versionAsOf", value)
+                else reader.option("timestampAsOf", value)).load(path)
+      // deterministic per (path, kind, value): the same travel in one query
+      // (self-join of two versions) reuses one view; distinct travels differ
+      val view = "graft_time_travel_" +
+        java.lang.Integer.toHexString(s"$path#$kind#$value".hashCode)
+      df.createOrReplaceTempView(view)
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(view))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   private val Merge = re(
     """^\s*MERGE\s+INTO\s+(?:delta\s*\.\s*`(?<tp1>[^`]+)`|'(?<tp2>[^']+)')\s+(?:AS\s+)?t\s+""" +
     """USING\s+(?:delta\s*\.\s*`(?<sp1>[^`]+)`|'(?<sp2>[^']+)'|(?<sv>[A-Za-z_]\w*))\s+(?:AS\s+)?s\s+""" +

@@ -162,6 +162,28 @@ class GraftSqlSuite extends AnyFunSuite {
     assert(esc === Map("a" -> "'it\\'s, fine'", "b" -> "2"))
   }
 
+  test("SELECT … VERSION AS OF / FOR TIMESTAMP AS OF time-travels through SQL") {
+    val dir = freshTable() // 4 appends: versions 0..3, 2 rows each
+    // v0 snapshot: ids 0,1 only
+    val v0 = spark.sql(s"SELECT count(*) AS n, sum(id) AS s FROM delta.`$dir` VERSION AS OF 0")
+      .collect().head
+    assert((v0.getLong(0), v0.getLong(1)) === ((2L, 1L)))
+    // FOR VERSION AS OF form; joins of two travels of the SAME table work
+    val joined = spark.sql(
+      s"""SELECT latest.id FROM delta.`$dir` FOR VERSION AS OF 3 latest
+          LEFT ANTI JOIN delta.`$dir` VERSION AS OF 1 old ON latest.id = old.id
+          ORDER BY latest.id""").collect().map(_.getInt(0)).toSeq
+    assert(joined === Seq(4, 5, 6, 7)) // rows appended after v1
+    // timestamp form: a cutoff after every commit = latest snapshot
+    val ts = spark.sql(
+      s"SELECT count(*) AS n FROM delta.`$dir` FOR TIMESTAMP AS OF '2099-01-01 00:00:00'")
+      .collect().head.getLong(0)
+    assert(ts === 8L)
+    // RESTORE's `TO VERSION AS OF` grammar is untouched by the rewrite
+    spark.sql(s"RESTORE TABLE delta.`$dir` TO VERSION AS OF 0")
+    assert(DeltaTable.read(spark, dir).count() === 2)
+  }
+
   test("UPDATE with ' WHERE ' inside a string literal does not split at the literal") {
     val dir = freshTable()
     spark.sql(s"UPDATE delta.`$dir` SET name = 'fix WHERE needed' WHERE id = 2")
