@@ -210,6 +210,32 @@ object DeltaQueries {
         round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
   }
 
+  /** Column mapping (reader v2, `name` mode) in the gate: write even-key
+    * suppliers, RENAME s_acctbal → account_balance (metadata-only — the
+    * existing parquet keeps the physical name), append the odd keys
+    * through the mapped write path (physical parquet columns + stats
+    * keys), then read back filtered on the renamed column (translated
+    * pushdown + stats skipping). The oracle replays it over the raw
+    * fixture; a reader that resolves the wrong physical column NULLs or
+    * misfilters and hash-mismatches. */
+  private def dl11ColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 2 === 0), path, SaveMode.Append, Nil)
+    graft.sources.delta.DeltaSchema.renameColumn(s, path, "s_acctbal", "account_balance")
+    DeltaWriter.write(
+      supplier.filter(col("s_suppkey") % 2 === 1)
+        .withColumnRenamed("s_acctbal", "account_balance"),
+      path, SaveMode.Append, Nil)
+    DeltaTable.read(s, path)
+      .filter(col("account_balance") > 0)
+      .groupBy((col("s_suppkey") % 2).cast("int").as("parity"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("account_balance").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .orderBy(col("parity"))
+  }
+
   /** SQL time travel in the gate: two commits (even keys at v0, odd keys
     * appended at v1), then one statement reads BOTH the v0 snapshot
     * (`VERSION AS OF 0`) and the latest (`FOR TIMESTAMP AS OF` a cutoff
@@ -236,6 +262,12 @@ object DeltaQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "dl11_column_mapping" -> """
+      SELECT CAST(s_suppkey % 2 AS INT) AS parity,
+             count(*) AS n,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier WHERE s_acctbal > 0
+      GROUP BY 1 ORDER BY 1""",
     "dl12_sql_time_travel" -> """
       SELECT 'v0' AS snap, count(*) AS n,
              CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
@@ -322,5 +354,6 @@ object DeltaQueries {
     "dl08_merge" -> dl08Merge,
     "dl09_replace_where" -> dl09ReplaceWhere,
     "dl10_dv_delete" -> dl10DvDelete,
+    "dl11_column_mapping" -> dl11ColumnMapping,
     "dl12_sql_time_travel" -> dl12SqlTimeTravel)
 }

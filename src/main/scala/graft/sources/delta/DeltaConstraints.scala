@@ -84,7 +84,8 @@ object DeltaConstraints {
     * Shared by constraints and [[DeltaSchema]]'s ALTER TABLE surface. */
   private[delta] def commitMetadata(
       spark: SparkSession, tablePath: String, newConfig: Map[String, String],
-      newSchemaString: Option[String], op: String, params: Map[String, String]): Long = {
+      newSchemaString: Option[String], op: String, params: Map[String, String],
+      newProtocol: Option[DeltaProtocol] = None): Long = {
     var attempt = 0
     var committed = -1L
     while (committed < 0 && attempt < 20) {
@@ -98,6 +99,19 @@ object DeltaConstraints {
       params.foreach { case (k, v) => pn.put(k, v) }
       ci.put("engineInfo", "graft-spark/0.1.0")
       lines += mapper.writeValueAsString(ciLine)
+      // protocol upgrade (e.g. enabling column mapping bumps reader v1→v2)
+      // rides in the same commit, before the metaData that relies on it
+      newProtocol.filter(_ != current.protocol).foreach { p =>
+        val pLine = mapper.createObjectNode()
+        val pn2 = pLine.putObject("protocol")
+        pn2.put("minReaderVersion", p.minReaderVersion)
+        pn2.put("minWriterVersion", p.minWriterVersion)
+        if (p.readerFeatures.nonEmpty)
+          p.readerFeatures.toSeq.sorted.foldLeft(pn2.putArray("readerFeatures"))((a, f) => a.add(f))
+        if (p.writerFeatures.nonEmpty)
+          p.writerFeatures.toSeq.sorted.foldLeft(pn2.putArray("writerFeatures"))((a, f) => a.add(f))
+        lines += mapper.writeValueAsString(pLine)
+      }
       val mdLine = mapper.createObjectNode()
       val m = mdLine.putObject("metaData")
       m.put("id", current.metadata.id)
@@ -116,6 +130,9 @@ object DeltaConstraints {
     }
     if (committed < 0) throw new java.io.IOException(
       s"$op could not commit to $tablePath after $attempt attempts")
+    // metadata commits count toward the checkpoint cadence like any other
+    // commit path — a long ALTER chain must not unbound replay cost
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committed)
     committed
   }
 }

@@ -170,9 +170,12 @@ object DeltaTable {
     } yield {
       val paths = files.map(f =>
         new org.apache.hadoop.fs.Path(path, DeltaMaintenance.decodeRel(f.path)).toString)
-      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
+      // physical column names on disk for mapped tables; logical out
+      val base = spark.read.schema(snap.physicalDataSchema).parquet(paths: _*)
+        .toDF(snap.dataSchema.fieldNames.toIndexedSeq: _*)
       val withParts = snap.partitionColumns.foldLeft(base) { (df, c) =>
-        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(snap.partitionSchema(c).dataType))
+        df.withColumn(c, lit(pv.getOrElse(snap.metadata.physicalOf(c), null))
+          .cast(snap.partitionSchema(c).dataType))
       }
       withParts
         .withColumn("_commit_version", lit(version))

@@ -127,15 +127,18 @@ object DeltaDml {
     // UPDATE creates rows -> CHECK constraints apply (DELETE never does)
     if (op == "UPDATE") DeltaConstraints.validate(rewritten, snap, op)
 
-    // ---- 3. stage + publish like DeltaWriter/OPTIMIZE
+    // ---- 3. stage + publish like DeltaWriter/OPTIMIZE (physical names on
+    // column-mapped tables — the rewrite frame above is logical)
     val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
     val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val writer = rewritten.write.mode(SaveMode.Overwrite)
-    (if (snap.partitionColumns.nonEmpty) writer.partitionBy(snap.partitionColumns: _*)
+    val physPartCols = snap.partitionColumns.map(snap.metadata.physicalOf)
+    val writer = DeltaWriter.physicalized(rewritten, snap.metadata).write.mode(SaveMode.Overwrite)
+    (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
      else writer).parquet(stagingDir.toString)
 
     val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
-    val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString), snap.dataSchema)
+    val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString),
+      snap.physicalDataSchema)
     val adds = stagedFiles.map { staged =>
       val rel = DeltaWriter.relativize(stagingDir, staged)
       val target = new Path(tablePath, rel)
@@ -143,7 +146,7 @@ object DeltaDml {
       if (!fs.rename(staged, target))
         throw new java.io.IOException(s"failed to publish $staged -> $target")
       val st = fs.getFileStatus(target)
-      (rel, DeltaWriter.partitionValuesOf(rel, snap.partitionColumns), st.getLen,
+      (rel, DeltaWriter.partitionValuesOf(rel, physPartCols), st.getLen,
         st.getModificationTime, stats.get(staged.toString))
     }
     fs.delete(stagingDir, true)
@@ -339,10 +342,15 @@ object DeltaDml {
         val p = protoLine.putObject("protocol")
         p.put("minReaderVersion", 3)
         p.put("minWriterVersion", 7)
+        // legacy capabilities become explicit features at v3 — an active
+        // column mapping (legacy reader v2) must be listed or other
+        // engines would read physical names as if they were logical
+        val mapFeat: Set[String] =
+          if (latest.metadata.columnMappingMode != "none") Set("columnMapping") else Set.empty
         val rf = p.putArray("readerFeatures")
-        (p0.readerFeatures + "deletionVectors").toSeq.sorted.foreach(rf.add)
+        (p0.readerFeatures + "deletionVectors" ++ mapFeat).toSeq.sorted.foreach(rf.add)
         val wf = p.putArray("writerFeatures")
-        (p0.writerFeatures ++ Set("appendOnly", "invariants", "deletionVectors"))
+        (p0.writerFeatures ++ Set("appendOnly", "invariants", "deletionVectors") ++ mapFeat)
           .toSeq.sorted.foreach(wf.add)
         lines += mapper.writeValueAsString(protoLine)
       }

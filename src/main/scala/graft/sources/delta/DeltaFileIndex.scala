@@ -49,10 +49,11 @@ class DeltaFileIndex(spark: SparkSession, snapshot: DeltaSnapshot) extends FileI
 
   /** Cast the string partition values of one file into an InternalRow laid
     * out like `partitionSchema` (same injection Spark's
-    * PartitioningAwareFileIndex does for hive layouts). */
+    * PartitioningAwareFileIndex does for hive layouts). `partitionValues`
+    * is keyed by PHYSICAL column names on column-mapped tables. */
   private def partitionRow(values: Map[String, String]): InternalRow = {
     val casted = partitionSchema.fields.map { f =>
-      values.get(f.name).flatMap(Option(_)) match {
+      values.get(snapshot.metadata.physicalOf(f.name)).flatMap(Option(_)) match {
         case None => null
         case Some(raw) =>
           Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
@@ -83,10 +84,12 @@ class DeltaFileIndex(spark: SparkSession, snapshot: DeltaSnapshot) extends FileI
         groups.filter { case (values, _) => predicate.eval(partitionRow(values)) }
       }
 
-    // --- 2. per-file stats skipping with dataFilters
+    // --- 2. per-file stats skipping with dataFilters (stats keys are
+    // physical names on column-mapped tables; filters reference logical)
     prunedGroups.map { case (values, files) =>
       val kept = if (dataFilters.isEmpty) files else files.filter { f =>
-        DeltaStatsSkipping.mightMatch(dataFilters, f.stats, snapshot.dataSchema)
+        DeltaStatsSkipping.mightMatch(dataFilters, f.stats, snapshot.dataSchema,
+          snapshot.metadata.physicalOf)
       }
       val statuses = kept.map { f =>
         new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime, absolutePath(f.path))
@@ -122,15 +125,21 @@ object DeltaStatsSkipping {
   private final case class FileStats(
       numRecords: Option[Long], cols: Map[String, ColStats])
 
-  def mightMatch(filters: Seq[Expression], statsJson: Option[String], dataSchema: StructType): Boolean =
+  def mightMatch(
+      filters: Seq[Expression], statsJson: Option[String], dataSchema: StructType,
+      physicalOf: String => String = identity): Boolean =
     statsJson match {
       case None => true
       case Some(json) =>
-        val stats = try parse(json, dataSchema) catch { case _: Exception => return true }
+        val stats = try parse(json, dataSchema, physicalOf)
+          catch { case _: Exception => return true }
         filters.forall(f => mightMatchExpr(f, stats))
     }
 
-  private def parse(json: String, schema: StructType): FileStats = {
+  /** Stats JSON is keyed by PHYSICAL column names (identity unless column
+    * mapping is on); the returned FileStats re-key by LOGICAL name, which
+    * is what the pushed filter expressions reference. */
+  private def parse(json: String, schema: StructType, physicalOf: String => String): FileStats = {
     val node = mapper.readTree(json)
     val numRecords = if (node.has("numRecords")) Some(node.get("numRecords").asLong()) else None
     def section(name: String): Map[String, Any] =
@@ -138,8 +147,9 @@ object DeltaStatsSkipping {
       else {
         val obj = node.get(name)
         schema.fields.flatMap { f =>
-          if (obj.has(f.name) && !obj.get(f.name).isNull)
-            jsonToComparable(obj.get(f.name).asText(), f.dataType).map(f.name -> _)
+          val k = physicalOf(f.name)
+          if (obj.has(k) && !obj.get(k).isNull)
+            jsonToComparable(obj.get(k).asText(), f.dataType).map(f.name -> _)
           else None
         }.toMap
       }
@@ -149,7 +159,8 @@ object DeltaStatsSkipping {
       if (!node.has("nullCount") || node.get("nullCount").isNull) Map.empty
       else schema.fields.flatMap { f =>
         val nc = node.get("nullCount")
-        if (nc.has(f.name) && nc.get(f.name).isNumber) Some(f.name -> nc.get(f.name).asLong())
+        val k = physicalOf(f.name)
+        if (nc.has(k) && nc.get(k).isNumber) Some(f.name -> nc.get(k).asLong())
         else None
       }.toMap
     FileStats(numRecords, schema.fieldNames.map { n =>

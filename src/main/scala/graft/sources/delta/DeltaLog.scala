@@ -86,6 +86,12 @@ final case class DeltaSnapshot(
     StructType(partitionColumns.map(c => schema(c)))
   def dataSchema: StructType =
     StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+  /** What the parquet data files actually store on a column-mapped table:
+    * `dataSchema` with every field renamed to its physical name. Identity
+    * when mapping is off. */
+  def physicalDataSchema: StructType =
+    if (!metadata.hasColumnMapping) dataSchema
+    else StructType(dataSchema.fields.map(f => f.copy(name = metadata.physicalOf(f.name))))
 }
 
 object DeltaLog {
@@ -96,13 +102,31 @@ object DeltaLog {
   private val CommitRe = """(\d{20})\.json""".r
   private val CheckpointRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultipartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  // v2 checkpoint naming: <version>.checkpoint.<uniqueId>.parquet (one
+  // dot-free id segment — multipart's two numeric segments cannot match)
+  private val UuidCheckpointRe = """(\d{20})\.checkpoint\.([0-9a-zA-Z-]+)\.parquet""".r
+
+  /** Test seam: physical log reads (commit JSONs opened + checkpoint and
+    * sidecar parquet files read) across all [[snapshot]] calls — the
+    * checkpoint-cadence audit pins replay cost to
+    * ≤ (1 checkpoint + tail JSONs) regardless of history length. */
+  private[graft] val replayReads = new java.util.concurrent.atomic.AtomicLong
 
   def logDir(tablePath: String): Path = new Path(tablePath, LogDirName)
 
   def isDeltaTable(spark: SparkSession, tablePath: String): Boolean = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(dir) && fs.listStatus(dir).exists(s => CommitRe.pattern.matcher(s.getPath.getName).matches())
+    // a checkpoint with NO commit JSONs is still a delta table (metadata
+    // cleanup may retire every pre-checkpoint commit) — a writer that
+    // missed this would restart the log at version 0 over live state
+    fs.exists(dir) && fs.listStatus(dir).exists { s =>
+      val n = s.getPath.getName
+      CommitRe.pattern.matcher(n).matches() ||
+        CheckpointRe.pattern.matcher(n).matches() ||
+        MultipartCheckpointRe.pattern.matcher(n).matches() ||
+        UuidCheckpointRe.pattern.matcher(n).matches()
+    }
   }
 
   /** All commit JSONs and checkpoint parquets in the log, sorted by version. */
@@ -122,6 +146,7 @@ object DeltaLog {
       s.getPath.getName match {
         case CheckpointRe(v) => Some(v.toLong -> s)
         case MultipartCheckpointRe(v, _, _) => Some(v.toLong -> s)
+        case UuidCheckpointRe(v, _) => Some(v.toLong -> s)
         case _ => None
       }
     }.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.getPath.getName)).toSeq.sortBy(_._1)
@@ -161,12 +186,17 @@ object DeltaLog {
     var metadata: Option[DeltaMetadata] = None
     val live = mutable.LinkedHashMap.empty[String, DeltaAddFile]
 
-    // 1. newest checkpoint at or below target
+    // 1. newest checkpoint at or below target (classic single-file,
+    // classic multipart, or v2 UUID-named with checkpointMetadata and
+    // optional sidecar file-action files)
     val cp = checkpoints.filter(_._1 <= target).lastOption
-    cp.foreach { case (_, parts) =>
+    cp.foreach { case (cpVersion, parts) =>
       val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
+      replayReads.addAndGet(parts.size.toLong)
       val cols = cpDf.schema.fieldNames.toSet
-      val sel = Seq("protocol", "metaData", "add").filter(cols.contains)
+      val sel = Seq("protocol", "metaData", "add", "checkpointMetadata", "sidecar")
+        .filter(cols.contains)
+      val sidecarNames = mutable.ArrayBuffer.empty[String]
       cpDf.select(sel.head, sel.tail: _*).collect().foreach { row =>
         sel.zipWithIndex.foreach { case (name, i) =>
           if (!row.isNullAt(i)) {
@@ -191,27 +221,38 @@ object DeltaLog {
                   Option(r.getAs[scala.collection.Map[String, String]]("configuration"))
                     .map(_.toMap).getOrElse(Map.empty)))
               case "add" =>
-                val fields = r.schema.fieldNames.toSet
-                val dv: Option[DvDescriptor] =
-                  if (fields.contains("deletionVector") && !r.isNullAt(r.fieldIndex("deletionVector"))) {
-                    val d = r.getStruct(r.fieldIndex("deletionVector"))
-                    Some(DvDescriptor(
-                      d.getAs[String]("storageType"),
-                      d.getAs[String]("pathOrInlineDv"),
-                      if (d.isNullAt(d.fieldIndex("offset"))) None else Some(d.getAs[Int]("offset")),
-                      d.getAs[Int]("sizeInBytes"),
-                      d.getAs[Long]("cardinality")))
-                  } else None
-                val add = DeltaAddFile(
-                  r.getAs[String]("path"),
-                  Option(r.getAs[scala.collection.Map[String, String]]("partitionValues"))
-                    .map(_.toMap).getOrElse(Map.empty),
-                  r.getAs[Long]("size"),
-                  if (fields.contains("modificationTime")) r.getAs[Long]("modificationTime") else 0L,
-                  if (fields.contains("stats")) Option(r.getAs[String]("stats")) else None,
-                  dv)
+                val add = parseAddStruct(r)
                 live(add.path) = add
+              case "checkpointMetadata" =>
+                // v2 checkpoint self-description; a version disagreeing
+                // with the file name means a corrupt/misplaced checkpoint
+                val declared = r.getAs[Long]("version")
+                if (declared != cpVersion) throw new IllegalStateException(
+                  s"$tablePath: v2 checkpoint file named $cpVersion declares " +
+                    s"version $declared")
+              case "sidecar" =>
+                sidecarNames += r.getAs[String]("path")
             }
+          }
+        }
+      }
+      // v2 sidecars: the file actions live in _delta_log/_sidecars/<name>;
+      // their adds are part of the checkpoint state (removes in a
+      // checkpoint are vacuum tombstones — not live state — like classic)
+      if (sidecarNames.nonEmpty) {
+        val sidecarDir = new Path(logDir(tablePath), "_sidecars")
+        val abs = sidecarNames.toSeq.map { p =>
+          if (p.contains("/")) p else new Path(sidecarDir, p).toString
+        }
+        val scDf = spark.read.parquet(abs: _*)
+        replayReads.addAndGet(abs.size.toLong)
+        if (!scDf.schema.fieldNames.contains("add")) throw new IllegalStateException(
+          s"$tablePath: v2 checkpoint sidecars carry no 'add' column " +
+            s"(${abs.take(2).mkString(", ")})")
+        scDf.select("add").collect().foreach { row =>
+          if (!row.isNullAt(0)) {
+            val add = parseAddStruct(row.getStruct(0))
+            live(add.path) = add
           }
         }
       }
@@ -221,6 +262,7 @@ object DeltaLog {
     val fromVersion = cp.map(_._1 + 1).getOrElse(0L)
     val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     commits.filter { case (v, _) => v >= fromVersion && v <= target }.foreach { case (_, status) =>
+      replayReads.incrementAndGet()
       val in = fs.open(status.getPath)
       val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       // Within one commit, removes apply before adds (a remove+add of the
@@ -347,6 +389,30 @@ object DeltaLog {
 
   /** Reader-version-3 table features this engine can actually honor. */
   val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
+
+  /** Checkpoint/sidecar `add` struct row → [[DeltaAddFile]] (tolerant of
+    * absent optional fields across writer engines). */
+  private def parseAddStruct(r: org.apache.spark.sql.Row): DeltaAddFile = {
+    val fields = r.schema.fieldNames.toSet
+    val dv: Option[DvDescriptor] =
+      if (fields.contains("deletionVector") && !r.isNullAt(r.fieldIndex("deletionVector"))) {
+        val d = r.getStruct(r.fieldIndex("deletionVector"))
+        Some(DvDescriptor(
+          d.getAs[String]("storageType"),
+          d.getAs[String]("pathOrInlineDv"),
+          if (d.isNullAt(d.fieldIndex("offset"))) None else Some(d.getAs[Int]("offset")),
+          d.getAs[Int]("sizeInBytes"),
+          d.getAs[Long]("cardinality")))
+      } else None
+    DeltaAddFile(
+      r.getAs[String]("path"),
+      Option(r.getAs[scala.collection.Map[String, String]]("partitionValues"))
+        .map(_.toMap).getOrElse(Map.empty),
+      r.getAs[Long]("size"),
+      if (fields.contains("modificationTime")) r.getAs[Long]("modificationTime") else 0L,
+      if (fields.contains("stats")) Option(r.getAs[String]("stats")) else None,
+      dv)
+  }
 
   /** `add.deletionVector` → descriptor (absent/null → None). */
   private def parseDv(add: JsonNode): Option[DvDescriptor] =

@@ -182,9 +182,12 @@ object DeltaMaintenance {
     val partSchema = snap.partitionSchema
     val clustered = snap.files.groupBy(_.partitionValues).map { case (pv, files) =>
       val paths = files.map(f => new Path(tablePath, decodeRel(f.path)).toString)
-      val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
+      // read physical column names, surface logical (positional rename)
+      val base = spark.read.schema(snap.physicalDataSchema).parquet(paths: _*)
+        .toDF(snap.dataSchema.fieldNames.toIndexedSeq: _*)
       snap.partitionColumns.foldLeft(base) { (df, c) =>
-        df.withColumn(c, lit(pv.getOrElse(c, null)).cast(partSchema(c).dataType))
+        df.withColumn(c, lit(pv.getOrElse(snap.metadata.physicalOf(c), null))
+          .cast(partSchema(c).dataType))
       }
     }.reduce(_ unionByName _)
       .withColumn("_z", expr(zExpr))
@@ -219,11 +222,15 @@ object DeltaMaintenance {
         org.apache.hadoop.fs.FileSystem) = {
     val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
     val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (snap.partitionColumns.nonEmpty) writer.partitionBy(snap.partitionColumns: _*)
+    // column-mapped tables stage under physical names (columns, hive dirs,
+    // stats keys) — the incoming frame is logical
+    val physPartCols = snap.partitionColumns.map(snap.metadata.physicalOf)
+    val writer = DeltaWriter.physicalized(df, snap.metadata).write.mode(SaveMode.Overwrite)
+    (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
      else writer).parquet(stagingDir.toString)
     val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
-    val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString), snap.dataSchema)
+    val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString),
+      snap.physicalDataSchema)
     val adds = stagedFiles.map { staged =>
       val rel = DeltaWriter.relativize(stagingDir, staged)
       val target = new Path(tablePath, rel)
@@ -231,7 +238,7 @@ object DeltaMaintenance {
       if (!fs.rename(staged, target))
         throw new java.io.IOException(s"failed to publish $staged -> $target")
       val st = fs.getFileStatus(target)
-      (rel, DeltaWriter.partitionValuesOf(rel, snap.partitionColumns), st.getLen,
+      (rel, DeltaWriter.partitionValuesOf(rel, physPartCols), st.getLen,
         st.getModificationTime, stats.get(staged.toString))
     }
     fs.delete(stagingDir, true)

@@ -110,9 +110,12 @@ object DeltaMerge {
       val perGroup = touched.groupBy(_.partitionValues).map { case (pv, files) =>
         val paths = files.map(f =>
           new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)
-        val base = spark.read.schema(snap.dataSchema).parquet(paths: _*)
+        // read physical column names, surface logical (positional rename)
+        val base = spark.read.schema(snap.physicalDataSchema).parquet(paths: _*)
+          .toDF(snap.dataSchema.fieldNames.toIndexedSeq: _*)
         snap.partitionColumns.foldLeft(base) { (df, c) =>
-          df.withColumn(c, lit(pv.getOrElse(c, null)).cast(partSchema(c).dataType))
+          df.withColumn(c, lit(pv.getOrElse(snap.metadata.physicalOf(c), null))
+            .cast(partSchema(c).dataType))
         }
       }.reduce(_ unionByName _)
       // one materialization: the cardinality check, the metrics and the
@@ -245,11 +248,14 @@ object DeltaMerge {
       df: DataFrame): (Seq[Add], Long) = {
     val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
     val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (snap.partitionColumns.nonEmpty) writer.partitionBy(snap.partitionColumns: _*)
+    // column-mapped tables stage under physical names; `df` is logical
+    val physPartCols = snap.partitionColumns.map(snap.metadata.physicalOf)
+    val writer = DeltaWriter.physicalized(df, snap.metadata).write.mode(SaveMode.Overwrite)
+    (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
      else writer).parquet(stagingDir.toString)
     val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
-    val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString), snap.dataSchema)
+    val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString),
+      snap.physicalDataSchema)
     var rows = 0L
     val adds: Seq[Add] = stagedFiles.map { staged =>
       val rel = DeltaWriter.relativize(stagingDir, staged)
@@ -260,7 +266,7 @@ object DeltaMerge {
       val st = fs.getFileStatus(target)
       val stat = stats.get(staged.toString)
       rows += stat.flatMap(n => Option(n.get("numRecords")).map(_.asLong())).getOrElse(0L)
-      (rel, DeltaWriter.partitionValuesOf(rel, snap.partitionColumns), st.getLen,
+      (rel, DeltaWriter.partitionValuesOf(rel, physPartCols), st.getLen,
         st.getModificationTime, stat)
     }
     fs.delete(stagingDir, true)

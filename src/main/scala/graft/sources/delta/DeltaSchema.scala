@@ -1,7 +1,7 @@
 package graft.sources.delta
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
 
 /** Metadata-only `ALTER TABLE` surface — the schema/property operations
   * that touch ONLY the transaction log, never a data file (at 100 TB that
@@ -13,11 +13,19 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *    added columns must be nullable — production Delta enforces the
   *    same). Complements DeltaWriter's mergeSchema (implicit drift on
   *    append) with the explicit DDL form.
+  *  - [[renameColumn]]: `ALTER TABLE … RENAME COLUMN a TO b` — the
+  *    column-mapping producer (reader v2, `name` mode): data files keep
+  *    their physical column names forever; the log maps logical → physical
+  *    via per-field `delta.columnMapping.physicalName`. The first rename
+  *    enables mapping (identity physical names for every other column) and
+  *    upgrades the protocol. The reference reads such tables via delta-rs
+  *    0.29.4 (`/root/reference/Cargo.toml:16`); [[GraftParquetFileFormat]]
+  *    is the scan side here.
   *  - [[setTblProperties]]: `ALTER TABLE … SET TBLPROPERTIES (…)` — a
   *    configuration merge (the same map CHECK constraints and
   *    `delta.generationExpression` metadata live beside).
   *
-  * Both commit through [[DeltaConstraints.commitMetadata]]'s validated
+  * All commit through [[DeltaConstraints.commitMetadata]]'s validated
   * retry loop (same table id — log replay is last-metaData-wins).
   */
 object DeltaSchema {
@@ -30,12 +38,96 @@ object DeltaSchema {
     require(dup.isEmpty, s"column(s) already exist: ${dup.map(_.name).mkString(",")}")
     require(cols.forall(_.nullable),
       "added columns must be nullable: rows in existing files NULL-fill")
-    val newSchema = StructType(snap.schema.fields ++ cols)
+    // on a mapped table every field must carry mapping metadata; new
+    // columns get fresh ids and (being new) identity physical names
+    val (stamped, newConfig) =
+      if (snap.metadata.columnMappingMode == "none") (cols, snap.metadata.configuration)
+      else {
+        var nextId = snap.metadata.configuration
+          .get(DeltaMetadata.MaxColumnIdKey).map(_.toLong).getOrElse(0L)
+        val s = cols.map { c =>
+          nextId += 1
+          c.copy(metadata = new MetadataBuilder().withMetadata(c.metadata)
+            .putLong(DeltaMetadata.ColumnIdKey, nextId)
+            .putString(DeltaMetadata.PhysicalNameKey, c.name).build())
+        }
+        (s, snap.metadata.configuration + (DeltaMetadata.MaxColumnIdKey -> nextId.toString))
+      }
+    val newSchema = StructType(snap.schema.fields ++ stamped)
     DeltaConstraints.commitMetadata(spark, tablePath,
-      snap.metadata.configuration,
+      newConfig,
       newSchemaString = Some(newSchema.json),
       op = "ADD COLUMNS",
       params = Map("columns" -> cols.map(c => s"${c.name} ${c.dataType.sql}").mkString(", ")))
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` — metadata-only, O(1) in
+    * table size: zero data files change; only the logical name in
+    * `schemaString` does, while `delta.columnMapping.physicalName` pins
+    * the on-disk name every existing AND future parquet file uses.
+    *
+    * Loud-failure scope (correctness over coverage):
+    *  - partition columns: their physical names key `partitionValues` and
+    *    the hive directory layout — renaming them is rejected;
+    *  - columns referenced by CHECK constraints or generation expressions:
+    *    those expressions store the logical name as SQL text; silently
+    *    leaving them dangling would corrupt every later validation. */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      oldName: String, newName: String): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val schema = snap.schema
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+      s"no such column: $oldName")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column already exists: $newName")
+    require(!snap.partitionColumns.exists(_.equalsIgnoreCase(oldName)),
+      s"cannot rename PARTITION column $oldName: partitionValues and the " +
+        "hive directory layout key by its physical name")
+    val word = ("(?i)\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
+    val refs =
+      DeltaConstraints.constraintsOf(snap).collect {
+        case (n, e) if word.findFirstIn(e).isDefined => s"CHECK constraint $n ($e)"
+      } ++ schema.fields.collect {
+        case f if f.metadata.contains(DeltaWriter.GenerationExpressionKey) &&
+            word.findFirstIn(f.metadata.getString(DeltaWriter.GenerationExpressionKey)).isDefined =>
+          s"generated column ${f.name}"
+      }
+    require(refs.isEmpty,
+      s"cannot rename $oldName: referenced by ${refs.mkString("; ")} " +
+        "(drop/re-add those first)")
+
+    var nextId = snap.metadata.configuration
+      .get(DeltaMetadata.MaxColumnIdKey).map(_.toLong).getOrElse(0L)
+    val mapped = StructType(schema.fields.map { f =>
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      if (!f.metadata.contains(DeltaMetadata.ColumnIdKey)) {
+        nextId += 1
+        mb.putLong(DeltaMetadata.ColumnIdKey, nextId)
+      }
+      if (!f.metadata.contains(DeltaMetadata.PhysicalNameKey))
+        mb.putString(DeltaMetadata.PhysicalNameKey, f.name) // on-disk name today
+      val logical = if (f.name.equalsIgnoreCase(oldName)) newName else f.name
+      f.copy(name = logical, metadata = mb.build())
+    })
+    val newConfig = snap.metadata.configuration ++ Map(
+      DeltaMetadata.ModeKey -> "name",
+      DeltaMetadata.MaxColumnIdKey -> nextId.toString)
+    // protocol: legacy reader v1 tables upgrade to (2, 5); table-features
+    // tables (v3, e.g. after a DV delete) add the columnMapping feature
+    val newProtocol = snap.protocol match {
+      case p if p.minReaderVersion >= 3 => p.copy(
+        readerFeatures = p.readerFeatures + "columnMapping",
+        writerFeatures = p.writerFeatures + "columnMapping")
+      case p if p.minReaderVersion < 2 =>
+        DeltaProtocol(2, math.max(p.minWriterVersion, 5))
+      case p => p
+    }
+    DeltaConstraints.commitMetadata(spark, tablePath,
+      newConfig,
+      newSchemaString = Some(mapped.json),
+      op = "RENAME COLUMN",
+      params = Map("oldName" -> oldName, "newName" -> newName),
+      newProtocol = Some(newProtocol))
   }
 
   def setTblProperties(spark: SparkSession, tablePath: String,

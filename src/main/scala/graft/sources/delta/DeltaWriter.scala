@@ -31,6 +31,18 @@ object DeltaWriter {
   val CheckpointInterval = 10
   private val mapper = new ObjectMapper()
 
+  /** On a column-mapped table EVERYTHING below the log speaks physical
+    * names: parquet column names, stats keys, hive partition directories
+    * and `partitionValues` keys. Rewrite/append paths call these just
+    * before staging a write (the DataFrame stays logical until then). */
+  private[delta] def physicalized(df: DataFrame, meta: DeltaMetadata): DataFrame =
+    if (!meta.hasColumnMapping) df
+    else df.toDF(df.columns.map(meta.physicalOf).toIndexedSeq: _*)
+
+  private[delta] def physicalSchema(schema: StructType, meta: DeltaMetadata): StructType =
+    if (!meta.hasColumnMapping) schema
+    else StructType(schema.fields.map(f => f.copy(name = meta.physicalOf(f.name))))
+
   val GenerationExpressionKey = "delta.generationExpression"
 
   /** Generation expressions declared in a schema's field metadata —
@@ -121,6 +133,9 @@ object DeltaWriter {
       val have = data1.schema.fieldNames.toSet
       if (want == have) None
       else if (mergeSchema && (want -- have).isEmpty) {
+        if (snap.metadata.hasColumnMapping) throw new UnsupportedOperationException(
+          "mergeSchema on a column-mapped table is not supported: new columns " +
+            "need mapping ids — use ALTER TABLE … ADD COLUMNS instead")
         val added = data1.schema.filter(f => !want.contains(f.name)).map(_.copy(nullable = true))
         Some(StructType(snap.schema.fields ++ added))
       } else throw new IllegalArgumentException(
@@ -137,18 +152,24 @@ object DeltaWriter {
     // optimizeWrite: one shuffle by the partition columns so each hive
     // partition is written by one task -> ~one file per partition per
     // commit (prevents the small-files problem OPTIMIZE exists to cure).
+    // Column-mapped tables stage under PHYSICAL names (parquet columns,
+    // hive dirs, stats keys); everything above this point stays logical.
+    val meta = existing.map(_.metadata)
+    val physOf: String => String = n => meta.map(_.physicalOf(n)).getOrElse(n)
+    val data2 = meta.map(m => physicalized(data1, m)).getOrElse(data1)
+    val physPartitionCols = partitionCols.map(physOf)
     val toWrite =
-      if (optimizeWrite && partitionCols.nonEmpty)
-        data1.repartition(partitionCols.map(col): _*)
-      else data1
+      if (optimizeWrite && physPartitionCols.nonEmpty)
+        data2.repartition(physPartitionCols.map(col): _*)
+      else data2
     val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
     val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
     val writer = toWrite.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+    (if (physPartitionCols.nonEmpty) writer.partitionBy(physPartitionCols: _*) else writer)
       .parquet(stagingDir.toString)
 
     val stagedFiles = listParquetFilesRecursively(fs, stagingDir)
-    val dataSchema = StructType(data1.schema.filterNot(f => partitionCols.contains(f.name)))
+    val dataSchema = StructType(data2.schema.filterNot(f => physPartitionCols.contains(f.name)))
 
     // ---- 2. one distributed pass for per-file stats
     val statsByStagedPath: Map[String, ObjectNode] =
@@ -164,7 +185,7 @@ object DeltaWriter {
         throw new java.io.IOException(s"failed to publish $staged -> $target")
       val st = fs.getFileStatus(target)
       val stats = statsByStagedPath.get(staged.toString)
-      (rel, partitionValuesOf(rel, partitionCols), st.getLen, st.getModificationTime, stats)
+      (rel, partitionValuesOf(rel, physPartitionCols), st.getLen, st.getModificationTime, stats)
     }
     fs.delete(stagingDir, true)
 

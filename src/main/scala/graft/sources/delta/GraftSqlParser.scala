@@ -89,6 +89,7 @@ private[graft] object GraftSqlCommands {
   private val Clone = re(s"""^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T\\s*;?\\s*$$""")
   private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T\\s*;?\\s*$$""")
   private val AlterAddCols = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val AlterRenameCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterSetProps = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterAddConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterDropConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
@@ -226,6 +227,10 @@ private[graft] object GraftSqlCommands {
     val aac = AlterAddCols.matcher(sql)
     if (aac.matches())
       return Some(DeltaAlterCommand(path(aac, 1), DeltaAlterCommand.AddColumns(aac.group(3))))
+    val arc = AlterRenameCol.matcher(sql)
+    if (arc.matches())
+      return Some(DeltaAlterCommand(path(arc, 1),
+        DeltaAlterCommand.RenameColumn(arc.group(3), arc.group(4))))
     val asp = AlterSetProps.matcher(sql)
     if (asp.matches()) {
       val props = splitTop(asp.group(3)).map { kv =>
@@ -375,6 +380,7 @@ case class DeltaMergeCommand(
 object DeltaAlterCommand {
   sealed trait Op
   final case class AddColumns(colsDdl: String) extends Op
+  final case class RenameColumn(oldName: String, newName: String) extends Op
   final case class SetProps(props: Map[String, String]) extends Op
   final case class AddConstraint(name: String, check: String) extends Op
   final case class DropConstraint(name: String) extends Op
@@ -389,6 +395,7 @@ case class DeltaAlterCommand(path: String, op: DeltaAlterCommand.Op)
     val v = op match {
       case AddColumns(ddl) =>
         DeltaSchema.addColumns(spark, path, StructType.fromDDL(ddl).fields.toSeq)
+      case RenameColumn(o, n) => DeltaSchema.renameColumn(spark, path, o, n)
       case SetProps(props) => DeltaSchema.setTblProperties(spark, path, props)
       case AddConstraint(name, check) =>
         DeltaConstraints.addCheckConstraint(spark, path, name, check)

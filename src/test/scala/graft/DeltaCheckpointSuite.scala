@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SaveMode}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta.{DeltaDml, DeltaLog, DeltaMaintenance, DeltaSchema, DeltaTable, DeltaWriter}
+
+/** Checkpoint protocol coverage beyond the classic single-file form the
+  * writer emits:
+  *
+  *  - v2 checkpoints (`<v>.checkpoint.<uuid>.parquet` with a
+  *    `checkpointMetadata` action), sidecar-less and with sidecar
+  *    file-action files under `_delta_log/_sidecars/` — hand-built here,
+  *    since the repo's own writer emits classic checkpoints;
+  *  - the corrupt-version loud failure;
+  *  - the checkpoint-cadence audit: after 25+ commits through MIXED paths
+  *    (append, DML, OPTIMIZE, DDL, DV delete, rename) a fresh replay must
+  *    read ≤ (1 checkpoint + tail JSONs), counted at the filesystem seam.
+  */
+class DeltaCheckpointSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val addType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("stats", StringType)))
+
+  /** Hand-write a v2 checkpoint for the CURRENT snapshot of `dir`.
+    * `sidecars` > 0 splits the add actions across that many sidecar files
+    * (referenced by name); 0 inlines them in the checkpoint. Returns the
+    * checkpoint version. `declareVersion` overrides checkpointMetadata's
+    * self-description (corruption seam). */
+  private def writeV2Checkpoint(
+      dir: String, sidecars: Int, declareVersion: Option[Long] = None): Long = {
+    val snap = DeltaLog.snapshot(spark, dir)
+    val v = snap.version
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("add", addType),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType))))))
+    def addRow(f: graft.sources.delta.DeltaAddFile): Row =
+      Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull)
+    val base = Seq(
+      Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion),
+        null, null, null, null),
+      Row(null, Row(snap.metadata.id, Row("parquet", Map.empty[String, String]),
+        snap.metadata.schemaString, snap.metadata.partitionColumns,
+        snap.metadata.configuration), null, null, null),
+      Row(null, null, null, Row(declareVersion.getOrElse(v)), null))
+
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOneParquet(rows: Seq[Row], s: StructType, target: org.apache.hadoop.fs.Path): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"_cpt-${java.util.UUID.randomUUID()}")
+      val list = new java.util.ArrayList[Row](rows.size)
+      rows.foreach(list.add)
+      spark.createDataFrame(list, s).repartition(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(target.getParent)
+      require(fs.rename(part, target), s"rename to $target failed")
+      fs.delete(tmp, true)
+    }
+
+    val rows: Seq[Row] =
+      if (sidecars == 0) base ++ snap.files.map(f => Row(null, null, addRow(f), null, null))
+      else {
+        val groups = snap.files.zipWithIndex.groupBy(_._2 % sidecars).toSeq.sortBy(_._1)
+        val names = groups.map { case (i, fsGroup) =>
+          val name = f"sc-$i%02d-${java.util.UUID.randomUUID()}.parquet"
+          val scSchema = StructType(Seq(StructField("add", addType)))
+          writeOneParquet(fsGroup.map { case (f, _) => Row(addRow(f)) }, scSchema,
+            new org.apache.hadoop.fs.Path(logDir, s"_sidecars/$name"))
+          name
+        }
+        base ++ names.map(n => Row(null, null, null, null, Row(n)))
+      }
+    writeOneParquet(rows, schema,
+      new org.apache.hadoop.fs.Path(logDir,
+        f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
+    v
+  }
+
+  private def deleteJsonsThrough(dir: String, v: Long): Unit = {
+    (0L to v).foreach { i =>
+      new java.io.File(s"$dir/_delta_log/" + f"$i%020d.json").delete()
+    }
+  }
+
+  private def seed(appends: Int): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cp").toString
+    (0 until appends).foreach { a =>
+      DeltaWriter.write(
+        (0 until 10).map(i => (a * 10 + i, s"r${a * 10 + i}")).toDF("id", "name"),
+        dir, SaveMode.Append, Nil)
+    }
+    dir
+  }
+
+  test("sidecar-less v2 checkpoint replays without the pre-checkpoint JSONs") {
+    val dir = seed(3) // versions 0..2, 30 rows
+    val v = writeV2Checkpoint(dir, sidecars = 0)
+    assert(v === 2)
+    deleteJsonsThrough(dir, v)
+    // replay state off the v2 checkpoint alone
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.version === 2 && snap.files.nonEmpty)
+    assert(DeltaTable.read(spark, dir).count() === 30)
+    // JSON deltas after the checkpoint still apply
+    import spark.implicits._
+    DeltaWriter.write(Seq((999, "tail")).toDF("id", "name"), dir, SaveMode.Append, Nil)
+    assert(DeltaTable.read(spark, dir).count() === 31)
+    assert(DeltaLog.snapshot(spark, dir).version === 3)
+  }
+
+  test("v2 checkpoint with sidecar file actions replays the full live set") {
+    val dir = seed(4) // versions 0..3, 40 rows
+    val v = writeV2Checkpoint(dir, sidecars = 2)
+    deleteJsonsThrough(dir, v)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.version === 3)
+    assert(DeltaTable.read(spark, dir).count() === 40)
+    // values intact, not just counts
+    assert(DeltaTable.read(spark, dir).filter("id = 35").count() === 1)
+  }
+
+  test("a v2 checkpoint whose declared version disagrees with its name fails loudly") {
+    val dir = seed(2)
+    writeV2Checkpoint(dir, sidecars = 0, declareVersion = Some(7L))
+    val e = intercept[IllegalStateException] { DeltaLog.snapshot(spark, dir) }
+    assert(e.getMessage.contains("declares version 7"))
+  }
+
+  test("cadence audit: 25+ mixed-path commits replay with ≤ 1 checkpoint + tail JSONs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cadence").toString
+    def append(a: Int): Unit = DeltaWriter.write(
+      (0 until 10).map(i => (a * 100 + i, s"r$i", i * 1.0)).toDF("id", "name", "score"),
+      dir, SaveMode.Append, Nil)
+    // mixed commit paths: appends, copy-on-write DML, OPTIMIZE, constraint
+    // DDL, property DDL, a DV delete, a column rename
+    (0 until 5).foreach(append)                                        // v0..v4
+    DeltaDml.delete(spark, dir, "id % 100 = 9")                        // v5
+    DeltaDml.update(spark, dir, "id % 100 = 1", Map("score" -> "score + 1")) // v6
+    DeltaMaintenance.optimize(spark, dir)                              // v7
+    spark.sql(s"ALTER TABLE delta.`$dir` ADD CONSTRAINT pos CHECK (score >= 0)") // v8
+    spark.sql(s"ALTER TABLE delta.`$dir` DROP CONSTRAINT pos")         // v9
+    append(5)                                                          // v10 → checkpoint
+    DeltaDml.deleteWithDv(spark, dir, "id % 100 = 8")                  // v11
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('team' = 'graft')") // v12
+    DeltaSchema.renameColumn(spark, dir, "name", "label")              // v13
+    (6 until 18).foreach { a =>                                        // v14..v25
+      DeltaWriter.write(
+        (0 until 10).map(i => (a * 100 + i, s"r$i", i * 1.0)).toDF("id", "label", "score"),
+        dir, SaveMode.Append, Nil)
+    }
+    val latest = DeltaLog.snapshot(spark, dir).version
+    assert(latest >= 25, s"expected ≥ 25 commits, got $latest")
+    // the cadence must have produced checkpoints at 10 and 20
+    assert(new java.io.File(s"$dir/_delta_log/" + f"${10L}%020d.checkpoint.parquet").exists())
+    assert(new java.io.File(s"$dir/_delta_log/" + f"${20L}%020d.checkpoint.parquet").exists())
+
+    // measured replay: exactly 1 checkpoint file + the tail JSONs
+    DeltaLog.replayReads.set(0)
+    val snap = DeltaLog.snapshot(spark, dir)
+    val reads = DeltaLog.replayReads.get()
+    val expected = 1 + (latest - 20)
+    assert(reads <= expected, s"replay read $reads log files; bound is $expected")
+    // and the replayed state is right (spot check through the scan)
+    assert(snap.version === latest)
+    val df = DeltaTable.read(spark, dir)
+    // deletes held for the rows that existed then (later appends re-add ids)
+    assert(df.filter("id % 100 = 9 AND id < 500").count() === 0)  // v5 delete
+    assert(df.filter("id % 100 = 8 AND id < 600").count() === 0)  // v11 DV delete
+    assert(df.columns.contains("label"))              // v13 rename held
+  }
+}

@@ -1,0 +1,218 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta._
+
+/** Column mapping (reader v2, `name` mode) end to end: the RENAME COLUMN
+  * producer, the protocol upgrade, mapped reads (logical names out,
+  * physical names on disk), filter pushdown + stats skipping under the
+  * mapping, appends/DML/OPTIMIZE after the rename, and the loud-failure
+  * edges (partition columns, `id` mode, nested mappings).
+  *
+  * The reference reads column-mapped tables via delta-rs 0.29.4
+  * (`/root/reference/Cargo.toml:16`); this engine implements both the
+  * producer and the scan side from the published protocol.
+  */
+class DeltaColumnMappingSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def fresh(partitioned: Boolean = false): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-colmap").toString
+    val df = (0 until 20).map(i => (i, s"n$i", i * 1.5, i % 4)).toDF("id", "name", "score", "bucket")
+    DeltaWriter.write(df, dir, SaveMode.Append, if (partitioned) Seq("bucket") else Nil)
+    dir
+  }
+
+  test("RENAME COLUMN is metadata-only, upgrades protocol, and reads back logically") {
+    val dir = fresh()
+    val filesBefore = DeltaLog.snapshot(spark, dir).files.map(_.path).toSet
+    DeltaSchema.renameColumn(spark, dir, "score", "points")
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.map(_.path).toSet === filesBefore, "rename must not touch data files")
+    assert(snap.protocol.minReaderVersion === 2 && snap.protocol.minWriterVersion === 5)
+    assert(snap.metadata.columnMappingMode === "name")
+    assert(snap.metadata.physicalOf("points") === "score")
+    assert(snap.metadata.physicalOf("id") === "id")
+    // logical schema shows the new name; values come from the old physical column
+    val rows = DeltaTable.read(spark, dir).select("id", "points").orderBy("id").collect()
+    assert(rows.map(_.getDouble(1)).take(3).toSeq === Seq(0.0, 1.5, 3.0))
+    // the old logical name is gone
+    intercept[Exception] { DeltaTable.read(spark, dir).select("score").collect() }
+  }
+
+  test("appends after a rename write PHYSICAL parquet columns and physical stats keys") {
+    import spark.implicits._
+    val dir = fresh()
+    DeltaSchema.renameColumn(spark, dir, "score", "points")
+    DeltaWriter.write(
+      Seq((100, "n100", 42.5, 0)).toDF("id", "name", "points", "bucket"),
+      dir, SaveMode.Append, Nil)
+    val snap = DeltaLog.snapshot(spark, dir)
+    val newFile = snap.files.maxBy(_.modificationTime)
+    // parquet footer of the new file: physical name "score", not "points"
+    val footerCols = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(dir, newFile.path).toString)
+      .schema.fieldNames.toSet
+    assert(footerCols.contains("score") && !footerCols.contains("points"))
+    // stats of the new add are keyed physically too
+    assert(newFile.stats.get.contains("\"score\""))
+    assert(!newFile.stats.get.contains("\"points\""))
+    // and the full read still comes back logical
+    val got = DeltaTable.read(spark, dir).filter(col("id") === 100).collect().head
+    assert(got.getAs[Double]("points") === 42.5)
+  }
+
+  test("filter pushdown + stats skipping keep working on the renamed column") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-colmap-skip").toString
+    // two appends → two files with disjoint score ranges
+    DeltaWriter.write((0 until 10).map(i => (i, i * 1.0)).toDF("id", "score"),
+      dir, SaveMode.Append, Nil)
+    DeltaWriter.write((100 until 110).map(i => (i, i * 1.0)).toDF("id", "score"),
+      dir, SaveMode.Append, Nil)
+    DeltaSchema.renameColumn(spark, dir, "score", "points")
+    val df = DeltaTable.read(spark, dir).filter(col("points") > 50.0)
+    assert(df.count() === 10)
+    // stats skipping: only the high-range file(s) survive listFiles
+    val snap = DeltaLog.snapshot(spark, dir)
+    val index = new DeltaFileIndex(spark, snap)
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "points", org.apache.spark.sql.types.DoubleType)()
+    val pruned = index.listFiles(Nil, Seq(
+      org.apache.spark.sql.catalyst.expressions.GreaterThan(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal(50.0))))
+    val filesSeen = pruned.map(_.files.size).sum
+    assert(filesSeen < snap.files.size, s"expected stats skipping, saw $filesSeen files")
+  }
+
+  test("DML, MERGE and OPTIMIZE rewrite physical files correctly after a rename") {
+    import spark.implicits._
+    val dir = fresh()
+    DeltaSchema.renameColumn(spark, dir, "score", "points")
+    // copy-on-write UPDATE through the logical name
+    DeltaDml.update(spark, dir, "id = 3", Map("points" -> "points + 100.0"))
+    assert(DeltaTable.read(spark, dir).filter("id = 3").collect().head
+      .getAs[Double]("points") === 104.5)
+    // DELETE
+    DeltaDml.delete(spark, dir, "points > 25.0")
+    // ids 17,18,19 (25.5, 27, 28.5) and 3 (104.5) gone
+    assert(DeltaTable.read(spark, dir).count() === 16)
+    // MERGE upsert via SQL (logical names in every clause)
+    Seq((0, "zero", 1000.0, 0), (999, "new", 9.0, 3))
+      .toDF("id", "name", "points", "bucket").createOrReplaceTempView("cm_src")
+    spark.sql(
+      s"""MERGE INTO delta.`$dir` t USING cm_src s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET points = s.points
+         WHEN NOT MATCHED THEN INSERT *""")
+    val after = DeltaTable.read(spark, dir)
+    assert(after.filter("id = 0").collect().head.getAs[Double]("points") === 1000.0)
+    assert(after.filter("id = 999").count() === 1)
+    // OPTIMIZE compaction keeps values and the mapping
+    DeltaMaintenance.optimize(spark, dir, targetFileBytes = 1L << 30)
+    val optimized = DeltaTable.read(spark, dir)
+    assert(optimized.count() === after.count())
+    assert(optimized.filter("id = 0").collect().head.getAs[Double]("points") === 1000.0)
+  }
+
+  test("rename on a partitioned table works for data columns; partition columns refuse") {
+    val dir = fresh(partitioned = true)
+    intercept[IllegalArgumentException] {
+      DeltaSchema.renameColumn(spark, dir, "bucket", "b2")
+    }
+    DeltaSchema.renameColumn(spark, dir, "name", "label")
+    val got = DeltaTable.read(spark, dir).filter("bucket = 2").select("id", "label")
+      .orderBy("id").collect()
+    assert(got.length === 5 && got.head.getString(1) === "n2")
+  }
+
+  test("SQL ALTER TABLE RENAME COLUMN routes; DESCRIBE DETAIL shows the mode") {
+    val dir = fresh()
+    spark.sql(s"ALTER TABLE delta.`$dir` RENAME COLUMN name TO label")
+    assert(DeltaLog.snapshot(spark, dir).metadata.physicalOf("label") === "name")
+    val props = spark.sql(s"DESCRIBE DETAIL delta.`$dir`")
+      .collect().head.getAs[String]("properties")
+    assert(props.contains("delta.columnMapping.mode=name"))
+  }
+
+  test("renames refuse when CHECK constraints or generated columns reference the column") {
+    val dir = fresh()
+    spark.sql(s"ALTER TABLE delta.`$dir` ADD CONSTRAINT pos CHECK (score >= 0)")
+    val e = intercept[IllegalArgumentException] {
+      DeltaSchema.renameColumn(spark, dir, "score", "points")
+    }
+    assert(e.getMessage.contains("CHECK constraint pos"))
+    spark.sql(s"ALTER TABLE delta.`$dir` DROP CONSTRAINT pos")
+    DeltaSchema.renameColumn(spark, dir, "score", "points") // now fine
+  }
+
+  test("second rename reuses the established mapping (physical name is sticky)") {
+    val dir = fresh()
+    DeltaSchema.renameColumn(spark, dir, "score", "points")
+    DeltaSchema.renameColumn(spark, dir, "points", "credits")
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.metadata.physicalOf("credits") === "score")
+    val rows = DeltaTable.read(spark, dir).select("id", "credits").orderBy("id").collect()
+    assert(rows(2).getDouble(1) === 3.0)
+  }
+
+  test("ADD COLUMNS on a mapped table stamps fresh mapping ids; mergeSchema refuses") {
+    import spark.implicits._
+    val dir = fresh()
+    DeltaSchema.renameColumn(spark, dir, "score", "points")
+    spark.sql(s"ALTER TABLE delta.`$dir` ADD COLUMNS (tag STRING)")
+    val snap = DeltaLog.snapshot(spark, dir)
+    val tag = snap.schema("tag")
+    assert(tag.metadata.contains(DeltaMetadata.PhysicalNameKey))
+    assert(tag.metadata.contains(DeltaMetadata.ColumnIdKey))
+    // ids are unique across the schema
+    val ids = snap.schema.fields.map(_.metadata.getLong(DeltaMetadata.ColumnIdKey))
+    assert(ids.distinct.length === ids.length)
+    intercept[UnsupportedOperationException] {
+      DeltaWriter.write(
+        Seq((1, "x", 1.0, 0, "t", 9.9)).toDF("id", "name", "points", "bucket", "tag", "extra"),
+        dir, SaveMode.Append, Nil, mergeSchema = true)
+    }
+  }
+
+  test("DV delete on a mapped table lists columnMapping in the v3 feature upgrade") {
+    val dir = fresh()
+    DeltaSchema.renameColumn(spark, dir, "score", "points")
+    DeltaDml.deleteWithDv(spark, dir, "points < 3.0")
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.protocol.minReaderVersion === 3)
+    assert(snap.protocol.readerFeatures === Set("deletionVectors", "columnMapping"))
+    assert(DeltaTable.read(spark, dir).count() === 18)
+    // and the mapped DV read still resolves values correctly
+    assert(DeltaTable.read(spark, dir).filter("points < 10").count() === 5) // ids 2..6
+  }
+
+  test("foreign id-mode and nested mappings fail loudly at scan build") {
+    val dir = fresh()
+    DeltaSchema.renameColumn(spark, dir, "score", "points")
+    // simulate a foreign writer switching to id mode (hand-built commit)
+    val snap = DeltaLog.snapshot(spark, dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mdLine = mapper.createObjectNode()
+    val m = mdLine.putObject("metaData")
+    m.put("id", snap.metadata.id)
+    val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", snap.metadata.schemaString)
+    m.putArray("partitionColumns")
+    val cfg = m.putObject("configuration")
+    (snap.metadata.configuration + (DeltaMetadata.ModeKey -> "id")).foreach {
+      case (k, v) => cfg.put(k, v)
+    }
+    assert(DeltaLog.tryCommit(spark, dir, snap.version + 1, mapper.writeValueAsString(mdLine)))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaTable.read(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("'id'"))
+  }
+}
