@@ -24,32 +24,52 @@ object Bench {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.filter(l("l_quantity") > 0).groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
+    // median-of-N per query (default 3): single-shot timings showed
+    // lockstep multi-x noise between rounds — the median is stable within
+    // ~1.5x on re-run, which is what bench-vs-baseline compares need.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // fixed name order: run-to-run comparable timings, and queries sharing
     // cached sub-plans (dd03/dd06/pp01's minhash pipeline) warm predictably
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: executes the FULL plan (count() would let Catalyst prune
-      // the projected expressions and under-measure expression-heavy queries)
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: executes the FULL plan (count() would let Catalyst
+        // prune projected expressions and under-measure expression-heavy
+        // queries)
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+              (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
-      // a crashed query records -1, never its (tiny) elapsed time — a
-      // broken query must not masquerade as a fast one in bench compares
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      // any crashed rep records -1, never a (tiny) elapsed time — a broken
+      // query must not masquerade as a fast one in bench compares
+      val med =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(times.size / 2)
+      val spread =
+        if (med < 0 || times.size < 2) 1.0
+        else times.max / math.max(times.min, 1e-9)
+      (name, med, spread)
     }
     // ms precision + short keys (the unique "q01"/"fn13" prefix of each
     // query name): the driver parses the line from a 2000-char stdout tail
     // capture, so with 100+ queries every byte of the map counts — full
-    // names blew past the window in r2 (13 entries lost) and would again
+    // names blew past the window in r2 (13 entries lost) and would again.
+    // Per-query spreads would double the map; the max/median spread pair
+    // below carries the stability signal in two fields.
     def ms(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val spreads = results.filter(_._2 >= 0).map(_._3)
+    val spreadMax = if (spreads.isEmpty) 1.0 else spreads.max
+    val spreadQ = results.filter(_._2 >= 0).sortBy(-_._3).headOption
+      .map(_._1.takeWhile(_ != '_')).getOrElse("")
+    val spreadMed = if (spreads.isEmpty) 1.0 else spreads.sorted.apply(spreads.size / 2)
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"reps":$reps,"spread_max":${ms(spreadMax)},"spread_max_q":"$spreadQ","spread_med":${ms(spreadMed)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -179,17 +179,12 @@ object DeltaMaintenance {
     }
     val zExpr = s"interleave_bits(${bucketSql.mkString(", ")})"
 
-    val partSchema = snap.partitionSchema
-    val clustered = snap.files.groupBy(_.partitionValues).map { case (pv, files) =>
-      val paths = files.map(f => new Path(tablePath, decodeRel(f.path)).toString)
-      // read physical column names, surface logical (positional rename)
-      val base = spark.read.schema(snap.physicalDataSchema).parquet(paths: _*)
-        .toDF(snap.dataSchema.fieldNames.toIndexedSeq: _*)
-      snap.partitionColumns.foldLeft(base) { (df, c) =>
-        df.withColumn(c, lit(pv.getOrElse(snap.metadata.physicalOf(c), null))
-          .cast(partSchema(c).dataType))
-      }
-    }.reduce(_ unionByName _)
+    // read through the provider scan ([[partitionInjected]]): partition
+    // values re-injected, column mapping resolved AND deletion vectors
+    // applied — a raw parquet read here would resurrect DV'd rows in the
+    // clustered rewrite
+    val clustered = partitionInjected(spark, tablePath, snap, snap.files)
+      .reduce(_ unionByName _)
       .withColumn("_z", expr(zExpr))
     val numOut = outputFiles.getOrElse(
       math.max(1, (snap.files.map(_.size).sum / math.max(1L, targetFileBytes)).toInt + 1))

@@ -103,21 +103,14 @@ object DeltaMerge {
       new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)))
 
     // ---- 2. rewrite touched files (matched update/delete + carried rows)
-    val partSchema = snap.partitionSchema
     var rowsUpdated = 0L
     var rowsDeleted = 0L
     val rewrittenOpt: Option[(Seq[Add], Long)] = if (touched.isEmpty) None else Some {
-      val perGroup = touched.groupBy(_.partitionValues).map { case (pv, files) =>
-        val paths = files.map(f =>
-          new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)
-        // read physical column names, surface logical (positional rename)
-        val base = spark.read.schema(snap.physicalDataSchema).parquet(paths: _*)
-          .toDF(snap.dataSchema.fieldNames.toIndexedSeq: _*)
-        snap.partitionColumns.foldLeft(base) { (df, c) =>
-          df.withColumn(c, lit(pv.getOrElse(snap.metadata.physicalOf(c), null))
-            .cast(partSchema(c).dataType))
-        }
-      }.reduce(_ unionByName _)
+      // provider-scan read ([[DeltaMaintenance.partitionInjected]]):
+      // partition injection, column mapping AND deletion-vector filtering
+      // — a raw parquet read would resurrect DV'd rows into the rewrite
+      val perGroup = DeltaMaintenance.partitionInjected(spark, tablePath, snap, touched)
+        .reduce(_ unionByName _)
       // one materialization: the cardinality check, the metrics and the
       // rewrite must all see the same row ids
       val tt = perGroup.withColumn("_tid", monotonically_increasing_id())

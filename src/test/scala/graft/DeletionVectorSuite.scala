@@ -163,6 +163,40 @@ class DeletionVectorSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, path).count() == 300)
   }
 
+  test("OPTIMIZE ZORDER BY never resurrects DV'd rows") {
+    val path = tmpDir()
+    spark.range(0, 400).select(col("id"), (col("id") % 20).as("k"))
+      .repartition(4).write.format("delta").save(path)
+    DeltaDml.deleteWithDv(spark, path, "id % 4 = 0")
+    assert(DeltaTable.read(spark, path).count() == 300)
+    DeltaMaintenance.zorder(spark, path, Seq("id", "k"))
+    val snap = DeltaTable.snapshot(spark, path)
+    assert(snap.files.forall(_.deletionVector.isEmpty))
+    assert(DeltaTable.read(spark, path).count() == 300)
+    assert(DeltaTable.read(spark, path).filter("id % 4 = 0").count() == 0)
+  }
+
+  test("MERGE rewrite of a DV-carrying file never resurrects its deleted rows") {
+    val path = tmpDir()
+    // ONE data file: the DV'd rows and the merge-matched rows must share
+    // it, or the rewrite never touches the DV-carrying file at all
+    spark.range(0, 100).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(1).write.format("delta").save(path)
+    DeltaDml.deleteWithDv(spark, path, "id >= 90")
+    assert(DeltaTable.read(spark, path).count() == 90)
+    // source matches surviving rows in the SAME file(s) the DV covers
+    val src = spark.range(0, 10).select(col("id"), lit(-1L).as("v"))
+    graft.sources.delta.DeltaMerge.merge(
+      spark, path, src,
+      condition = "t.id = s.id",
+      matchedUpdate = Some(Map("v" -> "s.v")),
+      notMatchedInsert = None)
+    val after = DeltaTable.read(spark, path)
+    assert(after.count() == 90, "rewrite must not resurrect DV'd rows")
+    assert(after.filter("id >= 90").count() == 0)
+    assert(after.filter("v = -1").count() == 10)
+  }
+
   test("checkpoint persists deletion vectors across replay") {
     val path = tmpDir()
     spark.range(0, 300).toDF("id").write.format("delta").save(path)
