@@ -261,7 +261,29 @@ object DeltaQueries {
           ORDER BY snap""")
   }
 
+  /** DROP COLUMN in the gate: drop s_name (metadata-only), re-add the
+    * SAME logical name, read back — the re-added column must be NULL for
+    * every pre-existing row (count(s_comment) = 0). A mapping bug that
+    * reuses the dropped physical name resurrects the old strings and
+    * mismatches. */
+  private def dl13DropColumn(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    t(s, dir, "supplier").write.format("delta").save(path)
+    graft.sources.delta.DeltaSchema.dropColumn(s, path, "s_name")
+    s.sql(s"ALTER TABLE delta.`$path` ADD COLUMNS (s_name STRING)")
+    DeltaTable.read(s, path)
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("s_name")).as("n_name"),
+        sum(col("s_suppkey")).as("key_sum"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl13_drop_column" -> """
+      SELECT count(*) AS n,
+             CAST(0 AS BIGINT) AS n_name,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+      FROM supplier""",
     "dl11_column_mapping" -> """
       SELECT CAST(s_suppkey % 2 AS INT) AS parity,
              count(*) AS n,
@@ -355,5 +377,6 @@ object DeltaQueries {
     "dl09_replace_where" -> dl09ReplaceWhere,
     "dl10_dv_delete" -> dl10DvDelete,
     "dl11_column_mapping" -> dl11ColumnMapping,
-    "dl12_sql_time_travel" -> dl12SqlTimeTravel)
+    "dl12_sql_time_travel" -> dl12SqlTimeTravel,
+    "dl13_drop_column" -> dl13DropColumn)
 }

@@ -39,7 +39,10 @@ object DeltaSchema {
     require(cols.forall(_.nullable),
       "added columns must be nullable: rows in existing files NULL-fill")
     // on a mapped table every field must carry mapping metadata; new
-    // columns get fresh ids and (being new) identity physical names
+    // columns get fresh ids and UUID physical names — NEVER the logical
+    // name: a column dropped earlier may have left data under that
+    // physical name in old files, and re-adding the name must read NULL,
+    // not resurrect it (production Delta does the same)
     val (stamped, newConfig) =
       if (snap.metadata.columnMappingMode == "none") (cols, snap.metadata.configuration)
       else {
@@ -49,7 +52,8 @@ object DeltaSchema {
           nextId += 1
           c.copy(metadata = new MetadataBuilder().withMetadata(c.metadata)
             .putLong(DeltaMetadata.ColumnIdKey, nextId)
-            .putString(DeltaMetadata.PhysicalNameKey, c.name).build())
+            .putString(DeltaMetadata.PhysicalNameKey,
+              s"col-${java.util.UUID.randomUUID()}").build())
         }
         (s, snap.metadata.configuration + (DeltaMetadata.MaxColumnIdKey -> nextId.toString))
       }
@@ -127,6 +131,71 @@ object DeltaSchema {
       newSchemaString = Some(mapped.json),
       op = "RENAME COLUMN",
       params = Map("oldName" -> oldName, "newName" -> newName),
+      newProtocol = Some(newProtocol))
+  }
+
+  /** `ALTER TABLE … DROP COLUMN name` — metadata-only, like [[renameColumn]]:
+    * no data file changes; the field leaves `schemaString`, so scans stop
+    * requesting its physical column (old files keep the bytes until they
+    * are naturally rewritten). Requires/enables column mapping — the
+    * production Delta precondition — so that a LATER re-add of the same
+    * logical name maps to a fresh physical name and reads NULL instead of
+    * resurrecting the dropped column's data ([[addColumns]] assigns UUID
+    * physical names on mapped tables for exactly this reason).
+    *
+    * Same loud-failure scope as rename: partition columns and columns
+    * referenced by CHECK constraints / generation expressions refuse. */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val schema = snap.schema
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(name)), s"no such column: $name")
+    require(schema.fields.length > 1, s"cannot drop the only column of $tablePath")
+    require(!snap.partitionColumns.exists(_.equalsIgnoreCase(name)),
+      s"cannot drop PARTITION column $name")
+    val word = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    val refs =
+      DeltaConstraints.constraintsOf(snap).collect {
+        case (n, e) if word.findFirstIn(e).isDefined => s"CHECK constraint $n ($e)"
+      } ++ schema.fields.collect {
+        case f if !f.name.equalsIgnoreCase(name) &&
+            f.metadata.contains(DeltaWriter.GenerationExpressionKey) &&
+            word.findFirstIn(f.metadata.getString(DeltaWriter.GenerationExpressionKey)).isDefined =>
+          s"generated column ${f.name}"
+      }
+    require(refs.isEmpty,
+      s"cannot drop $name: referenced by ${refs.mkString("; ")} (drop/re-add those first)")
+
+    // enable mapping over the REMAINING fields (identity physical names
+    // for fields that never had one — their on-disk name today)
+    var nextId = snap.metadata.configuration
+      .get(DeltaMetadata.MaxColumnIdKey).map(_.toLong).getOrElse(0L)
+    val remaining = StructType(
+      schema.fields.filterNot(_.name.equalsIgnoreCase(name)).map { f =>
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        if (!f.metadata.contains(DeltaMetadata.ColumnIdKey)) {
+          nextId += 1
+          mb.putLong(DeltaMetadata.ColumnIdKey, nextId)
+        }
+        if (!f.metadata.contains(DeltaMetadata.PhysicalNameKey))
+          mb.putString(DeltaMetadata.PhysicalNameKey, f.name)
+        f.copy(metadata = mb.build())
+      })
+    val newConfig = snap.metadata.configuration ++ Map(
+      DeltaMetadata.ModeKey -> "name",
+      DeltaMetadata.MaxColumnIdKey -> nextId.toString)
+    val newProtocol = snap.protocol match {
+      case p if p.minReaderVersion >= 3 => p.copy(
+        readerFeatures = p.readerFeatures + "columnMapping",
+        writerFeatures = p.writerFeatures + "columnMapping")
+      case p if p.minReaderVersion < 2 =>
+        DeltaProtocol(2, math.max(p.minWriterVersion, 5))
+      case p => p
+    }
+    DeltaConstraints.commitMetadata(spark, tablePath,
+      newConfig,
+      newSchemaString = Some(remaining.json),
+      op = "DROP COLUMN",
+      params = Map("column" -> name),
       newProtocol = Some(newProtocol))
   }
 

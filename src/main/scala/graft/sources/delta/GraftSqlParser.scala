@@ -28,6 +28,9 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *   RESTORE [TABLE] <target> TO VERSION AS OF <v>
   *   CREATE TABLE <target> SHALLOW CLONE <target>
   *   DESCRIBE DETAIL | HISTORY <target>
+  *   ALTER TABLE <target> ADD COLUMNS (…) | RENAME COLUMN a TO b |
+  *     DROP COLUMN a | SET TBLPROPERTIES (…) |
+  *     ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n
   *
   * Plus SQL time travel inside any SELECT (`spark.read` option parity):
   *
@@ -90,6 +93,7 @@ private[graft] object GraftSqlCommands {
   private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T\\s*;?\\s*$$""")
   private val AlterAddCols = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterRenameCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
+  private val AlterDropCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterSetProps = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterAddConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterDropConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
@@ -231,6 +235,10 @@ private[graft] object GraftSqlCommands {
     if (arc.matches())
       return Some(DeltaAlterCommand(path(arc, 1),
         DeltaAlterCommand.RenameColumn(arc.group(3), arc.group(4))))
+    val adc = AlterDropCol.matcher(sql)
+    if (adc.matches())
+      return Some(DeltaAlterCommand(path(adc, 1),
+        DeltaAlterCommand.DropColumn(adc.group(3))))
     val asp = AlterSetProps.matcher(sql)
     if (asp.matches()) {
       val props = splitTop(asp.group(3)).map { kv =>
@@ -381,6 +389,7 @@ object DeltaAlterCommand {
   sealed trait Op
   final case class AddColumns(colsDdl: String) extends Op
   final case class RenameColumn(oldName: String, newName: String) extends Op
+  final case class DropColumn(name: String) extends Op
   final case class SetProps(props: Map[String, String]) extends Op
   final case class AddConstraint(name: String, check: String) extends Op
   final case class DropConstraint(name: String) extends Op
@@ -396,6 +405,7 @@ case class DeltaAlterCommand(path: String, op: DeltaAlterCommand.Op)
       case AddColumns(ddl) =>
         DeltaSchema.addColumns(spark, path, StructType.fromDDL(ddl).fields.toSeq)
       case RenameColumn(o, n) => DeltaSchema.renameColumn(spark, path, o, n)
+      case DropColumn(n) => DeltaSchema.dropColumn(spark, path, n)
       case SetProps(props) => DeltaSchema.setTblProperties(spark, path, props)
       case AddConstraint(name, check) =>
         DeltaConstraints.addCheckConstraint(spark, path, name, check)

@@ -193,6 +193,45 @@ class DeltaColumnMappingSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).filter("points < 10").count() === 5) // ids 2..6
   }
 
+  test("DROP COLUMN is metadata-only and re-adding the name reads NULL, not old data") {
+    import spark.implicits._
+    val dir = fresh()
+    val filesBefore = DeltaLog.snapshot(spark, dir).files.map(_.path).toSet
+    DeltaSchema.dropColumn(spark, dir, "score")
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.map(_.path).toSet === filesBefore, "drop must not touch data files")
+    assert(snap.metadata.columnMappingMode === "name")
+    assert(!snap.schema.fieldNames.contains("score"))
+    intercept[Exception] { DeltaTable.read(spark, dir).select("score").collect() }
+    // re-add the SAME logical name: fresh UUID physical name → NULL
+    spark.sql(s"ALTER TABLE delta.`$dir` ADD COLUMNS (score DOUBLE)")
+    val snap2 = DeltaLog.snapshot(spark, dir)
+    assert(snap2.metadata.physicalOf("score").startsWith("col-"),
+      "re-added column must NOT reuse the dropped physical name")
+    val rows = DeltaTable.read(spark, dir).select("id", "score").collect()
+    assert(rows.forall(_.isNullAt(1)), "old dropped data must not resurrect")
+    // appends populate the fresh physical column; old rows stay NULL
+    DeltaWriter.write(Seq((500, "n500", 0, 9.5)).toDF("id", "name", "bucket", "score"),
+      dir, SaveMode.Append, Nil)
+    val after = DeltaTable.read(spark, dir)
+    assert(after.filter("score = 9.5").count() === 1)
+    assert(after.filter("score IS NULL").count() === 20)
+  }
+
+  test("SQL DROP COLUMN routes; guards hold (partition col, only col, references)") {
+    val dir = fresh(partitioned = true)
+    spark.sql(s"ALTER TABLE delta.`$dir` DROP COLUMN name")
+    assert(!DeltaLog.snapshot(spark, dir).schema.fieldNames.contains("name"))
+    intercept[IllegalArgumentException] {
+      DeltaSchema.dropColumn(spark, dir, "bucket") // partition column
+    }
+    spark.sql(s"ALTER TABLE delta.`$dir` ADD CONSTRAINT pos CHECK (score >= 0)")
+    val e = intercept[IllegalArgumentException] {
+      DeltaSchema.dropColumn(spark, dir, "score")
+    }
+    assert(e.getMessage.contains("CHECK constraint"))
+  }
+
   test("foreign id-mode and nested mappings fail loudly at scan build") {
     val dir = fresh()
     DeltaSchema.renameColumn(spark, dir, "score", "points")
