@@ -278,7 +278,48 @@ object DeltaQueries {
         sum(col("s_suppkey")).as("key_sum"))
   }
 
+  /** Change Data Feed in the gate: enable CDF, UPDATE one disjoint slice,
+    * DELETE another, then aggregate the change rows BY change type over
+    * the whole post-enable range. The oracle recomputes each image class
+    * from the raw fixture — a CDF writer that emits wrong pre/post images,
+    * leaks derived whole-file rows into a cdc commit, or mis-versions the
+    * range shows up as a mismatch. */
+  private def dl14Cdf(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    t(s, dir, "supplier").write.format("delta").save(path) // v0
+    s.sql(s"ALTER TABLE delta.`$path` SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')") // v1
+    graft.sources.delta.DeltaDml.update(
+      s, path, "s_suppkey % 10 = 0", Map("s_acctbal" -> "s_acctbal + 100.0")) // v2
+    graft.sources.delta.DeltaDml.delete(
+      s, path, "s_acctbal < 0 AND s_suppkey % 10 <> 0") // v3 (no-op at tiny SF)
+    val latest = graft.sources.delta.DeltaLog.snapshot(s, path).version
+    DeltaTable.readCdf(s, path, 1L, latest)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .orderBy(col("change_type"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl14_change_data_feed" -> """
+      SELECT * FROM (
+        SELECT 'delete' AS change_type, count(*) AS n,
+               CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+               CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+        FROM supplier WHERE s_acctbal < 0 AND s_suppkey % 10 <> 0
+        UNION ALL
+        SELECT 'update_preimage', count(*),
+               CAST(sum(s_suppkey) AS BIGINT),
+               CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+        FROM supplier WHERE s_suppkey % 10 = 0
+        UNION ALL
+        SELECT 'update_postimage', count(*),
+               CAST(sum(s_suppkey) AS BIGINT),
+               CAST(round(sum(CAST(s_acctbal + 100.0 AS DECIMAL(18,6))), 2) AS DOUBLE)
+        FROM supplier WHERE s_suppkey % 10 = 0)
+      ORDER BY change_type""",
     "dl13_drop_column" -> """
       SELECT count(*) AS n,
              CAST(0 AS BIGINT) AS n_name,
@@ -378,5 +419,6 @@ object DeltaQueries {
     "dl10_dv_delete" -> dl10DvDelete,
     "dl11_column_mapping" -> dl11ColumnMapping,
     "dl12_sql_time_travel" -> dl12SqlTimeTravel,
-    "dl13_drop_column" -> dl13DropColumn)
+    "dl13_drop_column" -> dl13DropColumn,
+    "dl14_change_data_feed" -> dl14Cdf)
 }

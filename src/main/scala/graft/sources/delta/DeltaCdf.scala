@@ -1,0 +1,229 @@
+package graft.sources.delta
+
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Change Data Feed (the Delta protocol's row-level CDC):
+  * `delta.enableChangeDataFeed=true` makes every row-modifying commit
+  * queryable as change rows — `insert` / `delete` /
+  * `update_preimage` / `update_postimage` — instead of the append-level
+  * file view [[DeltaTable.readChanges]] serves.
+  *
+  * Write side: DML/MERGE commits stage their change rows as parquet under
+  * `_change_data/` and reference them with `cdc` actions
+  * (`dataChange=false` — change files are NOT table data). Plain
+  * appends/overwrites write no cdc files: per the published protocol,
+  * commits WITHOUT cdc actions derive changes from their file actions
+  * (`add` → whole-file insert, `remove` → whole-file delete), which is
+  * exact for full-file operations; commits WITH any cdc action are read
+  * from cdc actions ONLY.
+  *
+  * Read side ([[read]]): per commit in `(from, to]`, cdc files (or derived
+  * file actions) are scanned with the end-version schema — physical column
+  * names are stable across renames, so one schema serves the whole range —
+  * and tagged `_change_type`, `_commit_version`, `_commit_timestamp`.
+  *
+  * Scale posture: change files cost O(changed rows) extra write per DML
+  * commit (the rows were already materialized for the rewrite); the read
+  * plans one pruned parquet scan per commit, proportional to the changes,
+  * never the table size.
+  *
+  * The reference's delta-rs 0.29.4 dependency (`/root/reference/
+  * Cargo.toml:16`) reads CDF tables; both sides here are built from the
+  * published protocol.
+  */
+object DeltaCdf {
+
+  val EnableKey = "delta.enableChangeDataFeed"
+  val ChangeDataDir = "_change_data"
+  val TypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+  val TimestampCol = "_commit_timestamp"
+
+  private val mapper = new ObjectMapper()
+
+  def enabled(meta: DeltaMetadata): Boolean =
+    meta.configuration.get(EnableKey).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Stage change rows (full LOGICAL table columns + [[TypeCol]]) as
+    * parquet under `_change_data/`; returns (relative path, size) per
+    * published file. Physical column names on mapped tables, like every
+    * other on-disk artifact. */
+  private[delta] def stageChanges(
+      spark: SparkSession, tablePath: String, snap: DeltaSnapshot,
+      changes: DataFrame): Seq[(String, Long)] = {
+    val phys = changes.toDF(changes.columns.map(c =>
+      if (c == TypeCol) c else snap.metadata.physicalOf(c)).toIndexedSeq: _*)
+    val staging = new Path(tablePath, s"_staging-cdc-${UUID.randomUUID()}")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    phys.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val staged = DeltaWriter.listParquetFilesRecursively(fs, staging)
+    val out = staged.map { p =>
+      val rel = s"$ChangeDataDir/cdc-${UUID.randomUUID()}.parquet"
+      val target = new Path(tablePath, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(p, target))
+        throw new java.io.IOException(s"failed to publish $p -> $target")
+      rel -> fs.getFileStatus(target).getLen
+    }
+    fs.delete(staging, true)
+    out
+  }
+
+  /** `cdc` action JSON line for a staged change file. Partition columns
+    * are embedded in the file itself, so partitionValues is empty (foreign
+    * hive-partitioned cdc files are still readable — [[read]] injects
+    * whatever the file lacks from the action's partitionValues). */
+  private[delta] def cdcLine(rel: String, size: Long): String = {
+    val node = mapper.createObjectNode()
+    val c = node.putObject("cdc")
+    c.put("path", DeltaWriter.encodePath(rel))
+    c.putObject("partitionValues")
+    c.put("size", size)
+    c.put("dataChange", false)
+    mapper.writeValueAsString(node)
+  }
+
+  /** Delete staged-and-published cdc files (concurrent-commit abort path). */
+  private[delta] def cleanup(
+      spark: SparkSession, tablePath: String, files: Seq[(String, Long)]): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    files.foreach { case (rel, _) => fs.delete(new Path(tablePath, rel), false) }
+  }
+
+  /** Change rows of versions `(fromExclusive, toInclusive]`: the table's
+    * logical columns + `_change_type`, `_commit_version`,
+    * `_commit_timestamp`. Fails loudly when CDF is not enabled, and on a
+    * commit whose changes cannot be derived exactly (a deletion-vector
+    * commit written while CDF was off). */
+  def read(
+      spark: SparkSession,
+      tablePath: String,
+      fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    val endSnap = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(toInclusive))
+    require(enabled(endSnap.metadata),
+      s"$tablePath: change data feed is not enabled (set $EnableKey=true)")
+    val meta = endSnap.metadata
+    val logicalAll: StructType = endSnap.schema
+    val partCols = endSnap.partitionColumns
+    val physPartCols = partCols.map(meta.physicalOf)
+    val dataCols = logicalAll.fieldNames.filterNot(partCols.contains).toIndexedSeq
+    val physDataSchema = endSnap.physicalDataSchema
+    val partSchema = endSnap.partitionSchema
+
+    val (commits, _) = DeltaLog.listLog(spark, tablePath)
+    val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val tableRoot = new Path(tablePath)
+
+    /** Read `files` (table-data or cdc, physical names) surfacing logical
+      * columns; `withType` reads an embedded [[TypeCol]] too. Partition
+      * columns come from the file when present, else from `pv`. */
+    def readFiles(
+        paths: Seq[String], pv: Map[String, String], withEmbeddedParts: Boolean,
+        withType: Boolean): DataFrame = {
+      val baseSchema =
+        if (withEmbeddedParts)
+          StructType(logicalAll.fields.map(f =>
+            f.copy(name = meta.physicalOf(f.name))))
+        else physDataSchema
+      val schema = if (withType) baseSchema.add(TypeCol, "string") else baseSchema
+      val logicalNames =
+        (if (withEmbeddedParts) logicalAll.fieldNames.toSeq
+         else dataCols) ++ (if (withType) Seq(TypeCol) else Nil)
+      val base = spark.read.schema(schema).parquet(paths: _*)
+        .toDF(logicalNames.toIndexedSeq: _*)
+      if (withEmbeddedParts) base
+      else partCols.foldLeft(base) { (df, c) =>
+        df.withColumn(c, lit(pv.get(meta.physicalOf(c)).orNull)
+          .cast(partSchema(c).dataType))
+      }
+    }
+
+    def abs(rel: String): String =
+      DeltaFileIndex.absoluteDataPath(tableRoot, rel).toString
+
+    val frames: Seq[DataFrame] = commits
+      .filter { case (v, _) => v > fromExclusive && v <= toInclusive }
+      .flatMap { case (v, status) =>
+        val in = fs.open(status.getPath)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        var commitTs: Long = status.getModificationTime
+        val cdcFiles = Seq.newBuilder[String]
+        val addFiles = Seq.newBuilder[(String, Map[String, String], Boolean)] // (path, pv, hasDv)
+        val removeFiles = Seq.newBuilder[(String, Map[String, String])]
+        content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          if (node.has("commitInfo") && node.get("commitInfo").has("timestamp"))
+            commitTs = node.get("commitInfo").get("timestamp").asLong()
+          if (node.has("cdc"))
+            cdcFiles += node.get("cdc").get("path").asText()
+          if (node.has("add")) {
+            val a = node.get("add")
+            if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
+              addFiles += ((a.get("path").asText(),
+                jsonStringMap(a.get("partitionValues")),
+                a.has("deletionVector") && !a.get("deletionVector").isNull))
+          }
+          if (node.has("remove")) {
+            val r = node.get("remove")
+            if (!r.has("dataChange") || r.get("dataChange").asBoolean(true)) {
+              val rel = r.get("path").asText()
+              val pv =
+                if (r.has("partitionValues")) jsonStringMap(r.get("partitionValues"))
+                else DeltaWriter.partitionValuesOf(
+                  DeltaMaintenance.decodeRel(rel), physPartCols)
+              removeFiles += ((rel, pv))
+            }
+          }
+        }
+        val cdc = cdcFiles.result()
+        val perCommit: Seq[DataFrame] =
+          if (cdc.nonEmpty) {
+            // cdc actions take precedence: they carry the exact change rows
+            Seq(readFiles(cdc.map(abs), Map.empty, withEmbeddedParts = true, withType = true))
+          } else {
+            val adds = addFiles.result()
+            val dvAdds = adds.filter(_._3)
+            if (dvAdds.nonEmpty) throw new UnsupportedOperationException(
+              s"$tablePath version $v attaches a deletion vector without cdc " +
+                "actions (written before CDF was enabled?): row-level changes " +
+                "cannot be derived from file actions for a DV commit")
+            val inserts = adds.groupBy(_._2).map { case (pv, fsg) =>
+              readFiles(fsg.map(f => abs(f._1)), pv, withEmbeddedParts = false, withType = false)
+                .withColumn(TypeCol, lit("insert"))
+            }
+            val deletes = removeFiles.result().groupBy(_._2).map { case (pv, fsg) =>
+              readFiles(fsg.map(f => abs(f._1)), pv, withEmbeddedParts = false, withType = false)
+                .withColumn(TypeCol, lit("delete"))
+            }
+            (inserts ++ deletes).toSeq
+          }
+        perCommit.map(_
+          .withColumn(VersionCol, lit(v))
+          .withColumn(TimestampCol, lit(new java.sql.Timestamp(commitTs))))
+      }
+
+    val outSchema = StructType(logicalAll.fields).add(TypeCol, "string")
+      .add(VersionCol, "bigint").add(TimestampCol, "timestamp")
+    frames
+      .map(_.select(outSchema.fieldNames.map(col).toIndexedSeq: _*))
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema))
+  }
+
+  private def jsonStringMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    if (node == null || node.isNull) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      node.properties().asScala.map { e =>
+        e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+      }.toMap
+    }
+}

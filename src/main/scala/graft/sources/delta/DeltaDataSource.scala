@@ -184,4 +184,17 @@ object DeltaTable {
     perVersion.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema))
   }
+
+  /** Change Data Feed read (row-level CDC — requires
+    * `delta.enableChangeDataFeed=true`): the change rows of versions
+    * (fromExclusive, toInclusive], tagged `_change_type`
+    * (insert / delete / update_preimage / update_postimage),
+    * `_commit_version`, `_commit_timestamp`. SQL form:
+    * `SELECT … FROM table_changes('/path', startVersion[, endVersion])`. */
+  def readCdf(
+      spark: SparkSession,
+      path: String,
+      fromExclusive: Long,
+      toInclusive: Long): DataFrame =
+    DeltaCdf.read(spark, path, fromExclusive, toInclusive)
 }

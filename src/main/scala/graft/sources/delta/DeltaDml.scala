@@ -151,6 +151,32 @@ object DeltaDml {
     }
     fs.delete(stagingDir, true)
 
+    // ---- 3b. change data feed: the exact changed rows as cdc files
+    // (delete → the matched rows; update → pre+post images, both computed
+    // from the PRE-update state like the rewrite itself)
+    val cdcFiles: Seq[(String, Long)] =
+      if (!DeltaCdf.enabled(snap.metadata)) Nil
+      else {
+        val matched = DeltaMaintenance.partitionInjected(spark, tablePath, snap, touched)
+          .reduce(_ unionByName _)
+          .filter(expr(condition))
+        val changes =
+          if (op == "DELETE")
+            matched.select((outCols.map(col) :+ lit("delete").as(DeltaCdf.TypeCol)): _*)
+          else {
+            val pre = matched.select(
+              (outCols.map(col) :+ lit("update_preimage").as(DeltaCdf.TypeCol)): _*)
+            val post = matched.select(outCols.map { c =>
+              set.get(c) match {
+                case Some(e) => expr(e).cast(snap.schema(c).dataType).as(c)
+                case None => col(c)
+              }
+            } :+ lit("update_postimage").as(DeltaCdf.TypeCol): _*)
+            pre.unionByName(post)
+          }
+        DeltaCdf.stageChanges(spark, tablePath, snap, changes)
+      }
+
     // ---- 4. validated commit loop (abort if a touched file was rewritten
     // by a concurrent commit between our snapshot and our commit)
     beforeCommit()
@@ -164,6 +190,7 @@ object DeltaDml {
         adds.foreach { case (rel, _, _, _, _) =>
           fs.delete(new Path(tablePath, rel), false)
         }
+        DeltaCdf.cleanup(spark, tablePath, cdcFiles)
         throw new java.util.ConcurrentModificationException(
           s"$op aborted on $tablePath: ${gone.size} of ${touched.size} " +
             s"source file(s) were removed by a concurrent commit " +
@@ -200,6 +227,7 @@ object DeltaDml {
         st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
         lines += mapper.writeValueAsString(addLine)
       }
+      cdcFiles.foreach { case (rel, size) => lines += DeltaCdf.cdcLine(rel, size) }
       if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
         committedVersion = version
       attempt += 1
@@ -304,6 +332,20 @@ object DeltaDml {
       if (blobs.isEmpty) Nil
       else DeletionVectors.writeDvFile(conf, tablePath, blobs)
 
+    // ---- 3b. change data feed: a DV delete is invisible at the file
+    // level (same data files), so the deleted rows MUST go out as cdc —
+    // the reader refuses to derive changes from a DV commit
+    val cdcFiles: Seq[(String, Long)] =
+      if (!DeltaCdf.enabled(snap.metadata)) Nil
+      else {
+        val cols = snap.schema.fieldNames.toIndexedSeq
+        val deleted = DeltaTable.read(spark, tablePath)
+          .filter(expr(condition))
+          .select(cols.map(col) :+
+            org.apache.spark.sql.functions.lit("delete").as(DeltaCdf.TypeCol): _*)
+        DeltaCdf.stageChanges(spark, tablePath, snap, deleted)
+      }
+
     // ---- 4. validated commit loop: abort unless every touched add entry
     // is byte-identical to the find snapshot's (path AND current DV)
     beforeCommit()
@@ -318,6 +360,7 @@ object DeltaDml {
           val fs = new Path(tablePath).getFileSystem(conf)
           fs.delete(d.absolutePath(tablePath), false)
         }
+        DeltaCdf.cleanup(spark, tablePath, cdcFiles)
         throw new java.util.ConcurrentModificationException(
           s"DELETE (merge-on-read) aborted on $tablePath: ${changed.size} of " +
             s"${touched.size} touched file(s) changed under a concurrent commit " +
@@ -377,6 +420,7 @@ object DeltaDml {
         DeletionVectors.putDvNode(a, desc)
         lines += mapper.writeValueAsString(addLine)
       }
+      cdcFiles.foreach { case (rel, size) => lines += DeltaCdf.cdcLine(rel, size) }
       if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
         committedVersion = version
       attempt += 1

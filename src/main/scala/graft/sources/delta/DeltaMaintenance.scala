@@ -353,6 +353,14 @@ object DeltaMaintenance {
     * will fail fast over it, correctly). Requires `toVersion`'s files to
     * still exist, i.e. not vacuumed — verified before committing.
     * Production Delta's RESTORE contract. */
+  /** RESTORE … TO TIMESTAMP AS OF: resolve the timestamp to the last
+    * version committed at or before it (same rule as read-side time
+    * travel), then restore to that version. */
+  def restoreTimestamp(spark: SparkSession, tablePath: String, timestamp: String): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath, timestampAsOf = Some(timestamp))
+    restore(spark, tablePath, snap.version)
+  }
+
   def restore(spark: SparkSession, tablePath: String, toVersion: Long): Long = {
     val target = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(toVersion))
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())

@@ -103,9 +103,11 @@ object DeltaMerge {
       new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)))
 
     // ---- 2. rewrite touched files (matched update/delete + carried rows)
+    val cdfOn = DeltaCdf.enabled(snap.metadata)
     var rowsUpdated = 0L
     var rowsDeleted = 0L
-    val rewrittenOpt: Option[(Seq[Add], Long)] = if (touched.isEmpty) None else Some {
+    val rewrittenOpt: Option[((Seq[Add], Long), Seq[(String, Long)])] =
+      if (touched.isEmpty) None else Some {
       // provider-scan read ([[DeltaMaintenance.partitionInjected]]):
       // partition injection, column mapping AND deletion-vector filtering
       // — a raw parquet read would resurrect DV'd rows into the rewrite
@@ -143,13 +145,37 @@ object DeltaMerge {
           }
         // updated rows must satisfy the table's CHECK constraints
         DeltaConstraints.validate(result, snap, "MERGE")
+        // change data feed: matched rows as delete / pre+post images,
+        // computed from the same persisted materialization as the rewrite
+        val cdcMatched: Seq[(String, Long)] =
+          if (!cdfOn) Nil
+          else {
+            val preCols = outCols.map(c => col(s"t.$c").as(c))
+            val changes =
+              if (matchedDelete)
+                joined.filter(srcMatched)
+                  .select(preCols :+ lit("delete").as(DeltaCdf.TypeCol): _*)
+              else {
+                val set = matchedUpdate.get
+                val pre = joined.filter(srcMatched)
+                  .select(preCols :+ lit("update_preimage").as(DeltaCdf.TypeCol): _*)
+                val post = joined.filter(srcMatched).select(outCols.map { c =>
+                  set.get(c) match {
+                    case Some(e) => expr(e).cast(snap.schema(c).dataType).as(c)
+                    case None => col(s"t.$c").as(c)
+                  }
+                } :+ lit("update_postimage").as(DeltaCdf.TypeCol): _*)
+                pre.unionByName(post)
+              }
+            DeltaCdf.stageChanges(spark, tablePath, snap, changes)
+          }
         // stage NOW (inside persist scope): the write is the terminal action
-        stageAndReturn(spark, tablePath, snap, result)
+        (stageAndReturn(spark, tablePath, snap, result), cdcMatched)
       } finally tt.unpersist()
     }
 
     // ---- 3. inserts: source rows matching NO row of the FULL target
-    val insertedOpt: Option[(Seq[Add], Long)] = notMatchedInsert.map { ins =>
+    val insertedOpt: Option[((Seq[Add], Long), Seq[(String, Long)])] = notMatchedInsert.map { ins =>
       val insertRows =
       src.join(DeltaTable.read(spark, tablePath).alias("t"), expr(condition), "left_anti")
         .select(outCols.map { c =>
@@ -159,11 +185,19 @@ object DeltaMerge {
           }
         }: _*)
       DeltaConstraints.validate(insertRows, snap, "MERGE INSERT")
-      stageAndReturn(spark, tablePath, snap, insertRows)
+      val addsAndRows = stageAndReturn(spark, tablePath, snap, insertRows)
+      // a commit with ANY cdc action is read from cdc only — the inserts
+      // must ride along when the matched clause produced change rows
+      val cdcIns: Seq[(String, Long)] =
+        if (!cdfOn || addsAndRows._2 == 0) Nil
+        else DeltaCdf.stageChanges(spark, tablePath, snap,
+          insertRows.withColumn(DeltaCdf.TypeCol, lit("insert")))
+      (addsAndRows, cdcIns)
     }
 
-    val rowsInserted = insertedOpt.map(_._2).getOrElse(0L)
-    val adds = rewrittenOpt.map(_._1).getOrElse(Nil) ++ insertedOpt.map(_._1).getOrElse(Nil)
+    val rowsInserted = insertedOpt.map(_._1._2).getOrElse(0L)
+    val adds = rewrittenOpt.map(_._1._1).getOrElse(Nil) ++ insertedOpt.map(_._1._1).getOrElse(Nil)
+    val cdcFiles = rewrittenOpt.map(_._2).getOrElse(Nil) ++ insertedOpt.map(_._2).getOrElse(Nil)
 
     if (touched.isEmpty && rowsInserted == 0)
       return MergeMetrics(0, 0, 0, 0, snap.version)
@@ -180,6 +214,7 @@ object DeltaMerge {
         adds.foreach { case (rel, _, _, _, _) =>
           fs.delete(new Path(tablePath, rel), false)
         }
+        DeltaCdf.cleanup(spark, tablePath, cdcFiles)
         throw new java.util.ConcurrentModificationException(
           s"MERGE aborted on $tablePath: ${gone.size} of ${touched.size} " +
             s"source file(s) were removed by a concurrent commit; rerun " +
@@ -214,6 +249,7 @@ object DeltaMerge {
         st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
         lines += mapper.writeValueAsString(addLine)
       }
+      cdcFiles.foreach { case (rel, size) => lines += DeltaCdf.cdcLine(rel, size) }
       if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
         committedVersion = version
       attempt += 1

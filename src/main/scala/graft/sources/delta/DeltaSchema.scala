@@ -205,10 +205,21 @@ object DeltaSchema {
     require(!props.keys.exists(_.startsWith(DeltaConstraints.ConfPrefix)),
       s"use ADD CONSTRAINT for ${DeltaConstraints.ConfPrefix}* keys")
     val snap = DeltaLog.snapshot(spark, tablePath)
+    // enabling change data feed is a writer capability: legacy protocols
+    // bump to writer v4, table-features protocols list the feature
+    val newProtocol =
+      if (!props.get(DeltaCdf.EnableKey).exists(_.trim.equalsIgnoreCase("true"))) None
+      else snap.protocol match {
+        case p if p.minWriterVersion >= 7 =>
+          Some(p.copy(writerFeatures = p.writerFeatures + "changeDataFeed"))
+        case p if p.minWriterVersion < 4 => Some(p.copy(minWriterVersion = 4))
+        case _ => None
+      }
     DeltaConstraints.commitMetadata(spark, tablePath,
       snap.metadata.configuration ++ props,
       newSchemaString = None,
       op = "SET TBLPROPERTIES",
-      params = props)
+      params = props,
+      newProtocol = newProtocol)
   }
 }

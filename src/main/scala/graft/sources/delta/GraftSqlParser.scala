@@ -52,7 +52,8 @@ import org.apache.spark.sql.types.{LongType, StructType}
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val sql = GraftSqlCommands.rewriteTimeTravel(session, sqlText)
+    val sql = GraftSqlCommands.rewriteTableChanges(session,
+      GraftSqlCommands.rewriteTimeTravel(session, sqlText))
     GraftSqlCommands.parse(sql).getOrElse(delegate.parsePlan(sql))
   }
 
@@ -89,6 +90,7 @@ private[graft] object GraftSqlCommands {
   private val Optimize = re(s"""^\\s*OPTIMIZE\\s+$T(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""")
   private val Vacuum = re(s"""^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$$""")
   private val Restore = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
+  private val RestoreTs = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""")
   private val Clone = re(s"""^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T\\s*;?\\s*$$""")
   private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T\\s*;?\\s*$$""")
   private val AlterAddCols = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
@@ -129,6 +131,33 @@ private[graft] object GraftSqlCommands {
       // (self-join of two versions) reuses one view; distinct travels differ
       val view = "graft_time_travel_" +
         java.lang.Integer.toHexString(s"$path#$kind#$value".hashCode)
+      df.createOrReplaceTempView(view)
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(view))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  // Change-data-feed TVF: table_changes('/path', startVersion[, endVersion])
+  // — production Delta's SQL surface for CDF, rewritten to a temp view over
+  // DeltaCdf.read (start is INCLUSIVE like production; end defaults to the
+  // latest version).
+  private val TableChangesRe = re(
+    """table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""")
+
+  def rewriteTableChanges(spark: SparkSession, sql: String): String = {
+    val m = TableChangesRe.matcher(sql)
+    if (!m.find()) return sql
+    m.reset()
+    val sb = new StringBuffer
+    while (m.find()) {
+      val path = m.group(1)
+      val from = m.group(2).toLong
+      val to = Option(m.group(3)).map(_.toLong)
+        .getOrElse(DeltaLog.snapshot(spark, path).version)
+      val df = DeltaCdf.read(spark, path, from - 1, to)
+      val view = "graft_table_changes_" +
+        java.lang.Integer.toHexString(s"$path#$from#$to".hashCode)
       df.createOrReplaceTempView(view)
       m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(view))
     }
@@ -222,6 +251,9 @@ private[graft] object GraftSqlCommands {
     val r = Restore.matcher(sql)
     if (r.matches())
       return Some(DeltaRestoreCommand(path(r, 1), r.group(3).toLong))
+    val rt = RestoreTs.matcher(sql)
+    if (rt.matches())
+      return Some(DeltaRestoreTimestampCommand(path(rt, 1), rt.group(3)))
     val c = Clone.matcher(sql)
     if (c.matches())
       return Some(DeltaCloneCommand(path(c, 3), path(c, 1)))
@@ -341,6 +373,13 @@ case class DeltaRestoreCommand(path: String, toVersion: Long)
   override val output: Seq[Attribute] = GraftSqlCommands.longAttrs("committed_version")
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(DeltaMaintenance.restore(spark, path, toVersion)))
+}
+
+case class DeltaRestoreTimestampCommand(path: String, timestamp: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlCommands.longAttrs("committed_version")
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(DeltaMaintenance.restoreTimestamp(spark, path, timestamp)))
 }
 
 case class DeltaCloneCommand(sourcePath: String, targetPath: String)

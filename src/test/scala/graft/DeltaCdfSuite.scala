@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta._
+
+/** Change Data Feed end to end: enablement (protocol bump), cdc writes
+  * from DELETE/UPDATE/MERGE/DV-delete, derived inserts/deletes for plain
+  * append/overwrite commits, OPTIMIZE invisibility, the SQL
+  * `table_changes` TVF, and the loud failures (not enabled; DV commit
+  * without cdc). */
+class DeltaCdfSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(rows: Int = 20): String = {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    DeltaWriter.write(
+      (0 until rows).map(i => (i, s"n$i", i * 1.0)).toDF("id", "name", "score"),
+      dir, SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+    dir
+  }
+
+  private def cdf(dir: String, from: Long, to: Long) =
+    DeltaTable.readCdf(spark, dir, from, to)
+
+  test("enabling CDF bumps the writer protocol") {
+    val dir = fresh()
+    val p = DeltaLog.snapshot(spark, dir).protocol
+    assert(p.minWriterVersion >= 4)
+  }
+
+  test("appends derive insert change rows; the pre-range is excluded") {
+    val dir = fresh() // v0 data, v1 enable
+    DeltaWriter.write(Seq((100, "x", 1.0)).toDF("id", "name", "score"),
+      dir, SaveMode.Append, Nil) // v2
+    val ch = cdf(dir, 1, 2).collect()
+    assert(ch.length === 1)
+    val r = ch.head
+    assert(r.getAs[String]("_change_type") === "insert")
+    assert(r.getAs[Int]("id") === 100)
+    assert(r.getAs[Long]("_commit_version") === 2L)
+    assert(r.getAs[java.sql.Timestamp]("_commit_timestamp") != null)
+  }
+
+  test("UPDATE emits exact pre/post images (only the changed rows)") {
+    val dir = fresh()
+    DeltaDml.update(spark, dir, "id % 5 = 0", Map("score" -> "score + 100"))
+    val v = DeltaLog.snapshot(spark, dir).version
+    val ch = cdf(dir, v - 1, v)
+    val pre = ch.filter("_change_type = 'update_preimage'").collect()
+    val post = ch.filter("_change_type = 'update_postimage'").collect()
+    assert(pre.length === 4 && post.length === 4) // ids 0,5,10,15
+    assert(pre.map(_.getAs[Double]("score")).sorted.toSeq === Seq(0.0, 5.0, 10.0, 15.0))
+    assert(post.map(_.getAs[Double]("score")).sorted.toSeq === Seq(100.0, 105.0, 110.0, 115.0))
+    // no derived whole-file rows leaked in
+    assert(ch.count() === 8)
+  }
+
+  test("DELETE (copy-on-write) and DELETE (deletion vectors) both emit delete rows") {
+    val dir = fresh()
+    DeltaDml.delete(spark, dir, "id < 3") // v2
+    DeltaDml.deleteWithDv(spark, dir, "id >= 17") // v3
+    val v = DeltaLog.snapshot(spark, dir).version
+    val ch = cdf(dir, v - 2, v)
+    assert(ch.filter("_change_type = 'delete'").count() === 6) // 0,1,2 + 17,18,19
+    assert(ch.filter("_change_type = 'delete' AND _commit_version = " + v).count() === 3)
+    assert(ch.count() === 6)
+    // and the table itself agrees
+    assert(DeltaTable.read(spark, dir).count() === 14)
+  }
+
+  test("MERGE emits update images, deletes and inserts as cdc") {
+    val dir = fresh() // ids 0..19
+    Seq((5, "five", -1.0), (300, "new", 3.0))
+      .toDF("id", "name", "score").createOrReplaceTempView("cdf_src")
+    spark.sql(
+      s"""MERGE INTO delta.`$dir` t USING cdf_src s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET score = s.score
+         WHEN NOT MATCHED THEN INSERT *""")
+    val v = DeltaLog.snapshot(spark, dir).version
+    val ch = cdf(dir, v - 1, v)
+    assert(ch.filter("_change_type = 'update_preimage' AND id = 5").count() === 1)
+    assert(ch.filter("_change_type = 'update_postimage' AND score = -1.0").count() === 1)
+    assert(ch.filter("_change_type = 'insert' AND id = 300").count() === 1)
+    assert(ch.count() === 3)
+  }
+
+  test("OPTIMIZE is invisible to CDF; overwrite derives delete+insert") {
+    val dir = fresh()
+    DeltaWriter.write(Seq((100, "x", 1.0)).toDF("id", "name", "score"),
+      dir, SaveMode.Append, Nil)
+    val vBefore = DeltaLog.snapshot(spark, dir).version
+    DeltaMaintenance.optimize(spark, dir, targetFileBytes = 1L << 30)
+    val vOpt = DeltaLog.snapshot(spark, dir).version
+    assert(vOpt > vBefore)
+    assert(cdf(dir, vBefore, vOpt).count() === 0, "compaction must not appear as changes")
+    // overwrite: every old row a delete, every new row an insert
+    DeltaWriter.write(Seq((1000, "o", 0.0)).toDF("id", "name", "score"),
+      dir, SaveMode.Overwrite, Nil)
+    val vOw = DeltaLog.snapshot(spark, dir).version
+    val ch = cdf(dir, vOw - 1, vOw)
+    assert(ch.filter("_change_type = 'delete'").count() === 21)
+    assert(ch.filter("_change_type = 'insert'").count() === 1)
+  }
+
+  test("SQL table_changes('/path', from[, to]) routes through the parser") {
+    val dir = fresh()
+    DeltaDml.update(spark, dir, "id = 7", Map("name" -> "'seven'"))
+    val v = DeltaLog.snapshot(spark, dir).version
+    val got = spark.sql(
+      s"SELECT _change_type, id, name FROM table_changes('$dir', $v, $v) ORDER BY _change_type")
+      .collect()
+    assert(got.length === 2)
+    // alphabetical: postimage < preimage
+    assert(got.map(_.getString(0)).toSeq === Seq("update_postimage", "update_preimage"))
+    assert(got(0).getString(2) === "seven")
+    // open-ended form (end defaults to latest)
+    val n = spark.sql(s"SELECT count(*) AS n FROM table_changes('$dir', $v)")
+      .collect().head.getLong(0)
+    assert(n === 2)
+  }
+
+  test("CDF on a column-mapped table reads through renames") {
+    val dir = fresh()
+    DeltaSchema.renameColumn(spark, dir, "score", "points")
+    DeltaDml.update(spark, dir, "id = 1", Map("points" -> "points * 10"))
+    val v = DeltaLog.snapshot(spark, dir).version
+    val post = cdf(dir, v - 1, v).filter("_change_type = 'update_postimage'").collect()
+    assert(post.length === 1 && post.head.getAs[Double]("points") === 10.0)
+  }
+
+  test("not-enabled read and pre-CDF DV commits fail loudly") {
+    val dir = Files.createTempDirectory("graft-cdf-off").toString
+    DeltaWriter.write((0 until 10).map(i => (i, i * 1.0)).toDF("id", "score"),
+      dir, SaveMode.Append, Nil)
+    val e = intercept[IllegalArgumentException] { cdf(dir, 0, 0).collect() }
+    assert(e.getMessage.contains("enableChangeDataFeed"))
+    // DV delete while CDF off, then enable: the DV commit cannot be
+    // derived (partial predicate → every touched file KEEPS a DV; a
+    // fully-deleted file would be a plain remove and derivable)
+    DeltaDml.deleteWithDv(spark, dir, "id % 3 = 0") // v1, no cdc
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')") // v2
+    val e2 = intercept[UnsupportedOperationException] {
+      cdf(dir, 0, 2).collect()
+    }
+    assert(e2.getMessage.contains("deletion vector"))
+  }
+}

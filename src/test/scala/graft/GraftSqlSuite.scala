@@ -64,6 +64,20 @@ class GraftSqlSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).count() === 8)
   }
 
+  test("RESTORE TO TIMESTAMP AS OF resolves the timestamp like read-side travel") {
+    val dir = freshTable()
+    spark.sql(s"DELETE FROM delta.`$dir` WHERE id < 4")
+    // future cutoff = latest version (which includes the delete)
+    val v = spark.sql(
+      s"RESTORE TABLE delta.`$dir` TO TIMESTAMP AS OF '2099-01-01 00:00:00'")
+      .collect().head.getLong(0)
+    assert(v > 0 && DeltaTable.read(spark, dir).count() === 4)
+    // a cutoff before the first commit fails loudly
+    intercept[IllegalArgumentException] {
+      spark.sql(s"RESTORE TABLE delta.`$dir` TO TIMESTAMP AS OF '2000-01-01 00:00:00'")
+    }
+  }
+
   test("CREATE TABLE SHALLOW CLONE routes to the zero-copy fork") {
     val dir = freshTable()
     val dst = Files.createTempDirectory("graft-sql-clone").toString + "/t"
