@@ -390,11 +390,21 @@ object DeltaWriter {
     if (version > 0 && version % CheckpointInterval == 0)
       writeCheckpoint(spark, tablePath, version)
 
-  /** Aggregate the full live state into `<v>.checkpoint.parquet` +
-    * `_last_checkpoint`, bounding future replay to commits-after-checkpoint. */
+  /** Aggregate the full live state into a checkpoint + `_last_checkpoint`,
+    * bounding future replay to commits-after-checkpoint. Classic
+    * single-file form (`<v>.checkpoint.parquet`) by default; with table
+    * property `delta.checkpointPolicy=v2`, the v2 form
+    * (`<v>.checkpoint.<uuid>.parquet` with a `checkpointMetadata`
+    * self-description action) — both replayed by [[DeltaLog.snapshot]]. */
   def writeCheckpoint(spark: SparkSession, tablePath: String, version: Long): Unit = {
     val snap = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(version))
+    val v2Policy = snap.metadata.configuration
+      .get("delta.checkpointPolicy").exists(_.trim.equalsIgnoreCase("v2"))
     val mapT = MapType(StringType, StringType)
+    val v2Field =
+      if (!v2Policy) Nil
+      else Seq(StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))))
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
@@ -421,11 +431,11 @@ object DeltaWriter {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))))))))
+          StructField("cardinality", LongType)))))))) ++ v2Field)
     def dvRow(f: DeltaAddFile): Row = f.deletionVector.map(d =>
       Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
         d.sizeInBytes, d.cardinality)).orNull
-    val rows: Seq[Row] =
+    val rows3: Seq[Row] =
       Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
         if (snap.protocol.readerFeatures.isEmpty) null else snap.protocol.readerFeatures.toSeq.sorted,
         if (snap.protocol.writerFeatures.isEmpty) null else snap.protocol.writerFeatures.toSeq.sorted),
@@ -435,13 +445,19 @@ object DeltaWriter {
         snap.metadata.configuration), null) +:
       snap.files.map(f => Row(null, null,
         Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull, dvRow(f))))
+    val rows: Seq[Row] =
+      if (!v2Policy) rows3
+      else rows3.map(r => Row(r(0), r(1), r(2), null)) :+
+        Row(null, null, null, Row(version))
     val tmp = new Path(tablePath, s"_cp-${UUID.randomUUID()}")
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     spark.createDataFrame(rows.asJava, schema).repartition(1).write.parquet(tmp.toString)
     val part = fs.listStatus(tmp).map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
-    val target = new Path(DeltaLog.logDir(tablePath), f"$version%020d.checkpoint.parquet")
+    val target = new Path(DeltaLog.logDir(tablePath),
+      if (v2Policy) f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet"
+      else f"$version%020d.checkpoint.parquet")
     fs.rename(part, target)
     fs.delete(tmp, true)
     val last = mapper.createObjectNode()

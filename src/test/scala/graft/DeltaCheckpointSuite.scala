@@ -151,6 +151,27 @@ class DeltaCheckpointSuite extends AnyFunSuite {
     assert(e.getMessage.contains("declares version 7"))
   }
 
+  test("delta.checkpointPolicy=v2 makes the WRITER emit v2 checkpoints on the cadence") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cp-v2w").toString
+    DeltaWriter.write((0 until 10).map(i => (i, s"r$i")).toDF("id", "name"),
+      dir, SaveMode.Append, Nil) // v0
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('delta.checkpointPolicy' = 'v2')") // v1
+    (2 to 10).foreach { a =>
+      DeltaWriter.write(Seq((a * 100, s"r$a")).toDF("id", "name"), dir, SaveMode.Append, Nil)
+    } // v2..v10 → cadence checkpoint at v10
+    val cpFiles = new java.io.File(s"$dir/_delta_log").listFiles()
+      .map(_.getName)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+    assert(cpFiles.length === 1)
+    assert(cpFiles.head.matches("""0{16}0010\.checkpoint\.[0-9a-f-]+\.parquet"""),
+      s"expected UUID-named v2 checkpoint, got ${cpFiles.head}")
+    // replay from the writer-produced v2 checkpoint alone
+    deleteJsonsThrough(dir, 10)
+    assert(DeltaLog.snapshot(spark, dir).version === 10)
+    assert(DeltaTable.read(spark, dir).count() === 19)
+  }
+
   test("cadence audit: 25+ mixed-path commits replay with ≤ 1 checkpoint + tail JSONs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cadence").toString
