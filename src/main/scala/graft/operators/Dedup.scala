@@ -320,6 +320,52 @@ object Dedup {
       .limit(100)
   }
 
+  /** INCREMENTAL dedup — the steady-state shape of a production corpus:
+    * a NEW batch (here: doc_id % 4 == 0) must be deduped against the
+    * EXISTING corpus (the rest) without ever re-pairing the corpus with
+    * itself. The corpus keeps a precomputed MinHash band index (at 100 TB
+    * that index is a bucketed table maintained by ingestion; here both
+    * sides derive from the same fixture); the only corpus-scale work is
+    * ONE equi-join of the batch's band keys against it — candidates are
+    * O(batch × collisions), never O(corpus²) — followed by exact-Jaccard
+    * verification of the candidates alone. A small batch broadcasts, so
+    * the corpus side never even shuffles. */
+  private def dd08IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = shingled(s, dir).filter(size(col("shingles")) > 0).persist()
+    // same native minhash16 signature + 8×2 banding as dd03 (one index
+    // definition serves batch and corpus — the invariant that makes the
+    // incremental join sound)
+    val sigs = sh
+      .select(col("doc_id"), expr(
+        "minhash16(transform(shingles, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))").as("sig"))
+      .persist()
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(expr(
+        """transform(sequence(0, 7), b ->
+             concat(CAST(element_at(sig, 2 * b + 1) AS STRING), '_',
+                    CAST(element_at(sig, 2 * b + 2) AS STRING)))"""))
+        .as(Seq("band", "key")))
+    val batchBands = bands.filter(col("doc_id") % 4 === 0)
+    val corpusBands = bands.filter(col("doc_id") % 4 =!= 0)
+    val cands = batchBands.as("a")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("corpus_doc"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("new_doc"), col("shingles").as("sh_a")), "new_doc")
+      .join(sh.select(col("doc_id").as("corpus_doc"), col("shingles").as("sh_b")), "corpus_doc")
+      .withColumn("jac",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jac") >= 0.5)
+      .select(col("new_doc"), col("corpus_doc"), col("jac"))
+      .orderBy(col("jac").desc, col("new_doc"), col("corpus_doc"))
+      .limit(50)
+  }
+
   /** Shared oracle CTE chain ending in `verified` = the MinHash-LSH
     * verified near-dup edge list (mirrors [[verifiedPairs]]). */
   private[operators] lazy val duckVerifiedCtes: String = s"""
@@ -393,6 +439,24 @@ object Dedup {
              string_agg(doc::VARCHAR, ',' ORDER BY doc) AS members
       FROM (SELECT doc, min(lab) AS keeper FROM lab GROUP BY doc)
       GROUP BY keeper ORDER BY keeper""",
+    "dd08_incremental_dedup" -> s"""
+      WITH $duckVerifiedCtes,
+      inc_cands AS (
+        SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+        FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key
+           AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+      inc AS (
+        SELECT new_doc, corpus_doc, jac FROM (
+          SELECT new_doc, corpus_doc,
+                 round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                       / len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 4) AS jac
+          FROM inc_cands
+          JOIN sh1 x ON x.doc_id = new_doc
+          JOIN sh1 y ON y.doc_id = corpus_doc)
+        WHERE jac >= 0.5)
+      SELECT new_doc, corpus_doc, jac FROM inc
+      ORDER BY jac DESC, new_doc, corpus_doc LIMIT 50""",
     "dd04_simhash" -> """
       WITH sigs AS (
         SELECT doc_id,
@@ -467,5 +531,6 @@ object Dedup {
     "dd04_simhash" -> dd04Simhash,
     "dd05_embed_dup" -> dd05EmbedDup,
     "dd06_cluster_dedup" -> dd06ClusterDedup,
-    "dd07_embed_lsh_dup" -> dd07EmbedLshDup)
+    "dd07_embed_lsh_dup" -> dd07EmbedLshDup,
+    "dd08_incremental_dedup" -> dd08IncrementalDedup)
 }
