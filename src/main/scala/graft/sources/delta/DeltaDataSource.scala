@@ -85,13 +85,24 @@ class DeltaDataSource extends RelationProvider
 
   // ---- streaming source (readStream.format("delta")) ----
 
+  private def cdfRequested(parameters: Map[String, String]): Boolean =
+    caseGet(parameters, "readChangeFeed").exists(_.trim.equalsIgnoreCase("true"))
+
+  private def streamSchema(
+      sqlContext: SQLContext, parameters: Map[String, String]): StructType = {
+    val base = DeltaLog.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema
+    if (!cdfRequested(parameters)) base
+    else base.add(DeltaCdf.TypeCol, "string")
+      .add(DeltaCdf.VersionCol, "bigint")
+      .add(DeltaCdf.TimestampCol, "timestamp")
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      DeltaLog.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema))
+    (shortName(), schema.getOrElse(streamSchema(sqlContext, parameters)))
 
   override def createSource(
       sqlContext: SQLContext,
@@ -100,9 +111,10 @@ class DeltaDataSource extends RelationProvider
       providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val path = pathOf(parameters)
-    val s = schema.getOrElse(DeltaLog.snapshot(sqlContext.sparkSession, path).schema)
+    val s = schema.getOrElse(streamSchema(sqlContext, parameters))
     new DeltaStreamingSource(sqlContext, path, s,
-      caseGet(parameters, "ignoreDataChangeRemoves").exists(_.toBoolean))
+      caseGet(parameters, "ignoreDataChangeRemoves").exists(_.toBoolean),
+      changeFeed = cdfRequested(parameters))
   }
 
   private def pathOf(parameters: Map[String, String]): String =

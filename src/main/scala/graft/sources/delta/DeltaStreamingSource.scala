@@ -29,7 +29,8 @@ class DeltaStreamingSource(
     sqlContext: SQLContext,
     path: String,
     override val schema: StructType,
-    ignoreDataChangeRemoves: Boolean) extends Source {
+    ignoreDataChangeRemoves: Boolean,
+    changeFeed: Boolean = false) extends Source {
 
   private def spark = sqlContext.sparkSession
 
@@ -45,8 +46,11 @@ class DeltaStreamingSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(-1L) // None = from table genesis
     val to = versionOf(end)
-    val batch = DeltaTable
-      .readChanges(spark, path, from, to, ignoreDataChangeRemoves)
+    // changeFeed: each micro-batch serves the ROW-LEVEL changes of its
+    // version range (insert/delete/update images + commit metadata) —
+    // `.option("readChangeFeed", "true")`, the production Delta surface
+    val batch = (if (changeFeed) DeltaCdf.read(spark, path, from, to)
+                 else DeltaTable.readChanges(spark, path, from, to, ignoreDataChangeRemoves))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     // v1 Source contract: the returned frame must be a streaming frame over
     // this micro-batch's rows (same bridge MemoryStream uses)
