@@ -387,8 +387,13 @@ object DeltaLog {
       }
   }
 
-  /** Reader-version-3 table features this engine can actually honor. */
-  val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
+  /** Reader-version-3 table features this engine can actually honor:
+    * deletion vectors and column mapping (first-class above), v2
+    * checkpoints (replay recognizes UUID-named checkpoints,
+    * checkpointMetadata and sidecars), and timestampNtz (TimestampNTZType
+    * is native to the Spark scan). Anything else still fails loudly. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
 
   /** Checkpoint/sidecar `add` struct row → [[DeltaAddFile]] (tolerant of
     * absent optional fields across writer engines). */

@@ -172,6 +172,30 @@ class DeltaCheckpointSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).count() === 19)
   }
 
+  test("a foreign table listing the v2Checkpoint/timestampNtz reader features is accepted") {
+    import spark.implicits._
+    val dir = seed(1)
+    val snap = DeltaLog.snapshot(spark, dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pLine = mapper.createObjectNode()
+    val p = pLine.putObject("protocol")
+    p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+    val rf = p.putArray("readerFeatures")
+    Seq("v2Checkpoint", "timestampNtz").foreach(rf.add)
+    val wf = p.putArray("writerFeatures")
+    Seq("v2Checkpoint", "timestampNtz", "appendOnly").foreach(wf.add)
+    assert(DeltaLog.tryCommit(spark, dir, snap.version + 1, mapper.writeValueAsString(pLine)))
+    assert(DeltaTable.read(spark, dir).count() === 10) // gate accepts
+    // an unknown feature still refuses
+    val p2Line = mapper.createObjectNode()
+    val p2 = p2Line.putObject("protocol")
+    p2.put("minReaderVersion", 3); p2.put("minWriterVersion", 7)
+    p2.putArray("readerFeatures").add("futureMagicFeature")
+    assert(DeltaLog.tryCommit(spark, dir, snap.version + 2, mapper.writeValueAsString(p2Line)))
+    val e = intercept[UnsupportedOperationException] { DeltaTable.read(spark, dir).collect() }
+    assert(e.getMessage.contains("futureMagicFeature"))
+  }
+
   test("cadence audit: 25+ mixed-path commits replay with ≤ 1 checkpoint + tail JSONs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cadence").toString
