@@ -114,7 +114,8 @@ class DeltaDataSource extends RelationProvider
     val s = schema.getOrElse(streamSchema(sqlContext, parameters))
     new DeltaStreamingSource(sqlContext, path, s,
       caseGet(parameters, "ignoreDataChangeRemoves").exists(_.toBoolean),
-      changeFeed = cdfRequested(parameters))
+      changeFeed = cdfRequested(parameters),
+      startingVersion = caseGet(parameters, "startingVersion").map(_.trim.toLong))
   }
 
   private def pathOf(parameters: Map[String, String]): String =

@@ -30,7 +30,8 @@ class DeltaStreamingSource(
     path: String,
     override val schema: StructType,
     ignoreDataChangeRemoves: Boolean,
-    changeFeed: Boolean = false) extends Source {
+    changeFeed: Boolean = false,
+    startingVersion: Option[Long] = None) extends Source {
 
   private def spark = sqlContext.sparkSession
 
@@ -44,7 +45,10 @@ class DeltaStreamingSource(
     Some(LongOffset(DeltaLog.snapshot(spark, path).version))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(-1L) // None = from table genesis
+    // None = a NEW query's first batch: from `startingVersion` (inclusive,
+    // production's `.option("startingVersion", n)`) or table genesis
+    val from = start.map(versionOf)
+      .getOrElse(startingVersion.map(_ - 1).getOrElse(-1L))
     val to = versionOf(end)
     // changeFeed: each micro-batch serves the ROW-LEVEL changes of its
     // version range (insert/delete/update images + commit metadata) —

@@ -232,6 +232,21 @@ class DeltaColumnMappingSuite extends AnyFunSuite {
     assert(e.getMessage.contains("CHECK constraint"))
   }
 
+  test("time travel across a rename serves each version's own logical schema") {
+    val dir = fresh() // v0: id, name, score, bucket
+    DeltaSchema.renameColumn(spark, dir, "score", "points") // v1
+    // pre-rename version: old logical name, same values
+    val v0 = DeltaTable.readVersion(spark, dir, 0L)
+    assert(v0.columns.contains("score") && !v0.columns.contains("points"))
+    assert(v0.filter(col("id") === 2).collect().head.getAs[Double]("score") === 3.0)
+    // post-rename: new logical name over the SAME files
+    val v1 = DeltaTable.read(spark, dir)
+    assert(v1.columns.contains("points") && !v1.columns.contains("score"))
+    // SQL time travel sees the same split
+    assert(spark.sql(s"SELECT score FROM delta.`$dir` VERSION AS OF 0 WHERE id = 2")
+      .collect().head.getDouble(0) === 3.0)
+  }
+
   test("foreign id-mode and nested mappings fail loudly at scan build") {
     val dir = fresh()
     DeltaSchema.renameColumn(spark, dir, "score", "points")

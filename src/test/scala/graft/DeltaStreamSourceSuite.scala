@@ -37,6 +37,24 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingVersion skips the table's earlier history") {
+    val dir = Files.createTempDirectory("graft-stream-sv").toString
+    DeltaWriter.write(Seq((1, "a")).toDF("id", "name"), dir, SaveMode.Append, Nil) // v0
+    DeltaWriter.write(Seq((2, "b")).toDF("id", "name"), dir, SaveMode.Append, Nil) // v1
+    DeltaWriter.write(Seq((3, "c")).toDF("id", "name"), dir, SaveMode.Append, Nil) // v2
+    val q = spark.readStream.format("delta")
+      .option("startingVersion", "2").load(dir)
+      .writeStream.format("memory").queryName("dss_sv")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-sv-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dss_sv").collect()
+      assert(got.map(_.getInt(0)).toSeq === Seq(3), "only version >= 2 rows")
+    } finally q.stop()
+  }
+
   test("readStream with readChangeFeed=true streams row-level change batches") {
     val dir = Files.createTempDirectory("graft-stream-cdf").toString
     DeltaWriter.write((0 until 6).map(i => (i, i * 1.0)).toDF("id", "score"),
