@@ -302,7 +302,39 @@ object DeltaQueries {
       .orderBy(col("change_type"))
   }
 
+  /** Type widening in the gate: write supplier with NARROW types (int
+    * keys, float balance), widen to bigint/double via SQL, read back and
+    * aggregate — the values must be exactly the narrow-typed ones upcast
+    * (the oracle replays the same float round-trip on the raw fixture), so
+    * a scan that NULLs, truncates, or re-reads the wrong physical type
+    * mismatches. */
+  private def dl15TypeWidening(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    t(s, dir, "supplier")
+      .select(
+        col("s_suppkey").cast("int").as("s_suppkey"),
+        col("s_nationkey").cast("int").as("s_nationkey"),
+        col("s_acctbal").cast("float").as("s_acctbal"))
+      .write.format("delta").save(path)
+    s.sql(s"ALTER TABLE delta.`$path` ALTER COLUMN s_suppkey TYPE BIGINT")
+    s.sql(s"ALTER TABLE delta.`$path` ALTER COLUMN s_acctbal TYPE DOUBLE")
+    DeltaTable.read(s, path)
+      .groupBy((col("s_nationkey") % 5).cast("int").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .orderBy(col("grp"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl15_type_widening" -> """
+      SELECT CAST(s_nationkey % 5 AS INT) AS grp,
+             count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(CAST(CAST(s_acctbal AS REAL) AS DOUBLE)
+                                 AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier GROUP BY 1 ORDER BY 1""",
     "dl14_change_data_feed" -> """
       SELECT * FROM (
         SELECT 'delete' AS change_type, count(*) AS n,
@@ -420,5 +452,6 @@ object DeltaQueries {
     "dl11_column_mapping" -> dl11ColumnMapping,
     "dl12_sql_time_travel" -> dl12SqlTimeTravel,
     "dl13_drop_column" -> dl13DropColumn,
-    "dl14_change_data_feed" -> dl14Cdf)
+    "dl14_change_data_feed" -> dl14Cdf,
+    "dl15_type_widening" -> dl15TypeWidening)
 }

@@ -390,10 +390,12 @@ object DeltaLog {
   /** Reader-version-3 table features this engine can actually honor:
     * deletion vectors and column mapping (first-class above), v2
     * checkpoints (replay recognizes UUID-named checkpoints,
-    * checkpointMetadata and sidecars), and timestampNtz (TimestampNTZType
-    * is native to the Spark scan). Anything else still fails loudly. */
+    * checkpointMetadata and sidecars), timestampNtz (TimestampNTZType is
+    * native to the Spark scan), and typeWidening (the vectorized parquet
+    * reader upcasts narrow files to the log schema's wider type).
+    * Anything else still fails loudly. */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz", "typeWidening")
 
   /** Checkpoint/sidecar `add` struct row → [[DeltaAddFile]] (tolerant of
     * absent optional fields across writer engines). */

@@ -199,6 +199,54 @@ object DeltaSchema {
       newProtocol = Some(newProtocol))
   }
 
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t` — type WIDENING (the Delta
+    * `typeWidening` table feature), metadata-only: the log schema takes
+    * the wider type; existing parquet files keep the narrow physical type
+    * and the scan upcasts natively (Spark's vectorized parquet reader
+    * reads INT32 as long/double etc. when the requested schema is wider).
+    * Only strictly-safe widenings are allowed — narrowing or cross-class
+    * changes would silently corrupt and refuse loudly. */
+  def alterColumnType(spark: SparkSession, tablePath: String,
+      colName: String, newType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    def widenable(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val field = snap.schema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $colName"))
+    require(!snap.partitionColumns.exists(_.equalsIgnoreCase(colName)),
+      s"cannot widen PARTITION column $colName")
+    require(widenable(field.dataType, newType),
+      s"cannot change $colName from ${field.dataType.sql} to ${newType.sql}: " +
+        "only safe widenings (byte→short→int→long, int→long/double, float→double)")
+    val widened = StructType(snap.schema.fields.map { f =>
+      if (f.name.equalsIgnoreCase(colName)) f.copy(dataType = newType) else f
+    })
+    // typeWidening is a READER feature: consumers must upcast narrow files
+    val newProtocol = snap.protocol match {
+      case p if p.minReaderVersion >= 3 => p.copy(
+        readerFeatures = p.readerFeatures + "typeWidening",
+        writerFeatures = p.writerFeatures + "typeWidening")
+      case p =>
+        val legacy: Set[String] =
+          if (snap.metadata.columnMappingMode != "none") Set("columnMapping") else Set.empty
+        DeltaProtocol(3, 7,
+          legacy + "typeWidening",
+          legacy ++ Set("typeWidening", "appendOnly", "invariants"))
+    }
+    DeltaConstraints.commitMetadata(spark, tablePath,
+      snap.metadata.configuration,
+      newSchemaString = Some(widened.json),
+      op = "ALTER COLUMN TYPE",
+      params = Map("column" -> colName, "type" -> newType.sql),
+      newProtocol = Some(newProtocol))
+  }
+
   def setTblProperties(spark: SparkSession, tablePath: String,
       props: Map[String, String]): Long = {
     require(props.nonEmpty, "SET TBLPROPERTIES requires at least one property")

@@ -96,6 +96,7 @@ private[graft] object GraftSqlCommands {
   private val AlterAddCols = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterRenameCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterDropCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$""")
+  private val AlterColType = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+([\\w()\\s,]+?)\\s*;?\\s*$$""")
   private val AlterSetProps = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterAddConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterDropConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
@@ -271,6 +272,10 @@ private[graft] object GraftSqlCommands {
     if (adc.matches())
       return Some(DeltaAlterCommand(path(adc, 1),
         DeltaAlterCommand.DropColumn(adc.group(3))))
+    val act = AlterColType.matcher(sql)
+    if (act.matches())
+      return Some(DeltaAlterCommand(path(act, 1),
+        DeltaAlterCommand.AlterColumnType(act.group(3), act.group(4).trim)))
     val asp = AlterSetProps.matcher(sql)
     if (asp.matches()) {
       val props = splitTop(asp.group(3)).map { kv =>
@@ -429,6 +434,7 @@ object DeltaAlterCommand {
   final case class AddColumns(colsDdl: String) extends Op
   final case class RenameColumn(oldName: String, newName: String) extends Op
   final case class DropColumn(name: String) extends Op
+  final case class AlterColumnType(name: String, typeDdl: String) extends Op
   final case class SetProps(props: Map[String, String]) extends Op
   final case class AddConstraint(name: String, check: String) extends Op
   final case class DropConstraint(name: String) extends Op
@@ -445,6 +451,8 @@ case class DeltaAlterCommand(path: String, op: DeltaAlterCommand.Op)
         DeltaSchema.addColumns(spark, path, StructType.fromDDL(ddl).fields.toSeq)
       case RenameColumn(o, n) => DeltaSchema.renameColumn(spark, path, o, n)
       case DropColumn(n) => DeltaSchema.dropColumn(spark, path, n)
+      case AlterColumnType(n, t) => DeltaSchema.alterColumnType(spark, path, n,
+        spark.sessionState.sqlParser.parseDataType(t))
       case SetProps(props) => DeltaSchema.setTblProperties(spark, path, props)
       case AddConstraint(name, check) =>
         DeltaConstraints.addCheckConstraint(spark, path, name, check)

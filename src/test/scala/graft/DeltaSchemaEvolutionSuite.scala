@@ -5,14 +5,61 @@ import java.nio.file.Files
 import org.apache.spark.sql.SaveMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.delta.{DeltaLog, DeltaTable}
+import graft.sources.delta.{DeltaLog, DeltaSchema, DeltaTable, DeltaWriter}
 
 /** Schema evolution (mergeSchema) specs: superset appends update the log
   * schema in place; old files read NULL for new columns; drift without the
-  * flag stays a hard error. */
+  * flag stays a hard error. Plus type WIDENING (`ALTER COLUMN … TYPE`, the
+  * `typeWidening` feature): metadata-only, old narrow files upcast at
+  * scan. */
 class DeltaSchemaEvolutionSuite extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
+
+  test("ALTER COLUMN TYPE widens metadata-only; narrow files upcast; wide appends land") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-widen").toString
+    Seq((1, 1.5f), (2, 2.5f)).toDF("id", "score")
+      .write.format("delta").save(dir)
+    val filesBefore = DeltaLog.snapshot(spark, dir).files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE delta.`$dir` ALTER COLUMN id TYPE BIGINT")
+    DeltaSchema.alterColumnType(spark, dir, "score", DoubleType)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.map(_.path).toSet === filesBefore, "widening must not touch data files")
+    assert(snap.schema("id").dataType === LongType)
+    assert(snap.schema("score").dataType === DoubleType)
+    assert(snap.protocol.minReaderVersion === 3)
+    assert(snap.protocol.readerFeatures.contains("typeWidening"))
+    // old INT32/FLOAT files upcast at scan
+    val rows = DeltaTable.read(spark, dir).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.head.getDouble(1) === 1.5)
+    // appends beyond the old type's range work
+    DeltaWriter.write(Seq((Int.MaxValue.toLong + 7, 9.9)).toDF("id", "score"),
+      dir, SaveMode.Append, Nil)
+    val big = DeltaTable.read(spark, dir).filter("id > 2").collect().head
+    assert(big.getLong(0) === Int.MaxValue.toLong + 7)
+    // and stats skipping still evaluates over the mixed-type file set
+    assert(DeltaTable.read(spark, dir).filter("score > 5.0").count() === 1)
+  }
+
+  test("narrowing, cross-class changes and partition columns refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-widen-bad").toString
+    Seq((1L, "a", 2.5)).toDF("id", "k", "score")
+      .write.format("delta").partitionBy("k").save(dir)
+    intercept[IllegalArgumentException] {
+      DeltaSchema.alterColumnType(spark, dir, "id", IntegerType) // narrow
+    }
+    intercept[IllegalArgumentException] {
+      DeltaSchema.alterColumnType(spark, dir, "score", StringType) // cross-class
+    }
+    intercept[IllegalArgumentException] {
+      DeltaSchema.alterColumnType(spark, dir, "k", LongType) // partition col
+    }
+  }
 
   test("mergeSchema append adds nullable columns; old rows read NULL") {
     import spark.implicits._
