@@ -341,16 +341,19 @@ object DeltaQueries {
                CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
                CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
         FROM supplier WHERE s_acctbal < 0 AND s_suppkey % 10 <> 0
+        HAVING count(*) > 0
         UNION ALL
         SELECT 'update_preimage', count(*),
                CAST(sum(s_suppkey) AS BIGINT),
                CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
         FROM supplier WHERE s_suppkey % 10 = 0
+        HAVING count(*) > 0
         UNION ALL
         SELECT 'update_postimage', count(*),
                CAST(sum(s_suppkey) AS BIGINT),
                CAST(round(sum(CAST(s_acctbal + 100.0 AS DECIMAL(18,6))), 2) AS DOUBLE)
-        FROM supplier WHERE s_suppkey % 10 = 0)
+        FROM supplier WHERE s_suppkey % 10 = 0
+        HAVING count(*) > 0)
       ORDER BY change_type""",
     "dl13_drop_column" -> """
       SELECT count(*) AS n,

@@ -198,11 +198,41 @@ object DeltaCdf {
               readFiles(fsg.map(f => abs(f._1)), pv, withEmbeddedParts = false, withType = false)
                 .withColumn(TypeCol, lit("insert"))
             }
-            val deletes = removeFiles.result().groupBy(_._2).map { case (pv, fsg) =>
-              readFiles(fsg.map(f => abs(f._1)), pv, withEmbeddedParts = false, withType = false)
-                .withColumn(TypeCol, lit("delete"))
-            }
-            (inserts ++ deletes).toSeq
+            // removed files may CARRY deletion vectors (e.g. an overwrite
+            // of a file a DV delete touched earlier): the derived delete
+            // rows are the rows LIVE at removal, so the read must go
+            // through the DV-filtering provider scan, never raw parquet —
+            // the prior version's add entries supply each file's DV
+            val removes = removeFiles.result()
+            val deletes: Seq[DataFrame] =
+              if (removes.isEmpty) Nil
+              else {
+                val prior = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(v - 1))
+                val removedPaths = removes.map(_._1).toSet
+                val removedAdds = prior.files.filter(f => removedPaths.contains(f.path))
+                // a removed path absent from the prior snapshot cannot be
+                // served (already removed / unknown) — fail loudly rather
+                // than under-report deletes
+                if (removedAdds.size != removedPaths.size)
+                  throw new IllegalStateException(
+                    s"$tablePath version $v removes ${removedPaths.size} file(s) " +
+                      s"but only ${removedAdds.size} were live at ${v - 1}")
+                // surface END-version logical names (physical names are
+                // rename-stable); columns added after v NULL-fill
+                val endByPhys = logicalAll.fieldNames
+                  .map(n => meta.physicalOf(n) -> n).toMap
+                DeltaMaintenance.partitionInjected(spark, tablePath,
+                    prior.copy(files = removedAdds), removedAdds)
+                  .map { df =>
+                    val renamed = df.toDF(prior.schema.fieldNames.map(n =>
+                      endByPhys.getOrElse(prior.metadata.physicalOf(n), n)).toIndexedSeq: _*)
+                    logicalAll.fields.foldLeft(renamed) { (d, f) =>
+                      if (d.columns.contains(f.name)) d
+                      else d.withColumn(f.name, lit(null).cast(f.dataType))
+                    }.withColumn(TypeCol, lit("delete"))
+                  }
+              }
+            inserts.toSeq ++ deletes
           }
         perCommit.map(_
           .withColumn(VersionCol, lit(v))

@@ -383,18 +383,19 @@ object DeltaDml {
       if (p0.minReaderVersion < 3 || !p0.readerFeatures.contains("deletionVectors")) {
         val protoLine = mapper.createObjectNode()
         val p = protoLine.putObject("protocol")
-        p.put("minReaderVersion", 3)
-        p.put("minWriterVersion", 7)
-        // legacy capabilities become explicit features at v3 — an active
-        // column mapping (legacy reader v2) must be listed or other
-        // engines would read physical names as if they were logical
+        // legacy capabilities become explicit features at (3, 7):
+        // withTableFeatures carries every implied one (column mapping,
+        // changeDataFeed, constraints, …) — dropping any would let
+        // spec-conforming foreign writers corrupt the table
         val mapFeat: Set[String] =
           if (latest.metadata.columnMappingMode != "none") Set("columnMapping") else Set.empty
+        val up = p0.withTableFeatures(Set("deletionVectors") ++ mapFeat, Set.empty)
+        p.put("minReaderVersion", up.minReaderVersion)
+        p.put("minWriterVersion", up.minWriterVersion)
         val rf = p.putArray("readerFeatures")
-        (p0.readerFeatures + "deletionVectors" ++ mapFeat).toSeq.sorted.foreach(rf.add)
+        up.readerFeatures.toSeq.sorted.foreach(rf.add)
         val wf = p.putArray("writerFeatures")
-        (p0.writerFeatures ++ Set("appendOnly", "invariants", "deletionVectors") ++ mapFeat)
-          .toSeq.sorted.foreach(wf.add)
+        up.writerFeatures.toSeq.sorted.foreach(wf.add)
         lines += mapper.writeValueAsString(protoLine)
       }
       (emptied.map(_._1) ++ kept.map(_._1)).foreach { f =>

@@ -24,7 +24,33 @@ final case class DeltaProtocol(
     minReaderVersion: Int,
     minWriterVersion: Int,
     readerFeatures: Set[String] = Set.empty,
-    writerFeatures: Set[String] = Set.empty)
+    writerFeatures: Set[String] = Set.empty) {
+
+  /** The capabilities a legacy `minWriterVersion` implies (Delta spec's
+    * version→feature table). An upgrade to table features (3, 7) MUST
+    * carry all of these explicitly — dropping one (e.g. changeDataFeed on
+    * a CDF-enabled table) makes spec-conforming foreign writers commit
+    * without honoring it, silently corrupting the table. */
+  def impliedWriterFeatures: Set[String] = {
+    val v = minWriterVersion
+    writerFeatures ++ Set("appendOnly", "invariants") ++
+      (if (v >= 3) Set("checkConstraints") else Set.empty) ++
+      (if (v >= 4) Set("changeDataFeed", "generatedColumns") else Set.empty) ++
+      (if (v >= 5) Set("columnMapping") else Set.empty) ++
+      (if (v >= 6) Set("identityColumns") else Set.empty)
+  }
+
+  /** Legacy reader capabilities (reader v2 = column mapping). */
+  def impliedReaderFeatures: Set[String] =
+    readerFeatures ++ (if (minReaderVersion >= 2) Set("columnMapping") else Set.empty)
+
+  /** This protocol upgraded to table features (3, 7) with `newReader` /
+    * `newWriter` added and every implied legacy capability preserved. */
+  def withTableFeatures(newReader: Set[String], newWriter: Set[String]): DeltaProtocol =
+    DeltaProtocol(3, 7,
+      impliedReaderFeatures ++ newReader,
+      impliedWriterFeatures ++ newReader ++ newWriter)
+}
 
 final case class DeltaMetadata(
     id: String,
@@ -174,7 +200,11 @@ object DeltaLog {
       case None => timestampAsOf match {
         case Some(ts) =>
           val cutoff = parseTimestampMillis(ts)
-          val eligible = commits.filter(_._2.getModificationTime <= cutoff).map(_._1)
+          // checkpoint-only / partially-cleaned logs: the checkpoint file's
+          // own mtime stands in for the retired commits' timestamps, so a
+          // cutoff after the cleanup boundary still resolves
+          val eligible = commits.filter(_._2.getModificationTime <= cutoff).map(_._1) ++
+            checkpoints.filter(_._2.exists(_.getModificationTime <= cutoff)).map(_._1)
           if (eligible.isEmpty) throw new IllegalArgumentException(
             s"timestampAsOf $ts precedes the earliest commit of $tablePath")
           eligible.max

@@ -185,14 +185,20 @@ object DeltaMerge {
           }
         }: _*)
       DeltaConstraints.validate(insertRows, snap, "MERGE INSERT")
-      val addsAndRows = stageAndReturn(spark, tablePath, snap, insertRows)
-      // a commit with ANY cdc action is read from cdc only — the inserts
-      // must ride along when the matched clause produced change rows
-      val cdcIns: Seq[(String, Long)] =
-        if (!cdfOn || addsAndRows._2 == 0) Nil
-        else DeltaCdf.stageChanges(spark, tablePath, snap,
-          insertRows.withColumn(DeltaCdf.TypeCol, lit("insert")))
-      (addsAndRows, cdcIns)
+      // persisted: the table write and the cdc 'insert' rows must come
+      // from ONE evaluation of the anti-join (re-planning could diverge
+      // on nondeterministic sources, and re-runs the scan regardless)
+      val pinned = insertRows.persist()
+      try {
+        val addsAndRows = stageAndReturn(spark, tablePath, snap, pinned)
+        // a commit with ANY cdc action is read from cdc only — the inserts
+        // must ride along when the matched clause produced change rows
+        val cdcIns: Seq[(String, Long)] =
+          if (!cdfOn || addsAndRows._2 == 0) Nil
+          else DeltaCdf.stageChanges(spark, tablePath, snap,
+            pinned.withColumn(DeltaCdf.TypeCol, lit("insert")))
+        (addsAndRows, cdcIns)
+      } finally pinned.unpersist()
     }
 
     val rowsInserted = insertedOpt.map(_._1._2).getOrElse(0L)

@@ -100,38 +100,53 @@ object DeltaSchema {
       s"cannot rename $oldName: referenced by ${refs.mkString("; ")} " +
         "(drop/re-add those first)")
 
+    // stamp mapping metadata FIRST (physical name = the pre-rename name,
+    // which is what the data files store), THEN rename the logical name
+    val (stamped, newConfig) = withMappingEnabled(snap, schema.fields)
+    val mapped = StructType(stamped.fields.map { f =>
+      if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f
+    })
+    DeltaConstraints.commitMetadata(spark, tablePath,
+      newConfig,
+      newSchemaString = Some(mapped.json),
+      op = "RENAME COLUMN",
+      params = Map("oldName" -> oldName, "newName" -> newName),
+      newProtocol = Some(mappingProtocol(snap.protocol)))
+  }
+
+  /** Shared column-mapping enablement: every field without mapping
+    * metadata gets an id and a physical name equal to its CURRENT name
+    * (the on-disk name today) — callers must therefore stamp BEFORE
+    * applying any logical rename. Returns the stamped schema +
+    * configuration with `mode=name` and the advanced max column id. */
+  private def withMappingEnabled(
+      snap: DeltaSnapshot, fields: Array[StructField]): (StructType, Map[String, String]) = {
     var nextId = snap.metadata.configuration
       .get(DeltaMetadata.MaxColumnIdKey).map(_.toLong).getOrElse(0L)
-    val mapped = StructType(schema.fields.map { f =>
+    val stamped = StructType(fields.map { f =>
       val mb = new MetadataBuilder().withMetadata(f.metadata)
       if (!f.metadata.contains(DeltaMetadata.ColumnIdKey)) {
         nextId += 1
         mb.putLong(DeltaMetadata.ColumnIdKey, nextId)
       }
       if (!f.metadata.contains(DeltaMetadata.PhysicalNameKey))
-        mb.putString(DeltaMetadata.PhysicalNameKey, f.name) // on-disk name today
-      val logical = if (f.name.equalsIgnoreCase(oldName)) newName else f.name
-      f.copy(name = logical, metadata = mb.build())
+        mb.putString(DeltaMetadata.PhysicalNameKey, f.name)
+      f.copy(metadata = mb.build())
     })
-    val newConfig = snap.metadata.configuration ++ Map(
+    (stamped, snap.metadata.configuration ++ Map(
       DeltaMetadata.ModeKey -> "name",
-      DeltaMetadata.MaxColumnIdKey -> nextId.toString)
-    // protocol: legacy reader v1 tables upgrade to (2, 5); table-features
-    // tables (v3, e.g. after a DV delete) add the columnMapping feature
-    val newProtocol = snap.protocol match {
-      case p if p.minReaderVersion >= 3 => p.copy(
-        readerFeatures = p.readerFeatures + "columnMapping",
-        writerFeatures = p.writerFeatures + "columnMapping")
-      case p if p.minReaderVersion < 2 =>
-        DeltaProtocol(2, math.max(p.minWriterVersion, 5))
-      case p => p
-    }
-    DeltaConstraints.commitMetadata(spark, tablePath,
-      newConfig,
-      newSchemaString = Some(mapped.json),
-      op = "RENAME COLUMN",
-      params = Map("oldName" -> oldName, "newName" -> newName),
-      newProtocol = Some(newProtocol))
+      DeltaMetadata.MaxColumnIdKey -> nextId.toString))
+  }
+
+  /** Column-mapping protocol upgrade: legacy reader v1 → (2, 5);
+    * table-features protocols list the columnMapping feature. */
+  private def mappingProtocol(p: DeltaProtocol): DeltaProtocol = p match {
+    case p if p.minReaderVersion >= 3 => p.copy(
+      readerFeatures = p.readerFeatures + "columnMapping",
+      writerFeatures = p.writerFeatures + "columnMapping")
+    case p if p.minReaderVersion < 2 =>
+      DeltaProtocol(2, math.max(p.minWriterVersion, 5))
+    case p => p
   }
 
   /** `ALTER TABLE … DROP COLUMN name` — metadata-only, like [[renameColumn]]:
@@ -167,36 +182,14 @@ object DeltaSchema {
 
     // enable mapping over the REMAINING fields (identity physical names
     // for fields that never had one — their on-disk name today)
-    var nextId = snap.metadata.configuration
-      .get(DeltaMetadata.MaxColumnIdKey).map(_.toLong).getOrElse(0L)
-    val remaining = StructType(
-      schema.fields.filterNot(_.name.equalsIgnoreCase(name)).map { f =>
-        val mb = new MetadataBuilder().withMetadata(f.metadata)
-        if (!f.metadata.contains(DeltaMetadata.ColumnIdKey)) {
-          nextId += 1
-          mb.putLong(DeltaMetadata.ColumnIdKey, nextId)
-        }
-        if (!f.metadata.contains(DeltaMetadata.PhysicalNameKey))
-          mb.putString(DeltaMetadata.PhysicalNameKey, f.name)
-        f.copy(metadata = mb.build())
-      })
-    val newConfig = snap.metadata.configuration ++ Map(
-      DeltaMetadata.ModeKey -> "name",
-      DeltaMetadata.MaxColumnIdKey -> nextId.toString)
-    val newProtocol = snap.protocol match {
-      case p if p.minReaderVersion >= 3 => p.copy(
-        readerFeatures = p.readerFeatures + "columnMapping",
-        writerFeatures = p.writerFeatures + "columnMapping")
-      case p if p.minReaderVersion < 2 =>
-        DeltaProtocol(2, math.max(p.minWriterVersion, 5))
-      case p => p
-    }
+    val (remaining, newConfig) = withMappingEnabled(snap,
+      schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
     DeltaConstraints.commitMetadata(spark, tablePath,
       newConfig,
       newSchemaString = Some(remaining.json),
       op = "DROP COLUMN",
       params = Map("column" -> name),
-      newProtocol = Some(newProtocol))
+      newProtocol = Some(mappingProtocol(snap.protocol)))
   }
 
   /** `ALTER TABLE … ALTER COLUMN c TYPE t` — type WIDENING (the Delta
@@ -227,17 +220,16 @@ object DeltaSchema {
     val widened = StructType(snap.schema.fields.map { f =>
       if (f.name.equalsIgnoreCase(colName)) f.copy(dataType = newType) else f
     })
-    // typeWidening is a READER feature: consumers must upcast narrow files
+    // typeWidening is a READER feature: consumers must upcast narrow
+    // files. withTableFeatures preserves every implied legacy capability
+    // (CDF, constraints, mapping, …) across the upgrade.
+    val mapFeat: Set[String] =
+      if (snap.metadata.columnMappingMode != "none") Set("columnMapping") else Set.empty
     val newProtocol = snap.protocol match {
       case p if p.minReaderVersion >= 3 => p.copy(
         readerFeatures = p.readerFeatures + "typeWidening",
         writerFeatures = p.writerFeatures + "typeWidening")
-      case p =>
-        val legacy: Set[String] =
-          if (snap.metadata.columnMappingMode != "none") Set("columnMapping") else Set.empty
-        DeltaProtocol(3, 7,
-          legacy + "typeWidening",
-          legacy ++ Set("typeWidening", "appendOnly", "invariants"))
+      case p => p.withTableFeatures(Set("typeWidening") ++ mapFeat, Set.empty)
     }
     DeltaConstraints.commitMetadata(spark, tablePath,
       snap.metadata.configuration,
@@ -253,15 +245,33 @@ object DeltaSchema {
     require(!props.keys.exists(_.startsWith(DeltaConstraints.ConfPrefix)),
       s"use ADD CONSTRAINT for ${DeltaConstraints.ConfPrefix}* keys")
     val snap = DeltaLog.snapshot(spark, tablePath)
-    // enabling change data feed is a writer capability: legacy protocols
-    // bump to writer v4, table-features protocols list the feature
-    val newProtocol =
-      if (!props.get(DeltaCdf.EnableKey).exists(_.trim.equalsIgnoreCase("true"))) None
+    // protocol side effects of specific properties:
+    //  - change data feed is a writer capability (legacy → writer v4;
+    //    table features → list changeDataFeed);
+    //  - v2 checkpoint policy is a READER capability — the v2Checkpoint
+    //    feature must be on the protocol BEFORE any v2 checkpoint is
+    //    written, or legacy readers replay a cleaned log from nothing
+    val cdfOn = props.get(DeltaCdf.EnableKey).exists(_.trim.equalsIgnoreCase("true"))
+    val v2CpOn = props.get("delta.checkpointPolicy").exists(_.trim.equalsIgnoreCase("v2"))
+    val afterCdf: Option[DeltaProtocol] =
+      if (!cdfOn) None
       else snap.protocol match {
         case p if p.minWriterVersion >= 7 =>
           Some(p.copy(writerFeatures = p.writerFeatures + "changeDataFeed"))
         case p if p.minWriterVersion < 4 => Some(p.copy(minWriterVersion = 4))
         case _ => None
+      }
+    val newProtocol: Option[DeltaProtocol] =
+      if (!v2CpOn) afterCdf
+      else {
+        val base = afterCdf.getOrElse(snap.protocol)
+        val mapFeat: Set[String] =
+          if (snap.metadata.columnMappingMode != "none") Set("columnMapping") else Set.empty
+        if (base.minReaderVersion >= 3)
+          Some(base.copy(
+            readerFeatures = base.readerFeatures + "v2Checkpoint",
+            writerFeatures = base.writerFeatures + "v2Checkpoint"))
+        else Some(base.withTableFeatures(Set("v2Checkpoint") ++ mapFeat, Set.empty))
       }
     DeltaConstraints.commitMetadata(spark, tablePath,
       snap.metadata.configuration ++ props,

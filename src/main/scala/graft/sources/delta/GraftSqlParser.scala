@@ -111,6 +111,31 @@ private[graft] object GraftSqlCommands {
   private val TimeTravel = re(
     """delta\s*\.\s*`([^`]+)`\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']*)'|(\d+))""")
 
+  /** Is `pos` inside a single-quoted string literal of `s`? (Backslash
+    * escapes do not close the literal — same convention as [[splitTop]].)
+    * Guards the regex rewrites: a pattern occurring INSIDE a literal is
+    * data, not a table reference, and must be left untouched. */
+  private[graft] def inStringLiteral(s: String, pos: Int): Boolean = {
+    var inStr = false
+    var i = 0
+    while (i < pos) {
+      s.charAt(i) match {
+        case '\\' if inStr => i += 1
+        case '\'' => inStr = !inStr
+        case _ =>
+      }
+      i += 1
+    }
+    inStr
+  }
+
+  /** Deterministic, collision-proof temp-view name for a rewrite key: the
+    * sanitized key keeps distinct keys distinct except where sanitization
+    * itself collides, which the appended hash disambiguates. */
+  private def viewName(prefix: String, key: String): String =
+    prefix + key.replaceAll("[^a-zA-Z0-9]", "_").takeRight(80) +
+      "_" + java.lang.Integer.toHexString(key.hashCode)
+
   /** Replace every time-traveled `delta.`path`` reference with a temp view
     * over the corresponding snapshot read. No-op (returns `sql` as-is)
     * when the pattern is absent — the common path costs one regex probe. */
@@ -120,20 +145,23 @@ private[graft] object GraftSqlCommands {
     m.reset()
     val sb = new StringBuffer
     while (m.find()) {
-      val path = m.group(1)
-      val kind = m.group(2).toUpperCase(java.util.Locale.ROOT)
-      val value = Option(m.group(3)).getOrElse(m.group(4))
-      require(kind == "VERSION" || m.group(3) != null,
-        s"TIMESTAMP AS OF requires a quoted timestamp literal (got $value)")
-      val reader = spark.read.format("delta")
-      val df = (if (kind == "VERSION") reader.option("versionAsOf", value)
-                else reader.option("timestampAsOf", value)).load(path)
-      // deterministic per (path, kind, value): the same travel in one query
-      // (self-join of two versions) reuses one view; distinct travels differ
-      val view = "graft_time_travel_" +
-        java.lang.Integer.toHexString(s"$path#$kind#$value".hashCode)
-      df.createOrReplaceTempView(view)
-      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(view))
+      if (inStringLiteral(sql, m.start())) {
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(m.group(0)))
+      } else {
+        val path = m.group(1)
+        val kind = m.group(2).toUpperCase(java.util.Locale.ROOT)
+        val value = Option(m.group(3)).getOrElse(m.group(4))
+        require(kind == "VERSION" || m.group(3) != null,
+          s"TIMESTAMP AS OF requires a quoted timestamp literal (got $value)")
+        val reader = spark.read.format("delta")
+        val df = (if (kind == "VERSION") reader.option("versionAsOf", value)
+                  else reader.option("timestampAsOf", value)).load(path)
+        // deterministic per (path, kind, value): the same travel in one
+        // query (self-join of two versions) reuses one view
+        val view = viewName("graft_time_travel_", s"$path#$kind#$value")
+        df.createOrReplaceTempView(view)
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(view))
+      }
     }
     m.appendTail(sb)
     sb.toString
@@ -152,15 +180,18 @@ private[graft] object GraftSqlCommands {
     m.reset()
     val sb = new StringBuffer
     while (m.find()) {
-      val path = m.group(1)
-      val from = m.group(2).toLong
-      val to = Option(m.group(3)).map(_.toLong)
-        .getOrElse(DeltaLog.snapshot(spark, path).version)
-      val df = DeltaCdf.read(spark, path, from - 1, to)
-      val view = "graft_table_changes_" +
-        java.lang.Integer.toHexString(s"$path#$from#$to".hashCode)
-      df.createOrReplaceTempView(view)
-      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(view))
+      if (inStringLiteral(sql, m.start())) {
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(m.group(0)))
+      } else {
+        val path = m.group(1)
+        val from = m.group(2).toLong
+        val to = Option(m.group(3)).map(_.toLong)
+          .getOrElse(DeltaLog.snapshot(spark, path).version)
+        val df = DeltaCdf.read(spark, path, from - 1, to)
+        val view = viewName("graft_table_changes_", s"$path#$from#$to")
+        df.createOrReplaceTempView(view)
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(view))
+      }
     }
     m.appendTail(sb)
     sb.toString

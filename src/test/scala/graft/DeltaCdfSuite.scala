@@ -136,6 +136,41 @@ class DeltaCdfSuite extends AnyFunSuite {
     assert(post.length === 1 && post.head.getAs[Double]("points") === 10.0)
   }
 
+  test("derived deletes from an overwrite of a DV-carrying file exclude the DV'd rows") {
+    val dir = Files.createTempDirectory("graft-cdf-dv-ow").toString
+    // ONE file so the DV and the overwrite touch the same file
+    spark.range(0, 10).select(col("id"), (col("id") * 1.0).as("score"))
+      .repartition(1).write.format("delta").save(dir) // v0
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')") // v1
+    DeltaDml.deleteWithDv(spark, dir, "id >= 7") // v2: cdc delete of 7,8,9 + DV
+    DeltaWriter.write(Seq((100L, 0.0)).toDF("id", "score"),
+      dir, SaveMode.Overwrite, Nil) // v3: removes the DV'd file (no cdc)
+    val v = DeltaLog.snapshot(spark, dir).version
+    val ch = cdf(dir, 1, v)
+    // v2 deleted 7,8,9 (cdc); v3's derived delete must cover ONLY the 7
+    // rows still live — not resurrect 7,8,9 as phantom deletes
+    assert(ch.filter("_change_type = 'delete' AND _commit_version = 2").count() === 3)
+    assert(ch.filter("_change_type = 'delete' AND _commit_version = " + v).count() === 7)
+    assert(ch.filter("_change_type = 'delete' AND _commit_version = " + v +
+      " AND id >= 7 AND id < 100").count() === 0, "DV'd rows must not re-delete")
+    assert(ch.filter("_change_type = 'insert' AND id = 100").count() === 1)
+  }
+
+  test("protocol upgrades preserve implied legacy features (CDF survives a DV delete)") {
+    val dir = fresh() // CDF enabled → legacy writer v4
+    assert(DeltaLog.snapshot(spark, dir).protocol.minWriterVersion === 4)
+    DeltaDml.deleteWithDv(spark, dir, "id < 2") // upgrades to (3, 7)
+    val p = DeltaLog.snapshot(spark, dir).protocol
+    assert(p.minReaderVersion === 3 && p.minWriterVersion === 7)
+    assert(p.writerFeatures.contains("changeDataFeed"),
+      s"changeDataFeed dropped in upgrade: ${p.writerFeatures}")
+    assert(p.writerFeatures.contains("deletionVectors"))
+    // and the feed still works after the upgrade
+    DeltaDml.update(spark, dir, "id = 10", Map("score" -> "score + 1"))
+    val v = DeltaLog.snapshot(spark, dir).version
+    assert(cdf(dir, v - 1, v).filter("_change_type = 'update_postimage'").count() === 1)
+  }
+
   test("not-enabled read and pre-CDF DV commits fail loudly") {
     val dir = Files.createTempDirectory("graft-cdf-off").toString
     DeltaWriter.write((0 until 10).map(i => (i, i * 1.0)).toDF("id", "score"),

@@ -166,10 +166,19 @@ class DeltaCheckpointSuite extends AnyFunSuite {
     assert(cpFiles.length === 1)
     assert(cpFiles.head.matches("""0{16}0010\.checkpoint\.[0-9a-f-]+\.parquet"""),
       s"expected UUID-named v2 checkpoint, got ${cpFiles.head}")
+    // the policy enable must have put v2Checkpoint on the protocol BEFORE
+    // the first v2 checkpoint was written
+    val p = DeltaLog.snapshot(spark, dir).protocol
+    assert(p.readerFeatures.contains("v2Checkpoint"),
+      s"v2Checkpoint feature missing: ${p.readerFeatures}")
     // replay from the writer-produced v2 checkpoint alone
     deleteJsonsThrough(dir, 10)
     assert(DeltaLog.snapshot(spark, dir).version === 10)
     assert(DeltaTable.read(spark, dir).count() === 19)
+    // timestamp travel on the cleaned log: the checkpoint's mtime stands
+    // in for the retired commits — a post-cleanup cutoff still resolves
+    val snapTs = DeltaLog.snapshot(spark, dir, timestampAsOf = Some("2099-01-01 00:00:00"))
+    assert(snapTs.version === 10)
   }
 
   test("a foreign table listing the v2Checkpoint/timestampNtz reader features is accepted") {

@@ -198,6 +198,15 @@ class GraftSqlSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).count() === 2)
   }
 
+  test("a time-travel pattern inside a string literal is left untouched") {
+    val dir = freshTable()
+    spark.sql(
+      s"UPDATE delta.`$dir` SET name = 'see delta.`/x` VERSION AS OF 3' WHERE id = 1")
+    val got = DeltaTable.read(spark, dir).filter("id = 1").collect().head
+    assert(got.getAs[String]("name") === "see delta.`/x` VERSION AS OF 3",
+      "a travel pattern inside a literal must not be rewritten")
+  }
+
   test("UPDATE with ' WHERE ' inside a string literal does not split at the literal") {
     val dir = freshTable()
     spark.sql(s"UPDATE delta.`$dir` SET name = 'fix WHERE needed' WHERE id = 2")
