@@ -45,6 +45,20 @@ object DeltaWriter {
 
   val GenerationExpressionKey = "delta.generationExpression"
 
+  // Identity columns (GENERATED ALWAYS AS IDENTITY — the protocol's
+  // identityColumns capability, legacy writer v6): declaration + high
+  // water mark live in field metadata, exactly where production puts them.
+  val IdentityStartKey = "delta.identity.start"
+  val IdentityStepKey = "delta.identity.step"
+  val IdentityHwmKey = "delta.identity.highWaterMark"
+
+  private[delta] def identityFieldsOf(schema: StructType): Seq[StructField] =
+    schema.fields.filter(_.metadata.contains(IdentityStartKey)).toSeq
+
+  private def identityHwm(f: StructField): Long =
+    if (f.metadata.contains(IdentityHwmKey)) f.metadata.getLong(IdentityHwmKey)
+    else f.metadata.getLong(IdentityStartKey) - f.metadata.getLong(IdentityStepKey)
+
   /** Generation expressions declared in a schema's field metadata —
     * exactly where the Delta protocol's generated-columns feature puts
     * them. */
@@ -54,6 +68,10 @@ object DeltaWriter {
         f.name -> f.metadata.getString(GenerationExpressionKey)
     }.toMap
 
+  /** @param identityColumns creation-time identity declarations
+    *        (column → (start, step)); GENERATED ALWAYS — later writes must
+    *        OMIT the column and get values assigned (existing tables
+    *        declare via their schema metadata, not this parameter) */
   def write(
       data: DataFrame,
       tablePath: String,
@@ -61,7 +79,8 @@ object DeltaWriter {
       partitionByOpt: Seq[String],
       mergeSchema: Boolean = false,
       optimizeWrite: Boolean = false,
-      generatedColumns: Map[String, String] = Map.empty): Unit = {
+      generatedColumns: Map[String, String] = Map.empty,
+      identityColumns: Map[String, (Long, Long)] = Map.empty): Unit = {
     val spark = data.sparkSession
     val exists = try DeltaLog.isDeltaTable(spark, tablePath) catch { case _: Exception => false }
 
@@ -123,13 +142,34 @@ object DeltaWriter {
       case None => partitionByOpt
     }
 
+    // Identity declarations resolve BEFORE the schema-drift check: an
+    // identity column is expected absent from the write, and providing one
+    // must fail as GENERATED ALWAYS, not as drift.
+    require(existing.isEmpty || identityColumns.isEmpty,
+      "identityColumns may only be declared at table creation")
+    val identityFields: Seq[StructField] = existing match {
+      case Some(snap) => identityFieldsOf(snap.schema)
+      case None => identityColumns.toSeq.map { case (c, (st, sp)) =>
+        require(sp != 0, s"identity step of $c must be non-zero")
+        StructField(c, LongType, nullable = false,
+          metadata = new MetadataBuilder()
+            .putLong(IdentityStartKey, st).putLong(IdentityStepKey, sp).build())
+      }
+    }
+    val providedIdentity = identityFields.map(_.name).filter(data1.columns.contains)
+    require(providedIdentity.isEmpty,
+      s"identity column(s) ${providedIdentity.mkString(",")} are GENERATED " +
+        "ALWAYS — remove them from the write")
+
     // Schema evolution (writer v2 metadata update): with mergeSchema, a
     // write whose columns are a SUPERSET of the table's appends the new
     // columns (nullable) to the log schema — existing files simply read
     // NULL for them (the parquet reader fills missing columns). Anything
     // else stays a hard error: silent drift is how data lakes rot.
     val evolvedSchema: Option[StructType] = existing.flatMap { snap =>
-      val want = snap.schema.fieldNames.toSet
+      // identity columns are expected to be ABSENT from the write (they
+      // are assigned below) — not a schema mismatch
+      val want = snap.schema.fieldNames.toSet -- identityFieldsOf(snap.schema).map(_.name)
       val have = data1.schema.fieldNames.toSet
       if (want == have) None
       else if (mergeSchema && (want -- have).isEmpty) {
@@ -145,8 +185,40 @@ object DeltaWriter {
             " (set mergeSchema=true to add the new columns)" else ""))
     }
 
+    // ---- identity columns: assign values for writes that (correctly)
+    // omit them. Scale posture: ONE zipWithIndex pass over the incoming
+    // rows (contiguous ids hwm+step, hwm+2·step, …), persisted so the
+    // count for the new high water mark reuses the same materialization.
+    // hwm the assignment is based on — the commit loop verifies it is
+    // still current at commit time (a concurrent identity write would
+    // otherwise hand out duplicate ids)
+    val assignedFromHwm: Map[String, Long] =
+      identityFields.map(f => f.name -> identityHwm(f)).toMap
+    var identityNewHwm: Map[String, Long] = Map.empty
+    var identityPinned: Option[DataFrame] = None
+    val data1i: DataFrame =
+      if (identityFields.isEmpty) data1
+      else {
+        val indexed = spark.createDataFrame(
+          data1.rdd.zipWithIndex().map { case (row, i) =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i) },
+          data1.schema.add("_graft_idx", LongType)).persist()
+        identityPinned = Some(indexed)
+        val n = indexed.count()
+        identityNewHwm = identityFields.map { f =>
+          val step = f.metadata.getLong(IdentityStepKey)
+          f.name -> (assignedFromHwm(f.name) + step * n)
+        }.toMap
+        identityFields.foldLeft(indexed) { (df, f) =>
+          val step = f.metadata.getLong(IdentityStepKey)
+          df.withColumn(f.name,
+            lit(assignedFromHwm(f.name) + step) + col("_graft_idx") * lit(step))
+        }.drop("_graft_idx")
+      }
+
     // CHECK constraints of the existing table apply to every incoming row
-    existing.foreach(snap => DeltaConstraints.validate(data1, snap, "WRITE"))
+    // (validated AFTER identity assignment — constraints may reference it)
+    existing.foreach(snap => DeltaConstraints.validate(data1i, snap, "WRITE"))
 
     // ---- 1. write data files to a staging dir (distributed parquet write).
     // optimizeWrite: one shuffle by the partition columns so each hive
@@ -156,7 +228,7 @@ object DeltaWriter {
     // hive dirs, stats keys); everything above this point stays logical.
     val meta = existing.map(_.metadata)
     val physOf: String => String = n => meta.map(_.physicalOf(n)).getOrElse(n)
-    val data2 = meta.map(m => physicalized(data1, m)).getOrElse(data1)
+    val data2 = meta.map(m => physicalized(data1i, m)).getOrElse(data1i)
     val physPartitionCols = partitionCols.map(physOf)
     val toWrite =
       if (optimizeWrite && physPartitionCols.nonEmpty)
@@ -188,6 +260,7 @@ object DeltaWriter {
       (rel, partitionValuesOf(rel, physPartitionCols), st.getLen, st.getModificationTime, stats)
     }
     fs.delete(stagingDir, true)
+    identityPinned.foreach(_.unpersist())
 
     // ---- 4. commit (retry on concurrent-writer version conflict)
     var attempt = 0
@@ -196,6 +269,17 @@ object DeltaWriter {
       val current: Option[DeltaSnapshot] =
         if (DeltaLog.isDeltaTable(spark, tablePath)) Some(DeltaLog.snapshot(spark, tablePath)) else None
       val version = current.map(_.version + 1).getOrElse(0L)
+      // identity safety: the ids were assigned from `assignedFromHwm`; a
+      // concurrent identity write that advanced the hwm since would make
+      // this commit hand out DUPLICATE ids — abort instead of retrying
+      current.foreach { cur =>
+        identityFieldsOf(cur.schema).foreach { f =>
+          if (assignedFromHwm.get(f.name).exists(_ != identityHwm(f)))
+            throw new java.util.ConcurrentModificationException(
+              s"identity column ${f.name} advanced concurrently " +
+                s"(${assignedFromHwm(f.name)} -> ${identityHwm(f)}); rerun the write")
+        }
+      }
       val lines = Seq.newBuilder[String]
 
       val commitInfo = mapper.createObjectNode()
@@ -223,17 +307,35 @@ object DeltaWriter {
         mapper.writeValueAsString(node)
       }
 
+      // identity hwm stamped into the schema a metaData emission carries
+      def withIdentityHwm(schema: StructType): StructType =
+        if (identityNewHwm.isEmpty) schema
+        else StructType(schema.fields.map { f =>
+          identityNewHwm.get(f.name) match {
+            case Some(hwm) =>
+              val decl = identityFields.find(_.name == f.name).get
+              f.copy(nullable = false, metadata = new MetadataBuilder()
+                .withMetadata(decl.metadata).putLong(IdentityHwmKey, hwm).build())
+            case None => f
+          }
+        })
+
       if (version == 0L) {
         val protoLine = mapper.createObjectNode()
         val p = protoLine.putObject("protocol")
         p.put("minReaderVersion", 1)
-        p.put("minWriterVersion", 2)
+        // identity columns are legacy writer v6 — older writers would
+        // append without maintaining the high water mark
+        p.put("minWriterVersion", if (identityFields.nonEmpty) 6 else 2)
         lines += mapper.writeValueAsString(protoLine)
-        lines += metaLine(UUID.randomUUID().toString, withGenMetadata(data1.schema, genExprs).json)
-      } else evolvedSchema.foreach { evolved =>
-        // re-emit metaData with the SAME table id — replay is
-        // last-metaData-wins, so this version onward reads the new schema
-        lines += metaLine(current.get.metadata.id, evolved.json)
+        lines += metaLine(UUID.randomUUID().toString,
+          withIdentityHwm(withGenMetadata(data1i.schema, genExprs)).json)
+      } else {
+        // metaData re-emission (same table id — replay is
+        // last-metaData-wins): schema evolution and/or identity hwm advance
+        val base = evolvedSchema.getOrElse(current.get.metadata.schema)
+        if (evolvedSchema.isDefined || identityNewHwm.nonEmpty)
+          lines += metaLine(current.get.metadata.id, withIdentityHwm(base).json)
       }
 
       if (mode == SaveMode.Overwrite) {
