@@ -327,7 +327,37 @@ object DeltaQueries {
       .orderBy(col("grp"))
   }
 
+  /** Identity columns in the gate: two appends into a table with a
+    * GENERATED ALWAYS identity column (start 1000, step 10). WHICH row got
+    * WHICH id depends on partition order, but the assigned id SET is a
+    * deterministic arithmetic series over the row count — so count/min/
+    * max/sum of the ids (plus a data aggregate proving the rows landed)
+    * are oracle-checkable. A writer that duplicates, skips, or restarts
+    * ids across commits mismatches. */
+  private def dl16IdentityColumns(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 2 === 0), path,
+      SaveMode.Append, Nil, identityColumns = Map("rid" -> (1000L, 10L)))
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 2 === 1), path,
+      SaveMode.Append, Nil)
+    DeltaTable.read(s, path)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("rid")).as("rid_min"),
+        max(col("rid")).as("rid_max"),
+        sum(col("rid")).as("rid_sum"),
+        sum(col("s_suppkey")).as("key_sum"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl16_identity_columns" -> """
+      SELECT count(*) AS n,
+             CAST(1000 AS BIGINT) AS rid_min,
+             CAST(1000 + 10 * (count(*) - 1) AS BIGINT) AS rid_max,
+             CAST(count(*) * 1000 + 10 * (count(*) * (count(*) - 1) / 2) AS BIGINT) AS rid_sum,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+      FROM supplier""",
     "dl15_type_widening" -> """
       SELECT CAST(s_nationkey % 5 AS INT) AS grp,
              count(*) AS n,
@@ -456,5 +486,6 @@ object DeltaQueries {
     "dl12_sql_time_travel" -> dl12SqlTimeTravel,
     "dl13_drop_column" -> dl13DropColumn,
     "dl14_change_data_feed" -> dl14Cdf,
-    "dl15_type_widening" -> dl15TypeWidening)
+    "dl15_type_widening" -> dl15TypeWidening,
+    "dl16_identity_columns" -> dl16IdentityColumns)
 }
