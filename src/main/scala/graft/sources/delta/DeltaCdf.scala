@@ -200,32 +200,41 @@ object DeltaCdf {
             }
             // removed files may CARRY deletion vectors (e.g. an overwrite
             // of a file a DV delete touched earlier): the derived delete
-            // rows are the rows LIVE at removal, so the read must go
-            // through the DV-filtering provider scan, never raw parquet —
-            // the prior version's add entries supply each file's DV
+            // rows are the rows LIVE at removal, so such reads must go
+            // through the DV-filtering provider scan, never raw parquet.
+            // A table whose protocol never enabled deletionVectors cannot
+            // have DV'd files — it keeps the direct read (no per-commit
+            // prior-snapshot replay).
             val removes = removeFiles.result()
+            val dvPossible = endSnap.protocol.minReaderVersion >= 3 &&
+              endSnap.protocol.readerFeatures.contains("deletionVectors")
             val deletes: Seq[DataFrame] =
               if (removes.isEmpty) Nil
-              else {
+              else if (!dvPossible) {
+                removes.groupBy(_._2).map { case (pv, fsg) =>
+                  readFiles(fsg.map(f => abs(f._1)), pv,
+                    withEmbeddedParts = false, withType = false)
+                    .withColumn(TypeCol, lit("delete"))
+                }.toSeq
+              } else {
                 val prior = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(v - 1))
                 val removedPaths = removes.map(_._1).toSet
+                // paths absent from the prior snapshot are idempotent
+                // tombstones (spec-legal) — nothing was live, nothing to serve
                 val removedAdds = prior.files.filter(f => removedPaths.contains(f.path))
-                // a removed path absent from the prior snapshot cannot be
-                // served (already removed / unknown) — fail loudly rather
-                // than under-report deletes
-                if (removedAdds.size != removedPaths.size)
-                  throw new IllegalStateException(
-                    s"$tablePath version $v removes ${removedPaths.size} file(s) " +
-                      s"but only ${removedAdds.size} were live at ${v - 1}")
-                // surface END-version logical names (physical names are
-                // rename-stable); columns added after v NULL-fill
+                // surface END-version logical names BY NAME (the provider
+                // scan emits data columns first, partition columns last —
+                // positional renames would mislabel partitioned tables);
+                // physical names are rename-stable across the range, and
+                // columns added after v NULL-fill
                 val endByPhys = logicalAll.fieldNames
                   .map(n => meta.physicalOf(n) -> n).toMap
                 DeltaMaintenance.partitionInjected(spark, tablePath,
                     prior.copy(files = removedAdds), removedAdds)
                   .map { df =>
-                    val renamed = df.toDF(prior.schema.fieldNames.map(n =>
-                      endByPhys.getOrElse(prior.metadata.physicalOf(n), n)).toIndexedSeq: _*)
+                    val renamed = df.select(df.columns.map(n =>
+                      col(n).as(endByPhys.getOrElse(prior.metadata.physicalOf(n), n))
+                    ).toIndexedSeq: _*)
                     logicalAll.fields.foldLeft(renamed) { (d, f) =>
                       if (d.columns.contains(f.name)) d
                       else d.withColumn(f.name, lit(null).cast(f.dataType))

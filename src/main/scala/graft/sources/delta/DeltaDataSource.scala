@@ -115,7 +115,12 @@ class DeltaDataSource extends RelationProvider
     new DeltaStreamingSource(sqlContext, path, s,
       caseGet(parameters, "ignoreDataChangeRemoves").exists(_.toBoolean),
       changeFeed = cdfRequested(parameters),
-      startingVersion = caseGet(parameters, "startingVersion").map(_.trim.toLong))
+      startingVersion = caseGet(parameters, "startingVersion").map { v =>
+        // "latest" (production surface): only commits AFTER stream start
+        if (v.trim.equalsIgnoreCase("latest"))
+          DeltaLog.snapshot(sqlContext.sparkSession, path).version + 1
+        else v.trim.toLong
+      })
   }
 
   private def pathOf(parameters: Map[String, String]): String =

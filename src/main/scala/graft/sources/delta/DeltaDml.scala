@@ -383,13 +383,12 @@ object DeltaDml {
       if (p0.minReaderVersion < 3 || !p0.readerFeatures.contains("deletionVectors")) {
         val protoLine = mapper.createObjectNode()
         val p = protoLine.putObject("protocol")
-        // legacy capabilities become explicit features at (3, 7):
-        // withTableFeatures carries every implied one (column mapping,
-        // changeDataFeed, constraints, …) — dropping any would let
+        // legacy capabilities become explicit features at (3, 7) — the
+        // upgrade carries every implied one (column mapping,
+        // changeDataFeed, constraints, …); dropping any would let
         // spec-conforming foreign writers corrupt the table
-        val mapFeat: Set[String] =
-          if (latest.metadata.columnMappingMode != "none") Set("columnMapping") else Set.empty
-        val up = p0.withTableFeatures(Set("deletionVectors") ++ mapFeat, Set.empty)
+        val up = p0.withReaderWriterFeature("deletionVectors",
+          mappingActive = latest.metadata.columnMappingMode != "none")
         p.put("minReaderVersion", up.minReaderVersion)
         p.put("minWriterVersion", up.minWriterVersion)
         val rf = p.putArray("readerFeatures")

@@ -26,23 +26,30 @@ final case class DeltaProtocol(
     readerFeatures: Set[String] = Set.empty,
     writerFeatures: Set[String] = Set.empty) {
 
-  /** The capabilities a legacy `minWriterVersion` implies (Delta spec's
+  /** The capabilities a LEGACY `minWriterVersion` implies (Delta spec's
     * version→feature table). An upgrade to table features (3, 7) MUST
     * carry all of these explicitly — dropping one (e.g. changeDataFeed on
     * a CDF-enabled table) makes spec-conforming foreign writers commit
-    * without honoring it, silently corrupting the table. */
-  def impliedWriterFeatures: Set[String] = {
-    val v = minWriterVersion
-    writerFeatures ++ Set("appendOnly", "invariants") ++
-      (if (v >= 3) Set("checkConstraints") else Set.empty) ++
-      (if (v >= 4) Set("changeDataFeed", "generatedColumns") else Set.empty) ++
-      (if (v >= 5) Set("columnMapping") else Set.empty) ++
-      (if (v >= 6) Set("identityColumns") else Set.empty)
-  }
+    * without honoring it, silently corrupting the table. A protocol
+    * ALREADY at table features implies nothing beyond its explicit list
+    * (version 7 is not "everything" — treating it so would pollute the
+    * table with features it never had). */
+  def impliedWriterFeatures: Set[String] =
+    if (minWriterVersion >= 7) writerFeatures
+    else {
+      val v = minWriterVersion
+      writerFeatures ++ Set("appendOnly", "invariants") ++
+        (if (v >= 3) Set("checkConstraints") else Set.empty) ++
+        (if (v >= 4) Set("changeDataFeed", "generatedColumns") else Set.empty) ++
+        (if (v >= 5) Set("columnMapping") else Set.empty) ++
+        (if (v >= 6) Set("identityColumns") else Set.empty)
+    }
 
-  /** Legacy reader capabilities (reader v2 = column mapping). */
+  /** Legacy reader capabilities (reader v2 = column mapping; v3 implies
+    * only its explicit feature list). */
   def impliedReaderFeatures: Set[String] =
-    readerFeatures ++ (if (minReaderVersion >= 2) Set("columnMapping") else Set.empty)
+    if (minReaderVersion >= 3) readerFeatures
+    else readerFeatures ++ (if (minReaderVersion == 2) Set("columnMapping") else Set.empty)
 
   /** This protocol upgraded to table features (3, 7) with `newReader` /
     * `newWriter` added and every implied legacy capability preserved. */
@@ -50,6 +57,17 @@ final case class DeltaProtocol(
     DeltaProtocol(3, 7,
       impliedReaderFeatures ++ newReader,
       impliedWriterFeatures ++ newReader ++ newWriter)
+
+  /** Add `feature` as a reader+writer capability: table-features protocols
+    * list it; legacy protocols upgrade via [[withTableFeatures]]
+    * (`mappingActive` carries an active legacy column mapping along). */
+  def withReaderWriterFeature(feature: String, mappingActive: Boolean): DeltaProtocol =
+    if (minReaderVersion >= 3)
+      copy(readerFeatures = readerFeatures + feature,
+        writerFeatures = writerFeatures + feature)
+    else withTableFeatures(
+      Set(feature) ++ (if (mappingActive) Set("columnMapping") else Set.empty),
+      Set.empty)
 }
 
 final case class DeltaMetadata(

@@ -221,16 +221,9 @@ object DeltaSchema {
       if (f.name.equalsIgnoreCase(colName)) f.copy(dataType = newType) else f
     })
     // typeWidening is a READER feature: consumers must upcast narrow
-    // files. withTableFeatures preserves every implied legacy capability
-    // (CDF, constraints, mapping, …) across the upgrade.
-    val mapFeat: Set[String] =
-      if (snap.metadata.columnMappingMode != "none") Set("columnMapping") else Set.empty
-    val newProtocol = snap.protocol match {
-      case p if p.minReaderVersion >= 3 => p.copy(
-        readerFeatures = p.readerFeatures + "typeWidening",
-        writerFeatures = p.writerFeatures + "typeWidening")
-      case p => p.withTableFeatures(Set("typeWidening") ++ mapFeat, Set.empty)
-    }
+    // files; the upgrade preserves every implied legacy capability
+    val newProtocol = snap.protocol.withReaderWriterFeature("typeWidening",
+      mappingActive = snap.metadata.columnMappingMode != "none")
     DeltaConstraints.commitMetadata(spark, tablePath,
       snap.metadata.configuration,
       newSchemaString = Some(widened.json),
@@ -263,16 +256,8 @@ object DeltaSchema {
       }
     val newProtocol: Option[DeltaProtocol] =
       if (!v2CpOn) afterCdf
-      else {
-        val base = afterCdf.getOrElse(snap.protocol)
-        val mapFeat: Set[String] =
-          if (snap.metadata.columnMappingMode != "none") Set("columnMapping") else Set.empty
-        if (base.minReaderVersion >= 3)
-          Some(base.copy(
-            readerFeatures = base.readerFeatures + "v2Checkpoint",
-            writerFeatures = base.writerFeatures + "v2Checkpoint"))
-        else Some(base.withTableFeatures(Set("v2Checkpoint") ++ mapFeat, Set.empty))
-      }
+      else Some(afterCdf.getOrElse(snap.protocol).withReaderWriterFeature(
+        "v2Checkpoint", mappingActive = snap.metadata.columnMappingMode != "none"))
     DeltaConstraints.commitMetadata(spark, tablePath,
       snap.metadata.configuration ++ props,
       newSchemaString = None,

@@ -293,7 +293,11 @@ object DeltaWriter {
       ci.put("engineInfo", "graft-spark/0.1.0")
       lines += mapper.writeValueAsString(commitInfo)
 
-      def metaLine(id: String, schemaJson: String): String = {
+      // a metaData RE-emission must carry the table's configuration —
+      // replay is last-metaData-wins, so an empty map here would silently
+      // wipe CHECK constraints, CDF enablement and column-mapping keys
+      def metaLine(id: String, schemaJson: String,
+          configuration: Map[String, String]): String = {
         val node = mapper.createObjectNode()
         val m = node.putObject("metaData")
         m.put("id", id)
@@ -302,7 +306,8 @@ object DeltaWriter {
         fmt.putObject("options")
         m.put("schemaString", schemaJson)
         partitionCols.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
-        m.putObject("configuration")
+        val cfg = m.putObject("configuration")
+        configuration.foreach { case (k, v) => cfg.put(k, v) }
         m.put("createdTime", System.currentTimeMillis())
         mapper.writeValueAsString(node)
       }
@@ -329,13 +334,15 @@ object DeltaWriter {
         p.put("minWriterVersion", if (identityFields.nonEmpty) 6 else 2)
         lines += mapper.writeValueAsString(protoLine)
         lines += metaLine(UUID.randomUUID().toString,
-          withIdentityHwm(withGenMetadata(data1i.schema, genExprs)).json)
+          withIdentityHwm(withGenMetadata(data1i.schema, genExprs)).json,
+          Map.empty)
       } else {
         // metaData re-emission (same table id — replay is
         // last-metaData-wins): schema evolution and/or identity hwm advance
         val base = evolvedSchema.getOrElse(current.get.metadata.schema)
         if (evolvedSchema.isDefined || identityNewHwm.nonEmpty)
-          lines += metaLine(current.get.metadata.id, withIdentityHwm(base).json)
+          lines += metaLine(current.get.metadata.id, withIdentityHwm(base).json,
+            current.get.metadata.configuration)
       }
 
       if (mode == SaveMode.Overwrite) {

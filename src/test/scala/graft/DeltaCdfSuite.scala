@@ -156,6 +156,29 @@ class DeltaCdfSuite extends AnyFunSuite {
     assert(ch.filter("_change_type = 'insert' AND id = 100").count() === 1)
   }
 
+  test("derived deletes on a PARTITIONED table label columns correctly") {
+    val dir = Files.createTempDirectory("graft-cdf-part").toString
+    // partition column k is NOT last in the declared schema — the provider
+    // scan appends partition columns last, so a positional rename would
+    // swap values into the wrong columns
+    Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0))
+      .toDF("k", "id", "score")
+      .write.format("delta").partitionBy("k").save(dir) // v0
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')") // v1
+    // force the DV-aware derive path: a DV delete first, then an overwrite
+    DeltaDml.deleteWithDv(spark, dir, "id = 1") // v2 (cdc)
+    DeltaWriter.write(Seq(("c", 9, 90.0)).toDF("k", "id", "score"),
+      dir, SaveMode.Overwrite, Nil) // v3 (derived)
+    val v = DeltaLog.snapshot(spark, dir).version
+    val del = cdf(dir, v - 1, v).filter("_change_type = 'delete'")
+      .orderBy("id").collect()
+    // rows live at the overwrite: (a,2,20.0), (b,3,30.0) — id 1 was DV'd
+    assert(del.length === 2)
+    assert(del.map(_.getAs[Int]("id")).toSeq === Seq(2, 3))
+    assert(del.map(_.getAs[String]("k")).toSeq === Seq("a", "b"), "k mislabeled")
+    assert(del.map(_.getAs[Double]("score")).toSeq === Seq(20.0, 30.0), "score mislabeled")
+  }
+
   test("protocol upgrades preserve implied legacy features (CDF survives a DV delete)") {
     val dir = fresh() // CDF enabled → legacy writer v4
     assert(DeltaLog.snapshot(spark, dir).protocol.minWriterVersion === 4)

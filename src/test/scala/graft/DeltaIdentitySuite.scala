@@ -56,6 +56,24 @@ class DeltaIdentitySuite extends AnyFunSuite {
     }
   }
 
+  test("identity appends re-emit metaData WITHOUT wiping the configuration") {
+    val dir = Files.createTempDirectory("graft-ident4").toString
+    DeltaWriter.write(Seq(("a", 1.0)).toDF("name", "score"),
+      dir, SaveMode.Append, Nil, identityColumns = Map("rid" -> (1L, 1L)))
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('team' = 'graft')")
+    spark.sql(s"ALTER TABLE delta.`$dir` ADD CONSTRAINT pos CHECK (score >= 0)")
+    // the append advances the hwm → metaData re-emission; the properties
+    // and constraint MUST survive (last-metaData-wins replay)
+    DeltaWriter.write(Seq(("b", 2.0)).toDF("name", "score"), dir, SaveMode.Append, Nil)
+    val cfg = DeltaLog.snapshot(spark, dir).metadata.configuration
+    assert(cfg.get("team").contains("graft"), s"properties wiped: $cfg")
+    assert(cfg.contains("delta.constraints.pos"), s"constraint wiped: $cfg")
+    intercept[Exception] {
+      DeltaWriter.write(Seq(("bad", -1.0)).toDF("name", "score"),
+        dir, SaveMode.Append, Nil)
+    }
+  }
+
   test("CHECK constraints see the assigned identity values") {
     val dir = Files.createTempDirectory("graft-ident3").toString
     DeltaWriter.write(Seq(("a", 1.0)).toDF("name", "score"),
