@@ -575,7 +575,8 @@ object DeltaMaintenance {
     StructField("sizeInBytes", LongType),
     StructField("properties", StringType),
     StructField("minReaderVersion", IntegerType),
-    StructField("minWriterVersion", IntegerType)))
+    StructField("minWriterVersion", IntegerType),
+    StructField("tableFeatures", StringType)))
 
   val historySchema: StructType = StructType(Seq(
     StructField("version", LongType),
@@ -595,7 +596,9 @@ object DeltaMaintenance {
       snap.files.map(_.size).sum,
       snap.metadata.configuration.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(";"),
       snap.protocol.minReaderVersion,
-      snap.protocol.minWriterVersion)
+      snap.protocol.minWriterVersion,
+      (snap.protocol.readerFeatures ++ snap.protocol.writerFeatures)
+        .toSeq.sorted.mkString(","))
     spark.createDataFrame(java.util.Arrays.asList(row), detailSchema)
   }
 

@@ -136,9 +136,13 @@ class DeltaColumnMappingSuite extends AnyFunSuite {
     val dir = fresh()
     spark.sql(s"ALTER TABLE delta.`$dir` RENAME COLUMN name TO label")
     assert(DeltaLog.snapshot(spark, dir).metadata.physicalOf("label") === "name")
-    val props = spark.sql(s"DESCRIBE DETAIL delta.`$dir`")
-      .collect().head.getAs[String]("properties")
-    assert(props.contains("delta.columnMapping.mode=name"))
+    val det = spark.sql(s"DESCRIBE DETAIL delta.`$dir`").collect().head
+    assert(det.getAs[String]("properties").contains("delta.columnMapping.mode=name"))
+    // a DV delete on the mapped table surfaces its features in DETAIL
+    DeltaDml.deleteWithDv(spark, dir, "id = 0")
+    val feats = spark.sql(s"DESCRIBE DETAIL delta.`$dir`")
+      .collect().head.getAs[String]("tableFeatures")
+    assert(feats.contains("deletionVectors") && feats.contains("columnMapping"))
   }
 
   test("renames refuse when CHECK constraints or generated columns reference the column") {
