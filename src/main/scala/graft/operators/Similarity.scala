@@ -204,7 +204,54 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** ANN index QUALITY measurement — recall@3 of the LSH index (ss02)
+    * against the brute-force ground truth (ss01), per query vector. The
+    * operation every production ANN deployment runs before trusting an
+    * index at scale: ground truth on a sampled query set is cheap (the
+    * sample is small), the index serves the full corpus. Both sides here
+    * are deterministic (floor-scaled cosine, vec_id tiebreak), so recall
+    * itself is oracle-checkable — not just a smoke metric. */
+  private def ss05AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ss01TopkBruteforce(s, dir).select(col("qid"), col("vec_id"))
+    val ann = ss02AnnLsh(s, dir)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact
+      .join(ann, col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("k"),
+        count(col("avid")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("k").cast("double"), 4))
+      .orderBy(col("qid"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ss05_ann_recall" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm, $duckBucket AS bucket
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm, bucket FROM v WHERE vec_id < 5),
+      exact AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY
+                   floor(${dDot("qe", "e")} / sqrt(qnrm * nrm) * 1000000.0) / 1000000.0 DESC,
+                   vec_id) AS rk
+          FROM q JOIN v ON qid <> vec_id)
+        WHERE rk <= 3),
+      ann AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY
+                   floor(${dDot("qe", "e")} / sqrt(qnrm * nrm) * 1000000.0) / 1000000.0 DESC,
+                   vec_id) AS rk
+          FROM q JOIN v ON q.bucket = v.bucket AND qid <> vec_id)
+        WHERE rk <= 3)
+      SELECT e.qid, count(*) AS k,
+             CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+             round(count(a.vec_id)::DOUBLE / count(*)::DOUBLE, 4) AS recall
+      FROM exact e LEFT JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
+      GROUP BY e.qid ORDER BY e.qid""",
     "ss04_ann_multiprobe" -> s"""
       WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
       cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16),
@@ -284,5 +331,6 @@ object Similarity {
     "ss01_topk_bruteforce" -> ss01TopkBruteforce,
     "ss02_ann_lsh" -> ss02AnnLsh,
     "ss03_ann_ivf" -> ss03AnnIvf,
-    "ss04_ann_multiprobe" -> ss04AnnMultiprobe)
+    "ss04_ann_multiprobe" -> ss04AnnMultiprobe,
+    "ss05_ann_recall" -> ss05AnnRecall)
 }
