@@ -24,33 +24,45 @@ object Bench {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.filter(l("l_quantity") > 0).groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
-    // median-of-N per query (default 3): single-shot timings showed
-    // lockstep multi-x noise between rounds — the median is stable within
-    // ~1.5x on re-run, which is what bench-vs-baseline compares need.
+    // min over N INTERLEAVED full passes (default 3): r8 proved median of
+    // consecutive reps doesn't defend against sustained interference — all
+    // three reps of a query can sit inside the same slow window (q33 recorded
+    // 75s, reproduced at 1s). Interleaving puts each query's reps minutes
+    // apart, and min is the right estimator for "what the code costs":
+    // machine noise can only inflate a timing, never deflate it.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    // fixed name order: run-to-run comparable timings, and queries sharing
-    // cached sub-plans (dd03/dd06/pp01's minhash pipeline) warm predictably
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
+    // fixed name order within a pass: run-to-run comparable timings, and
+    // queries sharing cached sub-plans (dd03/dd06/pp01's minhash pipeline)
+    // warm predictably
+    val names = selected.toSeq.sortBy(_._1)
+    val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (0 until reps).foreach { _ =>
+      names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink: executes the FULL plan (count() would let Catalyst
         // prune projected expressions and under-measure expression-heavy
         // queries)
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-              (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-        }
+        val t =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          }
+        timings(name) = timings(name) :+ t
       }
+    }
+    val results = names.map { case (name, _) =>
+      val times = timings(name)
       // any crashed rep records -1, never a (tiny) elapsed time — a broken
       // query must not masquerade as a fast one in bench compares
-      val med =
+      val best =
         if (times.exists(_ < 0)) -1.0
-        else times.sorted.apply(times.size / 2)
+        else times.min
       val spread =
-        if (med < 0 || times.size < 2) 1.0
+        if (best < 0 || times.size < 2) 1.0
         else times.max / math.max(times.min, 1e-9)
-      (name, med, spread)
+      (name, best, spread)
     }
     // ms precision + short keys (the unique "q01"/"fn13" prefix of each
     // query name): the driver parses the line from a 2000-char stdout tail

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
 final case class DmlMetrics(
     filesRewritten: Long, filesAdded: Long, rowsAffected: Long, committedVersion: Long)
 
+/** Per-file outcome of the distributed DV build — the ONLY thing the
+  * driver sees per touched file (O(files), never O(rows)).
+  *
+  *  - `emptied`: every live row of the file matched; the file is removed
+  *    outright (no DV written for it).
+  *  - otherwise `dvUuid`/`offset`/`sizeInBytes` locate the file's bitmap
+  *    blob inside the `deletion_vector_<uuid>.bin` its build task wrote.
+  */
+private[delta] final case class DvBuild(
+    path: String, cardinality: Long, freshCount: Long, emptied: Boolean,
+    dvUuid: String, offset: Int, sizeInBytes: Int)
+
 /** Copy-on-write row-level DML over the Delta provider — the write-path
   * surface production Delta exposes as `DELETE FROM` / `UPDATE` and the
   * reference cannot do at all (its write path is a documented failure,
@@ -252,10 +264,19 @@ object DeltaDml {
     * (its rewrite reads through the DV filter) and clears the DVs. The
     * find phase runs through the provider scan (partition pruning + stats
     * skipping), matching row indexes via `_metadata.file_path/row_index`;
-    * per-file bitmaps are assembled driver-side — O(newly deleted rows),
-    * the same driver contract as the commit JSON itself. A file whose
-    * rows are ALL deleted (merged cardinality == stats numRecords) is
-    * removed outright, no DV.
+    * per-file bitmaps are built EXECUTOR-SIDE — the matched rows shuffle
+    * once on file path, each group streams its row indexes straight into
+    * the roaring serializer (merged with the file's existing DV, read in
+    * the same task), and each build task writes one
+    * `deletion_vector_<uuid>.bin` holding its files' blobs. The driver
+    * sees only per-file descriptors (path, offset, size, cardinality) —
+    * O(touched files), the same plane as the commit JSON itself; a DELETE
+    * matching billions of rows never materializes a row index on the
+    * driver. A file whose rows are ALL deleted (merged cardinality ==
+    * stats numRecords) is removed outright, no DV. A failed/retried build
+    * task can leave an orphan DV file — unreferenced by any commit, it is
+    * invisible to readers and reclaimed by VACUUM, the same contract as
+    * orphaned staging data files.
     *
     * Concurrency: like copy-on-write DML, but stricter — the validated
     * commit loop aborts if a touched file's add entry changed AT ALL since
@@ -271,46 +292,9 @@ object DeltaDml {
       spark: SparkSession, tablePath: String, condition: String,
       beforeCommit: () => Unit): DmlMetrics = {
     import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
     val snap = DeltaLog.snapshot(spark, tablePath)
     val conf = spark.sessionState.newHadoopConf()
-
-    // ---- 1. find: matching LIVE rows → (file, row index), via the
-    // provider scan (pruning + stats skipping + existing-DV filtering)
-    val matches: Map[String, Array[Long]] =
-      DeltaTable.read(spark, tablePath)
-        .filter(expr(condition))
-        .select(col("_metadata.file_path").as("_f"), col("_metadata.row_index").as("_i"))
-        .collect()
-        .groupBy(r => normalize(r.getString(0)))
-        .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
-    val rowsAffected = matches.valuesIterator.map(_.length.toLong).sum
-    if (matches.isEmpty) return DmlMetrics(0, 0, 0, snap.version)
-
-    val touched = snap.files.filter { f =>
-      matches.contains(normalize(
-        new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString))
-    }
-    require(touched.size == matches.size,
-      s"internal: matched files not found in snapshot " +
-        s"(${matches.keys.take(3).mkString(",")})")
-
-    // ---- 2. merge each file's new indexes with its existing DV (disjoint
-    // by construction — the find phase only sees live rows) and serialize
-    val merged: Seq[(DeltaAddFile, Array[Long])] = touched.map { f =>
-      val key = normalize(new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)
-      val fresh = matches(key)
-      val all = f.deletionVector match {
-        case None => fresh
-        case Some(d) =>
-          val existing = DeletionVectors.read(conf, tablePath, d)
-          val out = new Array[Long](existing.length + fresh.length)
-          System.arraycopy(existing, 0, out, 0, existing.length)
-          System.arraycopy(fresh, 0, out, existing.length, fresh.length)
-          java.util.Arrays.sort(out)
-          out
-      }
-      f -> all
-    }
 
     def numRecordsOf(f: DeltaAddFile): Option[Long] = f.stats.flatMap { s =>
       try {
@@ -318,28 +302,110 @@ object DeltaDml {
         if (n.has("numRecords")) Some(n.get("numRecords").asLong()) else None
       } catch { case _: Exception => None }
     }
-    // fully-deleted files are dropped outright — no DV, no dangling add
-    val (emptied, kept) = merged.partition { case (f, all) =>
-      numRecordsOf(f).contains(all.length.toLong)
-    }
 
-    // ---- 3. one DV file for all kept blobs (the production layout:
-    // one deletion_vector_<uuid>.bin per commit)
-    val blobs = kept.map { case (_, all) =>
-      DeletionVectors.DvBlob(DeletionVectors.serialize(all.iterator), all.length.toLong)
+    // per-file context the build tasks need: existing DV + row count,
+    // keyed by normalized absolute path. O(files) — broadcast, not shipped
+    // per row.
+    val fileMeta: Map[String, (Option[DvDescriptor], Option[Long])] =
+      snap.files.map { f =>
+        normalize(new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString) ->
+          ((f.deletionVector, numRecordsOf(f)))
+      }.toMap
+    val bMeta = spark.sparkContext.broadcast(fileMeta)
+    val bConf = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
+    val tp = tablePath
+
+    // ---- 1+2+3. find + build + write, all executor-side: matching LIVE
+    // rows resolve to (file, row index) through the provider scan (pruning
+    // + stats skipping + existing-DV filtering); ONE shuffle on file path
+    // groups each file's indexes into the task that owns it, which streams
+    // them — merged with the file's existing DV — straight into the
+    // roaring serializer; each task then appends its files' blobs to one
+    // new deletion_vector_<uuid>.bin. Only per-file descriptors are
+    // collected: the driver never sees a row index.
+    val built: Array[DvBuild] =
+      DeltaTable.read(spark, tablePath)
+        .filter(expr(condition))
+        .select(col("_metadata.file_path").as("_f"), col("_metadata.row_index").as("_i"))
+        .as[(String, Long)]
+        .groupByKey { case (f, _) => DeltaDml.normalize(f) }
+        .mapGroups { (path, rows) =>
+          val (dvOpt, numRecords) = bMeta.value.getOrElse(path, (None, None))
+          val existing = dvOpt
+            .map(d => DeletionVectors.read(bConf.value.value, tp, d))
+            .getOrElse(Array.emptyLongArray)
+          // stream the group's indexes into the serializer — never an
+          // in-memory array of fresh indexes, even for a full-file match
+          var fresh = 0L
+          val data = DeletionVectors.serialize(
+            existing.iterator ++ rows.map { case (_, i) => fresh += 1; i })
+          val card = existing.length + fresh
+          if (numRecords.contains(card)) (path, card, fresh, null: Array[Byte])
+          else (path, card, fresh, data)
+        }
+        .mapPartitions { iter =>
+          // same stage as the build (narrow): one DV file per non-empty
+          // task, blobs appended in group order — the production layout
+          // generalized from one-file-per-commit to one-per-build-task
+          var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          var uuidEnc: String = null
+          var offset = 1
+          val res = iter.map { case (path, card, fresh, data) =>
+            if (data == null) DvBuild(path, card, fresh, emptied = true, null, 0, 0)
+            else {
+              if (out == null) {
+                val uuid = UUID.randomUUID()
+                uuidEnc = DeletionVectors.z85EncodeUuid(uuid)
+                val p = new Path(tp, s"deletion_vector_$uuid.bin")
+                out = p.getFileSystem(bConf.value.value).create(p, false)
+                out.write(DeletionVectors.FormatVersion.toInt)
+              }
+              val crc = new java.util.zip.CRC32()
+              crc.update(data)
+              out.writeInt(data.length) // big-endian, per format
+              out.write(data)
+              out.writeInt(crc.getValue.toInt)
+              val o = offset
+              offset += 4 + data.length + 4
+              DvBuild(path, card, fresh, emptied = false, uuidEnc, o, data.length)
+            }
+          }.toArray // materialize BEFORE closing the task's DV file
+          if (out != null) out.close()
+          res.iterator
+        }
+        .collect()
+    val rowsAffected = built.map(_.freshCount).sum
+    if (built.isEmpty) return DmlMetrics(0, 0, 0, snap.version)
+
+    val byPath: Map[String, DvBuild] = built.map(b => b.path -> b).toMap
+    def keyOf(f: DeltaAddFile): String =
+      normalize(new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)
+    val touched = snap.files.filter(f => byPath.contains(keyOf(f)))
+    require(touched.size == byPath.size,
+      s"internal: matched files not found in snapshot " +
+        s"(${byPath.keys.take(3).mkString(",")})")
+    // fully-deleted files are dropped outright — no DV, no dangling add
+    val (emptied, kept) = touched.partition(f => byPath(keyOf(f)).emptied)
+    def descOf(f: DeltaAddFile): DvDescriptor = {
+      val b = byPath(keyOf(f))
+      DvDescriptor("u", b.dvUuid, Some(b.offset), b.sizeInBytes, b.cardinality)
     }
-    val descriptors: Seq[DvDescriptor] =
-      if (blobs.isEmpty) Nil
-      else DeletionVectors.writeDvFile(conf, tablePath, blobs)
+    // distinct DV files written by the build tasks (for abort cleanup)
+    val dvFilePaths: Seq[Path] = built.filter(!_.emptied).map(_.dvUuid).distinct
+      .map(enc => DvDescriptor("u", enc, None, 0, 0).absolutePath(tablePath))
 
     // ---- 3b. change data feed: a DV delete is invisible at the file
     // level (same data files), so the deleted rows MUST go out as cdc —
-    // the reader refuses to derive changes from a DV commit
+    // the reader refuses to derive changes from a DV commit. Computed from
+    // the PINNED snapshot's touched files (not the latest table state):
+    // a concurrent append between snapshot and staging must not leak its
+    // still-live rows into our change feed.
     val cdcFiles: Seq[(String, Long)] =
       if (!DeltaCdf.enabled(snap.metadata)) Nil
       else {
         val cols = snap.schema.fieldNames.toIndexedSeq
-        val deleted = DeltaTable.read(spark, tablePath)
+        val deleted = DeltaMaintenance.partitionInjected(spark, tablePath, snap, touched)
+          .reduce(_ unionByName _)
           .filter(expr(condition))
           .select(cols.map(col) :+
             org.apache.spark.sql.functions.lit("delete").as(DeltaCdf.TypeCol): _*)
@@ -356,10 +422,8 @@ object DeltaDml {
       val liveByPath = latest.files.map(f => f.path -> f).toMap
       val changed = touched.filterNot(f => liveByPath.get(f.path).contains(f))
       if (changed.nonEmpty) {
-        descriptors.headOption.foreach { d =>
-          val fs = new Path(tablePath).getFileSystem(conf)
-          fs.delete(d.absolutePath(tablePath), false)
-        }
+        val fs = new Path(tablePath).getFileSystem(conf)
+        dvFilePaths.foreach(p => fs.delete(p, false))
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
         throw new java.util.ConcurrentModificationException(
           s"DELETE (merge-on-read) aborted on $tablePath: ${changed.size} of " +
@@ -397,7 +461,7 @@ object DeltaDml {
         up.writerFeatures.toSeq.sorted.foreach(wf.add)
         lines += mapper.writeValueAsString(protoLine)
       }
-      (emptied.map(_._1) ++ kept.map(_._1)).foreach { f =>
+      (emptied ++ kept).foreach { f =>
         val rmLine = mapper.createObjectNode()
         val r = rmLine.putObject("remove")
         r.put("path", f.path)
@@ -405,7 +469,8 @@ object DeltaDml {
         r.put("dataChange", true)
         lines += mapper.writeValueAsString(rmLine)
       }
-      kept.zip(descriptors).foreach { case ((f, _), desc) =>
+      kept.foreach { f =>
+        val desc = descOf(f)
         val addLine = mapper.createObjectNode()
         val a = addLine.putObject("add")
         a.put("path", f.path)

@@ -249,6 +249,47 @@ class DeletionVectorSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, path).count() == 80)
   }
 
+  test("DV build is distributed: a mass delete never collects row indexes to the driver") {
+    val path = tmpDir()
+    // 8 files x 125k rows; the delete matches 500k rows (>50%). The old
+    // driver-side build collected every (file, row_index) pair: >= 4 MB of
+    // raw longs before Row overhead. The distributed build collects only
+    // per-file descriptors, so TOTAL driver-bound task-result bytes across
+    // every job in the operation stay far below the raw-index payload.
+    spark.range(0, 1000000).select(col("id"), (col("id") % 8).as("k"))
+      .repartition(8)
+      .write.format("delta").save(path)
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) resultBytes.addAndGet(t.taskMetrics.resultSize)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val m = DeltaDml.deleteWithDv(spark, path, "id % 2 = 0")
+      assert(m.rowsAffected == 500000L)
+      // let the async listener bus drain (poll until stable)
+      var last = -1L
+      var spins = 0
+      while (resultBytes.get() != last && spins < 40) {
+        last = resultBytes.get(); Thread.sleep(250); spins += 1
+      }
+      val total = resultBytes.get()
+      assert(total > 0, "listener saw no tasks")
+      assert(total < 2L * 1024 * 1024,
+        s"driver-bound task results totalled $total bytes — row indexes are " +
+          "being collected to the driver instead of built executor-side")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the delete is exact, DVs spread over the build tasks' files
+    val snap = DeltaTable.snapshot(spark, path)
+    assert(snap.files.forall(_.deletionVector.isDefined))
+    val dvFiles = snap.files.flatMap(_.deletionVector).map(_.pathOrInlineDv).distinct
+    assert(dvFiles.nonEmpty)
+    val got = DeltaTable.read(spark, path).agg(count(lit(1)), sum("id")).collect()(0)
+    assert(got.getLong(0) == 500000L)
+    assert(got.getLong(1) == (0L until 1000000L).filter(_ % 2 == 1).sum)
+  }
+
   test("unsupported reader features still fail loudly") {
     val path = tmpDir()
     spark.range(0, 10).toDF("id").write.format("delta").save(path)
