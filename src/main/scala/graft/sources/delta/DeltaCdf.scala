@@ -53,18 +53,31 @@ object DeltaCdf {
   /** Stage change rows (full LOGICAL table columns + [[TypeCol]]) as
     * parquet under `_change_data/`; returns (relative path, size) per
     * published file. Physical column names on mapped tables, like every
-    * other on-disk artifact. */
+    * other on-disk artifact. On a partitioned table the change files are
+    * hive-partitioned by the table's partition columns — the same layout
+    * production Delta writes, so foreign readers that source partition
+    * columns from the cdc action's `partitionValues` (not the file) read
+    * them correctly. */
   private[delta] def stageChanges(
       spark: SparkSession, tablePath: String, snap: DeltaSnapshot,
       changes: DataFrame): Seq[(String, Long)] = {
     val phys = changes.toDF(changes.columns.map(c =>
       if (c == TypeCol) c else snap.metadata.physicalOf(c)).toIndexedSeq: _*)
+    val physPartCols = snap.partitionColumns.map(snap.metadata.physicalOf)
     val staging = new Path(tablePath, s"_staging-cdc-${UUID.randomUUID()}")
     val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
-    phys.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val writer = phys.write.mode(SaveMode.Overwrite)
+    (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
+      .parquet(staging.toString)
     val staged = DeltaWriter.listParquetFilesRecursively(fs, staging)
     val out = staged.map { p =>
-      val rel = s"$ChangeDataDir/cdc-${UUID.randomUUID()}.parquet"
+      // keep the hive partition directories in the published path — the
+      // cdc action's partitionValues are derived from them
+      val dirPart = DeltaWriter.relativize(staging, p.getParent)
+      val name = s"cdc-${UUID.randomUUID()}.parquet"
+      val rel =
+        if (dirPart.isEmpty) s"$ChangeDataDir/$name"
+        else s"$ChangeDataDir/$dirPart/$name"
       val target = new Path(tablePath, rel)
       fs.mkdirs(target.getParent)
       if (!fs.rename(p, target))
@@ -75,15 +88,18 @@ object DeltaCdf {
     out
   }
 
-  /** `cdc` action JSON line for a staged change file. Partition columns
-    * are embedded in the file itself, so partitionValues is empty (foreign
-    * hive-partitioned cdc files are still readable — [[read]] injects
-    * whatever the file lacks from the action's partitionValues). */
-  private[delta] def cdcLine(rel: String, size: Long): String = {
+  /** `cdc` action JSON line for a staged change file. partitionValues are
+    * derived from the path's hive directories (physical names), matching
+    * the on-disk layout [[stageChanges]] produces — the reference format
+    * for partitioned tables. */
+  private[delta] def cdcLine(rel: String, size: Long, physPartCols: Seq[String]): String = {
     val node = mapper.createObjectNode()
     val c = node.putObject("cdc")
     c.put("path", DeltaWriter.encodePath(rel))
-    c.putObject("partitionValues")
+    val pvNode = c.putObject("partitionValues")
+    DeltaWriter.partitionValuesOf(rel, physPartCols).foreach { case (k, v) =>
+      if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
+    }
     c.put("size", size)
     c.put("dataChange", false)
     mapper.writeValueAsString(node)
@@ -148,21 +164,33 @@ object DeltaCdf {
     def abs(rel: String): String =
       DeltaFileIndex.absoluteDataPath(tableRoot, rel).toString
 
-    val frames: Seq[DataFrame] = commits
-      .filter { case (v, _) => v > fromExclusive && v <= toInclusive }
+    val inRange = commits.filter { case (v, _) => v > fromExclusive && v <= toInclusive }
+    // every version in (from, to] must still have its commit JSON: log
+    // cleanup (checkpoint + metadata retention) retires old commits, and
+    // silently skipping one would return an INCOMPLETE change feed —
+    // production Delta errors here too
+    val missing = ((fromExclusive + 1) to toInclusive).toSet -- inRange.map(_._1).toSet
+    require(missing.isEmpty,
+      s"$tablePath: change data for version(s) ${missing.toSeq.sorted.mkString(",")} " +
+        "is no longer available (commit JSONs retired by log cleanup); " +
+        "narrow the range to versions still present in _delta_log")
+
+    val frames: Seq[DataFrame] = inRange
       .flatMap { case (v, status) =>
         val in = fs.open(status.getPath)
         val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         var commitTs: Long = status.getModificationTime
-        val cdcFiles = Seq.newBuilder[String]
+        val cdcFiles = Seq.newBuilder[(String, Map[String, String])] // (path, pv)
         val addFiles = Seq.newBuilder[(String, Map[String, String], Boolean)] // (path, pv, hasDv)
         val removeFiles = Seq.newBuilder[(String, Map[String, String])]
         content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
           if (node.has("commitInfo") && node.get("commitInfo").has("timestamp"))
             commitTs = node.get("commitInfo").get("timestamp").asLong()
-          if (node.has("cdc"))
-            cdcFiles += node.get("cdc").get("path").asText()
+          if (node.has("cdc")) {
+            val c = node.get("cdc")
+            cdcFiles += ((c.get("path").asText(), jsonStringMap(c.get("partitionValues"))))
+          }
           if (node.has("add")) {
             val a = node.get("add")
             if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
@@ -185,8 +213,21 @@ object DeltaCdf {
         val cdc = cdcFiles.result()
         val perCommit: Seq[DataFrame] =
           if (cdc.nonEmpty) {
-            // cdc actions take precedence: they carry the exact change rows
-            Seq(readFiles(cdc.map(abs), Map.empty, withEmbeddedParts = true, withType = true))
+            // cdc actions take precedence: they carry the exact change rows.
+            // Partition columns may live in the file (legacy flat layout) or
+            // only in the action's partitionValues (hive layout, the
+            // production format) — group by pv and inject every partition
+            // column the files do not embed from the action.
+            cdc.groupBy(_._2).toSeq.map { case (pv, group) =>
+              val paths = group.map(g => abs(g._1))
+              val embedded = spark.read.parquet(paths: _*).schema.fieldNames.toSet
+              val base = readFiles(paths, pv, withEmbeddedParts = true, withType = true)
+              partCols.filterNot(c => embedded.contains(meta.physicalOf(c)))
+                .foldLeft(base) { (df, c) =>
+                  df.withColumn(c, lit(pv.get(meta.physicalOf(c)).orNull)
+                    .cast(partSchema(c).dataType))
+                }
+            }
           } else {
             val adds = addFiles.result()
             val dvAdds = adds.filter(_._3)

@@ -239,7 +239,9 @@ object DeltaDml {
         st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
         lines += mapper.writeValueAsString(addLine)
       }
-      cdcFiles.foreach { case (rel, size) => lines += DeltaCdf.cdcLine(rel, size) }
+      cdcFiles.foreach { case (rel, size) =>
+        lines += DeltaCdf.cdcLine(rel, size, physPartCols)
+      }
       if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
         committedVersion = version
       attempt += 1
@@ -485,7 +487,10 @@ object DeltaDml {
         DeletionVectors.putDvNode(a, desc)
         lines += mapper.writeValueAsString(addLine)
       }
-      cdcFiles.foreach { case (rel, size) => lines += DeltaCdf.cdcLine(rel, size) }
+      cdcFiles.foreach { case (rel, size) =>
+        lines += DeltaCdf.cdcLine(rel, size,
+          snap.partitionColumns.map(snap.metadata.physicalOf))
+      }
       if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
         committedVersion = version
       attempt += 1

@@ -255,7 +255,10 @@ object DeltaMerge {
         st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
         lines += mapper.writeValueAsString(addLine)
       }
-      cdcFiles.foreach { case (rel, size) => lines += DeltaCdf.cdcLine(rel, size) }
+      cdcFiles.foreach { case (rel, size) =>
+        lines += DeltaCdf.cdcLine(rel, size,
+          snap.partitionColumns.map(snap.metadata.physicalOf))
+      }
       if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
         committedVersion = version
       attempt += 1

@@ -138,16 +138,28 @@ object DeltaSchema {
       DeltaMetadata.MaxColumnIdKey -> nextId.toString))
   }
 
-  /** Column-mapping protocol upgrade: legacy reader v1 → (2, 5);
-    * table-features protocols list the columnMapping feature. */
-  private def mappingProtocol(p: DeltaProtocol): DeltaProtocol = p match {
-    case p if p.minReaderVersion >= 3 => p.copy(
-      readerFeatures = p.readerFeatures + "columnMapping",
-      writerFeatures = p.writerFeatures + "columnMapping")
-    case p if p.minReaderVersion < 2 =>
-      DeltaProtocol(2, math.max(p.minWriterVersion, 5))
-    case p => p
-  }
+  /** Column-mapping protocol upgrade. Dispatches on BOTH versions — a
+    * writer-features protocol can carry a legacy reader (e.g. (1, 7) or
+    * (2, 7), what Databricks-written tables often have), and treating it
+    * as legacy would DROP its explicit writerFeatures list (invalid per
+    * spec: writer v7 requires one) and lose declared capabilities.
+    *
+    *  - full table features (reader >= 3): columnMapping listed on both
+    *    sides (it is a reader-writer feature).
+    *  - writer features only (writer >= 7, reader < 3): columnMapping
+    *    joins the explicit writerFeatures; the reader rises to legacy v2,
+    *    which implies the mapping without a readerFeatures list.
+    *  - pure legacy: (2, 5), the versions that imply column mapping. */
+  private def mappingProtocol(p: DeltaProtocol): DeltaProtocol =
+    if (p.minReaderVersion >= 3)
+      p.copy(readerFeatures = p.readerFeatures + "columnMapping",
+        writerFeatures = p.writerFeatures + "columnMapping")
+    else if (p.minWriterVersion >= 7)
+      p.copy(minReaderVersion = math.max(p.minReaderVersion, 2),
+        writerFeatures = p.writerFeatures + "columnMapping")
+    else
+      p.copy(minReaderVersion = math.max(p.minReaderVersion, 2),
+        minWriterVersion = math.max(p.minWriterVersion, 5))
 
   /** `ALTER TABLE … DROP COLUMN name` — metadata-only, like [[renameColumn]]:
     * no data file changes; the field leaves `schemaString`, so scans stop

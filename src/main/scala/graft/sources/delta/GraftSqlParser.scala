@@ -111,22 +111,45 @@ private[graft] object GraftSqlCommands {
   private val TimeTravel = re(
     """delta\s*\.\s*`([^`]+)`\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']*)'|(\d+))""")
 
-  /** Is `pos` inside a single-quoted string literal of `s`? (Backslash
-    * escapes do not close the literal — same convention as [[splitTop]].)
-    * Guards the regex rewrites: a pattern occurring INSIDE a literal is
-    * data, not a table reference, and must be left untouched. */
+  /** Is `pos` inside a single-quoted literal, double-quoted literal, line
+    * comment (`--` to end of line) or block comment (`／*…*／`) of `s`?
+    * (Backslash escapes do not close a literal — same convention as
+    * [[splitTop]].) Guards the regex rewrites: a pattern occurring inside
+    * any of these is data or dead text, not a table reference — rewriting
+    * a commented-out time travel would eagerly snapshot the path (a side
+    * effect at parse time) or turn the comment into a parse failure. */
   private[graft] def inStringLiteral(s: String, pos: Int): Boolean = {
-    var inStr = false
+    var inSingle = false
+    var inDouble = false
+    var inLine = false
+    var inBlock = false
     var i = 0
     while (i < pos) {
-      s.charAt(i) match {
-        case '\\' if inStr => i += 1
-        case '\'' => inStr = !inStr
+      val c = s.charAt(i)
+      if (inSingle) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inSingle = false
+      } else if (inDouble) {
+        if (c == '\\') i += 1
+        else if (c == '"') inDouble = false
+      } else if (inLine) {
+        if (c == '\n') inLine = false
+      } else if (inBlock) {
+        if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          inBlock = false; i += 1
+        }
+      } else c match {
+        case '\'' => inSingle = true
+        case '"' => inDouble = true
+        case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+          inLine = true; i += 1
+        case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
+          inBlock = true; i += 1
         case _ =>
       }
       i += 1
     }
-    inStr
+    inSingle || inDouble || inLine || inBlock
   }
 
   /** Deterministic, collision-proof temp-view name for a rewrite key: the

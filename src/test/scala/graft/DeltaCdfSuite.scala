@@ -179,6 +179,83 @@ class DeltaCdfSuite extends AnyFunSuite {
     assert(del.map(_.getAs[Double]("score")).toSeq === Seq(20.0, 30.0), "score mislabeled")
   }
 
+  test("DML cdc on a partitioned table: hive layout, populated partitionValues, exact read") {
+    val dir = Files.createTempDirectory("graft-cdf-hive").toString
+    Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0), ("b", 4, 40.0))
+      .toDF("k", "id", "score")
+      .write.format("delta").partitionBy("k").save(dir) // v0
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')") // v1
+    DeltaDml.update(spark, dir, "id = 3", Map("score" -> "score * -1")) // v2
+    DeltaDml.delete(spark, dir, "k = 'a' AND id = 1") // v3
+    val v = DeltaLog.snapshot(spark, dir).version
+    // the cdc actions must carry hive paths + partitionValues (the
+    // production layout — foreign readers source partition columns from
+    // the ACTION, not the file)
+    val logDir = DeltaLog.logDir(dir)
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val commit2 = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(logDir, f"${v - 1}%020d.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val cdcLines = commit2.linesIterator.filter(_.contains("\"cdc\"")).toSeq
+    assert(cdcLines.nonEmpty)
+    assert(cdcLines.forall(_.contains("k=b")), s"cdc path not hive-partitioned: $cdcLines")
+    assert(cdcLines.forall(_.contains(""""partitionValues":{"k":"b"}""")),
+      s"cdc partitionValues empty: $cdcLines")
+    // and the read injects the partition column from the action
+    val ch = cdf(dir, v - 2, v).orderBy("_commit_version", "_change_type").collect()
+    assert(ch.forall(_.getAs[String]("k") != null), "partition column read as NULL")
+    val upd = ch.filter(_.getAs[String]("_change_type") == "update_postimage")
+    assert(upd.map(r => (r.getAs[String]("k"), r.getAs[Int]("id"), r.getAs[Double]("score"))).toSeq
+      === Seq(("b", 3, -30.0)))
+    val del = ch.filter(_.getAs[String]("_change_type") == "delete")
+    assert(del.map(r => (r.getAs[String]("k"), r.getAs[Int]("id"))).toSeq === Seq(("a", 1)))
+  }
+
+  test("legacy flat cdc files (embedded partition columns, empty partitionValues) still read") {
+    val dir = Files.createTempDirectory("graft-cdf-flat").toString
+    Seq(("a", 1, 10.0), ("b", 2, 20.0)).toDF("k", "id", "score")
+      .write.format("delta").partitionBy("k").save(dir) // v0
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')") // v1
+    // hand-stage a PRE-hive-layout cdc file: partition column embedded in
+    // the file, cdc action with empty partitionValues (what this engine
+    // wrote before the layout change — on-disk compatibility must hold)
+    val rel = "_change_data/cdc-legacy-flat.parquet"
+    val target = new org.apache.hadoop.fs.Path(dir, rel)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(target.getParent)
+    val staging = Files.createTempDirectory("graft-cdf-flat-stage").toString
+    Seq(("a", 1, 10.0, "delete")).toDF("k", "id", "score", "_change_type")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    assert(fs.rename(part, target))
+    val size = fs.getFileStatus(target).getLen
+    val v = DeltaLog.snapshot(spark, dir).version + 1
+    assert(DeltaLog.tryCommit(spark, dir, v,
+      s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"DELETE"}}
+         |{"cdc":{"path":"${rel.replace("_change_data/", "_change_data/")}","partitionValues":{},"size":$size,"dataChange":false}}"""
+        .stripMargin))
+    val ch = cdf(dir, v - 1, v).collect()
+    assert(ch.length === 1)
+    assert(ch.head.getAs[String]("k") === "a", "embedded partition column lost")
+    assert(ch.head.getAs[Int]("id") === 1)
+    assert(ch.head.getAs[String]("_change_type") === "delete")
+  }
+
+  test("a CDF range with a retired commit fails loudly instead of returning a partial feed") {
+    val dir = fresh() // v0 data, v1 enable
+    DeltaDml.update(spark, dir, "id = 1", Map("score" -> "1.0")) // v2
+    DeltaDml.update(spark, dir, "id = 2", Map("score" -> "2.0")) // v3
+    val logDir = DeltaLog.logDir(dir)
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate log cleanup retiring v2's commit JSON
+    assert(fs.delete(new org.apache.hadoop.fs.Path(logDir, f"${2L}%020d.json"), false))
+    val e = intercept[IllegalArgumentException] { cdf(dir, 1, 3).collect() }
+    assert(e.getMessage.contains("no longer available"))
+    assert(e.getMessage.contains("2"))
+  }
+
   test("protocol upgrades preserve implied legacy features (CDF survives a DV delete)") {
     val dir = fresh() // CDF enabled → legacy writer v4
     assert(DeltaLog.snapshot(spark, dir).protocol.minWriterVersion === 4)

@@ -30,6 +30,26 @@ class DeltaColumnMappingSuite extends AnyFunSuite {
     dir
   }
 
+  test("mapping upgrade on a writer-features protocol keeps the feature list") {
+    // a foreign (1, 7) protocol: legacy reader, explicit writerFeatures —
+    // the Databricks-written shape. The mapping upgrade must NOT collapse
+    // it to bare (2, 7) (writer v7 REQUIRES a feature list per spec) and
+    // must list columnMapping among the writer features.
+    val dir = fresh()
+    val v = DeltaLog.snapshot(spark, dir).version + 1
+    assert(DeltaLog.tryCommit(spark, dir, v,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants"]}}"""))
+    DeltaSchema.renameColumn(spark, dir, "score", "points")
+    val p = DeltaLog.snapshot(spark, dir).protocol
+    assert(p.minReaderVersion === 2, s"reader must rise to legacy v2: $p")
+    assert(p.minWriterVersion === 7)
+    assert(p.writerFeatures.contains("columnMapping"), s"columnMapping not listed: $p")
+    assert(p.writerFeatures.contains("appendOnly") && p.writerFeatures.contains("invariants"),
+      s"declared writer features dropped: $p")
+    // and the mapped read works
+    assert(DeltaTable.read(spark, dir).select("points").count() === 20)
+  }
+
   test("RENAME COLUMN is metadata-only, upgrades protocol, and reads back logically") {
     val dir = fresh()
     val filesBefore = DeltaLog.snapshot(spark, dir).files.map(_.path).toSet

@@ -207,6 +207,33 @@ class GraftSqlSuite extends AnyFunSuite {
       "a travel pattern inside a literal must not be rewritten")
   }
 
+  test("travel / table_changes patterns inside comments and double-quoted literals are untouched") {
+    val dir = freshTable() // 8 rows across versions 0..3 (2 rows at v0)
+    // commented-out time travel: rewriting it would eagerly snapshot a
+    // nonexistent version at parse time and fail the whole query
+    val viaLineComment = spark.sql(
+      s"""SELECT count(*) AS n FROM delta.`$dir` VERSION AS OF 0
+         |-- plus delta.`$dir` VERSION AS OF 99
+         |""".stripMargin).collect().head.getLong(0)
+    assert(viaLineComment === 2L)
+    val viaBlockComment = spark.sql(
+      s"""SELECT /* delta.`$dir` VERSION AS OF 99 */ count(*) AS n
+         |FROM delta.`$dir` VERSION AS OF 3""".stripMargin).collect().head.getLong(0)
+    assert(viaBlockComment === 8L)
+    // table_changes inside a comment: CDF is not even enabled on this
+    // table, so a rewrite would fail loudly instead of parsing
+    val viaTvfComment = spark.sql(
+      s"""SELECT count(*) AS n FROM delta.`$dir` VERSION AS OF 3
+         |/* table_changes('$dir', 0) */""".stripMargin).collect().head.getLong(0)
+    assert(viaTvfComment === 8L)
+    // double-quoted literal (Spark reads " as a string by default)
+    val viaDq = spark.sql(
+      s"""SELECT "delta.`/x` VERSION AS OF 9" AS s
+         |FROM delta.`$dir` VERSION AS OF 0 LIMIT 1""".stripMargin)
+      .collect().head.getString(0)
+    assert(viaDq === "delta.`/x` VERSION AS OF 9")
+  }
+
   test("UPDATE with ' WHERE ' inside a string literal does not split at the literal") {
     val dir = freshTable()
     spark.sql(s"UPDATE delta.`$dir` SET name = 'fix WHERE needed' WHERE id = 2")
