@@ -350,7 +350,104 @@ object DeltaQueries {
         sum(col("s_suppkey")).as("key_sum"))
   }
 
+  /** Column mapping `id` mode in the gate: a hand-built id-mode table
+    * whose parquet file stores column names that match NEITHER the logical
+    * nor the delta physical names — only the parquet field ids line up
+    * (the exact decoupling `id` mode exists for; Databricks-written tables
+    * carry it). A second append goes through [[DeltaWriter]], proving the
+    * write side stamps field ids foreign readers can resolve. A reader
+    * that matches by any name NULLs every column and hash-mismatches. */
+  private def dl17IdModeMapping(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    def fid(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    // v0 data file: "foreign" column names, field ids 1/2 in the footer
+    supplier.filter(col("s_suppkey") % 2 === 0)
+      .select(col("s_suppkey").as("k_foreign", fid(1)),
+        col("s_acctbal").as("b_foreign", fid(2)))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val dataFile = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val st = fs.getFileStatus(dataFile)
+    // delta schema: logical names, DIFFERENT physical names, same ids
+    def f(name: String, dt: DataType, id: Long, phys: String) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    val schema = StructType(Seq(
+      f("s_suppkey", LongType, 1, "col-key"),
+      f("s_acctbal", DoubleType, 2, "col-bal")))
+    val commit =
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}
+         |{"add":{"path":"${dataFile.getName}","partitionValues":{},"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}"""
+        .stripMargin
+    require(graft.sources.delta.DeltaLog.tryCommit(s, path, 0L, commit),
+      s"id-mode fixture commit failed at $path")
+    // v1: odd keys appended through the engine's own write path
+    DeltaWriter.write(
+      supplier.filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey"), col("s_acctbal")),
+      path, SaveMode.Append, Nil)
+    DeltaTable.read(s, path)
+      .filter(col("s_acctbal") > 0)
+      .groupBy((col("s_suppkey") % 2).cast("int").as("parity"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .orderBy(col("parity"))
+  }
+
+  /** TIMESTAMP_NTZ (wall-clock, no zone — the `timestampNtz` table
+    * feature) through the whole Delta pipeline: write a table with an ntz
+    * column (creation stamps the (3,7) feature protocol), read it back
+    * through the provider (stats on the ntz column included), aggregate to
+    * min/max ntz VALUES. DuckDB TIMESTAMP is likewise zone-less, so the
+    * values must agree bit-for-bit; a reader that applies a UTC adjustment
+    * anywhere shifts them and hash-mismatches. */
+  private def dl18TimestampNtz(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    val df = supplier.select(
+      col("s_suppkey"),
+      expr("timestampadd(MINUTE, CAST(s_suppkey % 720 AS INT), " +
+        "TIMESTAMP_NTZ'2021-03-04 05:06:07')").as("ts"))
+    DeltaWriter.write(df, path, SaveMode.Append, Nil)
+    val got = DeltaTable.read(s, path)
+    require(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType,
+      "ts must round-trip as TIMESTAMP_NTZ")
+    got
+      .filter(col("ts") >= expr("TIMESTAMP_NTZ'2021-03-04 06:00:00'"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"),
+        sum(col("s_suppkey")).as("key_sum"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl18_timestamp_ntz" -> """
+      WITH w AS (
+        SELECT s_suppkey,
+               TIMESTAMP '2021-03-04 05:06:07'
+                 + (s_suppkey % 720) * INTERVAL 1 MINUTE AS ts
+        FROM supplier)
+      SELECT count(*) AS n,
+             min(ts) AS ts_min,
+             max(ts) AS ts_max,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+      FROM w WHERE ts >= TIMESTAMP '2021-03-04 06:00:00'""",
+    "dl17_id_mode_mapping" -> """
+      SELECT CAST(s_suppkey % 2 AS INT) AS parity,
+             count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier WHERE s_acctbal > 0 GROUP BY 1 ORDER BY 1""",
     "dl16_identity_columns" -> """
       SELECT count(*) AS n,
              CAST(1000 AS BIGINT) AS rid_min,
@@ -487,5 +584,7 @@ object DeltaQueries {
     "dl13_drop_column" -> dl13DropColumn,
     "dl14_change_data_feed" -> dl14Cdf,
     "dl15_type_widening" -> dl15TypeWidening,
-    "dl16_identity_columns" -> dl16IdentityColumns)
+    "dl16_identity_columns" -> dl16IdentityColumns,
+    "dl17_id_mode_mapping" -> dl17IdModeMapping,
+    "dl18_timestamp_ntz" -> dl18TimestampNtz)
 }

@@ -36,8 +36,25 @@ object DeltaWriter {
     * and `partitionValues` keys. Rewrite/append paths call these just
     * before staging a write (the DataFrame stays logical until then). */
   private[delta] def physicalized(df: DataFrame, meta: DeltaMetadata): DataFrame =
-    if (!meta.hasColumnMapping) df
-    else df.toDF(df.columns.map(meta.physicalOf).toIndexedSeq: _*)
+    if (!meta.hasColumnMapping && meta.columnMappingMode != "id") df
+    else if (meta.columnMappingMode != "id")
+      df.toDF(df.columns.map(meta.physicalOf).toIndexedSeq: _*)
+    else {
+      // id mode: besides the physical rename, stamp each column's parquet
+      // field id (parquet.field.id metadata → Spark writes it into the
+      // file footer) so field-id-matching readers resolve our files
+      val byName = meta.schema.fields.map(f => f.name -> f).toMap
+      df.select(df.columns.map { c =>
+        byName.get(c).filter(_.metadata.contains(DeltaMetadata.ColumnIdKey)) match {
+          case Some(f) =>
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", f.metadata.getLong(DeltaMetadata.ColumnIdKey))
+              .build()
+            org.apache.spark.sql.functions.col(c).as(meta.physicalOf(c), md)
+          case None => org.apache.spark.sql.functions.col(c).as(meta.physicalOf(c))
+        }
+      }.toIndexedSeq: _*)
+    }
 
   private[delta] def physicalSchema(schema: StructType, meta: DeltaMetadata): StructType =
     if (!meta.hasColumnMapping) schema
@@ -326,16 +343,36 @@ object DeltaWriter {
         })
 
       if (version == 0L) {
+        val schema0 = withIdentityHwm(withGenMetadata(data1i.schema, genExprs))
+        def hasNtz(dt: DataType): Boolean = dt match {
+          case TimestampNTZType => true
+          case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+          case a: ArrayType => hasNtz(a.elementType)
+          case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+          case _ => false
+        }
         val protoLine = mapper.createObjectNode()
         val p = protoLine.putObject("protocol")
-        p.put("minReaderVersion", 1)
         // identity columns are legacy writer v6 — older writers would
         // append without maintaining the high water mark
-        p.put("minWriterVersion", if (identityFields.nonEmpty) 6 else 2)
+        val legacy = DeltaProtocol(1, if (identityFields.nonEmpty) 6 else 2)
+        // a TIMESTAMP_NTZ column requires the timestampNtz reader-writer
+        // feature (spec): readers without it would decode the column with
+        // a UTC adjustment — protocol goes to table features at creation
+        val proto =
+          if (hasNtz(StructType(schema0.fields)))
+            legacy.withReaderWriterFeature("timestampNtz", mappingActive = false)
+          else legacy
+        p.put("minReaderVersion", proto.minReaderVersion)
+        p.put("minWriterVersion", proto.minWriterVersion)
+        if (proto.minReaderVersion >= 3) {
+          val rf = p.putArray("readerFeatures")
+          proto.readerFeatures.toSeq.sorted.foreach(rf.add)
+          val wf = p.putArray("writerFeatures")
+          proto.writerFeatures.toSeq.sorted.foreach(wf.add)
+        }
         lines += mapper.writeValueAsString(protoLine)
-        lines += metaLine(UUID.randomUUID().toString,
-          withIdentityHwm(withGenMetadata(data1i.schema, genExprs)).json,
-          Map.empty)
+        lines += metaLine(UUID.randomUUID().toString, schema0.json, Map.empty)
       } else {
         // metaData re-emission (same table id — replay is
         // last-metaData-wins): schema evolution and/or identity hwm advance

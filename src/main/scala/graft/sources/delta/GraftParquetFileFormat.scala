@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjecti
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
 
 /** [[ParquetFileFormat]] that implements the two Delta reader capabilities
   * the stock format cannot: deletion vectors (reader v3, feature
@@ -38,16 +38,28 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * (`/root/reference/Cargo.toml:16`); this is the Spark-native equivalent
   * of both capabilities, implemented from the published protocol.
   *
+  * Column mapping `id` mode rides Spark's native parquet field-id
+  * matching: each read-schema field carries `parquet.field.id` metadata
+  * (from `delta.columnMapping.id`) and the parquet reader resolves columns
+  * by the file's stored field ids — name drift between writers becomes
+  * irrelevant, exactly the property `id` mode exists for. The session flag
+  * `spark.sql.parquet.fieldId.read.enabled` is switched on at scan build
+  * (it only changes behavior for requested schemas that carry ids, so
+  * other reads are unaffected).
+  *
   * @param tablePath      table root ("u"-storage DV files resolve against it)
   * @param dvByPath       DV descriptor per data file, keyed by the
   *                       scheme-less absolute path (`Path.toUri.getPath`)
   * @param physicalByLogical logical → physical top-level column names
   *                       (identity entries may be omitted)
+  * @param fieldIdByLogical logical name → parquet field id (`id` mapping
+  *                       mode only; empty for `name` mode)
   */
 class GraftParquetFileFormat(
     private val tablePath: String,
     private val dvByPath: Map[String, DvDescriptor],
-    private val physicalByLogical: Map[String, String] = Map.empty)
+    private val physicalByLogical: Map[String, String] = Map.empty,
+    private val fieldIdByLogical: Map[String, Long] = Map.empty)
   extends ParquetFileFormat {
 
   override def supportBatch(sparkSession: SparkSession, schema: StructType): Boolean =
@@ -63,9 +75,14 @@ class GraftParquetFileFormat(
   }
 
   private def toPhysical(schema: StructType): StructType =
-    if (physicalByLogical.isEmpty) schema
+    if (physicalByLogical.isEmpty && fieldIdByLogical.isEmpty) schema
     else StructType(schema.fields.map { f =>
-      physicalByLogical.get(f.name).map(n => f.copy(name = n)).getOrElse(f)
+      val renamed = physicalByLogical.get(f.name).map(n => f.copy(name = n)).getOrElse(f)
+      fieldIdByLogical.get(f.name) match {
+        case Some(id) => renamed.copy(metadata = new MetadataBuilder()
+          .withMetadata(renamed.metadata).putLong("parquet.field.id", id).build())
+        case None => renamed
+      }
     })
 
   /** Rename a pushed filter's column references to physical names. Every
@@ -109,6 +126,12 @@ class GraftParquetFileFormat(
       filters: Seq[Filter],
       options: Map[String, String],
       hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    // id-mode matching: ParquetReadSupport reads this flag from the
+    // (broadcast) Hadoop configuration at task time, so set it on the conf
+    // this scan will ship — scoped to THIS relation's reads, inert for
+    // schemas without field-id metadata, and no session-global mutation
+    if (fieldIdByLogical.nonEmpty)
+      hadoopConf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
     val physFilters =
       if (physicalByLogical.isEmpty) filters else filters.flatMap(translate)
 
@@ -173,10 +196,12 @@ class GraftParquetFileFormat(
   override def equals(other: Any): Boolean = other match {
     case d: GraftParquetFileFormat =>
       d.tablePath == tablePath && d.dvByPath == dvByPath &&
-        d.physicalByLogical == physicalByLogical
+        d.physicalByLogical == physicalByLogical &&
+        d.fieldIdByLogical == fieldIdByLogical
     case _ => false
   }
-  override def hashCode(): Int = (tablePath, dvByPath, physicalByLogical).##
+  override def hashCode(): Int =
+    (tablePath, dvByPath, physicalByLogical, fieldIdByLogical).##
 }
 
 object GraftParquetFileFormat {
@@ -184,9 +209,11 @@ object GraftParquetFileFormat {
   /** Scan-time readability checks + format selection for a snapshot: the
     * stock [[ParquetFileFormat]] whenever neither DVs nor a non-identity
     * mapping are present; otherwise a [[GraftParquetFileFormat]] carrying
-    * exactly what this snapshot needs. Fails loudly on `id`-mode mapping
-    * (parquet field-id matching not implemented) and on nested physical
-    * names (only top-level renames are translated). */
+    * exactly what this snapshot needs. `name` mode translates physical
+    * names; `id` mode additionally carries the per-column parquet field
+    * ids for Spark's native field-id matching. Fails loudly on unknown
+    * mapping modes and on nested physical names (only top-level renames
+    * are translated). */
   private[delta] def forSnapshot(
       tablePath: String, snap: DeltaSnapshot): ParquetFileFormat = {
     checkReadable(tablePath, snap)
@@ -195,15 +222,30 @@ object GraftParquetFileFormat {
       f.deletionVector.map(d =>
         DeltaFileIndex.absoluteDataPath(tableRoot, f.path).toUri.getPath -> d)).toMap
     val nameMap = snap.metadata.physicalNames.filter { case (l, p) => l != p }
-    if (dvByPath.isEmpty && nameMap.isEmpty) new ParquetFileFormat
-    else new GraftParquetFileFormat(tablePath, dvByPath, nameMap)
+    val fieldIds: Map[String, Long] =
+      if (snap.metadata.columnMappingMode != "id") Map.empty
+      else snap.schema.fields.iterator.collect {
+        case f if f.metadata.contains(DeltaMetadata.ColumnIdKey) =>
+          f.name -> f.metadata.getLong(DeltaMetadata.ColumnIdKey)
+      }.toMap
+    if (dvByPath.isEmpty && nameMap.isEmpty && fieldIds.isEmpty) new ParquetFileFormat
+    else new GraftParquetFileFormat(tablePath, dvByPath, nameMap, fieldIds)
   }
 
   private[delta] def checkReadable(tablePath: String, snap: DeltaSnapshot): Unit = {
     val mode = snap.metadata.columnMappingMode
-    if (mode != "none" && mode != "name") throw new UnsupportedOperationException(
-      s"$tablePath uses column mapping mode '$mode'; this engine implements " +
-        "'name' mode (physical-name matching), not parquet field-id matching")
+    if (mode != "none" && mode != "name" && mode != "id")
+      throw new UnsupportedOperationException(
+        s"$tablePath uses unknown column mapping mode '$mode'; this engine " +
+          "implements 'name' (physical-name matching) and 'id' (parquet " +
+          "field-id matching)")
+    if (mode == "id") {
+      val missing = snap.schema.fields.filterNot(
+        _.metadata.contains(DeltaMetadata.ColumnIdKey)).map(_.name)
+      if (missing.nonEmpty) throw new UnsupportedOperationException(
+        s"$tablePath: id-mode column mapping but column(s) " +
+          s"${missing.mkString(",")} carry no ${DeltaMetadata.ColumnIdKey}")
+    }
     def nestedMapped(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case s: StructType => s.fields.exists(f =>
         f.metadata.contains(DeltaMetadata.PhysicalNameKey) || nestedMapped(f.dataType))

@@ -271,10 +271,55 @@ class DeltaColumnMappingSuite extends AnyFunSuite {
       .collect().head.getDouble(0) === 3.0)
   }
 
-  test("foreign id-mode and nested mappings fail loudly at scan build") {
+  test("id-mode mapping reads by parquet field id, not by any column name") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-idmode").toString
+    def fidMd(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    // data file with "foreign" column names + field ids in the footer
+    (0 until 10).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .select(col("a").as("weird_name_1", fidMd(1)), col("b").as("weird_name_2", fidMd(2)))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFile = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val st = fs.getFileStatus(dataFile)
+    def f(name: String, dt: DataType, id: Long, phys: String) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong(DeltaMetadata.ColumnIdKey, id)
+        .putString(DeltaMetadata.PhysicalNameKey, phys).build())
+    val schema = StructType(Seq(f("id", LongType, 1, "col-a"), f("v", DoubleType, 2, "col-b")))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(DeltaLog.tryCommit(spark, dir, 0L,
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{"${DeltaMetadata.ModeKey}":"id","${DeltaMetadata.MaxColumnIdKey}":"2"}}}
+         |{"add":{"path":"${dataFile.getName}","partitionValues":{},"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}"""
+        .stripMargin))
+    // neither "weird_name_*" (file), "col-a/b" (physical) nor "id/v"
+    // (logical) agree — only the field ids line up
+    val got = DeltaTable.read(spark, dir)
+    assert(got.columns.toSeq === Seq("id", "v"))
+    assert(got.agg(org.apache.spark.sql.functions.sum("id"),
+      org.apache.spark.sql.functions.sum("v")).collect().head match {
+      case r => r.getLong(0) === 45L && r.getDouble(1) === 90.0
+    })
+    // the engine's own append stamps field ids → still readable by id
+    DeltaWriter.write(Seq((100L, 1.0)).toDF("id", "v"), dir, SaveMode.Append, Nil)
+    assert(DeltaTable.read(spark, dir).count() === 11)
+    assert(DeltaTable.read(spark, dir).filter("id = 100").count() === 1)
+    // id-mode columns missing their field id still fail loudly
+    val bad = StructType(Seq(f("id", LongType, 1, "col-a"),
+      StructField("v", DoubleType, nullable = true)))
+    val v2 = DeltaLog.snapshot(spark, dir).version + 1
+    assert(DeltaLog.tryCommit(spark, dir, v2,
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(bad.json)},"partitionColumns":[],"configuration":{"${DeltaMetadata.ModeKey}":"id"}}}"""))
+    val e = intercept[UnsupportedOperationException] { DeltaTable.read(spark, dir).collect() }
+    assert(e.getMessage.contains("delta.columnMapping.id"))
+  }
+
+  test("unknown mapping modes fail loudly at scan build") {
     val dir = fresh()
     DeltaSchema.renameColumn(spark, dir, "score", "points")
-    // simulate a foreign writer switching to id mode (hand-built commit)
     val snap = DeltaLog.snapshot(spark, dir)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val mdLine = mapper.createObjectNode()
@@ -284,13 +329,13 @@ class DeltaColumnMappingSuite extends AnyFunSuite {
     m.put("schemaString", snap.metadata.schemaString)
     m.putArray("partitionColumns")
     val cfg = m.putObject("configuration")
-    (snap.metadata.configuration + (DeltaMetadata.ModeKey -> "id")).foreach {
+    (snap.metadata.configuration + (DeltaMetadata.ModeKey -> "mystery")).foreach {
       case (k, v) => cfg.put(k, v)
     }
     assert(DeltaLog.tryCommit(spark, dir, snap.version + 1, mapper.writeValueAsString(mdLine)))
     val e = intercept[UnsupportedOperationException] {
       DeltaTable.read(spark, dir).collect()
     }
-    assert(e.getMessage.contains("'id'"))
+    assert(e.getMessage.contains("mystery"))
   }
 }

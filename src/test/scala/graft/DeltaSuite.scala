@@ -21,6 +21,25 @@ class DeltaSuite extends AnyFunSuite {
   private def tmpDir(): String =
     Files.createTempDirectory("graft-delta-").toFile.getAbsolutePath
 
+  test("TIMESTAMP_NTZ column: creation stamps the timestampNtz feature; values round-trip") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("ts", expr("timestampadd(HOUR, CAST(id AS INT), TIMESTAMP_NTZ'2020-05-06 07:08:09')"))
+    DeltaWriter.write(df, dir, SaveMode.Append, Nil)
+    val p = DeltaLog.snapshot(spark, dir).protocol
+    assert(p.minReaderVersion === 3 && p.minWriterVersion === 7,
+      s"ntz schema must upgrade to table features: $p")
+    assert(p.readerFeatures.contains("timestampNtz") && p.writerFeatures.contains("timestampNtz"))
+    val back = DeltaTable.read(spark, dir)
+    assert(back.schema("ts").dataType === org.apache.spark.sql.types.TimestampNTZType)
+    // wall-clock values, no zone shift
+    assert(back.orderBy("id").select(col("ts").cast("string")).as[String].collect().toSeq ===
+      Seq("2020-05-06 08:08:09", "2020-05-06 09:08:09", "2020-05-06 10:08:09"))
+    // ntz stats drive skipping without breaking correctness
+    assert(back.filter(col("ts") > expr("TIMESTAMP_NTZ'2020-05-06 09:00:00'")).count() === 2)
+  }
+
   // --- reference-parity golden reads -------------------------------------
 
   test("golden: fixture read matches the reference's expected 5 rows") {
