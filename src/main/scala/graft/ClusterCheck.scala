@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Cross-process execution pin: runs the Delta provider's serialization-
+  * sensitive paths on `local-cluster[2,2,1024]` — a real multi-JVM
+  * deployment in miniature (the master/workers are in-process threads but
+  * every EXECUTOR is a separate JVM, so task closures, the custom
+  * FileFormat, [[graft.sources.delta.SerializableHadoopConf]] and the DV
+  * build/filter closures must genuinely serialize).
+  *
+  * The reference's entire plan-codec layer exists because plans cross
+  * process boundaries (`/root/reference/src/lib.rs:49-138` ships
+  * logical/physical plan protobufs); Spark makes the shipping free, but
+  * only a multi-JVM run proves our closures survive it. `local[*]` tests
+  * cannot catch a non-serializable capture — this main exists to.
+  *
+  * Run directly (`sbt "runMain graft.ClusterCheck"`) or through
+  * `ClusterSuite`, which spawns it as a subprocess (the shared test JVM
+  * already holds a `local[*]` context). Prints `CLUSTERCHECK OK` and
+  * exits 0 on success.
+  */
+object ClusterCheck {
+
+  def main(args: Array[String]): Unit = {
+    // the in-process workers launch executors through the dist's launcher,
+    // which needs both of these (load-spark-env.sh never runs here)
+    require(sys.env.contains("SPARK_HOME"),
+      "ClusterCheck needs SPARK_HOME (e.g. /opt/spark) in the environment")
+    require(sys.env.contains("SPARK_SCALA_VERSION"),
+      "ClusterCheck needs SPARK_SCALA_VERSION (e.g. 2.13) in the environment")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,2,1024]")
+      .appName("graft-cluster-check")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.memory", "1024m")
+      // executors are fresh JVMs: they need our classes and the JDK17 opens
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.extensions", classOf[graft.functions.GraftSparkExtensions].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      run(spark)
+      println("CLUSTERCHECK OK")
+    } finally spark.stop()
+  }
+
+  private[graft] def run(spark: SparkSession): Unit = {
+    import graft.sources.delta.{DeltaDml, DeltaSchema, DeltaTable, DeltaWriter}
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+
+    // 1. golden fixture — the reference's own 5-row table through the
+    // provider scan, decoded on remote executors
+    val fixture = "/root/reference/data/people_countries_delta_dask"
+    val n = DeltaTable.read(spark, fixture).count()
+    require(n == 5L, s"golden fixture: expected 5 rows, got $n")
+
+    // 2. deletion vectors — the distributed DV build (groupByKey +
+    // mapGroups + per-task DV file write) runs ON executors; the read-side
+    // anti-filter closure (SerializableHadoopConf + descriptor map) ships
+    // back out to them
+    val dvDir = java.nio.file.Files.createTempDirectory("graft-cluster-dv").toString
+    spark.range(0, 10000).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(4).write.format("delta").save(dvDir)
+    val m = DeltaDml.deleteWithDv(spark, dvDir, "id % 2 = 0")
+    require(m.rowsAffected == 5000L, s"DV delete affected ${m.rowsAffected}")
+    val live = DeltaTable.read(spark, dvDir).agg(count(lit(1)), sum("id")).collect()(0)
+    require(live.getLong(0) == 5000L, s"DV read count ${live.getLong(0)}")
+    require(live.getLong(1) == (0L until 10000L).filter(_ % 2 == 1).sum,
+      s"DV read sum ${live.getLong(1)}")
+
+    // 3. column mapping — physical-name translation inside the custom
+    // FileFormat, serialized to executors; append after rename included
+    val cmDir = java.nio.file.Files.createTempDirectory("graft-cluster-cm").toString
+    (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .write.format("delta").save(cmDir)
+    DeltaSchema.renameColumn(spark, cmDir, "v", "value")
+    DeltaWriter.write(
+      (100 until 200).map(i => (i.toLong, i * 2.0)).toDF("id", "value"),
+      cmDir, SaveMode.Append, Nil)
+    val cm = DeltaTable.read(spark, cmDir)
+      .filter(col("value") >= 100.0)
+      .agg(count(lit(1)), sum("value")).collect()(0)
+    require(cm.getLong(0) == 150L, s"mapped read count ${cm.getLong(0)}")
+    require(cm.getDouble(1) == (50 until 200).map(_ * 2.0).sum,
+      s"mapped read sum ${cm.getDouble(1)}")
+  }
+}

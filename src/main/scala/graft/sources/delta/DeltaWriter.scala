@@ -203,9 +203,16 @@ object DeltaWriter {
     }
 
     // ---- identity columns: assign values for writes that (correctly)
-    // omit them. Scale posture: ONE zipWithIndex pass over the incoming
-    // rows (contiguous ids hwm+step, hwm+2·step, …), persisted so the
-    // count for the new high water mark reuses the same materialization.
+    // omit them. Scale posture: per-partition range allocation, entirely
+    // in the DataFrame/codegen path — monotonically_increasing_id gives
+    // each row a stable (partition, local-index) pair (pid in the upper
+    // bits, a contiguous per-partition counter in the lower 33); ONE
+    // codegen'd aggregate counts rows per partition (and the total for the
+    // new high water mark — zipWithIndex's extra count job and its RDD
+    // round-trip are both gone); driver-side prefix sums (O(partitions))
+    // become per-partition start offsets, broadcast-joined back so ids are
+    // contiguous hwm+step, hwm+2·step, … exactly as before. Persisted so
+    // the counts job and the assignment read the SAME materialization.
     // hwm the assignment is based on — the commit loop verifies it is
     // still current at commit time (a concurrent identity write would
     // otherwise hand out duplicate ids)
@@ -216,21 +223,36 @@ object DeltaWriter {
     val data1i: DataFrame =
       if (identityFields.isEmpty) data1
       else {
-        val indexed = spark.createDataFrame(
-          data1.rdd.zipWithIndex().map { case (row, i) =>
-            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i) },
-          data1.schema.add("_graft_idx", LongType)).persist()
-        identityPinned = Some(indexed)
-        val n = indexed.count()
+        val mid = "_graft_mid"
+        val withMid = data1.withColumn(mid, monotonically_increasing_id()).persist()
+        identityPinned = Some(withMid)
+        val counts = withMid.groupBy(shiftright(col(mid), 33).as("_graft_pid"))
+          .count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        val n = counts.map(_._2).sum
         identityNewHwm = identityFields.map { f =>
           val step = f.metadata.getLong(IdentityStepKey)
           f.name -> (assignedFromHwm(f.name) + step * n)
         }.toMap
-        identityFields.foldLeft(indexed) { (df, f) =>
+        val offsetRows = {
+          var acc = 0L
+          counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+        }
+        val offsetsDf = spark.createDataFrame(
+          java.util.Arrays.asList(offsetRows.map(t =>
+            org.apache.spark.sql.Row(t._1, t._2)): _*),
+          StructType(Seq(StructField("_graft_pid", LongType),
+            StructField("_graft_off", LongType))))
+        val joined = withMid
+          .withColumn("_graft_pid", shiftright(col(mid), 33))
+          .join(broadcast(offsetsDf), "_graft_pid")
+        val localIdx = col(mid).bitwiseAND(lit((1L << 33) - 1))
+        val outCols = data1.columns.map(col) ++ identityFields.map { f =>
           val step = f.metadata.getLong(IdentityStepKey)
-          df.withColumn(f.name,
-            lit(assignedFromHwm(f.name) + step) + col("_graft_idx") * lit(step))
-        }.drop("_graft_idx")
+          (lit(assignedFromHwm(f.name) + step) +
+            (col("_graft_off") + localIdx) * lit(step)).as(f.name)
+        }
+        joined.select(outCols.toIndexedSeq: _*)
       }
 
     // CHECK constraints of the existing table apply to every incoming row

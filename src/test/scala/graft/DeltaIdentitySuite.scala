@@ -8,8 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.delta.{DeltaLog, DeltaTable, DeltaWriter}
 
 /** Identity columns (GENERATED ALWAYS AS IDENTITY — legacy writer v6):
-  * declared at creation, values assigned by the writer (one zipWithIndex
-  * pass), high water mark maintained in field metadata across commits. */
+  * declared at creation, values assigned by the writer (per-partition
+  * range allocation in the DataFrame path), high water mark maintained in
+  * field metadata across commits. */
 class DeltaIdentitySuite extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -72,6 +73,39 @@ class DeltaIdentitySuite extends AnyFunSuite {
       DeltaWriter.write(Seq(("bad", -1.0)).toDF("name", "score"),
         dir, SaveMode.Append, Nil)
     }
+  }
+
+  test("identity assignment stays in the DataFrame path (no RDD scan in any executed plan)") {
+    val dir = Files.createTempDirectory("graft-ident-plans").toString
+    // the old zipWithIndex path round-tripped through an RDD, so its
+    // staged write scanned an ExistingRDD (codegen boundary + an extra
+    // count job inside zipWithIndex). Capture every plan the identity
+    // write executes and assert none left the DataFrame/codegen path.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      DeltaWriter.write(
+        (0 until 1000).map(i => (s"r$i", i * 1.0)).toDF("name", "score").repartition(7),
+        dir, SaveMode.Append, Nil,
+        identityColumns = Map("rid" -> (1L, 1L)))
+      var last = -1; var spins = 0
+      while (plans.size != last && spins < 20) { last = plans.size; Thread.sleep(200); spins += 1 }
+      assert(!plans.isEmpty, "listener saw no executed plans")
+      val rddScans = scala.jdk.CollectionConverters.CollectionHasAsScala(plans).asScala
+        .filter(_.contains("ExistingRDD"))
+      assert(rddScans.isEmpty,
+        s"identity write left the DataFrame path:\n${rddScans.headOption.getOrElse("")}")
+    } finally spark.listenerManager.unregister(ql)
+    // ids are still exactly the contiguous series across the 7 partitions
+    val ids = DeltaTable.read(spark, dir).select("rid").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (1L to 1000L))
   }
 
   test("CHECK constraints see the assigned identity values") {
