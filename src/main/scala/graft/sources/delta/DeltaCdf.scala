@@ -185,8 +185,14 @@ object DeltaCdf {
         val removeFiles = Seq.newBuilder[(String, Map[String, String])]
         content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
-          if (node.has("commitInfo") && node.get("commitInfo").has("timestamp"))
-            commitTs = node.get("commitInfo").get("timestamp").asLong()
+          if (node.has("commitInfo")) {
+            val ciNode = node.get("commitInfo")
+            // in-commit timestamp wins when present (mtime-independent)
+            if (ciNode.has("inCommitTimestamp"))
+              commitTs = ciNode.get("inCommitTimestamp").asLong()
+            else if (ciNode.has("timestamp"))
+              commitTs = ciNode.get("timestamp").asLong()
+          }
           if (node.has("cdc")) {
             val c = node.get("cdc")
             cdcFiles += ((c.get("path").asText(), jsonStringMap(c.get("partitionValues"))))

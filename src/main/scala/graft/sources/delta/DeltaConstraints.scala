@@ -94,11 +94,24 @@ object DeltaConstraints {
       val ciLine = mapper.createObjectNode()
       val ci = ciLine.putObject("commitInfo")
       ci.put("timestamp", System.currentTimeMillis())
+      // stamped from the NEW configuration, so the commit that ENABLES
+      // in-commit timestamps already carries one (the spec's contract)
+      val ict = InCommitTimestamps.stamp(
+        spark, tablePath, newConfig, current.version, ci)
       ci.put("operation", op)
       val pn = ci.putObject("operationParameters")
       params.foreach { case (k, v) => pn.put(k, v) }
       ci.put("engineInfo", "graft-spark/0.1.0")
       lines += mapper.writeValueAsString(ciLine)
+      // newly enabling: record WHEN (version + ict) the series started —
+      // readers must fall back to file mtimes for earlier versions
+      val ictProvenance: Map[String, String] =
+        if (InCommitTimestamps.enabled(newConfig) &&
+            !InCommitTimestamps.enabled(current.metadata.configuration))
+          Map(
+            InCommitTimestamps.EnablementVersionKey -> (current.version + 1).toString,
+            InCommitTimestamps.EnablementTimestampKey -> ict.get.toString)
+        else Map.empty
       // protocol upgrade (e.g. enabling column mapping bumps reader v1→v2)
       // rides in the same commit, before the metaData that relies on it
       newProtocol.filter(_ != current.protocol).foreach { p =>
@@ -121,7 +134,7 @@ object DeltaConstraints {
       m.put("schemaString", newSchemaString.getOrElse(current.metadata.schemaString))
       current.partitionColumns.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
       val cfg = m.putObject("configuration")
-      newConfig.foreach { case (k, v) => cfg.put(k, v) }
+      (newConfig ++ ictProvenance).foreach { case (k, v) => cfg.put(k, v) }
       lines += mapper.writeValueAsString(mdLine)
       if (DeltaLog.tryCommit(spark, tablePath, current.version + 1,
           lines.result().mkString("\n")))

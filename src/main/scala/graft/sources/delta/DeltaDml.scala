@@ -213,6 +213,8 @@ object DeltaDml {
       val ciLine = mapper.createObjectNode()
       val ci = ciLine.putObject("commitInfo")
       ci.put("timestamp", System.currentTimeMillis())
+      InCommitTimestamps.stamp(
+        spark, tablePath, latest.metadata.configuration, latest.version, ci)
       ci.put("operation", op)
       val params = ci.putObject("operationParameters")
       params.put("predicate", condition)
@@ -437,6 +439,8 @@ object DeltaDml {
       val ciLine = mapper.createObjectNode()
       val ci = ciLine.putObject("commitInfo")
       ci.put("timestamp", System.currentTimeMillis())
+      InCommitTimestamps.stamp(
+        spark, tablePath, latest.metadata.configuration, latest.version, ci)
       ci.put("operation", "DELETE")
       val params = ci.putObject("operationParameters")
       params.put("predicate", condition)

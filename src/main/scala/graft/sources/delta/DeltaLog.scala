@@ -218,10 +218,23 @@ object DeltaLog {
       case None => timestampAsOf match {
         case Some(ts) =>
           val cutoff = parseTimestampMillis(ts)
+          // in-commit timestamps: when the newest commit carries an ict
+          // (the feature stamps EVERY post-enablement commit), versions
+          // resolve against the in-commit values — file mtimes lie after
+          // storage migrations/copies. Pre-enablement commits have no ict
+          // and keep the mtime fallback. Non-ict tables skip the probe
+          // cost entirely (one JSON read decides).
+          val ictTable = commits.lastOption.exists { case (v, _) =>
+            InCommitTimestamps.readIct(spark, tablePath, v).isDefined
+          }
+          def commitTime(v: Long, st: FileStatus): Long =
+            if (!ictTable) st.getModificationTime
+            else InCommitTimestamps.readIct(spark, tablePath, v)
+              .getOrElse(st.getModificationTime)
           // checkpoint-only / partially-cleaned logs: the checkpoint file's
           // own mtime stands in for the retired commits' timestamps, so a
           // cutoff after the cleanup boundary still resolves
-          val eligible = commits.filter(_._2.getModificationTime <= cutoff).map(_._1) ++
+          val eligible = commits.filter { case (v, st) => commitTime(v, st) <= cutoff }.map(_._1) ++
             checkpoints.filter(_._2.exists(_.getModificationTime <= cutoff)).map(_._1)
           if (eligible.isEmpty) throw new IllegalArgumentException(
             s"timestampAsOf $ts precedes the earliest commit of $tablePath")
@@ -380,8 +393,26 @@ object DeltaLog {
     }
     val meta = metadata.getOrElse(throw new IllegalStateException(
       s"$tablePath: no metaData action found in log replay up to version $target"))
+    // Scale guard: snapshot state is reconstructed DRIVER-SIDE (one pass
+    // over checkpoint ∪ JSON deltas into a mutable map) — the same plane
+    // classic delta clients use, comfortable to ~1M live files. Past that
+    // the snapshot itself becomes the bottleneck (production delta-spark
+    // moved to Spark-job state reconstruction for exactly this reason) —
+    // warn loudly so the operator OPTIMIZEs or re-partitions before the
+    // driver heap becomes the incident.
+    if (live.size > SnapshotFileCountWarnThreshold)
+      System.err.println(
+        s"[graft] WARN: $tablePath snapshot v$target holds ${live.size} live " +
+          s"files (> $SnapshotFileCountWarnThreshold); driver-side log replay " +
+          "degrades past ~1M files — compact with OPTIMIZE (small files are " +
+          "also slowing every scan)")
     DeltaSnapshot(tablePath, target, proto, meta, live.values.toSeq)
   }
+
+  /** Live-file count past which [[snapshot]] warns about driver-side
+    * replay cost (var for tests; production Delta's practical comfort zone
+    * is well past this, the warning fires early by design). */
+  private[graft] var SnapshotFileCountWarnThreshold: Int = 100000
 
   /** Per-commit DATA-CHANGE add actions in versions (fromExclusive,
     * toInclusive] — the incremental-consumption view of the log: compaction

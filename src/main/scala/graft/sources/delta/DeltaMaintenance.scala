@@ -274,6 +274,8 @@ object DeltaMaintenance {
       val ciLine = mapper.createObjectNode()
       val ci = ciLine.putObject("commitInfo")
       ci.put("timestamp", System.currentTimeMillis())
+      InCommitTimestamps.stamp(
+        spark, tablePath, latest.metadata.configuration, latest.version, ci)
       ci.put("operation", op)
       val p = ci.putObject("operationParameters")
       params.foreach { case (k, v) => p.put(k, v) }
@@ -383,6 +385,8 @@ object DeltaMaintenance {
       val ciLine = mapper.createObjectNode()
       val ci = ciLine.putObject("commitInfo")
       ci.put("timestamp", System.currentTimeMillis())
+      InCommitTimestamps.stamp(
+        spark, tablePath, current.metadata.configuration, current.version, ci)
       ci.put("operation", "RESTORE")
       ci.putObject("operationParameters").put("version", toVersion)
       ci.put("engineInfo", "graft-spark/0.1.0")
@@ -501,6 +505,10 @@ object DeltaMaintenance {
     val ciLine = mapper.createObjectNode()
     val ci = ciLine.putObject("commitInfo")
     ci.put("timestamp", System.currentTimeMillis())
+    // a clone copies the source configuration, ict enablement included —
+    // its v0 commit starts the clone's own monotonic series
+    InCommitTimestamps.stamp(
+      spark, targetPath, src.metadata.configuration, -1L, ci)
     ci.put("operation", "CLONE")
     val cp = ci.putObject("operationParameters")
     cp.put("source", srcRoot.toString)
@@ -614,7 +622,10 @@ object DeltaMaintenance {
         .collectFirst { case n if n.has("commitInfo") => n.get("commitInfo") }
       Row(
         version,
-        ci.flatMap(c => Option(c.get("timestamp")).map(_.asLong())).getOrElse(0L),
+        // in-commit timestamp wins when present (survives mtime rewrites)
+        ci.flatMap(c => Option(c.get("inCommitTimestamp")).map(_.asLong()))
+          .orElse(ci.flatMap(c => Option(c.get("timestamp")).map(_.asLong())))
+          .getOrElse(0L),
         ci.flatMap(c => Option(c.get("operation")).map(_.asText())).getOrElse(""),
         ci.flatMap(c => Option(c.get("engineInfo")).map(_.asText())).getOrElse(""))
     }.sortBy(-_.getLong(0))

@@ -231,6 +231,8 @@ object DeltaMerge {
       val ciLine = mapper.createObjectNode()
       val ci = ciLine.putObject("commitInfo")
       ci.put("timestamp", System.currentTimeMillis())
+      InCommitTimestamps.stamp(
+        spark, tablePath, latest.metadata.configuration, latest.version, ci)
       ci.put("operation", "MERGE")
       ci.putObject("operationParameters").put("predicate", condition)
       ci.put("engineInfo", "graft-spark/0.1.0")

@@ -258,6 +258,7 @@ object DeltaSchema {
     //    written, or legacy readers replay a cleaned log from nothing
     val cdfOn = props.get(DeltaCdf.EnableKey).exists(_.trim.equalsIgnoreCase("true"))
     val v2CpOn = props.get("delta.checkpointPolicy").exists(_.trim.equalsIgnoreCase("v2"))
+    val ictOn = props.get(InCommitTimestamps.EnableKey).exists(_.trim.equalsIgnoreCase("true"))
     val afterCdf: Option[DeltaProtocol] =
       if (!cdfOn) None
       else snap.protocol match {
@@ -266,10 +267,20 @@ object DeltaSchema {
         case p if p.minWriterVersion < 4 => Some(p.copy(minWriterVersion = 4))
         case _ => None
       }
-    val newProtocol: Option[DeltaProtocol] =
+    val afterV2Cp: Option[DeltaProtocol] =
       if (!v2CpOn) afterCdf
       else Some(afterCdf.getOrElse(snap.protocol).withReaderWriterFeature(
         "v2Checkpoint", mappingActive = snap.metadata.columnMappingMode != "none"))
+    // inCommitTimestamp is a WRITER-only feature: writer goes to v7 with
+    // the feature listed (legacy capabilities carried along explicitly),
+    // the reader version is untouched
+    val newProtocol: Option[DeltaProtocol] =
+      if (!ictOn) afterV2Cp
+      else {
+        val p = afterV2Cp.getOrElse(snap.protocol)
+        Some(p.copy(minWriterVersion = 7,
+          writerFeatures = p.impliedWriterFeatures + InCommitTimestamps.Feature))
+      }
     DeltaConstraints.commitMetadata(spark, tablePath,
       snap.metadata.configuration ++ props,
       newSchemaString = None,

@@ -324,6 +324,8 @@ object DeltaWriter {
       val commitInfo = mapper.createObjectNode()
       val ci = commitInfo.putObject("commitInfo")
       ci.put("timestamp", System.currentTimeMillis())
+      current.foreach(cur => InCommitTimestamps.stamp(
+        spark, tablePath, cur.metadata.configuration, cur.version, ci))
       ci.put("operation", "WRITE")
       val params = ci.putObject("operationParameters")
       params.put("mode", mode.toString)

@@ -40,6 +40,31 @@ class DeltaSuite extends AnyFunSuite {
     assert(back.filter(col("ts") > expr("TIMESTAMP_NTZ'2020-05-06 09:00:00'")).count() === 2)
   }
 
+  test("snapshot warns past the live-file threshold (driver replay scale guard)") {
+    val dir = tmpDir()
+    spark.range(0, 100).repartition(5).toDF("id").write.format("delta").save(dir)
+    val old = DeltaLog.SnapshotFileCountWarnThreshold
+    val buf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    try {
+      DeltaLog.SnapshotFileCountWarnThreshold = 3
+      System.setErr(new java.io.PrintStream(buf, true))
+      assert(DeltaLog.snapshot(spark, dir).files.size === 5)
+    } finally {
+      System.setErr(oldErr)
+      DeltaLog.SnapshotFileCountWarnThreshold = old
+    }
+    assert(buf.toString.contains("driver-side log replay"),
+      s"expected the scale warning, got: ${buf.toString.take(200)}")
+    // below the threshold: silent
+    val buf2 = new java.io.ByteArrayOutputStream()
+    try {
+      System.setErr(new java.io.PrintStream(buf2, true))
+      DeltaLog.snapshot(spark, dir)
+    } finally System.setErr(oldErr)
+    assert(!buf2.toString.contains("driver-side log replay"))
+  }
+
   // --- reference-parity golden reads -------------------------------------
 
   test("golden: fixture read matches the reference's expected 5 rows") {
