@@ -144,7 +144,15 @@ object DeltaDml {
     val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
     val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
     val physPartCols = snap.partitionColumns.map(snap.metadata.physicalOf)
-    val writer = DeltaWriter.physicalized(rewritten, snap.metadata).write.mode(SaveMode.Overwrite)
+    val staged0 = DeltaWriter.physicalized(rewritten, snap.metadata)
+    // optimizeWrite for rewrites, same as appends: one shuffle by the
+    // partition columns so each hive partition is written by ~one task —
+    // without it every upstream shuffle partition fans a tiny file into
+    // every output partition (DML creating the small-files churn OPTIMIZE
+    // exists to cure)
+    val staged = if (physPartCols.nonEmpty) staged0.repartition(physPartCols.map(col): _*)
+                 else staged0
+    val writer = staged.write.mode(SaveMode.Overwrite)
     (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
      else writer).parquet(stagingDir.toString)
 

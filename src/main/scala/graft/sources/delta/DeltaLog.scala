@@ -106,6 +106,32 @@ object DeltaMetadata {
   val PhysicalNameKey = "delta.columnMapping.physicalName"
   val ModeKey = "delta.columnMapping.mode"
   val MaxColumnIdKey = "delta.columnMapping.maxColumnId"
+
+  /** Non-identity physical names of NESTED fields, keyed by dotted LOGICAL
+    * path using the delta stats convention (`s.x`, `a.element.y`,
+    * `m.key.k` / `m.value.v`); value = the physical SEGMENT name. Empty
+    * for tables that map only top-level columns (everything this engine's
+    * own producer creates). */
+  def nestedPhysicalPaths(schema: StructType): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    def walkDt(path: String, dt: DataType): Unit = dt match {
+      case s: StructType => s.fields.foreach { f =>
+        val key = s"$path.${f.name}"
+        if (f.metadata.contains(PhysicalNameKey)) {
+          val phys = f.metadata.getString(PhysicalNameKey)
+          if (phys != f.name) b += key -> phys
+        }
+        walkDt(key, f.dataType)
+      }
+      case a: org.apache.spark.sql.types.ArrayType =>
+        walkDt(s"$path.element", a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        walkDt(s"$path.key", m.keyType); walkDt(s"$path.value", m.valueType)
+      case _ => ()
+    }
+    schema.fields.foreach(f => walkDt(f.name, f.dataType))
+    b.result()
+  }
 }
 
 final case class DeltaAddFile(

@@ -290,7 +290,14 @@ object DeltaMerge {
     val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
     // column-mapped tables stage under physical names; `df` is logical
     val physPartCols = snap.partitionColumns.map(snap.metadata.physicalOf)
-    val writer = DeltaWriter.physicalized(df, snap.metadata).write.mode(SaveMode.Overwrite)
+    val staged0 = DeltaWriter.physicalized(df, snap.metadata)
+    // optimizeWrite for the merge rewrite (same as appends/DML): one
+    // shuffle by partition columns → ~one file per hive partition per
+    // commit instead of per-upstream-partition fan-out
+    val staged = if (physPartCols.nonEmpty)
+      staged0.repartition(physPartCols.map(org.apache.spark.sql.functions.col): _*)
+    else staged0
+    val writer = staged.write.mode(SaveMode.Overwrite)
     (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
      else writer).parquet(stagingDir.toString)
     val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)

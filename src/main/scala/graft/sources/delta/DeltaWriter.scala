@@ -37,6 +37,13 @@ object DeltaWriter {
     * before staging a write (the DataFrame stays logical until then). */
   private[delta] def physicalized(df: DataFrame, meta: DeltaMetadata): DataFrame =
     if (!meta.hasColumnMapping && meta.columnMappingMode != "id") df
+    else if (DeltaMetadata.nestedPhysicalPaths(meta.schema).nonEmpty)
+      // reads translate nested names (GraftParquetFileFormat); writes would
+      // need the recursion on every staging path — refuse loudly rather
+      // than stage files whose NESTED names silently disagree with the log
+      throw new UnsupportedOperationException(
+        "writing to a table that maps NESTED column names is not " +
+          "supported (reads are); rewrite via a foreign writer or flatten")
     else if (meta.columnMappingMode != "id")
       df.toDF(df.columns.map(meta.physicalOf).toIndexedSeq: _*)
     else {

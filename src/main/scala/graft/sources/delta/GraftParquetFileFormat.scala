@@ -47,6 +47,14 @@ import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, Struc
   * (it only changes behavior for requested schemas that carry ids, so
   * other reads are unaffected).
   *
+  * Nested mapped names (`name` mode): foreign producers (delta-spark
+  * renames of struct fields) stamp `physicalName` on NESTED fields too.
+  * The rename recursion is PATH-keyed (`s.x`, `a.element.y`,
+  * `m.value.z` — the delta stats/path convention), not metadata-keyed,
+  * so it survives Spark's nested-schema pruning, which rebuilds structs.
+  * Write paths refuse nested-mapped tables loudly ([[DeltaWriter
+  * .physicalized]]) — read parity with delta-rs, conservative writes.
+  *
   * @param tablePath      table root ("u"-storage DV files resolve against it)
   * @param dvByPath       DV descriptor per data file, keyed by the
   *                       scheme-less absolute path (`Path.toUri.getPath`)
@@ -54,30 +62,66 @@ import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, Struc
   *                       (identity entries may be omitted)
   * @param fieldIdByLogical logical name → parquet field id (`id` mapping
   *                       mode only; empty for `name` mode)
+  * @param nestedPathByLogical dotted LOGICAL path → physical SEGMENT name
+  *                       for nested fields (identity entries omitted;
+  *                       empty when nothing nested is mapped)
   */
 class GraftParquetFileFormat(
     private val tablePath: String,
     private val dvByPath: Map[String, DvDescriptor],
     private val physicalByLogical: Map[String, String] = Map.empty,
-    private val fieldIdByLogical: Map[String, Long] = Map.empty)
+    private val fieldIdByLogical: Map[String, Long] = Map.empty,
+    private val nestedPathByLogical: Map[String, String] = Map.empty)
   extends ParquetFileFormat {
 
   override def supportBatch(sparkSession: SparkSession, schema: StructType): Boolean =
     dvByPath.isEmpty && super.supportBatch(sparkSession, schema)
 
   private def physName(logical: String): String = {
-    // nested pushdown references arrive dotted ("s.x"): only the top-level
-    // segment is renamed (nested physical names are rejected at scan build)
-    val dot = logical.indexOf('.')
-    if (dot < 0) physicalByLogical.getOrElse(logical, logical)
-    else physicalByLogical.get(logical.take(dot))
-      .map(_ + logical.substring(dot)).getOrElse(logical)
+    // nested pushdown references arrive dotted ("s.x"): every segment
+    // translates — the top level via physicalByLogical, deeper ones via
+    // the logical-path map
+    val parts = logical.split('.')
+    if (parts.length == 1) physicalByLogical.getOrElse(logical, logical)
+    else {
+      val sb = new StringBuilder(physicalByLogical.getOrElse(parts(0), parts(0)))
+      var logicalPath = parts(0)
+      var i = 1
+      while (i < parts.length) {
+        logicalPath = logicalPath + "." + parts(i)
+        sb.append('.').append(nestedPathByLogical.getOrElse(logicalPath, parts(i)))
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  private def renameDataType(path: String, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map { f =>
+        val key = s"$path.${f.name}"
+        f.copy(
+          name = nestedPathByLogical.getOrElse(key, f.name),
+          dataType = renameDataType(key, f.dataType))
+      })
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = renameDataType(s"$path.element", a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = renameDataType(s"$path.key", m.keyType),
+        valueType = renameDataType(s"$path.value", m.valueType))
+    case other => other
   }
 
   private def toPhysical(schema: StructType): StructType =
-    if (physicalByLogical.isEmpty && fieldIdByLogical.isEmpty) schema
+    if (physicalByLogical.isEmpty && fieldIdByLogical.isEmpty &&
+        nestedPathByLogical.isEmpty) schema
     else StructType(schema.fields.map { f =>
-      val renamed = physicalByLogical.get(f.name).map(n => f.copy(name = n)).getOrElse(f)
+      val renamed = f.copy(
+        name = physicalByLogical.getOrElse(f.name, f.name),
+        dataType =
+          if (nestedPathByLogical.isEmpty) f.dataType
+          else renameDataType(f.name, f.dataType))
       fieldIdByLogical.get(f.name) match {
         case Some(id) => renamed.copy(metadata = new MetadataBuilder()
           .withMetadata(renamed.metadata).putLong("parquet.field.id", id).build())
@@ -133,7 +177,8 @@ class GraftParquetFileFormat(
     if (fieldIdByLogical.nonEmpty)
       hadoopConf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
     val physFilters =
-      if (physicalByLogical.isEmpty) filters else filters.flatMap(translate)
+      if (physicalByLogical.isEmpty && nestedPathByLogical.isEmpty) filters
+      else filters.flatMap(translate)
 
     // Mapping-only: a pure rename before the stock read; rows/batches come
     // back positionally correct under the logical output attributes.
@@ -197,11 +242,12 @@ class GraftParquetFileFormat(
     case d: GraftParquetFileFormat =>
       d.tablePath == tablePath && d.dvByPath == dvByPath &&
         d.physicalByLogical == physicalByLogical &&
-        d.fieldIdByLogical == fieldIdByLogical
+        d.fieldIdByLogical == fieldIdByLogical &&
+        d.nestedPathByLogical == nestedPathByLogical
     case _ => false
   }
   override def hashCode(): Int =
-    (tablePath, dvByPath, physicalByLogical, fieldIdByLogical).##
+    (tablePath, dvByPath, physicalByLogical, fieldIdByLogical, nestedPathByLogical).##
 }
 
 object GraftParquetFileFormat {
@@ -228,8 +274,10 @@ object GraftParquetFileFormat {
         case f if f.metadata.contains(DeltaMetadata.ColumnIdKey) =>
           f.name -> f.metadata.getLong(DeltaMetadata.ColumnIdKey)
       }.toMap
-    if (dvByPath.isEmpty && nameMap.isEmpty && fieldIds.isEmpty) new ParquetFileFormat
-    else new GraftParquetFileFormat(tablePath, dvByPath, nameMap, fieldIds)
+    val nestedMap = DeltaMetadata.nestedPhysicalPaths(snap.schema)
+    if (dvByPath.isEmpty && nameMap.isEmpty && fieldIds.isEmpty && nestedMap.isEmpty)
+      new ParquetFileFormat
+    else new GraftParquetFileFormat(tablePath, dvByPath, nameMap, fieldIds, nestedMap)
   }
 
   private[delta] def checkReadable(tablePath: String, snap: DeltaSnapshot): Unit = {
@@ -246,17 +294,13 @@ object GraftParquetFileFormat {
         s"$tablePath: id-mode column mapping but column(s) " +
           s"${missing.mkString(",")} carry no ${DeltaMetadata.ColumnIdKey}")
     }
-    def nestedMapped(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case s: StructType => s.fields.exists(f =>
-        f.metadata.contains(DeltaMetadata.PhysicalNameKey) || nestedMapped(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => nestedMapped(a.elementType)
-      case m: org.apache.spark.sql.types.MapType =>
-        nestedMapped(m.keyType) || nestedMapped(m.valueType)
-      case _ => false
-    }
-    if (snap.schema.fields.exists(f => nestedMapped(f.dataType)))
+    // nested mapped names: name mode reads via the path-keyed rename
+    // recursion; id-mode nested field-id plumbing is not implemented, so
+    // that combination stays a loud failure
+    if (mode == "id" && DeltaMetadata.nestedPhysicalPaths(snap.schema).nonEmpty)
       throw new UnsupportedOperationException(
-        s"$tablePath maps NESTED column names; this engine translates " +
-          "top-level physical names only")
+        s"$tablePath maps NESTED column names under id mode; nested " +
+          "field-id matching is not implemented (name-mode nested " +
+          "mappings are supported)")
   }
 }

@@ -317,6 +317,56 @@ class DeltaColumnMappingSuite extends AnyFunSuite {
     assert(e.getMessage.contains("delta.columnMapping.id"))
   }
 
+  test("nested mapped names (name mode) read through the path-keyed rename; writes refuse") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-nestmap").toString
+    // foreign-written file: physical names at EVERY level
+    Seq((1L, (10, "a")), (2L, (20, "b")), (3L, (30, "c")))
+      .toDF("kcol", "scol")
+      .select(col("kcol").as("col-id"),
+        col("scol").cast("struct<`col-x`:int,`col-y`:string>").as("col-s"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFile = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val st = fs.getFileStatus(dataFile)
+    // log schema: logical names at every level, physicalName metadata on
+    // nested fields too — what a delta-spark nested rename produces
+    def md(id: Long, phys: String) = new MetadataBuilder()
+      .putLong(DeltaMetadata.ColumnIdKey, id)
+      .putString(DeltaMetadata.PhysicalNameKey, phys).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, md(1, "col-id")),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType, nullable = true, md(3, "col-x")),
+        StructField("y", StringType, nullable = true, md(4, "col-y")))),
+        nullable = true, md(2, "col-s"))))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(DeltaLog.tryCommit(spark, dir, 0L,
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{"${DeltaMetadata.ModeKey}":"name","${DeltaMetadata.MaxColumnIdKey}":"4"}}}
+         |{"add":{"path":"${dataFile.getName}","partitionValues":{},"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}"""
+        .stripMargin))
+    val got = DeltaTable.read(spark, dir)
+    assert(got.columns.toSeq === Seq("id", "s"))
+    // full read, nested projection (schema pruning rebuilds the struct —
+    // the rename must be path-keyed, not metadata-keyed), nested filter
+    assert(got.select(col("id"), col("s.x"), col("s.y")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      === Seq((1L, 10, "a"), (2L, 20, "b"), (3L, 30, "c")))
+    assert(got.select(col("s.x")).orderBy("x").collect().map(_.getInt(0)).toSeq
+      === Seq(10, 20, 30))
+    assert(got.filter(col("s.x") >= 20).count() === 2)
+    // writes refuse loudly — staged files' nested names would silently
+    // disagree with the log
+    val e = intercept[UnsupportedOperationException] {
+      DeltaWriter.write(
+        Seq((9L, (90, "z"))).toDF("id", "s"), dir, SaveMode.Append, Nil)
+    }
+    assert(e.getMessage.contains("NESTED"))
+  }
+
   test("unknown mapping modes fail loudly at scan build") {
     val dir = fresh()
     DeltaSchema.renameColumn(spark, dir, "score", "points")
