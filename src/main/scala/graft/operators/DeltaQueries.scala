@@ -430,7 +430,59 @@ object DeltaQueries {
         sum(col("s_suppkey")).as("key_sum"))
   }
 
+  /** Native streaming sink (`writeStream.format("delta")`) with
+    * SetTransaction exactly-once: supplier flows through a MemoryStream in
+    * two micro-batches into a delta table, then the LAST batch is
+    * REDELIVERED through the same write path with its (appId, batchId)
+    * tag — the crash window production streaming must absorb (table commit
+    * landed, streaming checkpoint didn't advance). The `txn` high-water
+    * mark turns the redelivery into a no-op; a double-applied batch
+    * doubles every sum against the raw-fixture oracle. */
+  private def dl19StreamingSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = scratch()
+    val cp = Files.createTempDirectory("graft-delta-q-cp").toString
+    implicit val ctx = s.sqlContext
+    // dim-scale fixture rows drive the MemoryStream (test-harness plane —
+    // the sink's own write path stays fully distributed)
+    val rows = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long"), col("s_acctbal"))
+      .as[(Long, Long, Double)].collect()
+    val (even, odd) = rows.partition(_._1 % 2 == 0)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val appId = "graft-dl19-" + java.util.UUID.randomUUID()
+    val q = in.toDF().toDF("s_suppkey", "s_nationkey", "s_acctbal")
+      .writeStream.format("delta")
+      .option("checkpointLocation", cp)
+      .option("txnAppId", appId)
+      .option("path", path)
+      .start()
+    try {
+      in.addData(even.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(odd.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    DeltaWriter.write(
+      odd.toSeq.toDF("s_suppkey", "s_nationkey", "s_acctbal"),
+      path, SaveMode.Append, Nil, txn = Some((appId, 1L)))
+    DeltaTable.read(s, path)
+      .groupBy((col("s_nationkey") % 5).cast("int").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .orderBy(col("grp"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl19_streaming_sink" -> """
+      SELECT CAST(s_nationkey % 5 AS INT) AS grp,
+             count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier GROUP BY 1 ORDER BY 1""",
     "dl18_timestamp_ntz" -> """
       WITH w AS (
         SELECT s_suppkey,
@@ -586,5 +638,6 @@ object DeltaQueries {
     "dl15_type_widening" -> dl15TypeWidening,
     "dl16_identity_columns" -> dl16IdentityColumns,
     "dl17_id_mode_mapping" -> dl17IdModeMapping,
-    "dl18_timestamp_ntz" -> dl18TimestampNtz)
+    "dl18_timestamp_ntz" -> dl18TimestampNtz,
+    "dl19_streaming_sink" -> dl19StreamingSink)
 }

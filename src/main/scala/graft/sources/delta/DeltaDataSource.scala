@@ -3,7 +3,7 @@ package graft.sources.delta
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** `format("delta")` entry point, registered via
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.StructType
   */
 class DeltaDataSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "delta"
 
@@ -121,6 +121,19 @@ class DeltaDataSource extends RelationProvider
           DeltaLog.snapshot(sqlContext.sparkSession, path).version + 1
         else v.trim.toLong
       })
+  }
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val parts =
+      if (partitionColumns.nonEmpty) partitionColumns else partitionColumnsOf(parameters)
+    new DeltaStreamingSink(sqlContext, pathOf(parameters), parts, outputMode,
+      caseGet(parameters, "txnAppId"),
+      caseGet(parameters, "mergeSchema").exists(_.trim.toBoolean))
   }
 
   private def pathOf(parameters: Map[String, String]): String =

@@ -147,7 +147,13 @@ final case class DeltaSnapshot(
     version: Long,
     protocol: DeltaProtocol,
     metadata: DeltaMetadata,
-    files: Seq[DeltaAddFile]) {
+    files: Seq[DeltaAddFile],
+    /** Latest `txn` (SetTransaction) version per application id — the
+      * protocol's idempotent-write primitive: a writer that tags commits
+      * with (appId, version) can ask "did my version-N batch already
+      * commit?" and skip the redelivery. Streaming sinks key exactly-once
+      * on this (appId = query id, version = batchId). */
+    transactions: Map[String, Long] = Map.empty) {
   def schema: StructType = metadata.schema
   def partitionColumns: Seq[String] = metadata.partitionColumns
   /** Partition columns are injected from `partitionValues`, never read from
@@ -272,6 +278,7 @@ object DeltaLog {
     var protocol: Option[DeltaProtocol] = None
     var metadata: Option[DeltaMetadata] = None
     val live = mutable.LinkedHashMap.empty[String, DeltaAddFile]
+    val txns = mutable.Map.empty[String, Long]
 
     // 1. newest checkpoint at or below target (classic single-file,
     // classic multipart, or v2 UUID-named with checkpointMetadata and
@@ -281,7 +288,7 @@ object DeltaLog {
       val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
       replayReads.addAndGet(parts.size.toLong)
       val cols = cpDf.schema.fieldNames.toSet
-      val sel = Seq("protocol", "metaData", "add", "checkpointMetadata", "sidecar")
+      val sel = Seq("protocol", "metaData", "add", "txn", "checkpointMetadata", "sidecar")
         .filter(cols.contains)
       val sidecarNames = mutable.ArrayBuffer.empty[String]
       cpDf.select(sel.head, sel.tail: _*).collect().foreach { row =>
@@ -310,6 +317,9 @@ object DeltaLog {
               case "add" =>
                 val add = parseAddStruct(r)
                 live(add.path) = add
+              case "txn" =>
+                // checkpoints carry the latest SetTransaction per appId
+                txns(r.getAs[String]("appId")) = r.getAs[Long]("version")
               case "checkpointMetadata" =>
                 // v2 checkpoint self-description; a version disagreeing
                 // with the file name means a corrupt/misplaced checkpoint
@@ -394,6 +404,10 @@ object DeltaLog {
         if (node.has("remove")) {
           commitRemoves += node.get("remove").get("path").asText()
         }
+        if (node.has("txn")) {
+          val t = node.get("txn")
+          txns(t.get("appId").asText()) = t.get("version").asLong()
+        }
       }
       commitRemoves.foreach(live.remove)
       commitAdds.foreach(a => live(a.path) = a)
@@ -432,7 +446,7 @@ object DeltaLog {
           s"files (> $SnapshotFileCountWarnThreshold); driver-side log replay " +
           "degrades past ~1M files — compact with OPTIMIZE (small files are " +
           "also slowing every scan)")
-    DeltaSnapshot(tablePath, target, proto, meta, live.values.toSeq)
+    DeltaSnapshot(tablePath, target, proto, meta, live.values.toSeq, txns.toMap)
   }
 
   /** Live-file count past which [[snapshot]] warns about driver-side

@@ -104,7 +104,8 @@ object DeltaWriter {
       mergeSchema: Boolean = false,
       optimizeWrite: Boolean = false,
       generatedColumns: Map[String, String] = Map.empty,
-      identityColumns: Map[String, (Long, Long)] = Map.empty): Unit = {
+      identityColumns: Map[String, (Long, Long)] = Map.empty,
+      txn: Option[(String, Long)] = None): Unit = {
     val spark = data.sparkSession
     val exists = try DeltaLog.isDeltaTable(spark, tablePath) catch { case _: Exception => false }
 
@@ -116,6 +117,14 @@ object DeltaWriter {
         throw new IllegalArgumentException(s"Delta table already exists at $tablePath (mode=ErrorIfExists)")
       case Some(_) if mode == SaveMode.Ignore => return
       case _ =>
+    }
+
+    // SetTransaction idempotence (protocol `txn` action): a redelivered
+    // batch — same appId, version at or below the recorded one — is a
+    // NO-OP before any data is staged. Streaming sinks key exactly-once
+    // on this (appId = query id, version = batchId).
+    txn.foreach { case (appId, v) =>
+      if (existing.exists(_.transactions.get(appId).exists(_ >= v))) return
     }
 
     // Generated columns (`GENERATED ALWAYS AS (expr)`): the expressions
@@ -326,6 +335,16 @@ object DeltaWriter {
                 s"(${assignedFromHwm(f.name)} -> ${identityHwm(f)}); rerun the write")
         }
       }
+      // concurrent same-app redelivery: another writer committed this
+      // (appId, version) between our snapshot and this commit attempt —
+      // drop the published-but-never-referenced files, succeed as a no-op
+      if (txn.exists { case (appId, v) =>
+            current.exists(_.transactions.get(appId).exists(_ >= v)) }) {
+        adds.foreach { case (rel, _, _, _, _) =>
+          fs.delete(new Path(tablePath, rel), false)
+        }
+        return
+      }
       val lines = Seq.newBuilder[String]
 
       val commitInfo = mapper.createObjectNode()
@@ -340,6 +359,17 @@ object DeltaWriter {
         partitionCols.foldLeft(mapper.createArrayNode())((a, c) => a.add(c))))
       ci.put("engineInfo", "graft-spark/0.1.0")
       lines += mapper.writeValueAsString(commitInfo)
+
+      // SetTransaction action: records (appId, version) in THIS commit so
+      // replay exposes it via snapshot.transactions for redelivery checks
+      txn.foreach { case (appId, v) =>
+        val txnLine = mapper.createObjectNode()
+        val t = txnLine.putObject("txn")
+        t.put("appId", appId)
+        t.put("version", v)
+        t.put("lastUpdated", System.currentTimeMillis())
+        lines += mapper.writeValueAsString(txnLine)
+      }
 
       // a metaData RE-emission must carry the table's configuration —
       // replay is last-metaData-wins, so an empty map here would silently
@@ -608,7 +638,10 @@ object DeltaWriter {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))))))) ++ v2Field)
+          StructField("cardinality", LongType))))))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType))))) ++ v2Field)
     def dvRow(f: DeltaAddFile): Row = f.deletionVector.map(d =>
       Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
         d.sizeInBytes, d.cardinality)).orNull
@@ -616,16 +649,22 @@ object DeltaWriter {
       Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
         if (snap.protocol.readerFeatures.isEmpty) null else snap.protocol.readerFeatures.toSeq.sorted,
         if (snap.protocol.writerFeatures.isEmpty) null else snap.protocol.writerFeatures.toSeq.sorted),
-        null, null) +:
+        null, null, null) +:
       Row(null, Row(snap.metadata.id, Row("parquet", Map.empty[String, String]),
         snap.metadata.schemaString, snap.metadata.partitionColumns,
-        snap.metadata.configuration), null) +:
-      snap.files.map(f => Row(null, null,
-        Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull, dvRow(f))))
+        snap.metadata.configuration), null, null) +:
+      (snap.files.map(f => Row(null, null,
+        Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull, dvRow(f)),
+        null)) ++
+       // the latest SetTransaction per appId is checkpoint state (spec):
+       // dropping one would let a retired commit's redelivery double-apply
+       snap.transactions.toSeq.sortBy(_._1).map { case (appId, v) =>
+         Row(null, null, null, Row(appId, v))
+       })
     val rows: Seq[Row] =
       if (!v2Policy) rows3
-      else rows3.map(r => Row(r(0), r(1), r(2), null)) :+
-        Row(null, null, null, Row(version))
+      else rows3.map(r => Row(r(0), r(1), r(2), r(3), null)) :+
+        Row(null, null, null, null, Row(version))
     val tmp = new Path(tablePath, s"_cp-${UUID.randomUUID()}")
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     spark.createDataFrame(rows.asJava, schema).repartition(1).write.parquet(tmp.toString)

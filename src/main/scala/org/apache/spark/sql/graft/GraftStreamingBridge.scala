@@ -17,4 +17,13 @@ object GraftStreamingBridge {
       spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The sink-side inverse: a v1 `Sink.addBatch` receives a STREAMING
+    * frame that batch writers refuse; re-wrapping its physical rows as a
+    * batch frame is how production v1 sinks (delta-spark's DeltaSink)
+    * hand micro-batches to their batch write path. */
+  def batchDataFrame(
+      spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }
