@@ -120,6 +120,17 @@ class DeltaDataSource extends RelationProvider
         if (v.trim.equalsIgnoreCase("latest"))
           DeltaLog.snapshot(sqlContext.sparkSession, path).version + 1
         else v.trim.toLong
+      },
+      maxFilesPerTrigger = caseGet(parameters, "maxFilesPerTrigger").map { v =>
+        val n = v.trim.toInt
+        require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+        n
+      },
+      maxBytesPerTrigger = caseGet(parameters, "maxBytesPerTrigger").map { v =>
+        // accepts "10m"/"1g" size strings like production
+        val n = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v.trim)
+        require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+        n
       })
   }
 

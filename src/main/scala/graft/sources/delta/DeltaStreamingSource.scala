@@ -1,16 +1,16 @@
 package graft.sources.delta
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** `spark.readStream.format("delta").load(path)` — the streaming SOURCE
-  * side of the delta provider (the sink side is foreachBatch +
-  * [[DeltaWriter]], DeltaStreamingSinkSuite). Completes the loop: a delta
-  * table written by one job can feed a Structured Streaming consumer with
-  * exactly-once semantics.
+  * side of the delta provider (the sink side is [[DeltaStreamingSink]]).
+  * Completes the loop: a delta table written by one job can feed a
+  * Structured Streaming consumer with exactly-once semantics.
   *
   * Offsets ARE log versions (a LongOffset per commit) — the natural
   * streaming cursor for a versioned log: getOffset reports the latest
@@ -22,18 +22,41 @@ import org.apache.spark.sql.types.StructType
   * default; `.option("ignoreDataChangeRemoves", "true")` opts into
   * at-least-once consumption across rewrites, the `ignoreChanges` analog).
   *
+  * Rate limiting (`maxFilesPerTrigger` / `maxBytesPerTrigger`, the
+  * production surface): without it, the FIRST micro-batch after an outage
+  * — or a brand-new query over a year-old table — is the entire backlog
+  * in one plan. Implemented through [[SupportsAdmissionControl]], so the
+  * engine hands `latestOffset` the committed start offset every trigger:
+  * restart-safe by construction (no source-side cursor to lose). The
+  * admission unit is a COMMIT — versions are admitted whole, oldest
+  * first, until a cap is crossed, always at least one — because a version
+  * is the atomic exactly-once boundary of this cursor.
+  *
   * Scale posture: a micro-batch plans one pruned parquet scan per commit
   * in the range (file lists come from the log, not directory listing); the
-  * per-batch work is proportional to the NEW data, never the table size. */
+  * per-batch work is proportional to the NEW data, never the table size.
+  * The cap walk reads only backlog commit JSONs — metadata plane. */
 class DeltaStreamingSource(
     sqlContext: SQLContext,
     path: String,
     override val schema: StructType,
     ignoreDataChangeRemoves: Boolean,
     changeFeed: Boolean = false,
-    startingVersion: Option[Long] = None) extends Source {
+    startingVersion: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+  extends Source with SupportsTriggerAvailableNow {
 
   private def spark = sqlContext.sparkSession
+
+  // Trigger.AvailableNow: the engine announces drain-and-stop intent
+  // before the first batch; the end of the drain is PINNED to the version
+  // visible at that moment so concurrent appends don't keep the "finite"
+  // run alive, and rate limits still pace the batches inside it.
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(DeltaLog.snapshot(spark, path).version)
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -41,14 +64,78 @@ class DeltaStreamingSource(
     case other => other.json.trim.toLong
   }
 
+  private def initialPosition: Long = startingVersion.map(_ - 1).getOrElse(-1L)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Largest version in (base, latest] admissible under `limit` — whole
+    * versions, oldest first, at least one. */
+  private def admissible(base: Long, latest: Long, limit: ReadLimit): Long = limit match {
+    case _: ReadAllAvailable => latest
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(admissible(base, latest, _)).min
+    case _ if latest <= base => latest
+    case f: ReadMaxFiles => walk(base, latest, Some(f.maxFiles.toLong), None)
+    case b: ReadMaxBytes => walk(base, latest, None, Some(b.maxBytes))
+    // row-based limits don't map to a versioned-commit cursor; serve all
+    case _ => latest
+  }
+
+  private def walk(
+      base: Long, latest: Long, maxFiles: Option[Long], maxBytes: Option[Long]): Long = {
+    // lenient count pass (removes don't fail HERE — getBatch enforces the
+    // remove contract when the batch actually reads)
+    val perVersion = DeltaLog.changes(spark, path, base, latest,
+      ignoreDataChangeRemoves = true)
+    var files = 0L
+    var bytes = 0L
+    var to = base
+    var open = true
+    perVersion.foreach { case (v, adds) =>
+      if (open) {
+        val f = files + adds.size
+        val b = bytes + adds.iterator.map(_.size).sum
+        val within = maxFiles.forall(f <= _) && maxBytes.forall(b <= _)
+        if (within || to == base) {
+          // admit while inside the caps; the FIRST version is admitted
+          // even if it alone crosses them (progress guarantee)
+          to = v; files = f; bytes = b
+          if (!within) open = false
+        } else open = false
+      }
+    }
+    // an empty walk means the range has no commit JSONs left (log
+    // cleanup); don't stall behind the retention boundary
+    if (to == base) latest else to
+  }
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = Option(startOffset) match {
+      case Some(o: Offset) => versionOf(o)
+      case Some(other) => other.json.trim.toLong
+      case None => initialPosition
+    }
+    val latest = availableNowEnd.getOrElse(DeltaLog.snapshot(spark, path).version)
+    if (latest <= base) LongOffset(math.max(base, latest))
+    else LongOffset(admissible(base, latest, limit))
+  }
+
+  /** Unlimited fallback for engines that ignore admission control. */
   override def getOffset: Option[Offset] =
     Some(LongOffset(DeltaLog.snapshot(spark, path).version))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // None = a NEW query's first batch: from `startingVersion` (inclusive,
     // production's `.option("startingVersion", n)`) or table genesis
-    val from = start.map(versionOf)
-      .getOrElse(startingVersion.map(_ - 1).getOrElse(-1L))
+    val from = start.map(versionOf).getOrElse(initialPosition)
     val to = versionOf(end)
     // changeFeed: each micro-batch serves the ROW-LEVEL changes of its
     // version range (insert/delete/update images + commit metadata) —

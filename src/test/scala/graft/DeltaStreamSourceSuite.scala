@@ -55,6 +55,122 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger paces a backlogged table into per-commit micro-batches") {
+    val dir = Files.createTempDirectory("graft-stream-rate").toString
+    // 4-commit backlog, one file each (single local partition per write)
+    (0 until 4).foreach { i =>
+      DeltaWriter.write(
+        Seq((i * 2, s"a$i"), (i * 2 + 1, s"b$i")).toDF("id", "name").coalesce(1),
+        dir, SaveMode.Append, Nil)
+    }
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Int])]
+    val q = spark.readStream.format("delta")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-rate-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized {
+          batches += ((id, df.select("id").collect().map(_.getInt(0)).sorted.toSeq))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = batches.synchronized(batches.toList)
+      // the backlog drains as FOUR bounded micro-batches, one per commit,
+      // oldest first — not one giant batch
+      assert(got.map(_._2) ===
+        List(Seq(0, 1), Seq(2, 3), Seq(4, 5), Seq(6, 7)))
+    } finally q.stop()
+  }
+
+  test("maxBytesPerTrigger admits whole versions, at least one per batch") {
+    val dir = Files.createTempDirectory("graft-stream-bytes").toString
+    (0 until 3).foreach { i =>
+      DeltaWriter.write(Seq((i, s"r$i")).toDF("id", "name").coalesce(1),
+        dir, SaveMode.Append, Nil)
+    }
+    var nBatches = 0
+    var total = 0L
+    val q = spark.readStream.format("delta")
+      // 1 byte: every version alone crosses the cap — progress rule must
+      // still admit exactly one per trigger
+      .option("maxBytesPerTrigger", "1").load(dir)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-bytes-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        synchronized { nBatches += 1; total += df.count() }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(nBatches === 3, "one version per micro-batch under a 1-byte cap")
+      assert(total === 3L)
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the backlog in rate-limited batches, then stops") {
+    val dir = Files.createTempDirectory("graft-stream-avnow").toString
+    (0 until 3).foreach { i =>
+      DeltaWriter.write(Seq((i, s"r$i")).toDF("id", "name").coalesce(1),
+        dir, SaveMode.Append, Nil)
+    }
+    var nBatches = 0
+    var total = 0L
+    val q = spark.readStream.format("delta")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-avnow-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        synchronized { nBatches += 1; total += df.count() }
+        ()
+      }
+      .start()
+    // available-now + admission control: the query must self-terminate
+    // after draining what existed at start, in capped batches
+    assert(q.awaitTermination(120000), "query should self-terminate")
+    assert(nBatches === 3)
+    assert(total === 3L)
+  }
+
+  test("rate-limited stream restarts from its checkpoint without loss or duplication") {
+    val dir = Files.createTempDirectory("graft-stream-restart").toString
+    val ckpt = Files.createTempDirectory("graft-stream-restart-ckpt").toString
+    (0 until 3).foreach { i =>
+      DeltaWriter.write(Seq((i, s"r$i")).toDF("id", "name").coalesce(1),
+        dir, SaveMode.Append, Nil)
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def run(): Unit = {
+      val q = spark.readStream.format("delta")
+        .option("maxFilesPerTrigger", "1").load(dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= df.select("id").collect().map(_.getInt(0)) }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.synchronized(seen.sorted.toSeq) === (0 until 3))
+    // two more commits while the stream is DOWN; the restart must resume
+    // from the checkpointed version cursor, not re-admit from genesis
+    (3 until 5).foreach { i =>
+      DeltaWriter.write(Seq((i, s"r$i")).toDF("id", "name").coalesce(1),
+        dir, SaveMode.Append, Nil)
+    }
+    run()
+    assert(seen.synchronized(seen.sorted.toSeq) === (0 until 5),
+      "every row exactly once across the restart")
+  }
+
   test("readStream with readChangeFeed=true streams row-level change batches") {
     val dir = Files.createTempDirectory("graft-stream-cdf").toString
     DeltaWriter.write((0 until 6).map(i => (i, i * 1.0)).toDF("id", "score"),
