@@ -86,6 +86,7 @@ object DeltaDml {
       op: String,
       beforeCommit: () => Unit): DmlMetrics = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.assertRemovable(op)
     val badSet = set.keySet.intersect(snap.partitionColumns.toSet)
     if (badSet.nonEmpty) throw new IllegalArgumentException(
       s"cannot SET partition column(s) ${badSet.mkString(",")}")
@@ -306,6 +307,7 @@ object DeltaDml {
     import org.apache.spark.sql.functions.{col, expr}
     import spark.implicits._
     val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.assertRemovable("DELETE (deletion vectors)")
     val conf = spark.sessionState.newHadoopConf()
 
     def numRecordsOf(f: DeltaAddFile): Option[Long] = f.stats.flatMap { s =>

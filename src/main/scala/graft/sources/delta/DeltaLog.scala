@@ -168,6 +168,18 @@ final case class DeltaSnapshot(
   def physicalDataSchema: StructType =
     if (!metadata.hasColumnMapping) dataSchema
     else StructType(dataSchema.fields.map(f => f.copy(name = metadata.physicalOf(f.name))))
+
+  /** Spec conformance for `delta.appendOnly=true` (the `appendOnly` writer
+    * capability, legacy writer v2): such a table accepts only adds —
+    * every operation that would commit a data-changing remove
+    * (DELETE/UPDATE/MERGE rewrite, DV delete, Overwrite, replaceWhere,
+    * RESTORE) must refuse upfront. Compaction's `dataChange=false`
+    * removes (OPTIMIZE/ZORDER) stay legal. */
+  def assertRemovable(op: String): Unit =
+    if (metadata.configuration.get("delta.appendOnly").exists(_.trim.equalsIgnoreCase("true")))
+      throw new UnsupportedOperationException(
+        s"$op on $tablePath: table is append-only (delta.appendOnly=true); " +
+          "data-changing removes are forbidden")
 }
 
 object DeltaLog {

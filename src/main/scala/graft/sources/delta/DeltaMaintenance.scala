@@ -364,6 +364,7 @@ object DeltaMaintenance {
   }
 
   def restore(spark: SparkSession, tablePath: String, toVersion: Long): Long = {
+    DeltaLog.snapshot(spark, tablePath).assertRemovable("RESTORE")
     val target = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(toVersion))
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     val missing = target.files.filterNot { f =>
@@ -451,6 +452,7 @@ object DeltaMaintenance {
   def replaceWhere(
       spark: SparkSession, tablePath: String, data: DataFrame, condition: String): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.assertRemovable("REPLACE WHERE")
     val badNew = data.filter(!coalesce(expr(condition), lit(false))).limit(1).count()
     if (badNew > 0) throw new IllegalArgumentException(
       s"replaceWhere: new rows do not all match '$condition'")

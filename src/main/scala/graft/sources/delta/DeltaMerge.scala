@@ -65,6 +65,9 @@ object DeltaMerge {
     require(!(matchedUpdate.isDefined && matchedDelete),
       "one WHEN MATCHED clause: UPDATE or DELETE, not both")
     val snap = DeltaLog.snapshot(spark, tablePath)
+    // an insert-only merge commits no removes and stays legal on an
+    // append-only table; any MATCHED clause rewrites files
+    if (matchedUpdate.isDefined || matchedDelete) snap.assertRemovable("MERGE")
     matchedUpdate.foreach { set =>
       val badSet = set.keySet.intersect(snap.partitionColumns.toSet)
       if (badSet.nonEmpty) throw new IllegalArgumentException(

@@ -116,6 +116,10 @@ object DeltaWriter {
       case Some(_) if mode == SaveMode.ErrorIfExists =>
         throw new IllegalArgumentException(s"Delta table already exists at $tablePath (mode=ErrorIfExists)")
       case Some(_) if mode == SaveMode.Ignore => return
+      case Some(snap) if mode == SaveMode.Overwrite =>
+        // overwriting an existing table removes its files with
+        // dataChange=true — forbidden on an append-only table
+        snap.assertRemovable("OVERWRITE")
       case _ =>
     }
 

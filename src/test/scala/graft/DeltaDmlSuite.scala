@@ -154,4 +154,34 @@ class DeltaDmlSuite extends AnyFunSuite {
     assert(got.count(_._2 == "a") === 4)      // partition a fully intact
     assert(got.filter(_._2 == "b").map(_._1) === Seq(77)) // b rows replaced
   }
+
+  test("delta.appendOnly=true refuses every data-removing operation, allows appends") {
+    import spark.implicits._
+    import graft.sources.delta.{DeltaMaintenance, DeltaMerge, DeltaSchema}
+    val dir = freshTable()
+    DeltaSchema.setTblProperties(spark, dir, Map("delta.appendOnly" -> "true"))
+    def refused(op: => Any): String =
+      intercept[UnsupportedOperationException](op).getMessage
+    assert(refused(DeltaDml.delete(spark, dir, "v >= 300")).contains("append-only"))
+    assert(refused(DeltaDml.update(spark, dir, "v >= 300", Map("v" -> "v + 1")))
+      .contains("append-only"))
+    assert(refused(DeltaDml.deleteWithDv(spark, dir, "v >= 300")).contains("append-only"))
+    assert(refused(DeltaMerge.merge(spark, dir,
+      Seq((1, "a", 999)).toDF("id", "k", "v"), "t.id = s.id",
+      matchedUpdate = Some(Map("v" -> "s.v")))).contains("append-only"))
+    assert(refused(DeltaMaintenance.replaceWhere(spark, dir,
+      Seq((77, "b", 700)).toDF("id", "k", "v"), "k = 'b'")).contains("append-only"))
+    assert(refused(DeltaMaintenance.restore(spark, dir, 0L)).contains("append-only"))
+    assert(refused(DeltaWriter.write(Seq((99, "a", 900)).toDF("id", "k", "v"),
+      dir, SaveMode.Overwrite, Seq("k"))).contains("append-only"))
+    // appends and insert-only MERGE commit no removes: still legal
+    DeltaWriter.write(Seq((50, "a", 500)).toDF("id", "k", "v").coalesce(1),
+      dir, SaveMode.Append, Seq("k"))
+    DeltaMerge.merge(spark, dir,
+      Seq((60, "b", 600)).toDF("id", "k", "v"), "t.id = s.id",
+      notMatchedInsert = Some(Map("id" -> "s.id", "k" -> "s.k", "v" -> "s.v")))
+    // OPTIMIZE's removes are dataChange=false — compaction stays legal
+    DeltaMaintenance.optimize(spark, dir)
+    assert(DeltaTable.read(spark, dir).count() === 10)
+  }
 }
