@@ -90,6 +90,9 @@ object DeltaConstraints {
     var committed = -1L
     while (committed < 0 && attempt < 20) {
       val current = DeltaLog.snapshot(spark, tablePath)
+      // a metadata/DDL commit is a write too; `newProtocol` upgrades the
+      // table's own demands, which this engine satisfies by construction
+      current.assertWritable(op)
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
       val ci = ciLine.putObject("commitInfo")

@@ -86,6 +86,7 @@ object DeltaDml {
       op: String,
       beforeCommit: () => Unit): DmlMetrics = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.assertWritable(op)
     snap.assertRemovable(op)
     val badSet = set.keySet.intersect(snap.partitionColumns.toSet)
     if (badSet.nonEmpty) throw new IllegalArgumentException(
@@ -307,6 +308,7 @@ object DeltaDml {
     import org.apache.spark.sql.functions.{col, expr}
     import spark.implicits._
     val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.assertWritable("DELETE (deletion vectors)")
     snap.assertRemovable("DELETE (deletion vectors)")
     val conf = spark.sessionState.newHadoopConf()
 

@@ -169,6 +169,42 @@ final case class DeltaSnapshot(
     if (!metadata.hasColumnMapping) dataSchema
     else StructType(dataSchema.fields.map(f => f.copy(name = metadata.physicalOf(f.name))))
 
+  /** Writer-side protocol gate (the mirror of the reader gate in
+    * [[DeltaLog.snapshot]]): a spec-conforming writer must NOT commit to a
+    * table whose protocol demands writer capabilities it does not
+    * implement — appending to a `rowTracking` table without maintaining
+    * row ids, or to a `domainMetadata` table without preserving domains,
+    * corrupts invariants other engines rely on. Legacy writer versions
+    * (≤ 6) imply only capabilities this engine has; version 7 is gated on
+    * its explicit feature list. Legacy column-level `delta.invariants`
+    * expressions (pre-CHECK-constraint surface) are likewise refused
+    * rather than silently ignored. */
+  def assertWritable(op: String): Unit = {
+    val proto = protocol
+    if (proto.minWriterVersion > 7) throw new UnsupportedOperationException(
+      s"$op on $tablePath requires Delta writer version ${proto.minWriterVersion}; " +
+        "this engine implements writer versions 1-7")
+    if (proto.minWriterVersion >= 7) {
+      val unsupported = proto.writerFeatures -- DeltaLog.SupportedWriterFeatures
+      if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+        s"$op on $tablePath requires unsupported writer feature(s) " +
+          s"${unsupported.toSeq.sorted.mkString(", ")}; supported: " +
+          DeltaLog.SupportedWriterFeatures.toSeq.sorted.mkString(", "))
+    }
+    def hasInvariants(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f =>
+        f.metadata.contains("delta.invariants") || hasInvariants(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasInvariants(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasInvariants(m.keyType) || hasInvariants(m.valueType)
+      case _ => false
+    }
+    if (hasInvariants(schema)) throw new UnsupportedOperationException(
+      s"$op on $tablePath: schema carries legacy delta.invariants " +
+        "expressions this engine does not enforce; writing without " +
+        "validating them would violate the invariants feature")
+  }
+
   /** Spec conformance for `delta.appendOnly=true` (the `appendOnly` writer
     * capability, legacy writer v2): such a table accepts only adds —
     * every operation that would commit a data-changing remove
@@ -527,6 +563,20 @@ object DeltaLog {
     * Anything else still fails loudly. */
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz", "typeWidening")
+
+  /** Writer capabilities this engine actually honors when committing
+    * (see [[DeltaSnapshot.assertWritable]]): the legacy v2–v6 set —
+    * appendOnly (enforced), invariants (NOT NULL enforced; legacy
+    * expression invariants refused at the write gate), checkConstraints,
+    * changeDataFeed, generatedColumns, columnMapping, identityColumns —
+    * plus the table features it writes first-class. Notably ABSENT:
+    * rowTracking, domainMetadata, icebergCompat*, variantType,
+    * collations — committing to tables that demand them must fail. */
+  val SupportedWriterFeatures: Set[String] =
+    Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+      "generatedColumns", "columnMapping", "identityColumns",
+      "deletionVectors", "v2Checkpoint", "timestampNtz", "typeWidening",
+      "inCommitTimestamp")
 
   /** Checkpoint/sidecar `add` struct row → [[DeltaAddFile]] (tolerant of
     * absent optional fields across writer engines). */

@@ -83,6 +83,7 @@ object DeltaMaintenance {
       targetFileBytes: Long,
       beforeCommit: () => Unit): OptimizeMetrics = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.assertWritable("OPTIMIZE")
     val groups = snap.files
       .filter(_.size < targetFileBytes)
       .groupBy(_.partitionValues)
@@ -137,6 +138,7 @@ object DeltaMaintenance {
     require(zorderBy.size >= 2 && zorderBy.size <= 4,
       s"ZORDER BY expects 2 to 4 columns, got ${zorderBy.size}")
     val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.assertWritable("OPTIMIZE ZORDER")
     val badPart = zorderBy.filter(snap.partitionColumns.contains)
     require(badPart.isEmpty,
       s"cannot ZORDER BY partition column(s) ${badPart.mkString(",")} " +
@@ -364,7 +366,9 @@ object DeltaMaintenance {
   }
 
   def restore(spark: SparkSession, tablePath: String, toVersion: Long): Long = {
-    DeltaLog.snapshot(spark, tablePath).assertRemovable("RESTORE")
+    val head = DeltaLog.snapshot(spark, tablePath)
+    head.assertWritable("RESTORE")
+    head.assertRemovable("RESTORE")
     val target = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(toVersion))
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     val missing = target.files.filterNot { f =>
@@ -452,6 +456,7 @@ object DeltaMaintenance {
   def replaceWhere(
       spark: SparkSession, tablePath: String, data: DataFrame, condition: String): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.assertWritable("REPLACE WHERE")
     snap.assertRemovable("REPLACE WHERE")
     val badNew = data.filter(!coalesce(expr(condition), lit(false))).limit(1).count()
     if (badNew > 0) throw new IllegalArgumentException(

@@ -65,6 +65,7 @@ object DeltaMerge {
     require(!(matchedUpdate.isDefined && matchedDelete),
       "one WHEN MATCHED clause: UPDATE or DELETE, not both")
     val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.assertWritable("MERGE")
     // an insert-only merge commits no removes and stays legal on an
     // append-only table; any MATCHED clause rewrites files
     if (matchedUpdate.isDefined || matchedDelete) snap.assertRemovable("MERGE")

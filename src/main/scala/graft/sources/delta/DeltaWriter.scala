@@ -111,6 +111,7 @@ object DeltaWriter {
 
     val existing: Option[DeltaSnapshot] =
       if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
+    existing.foreach(_.assertWritable("WRITE"))
 
     existing match {
       case Some(_) if mode == SaveMode.ErrorIfExists =>

@@ -277,4 +277,52 @@ class DeltaSuite extends AnyFunSuite {
     // committing the same version again must fail (atomic create-exclusive)
     assert(!DeltaLog.tryCommit(spark, dir, 1, "{}"))
   }
+
+  test("unsupported writer features refuse every commit path; reads still work") {
+    import spark.implicits._
+    import graft.sources.delta.{DeltaDml, DeltaMaintenance, DeltaSchema}
+    val dir = tmpDir()
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.format("delta").save(dir)
+    // a foreign writer upgrades the table to demand rowTracking — a
+    // capability this engine does not implement ((1,7) is legal per spec)
+    assert(DeltaLog.tryCommit(spark, dir, 1L,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","rowTracking"]}}"""))
+    // reading demands nothing new
+    assert(DeltaTable.read(spark, dir).count() === 2)
+    def refused(op: => Any): Unit =
+      assert(intercept[UnsupportedOperationException](op)
+        .getMessage.contains("rowTracking"))
+    refused(DeltaWriter.write(Seq((3L, 30.0)).toDF("id", "v"), dir, SaveMode.Append, Nil))
+    refused(DeltaDml.delete(spark, dir, "id = 1"))
+    refused(DeltaMaintenance.optimize(spark, dir))
+    refused(DeltaSchema.setTblProperties(spark, dir, Map("foo" -> "bar")))
+  }
+
+  test("legacy delta.invariants expressions refuse writes rather than going unenforced") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    val df = Seq((1L, 5.0)).toDF("id", "v").coalesce(1)
+    df.write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFile = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val st = fs.getFileStatus(dataFile)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", DoubleType, nullable = true, new MetadataBuilder()
+        .putString("delta.invariants", """{"expression":{"expression":"v > 0"}}""").build())))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(DeltaLog.tryCommit(spark, dir, 0L,
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{}}}
+         |{"add":{"path":"${dataFile.getName}","partitionValues":{},"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}"""
+        .stripMargin))
+    assert(DeltaTable.read(spark, dir).count() === 1) // reads unaffected
+    val e = intercept[UnsupportedOperationException] {
+      DeltaWriter.write(Seq((2L, -1.0)).toDF("id", "v"), dir, SaveMode.Append, Nil)
+    }
+    assert(e.getMessage.contains("delta.invariants"))
+  }
 }
