@@ -476,7 +476,43 @@ object DeltaQueries {
       .orderBy(col("grp"))
   }
 
+  /** CONVERT TO DELTA: a hive-partitioned RAW parquet copy of supplier is
+    * converted in place (no rewrite — version 0 registers the existing
+    * files with path-parsed partition values and one distributed stats
+    * pass), then proven to be a LIVE delta table by appending a shifted
+    * copy of the rows through the normal write path and aggregating the
+    * union. A conversion that drops files, mis-parses partition dirs or
+    * breaks the table for subsequent commits diverges from the oracle. */
+  private def dl20ConvertToDelta(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    supplier.write.mode("overwrite").partitionBy("s_nationkey").parquet(path)
+    graft.sources.delta.DeltaMaintenance.convertToDelta(s, path, Seq("s_nationkey"))
+    DeltaWriter.write(
+      supplier.select(
+        (col("s_suppkey") + 100000L).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal")),
+      path, SaveMode.Append, Nil)
+    DeltaTable.read(s, path)
+      .groupBy((col("s_nationkey") % 4).cast("int").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .orderBy(col("grp"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl20_convert_to_delta" -> """
+      WITH w AS (
+        SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        UNION ALL
+        SELECT s_suppkey + 100000, s_nationkey, s_acctbal FROM supplier)
+      SELECT CAST(s_nationkey % 4 AS INT) AS grp,
+             count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM w GROUP BY 1 ORDER BY 1""",
     "dl19_streaming_sink" -> """
       SELECT CAST(s_nationkey % 5 AS INT) AS grp,
              count(*) AS n,
@@ -639,5 +675,6 @@ object DeltaQueries {
     "dl16_identity_columns" -> dl16IdentityColumns,
     "dl17_id_mode_mapping" -> dl17IdModeMapping,
     "dl18_timestamp_ntz" -> dl18TimestampNtz,
-    "dl19_streaming_sink" -> dl19StreamingSink)
+    "dl19_streaming_sink" -> dl19StreamingSink,
+    "dl20_convert_to_delta" -> dl20ConvertToDelta)
 }

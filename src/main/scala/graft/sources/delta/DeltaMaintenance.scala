@@ -4,6 +4,7 @@ import java.net.URI
 import java.util.UUID
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -615,6 +616,100 @@ object DeltaMaintenance {
       (snap.protocol.readerFeatures ++ snap.protocol.writerFeatures)
         .toSeq.sorted.mkString(","))
     spark.createDataFrame(java.util.Arrays.asList(row), detailSchema)
+  }
+
+  /** `CONVERT TO DELTA parquet.`/path``: turn an existing parquet
+    * directory — flat or hive-partitioned — into a delta table IN PLACE.
+    * No data is rewritten: version 0 simply registers the existing files
+    * as `add` actions (partition values parsed from the `k=v` directory
+    * layout, per-file stats collected in one distributed pass, so pruning
+    * and skipping work from the first post-convert query). delta-rs ships
+    * this as ConvertToDeltaBuilder; it is how a 100 TB raw-parquet corpus
+    * adopts ACID without a 100 TB rewrite.
+    *
+    * @param partitionBy declared partition columns (production requires
+    *        the declaration for hive layouts); must match the directory
+    *        structure. Empty = flat table (k=v segments then refused).
+    * @return the created version (always 0) */
+  def convertToDelta(
+      spark: SparkSession, tablePath: String, partitionBy: Seq[String] = Nil): Long = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"$tablePath does not exist")
+    require(!fs.exists(DeltaLog.logDir(tablePath)),
+      s"$tablePath is already a delta table")
+    val all = DeltaWriter.listParquetFilesRecursively(fs, root)
+      .filterNot { p =>
+        val rel = DeltaWriter.relativize(root, p)
+        rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      }
+    require(all.nonEmpty, s"$tablePath contains no parquet files to convert")
+
+    // full schema (partition columns typed by Spark's hive-layout
+    // inference; basePath makes nested files resolve against the root)
+    val full = spark.read.option("basePath", tablePath)
+      .parquet(tablePath).schema
+    val inferredParts: Seq[String] = {
+      val rel0 = DeltaWriter.relativize(root, all.head)
+      rel0.split('/').dropRight(1).toSeq.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i)) else None
+      }
+    }
+    require(partitionBy == inferredParts,
+      s"declared partition columns [${partitionBy.mkString(",")}] do not match " +
+        s"the directory layout [${inferredParts.mkString(",")}] of $tablePath")
+    val dataSchema = StructType(full.filterNot(f => partitionBy.contains(f.name)))
+
+    // one distributed pass for per-file stats — same plane as the writer
+    val statsByPath: Map[String, ObjectNode] =
+      DeltaWriter.collectFileStats(spark, all.map(_.toString), dataSchema)
+
+    val lines = Seq.newBuilder[String]
+    val ciLine = mapper.createObjectNode()
+    val ci = ciLine.putObject("commitInfo")
+    ci.put("timestamp", System.currentTimeMillis())
+    ci.put("operation", "CONVERT")
+    val params = ci.putObject("operationParameters")
+    params.put("partitionBy", partitionBy.mkString(","))
+    params.put("numFiles", all.size.toLong)
+    ci.put("engineInfo", "graft-spark/0.1.0")
+    lines += mapper.writeValueAsString(ciLine)
+    val protoLine = mapper.createObjectNode()
+    val proto = protoLine.putObject("protocol")
+    proto.put("minReaderVersion", 1)
+    proto.put("minWriterVersion", 2)
+    lines += mapper.writeValueAsString(protoLine)
+    val metaLine = mapper.createObjectNode()
+    val m = metaLine.putObject("metaData")
+    m.put("id", UUID.randomUUID().toString)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    m.put("schemaString", full.json)
+    partitionBy.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
+    m.putObject("configuration")
+    m.put("createdTime", System.currentTimeMillis())
+    lines += mapper.writeValueAsString(metaLine)
+    all.foreach { p =>
+      val rel = DeltaWriter.relativize(root, p)
+      val st = fs.getFileStatus(p)
+      val addLine = mapper.createObjectNode()
+      val a = addLine.putObject("add")
+      a.put("path", DeltaWriter.encodePath(rel))
+      val pvNode = a.putObject("partitionValues")
+      DeltaWriter.partitionValuesOf(rel, partitionBy).foreach { case (k, v) =>
+        if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
+      }
+      a.put("size", st.getLen)
+      a.put("modificationTime", st.getModificationTime)
+      a.put("dataChange", true)
+      statsByPath.get(p.toString).foreach(s => a.put("stats", mapper.writeValueAsString(s)))
+      lines += mapper.writeValueAsString(addLine)
+    }
+    require(DeltaLog.tryCommit(spark, tablePath, 0L, lines.result().mkString("\n")),
+      s"CONVERT TO DELTA lost a creation race at $tablePath")
+    0L
   }
 
   /** Commit history (newest first): version, timestamp, operation, engine. */

@@ -92,6 +92,9 @@ private[graft] object GraftSqlCommands {
   private val Restore = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
   private val RestoreTs = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""")
   private val Clone = re(s"""^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T\\s*;?\\s*$$""")
+  // source is a PARQUET directory (production surface), so `parquet.` not
+  // `delta.`; PARTITIONED BY accepts `col` or `col type` entries
+  private val Convert = re(s"""^\\s*CONVERT\\s+TO\\s+DELTA\\s+(?:parquet\\s*\\.\\s*`([^`]+)`|'([^']+)')(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""")
   private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T\\s*;?\\s*$$""")
   private val AlterAddCols = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterRenameCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
@@ -303,6 +306,13 @@ private[graft] object GraftSqlCommands {
     if (v.matches())
       return Some(DeltaVacuumCommand(path(v, 1),
         Option(v.group(3)).map(_.toLong * 3600L * 1000L)))
+    val cv = Convert.matcher(sql)
+    if (cv.matches()) {
+      val p = Option(cv.group(1)).getOrElse(cv.group(2))
+      val parts = Option(cv.group(3)).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty).map(_.split("\\s+")(0)))
+      return Some(DeltaConvertCommand(p, parts))
+    }
     val r = Restore.matcher(sql)
     if (r.matches())
       return Some(DeltaRestoreCommand(path(r, 1), r.group(3).toLong))
@@ -425,6 +435,13 @@ case class DeltaVacuumCommand(path: String, retentionMs: Option[Long])
       case Some(ms) => DeltaMaintenance.vacuum(spark, path, ms)
       case None => DeltaMaintenance.vacuum(spark, path)
     }))
+}
+
+case class DeltaConvertCommand(path: String, partitionBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlCommands.longAttrs("committed_version")
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(DeltaMaintenance.convertToDelta(spark, path, partitionBy)))
 }
 
 case class DeltaRestoreCommand(path: String, toVersion: Long)

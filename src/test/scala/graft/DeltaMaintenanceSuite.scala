@@ -152,4 +152,56 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
       DeltaTable.readVersion(spark, dir, before.version).collect())
     assert(oldRead.isFailure)
   }
+
+  test("CONVERT TO DELTA registers a hive-partitioned parquet dir in place") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-convert").toString
+    val src = (1 to 20).map(i => (i, s"k${i % 3}", i * 1.5)).toDF("id", "k", "v")
+    src.write.mode("overwrite").partitionBy("k").parquet(dir)
+    val nFiles = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    assert(DeltaMaintenance.convertToDelta(spark, dir, Seq("k")) === 0L)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.version === 0L)
+    assert(snap.partitionColumns === Seq("k"))
+    assert(snap.files.size === nFiles, "every existing file registered, none rewritten")
+    assert(snap.files.forall(_.stats.exists(_.contains("numRecords"))),
+      "per-file stats collected at conversion")
+    assert(snap.files.forall(f => f.partitionValues.get("k").exists(_ != null)))
+    val got = DeltaTable.read(spark, dir)
+    assert(got.count() === 20)
+    // partition pruning works off the converted partitionValues
+    assert(got.filter($"k" === "k0").count() === src.filter($"k" === "k0").count())
+    // it is a LIVE table: appends + DML work post-convert
+    DeltaWriter.write(Seq((21, "k0", 99.0)).toDF("id", "k", "v"),
+      dir, SaveMode.Append, Nil)
+    graft.sources.delta.DeltaDml.delete(spark, dir, "id <= 5")
+    assert(DeltaTable.read(spark, dir).count() === 16)
+    // converting again refuses
+    val e = intercept[IllegalArgumentException](
+      DeltaMaintenance.convertToDelta(spark, dir, Seq("k")))
+    assert(e.getMessage.contains("already a delta table"))
+  }
+
+  test("CONVERT TO DELTA validates the declared partitioning; SQL surface works") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-convert-sql").toString
+    (1 to 6).map(i => (i, s"p${i % 2}")).toDF("id", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    // declared columns must match the k=v directory layout
+    val e = intercept[IllegalArgumentException](
+      DeltaMaintenance.convertToDelta(spark, dir, Nil))
+    assert(e.getMessage.contains("directory layout"))
+    // production syntax, type tokens tolerated in PARTITIONED BY
+    val out = spark.sql(s"CONVERT TO DELTA parquet.`$dir` PARTITIONED BY (p string)")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L))
+    assert(DeltaTable.read(spark, dir).count() === 6)
+  }
 }
