@@ -112,15 +112,21 @@ class DeltaDataSource extends RelationProvider
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val path = pathOf(parameters)
     val s = schema.getOrElse(streamSchema(sqlContext, parameters))
+    val fromVersion = caseGet(parameters, "startingVersion")
+    val fromTimestamp = caseGet(parameters, "startingTimestamp")
+    require(fromVersion.isEmpty || fromTimestamp.isEmpty,
+      "specify startingVersion OR startingTimestamp, not both")
     new DeltaStreamingSource(sqlContext, path, s,
       caseGet(parameters, "ignoreDataChangeRemoves").exists(_.toBoolean),
       changeFeed = cdfRequested(parameters),
-      startingVersion = caseGet(parameters, "startingVersion").map { v =>
+      startingVersion = fromVersion.map { v =>
         // "latest" (production surface): only commits AFTER stream start
         if (v.trim.equalsIgnoreCase("latest"))
           DeltaLog.snapshot(sqlContext.sparkSession, path).version + 1
         else v.trim.toLong
-      },
+      }.orElse(fromTimestamp.map(ts =>
+        // commits at or after ts (the production startingTimestamp)
+        DeltaLog.earliestVersionAtOrAfter(sqlContext.sparkSession, path, ts))),
       maxFilesPerTrigger = caseGet(parameters, "maxFilesPerTrigger").map { v =>
         val n = v.trim.toInt
         require(n > 0, s"maxFilesPerTrigger must be positive, got $n")

@@ -502,6 +502,26 @@ object DeltaLog {
     * is well past this, the warning fires early by design). */
   private[graft] var SnapshotFileCountWarnThreshold: Int = 100000
 
+  /** Earliest version whose commit time is at or after `ts` — the
+    * streaming source's `startingTimestamp` resolution (spec: "all table
+    * changes committed at or after the timestamp will be read"). A
+    * timestamp past the newest commit yields latest+1: the stream serves
+    * only future commits. In-commit timestamps win over file mtimes on
+    * ict tables, same as time travel. */
+  def earliestVersionAtOrAfter(spark: SparkSession, tablePath: String, ts: String): Long = {
+    val (commits, _) = listLog(spark, tablePath)
+    require(commits.nonEmpty, s"$tablePath: empty _delta_log")
+    val cutoff = parseTimestampMillis(ts)
+    val ictTable = commits.lastOption.exists { case (v, _) =>
+      InCommitTimestamps.readIct(spark, tablePath, v).isDefined
+    }
+    def commitTime(v: Long, st: FileStatus): Long =
+      if (!ictTable) st.getModificationTime
+      else InCommitTimestamps.readIct(spark, tablePath, v).getOrElse(st.getModificationTime)
+    commits.collectFirst { case (v, st) if commitTime(v, st) >= cutoff => v }
+      .getOrElse(commits.map(_._1).max + 1)
+  }
+
   /** Per-commit DATA-CHANGE add actions in versions (fromExclusive,
     * toInclusive] — the incremental-consumption view of the log: compaction
     * rewrites (`dataChange=false`, e.g. OPTIMIZE) are skipped, so a

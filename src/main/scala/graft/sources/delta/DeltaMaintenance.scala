@@ -712,6 +712,58 @@ object DeltaMaintenance {
     0L
   }
 
+  /** `FSCK REPAIR TABLE`: drop `add` entries whose physical files are
+    * gone (storage incident, manual deletion, botched external vacuum) so
+    * the table becomes readable again — delta-rs ships this as
+    * FileSystemCheck. The repair is a normal commit (removes with
+    * `dataChange=true`, retried through the standard conflict loop), so
+    * history and CDF consumers see it; `dryRun` only reports.
+    * O(files) existence probes — the metadata plane, same as listing.
+    * @return the relative paths of missing files (removed unless dryRun) */
+  def fsck(spark: SparkSession, tablePath: String, dryRun: Boolean = false): Seq[String] = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val missing = snap.files.filterNot(f =>
+      fs.exists(new Path(tablePath, decodeRel(f.path)))).map(_.path)
+    if (dryRun || missing.isEmpty) return missing
+    snap.assertWritable("FSCK")
+    snap.assertRemovable("FSCK")
+    var attempt = 0
+    var done = false
+    while (!done && attempt < 20) {
+      val current = DeltaLog.snapshot(spark, tablePath)
+      val still = current.files.map(_.path).toSet.intersect(missing.toSet)
+      if (still.isEmpty) done = true
+      else {
+        val lines = Seq.newBuilder[String]
+        val ciLine = mapper.createObjectNode()
+        val ci = ciLine.putObject("commitInfo")
+        ci.put("timestamp", System.currentTimeMillis())
+        InCommitTimestamps.stamp(
+          spark, tablePath, current.metadata.configuration, current.version, ci)
+        ci.put("operation", "FSCK")
+        ci.putObject("operationParameters").put("numRemovedFiles", still.size.toLong)
+        ci.put("engineInfo", "graft-spark/0.1.0")
+        lines += mapper.writeValueAsString(ciLine)
+        still.toSeq.sorted.foreach { p =>
+          val rm = mapper.createObjectNode()
+          val r = rm.putObject("remove")
+          r.put("path", p)
+          r.put("deletionTimestamp", System.currentTimeMillis())
+          r.put("dataChange", true)
+          lines += mapper.writeValueAsString(rm)
+        }
+        done = DeltaLog.tryCommit(
+          spark, tablePath, current.version + 1, lines.result().mkString("\n"))
+        if (done) DeltaWriter.maybeCheckpoint(spark, tablePath, current.version + 1)
+      }
+      attempt += 1
+    }
+    if (!done) throw new java.io.IOException(
+      s"FSCK could not commit to $tablePath after $attempt attempts")
+    missing
+  }
+
   /** Commit history (newest first): version, timestamp, operation, engine. */
   def history(spark: SparkSession, tablePath: String): DataFrame = {
     val (commits, _) = DeltaLog.listLog(spark, tablePath)

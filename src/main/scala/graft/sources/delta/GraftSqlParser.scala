@@ -95,6 +95,7 @@ private[graft] object GraftSqlCommands {
   // source is a PARQUET directory (production surface), so `parquet.` not
   // `delta.`; PARTITIONED BY accepts `col` or `col type` entries
   private val Convert = re(s"""^\\s*CONVERT\\s+TO\\s+DELTA\\s+(?:parquet\\s*\\.\\s*`([^`]+)`|'([^']+)')(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""")
+  private val Fsck = re(s"""^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$T(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T\\s*;?\\s*$$""")
   private val AlterAddCols = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterRenameCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
@@ -306,6 +307,9 @@ private[graft] object GraftSqlCommands {
     if (v.matches())
       return Some(DeltaVacuumCommand(path(v, 1),
         Option(v.group(3)).map(_.toLong * 3600L * 1000L)))
+    val fk = Fsck.matcher(sql)
+    if (fk.matches())
+      return Some(DeltaFsckCommand(path(fk, 1), dryRun = fk.group(3) != null))
     val cv = Convert.matcher(sql)
     if (cv.matches()) {
       val p = Option(cv.group(1)).getOrElse(cv.group(2))
@@ -435,6 +439,14 @@ case class DeltaVacuumCommand(path: String, retentionMs: Option[Long])
       case Some(ms) => DeltaMaintenance.vacuum(spark, path, ms)
       case None => DeltaMaintenance.vacuum(spark, path)
     }))
+}
+
+case class DeltaFsckCommand(path: String, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", org.apache.spark.sql.types.StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    DeltaMaintenance.fsck(spark, path, dryRun).map(Row(_))
 }
 
 case class DeltaConvertCommand(path: String, partitionBy: Seq[String])

@@ -189,6 +189,39 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     assert(e.getMessage.contains("already a delta table"))
   }
 
+  test("FSCK repairs a table whose physical files were lost") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fsck").toString
+    DeltaWriter.write(Seq((1, "x"), (2, "y")).toDF("id", "s").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    DeltaWriter.write(Seq((3, "z")).toDF("id", "s").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.size === 2)
+    // storage incident: the file holding id=3 vanishes
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lost = snap.files.find { f =>
+      spark.read.parquet(new org.apache.hadoop.fs.Path(dir, f.path).toString)
+        .filter($"id" === 3).count() > 0
+    }.get.path
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, lost), false))
+    // the table is broken; dry run reports without committing
+    assert(scala.util.Try(DeltaTable.read(spark, dir).count()).isFailure)
+    assert(DeltaMaintenance.fsck(spark, dir, dryRun = true) === Seq(lost))
+    assert(DeltaLog.snapshot(spark, dir).version === snap.version, "dry run commits nothing")
+    // repair: the missing entry is dropped, surviving rows readable
+    assert(spark.sql(s"FSCK REPAIR TABLE delta.`$dir`")
+      .collect().map(_.getString(0)).toSeq === Seq(lost))
+    assert(DeltaTable.read(spark, dir).orderBy("id")
+      .select("id").as[Int].collect().toSeq === Seq(1, 2))
+    val hist = DeltaMaintenance.history(spark, dir)
+      .select("operation").collect().map(_.getString(0))
+    assert(hist.contains("FSCK"))
+    // a healthy table fscks to nothing
+    assert(DeltaMaintenance.fsck(spark, dir) === Nil)
+  }
+
   test("CONVERT TO DELTA validates the declared partitioning; SQL surface works") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-convert-sql").toString

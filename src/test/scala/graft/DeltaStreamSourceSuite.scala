@@ -55,6 +55,46 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingTimestamp serves only commits at or after the timestamp") {
+    val dir = Files.createTempDirectory("graft-stream-st").toString
+    DeltaWriter.write(Seq((1, "a")).toDF("id", "name"), dir, SaveMode.Append, Nil) // v0
+    // a cutoff strictly between v0's and v1's commit mtimes (ms granularity)
+    Thread.sleep(1200)
+    val cutoffMs = System.currentTimeMillis()
+    Thread.sleep(1200)
+    DeltaWriter.write(Seq((2, "b")).toDF("id", "name"), dir, SaveMode.Append, Nil) // v1
+    val cutoff = java.time.Instant.ofEpochMilli(cutoffMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+    val q = spark.readStream.format("delta")
+      .option("startingTimestamp", cutoff).load(dir)
+      .writeStream.format("memory").queryName("dss_st")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-st-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dss_st").collect().map(_.getInt(0)).toSeq === Seq(2),
+        "only the commit at/after the timestamp")
+    } finally q.stop()
+    // declaring both cursors is ambiguous and refused (createSource runs
+    // on the stream thread, so the failure surfaces through the query)
+    val q2 = spark.readStream.format("delta")
+      .option("startingTimestamp", cutoff)
+      .option("startingVersion", "0").load(dir)
+      .writeStream.format("memory").queryName("dss_st2")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-st2-ckpt").toString)
+      .start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+      assert(chain(e).exists(m => m != null && m.contains("not both")))
+    } finally q2.stop()
+  }
+
   test("maxFilesPerTrigger paces a backlogged table into per-commit micro-batches") {
     val dir = Files.createTempDirectory("graft-stream-rate").toString
     // 4-commit backlog, one file each (single local partition per write)
