@@ -502,7 +502,63 @@ object DeltaQueries {
       .orderBy(col("grp"))
   }
 
+  /** Full-surface MERGE in the gate: two conditional MATCHED clauses
+    * (first-match-wins DELETE, then UPDATE), a conditional INSERT, and a
+    * conditional NOT MATCHED BY SOURCE UPDATE — the oracle replays all
+    * four clause semantics over the raw fixture. Target = even-key
+    * suppliers, source = keys divisible by 3, so matched = keys % 6 == 0. */
+  private def dl21MergeClauses(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    supplier.filter(col("s_suppkey") % 2 === 0).write.format("delta").save(path)
+    val source = supplier.filter(col("s_suppkey") % 3 === 0)
+    import graft.sources.delta.MergeClause._
+    graft.sources.delta.DeltaMerge.merge(
+      s, path, source, "t.s_suppkey = s.s_suppkey",
+      matched = Seq(
+        Matched(None, Some("t.s_acctbal < 0")),
+        Matched(Some(Map(
+          "s_acctbal" -> "s.s_acctbal + 10.0",
+          "s_name" -> "upper(s.s_name)")))),
+      notMatched = Seq(NotMatched(
+        supplier.columns.map(c => c -> s"s.$c").toMap,
+        Some("s.s_acctbal >= 0"))),
+      bySource = Seq(NotMatchedBySource(
+        Some(Map("s_acctbal" -> "0.0")), Some("t.s_nationkey < 5"))),
+      schemaEvolution = false)
+    DeltaTable.read(s, path)
+      .groupBy((col("s_suppkey") % 3).cast("int").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"),
+        max(col("s_name")).as("name_max"))
+      .orderBy(col("grp"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl21_merge_clauses" -> """
+      WITH m AS (
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+               (s_suppkey % 3 = 0) AS matched
+        FROM supplier WHERE s_suppkey % 2 = 0),
+      kept AS (
+        SELECT s_suppkey,
+               CASE WHEN matched THEN upper(s_name) ELSE s_name END AS s_name,
+               s_nationkey,
+               CASE WHEN matched THEN s_acctbal + 10.0
+                    WHEN NOT matched AND s_nationkey < 5 THEN 0.0
+                    ELSE s_acctbal END AS s_acctbal
+        FROM m WHERE NOT (matched AND s_acctbal < 0)),
+      ins AS (
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        WHERE s_suppkey % 3 = 0 AND s_suppkey % 2 = 1 AND s_acctbal >= 0),
+      w AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      SELECT CAST(s_suppkey % 3 AS INT) AS grp, count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal,
+             max(s_name) AS name_max
+      FROM w GROUP BY 1 ORDER BY 1""",
     "dl20_convert_to_delta" -> """
       WITH w AS (
         SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
@@ -676,5 +732,6 @@ object DeltaQueries {
     "dl17_id_mode_mapping" -> dl17IdModeMapping,
     "dl18_timestamp_ntz" -> dl18TimestampNtz,
     "dl19_streaming_sink" -> dl19StreamingSink,
-    "dl20_convert_to_delta" -> dl20ConvertToDelta)
+    "dl20_convert_to_delta" -> dl20ConvertToDelta,
+    "dl21_merge_clauses" -> dl21MergeClauses)
 }

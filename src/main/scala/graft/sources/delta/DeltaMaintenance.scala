@@ -66,26 +66,74 @@ object DeltaMaintenance {
     }
   }
 
-  /** Bin-packing compaction of files smaller than `targetFileBytes`.
-    * No-op (returns metrics with the current version) when no partition has
-    * two or more small files. */
+  /** Restrict `files` to those whose PARTITION VALUES satisfy `predicate`
+    * — the production `OPTIMIZE … WHERE` contract: the predicate may
+    * reference partition columns only (a data-column predicate would need
+    * a scan to answer; production Delta refuses it the same way). The
+    * string partition values are cast through the partition schema's types
+    * (the exact semantics the scan's partition injection applies), so
+    * `WHERE p_date >= '2024-01-01'` on a DATE partition behaves like the
+    * reader. Cost: one local job over the DISTINCT partition tuples —
+    * metadata-plane, never a table scan. */
+  private[graft] def filterByPartitionPredicate(
+      spark: SparkSession,
+      snap: DeltaSnapshot,
+      files: Seq[DeltaAddFile],
+      predicate: Option[String]): Seq[DeltaAddFile] = predicate match {
+    case None => files
+    case Some(p) =>
+      require(snap.partitionColumns.nonEmpty,
+        s"WHERE '$p' requires a partitioned table: the predicate may only " +
+          "reference partition columns")
+      val schema = snap.partitionSchema
+      val pvs = files.map(_.partitionValues).distinct
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(pvs.zipWithIndex.map { case (pv, i) =>
+          org.apache.spark.sql.Row.fromSeq(
+            schema.fieldNames.toSeq.map(c => pv.getOrElse(c, null)) :+ i)
+        }: _*)
+      val strSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(_.copy(dataType = org.apache.spark.sql.types.StringType)) :+
+          org.apache.spark.sql.types.StructField("_pvi",
+            org.apache.spark.sql.types.IntegerType, nullable = false))
+      val kept =
+        try spark.createDataFrame(rows, strSchema)
+          .select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq :+ col("_pvi"): _*)
+          .filter(expr(p))
+          .select(col("_pvi")).collect().map(_.getInt(0)).toSet
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"WHERE '$p' must reference partition columns " +
+              s"(${snap.partitionColumns.mkString(", ")}) only", e)
+        }
+      val keptPvs = pvs.zipWithIndex.collect { case (pv, i) if kept(i) => pv }.toSet
+      files.filter(f => keptPvs.contains(f.partitionValues))
+  }
+
+  /** Bin-packing compaction of files smaller than `targetFileBytes`,
+    * optionally scoped to the partitions matching `predicate`
+    * (`OPTIMIZE … WHERE`). No-op (returns metrics with the current
+    * version) when no eligible partition has two or more small files. */
   def optimize(
       spark: SparkSession,
       tablePath: String,
-      targetFileBytes: Long = 128L << 20): OptimizeMetrics =
-    optimize(spark, tablePath, targetFileBytes, () => ())
+      targetFileBytes: Long = 128L << 20,
+      predicate: Option[String] = None): OptimizeMetrics =
+    optimize(spark, tablePath, targetFileBytes, predicate, () => ())
 
   /** Test seam: `beforeCommit` runs after the rewrite is staged but before
     * the commit loop — a deterministic window to inject a concurrent
-    * commit in specs. Production callers use the 3-arg overload. */
+    * commit in specs. Production callers use the default-arg overload. */
   private[graft] def optimize(
       spark: SparkSession,
       tablePath: String,
       targetFileBytes: Long,
+      predicate: Option[String],
       beforeCommit: () => Unit): OptimizeMetrics = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     snap.assertWritable("OPTIMIZE")
-    val groups = snap.files
+    val groups = filterByPartitionPredicate(spark, snap, snap.files, predicate)
       .filter(_.size < targetFileBytes)
       .groupBy(_.partitionValues)
       .filter(_._2.size >= 2)
@@ -107,7 +155,8 @@ object DeltaMaintenance {
     beforeCommit()
     val committedVersion = commitReplace(spark, tablePath, fs, removed, adds,
       dataChange = false, op = "OPTIMIZE",
-      params = Map("targetFileBytes" -> targetFileBytes.toString),
+      params = Map("targetFileBytes" -> targetFileBytes.toString) ++
+        predicate.map("predicate" -> _),
       abortOp = "OPTIMIZE")
     OptimizeMetrics(removed.size, adds.size, removed.map(_.size).sum, committedVersion)
   }
@@ -129,13 +178,18 @@ object DeltaMaintenance {
     * same concurrent-removal conflict validation applies.
     *
     * @param outputFiles overrides the size-derived output file count
-    *                    (test seam / explicit tuning) */
+    *                    (test seam / explicit tuning)
+    * @param predicate   `OPTIMIZE … WHERE` partition scope: only matching
+    *                    partitions are clustered (bucket bounds come from
+    *                    THEIR rows — the curve adapts to the scoped data,
+    *                    which is the point of incremental z-ordering) */
   def zorder(
       spark: SparkSession,
       tablePath: String,
       zorderBy: Seq[String],
       targetFileBytes: Long = 128L << 20,
-      outputFiles: Option[Int] = None): OptimizeMetrics = {
+      outputFiles: Option[Int] = None,
+      predicate: Option[String] = None): OptimizeMetrics = {
     require(zorderBy.size >= 2 && zorderBy.size <= 4,
       s"ZORDER BY expects 2 to 4 columns, got ${zorderBy.size}")
     val snap = DeltaLog.snapshot(spark, tablePath)
@@ -158,12 +212,19 @@ object DeltaMaintenance {
     }
     require(unsupported.isEmpty,
       s"ZORDER BY supports numeric/date/timestamp columns; got ${unsupported.mkString(",")}")
-    if (snap.files.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)
+    val candidates = filterByPartitionPredicate(spark, snap, snap.files, predicate)
+    if (candidates.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)
     graft.functions.GraftFunctions.register(spark)
+
+    // scoped provider read ([[partitionInjected]]): partition values
+    // re-injected, column mapping resolved AND deletion vectors applied —
+    // used for BOTH the bucket bounds and the clustered rewrite
+    val scoped = partitionInjected(spark, tablePath, snap, candidates)
+      .reduce(_ unionByName _)
 
     // bucket bounds: one stats-only scan (vectorized min/max over the
     // zorder columns — the rewrite below reads everything anyway)
-    val boundsRow = DeltaTable.read(spark, tablePath)
+    val boundsRow = scoped
       .agg(
         min(expr(numericized(zorderBy.head))).as("mn0"),
         (zorderBy.tail.flatMap(c => Seq(
@@ -182,15 +243,9 @@ object DeltaMaintenance {
     }
     val zExpr = s"interleave_bits(${bucketSql.mkString(", ")})"
 
-    // read through the provider scan ([[partitionInjected]]): partition
-    // values re-injected, column mapping resolved AND deletion vectors
-    // applied — a raw parquet read here would resurrect DV'd rows in the
-    // clustered rewrite
-    val clustered = partitionInjected(spark, tablePath, snap, snap.files)
-      .reduce(_ unionByName _)
-      .withColumn("_z", expr(zExpr))
+    val clustered = scoped.withColumn("_z", expr(zExpr))
     val numOut = outputFiles.getOrElse(
-      math.max(1, (snap.files.map(_.size).sum / math.max(1L, targetFileBytes)).toInt + 1))
+      math.max(1, (candidates.map(_.size).sum / math.max(1L, targetFileBytes)).toInt + 1))
     // range by (partition cols, z): output partitions stay within one hive
     // dir (≈ one file each), Z-ordered inside
     val rangeCols = (snap.partitionColumns.map(col) :+ col("_z"))
@@ -200,10 +255,11 @@ object DeltaMaintenance {
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
 
     val (adds, fs) = stagePublish(spark, tablePath, snap, rewritten)
-    val removed = snap.files
+    val removed = candidates
     val committed = commitReplace(spark, tablePath, fs, removed, adds,
       dataChange = false, op = "OPTIMIZE",
-      params = Map("zOrderBy" -> zorderBy.mkString(","), "targetFileBytes" -> targetFileBytes.toString),
+      params = Map("zOrderBy" -> zorderBy.mkString(","),
+        "targetFileBytes" -> targetFileBytes.toString) ++ predicate.map("predicate" -> _),
       abortOp = "ZORDER")
     OptimizeMetrics(removed.size, adds.size, removed.map(_.size).sum, committed)
   }
@@ -347,6 +403,38 @@ object DeltaMaintenance {
       }
     }
     deleted
+  }
+
+  /** `VACUUM … DRY RUN`: the absolute paths [[vacuum]] would delete under
+    * the same retention, deleting nothing — the audit step production runs
+    * before a destructive vacuum. Same walk, same eligibility tests. */
+  def vacuumDryRun(
+      spark: SparkSession,
+      tablePath: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val live: Set[String] =
+      snap.files.map(f => new Path(tablePath, decodeRel(f.path)).toUri.getPath).toSet ++
+        snap.files.flatMap(_.deletionVector).collect {
+          case d if d.storageType == "u" || d.storageType == "p" =>
+            d.absolutePath(tablePath).toUri.getPath
+        }
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      val rel = p.toUri.getPath
+      val inLog = rel.contains(s"/${DeltaLog.LogDirName}/")
+      val vacuumable = p.getName.endsWith(".parquet") ||
+        (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin"))
+      if (!inLog && vacuumable && !live.contains(rel)
+          && f.getModificationTime < cutoff) out += rel
+    }
+    out.result().sorted
   }
 
   /** RESTORE TABLE … TO VERSION AS OF v: roll the table back to snapshot
@@ -575,6 +663,144 @@ object DeltaMaintenance {
     }
     if (!DeltaLog.tryCommit(spark, targetPath, 0L, lines.result().mkString("\n")))
       throw new java.io.IOException(s"CLONE lost the race creating $targetPath")
+    0L
+  }
+
+  /** `CREATE TABLE t DEEP CLONE s`: an independent physical copy — every
+    * live data file (and deletion-vector blob) of the source snapshot is
+    * copied under the target and re-registered RELATIVE in a fresh v0 log,
+    * so the clone survives the source being vacuumed, mutated, or deleted
+    * outright (the property shallow clones give up). History does not
+    * carry over — production clone semantics: the clone starts at v0.
+    *
+    * Scale posture: the copy fans out as ONE Spark job over the file list
+    * (per-task FileSystem via broadcast conf) — the driver never streams
+    * bytes; at 1000 executors a 100 TB clone is bounded by aggregate
+    * storage bandwidth, not a driver loop. */
+  def deepClone(spark: SparkSession, sourcePath: String, targetPath: String): Long = {
+    if (DeltaLog.isDeltaTable(spark, targetPath))
+      throw new IllegalArgumentException(s"CLONE target $targetPath is already a delta table")
+    val src = DeltaLog.snapshot(spark, sourcePath)
+    val conf = spark.sessionState.newHadoopConf()
+    val srcFs = new Path(sourcePath).getFileSystem(conf)
+    val srcRoot = srcFs.makeQualified(new Path(sourcePath))
+    val tgtRoot = new Path(targetPath).getFileSystem(conf).makeQualified(new Path(targetPath))
+
+    // (absolute source URI, relative target path) per copied object
+    def relForAdd(f: DeltaAddFile): (String, String) = {
+      val u = try new URI(f.path) catch { case _: Exception => null }
+      if (u != null && u.isAbsolute) {
+        // source is itself a shallow clone: synthesize a fresh relative
+        // name under the hive dirs its partition values imply
+        val dirs = src.partitionColumns.map { c =>
+          val v = f.partitionValues.getOrElse(c, null)
+          s"${src.metadata.physicalOf(c)}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else DeltaWriter.encodePath(v)}"
+        }
+        val name = s"part-deepclone-${UUID.randomUUID()}.parquet"
+        (f.path, (dirs :+ name).mkString("/"))
+      } else (new Path(srcRoot, decodeRel(f.path)).toUri.toString, decodeRel(f.path))
+    }
+    val addPlans: Seq[(DeltaAddFile, (String, String), Option[DvDescriptor], Option[(String, String)])] =
+      src.files.map { f =>
+        val plan = relForAdd(f)
+        // DV blobs are copied alongside; "u"-storage keeps its descriptor
+        // (same relative resolution against the NEW root), "p" re-pins to
+        // the copied location, inline ("i") carries as-is
+        val dvPlan: (Option[DvDescriptor], Option[(String, String)]) = f.deletionVector match {
+          case None => (None, None)
+          case Some(d) if d.storageType == "i" => (Some(d), None)
+          case Some(d) if d.storageType == "u" =>
+            // relative descriptor: resolves under the table root by
+            // construction — copy to the SAME relative location and keep
+            // the descriptor verbatim
+            val abs = srcFs.makeQualified(d.absolutePath(sourcePath))
+            (Some(d), Some(abs.toUri.toString -> DeltaWriter.relativize(srcRoot, abs)))
+          case Some(d) =>
+            // absolute descriptor ("p", e.g. inherited from a shallow
+            // clone): copy under the target root and re-pin absolutely
+            val name = s"deletion_vector_${UUID.randomUUID()}.bin"
+            val pinned = DvDescriptor("p",
+              new Path(tgtRoot, name).toUri.toString,
+              d.offset, d.sizeInBytes, d.cardinality)
+            (Some(pinned), Some(d.absolutePath(sourcePath).toUri.toString -> name))
+        }
+        (f, plan, dvPlan._1, dvPlan._2)
+      }
+
+    // distributed copy: one task per object (dedup'd — several adds can
+    // share one DV blob)
+    val copies = (addPlans.map(_._2) ++ addPlans.flatMap(_._4)).distinct
+    val bConf = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
+    val tgtRootStr = tgtRoot.toString
+    spark.sparkContext.parallelize(copies, math.max(1, math.min(copies.size, 64)))
+      .foreach { case (fromUri, rel) =>
+        val c = bConf.value.value
+        val from = new Path(new URI(fromUri))
+        val to = new Path(new Path(tgtRootStr), rel)
+        val ffs = from.getFileSystem(c)
+        val tfs = to.getFileSystem(c)
+        tfs.mkdirs(to.getParent)
+        if (!org.apache.hadoop.fs.FileUtil.copy(ffs, from, tfs, to,
+          false /* deleteSource */, false /* overwrite */, c))
+          throw new java.io.IOException(s"deep clone copy failed: $fromUri -> $to")
+      }
+
+    val lines = Seq.newBuilder[String]
+    val ciLine = mapper.createObjectNode()
+    val ci = ciLine.putObject("commitInfo")
+    ci.put("timestamp", System.currentTimeMillis())
+    InCommitTimestamps.stamp(
+      spark, targetPath, src.metadata.configuration, -1L, ci)
+    ci.put("operation", "CLONE")
+    val cp = ci.putObject("operationParameters")
+    cp.put("source", srcRoot.toString)
+    cp.put("sourceVersion", src.version)
+    cp.put("isShallow", false)
+    ci.put("engineInfo", "graft-spark/0.1.0")
+    lines += mapper.writeValueAsString(ciLine)
+    val protoLine = mapper.createObjectNode()
+    val proto = protoLine.putObject("protocol")
+    val srcHasDv = src.files.exists(_.deletionVector.isDefined)
+    if (srcHasDv) {
+      proto.put("minReaderVersion", 3)
+      proto.put("minWriterVersion", 7)
+      proto.putArray("readerFeatures").add("deletionVectors")
+      val wf = proto.putArray("writerFeatures")
+      Seq("appendOnly", "invariants", "deletionVectors").foreach(wf.add)
+    } else {
+      proto.put("minReaderVersion", 1)
+      proto.put("minWriterVersion", 2)
+    }
+    lines += mapper.writeValueAsString(protoLine)
+    val mdLine = mapper.createObjectNode()
+    val m = mdLine.putObject("metaData")
+    m.put("id", UUID.randomUUID().toString) // a clone is a NEW table
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    m.put("schemaString", src.metadata.schemaString)
+    src.partitionColumns.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
+    val cfg = m.putObject("configuration")
+    src.metadata.configuration.foreach { case (k, v) => cfg.put(k, v) }
+    lines += mapper.writeValueAsString(mdLine)
+    addPlans.foreach { case (f, (_, rel), dv, _) =>
+      val adLine = mapper.createObjectNode()
+      val a = adLine.putObject("add")
+      a.put("path", DeltaWriter.encodePath(rel))
+      val pv = a.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      a.put("size", f.size)
+      a.put("modificationTime", f.modificationTime)
+      a.put("dataChange", true)
+      f.stats.foreach(st => a.put("stats", st))
+      dv.foreach(DeletionVectors.putDvNode(a, _))
+      lines += mapper.writeValueAsString(adLine)
+    }
+    if (!DeltaLog.tryCommit(spark, targetPath, 0L, lines.result().mkString("\n")))
+      throw new java.io.IOException(s"CLONE lost the race creating $targetPath")
+    DeltaWriter.maybeCheckpoint(spark, targetPath, 0L)
     0L
   }
 

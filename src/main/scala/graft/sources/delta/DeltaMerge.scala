@@ -4,54 +4,76 @@ import java.util.UUID
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Result of a MERGE run. */
 final case class MergeMetrics(
     rowsUpdated: Long, rowsDeleted: Long, rowsInserted: Long,
     filesRewritten: Long, committedVersion: Long)
 
+/** The production-Delta MERGE clause forms. Clauses of one kind apply
+  * first-match-wins in declaration order (a row consumed by clause i is
+  * never offered to clause i+1) — the same precedence contract as
+  * delta-spark's `whenMatched(…).whenMatched(…)` builder chain. */
+object MergeClause {
+  /** `WHEN MATCHED [AND condition] THEN UPDATE SET update / DELETE`
+    * (`update = None` means DELETE). `condition` and SET expressions may
+    * reference both sides via the `t.` / `s.` aliases. */
+  final case class Matched(
+      update: Option[Map[String, String]], condition: Option[String] = None)
+  /** `WHEN NOT MATCHED [AND condition] THEN INSERT (…)`. `condition` and
+    * the INSERT expressions see only the source (`s.`). A source row
+    * matching no insert clause is dropped. */
+  final case class NotMatched(
+      insert: Map[String, String], condition: Option[String] = None)
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE SET / DELETE`
+    * — target rows with no source match (the sync/retention side of a
+    * bidirectional merge). Sees only the target (`t.`). */
+  final case class NotMatchedBySource(
+      update: Option[Map[String, String]], condition: Option[String] = None)
+}
+
 /** Copy-on-write `MERGE INTO` (upsert) over the Delta provider — the
   * third leg of the row-level DML surface next to [[DeltaDml]]'s
   * DELETE/UPDATE. Production-Delta semantics:
   *
-  *  - WHEN MATCHED THEN UPDATE SET … / DELETE — expressions may reference
-  *    both sides via the `t.` (target) and `s.` (source) aliases;
-  *  - WHEN NOT MATCHED THEN INSERT (col = expr over `s.`);
+  *  - any number of `WHEN MATCHED [AND cond]` clauses (UPDATE/DELETE),
+  *    `WHEN NOT MATCHED [AND cond]` INSERT clauses, and
+  *    `WHEN NOT MATCHED BY SOURCE [AND cond]` UPDATE/DELETE clauses,
+  *    each list applied first-match-wins in declaration order;
   *  - a target row matched by MORE THAN ONE source row is a cardinality
-  *    violation and aborts the merge (production Delta's
-  *    DELTA_MULTIPLE_SOURCE_ROW_MATCHING error) — anything else would make
-  *    the result nondeterministic.
+  *    violation and aborts the merge whenever a matched clause exists
+  *    (production Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING error) —
+  *    anything else would make the result nondeterministic;
+  *  - schema evolution (`schemaEvolution = true`): assignment keys naming
+  *    columns absent from the target append them (nullable, type inferred
+  *    from the assigned expression); rows the merge does not touch read
+  *    the new columns as NULL — delta-spark's autoMerge contract.
   *
   * Scale posture (100 TB): the target is never rewritten wholesale. The
   * find phase joins the provider scan against the source to resolve the
   * TOUCHED file set (partition pruning applies when the merge condition
-  * constrains partition columns); only those files are rewritten. The
-  * not-matched inserts come from one anti join of the (typically small,
-  * broadcastable) source against the FULL target — correctness requires
-  * anti-joining the whole table, not just touched files. Touched-file rows
-  * are persisted with a synthetic row id so the cardinality check, the
-  * rewrite, and the metrics all read ONE materialization (re-planning a
-  * scan between jobs could renumber rows). Commit is the same validated
-  * remove+add loop as OPTIMIZE/DELETE.
+  * constrains partition columns); `WHEN NOT MATCHED BY SOURCE` widens it
+  * by the files holding unmatched rows that satisfy a by-source clause
+  * condition — an unconditional by-source clause touches every file, which
+  * is what its semantics demand. The not-matched inserts come from one
+  * anti join of the (typically small, broadcastable) source against the
+  * FULL target — correctness requires anti-joining the whole table, not
+  * just touched files. Touched-file rows are persisted with a synthetic
+  * row id so the cardinality check, the rewrite, and the metrics all read
+  * ONE materialization (re-planning a scan between jobs could renumber
+  * rows). Commit is the same validated remove+add loop as OPTIMIZE/DELETE.
   */
 object DeltaMerge {
 
   private val mapper = new ObjectMapper()
 
-  /** `MERGE INTO target t USING source s ON condition …`.
-    *
-    * @param condition       join predicate over `t.*` / `s.*`
-    * @param matchedUpdate   SET assignments (target column -> expression
-    *                        over `t.*`/`s.*`); None for no UPDATE clause
-    * @param matchedDelete   true adds WHEN MATCHED THEN DELETE (applied
-    *                        only when matchedUpdate is None — one matched
-    *                        clause, like unconditional production merges)
-    * @param notMatchedInsert INSERT assignments (target column ->
-    *                        expression over `s.*`); None for no INSERT
-    *                        clause; unassigned target columns get NULL
-    */
+  import MergeClause._
+
+  /** Single-clause compatibility surface (unconditional UPDATE xor DELETE
+    * plus optional INSERT) — delegates to the clause-list overload. */
   def merge(
       spark: SparkSession,
       tablePath: String,
@@ -60,53 +82,141 @@ object DeltaMerge {
       matchedUpdate: Option[Map[String, String]] = None,
       matchedDelete: Boolean = false,
       notMatchedInsert: Option[Map[String, String]] = None): MergeMetrics = {
-    require(matchedUpdate.isDefined || matchedDelete || notMatchedInsert.isDefined,
-      "MERGE requires at least one WHEN clause")
     require(!(matchedUpdate.isDefined && matchedDelete),
       "one WHEN MATCHED clause: UPDATE or DELETE, not both")
+    merge(spark, tablePath, source, condition,
+      matched = matchedUpdate.map(u => Matched(Some(u))).toSeq ++
+        (if (matchedDelete) Seq(Matched(None)) else Nil),
+      notMatched = notMatchedInsert.map(i => NotMatched(i)).toSeq,
+      bySource = Nil,
+      schemaEvolution = false)
+  }
+
+  /** `MERGE INTO target t USING source s ON condition …` with the full
+    * clause surface. See the object doc for semantics.
+    *
+    * @param condition       join predicate over `t.*` / `s.*`
+    * @param matched         WHEN MATCHED clauses, first-match-wins
+    * @param notMatched      WHEN NOT MATCHED (insert) clauses
+    * @param bySource        WHEN NOT MATCHED BY SOURCE clauses
+    * @param schemaEvolution allow assignments to columns absent from the
+    *                        target schema by appending them (nullable)
+    */
+  def merge(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      condition: String,
+      matched: Seq[Matched],
+      notMatched: Seq[NotMatched],
+      bySource: Seq[NotMatchedBySource],
+      schemaEvolution: Boolean): MergeMetrics = {
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "MERGE requires at least one WHEN clause")
     val snap = DeltaLog.snapshot(spark, tablePath)
     snap.assertWritable("MERGE")
+    val rewrites = matched.nonEmpty || bySource.nonEmpty
     // an insert-only merge commits no removes and stays legal on an
-    // append-only table; any MATCHED clause rewrites files
-    if (matchedUpdate.isDefined || matchedDelete) snap.assertRemovable("MERGE")
-    matchedUpdate.foreach { set =>
+    // append-only table; any MATCHED / BY SOURCE clause rewrites files
+    if (rewrites) snap.assertRemovable("MERGE")
+
+    // ---- 0. validation + schema evolution
+    val have = snap.schema.fieldNames.toSet
+    matched.flatMap(_.update).foreach { set =>
       val badSet = set.keySet.intersect(snap.partitionColumns.toSet)
       if (badSet.nonEmpty) throw new IllegalArgumentException(
         s"cannot SET partition column(s) ${badSet.mkString(",")}")
-      val unknown = set.keySet -- snap.schema.fieldNames
-      if (unknown.nonEmpty) throw new IllegalArgumentException(
-        s"SET references unknown column(s) ${unknown.mkString(",")}")
     }
-    notMatchedInsert.foreach { ins =>
-      val unknown = ins.keySet -- snap.schema.fieldNames
+    bySource.flatMap(_.update).foreach { set =>
+      val badSet = set.keySet.intersect(snap.partitionColumns.toSet)
+      if (badSet.nonEmpty) throw new IllegalArgumentException(
+        s"cannot SET partition column(s) ${badSet.mkString(",")}")
+      // no source row exists for these target rows: a new column here has
+      // no evolution story (delta-spark likewise evolves only from source
+      // assignments)
+      val unknown = set.keySet -- have
       if (unknown.nonEmpty) throw new IllegalArgumentException(
-        s"INSERT references unknown column(s) ${unknown.mkString(",")}")
+        s"NOT MATCHED BY SOURCE SET references unknown column(s) ${unknown.mkString(",")}")
+    }
+    // evolution candidates: matched-update and insert assignment keys the
+    // target lacks, in first-appearance order
+    val newCols: Seq[(String, String)] = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      (matched.flatMap(_.update) ++ notMatched.map(_.insert)).foreach { as =>
+        as.foreach { case (k, e) => if (!have.contains(k) && !seen.contains(k)) seen += k -> e }
+      }
+      seen.toSeq
+    }
+    if (newCols.nonEmpty && !schemaEvolution) throw new IllegalArgumentException(
+      s"MERGE references unknown column(s) ${newCols.map(_._1).mkString(",")} " +
+        "(set schemaEvolution=true to add them)")
+    if (newCols.nonEmpty && snap.metadata.hasColumnMapping)
+      throw new UnsupportedOperationException(
+        "MERGE schema evolution on a column-mapped table is not supported: " +
+          "new columns need physical names and a maxColumnId advance")
+    // infer each new column's type from its first assignment, analyzed
+    // against a zero-row t×s frame (analysis-only — nothing executes)
+    val evolved: Seq[StructField] =
+      if (newCols.isEmpty) Nil
+      else {
+        val typer = DeltaTable.read(spark, tablePath).limit(0).alias("t")
+          .crossJoin(source.limit(0).alias("s"))
+        newCols.map { case (c, e) =>
+          StructField(c, typer.select(expr(e)).schema.head.dataType, nullable = true)
+        }
+      }
+    val outSchema = StructType(snap.schema.fields ++ evolved)
+    val outCols = outSchema.fieldNames.toIndexedSeq
+    def colType(c: String) = outSchema(c).dataType
+    notMatched.foreach { nm =>
       // production Delta's NOT NULL constraint: an unassigned column can
       // only be NULL-filled if the table schema allows it (reading a
       // parquet NULL through a non-nullable schema silently yields 0)
       val broken = snap.schema.fields
-        .filter(f => !f.nullable && !ins.contains(f.name)).map(_.name)
+        .filter(f => !f.nullable && !nm.insert.contains(f.name)).map(_.name)
       if (broken.nonEmpty) throw new IllegalArgumentException(
         s"INSERT leaves non-nullable column(s) ${broken.mkString(",")} unassigned")
     }
-    val outCols = snap.schema.fieldNames.toIndexedSeq
 
-    // ---- 1. find touched files: provider scan ⋈ source on the condition.
-    // The source is tagged with a constant marker column: "did this left
-    // join find a source row" via any data column's null-ness would break
-    // on sources that genuinely contain NULLs.
+    // action ids: matched clause i -> i, by-source clause j -> 1000 + j
+    val matchedIds = matched.indices
+    val bySourceIds = bySource.indices.map(_ + 1000)
+    val updateActs: Seq[(Int, Map[String, String])] =
+      matchedIds.zip(matched).collect { case (id, Matched(Some(u), _)) => id -> u } ++
+        bySourceIds.zip(bySource).collect { case (id, NotMatchedBySource(Some(u), _)) => id -> u }
+    val deleteActs: Seq[Int] =
+      matchedIds.zip(matched).collect { case (id, Matched(None, _)) => id } ++
+        bySourceIds.zip(bySource).collect { case (id, NotMatchedBySource(None, _)) => id }
+
+    // ---- 1. find touched files. The source is tagged with a constant
+    // marker column: "did this left join find a source row" via any data
+    // column's null-ness would break on sources that genuinely contain
+    // NULLs.
     val src = source.withColumn("_smark", lit(1)).alias("s")
-    val touchedPaths: Set[String] =
-      if (matchedUpdate.isEmpty && !matchedDelete) Set.empty // insert-only: no rewrite
+    val matchedTouch: Set[String] =
+      if (matched.isEmpty) Set.empty
       else DeltaTable.read(spark, tablePath)
         .withColumn("_gf", input_file_name()).alias("t")
         .join(src, expr(condition), "inner")
         .select(col("_gf")).distinct()
         .collect().map(r => normalize(r.getString(0))).toSet
+    val bySourceTouch: Set[String] =
+      if (bySource.isEmpty) Set.empty
+      else {
+        val anyCond = bySource.map(_.condition.map(expr).getOrElse(lit(true)))
+          .reduce(_ || _)
+        DeltaTable.read(spark, tablePath)
+          .withColumn("_gf", input_file_name()).alias("t")
+          .join(src, expr(condition), "left_anti")
+          .filter(anyCond)
+          .select(col("_gf")).distinct()
+          .collect().map(r => normalize(r.getString(0))).toSet
+      }
+    val touchedPaths = matchedTouch ++ bySourceTouch
     val touched = snap.files.filter(f => touchedPaths.contains(normalize(
       new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)))
 
-    // ---- 2. rewrite touched files (matched update/delete + carried rows)
+    // ---- 2. rewrite touched files (first-match-wins clause application)
     val cdfOn = DeltaCdf.enabled(snap.metadata)
     var rowsUpdated = 0L
     var rowsDeleted = 0L
@@ -123,78 +233,133 @@ object DeltaMerge {
         .persist()
       try {
         val joined = tt.alias("t").join(src, expr(condition), "left")
-        val matchCounts = joined.groupBy(col("_tid"))
-          .agg(count(when(srcMatched, 1)).as("_m"))
-        val violations = matchCounts.filter(col("_m") > 1).limit(1).count()
-        if (violations > 0) throw new UnsupportedOperationException(
-          "MERGE cardinality violation: a target row matched more than one " +
-            "source row; the result would be nondeterministic (production " +
-            "Delta raises the same error)")
-        val matchedRows = matchCounts.filter(col("_m") === 1).count()
-        if (matchedDelete) rowsDeleted = matchedRows else rowsUpdated = matchedRows
-
-        val result =
-          if (matchedDelete)
-            joined.filter(!srcMatched).select(outCols.map(c => col(s"t.$c")): _*)
-          else {
-            val set = matchedUpdate.get
-            joined.select(outCols.map { c =>
-              val tcol = col(s"t.$c")
-              set.get(c) match {
-                case Some(e) => when(srcMatched, expr(e).cast(snap.schema(c).dataType))
-                  .otherwise(tcol).as(c)
-                case None => tcol.as(c)
-              }
-            }: _*)
+        // rewrite frame: exactly ONE row per target row.
+        //  - with matched clauses: the cardinality gate below guarantees it
+        //    on the left join itself (and >1 source match is an error);
+        //  - by-source-only merges tolerate multi-match rows (they are all
+        //    carried), so the flag is aggregated per row id instead — the
+        //    left join would duplicate carried rows.
+        val rw: DataFrame =
+          if (matched.nonEmpty) {
+            val matchCounts = joined.groupBy(col("_tid"))
+              .agg(count(when(srcMatched, 1)).as("_m"))
+            val violations = matchCounts.filter(col("_m") > 1).limit(1).count()
+            if (violations > 0) throw new UnsupportedOperationException(
+              "MERGE cardinality violation: a target row matched more than one " +
+                "source row; the result would be nondeterministic (production " +
+                "Delta raises the same error)")
+            joined
+          } else {
+            val flags = joined.groupBy(col("_tid"))
+              .agg(max(col("_smark")).as("_smark"))
+            tt.alias("t").join(flags, Seq("_tid"))
           }
+        // first-match-wins action resolution: -1 = carry
+        val actChain = {
+          val cases: Seq[(Column, Int)] =
+            matchedIds.zip(matched).map { case (id, m) =>
+              (srcMatched && m.condition.map(expr).getOrElse(lit(true)), id)
+            } ++ bySourceIds.zip(bySource).map { case (id, b) =>
+              (!srcMatched && b.condition.map(expr).getOrElse(lit(true)), id)
+            }
+          cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+            case (acc, (c, id)) => acc.when(c, id)
+          }.otherwise(lit(-1))
+        }
+        val withAct = rw.withColumn("_act", actChain)
+
+        // one pass for the metrics: rows per resolved action
+        val actCounts: Map[Int, Long] = withAct.groupBy(col("_act"))
+          .agg(count(lit(1)).as("_n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val updIdSet = updateActs.map(_._1).toSet
+        rowsUpdated = actCounts.collect { case (id, n) if updIdSet.contains(id) => n }.sum
+        rowsDeleted = actCounts.collect { case (id, n) if deleteActs.contains(id) => n }.sum
+
+        def carry(c: String): Column =
+          if (have.contains(c)) col(s"t.$c") else lit(null).cast(colType(c))
+        // resolved value of column c: the applied clause's SET expression
+        // (clauses that do not assign c carry it), else the target value
+        def resolved(c: String): Column = {
+          val cases = updateActs.flatMap { case (id, set) =>
+            set.get(c).map(e => (id, expr(e).cast(colType(c))))
+          }
+          if (cases.isEmpty) carry(c)
+          else cases.foldLeft(null: Column) { case (acc, (id, v)) =>
+            val cond = col("_act") === id
+            if (acc == null) when(cond, v) else acc.when(cond, v)
+          }.otherwise(carry(c))
+        }
+        val result = withAct
+          .filter(if (deleteActs.isEmpty) lit(true)
+                  else !col("_act").isInCollection(deleteActs))
+          .select(outCols.map(c => resolved(c).as(c)): _*)
         // updated rows must satisfy the table's CHECK constraints
         DeltaConstraints.validate(result, snap, "MERGE")
-        // change data feed: matched rows as delete / pre+post images,
-        // computed from the same persisted materialization as the rewrite
+        // change data feed: per-action rows, computed from the same
+        // persisted materialization as the rewrite
         val cdcMatched: Seq[(String, Long)] =
           if (!cdfOn) Nil
           else {
-            val preCols = outCols.map(c => col(s"t.$c").as(c))
-            val changes =
-              if (matchedDelete)
-                joined.filter(srcMatched)
-                  .select(preCols :+ lit("delete").as(DeltaCdf.TypeCol): _*)
+            val preCols = outCols.map(c => carry(c).as(c))
+            val deletes =
+              if (deleteActs.isEmpty) None
+              else Some(withAct.filter(col("_act").isInCollection(deleteActs))
+                .select(preCols :+ lit("delete").as(DeltaCdf.TypeCol): _*))
+            val updates =
+              if (updateActs.isEmpty) None
               else {
-                val set = matchedUpdate.get
-                val pre = joined.filter(srcMatched)
+                val touchedUpd = withAct
+                  .filter(col("_act").isInCollection(updateActs.map(_._1)))
+                val pre = touchedUpd
                   .select(preCols :+ lit("update_preimage").as(DeltaCdf.TypeCol): _*)
-                val post = joined.filter(srcMatched).select(outCols.map { c =>
-                  set.get(c) match {
-                    case Some(e) => expr(e).cast(snap.schema(c).dataType).as(c)
-                    case None => col(s"t.$c").as(c)
-                  }
-                } :+ lit("update_postimage").as(DeltaCdf.TypeCol): _*)
-                pre.unionByName(post)
+                val post = touchedUpd.select(outCols.map(c => resolved(c).as(c)) :+
+                  lit("update_postimage").as(DeltaCdf.TypeCol): _*)
+                Some(pre.unionByName(post))
               }
-            DeltaCdf.stageChanges(spark, tablePath, snap, changes)
+            (deletes.toSeq ++ updates.toSeq).reduceOption(_ unionByName _)
+              .map(DeltaCdf.stageChanges(spark, tablePath, snap, _))
+              .getOrElse(Nil)
           }
         // stage NOW (inside persist scope): the write is the terminal action
-        (stageAndReturn(spark, tablePath, snap, result), cdcMatched)
+        (stageAndReturn(spark, tablePath, snap, result, outSchema), cdcMatched)
       } finally tt.unpersist()
     }
 
-    // ---- 3. inserts: source rows matching NO row of the FULL target
-    val insertedOpt: Option[((Seq[Add], Long), Seq[(String, Long)])] = notMatchedInsert.map { ins =>
-      val insertRows =
-      src.join(DeltaTable.read(spark, tablePath).alias("t"), expr(condition), "left_anti")
-        .select(outCols.map { c =>
-          ins.get(c) match {
-            case Some(e) => expr(e).cast(snap.schema(c).dataType).as(c)
-            case None => lit(null).cast(snap.schema(c).dataType).as(c)
-          }
-        }: _*)
+    // ---- 3. inserts: source rows matching NO row of the FULL target,
+    // routed through the first insert clause whose condition they satisfy
+    // (rows satisfying none are dropped — production semantics)
+    val insertedOpt: Option[((Seq[Add], Long), Seq[(String, Long)])] =
+      if (notMatched.isEmpty) None else Some {
+      val anti = src.join(
+        DeltaTable.read(spark, tablePath).alias("t"), expr(condition), "left_anti")
+      val iactChain = {
+        val cases = notMatched.zipWithIndex.map { case (nm, j) =>
+          (nm.condition.map(expr).getOrElse(lit(true)), j)
+        }
+        cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+          case (acc, (c, j)) => acc.when(c, j)
+        }.otherwise(lit(-1))
+      }
+      val withIact = anti.withColumn("_iact", iactChain).filter(col("_iact") >= 0)
+      def inserted(c: String): Column = {
+        val cases = notMatched.zipWithIndex.flatMap { case (nm, j) =>
+          nm.insert.get(c).map(e => (j, expr(e).cast(colType(c))))
+        }
+        if (cases.isEmpty) lit(null).cast(colType(c))
+        else cases.foldLeft(null: Column) { case (acc, (j, v)) =>
+          val cond = col("_iact") === j
+          if (acc == null) when(cond, v) else acc.when(cond, v)
+        }.otherwise(lit(null).cast(colType(c)))
+      }
+      val insertRows = withIact.select(outCols.map(c => inserted(c).as(c)): _*)
       DeltaConstraints.validate(insertRows, snap, "MERGE INSERT")
       // persisted: the table write and the cdc 'insert' rows must come
       // from ONE evaluation of the anti-join (re-planning could diverge
       // on nondeterministic sources, and re-runs the scan regardless)
       val pinned = insertRows.persist()
       try {
-        val addsAndRows = stageAndReturn(spark, tablePath, snap, pinned)
+        val addsAndRows = stageAndReturn(spark, tablePath, snap, pinned, outSchema)
         // a commit with ANY cdc action is read from cdc only — the inserts
         // must ride along when the matched clause produced change rows
         val cdcIns: Seq[(String, Long)] =
@@ -209,7 +374,7 @@ object DeltaMerge {
     val adds = rewrittenOpt.map(_._1._1).getOrElse(Nil) ++ insertedOpt.map(_._1._1).getOrElse(Nil)
     val cdcFiles = rewrittenOpt.map(_._2).getOrElse(Nil) ++ insertedOpt.map(_._2).getOrElse(Nil)
 
-    if (touched.isEmpty && rowsInserted == 0)
+    if (touched.isEmpty && rowsInserted == 0 && evolved.isEmpty)
       return MergeMetrics(0, 0, 0, 0, snap.version)
 
     // ---- 4. validated commit loop (same contract as DELETE/OPTIMIZE)
@@ -241,6 +406,27 @@ object DeltaMerge {
       ci.putObject("operationParameters").put("predicate", condition)
       ci.put("engineInfo", "graft-spark/0.1.0")
       lines += mapper.writeValueAsString(ciLine)
+      if (evolved.nonEmpty) {
+        // metaData re-emission (same table id — replay is last-metaData-
+        // wins): the evolved schema is rebuilt against the LATEST metadata
+        // each attempt so a concurrent config change is never clobbered
+        val base = latest.metadata
+        val known = base.schema.fieldNames.toSet
+        val grown = StructType(
+          base.schema.fields ++ evolved.filterNot(f => known.contains(f.name)))
+        val node = mapper.createObjectNode()
+        val m = node.putObject("metaData")
+        m.put("id", base.id)
+        val fmt = m.putObject("format")
+        fmt.put("provider", "parquet")
+        fmt.putObject("options")
+        m.put("schemaString", grown.json)
+        base.partitionColumns.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
+        val cfg = m.putObject("configuration")
+        base.configuration.foreach { case (k, v) => cfg.put(k, v) }
+        m.put("createdTime", System.currentTimeMillis())
+        lines += mapper.writeValueAsString(node)
+      }
       touched.foreach { f =>
         val rmLine = mapper.createObjectNode()
         val r = rmLine.putObject("remove")
@@ -284,12 +470,16 @@ object DeltaMerge {
     Option[com.fasterxml.jackson.databind.node.ObjectNode])
 
   /** Write `df` into a staging dir, publish the files into the table dir,
-    * and return the pending add actions + the row count written. */
+    * and return the pending add actions + the row count written.
+    * `outSchema` is the LOGICAL table schema of `df` (the snapshot's, or
+    * the evolved one under schema evolution) — stats are collected against
+    * its physical data projection. */
   private def stageAndReturn(
       spark: SparkSession,
       tablePath: String,
       snap: DeltaSnapshot,
-      df: DataFrame): (Seq[Add], Long) = {
+      df: DataFrame,
+      outSchema: StructType): (Seq[Add], Long) = {
     val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
     val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
     // column-mapped tables stage under physical names; `df` is logical
@@ -305,8 +495,11 @@ object DeltaMerge {
     (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
      else writer).parquet(stagingDir.toString)
     val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
+    val physDataSchema = StructType(outSchema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+      .map(f => f.copy(name = snap.metadata.physicalOf(f.name))))
     val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString),
-      snap.physicalDataSchema)
+      physDataSchema)
     var rows = 0L
     val adds: Seq[Add] = stagedFiles.map { staged =>
       val rel = DeltaWriter.relativize(stagingDir, staged)

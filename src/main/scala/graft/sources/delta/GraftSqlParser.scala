@@ -87,11 +87,11 @@ private[graft] object GraftSqlCommands {
 
   private val Delete = re(s"""^\\s*DELETE\\s+FROM\\s+$T(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""")
   private val Update = re(s"""^\\s*UPDATE\\s+$T\\s+SET\\s+(.+?)\\s*;?\\s*$$""")
-  private val Optimize = re(s"""^\\s*OPTIMIZE\\s+$T(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""")
-  private val Vacuum = re(s"""^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$$""")
+  private val Optimize = re(s"""^\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(?<where>.+?))?(?:\\s+ZORDER\\s+BY\\s*\\((?<zcols>[^)]*)\\))?\\s*;?\\s*$$""")
+  private val Vacuum = re(s"""^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+(?<dry>DRY\\s+RUN))?\\s*;?\\s*$$""")
   private val Restore = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
   private val RestoreTs = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""")
-  private val Clone = re(s"""^\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T\\s*;?\\s*$$""")
+  private val Clone = re(s"""^\\s*CREATE\\s+TABLE\\s+$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T\\s*;?\\s*$$""")
   // source is a PARQUET directory (production surface), so `parquet.` not
   // `delta.`; PARTITIONED BY accepts `col` or `col type` entries
   private val Convert = re(s"""^\\s*CONVERT\\s+TO\\s+DELTA\\s+(?:parquet\\s*\\.\\s*`([^`]+)`|'([^']+)')(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""")
@@ -224,12 +224,51 @@ private[graft] object GraftSqlCommands {
     sb.toString
   }
 
-  private val Merge = re(
+  private val MergeHead = re(
     """^\s*MERGE\s+INTO\s+(?:delta\s*\.\s*`(?<tp1>[^`]+)`|'(?<tp2>[^']+)')\s+(?:AS\s+)?t\s+""" +
     """USING\s+(?:delta\s*\.\s*`(?<sp1>[^`]+)`|'(?<sp2>[^']+)'|(?<sv>[A-Za-z_]\w*))\s+(?:AS\s+)?s\s+""" +
-    """ON\s+(?<cond>.+?)""" +
-    """(?:\s+WHEN\s+MATCHED\s+THEN\s+(?:UPDATE\s+SET\s+(?<set>.+?)|(?<del>DELETE)))?""" +
-    """(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(?:\((?<icols>[^)]*)\)\s*VALUES\s*\((?<ivals>.+?)\)|(?<istar>\*)))?\s*;?\s*$$""")
+    """ON\s+(?<rest>.+?)\s*;?\s*$$""")
+  // clause bodies, applied to the WHEN-split segments of <rest> (the first
+  // segment is the ON condition); BY SOURCE is probed before plain NOT
+  // MATCHED so the longer keyword run wins
+  private val MatchedBody = re(
+    """^MATCHED(?:\s+AND\s+(?<cond>.+?))?\s+THEN\s+(?:UPDATE\s+SET\s+(?<set>.+)|(?<del>DELETE))\s*$""")
+  private val BySourceBody = re(
+    """^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(?<cond>.+?))?\s+THEN\s+(?:UPDATE\s+SET\s+(?<set>.+)|(?<del>DELETE))\s*$""")
+  private val NotMatchedBody = re(
+    """^NOT\s+MATCHED(?:\s+AND\s+(?<cond>.+?))?\s+THEN\s+INSERT\s*(?:\((?<icols>[^)]*)\)\s*VALUES\s*\((?<ivals>.+)\)|(?<istar>\*))\s*$""")
+
+  /** Split `s` at every top-level `WHEN` keyword (outside string literals
+    * and parens, case-insensitive, word-bounded). Segment 0 is the text
+    * before the first WHEN; each further segment is one clause body. */
+  private[graft] def splitOnWhen(s: String): Seq[String] = {
+    val bounds = Seq.newBuilder[Int]
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if inStr => i += 1
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case c if !inStr && depth == 0 && (c == 'W' || c == 'w') &&
+            i + 4 <= s.length &&
+            s.substring(i, i + 4).equalsIgnoreCase("WHEN") &&
+            (i == 0 || Character.isWhitespace(s.charAt(i - 1))) &&
+            (i + 4 == s.length || Character.isWhitespace(s.charAt(i + 4))) =>
+          bounds += i
+          i += 3
+        case _ =>
+      }
+      i += 1
+    }
+    val bs = bounds.result()
+    if (bs.isEmpty) Seq(s)
+    else {
+      val starts = 0 +: bs.map(_ + 4) // drop the WHEN keyword itself
+      val ends = bs :+ s.length
+      starts.zip(ends).map { case (a, b) => s.substring(a, b).trim }
+    }
+  }
 
   /** Split on top-level commas only (parens and string literals opaque;
     * backslash-escaped quotes inside literals do not close them). */
@@ -302,11 +341,13 @@ private[graft] object GraftSqlCommands {
     val o = Optimize.matcher(sql)
     if (o.matches())
       return Some(DeltaOptimizeCommand(path(o, 1),
-        Option(o.group(3)).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)))
+        Option(o.group("zcols")).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq),
+        Option(o.group("where")).map(_.trim)))
     val v = Vacuum.matcher(sql)
     if (v.matches())
       return Some(DeltaVacuumCommand(path(v, 1),
-        Option(v.group(3)).map(_.toLong * 3600L * 1000L)))
+        Option(v.group(3)).map(_.toLong * 3600L * 1000L),
+        dryRun = v.group("dry") != null))
     val fk = Fsck.matcher(sql)
     if (fk.matches())
       return Some(DeltaFsckCommand(path(fk, 1), dryRun = fk.group(3) != null))
@@ -325,7 +366,8 @@ private[graft] object GraftSqlCommands {
       return Some(DeltaRestoreTimestampCommand(path(rt, 1), rt.group(3)))
     val c = Clone.matcher(sql)
     if (c.matches())
-      return Some(DeltaCloneCommand(path(c, 3), path(c, 1)))
+      return Some(DeltaCloneCommand(path(c, 4), path(c, 1),
+        deep = c.group(3).equalsIgnoreCase("DEEP")))
     val de = Describe.matcher(sql)
     if (de.matches())
       return Some(DeltaDescribeCommand(path(de, 2), de.group(1).equalsIgnoreCase("DETAIL")))
@@ -364,25 +406,46 @@ private[graft] object GraftSqlCommands {
     val dco = AlterDropConstraint.matcher(sql)
     if (dco.matches())
       return Some(DeltaAlterCommand(path(dco, 1), DeltaAlterCommand.DropConstraint(dco.group(3))))
-    val mg = Merge.matcher(sql)
+    val mg = MergeHead.matcher(sql)
     if (mg.matches()) {
       def g(n: String) = Option(mg.group(n))
-      val insert: Option[DeltaMergeCommand.Insert] =
-        if (g("istar").isDefined) Some(DeltaMergeCommand.InsertStar)
-        else for (cs <- g("icols"); vs <- g("ivals")) yield {
-          val cols = cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-          val vals = splitTop(vs).map(_.trim)
-          require(cols.size == vals.size,
-            s"INSERT columns (${cols.size}) and VALUES (${vals.size}) differ")
-          DeltaMergeCommand.InsertCols(cols.zip(vals).toMap)
-        }
+      val segments = splitOnWhen(mg.group("rest"))
+      require(segments.size >= 2, "MERGE requires at least one WHEN clause")
+      val condition = segments.head.trim
+      val matched = Seq.newBuilder[MergeClause.Matched]
+      val notMatched = Seq.newBuilder[(Option[String], DeltaMergeCommand.Insert)]
+      val bySource = Seq.newBuilder[MergeClause.NotMatchedBySource]
+      segments.tail.foreach { seg =>
+        val bs = BySourceBody.matcher(seg)
+        val mt = MatchedBody.matcher(seg)
+        val nm = NotMatchedBody.matcher(seg)
+        if (bs.matches())
+          bySource += MergeClause.NotMatchedBySource(
+            Option(bs.group("set")).map(splitAssignments),
+            Option(bs.group("cond")).map(_.trim))
+        else if (mt.matches())
+          matched += MergeClause.Matched(
+            Option(mt.group("set")).map(splitAssignments),
+            Option(mt.group("cond")).map(_.trim))
+        else if (nm.matches()) {
+          val ins: DeltaMergeCommand.Insert =
+            if (nm.group("istar") != null) DeltaMergeCommand.InsertStar
+            else {
+              val cols = nm.group("icols").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+              val vals = splitTop(nm.group("ivals")).map(_.trim)
+              require(cols.size == vals.size,
+                s"INSERT columns (${cols.size}) and VALUES (${vals.size}) differ")
+              DeltaMergeCommand.InsertCols(cols.zip(vals).toMap)
+            }
+          notMatched += (Option(nm.group("cond")).map(_.trim) -> ins)
+        } else throw new IllegalArgumentException(
+          s"cannot parse MERGE clause: WHEN $seg")
+      }
       return Some(DeltaMergeCommand(
         g("tp1").orElse(g("tp2")).get,
         g("sp1").orElse(g("sp2")), g("sv"),
-        mg.group("cond").trim,
-        g("set").map(splitAssignments),
-        g("del").isDefined,
-        insert))
+        condition,
+        matched.result(), notMatched.result(), bySource.result()))
     }
     None
   }
@@ -418,24 +481,31 @@ case class DeltaUpdateCommand(path: String, set: Map[String, String], condition:
     Seq(Row(DeltaDml.update(spark, path, condition, set).rowsAffected))
 }
 
-case class DeltaOptimizeCommand(path: String, zorderBy: Option[Seq[String]])
+case class DeltaOptimizeCommand(
+    path: String, zorderBy: Option[Seq[String]], where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     GraftSqlCommands.longAttrs("files_removed", "files_added", "committed_version")
   override def run(spark: SparkSession): Seq[Row] = {
     val m = zorderBy match {
-      case Some(cols) => DeltaMaintenance.zorder(spark, path, cols)
-      case None => DeltaMaintenance.optimize(spark, path)
+      case Some(cols) => DeltaMaintenance.zorder(spark, path, cols, predicate = where)
+      case None => DeltaMaintenance.optimize(spark, path, predicate = where)
     }
     Seq(Row(m.filesRemoved, m.filesAdded, m.committedVersion))
   }
 }
 
-case class DeltaVacuumCommand(path: String, retentionMs: Option[Long])
+case class DeltaVacuumCommand(
+    path: String, retentionMs: Option[Long], dryRun: Boolean = false)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = GraftSqlCommands.longAttrs("files_deleted")
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(AttributeReference("path", org.apache.spark.sql.types.StringType)())
+    else GraftSqlCommands.longAttrs("files_deleted")
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(retentionMs match {
+    if (dryRun)
+      DeltaMaintenance.vacuumDryRun(spark, path,
+        retentionMs.getOrElse(7L * 24 * 3600 * 1000)).map(Row(_))
+    else Seq(Row(retentionMs match {
       case Some(ms) => DeltaMaintenance.vacuum(spark, path, ms)
       case None => DeltaMaintenance.vacuum(spark, path)
     }))
@@ -470,11 +540,13 @@ case class DeltaRestoreTimestampCommand(path: String, timestamp: String)
     Seq(Row(DeltaMaintenance.restoreTimestamp(spark, path, timestamp)))
 }
 
-case class DeltaCloneCommand(sourcePath: String, targetPath: String)
+case class DeltaCloneCommand(sourcePath: String, targetPath: String, deep: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlCommands.longAttrs("committed_version")
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(DeltaMaintenance.shallowClone(spark, sourcePath, targetPath)))
+    Seq(Row(
+      if (deep) DeltaMaintenance.deepClone(spark, sourcePath, targetPath)
+      else DeltaMaintenance.shallowClone(spark, sourcePath, targetPath)))
 }
 
 object DeltaMergeCommand {
@@ -484,30 +556,42 @@ object DeltaMergeCommand {
 }
 
 /** `MERGE INTO <target> t USING <source> s ON … WHEN …` routed onto
-  * [[DeltaMerge.merge]]. `INSERT *` expands to the target schema with
-  * `s.<col>` sources at run time (the snapshot isn't read at parse time). */
+  * [[DeltaMerge.merge]] — the full clause surface: any number of
+  * `WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN …` clauses, applied
+  * first-match-wins per kind. `INSERT *` expands at run time (the snapshot
+  * isn't read at parse time): to the target schema normally, or to the
+  * SOURCE schema when `spark.graft.delta.schema.autoMerge.enabled=true` —
+  * the production autoMerge contract, where new source columns evolve the
+  * target. */
 case class DeltaMergeCommand(
     targetPath: String,
     sourcePath: Option[String],
     sourceView: Option[String],
     condition: String,
-    matchedUpdate: Option[Map[String, String]],
-    matchedDelete: Boolean,
-    insert: Option[DeltaMergeCommand.Insert])
+    matched: Seq[MergeClause.Matched],
+    notMatched: Seq[(Option[String], DeltaMergeCommand.Insert)],
+    bySource: Seq[MergeClause.NotMatchedBySource])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     GraftSqlCommands.longAttrs("rows_updated", "rows_deleted", "rows_inserted")
   override def run(spark: SparkSession): Seq[Row] = {
     val src = sourcePath.map(DeltaTable.read(spark, _))
       .getOrElse(spark.table(sourceView.get))
-    val ins = insert.map {
-      case DeltaMergeCommand.InsertStar =>
-        DeltaLog.snapshot(spark, targetPath).schema.fieldNames
-          .map(c => c -> s"s.$c").toMap
-      case DeltaMergeCommand.InsertCols(a) => a
+    val autoMerge = spark.conf
+      .getOption("spark.graft.delta.schema.autoMerge.enabled")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val nms = notMatched.map { case (cond, ins) =>
+      MergeClause.NotMatched(ins match {
+        case DeltaMergeCommand.InsertStar if autoMerge =>
+          src.columns.map(c => c -> s"s.$c").toMap
+        case DeltaMergeCommand.InsertStar =>
+          DeltaLog.snapshot(spark, targetPath).schema.fieldNames
+            .map(c => c -> s"s.$c").toMap
+        case DeltaMergeCommand.InsertCols(a) => a
+      }, cond)
     }
     val m = DeltaMerge.merge(spark, targetPath, src, condition,
-      matchedUpdate, matchedDelete, ins)
+      matched, nms, bySource, schemaEvolution = autoMerge)
     Seq(Row(m.rowsUpdated, m.rowsDeleted, m.rowsInserted))
   }
 }

@@ -98,4 +98,56 @@ class DeltaCloneSuite extends AnyFunSuite {
       DeltaMaintenance.shallowClone(spark, src, src)
     }
   }
+
+  test("deep clone survives the source being deleted outright") {
+    val src = freshSource()
+    val dst = Files.createTempDirectory("graft-dclone-dst").toString + "/t"
+    val expected = rows(src)
+    assert(spark.sql(s"CREATE TABLE delta.`$dst` DEEP CLONE delta.`$src`")
+      .collect()(0).getLong(0) === 0L)
+    // every add in the clone's log is RELATIVE (no reference to the source)
+    val snap = DeltaLog.snapshot(spark, dst)
+    assert(snap.files.nonEmpty)
+    snap.files.foreach { f =>
+      val u = try new java.net.URI(f.path) catch { case _: Exception => null }
+      assert(u == null || !u.isAbsolute, s"absolute add in deep clone: ${f.path}")
+    }
+    // the storage incident shallow clones cannot survive
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(src), true))
+    assert(rows(dst) === expected)
+    // and the clone is a live, independent table
+    DeltaDml.update(spark, dst, "id = 0", Map("payload" -> "'rewritten'"))
+    assert(DeltaTable.read(spark, dst)
+      .filter("id = 0").collect()(0).getAs[String]("payload") === "rewritten")
+  }
+
+  test("deep clone of a DV-carrying source keeps deleted rows hidden after source loss") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-dclone-dv-src").toString
+    DeltaWriter.write((1 to 10).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      src, SaveMode.Append, Nil)
+    DeltaDml.deleteWithDv(spark, src, "id % 2 = 0")
+    val dst = Files.createTempDirectory("graft-dclone-dv-dst").toString + "/t"
+    DeltaMaintenance.deepClone(spark, src, dst)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(src), true))
+    assert(DeltaTable.read(spark, dst).orderBy("id")
+      .select("id").as[Int].collect().toSeq === Seq(1, 3, 5, 7, 9))
+  }
+
+  test("deep clone of a shallow clone materializes the absolute references") {
+    val src = freshSource()
+    val mid = Files.createTempDirectory("graft-dclone-mid").toString + "/t"
+    val dst = Files.createTempDirectory("graft-dclone-dst2").toString + "/t"
+    DeltaMaintenance.shallowClone(spark, src, mid)
+    val expected = rows(src)
+    DeltaMaintenance.deepClone(spark, mid, dst)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(src), true))
+    assert(rows(dst) === expected)
+  }
 }

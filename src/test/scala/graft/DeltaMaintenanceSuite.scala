@@ -61,7 +61,7 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     // (from the pre-rewrite snapshot) but before it commits, a "concurrent
     // writer" removes one of the files OPTIMIZE planned to remove.
     val e = intercept[java.util.ConcurrentModificationException] {
-      DeltaMaintenance.optimize(spark, dir, 128L << 20, () => {
+      DeltaMaintenance.optimize(spark, dir, 128L << 20, None, () => {
         val v = DeltaLog.snapshot(spark, dir).version + 1
         assert(DeltaLog.tryCommit(spark, dir, v,
           s"""{"remove":{"path":"${victim.path}","dataChange":true,"deletionTimestamp":0}}"""))
@@ -84,7 +84,7 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     // version number: OPTIMIZE must retry at version+2 and still commit,
     // because none of ITS source files were touched.
     import spark.implicits._
-    val m = DeltaMaintenance.optimize(spark, dir, 128L << 20, () => {
+    val m = DeltaMaintenance.optimize(spark, dir, 128L << 20, None, () => {
       DeltaWriter.write(Seq((100, "a", "late")).toDF("id", "k", "payload"),
         dir, SaveMode.Append, Seq("k"))
     })
@@ -187,6 +187,68 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       DeltaMaintenance.convertToDelta(spark, dir, Seq("k")))
     assert(e.getMessage.contains("already a delta table"))
+  }
+
+  test("OPTIMIZE WHERE compacts only the matching partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-opt-where").toString
+    // two partitions, two small files each
+    (1 to 2).foreach { _ =>
+      DeltaWriter.write(
+        Seq((1, "a"), (2, "b")).toDF("v", "k").repartition(1),
+        dir, SaveMode.Append, Seq("k"))
+    }
+    val before = DeltaLog.snapshot(spark, dir)
+    assert(before.files.size === 4)
+    val m = DeltaMaintenance.optimize(spark, dir, predicate = Some("k = 'a'"))
+    assert(m.filesRemoved === 2 && m.filesAdded === 1)
+    val after = DeltaLog.snapshot(spark, dir)
+    // partition b's files survive untouched; partition a holds one file
+    val bFiles = before.files.filter(_.partitionValues("k") == "b").map(_.path).toSet
+    assert(bFiles.subsetOf(after.files.map(_.path).toSet))
+    assert(after.files.count(_.partitionValues("k") == "a") === 1)
+    // values intact
+    assert(DeltaTable.read(spark, dir).groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 2L, "b" -> 2L))
+    // a data-column predicate is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      DeltaMaintenance.optimize(spark, dir, predicate = Some("v > 0"))
+    }
+    assert(ex.getMessage.contains("partition columns"))
+  }
+
+  test("OPTIMIZE WHERE ZORDER BY clusters only the scoped partition (SQL)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder-where").toString
+    val rows = (1 to 400).map(i => (i % 20, (i * 7) % 20, if (i % 2 == 0) "a" else "b"))
+    DeltaWriter.write(rows.toDF("x", "y", "k").repartition(4), dir, SaveMode.Append, Seq("k"))
+    val before = DeltaLog.snapshot(spark, dir)
+    val res = spark.sql(
+      s"OPTIMIZE delta.`$dir` WHERE k = 'a' ZORDER BY (x, y)").collect()(0)
+    assert(res.getLong(0) === before.files.count(_.partitionValues("k") == "a"))
+    val after = DeltaLog.snapshot(spark, dir)
+    val bFiles = before.files.filter(_.partitionValues("k") == "b").map(_.path).toSet
+    assert(bFiles.subsetOf(after.files.map(_.path).toSet), "unscoped partition untouched")
+    assert(DeltaTable.read(spark, dir).count() === 400)
+  }
+
+  test("VACUUM DRY RUN lists vacuumable files without deleting them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-vacuum-dry").toString
+    DeltaWriter.write(Seq((1, "x")).toDF("id", "s").coalesce(1), dir, SaveMode.Append, Nil)
+    // overwrite orphans the v0 file
+    DeltaWriter.write(Seq((2, "y")).toDF("id", "s").coalesce(1), dir, SaveMode.Overwrite, Nil)
+    val dry = spark.sql(s"VACUUM delta.`$dir` RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(dry.size === 1, s"one orphaned file, got $dry")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dry.head)), "dry run deletes nothing")
+    // the real vacuum deletes exactly what the dry run listed
+    assert(spark.sql(s"VACUUM delta.`$dir` RETAIN 0 HOURS")
+      .collect()(0).getLong(0) === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dry.head)))
+    assert(DeltaTable.read(spark, dir).count() === 1)
   }
 
   test("FSCK repairs a table whose physical files were lost") {
