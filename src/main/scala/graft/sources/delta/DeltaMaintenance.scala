@@ -938,6 +938,80 @@ object DeltaMaintenance {
     0L
   }
 
+  /** Expired-log cleanup (`delta.logRetentionDuration`, default 30 days —
+    * production Delta's metadata retention): deletes commit JSONs and
+    * checkpoint files that are BOTH strictly below the newest checkpoint
+    * version AND older than the retention. Replay never needs them (a
+    * snapshot starts from the newest checkpoint at-or-below its target),
+    * and the readers fail loudly afterward where they must: time travel
+    * into the retired range has no reachable state, and the CDF reader's
+    * range-contiguity check refuses a feed with retired versions.
+    * Runs automatically after every checkpoint write unless
+    * `delta.enableExpiredLogCleanup=false` — with the 30-day default
+    * nothing young is ever touched. v2 checkpoint sidecar files are left
+    * to [[vacuum]]-style storage hygiene (deleting a retired MANIFEST is
+    * what retires the checkpoint; its sidecars become unreferenced bytes,
+    * never wrong reads).
+    * @return number of log files deleted */
+  def cleanupMetadata(spark: SparkSession, tablePath: String): Long =
+    cleanupMetadata(spark, tablePath,
+      DeltaLog.snapshot(spark, tablePath).metadata.configuration)
+
+  private[delta] def cleanupMetadata(
+      spark: SparkSession, tablePath: String,
+      configuration: Map[String, String]): Long = {
+    val (commits, checkpoints) = DeltaLog.listLog(spark, tablePath)
+    if (checkpoints.isEmpty) return 0L
+    val retentionMs = parseRetention(
+      configuration.getOrElse("delta.logRetentionDuration", "interval 30 days"))
+    val newestCp = checkpoints.map(_._1).max
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    var deleted = 0L
+    commits.foreach { case (v, st) =>
+      if (v < newestCp && st.getModificationTime < cutoff)
+        if (fs.delete(st.getPath, false)) deleted += 1
+    }
+    checkpoints.foreach { case (v, sts) =>
+      if (v < newestCp) sts.foreach { st =>
+        if (st.getModificationTime < cutoff)
+          if (fs.delete(st.getPath, false)) deleted += 1
+      }
+    }
+    deleted
+  }
+
+  /** `delta.logRetentionDuration` parser: the `interval N <unit>` subset
+    * production tables carry (weeks/days/hours/minutes). */
+  private[delta] def parseRetention(s: String): Long = {
+    val m = java.util.regex.Pattern
+      .compile("""(?i)^\s*interval\s+(\d+)\s+(week|day|hour|minute)s?\s*$""")
+      .matcher(s)
+    require(m.matches(),
+      s"cannot parse retention duration '$s' (expected: interval N weeks|days|hours|minutes)")
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase(java.util.Locale.ROOT) match {
+      case "week" => n * 7 * 24 * 3600 * 1000
+      case "day" => n * 24 * 3600 * 1000
+      case "hour" => n * 3600 * 1000
+      case "minute" => n * 60 * 1000
+    }
+  }
+
+  /** `SHOW PARTITIONS`: the live distinct partition tuples, from the
+    * snapshot's add actions — metadata-plane, no scan. */
+  def showPartitions(spark: SparkSession, tablePath: String): DataFrame = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    require(snap.partitionColumns.nonEmpty, s"$tablePath is not partitioned")
+    val schema = StructType(snap.partitionColumns.map(c =>
+      StructField(c, StringType, nullable = true)))
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      snap.files.map(_.partitionValues).distinct.map(pv =>
+        Row.fromSeq(snap.partitionColumns.map(pv.getOrElse(_, null)))): _*)
+    spark.createDataFrame(rows, schema)
+      .orderBy(snap.partitionColumns.map(col): _*)
+  }
+
   /** `FSCK REPAIR TABLE`: drop `add` entries whose physical files are
     * gone (storage incident, manual deletion, botched external vacuum) so
     * the table becomes readable again — delta-rs ships this as

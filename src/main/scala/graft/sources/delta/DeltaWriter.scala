@@ -688,6 +688,12 @@ object DeltaWriter {
     val out = fs.create(lastPath, true)
     out.write(mapper.writeValueAsString(last).getBytes("UTF-8"))
     out.close()
+    // production cadence: expired-log cleanup piggybacks on checkpointing
+    // (delta.enableExpiredLogCleanup, default on; 30-day retention means
+    // young tables never lose a byte)
+    if (!snap.metadata.configuration.get("delta.enableExpiredLogCleanup")
+        .exists(_.trim.equalsIgnoreCase("false")))
+      DeltaMaintenance.cleanupMetadata(spark, tablePath, snap.metadata.configuration)
   }
 
   private implicit class SeqAsJava[T](s: Seq[T]) {

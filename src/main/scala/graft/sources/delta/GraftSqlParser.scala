@@ -97,6 +97,7 @@ private[graft] object GraftSqlCommands {
   private val Convert = re(s"""^\\s*CONVERT\\s+TO\\s+DELTA\\s+(?:parquet\\s*\\.\\s*`([^`]+)`|'([^']+)')(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""")
   private val Fsck = re(s"""^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$T(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T\\s*;?\\s*$$""")
+  private val ShowParts = re(s"""^\\s*SHOW\\s+PARTITIONS\\s+$T\\s*;?\\s*$$""")
   private val AlterAddCols = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterRenameCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterDropCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$""")
@@ -371,6 +372,9 @@ private[graft] object GraftSqlCommands {
     val de = Describe.matcher(sql)
     if (de.matches())
       return Some(DeltaDescribeCommand(path(de, 2), de.group(1).equalsIgnoreCase("DETAIL")))
+    val sp = ShowParts.matcher(sql)
+    if (sp.matches())
+      return Some(DeltaShowPartitionsCommand(path(sp, 1)))
     val aac = AlterAddCols.matcher(sql)
     if (aac.matches())
       return Some(DeltaAlterCommand(path(aac, 1), DeltaAlterCommand.AddColumns(aac.group(3))))
@@ -509,6 +513,24 @@ case class DeltaVacuumCommand(
       case Some(ms) => DeltaMaintenance.vacuum(spark, path, ms)
       case None => DeltaMaintenance.vacuum(spark, path)
     }))
+}
+
+/** `SHOW PARTITIONS delta.`path``: classic Hive shape — one `partition`
+  * string column with `k=v[/k2=v2]` rows, from the snapshot's add actions
+  * (metadata-plane, no scan). */
+case class DeltaShowPartitionsCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", org.apache.spark.sql.types.StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = DeltaLog.snapshot(spark, path)
+    require(snap.partitionColumns.nonEmpty, s"$path is not partitioned")
+    snap.files.map(_.partitionValues).distinct
+      .map(pv => snap.partitionColumns.map(c =>
+        s"$c=${Option(pv.getOrElse(c, null)).getOrElse("__HIVE_DEFAULT_PARTITION__")}")
+        .mkString("/"))
+      .sorted.map(Row(_))
+  }
 }
 
 case class DeltaFsckCommand(path: String, dryRun: Boolean)

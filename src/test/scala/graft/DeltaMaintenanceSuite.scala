@@ -251,6 +251,59 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).count() === 1)
   }
 
+  test("expired-log cleanup retires pre-checkpoint metadata per retention") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-log-clean").toString
+    DeltaWriter.write(Seq((0, "x")).toDF("id", "s").coalesce(1), dir, SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.logRetentionDuration' = 'interval 0 minutes')") // v1
+    // v2..v24: checkpoints (and piggybacked cleanup) land at v10 and v20
+    (2 to 24).foreach { i =>
+      DeltaWriter.write(Seq((i, "x")).toDF("id", "s").coalesce(1), dir, SaveMode.Append, Nil)
+    }
+    Thread.sleep(20) // mtimes strictly behind the cleanup cutoff
+    DeltaMaintenance.cleanupMetadata(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val logFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_delta_log"))
+      .map(_.getPath.getName).toSet
+    // everything below the newest checkpoint (v20) is gone
+    assert(!logFiles.exists(_.startsWith("00000000000000000005")), s"v5 retired: $logFiles")
+    assert(!logFiles.exists(n => n.contains("00000000000000000010.checkpoint")))
+    assert(logFiles.exists(n => n.contains("00000000000000000020.checkpoint")))
+    assert(logFiles.contains("00000000000000000024.json"))
+    // the table still reads correctly from checkpoint + tail
+    assert(DeltaTable.read(spark, dir).count() === 24)
+    // time travel into the retired range fails loudly, not wrongly
+    assert(scala.util.Try(DeltaTable.readVersion(spark, dir, 5L).count()).isFailure)
+    // a default-retention table never loses young metadata
+    val dir2 = Files.createTempDirectory("graft-log-keep").toString
+    (0 to 11).foreach { i =>
+      DeltaWriter.write(Seq((i, "y")).toDF("id", "s").coalesce(1), dir2, SaveMode.Append, Nil)
+    }
+    assert(DeltaMaintenance.cleanupMetadata(spark, dir2) === 0)
+    assert(DeltaTable.readVersion(spark, dir2, 2L).count() === 3)
+  }
+
+  test("SHOW PARTITIONS lists live partition tuples, metadata-only") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-show-parts").toString
+    DeltaWriter.write(
+      Seq((1, "a", 1), (2, "b", 1), (3, "b", 2)).toDF("id", "k", "n"),
+      dir, SaveMode.Append, Seq("k", "n"))
+    val parts = spark.sql(s"SHOW PARTITIONS delta.`$dir`")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts === Seq("k=a/n=1", "k=b/n=1", "k=b/n=2"))
+    // DELETE emptying a partition drops it from the listing
+    graft.sources.delta.DeltaDml.delete(spark, dir, "k = 'a'")
+    assert(spark.sql(s"SHOW PARTITIONS delta.`$dir`")
+      .collect().map(_.getString(0)).toSeq === Seq("k=b/n=1", "k=b/n=2"))
+    val unpart = Files.createTempDirectory("graft-show-unpart").toString
+    DeltaWriter.write(Seq((1, "x")).toDF("id", "s"), unpart, SaveMode.Append, Nil)
+    assert(scala.util.Try(
+      spark.sql(s"SHOW PARTITIONS delta.`$unpart`").collect()).isFailure)
+  }
+
   test("FSCK repairs a table whose physical files were lost") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-fsck").toString
