@@ -163,5 +163,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // RESTORE/SHALLOW CLONE) — the delta-spark DeltaSqlParser pattern
     ext.injectParser((session, delegate) =>
       new graft.sources.delta.GraftSqlParser(session, delegate))
+    // partition pruning through generated partition columns (filter on the
+    // SOURCE column prunes the derived date/year partition)
+    ext.injectOptimizerRule(_ => graft.sources.delta.GeneratedPartitionPruning)
   }
 }

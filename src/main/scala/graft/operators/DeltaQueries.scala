@@ -536,7 +536,37 @@ object DeltaQueries {
       .orderBy(col("grp"))
   }
 
+  /** Generated-partition pruning in the gate: events land in a Delta table
+    * partitioned by `d GENERATED ALWAYS AS (CAST(ts AS DATE))` — the
+    * production time-partitioning shape; the read filters on the SOURCE
+    * timestamp only, so the derived d-filter (GeneratedPartitionPruning)
+    * prunes partitions while the oracle replays the same filter over the
+    * raw fixture. A wrong or unsound derivation shows as missing/extra
+    * rows in the hash. */
+  private def dl22GeneratedPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    // events.ts is TIMESTAMP(NANOS): [[Tables.events]] reads it as micros
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("ts"), col("user_id"), col("value"))
+    DeltaWriter.write(ev, path, SaveMode.Append, Seq("d"),
+      generatedColumns = Map("d" -> "CAST(ts AS DATE)"))
+    DeltaTable.read(s, path)
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
+      .groupBy(col("d"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("user_id")).as("uid_sum"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("val_sum"))
+      .orderBy(col("d"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl22_generated_partition_prune" -> """
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+             CAST(sum(user_id) AS BIGINT) AS uid_sum,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS val_sum
+      FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+      GROUP BY 1 ORDER BY 1""",
     "dl21_merge_clauses" -> """
       WITH m AS (
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
@@ -733,5 +763,6 @@ object DeltaQueries {
     "dl18_timestamp_ntz" -> dl18TimestampNtz,
     "dl19_streaming_sink" -> dl19StreamingSink,
     "dl20_convert_to_delta" -> dl20ConvertToDelta,
-    "dl21_merge_clauses" -> dl21MergeClauses)
+    "dl21_merge_clauses" -> dl21MergeClauses,
+    "dl22_generated_partition_prune" -> dl22GeneratedPrune)
 }

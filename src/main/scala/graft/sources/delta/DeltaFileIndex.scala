@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * cost is bounded by surviving files only, and the driver-side replay
   * cost by commits-since-checkpoint.
   */
-class DeltaFileIndex(spark: SparkSession, snapshot: DeltaSnapshot) extends FileIndex {
+class DeltaFileIndex(spark: SparkSession, private[delta] val snapshot: DeltaSnapshot) extends FileIndex {
 
   private val tableRoot = new Path(snapshot.tablePath)
 

@@ -77,4 +77,67 @@ class GeneratedColumnsSuite extends AnyFunSuite {
         generatedColumns = Map("d" -> "date_add(CAST(ts AS DATE), 1)"))
     }
   }
+
+  /** Files the physical scan reads (pre-AQE plan — pruning is decided at
+    * planning time). Stats-based file skipping on the data filter applies
+    * too, so this measures the COMBINED pruning. */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+
+  /** Column names the scan's PARTITION filters reference — the direct pin
+    * that a derived generated-column conjunct reached the pruning path. */
+  private def partitionFilterRefs(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.partitionFilters.flatMap(_.references.map(_.name)).toSet
+    }.flatten.toSet
+
+  test("filter on the SOURCE timestamp prunes generated date partitions") {
+    val dir = Files.createTempDirectory("graft-gen-prune").toString
+    val days = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 11:00:00")),
+      (3L, ts("2024-01-03 12:00:00")))
+    DeltaWriter.write(days.toDF("id", "ts").coalesce(1), dir, SaveMode.Append,
+      Seq("d"), generatedColumns = Map("d" -> "CAST(ts AS DATE)"))
+    assert(DeltaLog.snapshot(spark, dir).files.size === 3)
+    // range on ts: a derived d-bound must reach the partition filters
+    val range = DeltaTable.read(spark, dir)
+      .filter(col("ts") >= ts("2024-01-03 00:00:00"))
+    assert(partitionFilterRefs(range).contains("d"),
+      "ts range must derive a partition filter on d")
+    assert(scannedFiles(range) === 1)
+    assert(range.collect().map(_.getAs[Long]("id")).toSeq === Seq(3L))
+    // equality derives too
+    val eq = DeltaTable.read(spark, dir).filter(col("ts") === ts("2024-01-02 11:00:00"))
+    assert(partitionFilterRefs(eq).contains("d"))
+    assert(scannedFiles(eq) === 1)
+    assert(eq.collect().map(_.getAs[Long]("id")).toSeq === Seq(2L))
+    // strict upper bound widens to an inclusive one — sound, not minimal
+    val lt = DeltaTable.read(spark, dir).filter(col("ts") < ts("2024-01-02 00:00:00"))
+    assert(partitionFilterRefs(lt).contains("d"))
+    assert(lt.collect().map(_.getAs[Long]("id")).toSeq === Seq(1L))
+  }
+
+  test("non-monotonic MONTH generation derives equality but never ranges") {
+    val dir = Files.createTempDirectory("graft-gen-month").toString
+    val rows = Seq(
+      (1L, ts("2024-01-15 10:00:00")), (2L, ts("2024-02-15 10:00:00")),
+      (3L, ts("2024-03-15 10:00:00")))
+    DeltaWriter.write(rows.toDF("id", "ts").coalesce(1), dir, SaveMode.Append,
+      Seq("m"), generatedColumns = Map("m" -> "MONTH(ts)"))
+    assert(DeltaLog.snapshot(spark, dir).files.size === 3)
+    val eq = DeltaTable.read(spark, dir).filter(col("ts") === ts("2024-02-15 10:00:00"))
+    assert(partitionFilterRefs(eq).contains("m"), "equality derives through month")
+    assert(scannedFiles(eq) === 1)
+    assert(eq.collect().map(_.getAs[Long]("id")).toSeq === Seq(2L))
+    // a range must NOT derive through month (month(ts) wraps across
+    // years) — no m partition filter, result still correct
+    val range = DeltaTable.read(spark, dir).filter(col("ts") >= ts("2024-02-01 00:00:00"))
+    assert(!partitionFilterRefs(range).contains("m"),
+      "no unsound month-range derivation")
+    assert(range.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(2L, 3L))
+  }
 }
