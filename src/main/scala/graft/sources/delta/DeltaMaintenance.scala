@@ -200,18 +200,25 @@ object DeltaMaintenance {
         "(they are constant within every rewritten file)")
     // numeric + temporal columns quantize linearly; temporal types map to
     // their integer epoch representation first (DATE does not cast to
-    // DOUBLE directly)
+    // DOUBLE directly); strings map to their first 6 UTF-8 bytes read as a
+    // big-endian integer (right-padded with zero bytes via the hex string,
+    // so prefix order is preserved: "b" > "aaa" numerically too) — 48 bits
+    // sits inside double's exact range, and 6 leading bytes is plenty of
+    // selectivity for a 256-bucket quantizer
     def numericized(c: String): String = snap.schema(c).dataType match {
       case DateType => s"CAST(unix_date($c) AS DOUBLE)"
       case TimestampType => s"CAST(unix_micros($c) AS DOUBLE)"
+      case StringType =>
+        s"CAST(conv(rpad(hex(substr(CAST($c AS BINARY), 1, 6)), 12, '0'), 16, 10) AS DOUBLE)"
       case _ => s"CAST($c AS DOUBLE)"
     }
     val unsupported = zorderBy.filter { c =>
       val dt = snap.schema(c).dataType
-      !dt.isInstanceOf[NumericType] && dt != DateType && dt != TimestampType
+      !dt.isInstanceOf[NumericType] && dt != DateType && dt != TimestampType &&
+        dt != StringType
     }
     require(unsupported.isEmpty,
-      s"ZORDER BY supports numeric/date/timestamp columns; got ${unsupported.mkString(",")}")
+      s"ZORDER BY supports numeric/date/timestamp/string columns; got ${unsupported.mkString(",")}")
     val candidates = filterByPartitionPredicate(spark, snap, snap.files, predicate)
     if (candidates.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)
     graft.functions.GraftFunctions.register(spark)

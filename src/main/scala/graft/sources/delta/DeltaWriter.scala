@@ -480,6 +480,29 @@ object DeltaWriter {
     }
     if (!committed) throw new java.io.IOException(
       s"could not commit to $tablePath after $attempt attempts (concurrent writers)")
+    maybeAutoCompact(spark, tablePath)
+  }
+
+  /** Auto compaction (`delta.autoOptimize.autoCompact=true`): after a
+    * successful write, bin-pack any partition that has accumulated
+    * `spark.graft.delta.autoCompact.minNumFiles` (default 50) small files
+    * — the production steady-state answer to streaming/micro-batch
+    * small-file creep, without a scheduled OPTIMIZE job. The compaction is
+    * the standard `dataChange=false` commit; concurrent-writer aborts
+    * inside it are swallowed (compaction is best-effort by design — the
+    * NEXT write retries). */
+  private def maybeAutoCompact(spark: SparkSession, tablePath: String): Unit = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    if (!snap.metadata.configuration.get("delta.autoOptimize.autoCompact")
+        .exists(_.trim.equalsIgnoreCase("true"))) return
+    val minN = spark.conf.getOption("spark.graft.delta.autoCompact.minNumFiles")
+      .map(_.trim.toInt).getOrElse(50)
+    val target = 128L << 20
+    val creeping = snap.files.filter(_.size < target)
+      .groupBy(_.partitionValues).exists(_._2.size >= minN)
+    if (creeping)
+      try DeltaMaintenance.optimize(spark, tablePath, target)
+      catch { case _: java.util.ConcurrentModificationException => () }
   }
 
   private[delta] def listParquetFilesRecursively(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {

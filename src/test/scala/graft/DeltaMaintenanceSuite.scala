@@ -251,6 +251,29 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).count() === 1)
   }
 
+  test("autoCompact bin-packs small-file creep after writes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-autocompact").toString
+    DeltaWriter.write(Seq((0, "x")).toDF("id", "s").coalesce(1), dir, SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.autoOptimize.autoCompact' = 'true')")
+    spark.conf.set("spark.graft.delta.autoCompact.minNumFiles", "4")
+    try {
+      (1 to 3).foreach { i =>
+        DeltaWriter.write(Seq((i, "x")).toDF("id", "s").coalesce(1), dir, SaveMode.Append, Nil)
+      }
+      // 4 small files -> the 4th write triggers the compaction
+      val snap = DeltaLog.snapshot(spark, dir)
+      assert(snap.files.size === 1, s"expected auto-compacted table, got ${snap.files.size}")
+      assert(DeltaMaintenance.history(spark, dir)
+        .select("operation").collect().map(_.getString(0)).contains("OPTIMIZE"))
+      assert(DeltaTable.read(spark, dir).count() === 4)
+      // below the threshold nothing fires
+      DeltaWriter.write(Seq((9, "x")).toDF("id", "s").coalesce(1), dir, SaveMode.Append, Nil)
+      assert(DeltaLog.snapshot(spark, dir).files.size === 2)
+    } finally spark.conf.unset("spark.graft.delta.autoCompact.minNumFiles")
+  }
+
   test("expired-log cleanup retires pre-checkpoint metadata per retention") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-log-clean").toString

@@ -69,21 +69,52 @@ class ZOrderSuite extends AnyFunSuite {
     assert(ops.head === "OPTIMIZE")
   }
 
-  test("zorder rejects partition columns, non-numeric columns, bad arity") {
+  test("zorder rejects partition columns, unsupported types, bad arity") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-zorder-bad").toString
     DeltaWriter.write(
-      Seq((1, "a", 2.0, "s")).toDF("x", "k", "y", "t").coalesce(1),
+      Seq((1, "a", 2.0, true)).toDF("x", "k", "y", "b").coalesce(1),
       dir, SaveMode.Append, Seq("k"))
     intercept[IllegalArgumentException] {
       DeltaMaintenance.zorder(spark, dir, Seq("x", "k"))
     }
     intercept[IllegalArgumentException] {
-      DeltaMaintenance.zorder(spark, dir, Seq("x", "t"))
+      DeltaMaintenance.zorder(spark, dir, Seq("x", "b")) // boolean
     }
     intercept[IllegalArgumentException] {
       DeltaMaintenance.zorder(spark, dir, Seq("x"))
     }
+  }
+
+  test("zorder clusters string columns by order-preserving byte prefix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder-str").toString
+    // 16 distinct key prefixes x 16 numeric values, shuffled across files
+    val df = (0 until 256).map { i =>
+      (f"key${i % 16}%02d-${i}%03d", (i * 7) % 16, i)
+    }.toDF("s", "g", "id").orderBy(hash(col("id"))).repartition(4)
+    DeltaWriter.write(df, dir, SaveMode.Append, Nil)
+    val m = DeltaMaintenance.zorder(spark, dir, Seq("s", "g"), outputFiles = Some(4))
+    assert(m.filesRemoved === 4 && m.filesAdded >= 2)
+    assert(DeltaTable.read(spark, dir).count() === 256)
+    // clustering effect: every output file's string span covers a strict
+    // subset of the 16 prefixes (pre-zorder each file held nearly all)
+    val snap = DeltaLog.snapshot(spark, dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val spans = snap.files.flatMap(_.stats.map { st =>
+      val n = mapper.readTree(st)
+      (n.path("minValues").path("s").asText(),
+        n.path("maxValues").path("s").asText())
+    })
+    assert(spans.nonEmpty)
+    def prefix(v: String): Int = v.substring(3, 5).toInt // keyNN-...
+    val widths = spans.map { case (mn, mx) => prefix(mx) - prefix(mn) }
+    // every file strictly tighter than the full 0..15 range, and the
+    // total span clearly below the unclustered ~15-per-file baseline
+    // (range-partition boundaries are sampled, so exact quartile splits
+    // are not guaranteed — clustering, not perfection, is the contract)
+    assert(widths.forall(_ < 15), s"string spans not clustered: $spans")
+    assert(widths.sum <= widths.size * 12, s"string spans too wide: $spans")
   }
 
   test("zorder clusters temporal columns via their epoch representation") {
