@@ -148,7 +148,7 @@ object DeltaConstraints {
       s"$op could not commit to $tablePath after $attempt attempts")
     // metadata commits count toward the checkpoint cadence like any other
     // commit path — a long ALTER chain must not unbound replay cost
-    DeltaWriter.maybeCheckpoint(spark, tablePath, committed)
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committed, newConfig)
     committed
   }
 }

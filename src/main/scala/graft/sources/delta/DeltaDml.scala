@@ -160,7 +160,7 @@ object DeltaDml {
 
     val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
     val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString),
-      snap.physicalDataSchema)
+      snap.physicalDataSchema, snap.metadata.configuration)
     val adds = stagedFiles.map { staged =>
       val rel = DeltaWriter.relativize(stagingDir, staged)
       val target = new Path(tablePath, rel)
@@ -230,6 +230,10 @@ object DeltaDml {
       params.put("predicate", condition)
       if (set.nonEmpty) params.put("set", set.map { case (k, v) => s"$k = $v" }.mkString(", "))
       ci.put("engineInfo", "graft-spark/0.1.0")
+      DeltaWriter.putMetrics(ci, Map(
+        "numAffectedRows" -> rowsAffected,
+        "numRemovedFiles" -> touched.size.toLong,
+        "numAddedFiles" -> adds.size.toLong))
       lines += mapper.writeValueAsString(ciLine)
       touched.foreach { f =>
         val rmLine = mapper.createObjectNode()
@@ -260,7 +264,8 @@ object DeltaDml {
     }
     if (committedVersion < 0) throw new java.io.IOException(
       s"$op could not commit to $tablePath after $attempt attempts")
-    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion)
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion,
+      snap.metadata.configuration)
     DmlMetrics(touched.size, adds.size, rowsAffected, committedVersion)
   }
 
@@ -458,6 +463,9 @@ object DeltaDml {
       params.put("predicate", condition)
       params.put("mode", "merge-on-read")
       ci.put("engineInfo", "graft-spark/0.1.0")
+      DeltaWriter.putMetrics(ci, Map(
+        "numDeletedRows" -> rowsAffected,
+        "numDeletionVectorsAdded" -> touched.size.toLong))
       lines += mapper.writeValueAsString(ciLine)
       // first DV on the table upgrades the protocol to table features,
       // carrying the legacy writer capabilities forward explicitly
@@ -513,7 +521,8 @@ object DeltaDml {
     }
     if (committedVersion < 0) throw new java.io.IOException(
       s"DELETE (merge-on-read) could not commit to $tablePath after $attempt attempts")
-    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion)
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion,
+      snap.metadata.configuration)
     DmlMetrics(touched.size, 0, rowsAffected, committedVersion)
   }
 

@@ -291,7 +291,7 @@ object DeltaMaintenance {
      else writer).parquet(stagingDir.toString)
     val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
     val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString),
-      snap.physicalDataSchema)
+      snap.physicalDataSchema, snap.metadata.configuration)
     val adds = stagedFiles.map { staged =>
       val rel = DeltaWriter.relativize(stagingDir, staged)
       val target = new Path(tablePath, rel)
@@ -322,8 +322,10 @@ object DeltaMaintenance {
       abortOp: String): Long = {
     var attempt = 0
     var committedVersion = -1L
+    var lastConfig: Map[String, String] = Map.empty
     while (committedVersion < 0 && attempt < 20) {
       val latest = DeltaLog.snapshot(spark, tablePath)
+      lastConfig = latest.metadata.configuration
       val live = latest.files.map(_.path).toSet
       val gone = removed.filterNot(f => live.contains(f.path))
       if (gone.nonEmpty) {
@@ -346,6 +348,10 @@ object DeltaMaintenance {
       val p = ci.putObject("operationParameters")
       params.foreach { case (k, v) => p.put(k, v) }
       ci.put("engineInfo", "graft-spark/0.1.0")
+      DeltaWriter.putMetrics(ci, Map(
+        "numRemovedFiles" -> removed.size.toLong,
+        "numAddedFiles" -> adds.size.toLong,
+        "numRemovedBytes" -> removed.map(_.size).sum))
       lines += mapper.writeValueAsString(ciLine)
       removed.foreach { f =>
         val rmLine = mapper.createObjectNode()
@@ -373,7 +379,7 @@ object DeltaMaintenance {
     }
     if (committedVersion < 0) throw new java.io.IOException(
       s"$abortOp could not commit to $tablePath after $attempt attempts")
-    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion)
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion, lastConfig)
     committedVersion
   }
 
@@ -535,7 +541,7 @@ object DeltaMaintenance {
     }
     if (committed < 0) throw new java.io.IOException(
       s"RESTORE could not commit to $tablePath after $attempt attempts")
-    DeltaWriter.maybeCheckpoint(spark, tablePath, committed)
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committed, head.metadata.configuration)
     committed
   }
 
@@ -807,7 +813,7 @@ object DeltaMaintenance {
     }
     if (!DeltaLog.tryCommit(spark, targetPath, 0L, lines.result().mkString("\n")))
       throw new java.io.IOException(s"CLONE lost the race creating $targetPath")
-    DeltaWriter.maybeCheckpoint(spark, targetPath, 0L)
+    DeltaWriter.maybeCheckpoint(spark, targetPath, 0L, src.metadata.configuration)
     0L
   }
 
@@ -831,7 +837,8 @@ object DeltaMaintenance {
     StructField("version", LongType),
     StructField("timestamp", LongType),
     StructField("operation", StringType),
-    StructField("engineInfo", StringType)))
+    StructField("engineInfo", StringType),
+    StructField("operationMetrics", StringType)))
 
   def detail(spark: SparkSession, tablePath: String): DataFrame = {
     val snap = DeltaLog.snapshot(spark, tablePath)
@@ -1062,7 +1069,8 @@ object DeltaMaintenance {
         }
         done = DeltaLog.tryCommit(
           spark, tablePath, current.version + 1, lines.result().mkString("\n"))
-        if (done) DeltaWriter.maybeCheckpoint(spark, tablePath, current.version + 1)
+        if (done) DeltaWriter.maybeCheckpoint(spark, tablePath, current.version + 1,
+          current.metadata.configuration)
       }
       attempt += 1
     }
@@ -1088,7 +1096,8 @@ object DeltaMaintenance {
           .orElse(ci.flatMap(c => Option(c.get("timestamp")).map(_.asLong())))
           .getOrElse(0L),
         ci.flatMap(c => Option(c.get("operation")).map(_.asText())).getOrElse(""),
-        ci.flatMap(c => Option(c.get("engineInfo")).map(_.asText())).getOrElse(""))
+        ci.flatMap(c => Option(c.get("engineInfo")).map(_.asText())).getOrElse(""),
+        ci.flatMap(c => Option(c.get("operationMetrics")).map(_.toString)).getOrElse(""))
     }.sortBy(-_.getLong(0))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), historySchema)
   }

@@ -405,6 +405,12 @@ object DeltaMerge {
       ci.put("operation", "MERGE")
       ci.putObject("operationParameters").put("predicate", condition)
       ci.put("engineInfo", "graft-spark/0.1.0")
+      DeltaWriter.putMetrics(ci, Map(
+        "numTargetRowsUpdated" -> rowsUpdated,
+        "numTargetRowsDeleted" -> rowsDeleted,
+        "numTargetRowsInserted" -> rowsInserted,
+        "numTargetFilesRemoved" -> touched.size.toLong,
+        "numTargetFilesAdded" -> adds.size.toLong))
       lines += mapper.writeValueAsString(ciLine)
       if (evolved.nonEmpty) {
         // metaData re-emission (same table id — replay is last-metaData-
@@ -457,7 +463,8 @@ object DeltaMerge {
     }
     if (committedVersion < 0) throw new java.io.IOException(
       s"MERGE could not commit to $tablePath after $attempt attempts")
-    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion)
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion,
+      snap.metadata.configuration)
     MergeMetrics(rowsUpdated, rowsDeleted, rowsInserted, touched.size, committedVersion)
   }
 
@@ -499,7 +506,7 @@ object DeltaMerge {
       .filterNot(f => snap.partitionColumns.contains(f.name))
       .map(f => f.copy(name = snap.metadata.physicalOf(f.name))))
     val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString),
-      physDataSchema)
+      physDataSchema, snap.metadata.configuration)
     var rows = 0L
     val adds: Seq[Add] = stagedFiles.map { staged =>
       val rel = DeltaWriter.relativize(stagingDir, staged)

@@ -31,6 +31,14 @@ object DeltaWriter {
   val CheckpointInterval = 10
   private val mapper = new ObjectMapper()
 
+  /** `commitInfo.operationMetrics` (string-valued map, the production
+    * serialization) — DESCRIBE HISTORY's per-operation numbers. */
+  private[delta] def putMetrics(ci: ObjectNode, metrics: Map[String, Long]): Unit =
+    if (metrics.nonEmpty) {
+      val m = ci.putObject("operationMetrics")
+      metrics.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v.toString) }
+    }
+
   /** On a column-mapped table EVERYTHING below the log speaks physical
     * names: parquet column names, stats keys, hive partition directories
     * and `partitionValues` keys. Rewrite/append paths call these just
@@ -306,7 +314,8 @@ object DeltaWriter {
     // ---- 2. one distributed pass for per-file stats
     val statsByStagedPath: Map[String, ObjectNode] =
       if (stagedFiles.isEmpty) Map.empty
-      else collectFileStats(spark, stagedFiles.map(_.toString), dataSchema)
+      else collectFileStats(spark, stagedFiles.map(_.toString), dataSchema,
+        existing.map(_.metadata.configuration).getOrElse(Map.empty))
 
     // ---- 3. move staged files into the table dir (keeping hive dirs)
     val adds = stagedFiles.map { staged =>
@@ -363,6 +372,10 @@ object DeltaWriter {
       params.put("partitionBy", mapper.writeValueAsString(
         partitionCols.foldLeft(mapper.createArrayNode())((a, c) => a.add(c))))
       ci.put("engineInfo", "graft-spark/0.1.0")
+      putMetrics(ci, Map(
+        "numFiles" -> adds.size.toLong,
+        "numOutputRows" -> statsByStagedPath.values
+          .flatMap(n => Option(n.get("numRecords")).map(_.asLong())).sum))
       lines += mapper.writeValueAsString(commitInfo)
 
       // SetTransaction action: records (appId, version) in THIS commit so
@@ -475,7 +488,8 @@ object DeltaWriter {
       }
 
       committed = DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n"))
-      if (committed) maybeCheckpoint(spark, tablePath, version)
+      if (committed) maybeCheckpoint(spark, tablePath, version,
+        current.map(_.metadata.configuration).getOrElse(Map.empty))
       attempt += 1
     }
     if (!committed) throw new java.io.IOException(
@@ -547,8 +561,16 @@ object DeltaWriter {
   private[delta] def collectFileStats(
       spark: SparkSession,
       files: Seq[String],
-      dataSchema: StructType): Map[String, ObjectNode] = {
-    val statable = dataSchema.fields.filter(f => isStatsType(f.dataType))
+      dataSchema: StructType,
+      configuration: Map[String, String] = Map.empty): Map[String, ObjectNode] = {
+    // delta.dataSkippingNumIndexedCols (default 32, production parity): at
+    // 100s of columns, collecting min/max on every one bloats each add
+    // action and the stats pass itself — index the first N schema columns
+    // only (-1 = all), like production Delta
+    val limit = configuration.get("delta.dataSkippingNumIndexedCols")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(32)
+    val indexed = if (limit < 0) dataSchema.fields else dataSchema.fields.take(limit)
+    val statable = indexed.filter(f => isStatsType(f.dataType))
     val df = spark.read.schema(dataSchema).parquet(files: _*)
     val aggs =
       statable.flatMap { f =>
@@ -620,10 +642,19 @@ object DeltaWriter {
 
   /** Checkpoint on the cadence — called by EVERY commit path (append,
     * DML, MERGE, OPTIMIZE, RESTORE, constraint DDL), so long maintenance
-    * chains bound replay cost the same way append chains do. */
-  private[delta] def maybeCheckpoint(spark: SparkSession, tablePath: String, version: Long): Unit =
-    if (version > 0 && version % CheckpointInterval == 0)
+    * chains bound replay cost the same way append chains do. The cadence
+    * honors the table's `delta.checkpointInterval` property (production
+    * default 10 here); callers pass the configuration they already hold so
+    * the decision costs no extra log replay. */
+  private[delta] def maybeCheckpoint(
+      spark: SparkSession, tablePath: String, version: Long,
+      configuration: Map[String, String] = Map.empty): Unit = {
+    val interval = configuration.get("delta.checkpointInterval")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0)
+      .getOrElse(CheckpointInterval)
+    if (version > 0 && version % interval == 0)
       writeCheckpoint(spark, tablePath, version)
+  }
 
   /** Aggregate the full live state into a checkpoint + `_last_checkpoint`,
     * bounding future replay to commits-after-checkpoint. Classic

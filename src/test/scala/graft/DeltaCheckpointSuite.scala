@@ -248,4 +248,25 @@ class DeltaCheckpointSuite extends AnyFunSuite {
     assert(df.filter("id % 100 = 8 AND id < 600").count() === 0)  // v11 DV delete
     assert(df.columns.contains("label"))              // v13 rename held
   }
+
+  test("delta.checkpointInterval shortens the checkpoint cadence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-interval").toString
+    DeltaWriter.write(Seq((0, "x")).toDF("id", "s").coalesce(1), dir,
+      org.apache.spark.sql.SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.checkpointInterval' = '3')") // v1
+    (2 to 3).foreach { i =>
+      DeltaWriter.write(Seq((i, "x")).toDF("id", "s").coalesce(1), dir,
+        org.apache.spark.sql.SaveMode.Append, Nil)
+    }
+    // v3 % 3 == 0: a checkpoint exists well before the default interval 10
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_delta_log"))
+      .map(_.getPath.getName)
+    assert(names.exists(_.contains("00000000000000000003.checkpoint")),
+      s"expected a v3 checkpoint, log: ${names.mkString(",")}")
+    assert(DeltaTable.read(spark, dir).count() === 3)
+  }
 }

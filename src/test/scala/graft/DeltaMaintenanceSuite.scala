@@ -251,6 +251,45 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).count() === 1)
   }
 
+  test("DESCRIBE HISTORY surfaces per-operation metrics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-opmetrics").toString
+    DeltaWriter.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "k").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    graft.sources.delta.DeltaDml.delete(spark, dir, "id = 2")
+    val hist = spark.sql(s"DESCRIBE HISTORY delta.`$dir`")
+      .collect().map(r => r.getAs[String]("operation") -> r.getAs[String]("operationMetrics"))
+      .toMap
+    assert(hist("WRITE").contains("\"numOutputRows\":\"3\""), hist("WRITE"))
+    assert(hist("DELETE").contains("\"numAffectedRows\":\"1\""), hist("DELETE"))
+    assert(hist("DELETE").contains("\"numRemovedFiles\":\"1\""))
+  }
+
+  test("dataSkippingNumIndexedCols bounds per-file stats to the first N columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-skipcols").toString
+    DeltaWriter.write(Seq((1, "x", 2.0)).toDF("a", "b", "c").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.dataSkippingNumIndexedCols' = '1')")
+    DeltaWriter.write(Seq((2, "y", 3.0)).toDF("a", "b", "c").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val statsCols = DeltaLog.snapshot(spark, dir).files
+      .flatMap(_.stats.map { st =>
+        val mins = mapper.readTree(st).path("minValues")
+        val it = mins.fieldNames(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result().toSet
+      })
+    // v0's file indexed everything; the post-property file only column a
+    assert(statsCols.contains(Set("a", "b", "c")))
+    assert(statsCols.contains(Set("a")))
+    // numRecords survives regardless (it is what row-count plans read)
+    assert(DeltaLog.snapshot(spark, dir).files.forall(
+      _.stats.exists(mapper.readTree(_).has("numRecords"))))
+  }
+
   test("autoCompact bin-packs small-file creep after writes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-autocompact").toString
