@@ -226,7 +226,89 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Int8-quantized ANN scoring (ss06) — the production MEMORY path: a
+    * 64-dim float corpus quantized to int8 with a per-vector scale is 4×
+    * smaller (the difference between an in-RAM and a spilling index at
+    * 100 TB), and queries score ASYMMETRICALLY (float query × int8 corpus
+    * × scale), the standard quality-preserving trick. Quantization is
+    * `q[d] = floor(e[d]·127/maxabs + 0.5)` (floor(x+0.5) is engine-exact
+    * on identical doubles where round() half-up diverges); the cosine is
+    * computed against the reconstructed vector, so the determinism-scaled
+    * ranking is oracle-checkable end to end. Both HOF-built frames are
+    * persisted: CollapseProject would otherwise inline the quantization
+    * into the 64-term dot product and re-run it per element. */
+  private def ss06Int8Ann(s: SparkSession, dir: String): DataFrame = {
+    val v0 = vecs(s, dir)
+    val corpus = v0
+      .withColumn("maxabs0",
+        aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x.cast("double")))))
+      .withColumn("maxabs",
+        when(col("maxabs0") === 0.0, lit(1.0)).otherwise(col("maxabs0")))
+      .withColumn("scale", col("maxabs") / lit(127.0))
+      .withColumn("q", transform(col("e"),
+        x => floor(x.cast("double") * lit(127.0) / col("maxabs") + lit(0.5))))
+      .withColumn("q2", aggregate(col("q"), lit(0.0), (a, x) => a + x * x))
+      .select(col("vec_id"), col("scale"), col("q"), col("q2"))
+      .persist()
+    val q = v0.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .withColumn("qnrm",
+        aggregate(col("qe"), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+      .persist()
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    broadcast(q)
+      .join(corpus, col("qid") =!= col("vec_id"))
+      .withColumn("dot", aggregate(
+        sequence(lit(1), lit(64)), lit(0.0),
+        (acc, d) => acc + element_at(col("q"), d) * col("scale")
+          * element_at(col("qe"), d).cast("double")))
+      .withColumn("sim",
+        floor(col("dot") / sqrt(col("q2") * col("scale") * col("scale") * col("qnrm"))
+          * lit(1000000.0)) / lit(1000000.0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ss06_int8_ann" -> s"""
+      WITH v0 AS (SELECT vec_id, embedding AS e FROM embeddings),
+      vm AS (
+        SELECT vec_id, e,
+               CASE WHEN m0 = 0 THEN 1.0 ELSE m0 END AS maxabs
+        FROM (SELECT vec_id, e,
+                list_reduce(list_prepend(0.0,
+                  list_transform(e, x -> abs(x::DOUBLE))),
+                  (a, b) -> greatest(a, b)) AS m0
+              FROM v0)),
+      corpus AS (
+        SELECT vec_id, maxabs / 127.0 AS scale,
+               list_transform(generate_series(1, 64),
+                 d -> floor(e[d]::DOUBLE * 127.0 / maxabs + 0.5)) AS q
+        FROM vm),
+      corpus2 AS (
+        SELECT vec_id, scale, q,
+               list_reduce(list_prepend(0.0, q), (a, x) -> a + x * x) AS q2
+        FROM corpus),
+      qn AS (
+        SELECT vec_id AS qid, e AS qe,
+               list_reduce(list_prepend(0.0,
+                 list_transform(e, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b) AS qnrm
+        FROM v0 WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, c.vec_id,
+               floor(
+                 list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, 64),
+                     d -> c.q[d] * c.scale * qe[d]::DOUBLE)), (s, x) -> s + x)
+                 / sqrt(c.q2 * c.scale * c.scale * qnrm) * 1000000.0) / 1000000.0 AS sim
+        FROM qn JOIN corpus2 c ON qid <> c.vec_id),
+      ranked AS (
+        SELECT qid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        FROM scored)
+      SELECT qid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""",
     "ss05_ann_recall" -> s"""
       WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm, $duckBucket AS bucket
                  FROM embeddings),
@@ -332,5 +414,6 @@ object Similarity {
     "ss02_ann_lsh" -> ss02AnnLsh,
     "ss03_ann_ivf" -> ss03AnnIvf,
     "ss04_ann_multiprobe" -> ss04AnnMultiprobe,
-    "ss05_ann_recall" -> ss05AnnRecall)
+    "ss05_ann_recall" -> ss05AnnRecall,
+    "ss06_int8_ann" -> ss06Int8Ann)
 }
