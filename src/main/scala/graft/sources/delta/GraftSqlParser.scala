@@ -195,12 +195,15 @@ private[graft] object GraftSqlCommands {
     sb.toString
   }
 
-  // Change-data-feed TVF: table_changes('/path', startVersion[, endVersion])
-  // — production Delta's SQL surface for CDF, rewritten to a temp view over
-  // DeltaCdf.read (start is INCLUSIVE like production; end defaults to the
-  // latest version).
+  // Change-data-feed TVF: table_changes('/path', start[, end]) — production
+  // Delta's SQL surface for CDF, rewritten to a temp view over
+  // DeltaCdf.read. start/end are each a bare version number or a QUOTED
+  // timestamp literal (production's dual signature): a starting timestamp
+  // resolves to the earliest commit at-or-after it, an ending timestamp to
+  // the latest commit at-or-before it — both in-commit-timestamp-aware,
+  // same as time travel. start is INCLUSIVE; end defaults to latest.
   private val TableChangesRe = re(
-    """table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""")
+    """table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+|'[^']*')\s*(?:,\s*(\d+|'[^']*')\s*)?\)""")
 
   def rewriteTableChanges(spark: SparkSession, sql: String): String = {
     val m = TableChangesRe.matcher(sql)
@@ -212,9 +215,23 @@ private[graft] object GraftSqlCommands {
         m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(m.group(0)))
       } else {
         val path = m.group(1)
-        val from = m.group(2).toLong
-        val to = Option(m.group(3)).map(_.toLong)
-          .getOrElse(DeltaLog.snapshot(spark, path).version)
+        def quoted(v: String): Option[String] =
+          if (v.startsWith("'")) Some(v.substring(1, v.length - 1)) else None
+        val rawFrom = m.group(2)
+        val from = quoted(rawFrom) match {
+          case Some(ts) => DeltaLog.earliestVersionAtOrAfter(spark, path, ts)
+          case None => rawFrom.toLong
+        }
+        val latest = DeltaLog.snapshot(spark, path).version
+        require(from <= latest,
+          s"table_changes: start $rawFrom resolves past the latest version $latest of $path")
+        val to = Option(m.group(3)).map { rawTo =>
+          quoted(rawTo) match {
+            // latest at-or-before: the same resolution time travel uses
+            case Some(ts) => DeltaLog.snapshot(spark, path, timestampAsOf = Some(ts)).version
+            case None => rawTo.toLong
+          }
+        }.getOrElse(latest)
         val df = DeltaCdf.read(spark, path, from - 1, to)
         val view = viewName("graft_table_changes_", s"$path#$from#$to")
         df.createOrReplaceTempView(view)

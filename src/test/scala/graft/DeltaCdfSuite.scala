@@ -127,6 +127,36 @@ class DeltaCdfSuite extends AnyFunSuite {
     assert(n === 2)
   }
 
+  test("table_changes accepts timestamp arguments (production dual signature)") {
+    val dir = fresh()
+    def iso(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ')
+    Thread.sleep(1200)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(1200)
+    DeltaDml.update(spark, dir, "id = 7", Map("name" -> "'seven'"))   // v2
+    Thread.sleep(1200)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(1200)
+    DeltaDml.delete(spark, dir, "id = 3")                             // v3
+    // starting timestamp between v1 and v2 -> serves v2 and v3 changes
+    val all = spark.sql(
+      s"SELECT _change_type FROM table_changes('$dir', '${iso(cutoff)}')")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(all === Seq("delete", "update_postimage", "update_preimage"))
+    // ending timestamp between v2 and v3 bounds the feed at v2
+    val bounded = spark.sql(
+      s"SELECT _change_type FROM table_changes('$dir', '${iso(cutoff)}', '${iso(mid)}')")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(bounded === Seq("update_postimage", "update_preimage"))
+    // a start past the newest commit is refused loudly
+    val late = iso(System.currentTimeMillis() + 3600 * 1000)
+    val ex = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM table_changes('$dir', '$late')").collect()
+    }
+    assert(ex.getMessage.contains("resolves past"))
+  }
+
   test("CDF on a column-mapped table reads through renames") {
     val dir = fresh()
     DeltaSchema.renameColumn(spark, dir, "score", "points")
