@@ -20,6 +20,10 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the full engine surface, same as Verify/Bench: native functions,
+      // Delta SQL parser, generated-partition pruning — an audit without
+      // the injected optimizer rules would show plans the engine never runs
+      .config("spark.sql.extensions", classOf[graft.functions.GraftSparkExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = new PrintWriter(outFile)
