@@ -560,7 +560,44 @@ object DeltaQueries {
       .orderBy(col("d"))
   }
 
+  /** Column defaults in the gate (allowColumnDefaults): evens land before
+    * the ALTER (their files lack the column — EXISTS_DEFAULT fills reads),
+    * odds land after WITHOUT the column (CURRENT_DEFAULT materialized at
+    * write), a shifted slice lands WITH an explicit tier. The oracle
+    * replays all three populations over the raw fixture. */
+  private def dl23ColumnDefaults(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    supplier.filter(col("s_suppkey") % 2 === 0).write.format("delta").save(path)
+    s.sql(s"ALTER TABLE delta.`$path` ADD COLUMN tier STRING DEFAULT 'std'")
+    DeltaWriter.write(
+      supplier.filter(col("s_suppkey") % 2 === 1), path, SaveMode.Append, Nil)
+    DeltaWriter.write(
+      supplier.filter(col("s_suppkey") % 7 === 0)
+        .select((col("s_suppkey") + 100000L).as("s_suppkey"),
+          col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .withColumn("tier", lit("prem")),
+      path, SaveMode.Append, Nil)
+    DeltaTable.read(s, path)
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .orderBy(col("tier"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl23_column_defaults" -> """
+      WITH w AS (
+        SELECT s_suppkey, s_acctbal, 'std' AS tier FROM supplier
+        UNION ALL
+        SELECT s_suppkey + 100000, s_acctbal, 'prem' FROM supplier
+        WHERE s_suppkey % 7 = 0)
+      SELECT tier, count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM w GROUP BY 1 ORDER BY 1""",
     "dl22_generated_partition_prune" -> """
       SELECT CAST(ts AS DATE) AS d, count(*) AS n,
              CAST(sum(user_id) AS BIGINT) AS uid_sum,
@@ -764,5 +801,6 @@ object DeltaQueries {
     "dl19_streaming_sink" -> dl19StreamingSink,
     "dl20_convert_to_delta" -> dl20ConvertToDelta,
     "dl21_merge_clauses" -> dl21MergeClauses,
-    "dl22_generated_partition_prune" -> dl22GeneratedPrune)
+    "dl22_generated_partition_prune" -> dl22GeneratedPrune,
+    "dl23_column_defaults" -> dl23ColumnDefaults)
 }

@@ -596,7 +596,7 @@ object DeltaLog {
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "identityColumns",
       "deletionVectors", "v2Checkpoint", "timestampNtz", "typeWidening",
-      "inCommitTimestamp")
+      "inCommitTimestamp", "allowColumnDefaults")
 
   /** Checkpoint/sidecar `add` struct row → [[DeltaAddFile]] (tolerant of
     * absent optional fields across writer engines). */

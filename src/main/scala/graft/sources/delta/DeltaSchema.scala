@@ -1,6 +1,6 @@
 package graft.sources.delta
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions, SparkSession}
 import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
 
 /** Metadata-only `ALTER TABLE` surface — the schema/property operations
@@ -63,6 +63,56 @@ object DeltaSchema {
       newSchemaString = Some(newSchema.json),
       op = "ADD COLUMNS",
       params = Map("columns" -> cols.map(c => s"${c.name} ${c.dataType.sql}").mkString(", ")))
+  }
+
+  /** `ALTER TABLE … ADD COLUMN c T DEFAULT expr` — the `allowColumnDefaults`
+    * writer feature. The default must be a CONSTANT expression (production
+    * contract); it is constant-folded here and re-literalized, then stored
+    * under Spark's own `CURRENT_DEFAULT` / `EXISTS_DEFAULT` field-metadata
+    * keys: existing files (which lack the column) read EXISTS_DEFAULT
+    * through the stock parquet reader — no rewrite; future writes that
+    * omit the column get CURRENT_DEFAULT materialized by [[DeltaWriter]].
+    * Writer-ONLY protocol feature: readers that merely scan are
+    * unaffected... except they must honor EXISTS_DEFAULT, which is why the
+    * metadata rides in the schema itself. */
+  def addColumnWithDefault(
+      spark: SparkSession, tablePath: String,
+      col: StructField, defaultSql: String): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.assertWritable("ADD COLUMN DEFAULT")
+    require(!snap.schema.fieldNames.map(_.toLowerCase)
+      .contains(col.name.toLowerCase), s"column ${col.name} already exists")
+    if (snap.metadata.columnMappingMode != "none")
+      throw new UnsupportedOperationException(
+        "ADD COLUMN DEFAULT on a column-mapped table is not supported")
+    // constant-fold against the declared type; refuse non-constants loudly
+    val folded = spark.range(1)
+      .select(functions.expr(defaultSql).cast(col.dataType).as("d"))
+      .queryExecution.optimizedPlan.expressions.head match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }
+    val lit = folded match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+      case other => throw new IllegalArgumentException(
+        s"DEFAULT must be a constant expression; '$defaultSql' is not ($other)")
+    }
+    val stamped = col.copy(nullable = true,
+      metadata = new MetadataBuilder().withMetadata(col.metadata)
+        .putString(DeltaWriter.CurrentDefaultKey, lit.sql)
+        .putString(DeltaWriter.ExistsDefaultKey, lit.sql).build())
+    val newSchema = StructType(snap.schema.fields :+ stamped)
+    val p = snap.protocol
+    val newProtocol =
+      if (p.minWriterVersion >= 7 && p.writerFeatures.contains("allowColumnDefaults")) None
+      else Some(p.copy(minWriterVersion = 7,
+        writerFeatures = p.impliedWriterFeatures + "allowColumnDefaults"))
+    DeltaConstraints.commitMetadata(spark, tablePath,
+      snap.metadata.configuration,
+      newSchemaString = Some(newSchema.json),
+      op = "ADD COLUMNS",
+      params = Map("columns" -> s"${col.name} ${col.dataType.sql} DEFAULT ${lit.sql}"),
+      newProtocol = newProtocol)
   }
 
   /** `ALTER TABLE … RENAME COLUMN old TO new` — metadata-only, O(1) in

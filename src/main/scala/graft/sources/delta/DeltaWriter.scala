@@ -77,6 +77,13 @@ object DeltaWriter {
 
   val GenerationExpressionKey = "delta.generationExpression"
 
+  // Column defaults (allowColumnDefaults): Spark's own field-metadata
+  // convention — the parquet readers consume EXISTS_DEFAULT natively for
+  // columns absent from old files, and the writer materializes
+  // CURRENT_DEFAULT for columns omitted from a write.
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+
   // Identity columns (GENERATED ALWAYS AS IDENTITY — the protocol's
   // identityColumns capability, legacy writer v6): declaration + high
   // water mark live in field metadata, exactly where production puts them.
@@ -193,6 +200,20 @@ object DeltaWriter {
     // must fail as GENERATED ALWAYS, not as drift.
     require(existing.isEmpty || identityColumns.isEmpty,
       "identityColumns may only be declared at table creation")
+    // Column defaults (allowColumnDefaults writer feature): a write that
+    // OMITS a column carrying CURRENT_DEFAULT metadata gets the default
+    // materialized (production semantics) — BEFORE the drift check below,
+    // so omission is never a schema mismatch. A write that PROVIDES the
+    // column keeps its values (explicit NULL stays NULL).
+    val data1d = existing.map(_.schema).map { sch =>
+      sch.fields.filter(f =>
+        f.metadata.contains(CurrentDefaultKey) && !data1.columns.contains(f.name))
+        .foldLeft(data1) { (df, f) =>
+          df.withColumn(f.name,
+            expr(f.metadata.getString(CurrentDefaultKey)).cast(f.dataType))
+        }
+    }.getOrElse(data1)
+
     val identityFields: Seq[StructField] = existing match {
       case Some(snap) => identityFieldsOf(snap.schema)
       case None => identityColumns.toSeq.map { case (c, (st, sp)) =>
@@ -202,7 +223,7 @@ object DeltaWriter {
             .putLong(IdentityStartKey, st).putLong(IdentityStepKey, sp).build())
       }
     }
-    val providedIdentity = identityFields.map(_.name).filter(data1.columns.contains)
+    val providedIdentity = identityFields.map(_.name).filter(data1d.columns.contains)
     require(providedIdentity.isEmpty,
       s"identity column(s) ${providedIdentity.mkString(",")} are GENERATED " +
         "ALWAYS — remove them from the write")
@@ -216,13 +237,13 @@ object DeltaWriter {
       // identity columns are expected to be ABSENT from the write (they
       // are assigned below) — not a schema mismatch
       val want = snap.schema.fieldNames.toSet -- identityFieldsOf(snap.schema).map(_.name)
-      val have = data1.schema.fieldNames.toSet
+      val have = data1d.schema.fieldNames.toSet
       if (want == have) None
       else if (mergeSchema && (want -- have).isEmpty) {
         if (snap.metadata.hasColumnMapping) throw new UnsupportedOperationException(
           "mergeSchema on a column-mapped table is not supported: new columns " +
             "need mapping ids — use ALTER TABLE … ADD COLUMNS instead")
-        val added = data1.schema.filter(f => !want.contains(f.name)).map(_.copy(nullable = true))
+        val added = data1d.schema.filter(f => !want.contains(f.name)).map(_.copy(nullable = true))
         Some(StructType(snap.schema.fields ++ added))
       } else throw new IllegalArgumentException(
         s"schema mismatch: table has ${want.toSeq.sorted.mkString(",")}, " +
@@ -250,10 +271,10 @@ object DeltaWriter {
     var identityNewHwm: Map[String, Long] = Map.empty
     var identityPinned: Option[DataFrame] = None
     val data1i: DataFrame =
-      if (identityFields.isEmpty) data1
+      if (identityFields.isEmpty) data1d
       else {
         val mid = "_graft_mid"
-        val withMid = data1.withColumn(mid, monotonically_increasing_id()).persist()
+        val withMid = data1d.withColumn(mid, monotonically_increasing_id()).persist()
         identityPinned = Some(withMid)
         val counts = withMid.groupBy(shiftright(col(mid), 33).as("_graft_pid"))
           .count().collect()
@@ -276,7 +297,7 @@ object DeltaWriter {
           .withColumn("_graft_pid", shiftright(col(mid), 33))
           .join(broadcast(offsetsDf), "_graft_pid")
         val localIdx = col(mid).bitwiseAND(lit((1L << 33) - 1))
-        val outCols = data1.columns.map(col) ++ identityFields.map { f =>
+        val outCols = data1d.columns.map(col) ++ identityFields.map { f =>
           val step = f.metadata.getLong(IdentityStepKey)
           (lit(assignedFromHwm(f.name) + step) +
             (col("_graft_off") + localIdx) * lit(step)).as(f.name)

@@ -98,6 +98,9 @@ private[graft] object GraftSqlCommands {
   private val Fsck = re(s"""^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$T(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T\\s*;?\\s*$$""")
   private val ShowParts = re(s"""^\\s*SHOW\\s+PARTITIONS\\s+$T\\s*;?\\s*$$""")
+  // DEFAULT form probed first (single column): the plain ADD COLUMNS regex
+  // would otherwise swallow the DEFAULT clause into the type DDL
+  private val AlterAddColDefault = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\(?\\s*(\\w+)\\s+([\\w()\\s,]+?)\\s+DEFAULT\\s+(.+?)\\)?\\s*;?\\s*$$""")
   private val AlterAddCols = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterRenameCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterDropCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$""")
@@ -392,6 +395,10 @@ private[graft] object GraftSqlCommands {
     val sp = ShowParts.matcher(sql)
     if (sp.matches())
       return Some(DeltaShowPartitionsCommand(path(sp, 1)))
+    val aad = AlterAddColDefault.matcher(sql)
+    if (aad.matches())
+      return Some(DeltaAlterCommand(path(aad, 1), DeltaAlterCommand.AddColumnDefault(
+        aad.group(3), aad.group(4).trim, aad.group(5).trim)))
     val aac = AlterAddCols.matcher(sql)
     if (aac.matches())
       return Some(DeltaAlterCommand(path(aac, 1), DeltaAlterCommand.AddColumns(aac.group(3))))
@@ -638,6 +645,7 @@ case class DeltaMergeCommand(
 object DeltaAlterCommand {
   sealed trait Op
   final case class AddColumns(colsDdl: String) extends Op
+  final case class AddColumnDefault(name: String, typeDdl: String, default: String) extends Op
   final case class RenameColumn(oldName: String, newName: String) extends Op
   final case class DropColumn(name: String) extends Op
   final case class AlterColumnType(name: String, typeDdl: String) extends Op
@@ -655,6 +663,10 @@ case class DeltaAlterCommand(path: String, op: DeltaAlterCommand.Op)
     val v = op match {
       case AddColumns(ddl) =>
         DeltaSchema.addColumns(spark, path, StructType.fromDDL(ddl).fields.toSeq)
+      case AddColumnDefault(name, typeDdl, default) =>
+        DeltaSchema.addColumnWithDefault(spark, path,
+          org.apache.spark.sql.types.StructField(name,
+            spark.sessionState.sqlParser.parseDataType(typeDdl)), default)
       case RenameColumn(o, n) => DeltaSchema.renameColumn(spark, path, o, n)
       case DropColumn(n) => DeltaSchema.dropColumn(spark, path, n)
       case AlterColumnType(n, t) => DeltaSchema.alterColumnType(spark, path, n,
