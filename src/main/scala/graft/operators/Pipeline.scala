@@ -125,6 +125,39 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Contamination REPORT (the audit artifact, complementing pp03's
+    * drop-based decontam): per eval-set document, the fraction of its
+    * distinct 5-gram shingles that appear anywhere in the training corpus
+    * — what a team actually publishes next to a benchmark score. Scale
+    * posture mirrors pp03: the corpus side streams ONCE and is semi-joined
+    * against the broadcast (eval-sized) shingle set; only eval-sized
+    * frames are ever broadcast, never corpus-sized. */
+  private def pp08ContamReport(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    def shingles(df: DataFrame): DataFrame = df
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), expr("word_ngrams(toks, 5)").as("g"))
+    val bench = shingles(docs.filter(col("doc_id") % 97 === 0))
+    val benchSet = bench.select(col("g")).distinct()
+    // bench shingles that occur in the corpus: corpus streams, bench-sized
+    // build side broadcasts, result is again at most bench-sized
+    val hit = shingles(docs.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(benchSet), Seq("g"))
+      .select(col("g")).distinct()
+      .withColumn("_hit", lit(1))
+    bench
+      .join(broadcast(hit), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("_hit")).as("n_overlap"))
+      .withColumn("contam_frac",
+        floor(col("n_overlap").cast("double") / col("n_shingles").cast("double")
+          * lit(10000.0)) / lit(10000.0))
+      .orderBy(col("doc_id"))
+  }
+
   /** Domain mixing: per-source quality quota — keep the top 10 documents
     * of each source by quality score (deterministic doc_id tie-break),
     * then report the per-source mix. The row_number window gets
@@ -274,6 +307,27 @@ object Pipeline {
                          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
                   FROM documents))
       GROUP BY split ORDER BY split""",
+    "pp08_contam_report" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS l
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(l) >= 5
+                   THEN list_transform(generate_series(1, len(l) - 4),
+                          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])
+                   ELSE [] END)) AS g
+        FROM toks),
+      bench AS (SELECT doc_id, g FROM g WHERE doc_id % 97 = 0),
+      corpusg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 <> 0),
+      hit AS (SELECT DISTINCT b.g FROM (SELECT DISTINCT g FROM bench) b
+              JOIN corpusg c ON b.g = c.g)
+      SELECT bench.doc_id, count(*) AS n_shingles,
+             CAST(count(h.g) AS BIGINT) AS n_overlap,
+             floor(count(h.g)::DOUBLE / count(*)::DOUBLE * 10000.0) / 10000.0 AS contam_frac
+      FROM bench LEFT JOIN hit h ON bench.g = h.g
+      GROUP BY bench.doc_id ORDER BY bench.doc_id""",
     "pp03_decontam" -> """
       WITH toks AS (
         SELECT doc_id, lang, n_chars,
@@ -376,5 +430,6 @@ object Pipeline {
     "pp04_domain_mix" -> pp04DomainMix,
     "pp05_pii_redact" -> pp05PiiRedact,
     "pp06_mixture_sample" -> pp06MixtureSample,
-    "pp07_corpus_build" -> pp07CorpusBuild)
+    "pp07_corpus_build" -> pp07CorpusBuild,
+    "pp08_contam_report" -> pp08ContamReport)
 }
