@@ -560,9 +560,10 @@ object DeltaQueries {
       .orderBy(col("d"))
   }
 
-  /** Column defaults in the gate (allowColumnDefaults): evens land before
-    * the ALTER (their files lack the column — EXISTS_DEFAULT fills reads),
-    * odds land after WITHOUT the column (CURRENT_DEFAULT materialized at
+  /** Column defaults in the gate (allowColumnDefaults, PRODUCTION
+    * semantics — future writes only): evens land before the ALTER (their
+    * files predate the default → read NULL, coalesced to 'none'), odds
+    * land after WITHOUT the column (CURRENT_DEFAULT materialized at
     * write), a shifted slice lands WITH an explicit tier. The oracle
     * replays all three populations over the raw fixture. */
   private def dl23ColumnDefaults(s: SparkSession, dir: String): DataFrame = {
@@ -579,7 +580,7 @@ object DeltaQueries {
         .withColumn("tier", lit("prem")),
       path, SaveMode.Append, Nil)
     DeltaTable.read(s, path)
-      .groupBy(col("tier"))
+      .groupBy(coalesce(col("tier"), lit("none")).as("tier"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("s_suppkey")).as("key_sum"),
@@ -590,7 +591,11 @@ object DeltaQueries {
   val oracleSql: Map[String, String] = Map(
     "dl23_column_defaults" -> """
       WITH w AS (
-        SELECT s_suppkey, s_acctbal, 'std' AS tier FROM supplier
+        SELECT s_suppkey, s_acctbal, 'none' AS tier FROM supplier
+        WHERE s_suppkey % 2 = 0
+        UNION ALL
+        SELECT s_suppkey, s_acctbal, 'std' FROM supplier
+        WHERE s_suppkey % 2 = 1
         UNION ALL
         SELECT s_suppkey + 100000, s_acctbal, 'prem' FROM supplier
         WHERE s_suppkey % 7 = 0)

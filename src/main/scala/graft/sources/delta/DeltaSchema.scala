@@ -65,16 +65,40 @@ object DeltaSchema {
       params = Map("columns" -> cols.map(c => s"${c.name} ${c.dataType.sql}").mkString(", ")))
   }
 
+  /** Constant-fold `defaultSql` against `dt`, refusing non-constants
+    * loudly (the production contract for column defaults), and return the
+    * re-literalized canonical SQL. */
+  private def foldDefault(
+      spark: SparkSession, defaultSql: String,
+      dt: org.apache.spark.sql.types.DataType): String = {
+    val folded = spark.range(1)
+      .select(functions.expr(defaultSql).cast(dt).as("d"))
+      .queryExecution.optimizedPlan.expressions.head match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }
+    folded match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal => l.sql
+      case other => throw new IllegalArgumentException(
+        s"DEFAULT must be a constant expression; '$defaultSql' is not ($other)")
+    }
+  }
+
+  private def defaultsProtocol(snap: DeltaSnapshot): Option[DeltaProtocol] = {
+    val p = snap.protocol
+    if (p.minWriterVersion >= 7 && p.writerFeatures.contains("allowColumnDefaults")) None
+    else Some(p.copy(minWriterVersion = 7,
+      writerFeatures = p.impliedWriterFeatures + "allowColumnDefaults"))
+  }
+
   /** `ALTER TABLE … ADD COLUMN c T DEFAULT expr` — the `allowColumnDefaults`
-    * writer feature. The default must be a CONSTANT expression (production
-    * contract); it is constant-folded here and re-literalized, then stored
-    * under Spark's own `CURRENT_DEFAULT` / `EXISTS_DEFAULT` field-metadata
-    * keys: existing files (which lack the column) read EXISTS_DEFAULT
-    * through the stock parquet reader — no rewrite; future writes that
-    * omit the column get CURRENT_DEFAULT materialized by [[DeltaWriter]].
-    * Writer-ONLY protocol feature: readers that merely scan are
-    * unaffected... except they must honor EXISTS_DEFAULT, which is why the
-    * metadata rides in the schema itself. */
+    * writer feature, with PRODUCTION Delta semantics: the default applies
+    * to FUTURE writes only (stored as `CURRENT_DEFAULT`, materialized by
+    * [[DeltaWriter]] when a write omits the column); rows in existing
+    * files read NULL, exactly as if the column were added then
+    * `SET DEFAULT`-ed (delta-spark exposes only that two-step form — this
+    * statement is sugar for it, never a backfill). Writer-only protocol
+    * feature; readers are untouched. */
   def addColumnWithDefault(
       spark: SparkSession, tablePath: String,
       col: StructField, defaultSql: String): Long = {
@@ -85,34 +109,50 @@ object DeltaSchema {
     if (snap.metadata.columnMappingMode != "none")
       throw new UnsupportedOperationException(
         "ADD COLUMN DEFAULT on a column-mapped table is not supported")
-    // constant-fold against the declared type; refuse non-constants loudly
-    val folded = spark.range(1)
-      .select(functions.expr(defaultSql).cast(col.dataType).as("d"))
-      .queryExecution.optimizedPlan.expressions.head match {
-      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
-      case e => e
-    }
-    val lit = folded match {
-      case l: org.apache.spark.sql.catalyst.expressions.Literal => l
-      case other => throw new IllegalArgumentException(
-        s"DEFAULT must be a constant expression; '$defaultSql' is not ($other)")
-    }
+    val litSql = foldDefault(spark, defaultSql, col.dataType)
     val stamped = col.copy(nullable = true,
       metadata = new MetadataBuilder().withMetadata(col.metadata)
-        .putString(DeltaWriter.CurrentDefaultKey, lit.sql)
-        .putString(DeltaWriter.ExistsDefaultKey, lit.sql).build())
+        .putString(DeltaWriter.CurrentDefaultKey, litSql).build())
     val newSchema = StructType(snap.schema.fields :+ stamped)
-    val p = snap.protocol
-    val newProtocol =
-      if (p.minWriterVersion >= 7 && p.writerFeatures.contains("allowColumnDefaults")) None
-      else Some(p.copy(minWriterVersion = 7,
-        writerFeatures = p.impliedWriterFeatures + "allowColumnDefaults"))
     DeltaConstraints.commitMetadata(spark, tablePath,
       snap.metadata.configuration,
       newSchemaString = Some(newSchema.json),
       op = "ADD COLUMNS",
-      params = Map("columns" -> s"${col.name} ${col.dataType.sql} DEFAULT ${lit.sql}"),
-      newProtocol = newProtocol)
+      params = Map("columns" -> s"${col.name} ${col.dataType.sql} DEFAULT $litSql"),
+      newProtocol = defaultsProtocol(snap))
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT` —
+    * the production surface for defaults on EXISTING columns. SET affects
+    * future writes that omit the column; DROP restores the strict
+    * behavior (this engine's writer then refuses omission as schema
+    * drift). Metadata-only either way. */
+  def setColumnDefault(
+      spark: SparkSession, tablePath: String,
+      colName: String, defaultSql: Option[String]): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.assertWritable("ALTER COLUMN DEFAULT")
+    val field = snap.schema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $colName"))
+    val newMeta = defaultSql match {
+      case Some(e) =>
+        val litSql = foldDefault(spark, e, field.dataType)
+        new MetadataBuilder().withMetadata(field.metadata)
+          .putString(DeltaWriter.CurrentDefaultKey, litSql).build()
+      case None =>
+        require(field.metadata.contains(DeltaWriter.CurrentDefaultKey),
+          s"column $colName has no default to drop")
+        new MetadataBuilder().withMetadata(field.metadata)
+          .remove(DeltaWriter.CurrentDefaultKey).build()
+    }
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(colName)) f.copy(metadata = newMeta) else f))
+    DeltaConstraints.commitMetadata(spark, tablePath,
+      snap.metadata.configuration,
+      newSchemaString = Some(newSchema.json),
+      op = if (defaultSql.isDefined) "SET DEFAULT" else "DROP DEFAULT",
+      params = Map("column" -> colName) ++ defaultSql.map("default" -> _),
+      newProtocol = if (defaultSql.isDefined) defaultsProtocol(snap) else None)
   }
 
   /** `ALTER TABLE … RENAME COLUMN old TO new` — metadata-only, O(1) in

@@ -77,12 +77,11 @@ object DeltaWriter {
 
   val GenerationExpressionKey = "delta.generationExpression"
 
-  // Column defaults (allowColumnDefaults): Spark's own field-metadata
-  // convention — the parquet readers consume EXISTS_DEFAULT natively for
-  // columns absent from old files, and the writer materializes
-  // CURRENT_DEFAULT for columns omitted from a write.
+  // Column defaults (allowColumnDefaults): Spark's own field-metadata key.
+  // Production semantics — the default applies to FUTURE writes only (the
+  // writer materializes it for columns omitted from a write); rows in
+  // files older than the default read NULL.
   val CurrentDefaultKey = "CURRENT_DEFAULT"
-  val ExistsDefaultKey = "EXISTS_DEFAULT"
 
   // Identity columns (GENERATED ALWAYS AS IDENTITY — the protocol's
   // identityColumns capability, legacy writer v6): declaration + high

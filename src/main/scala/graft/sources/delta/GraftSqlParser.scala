@@ -105,6 +105,8 @@ private[graft] object GraftSqlCommands {
   private val AlterRenameCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterDropCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterColType = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+([\\w()\\s,]+?)\\s*;?\\s*$$""")
+  private val AlterSetDefault = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*$$""")
+  private val AlterDropDefault = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+DEFAULT\\s*;?\\s*$$""")
   private val AlterSetProps = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterAddConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterDropConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
@@ -427,6 +429,14 @@ private[graft] object GraftSqlCommands {
       }.toMap
       return Some(DeltaAlterCommand(path(asp, 1), DeltaAlterCommand.SetProps(props)))
     }
+    val asd = AlterSetDefault.matcher(sql)
+    if (asd.matches())
+      return Some(DeltaAlterCommand(path(asd, 1),
+        DeltaAlterCommand.SetDefault(asd.group(3), Some(asd.group(4).trim))))
+    val add2 = AlterDropDefault.matcher(sql)
+    if (add2.matches())
+      return Some(DeltaAlterCommand(path(add2, 1),
+        DeltaAlterCommand.SetDefault(add2.group(3), None)))
     val aco = AlterAddConstraint.matcher(sql)
     if (aco.matches())
       return Some(DeltaAlterCommand(path(aco, 1),
@@ -646,6 +656,8 @@ object DeltaAlterCommand {
   sealed trait Op
   final case class AddColumns(colsDdl: String) extends Op
   final case class AddColumnDefault(name: String, typeDdl: String, default: String) extends Op
+  /** SET DEFAULT (Some) / DROP DEFAULT (None) on an existing column. */
+  final case class SetDefault(name: String, default: Option[String]) extends Op
   final case class RenameColumn(oldName: String, newName: String) extends Op
   final case class DropColumn(name: String) extends Op
   final case class AlterColumnType(name: String, typeDdl: String) extends Op
@@ -667,6 +679,8 @@ case class DeltaAlterCommand(path: String, op: DeltaAlterCommand.Op)
         DeltaSchema.addColumnWithDefault(spark, path,
           org.apache.spark.sql.types.StructField(name,
             spark.sessionState.sqlParser.parseDataType(typeDdl)), default)
+      case SetDefault(name, default) =>
+        DeltaSchema.setColumnDefault(spark, path, name, default)
       case RenameColumn(o, n) => DeltaSchema.renameColumn(spark, path, o, n)
       case DropColumn(n) => DeltaSchema.dropColumn(spark, path, n)
       case AlterColumnType(n, t) => DeltaSchema.alterColumnType(spark, path, n,
