@@ -302,6 +302,31 @@ class DeltaMergeSuite extends AnyFunSuite {
       (1, 100, null), (2, 999, "beta"), (3, 300, null), (4, 400, null), (5, 500, "eps")))
   }
 
+  test("merge: schema evolution on a CDF-enabled table carries the new column in change rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-merge-evo-cdf").toString
+    DeltaWriter.write(Seq((1, 100), (2, 200)).toDF("id", "v").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')") // v1
+    val source = Seq((1, 0, "x"), (9, 900, "y")).toDF("id", "v", "tag")
+    DeltaMerge.merge(spark, dir, source, "t.id = s.id",
+      matched = Seq(Matched(Some(Map("v" -> "s.v", "tag" -> "s.tag")))),
+      notMatched = Seq(NotMatched(
+        Map("id" -> "s.id", "v" -> "s.v", "tag" -> "s.tag"))),
+      bySource = Nil, schemaEvolution = true) // v2: metaData + cdc in ONE commit
+    val changes = graft.sources.delta.DeltaCdf.read(spark, dir, 1, 2)
+      .select("id", "v", "tag", "_change_type").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[Int]("v"),
+        if (r.isNullAt(2)) null else r.getString(2), r.getString(3))).toSet
+    assert(changes === Set(
+      (1, 100, null, "update_preimage"),
+      (1, 0, "x", "update_postimage"),
+      (9, 900, "y", "insert")))
+    // the table itself evolved; untouched row reads NULL for the new col
+    assert(DeltaTable.read(spark, dir).filter(col("id") === 2)
+      .select("tag").collect()(0).isNullAt(0))
+  }
+
   test("merge: SQL INSERT * with autoMerge evolves from the source schema") {
     import spark.implicits._
     val dir = freshTable()
