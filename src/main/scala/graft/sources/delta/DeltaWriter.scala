@@ -746,18 +746,40 @@ object DeltaWriter {
         Row(null, null, null, null, Row(version))
     val tmp = new Path(tablePath, s"_cp-${UUID.randomUUID()}")
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
-    spark.createDataFrame(rows.asJava, schema).repartition(1).write.parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
-    val target = new Path(DeltaLog.logDir(tablePath),
-      if (v2Policy) f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet"
-      else f"$version%020d.checkpoint.parquet")
-    fs.rename(part, target)
+    def writeOne(someRows: Seq[Row], targetName: String): Unit = {
+      spark.createDataFrame(someRows.asJava, schema).repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+      fs.rename(part, new Path(DeltaLog.logDir(tablePath), targetName))
+    }
+    // classic multipart checkpoints (`delta.checkpoint.partSize` actions
+    // per part — production's escape hatch when a single checkpoint file
+    // of a 10M-file table outgrows comfortable single-object writes):
+    // `<v>.checkpoint.<i>.<n>.parquet`, every part required at replay.
+    // v2 policy ignores partSize — its scale mechanism is sidecars.
+    val partSize = snap.metadata.configuration.get("delta.checkpoint.partSize")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0)
+    val nParts: Int =
+      if (v2Policy || partSize.forall(rows.size <= _)) {
+        writeOne(rows,
+          if (v2Policy) f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet"
+          else f"$version%020d.checkpoint.parquet")
+        1
+      } else {
+        val chunks = rows.grouped(partSize.get).toSeq
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          writeOne(chunk,
+            f"$version%020d.checkpoint.${i + 1}%010d.${chunks.size}%010d.parquet")
+        }
+        chunks.size
+      }
     fs.delete(tmp, true)
     val last = mapper.createObjectNode()
     last.put("version", version)
     last.put("size", rows.size)
+    if (nParts > 1) last.put("parts", nParts)
     val lastPath = new Path(DeltaLog.logDir(tablePath), "_last_checkpoint")
     val out = fs.create(lastPath, true)
     out.write(mapper.writeValueAsString(last).getBytes("UTF-8"))

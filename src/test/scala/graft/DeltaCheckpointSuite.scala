@@ -249,6 +249,37 @@ class DeltaCheckpointSuite extends AnyFunSuite {
     assert(df.columns.contains("label"))              // v13 rename held
   }
 
+  test("delta.checkpoint.partSize writes multipart checkpoints that replay whole") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-parts").toString
+    DeltaWriter.write(Seq((0, "x")).toDF("id", "s").coalesce(1), dir,
+      org.apache.spark.sql.SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.checkpoint.partSize' = '3')") // v1
+    (2 to 10).foreach { i =>
+      DeltaWriter.write(Seq((i, "x")).toDF("id", "s").coalesce(1), dir,
+        org.apache.spark.sql.SaveMode.Append, Nil)
+    }
+    // the v10 checkpoint must be multipart: ≥ 12 actions / 3 per part
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_delta_log"))
+      .map(_.getPath.getName)
+    val parts = names.filter(_.matches("""0*10\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
+    assert(parts.length >= 4, s"expected multipart checkpoint, log: ${names.mkString(",")}")
+    // every part declares the same total, and all are present
+    val declared = parts.map(_.split('.')(3).toInt).distinct
+    assert(declared === Array(parts.length))
+    // replay through the multipart checkpoint is complete
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.size === 10)
+    assert(DeltaTable.read(spark, dir).count() === 10)
+    // _last_checkpoint records the part count
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_delta_log/_last_checkpoint"))
+    val lastJson = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    assert(lastJson.contains("\"parts\""))
+  }
+
   test("delta.checkpointInterval shortens the checkpoint cadence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-interval").toString
