@@ -612,14 +612,74 @@ object DeltaLog {
           d.getAs[Int]("sizeInBytes"),
           d.getAs[Long]("cardinality")))
       } else None
+    // foreign checkpoints (delta.checkpoint.writeStatsAsStruct, often with
+    // writeStatsAsJson=false — the Databricks layout) carry typed
+    // `stats_parsed` instead of the JSON string: re-serialize it so
+    // stats-based file skipping keeps working on such tables instead of
+    // silently degrading to scan-everything
+    val statsJson: Option[String] =
+      (if (fields.contains("stats")) Option(r.getAs[String]("stats")) else None)
+        .orElse {
+          if (!fields.contains("stats_parsed") ||
+            r.isNullAt(r.fieldIndex("stats_parsed"))) None
+          else Some(serializeParsedStats(r.getStruct(r.fieldIndex("stats_parsed"))))
+        }
     DeltaAddFile(
       r.getAs[String]("path"),
       Option(r.getAs[scala.collection.Map[String, String]]("partitionValues"))
         .map(_.toMap).getOrElse(Map.empty),
       r.getAs[Long]("size"),
       if (fields.contains("modificationTime")) r.getAs[Long]("modificationTime") else 0L,
-      if (fields.contains("stats")) Option(r.getAs[String]("stats")) else None,
+      statsJson,
       dv)
+  }
+
+  /** Typed `stats_parsed` struct → this engine's JSON stats string
+    * (numRecords / minValues / maxValues / nullCount). Nested structs
+    * recurse; temporal values render in the ISO forms the JSON-stats
+    * readers parse. Unknown field classes fall back to toString — stats
+    * are an optimization, a lossy value only weakens skipping, never
+    * correctness (the skipping test is conservative on parse failure). */
+  private def serializeParsedStats(row: org.apache.spark.sql.Row): String = {
+    def valueNode(v: Any, target: com.fasterxml.jackson.databind.node.ObjectNode,
+        key: String): Unit = v match {
+      case null => ()
+      case r: org.apache.spark.sql.Row =>
+        val child = target.putObject(key)
+        r.schema.fields.zipWithIndex.foreach { case (f, i) =>
+          valueNode(if (r.isNullAt(i)) null else r.get(i), child, f.name)
+        }
+      case x: Boolean => target.put(key, x)
+      case x: Byte => target.put(key, x.toInt)
+      case x: Short => target.put(key, x.toInt)
+      case x: Int => target.put(key, x)
+      case x: Long => target.put(key, x)
+      case x: Float => target.put(key, x)
+      case x: Double => target.put(key, x)
+      case x: java.math.BigDecimal => target.put(key, x)
+      case x: String => target.put(key, x)
+      case x: java.sql.Date => target.put(key, x.toString)
+      case x: java.time.LocalDate => target.put(key, x.toString)
+      case x: java.sql.Timestamp =>
+        target.put(key, x.toInstant.atZone(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+      case x: java.time.Instant =>
+        target.put(key, x.atZone(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+      case x: java.time.LocalDateTime => target.put(key, x.toString)
+      case other => target.put(key, other.toString)
+    }
+    val node = mapper.createObjectNode()
+    row.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) (f.name, row.get(i)) match {
+        case ("numRecords", n: Long) => node.put("numRecords", n)
+        case ("numRecords", n: Int) => node.put("numRecords", n.toLong)
+        case (name, v) => valueNode(v, node, name)
+      }
+    }
+    mapper.writeValueAsString(node)
   }
 
   /** `add.deletionVector` → descriptor (absent/null → None). */

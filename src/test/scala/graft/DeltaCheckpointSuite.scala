@@ -249,6 +249,62 @@ class DeltaCheckpointSuite extends AnyFunSuite {
     assert(df.columns.contains("label"))              // v13 rename held
   }
 
+  test("foreign checkpoints with stats_parsed (no JSON stats) keep file skipping") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-statsparsed").toString
+    DeltaWriter.write((1 to 10).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1),
+      dir, org.apache.spark.sql.SaveMode.Append, Nil)
+    DeltaWriter.write((100 to 110).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1),
+      dir, org.apache.spark.sql.SaveMode.Append, Nil)
+    DeltaWriter.writeCheckpoint(spark, dir, 1L)
+    val cpPath = new org.apache.hadoop.fs.Path(dir, "_delta_log/00000000000000000001.checkpoint.parquet")
+    val fs = cpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // rewrite the checkpoint the way a stats-as-struct engine lays it out:
+    // typed add.stats_parsed, NO add.stats JSON
+    val statsSchema = StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", StructType(Seq(
+        StructField("id", IntegerType), StructField("s", StringType)))),
+      StructField("maxValues", StructType(Seq(
+        StructField("id", IntegerType), StructField("s", StringType)))),
+      StructField("nullCount", StructType(Seq(
+        StructField("id", LongType), StructField("s", LongType))))))
+    val cp = spark.read.parquet(cpPath.toString)
+    val foreignAdd = struct(
+      col("add.path").as("path"),
+      col("add.partitionValues").as("partitionValues"),
+      col("add.size").as("size"),
+      col("add.modificationTime").as("modificationTime"),
+      col("add.dataChange").as("dataChange"),
+      from_json(col("add.stats"), statsSchema).as("stats_parsed"))
+    val rewritten = cp.withColumn("add",
+      when(col("add").isNotNull, foreignAdd))
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_cp-foreign")
+    rewritten.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.delete(cpPath, false) && fs.rename(part, cpPath))
+    fs.delete(tmp, true)
+    // also retire the pre-checkpoint JSONs so the stats can ONLY come from
+    // the struct (replay would otherwise still start at the checkpoint,
+    // but this makes the provenance unambiguous)
+    (0 to 1).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"_delta_log/$v%020d.json"), false)
+    }
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.size === 2)
+    assert(snap.files.forall(_.stats.nonEmpty), "stats_parsed must re-serialize")
+    // stats-based skipping still prunes: only the 100..110 file is read
+    val q = DeltaTable.read(spark, dir).filter(col("id") >= 100)
+    val scanned = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    assert(scanned === 1, "file skipping must work off the re-serialized stats")
+    assert(q.count() === 11)
+  }
+
   test("delta.checkpoint.partSize writes multipart checkpoints that replay whole") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-parts").toString
