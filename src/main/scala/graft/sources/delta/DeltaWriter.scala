@@ -689,8 +689,13 @@ object DeltaWriter {
     val mapT = MapType(StringType, StringType)
     val v2Field =
       if (!v2Policy) Nil
-      else Seq(StructField("checkpointMetadata", StructType(Seq(
-        StructField("version", LongType)))))
+      else Seq(
+        StructField("checkpointMetadata", StructType(Seq(
+          StructField("version", LongType)))),
+        StructField("sidecar", StructType(Seq(
+          StructField("path", StringType),
+          StructField("sizeInBytes", LongType),
+          StructField("modificationTime", LongType)))))
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
@@ -724,6 +729,9 @@ object DeltaWriter {
     def dvRow(f: DeltaAddFile): Row = f.deletionVector.map(d =>
       Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
         d.sizeInBytes, d.cardinality)).orNull
+    val addStructOf = (f: DeltaAddFile) =>
+      Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull, dvRow(f))
+    val addRows: Seq[Row] = snap.files.map(f => Row(null, null, addStructOf(f), null))
     val rows3: Seq[Row] =
       Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
         if (snap.protocol.readerFeatures.isEmpty) null else snap.protocol.readerFeatures.toSeq.sorted,
@@ -732,9 +740,7 @@ object DeltaWriter {
       Row(null, Row(snap.metadata.id, Row("parquet", Map.empty[String, String]),
         snap.metadata.schemaString, snap.metadata.partitionColumns,
         snap.metadata.configuration), null, null) +:
-      (snap.files.map(f => Row(null, null,
-        Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull, dvRow(f)),
-        null)) ++
+      (addRows ++
        // the latest SetTransaction per appId is checkpoint state (spec):
        // dropping one would let a retired commit's redelivery double-apply
        snap.transactions.toSeq.sortBy(_._1).map { case (appId, v) =>
@@ -742,8 +748,8 @@ object DeltaWriter {
        })
     val rows: Seq[Row] =
       if (!v2Policy) rows3
-      else rows3.map(r => Row(r(0), r(1), r(2), r(3), null)) :+
-        Row(null, null, null, null, Row(version))
+      else rows3.map(r => Row(r(0), r(1), r(2), r(3), null, null)) :+
+        Row(null, null, null, null, Row(version), null)
     val tmp = new Path(tablePath, s"_cp-${UUID.randomUUID()}")
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     def writeOne(someRows: Seq[Row], targetName: String): Unit = {
@@ -762,7 +768,33 @@ object DeltaWriter {
     val partSize = snap.metadata.configuration.get("delta.checkpoint.partSize")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0)
     val nParts: Int =
-      if (v2Policy || partSize.forall(rows.size <= _)) {
+      if (v2Policy && partSize.exists(addRows.size > _)) {
+        // v2 SIDECAR layout (production's v2 scale mechanism): file
+        // actions split into _delta_log/_sidecars/<uuid>.parquet files of
+        // partSize adds each; the UUID-named manifest carries only
+        // protocol/metaData/txn/checkpointMetadata plus one `sidecar`
+        // action per file. The replay side already unions sidecar adds.
+        val sidecarDir = new Path(DeltaLog.logDir(tablePath), "_sidecars")
+        fs.mkdirs(sidecarDir)
+        val sidecarSchema = StructType(Seq(schema("add")))
+        val sidecarRows = snap.files.grouped(partSize.get).toSeq.map { chunk =>
+          spark.createDataFrame(
+            chunk.map(f => Row(addStructOf(f))).asJava, sidecarSchema)
+            .repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          val part = fs.listStatus(tmp).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException("sidecar write produced no parquet"))
+          val name = s"${UUID.randomUUID()}.parquet"
+          val target = new Path(sidecarDir, name)
+          if (!fs.rename(part, target))
+            throw new java.io.IOException(s"failed to publish sidecar $target")
+          val st = fs.getFileStatus(target)
+          Row(null, null, null, null, null, Row(name, st.getLen, st.getModificationTime))
+        }
+        val manifest = rows.filter(r => r.isNullAt(2)) ++ sidecarRows
+        writeOne(manifest, f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet")
+        1
+      } else if (v2Policy || partSize.forall(rows.size <= _)) {
         writeOne(rows,
           if (v2Policy) f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet"
           else f"$version%020d.checkpoint.parquet")

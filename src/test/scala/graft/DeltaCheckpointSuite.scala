@@ -249,6 +249,43 @@ class DeltaCheckpointSuite extends AnyFunSuite {
     assert(df.columns.contains("label"))              // v13 rename held
   }
 
+  test("v2 policy + partSize writes SIDECAR checkpoints that replay whole") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-sidecar-w").toString
+    DeltaWriter.write(Seq((0, "x")).toDF("id", "s").coalesce(1), dir,
+      org.apache.spark.sql.SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.checkpointPolicy' = 'v2', 'delta.checkpoint.partSize' = '3')") // v1
+    (2 to 10).foreach { i =>
+      DeltaWriter.write(Seq((i, "x")).toDF("id", "s").coalesce(1), dir,
+        org.apache.spark.sql.SaveMode.Append, Nil)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the v10 checkpoint is ONE uuid manifest + ceil(10/3)=4 sidecars
+    val logNames = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_delta_log"))
+      .map(_.getPath.getName)
+    val manifests = logNames.filter(_.matches("""0*10\.checkpoint\.[^.]+\.parquet"""))
+    assert(manifests.length === 1, s"one uuid manifest expected: ${logNames.mkString(",")}")
+    val sidecars = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dir, "_delta_log/_sidecars"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(sidecars.length === 4, s"expected 4 sidecars, got ${sidecars.toSeq}")
+    // the manifest itself embeds NO add actions
+    val manifest = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(dir, s"_delta_log/${manifests.head}").toString)
+    assert(manifest.filter("add IS NOT NULL").count() === 0)
+    assert(manifest.filter("sidecar IS NOT NULL").count() === 4)
+    // replay through manifest + sidecars is complete, even with the
+    // pre-checkpoint JSONs retired
+    (0 to 9).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"_delta_log/$v%020d.json"), false)
+    }
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.size === 10)
+    assert(DeltaTable.read(spark, dir).count() === 10)
+  }
+
   test("foreign checkpoints with stats_parsed (no JSON stats) keep file skipping") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
