@@ -838,6 +838,7 @@ object DeltaMaintenance {
     StructField("timestamp", LongType),
     StructField("operation", StringType),
     StructField("engineInfo", StringType),
+    StructField("operationParameters", StringType),
     StructField("operationMetrics", StringType)))
 
   def detail(spark: SparkSession, tablePath: String): DataFrame = {
@@ -1097,6 +1098,7 @@ object DeltaMaintenance {
           .getOrElse(0L),
         ci.flatMap(c => Option(c.get("operation")).map(_.asText())).getOrElse(""),
         ci.flatMap(c => Option(c.get("engineInfo")).map(_.asText())).getOrElse(""),
+        ci.flatMap(c => Option(c.get("operationParameters")).map(_.toString)).getOrElse(""),
         ci.flatMap(c => Option(c.get("operationMetrics")).map(_.toString)).getOrElse(""))
     }.sortBy(-_.getLong(0))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), historySchema)

@@ -96,7 +96,7 @@ private[graft] object GraftSqlCommands {
   // `delta.`; PARTITIONED BY accepts `col` or `col type` entries
   private val Convert = re(s"""^\\s*CONVERT\\s+TO\\s+DELTA\\s+(?:parquet\\s*\\.\\s*`([^`]+)`|'([^']+)')(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""")
   private val Fsck = re(s"""^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$T(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
-  private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T\\s*;?\\s*$$""")
+  private val Describe = re(s"""^\\s*DESCRIBE\\s+(DETAIL|HISTORY)\\s+$T(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$$""")
   private val ShowParts = re(s"""^\\s*SHOW\\s+PARTITIONS\\s+$T\\s*;?\\s*$$""")
   // DEFAULT form probed first (single column): the plain ADD COLUMNS regex
   // would otherwise swallow the DEFAULT clause into the type DDL
@@ -393,7 +393,8 @@ private[graft] object GraftSqlCommands {
         deep = c.group(3).equalsIgnoreCase("DEEP")))
     val de = Describe.matcher(sql)
     if (de.matches())
-      return Some(DeltaDescribeCommand(path(de, 2), de.group(1).equalsIgnoreCase("DETAIL")))
+      return Some(DeltaDescribeCommand(path(de, 2), de.group(1).equalsIgnoreCase("DETAIL"),
+        Option(de.group(4)).map(_.toInt)))
     val sp = ShowParts.matcher(sql)
     if (sp.matches())
       return Some(DeltaShowPartitionsCommand(path(sp, 1)))
@@ -496,13 +497,17 @@ private[graft] object GraftSqlCommands {
 }
 
 /** DESCRIBE DETAIL / DESCRIBE HISTORY over a delta path. */
-case class DeltaDescribeCommand(path: String, detail: Boolean)
+case class DeltaDescribeCommand(path: String, detail: Boolean, limit: Option[Int] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlCommands.attrsOf(
     if (detail) DeltaMaintenance.detailSchema else DeltaMaintenance.historySchema)
-  override def run(spark: SparkSession): Seq[Row] =
-    (if (detail) DeltaMaintenance.detail(spark, path)
-     else DeltaMaintenance.history(spark, path)).collect().toSeq
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rows = (if (detail) DeltaMaintenance.detail(spark, path)
+      else DeltaMaintenance.history(spark, path)).collect().toSeq
+    // DESCRIBE HISTORY t LIMIT n (production surface) — rows are already
+    // newest-first, so LIMIT keeps the most recent commits
+    limit.map(rows.take).getOrElse(rows)
+  }
 }
 
 case class DeltaDeleteCommand(path: String, condition: String)

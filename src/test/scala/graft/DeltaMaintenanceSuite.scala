@@ -263,6 +263,11 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     assert(hist("WRITE").contains("\"numOutputRows\":\"3\""), hist("WRITE"))
     assert(hist("DELETE").contains("\"numAffectedRows\":\"1\""), hist("DELETE"))
     assert(hist("DELETE").contains("\"numRemovedFiles\":\"1\""))
+    // operationParameters ride along, and LIMIT keeps the newest commits
+    val limited = spark.sql(s"DESCRIBE HISTORY delta.`$dir` LIMIT 1").collect()
+    assert(limited.length === 1)
+    assert(limited(0).getAs[String]("operation") === "DELETE")
+    assert(limited(0).getAs[String]("operationParameters").contains("id = 2"))
   }
 
   test("dataSkippingNumIndexedCols bounds per-file stats to the first N columns") {
