@@ -323,15 +323,38 @@ object DeltaLog {
       }
     }
 
-    var protocol: Option[DeltaProtocol] = None
-    var metadata: Option[DeltaMetadata] = None
-    val live = mutable.LinkedHashMap.empty[String, DeltaAddFile]
-    val txns = mutable.Map.empty[String, Long]
-
     // 1. newest checkpoint at or below target (classic single-file,
     // classic multipart, or v2 UUID-named with checkpointMetadata and
     // optional sidecar file-action files)
     val cp = checkpoints.filter(_._1 <= target).lastOption
+    val tailCommits = commits.filter { case (v, _) =>
+      v >= cp.map(_._1 + 1).getOrElse(0L) && v <= target
+    }
+
+    // Scale fork: past [[SnapshotFileCountWarnThreshold]] live files the
+    // driver-side map replay becomes the bottleneck (heap + single-thread
+    // JSON parse) — hand the WHOLE replay to a Spark job instead
+    // (DeltaStateReconstruction: checkpoint ∪ parsed JSON actions →
+    // last-wins per path → live set). The file-count estimate is O(1)
+    // driver-side (_last_checkpoint's recorded row count, else checkpoint
+    // bytes), so small tables never pay a job for their snapshot.
+    val useJob = DistributedReplayMode match {
+      case "always" => true
+      case "never" => false
+      case _ => cp.exists { case (v, parts) =>
+        estimatedCheckpointAdds(spark, tablePath, v, parts) > SnapshotFileCountWarnThreshold
+      }
+    }
+    if (useJob) {
+      val (p, m, files, txns) =
+        DeltaStateReconstruction.replay(spark, tablePath, cp, tailCommits)
+      return finishSnapshot(tablePath, target, p, m, files, txns, driverPlane = false)
+    }
+
+    var protocol: Option[DeltaProtocol] = None
+    var metadata: Option[DeltaMetadata] = None
+    val live = mutable.LinkedHashMap.empty[String, DeltaAddFile]
+    val txns = mutable.Map.empty[String, Long]
     cp.foreach { case (cpVersion, parts) =>
       val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
       replayReads.addAndGet(parts.size.toLong)
@@ -404,9 +427,8 @@ object DeltaLog {
     }
 
     // 2. JSON deltas after the checkpoint, up to target
-    val fromVersion = cp.map(_._1 + 1).getOrElse(0L)
     val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
-    commits.filter { case (v, _) => v >= fromVersion && v <= target }.foreach { case (_, status) =>
+    tailCommits.foreach { case (_, status) =>
       replayReads.incrementAndGet()
       val in = fs.open(status.getPath)
       val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -461,6 +483,21 @@ object DeltaLog {
       commitAdds.foreach(a => live(a.path) = a)
     }
 
+    finishSnapshot(tablePath, target, protocol, metadata,
+      live.values.toSeq, txns.toMap, driverPlane = true)
+  }
+
+  /** Shared snapshot finalization for the driver-map and Spark-job replay
+    * paths: reader-version gate, metaData requirement, the driver-plane
+    * scale warning, construction. */
+  private def finishSnapshot(
+      tablePath: String,
+      target: Long,
+      protocol: Option[DeltaProtocol],
+      metadata: Option[DeltaMetadata],
+      files: Seq[DeltaAddFile],
+      txns: Map[String, Long],
+      driverPlane: Boolean): DeltaSnapshot = {
     val proto = protocol.getOrElse(DeltaProtocol(1, 2))
     // Reader-version gate: v1 unconditionally; v2 (legacy column mapping —
     // the scan path additionally rejects `id` mode and nested mappings,
@@ -481,26 +518,57 @@ object DeltaLog {
     }
     val meta = metadata.getOrElse(throw new IllegalStateException(
       s"$tablePath: no metaData action found in log replay up to version $target"))
-    // Scale guard: snapshot state is reconstructed DRIVER-SIDE (one pass
-    // over checkpoint ∪ JSON deltas into a mutable map) — the same plane
-    // classic delta clients use, comfortable to ~1M live files. Past that
-    // the snapshot itself becomes the bottleneck (production delta-spark
-    // moved to Spark-job state reconstruction for exactly this reason) —
-    // warn loudly so the operator OPTIMIZEs or re-partitions before the
-    // driver heap becomes the incident.
-    if (live.size > SnapshotFileCountWarnThreshold)
+    // Scale guard (driver-map path only): replay ran DRIVER-SIDE — the
+    // plane classic delta clients use, comfortable to ~1M live files. The
+    // threshold crossing normally routes to the Spark-job path before this
+    // fires (estimate-based — a table that grew past the threshold since
+    // its last checkpoint can still land here once, and checkpoints on the
+    // cadence re-route it).
+    if (driverPlane && files.size > SnapshotFileCountWarnThreshold)
       System.err.println(
-        s"[graft] WARN: $tablePath snapshot v$target holds ${live.size} live " +
+        s"[graft] WARN: $tablePath snapshot v$target holds ${files.size} live " +
           s"files (> $SnapshotFileCountWarnThreshold); driver-side log replay " +
-          "degrades past ~1M files — compact with OPTIMIZE (small files are " +
-          "also slowing every scan)")
-    DeltaSnapshot(tablePath, target, proto, meta, live.values.toSeq, txns.toMap)
+          "degrades past ~1M files — the next checkpoint routes replay to the " +
+          "distributed path, and OPTIMIZE shrinks the file count (small files " +
+          "are also slowing every scan)")
+    DeltaSnapshot(tablePath, target, proto, meta, files, txns)
   }
 
-  /** Live-file count past which [[snapshot]] warns about driver-side
-    * replay cost (var for tests; production Delta's practical comfort zone
-    * is well past this, the warning fires early by design). */
+  /** Live-file count past which [[snapshot]] replays via Spark job instead
+    * of the driver-side map (var for tests; production Delta's practical
+    * driver comfort zone is well past this, the cutover fires early by
+    * design). */
   private[graft] var SnapshotFileCountWarnThreshold: Int = 100000
+
+  /** Replay-path selector: `auto` (estimate-based, production behavior),
+    * `never` / `always` (test pins for path-equivalence specs). */
+  private[graft] var DistributedReplayMode: String = "auto"
+
+  /** O(1) estimate of a checkpoint's add count, for the replay-path
+    * decision: `_last_checkpoint`'s recorded row count when it describes
+    * this checkpoint, else checkpoint bytes / 256 (an add row with stats
+    * compresses to well over 256 B — the estimate over-counts, which only
+    * moves the cutover earlier, never silently overloads the driver). */
+  private def estimatedCheckpointAdds(
+      spark: SparkSession, tablePath: String,
+      cpVersion: Long, parts: Seq[FileStatus]): Long = {
+    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val lastPath = new Path(logDir(tablePath), "_last_checkpoint")
+    val fromLast: Option[Long] =
+      try {
+        if (!fs.exists(lastPath)) None
+        else {
+          val in = fs.open(lastPath)
+          val content =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          val node = mapper.readTree(content)
+          if (node.has("version") && node.get("version").asLong() == cpVersion &&
+            node.has("size")) Some(node.get("size").asLong())
+          else None
+        }
+      } catch { case _: Exception => None }
+    fromLast.getOrElse(parts.map(_.getLen).sum / 256)
+  }
 
   /** Earliest version whose commit time is at or after `ts` — the
     * streaming source's `startingTimestamp` resolution (spec: "all table

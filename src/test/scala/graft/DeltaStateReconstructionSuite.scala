@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta.{DeltaDml, DeltaLog, DeltaMaintenance, DeltaTable, DeltaWriter}
+
+/** Spark-job snapshot state reconstruction (DeltaStateReconstruction) —
+  * the scale path past the driver-replay ceiling. The contract under test:
+  * for ANY log the job path must produce a snapshot IDENTICAL to the
+  * driver-map path (protocol, metadata, live file set with stats and DVs,
+  * SetTransactions), and the auto cutover must route big tables to it
+  * without the caller noticing. */
+class DeltaStateReconstructionSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-recon-").toFile.getAbsolutePath
+
+  private def snapshotIn(mode: String, dir: String, versionAsOf: Option[Long] = None) = {
+    DeltaLog.DistributedReplayMode = mode
+    try DeltaLog.snapshot(spark, dir, versionAsOf = versionAsOf)
+    finally DeltaLog.DistributedReplayMode = "auto"
+  }
+
+  private def assertSameSnapshot(dir: String, versionAsOf: Option[Long] = None): Unit = {
+    val d = snapshotIn("never", dir, versionAsOf)
+    val j = snapshotIn("always", dir, versionAsOf)
+    assert(j.version === d.version)
+    assert(j.protocol === d.protocol)
+    assert(j.metadata === d.metadata)
+    assert(j.transactions === d.transactions)
+    assert(j.files.sortBy(_.path) === d.files.sortBy(_.path))
+  }
+
+  test("job replay matches driver replay across appends, DML, DV delete, OPTIMIZE, txn, checkpoint") {
+    val dir = tmpDir()
+    // partitioned history with a NULL partition value in the mix
+    DeltaWriter.write(
+      Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", null)).toDF("id", "s", "p"),
+      dir, SaveMode.Append, Seq("p"))
+    DeltaWriter.write(Seq((4, "d", "p1"), (5, "e", "p3")).toDF("id", "s", "p"),
+      dir, SaveMode.Append, Nil)
+    // copy-on-write DML: remove+add in one commit
+    DeltaDml.delete(spark, dir, "id = 2")
+    DeltaDml.update(spark, dir, "id = 1", Map("s" -> "'A'"))
+    // SetTransaction: job path must surface it for idempotence checks
+    DeltaWriter.write(Seq((6, "f", "p2")).toDF("id", "s", "p"),
+      dir, SaveMode.Append, Nil, txn = Some(("recon-app", 7L)))
+    // checkpoint mid-history, then MORE commits so the tail exercises the
+    // JSON side: a DV delete (remove+add of the SAME path in one commit —
+    // the in-commit ordering tie-break) and a dataChange=false OPTIMIZE
+    val cpV = DeltaLog.snapshot(spark, dir).version
+    DeltaWriter.writeCheckpoint(spark, dir, cpV)
+    DeltaDml.deleteWithDv(spark, dir, "id = 4")
+    DeltaWriter.write(Seq((7, "g", "p1"), (8, "h", "p1")).toDF("id", "s", "p"),
+      dir, SaveMode.Append, Nil)
+    DeltaMaintenance.optimize(spark, dir, 128L << 20)
+
+    assertSameSnapshot(dir)
+    // time travel both before and after the checkpoint boundary
+    assertSameSnapshot(dir, versionAsOf = Some(2L))
+    assertSameSnapshot(dir, versionAsOf = Some(cpV + 1))
+
+    // the job-path snapshot actually reads correctly end-to-end
+    val rows = {
+      DeltaLog.DistributedReplayMode = "always"
+      try DeltaTable.read(spark, dir).select("id").as[Int].collect().sorted.toSeq
+      finally DeltaLog.DistributedReplayMode = "auto"
+    }
+    assert(rows === Seq(1, 3, 5, 6, 7, 8))
+  }
+
+  test("job replay handles a checkpoint-only log (no tail commits)") {
+    val dir = tmpDir()
+    DeltaWriter.write((1 to 20).toDF("id"), dir, SaveMode.Append, Nil)
+    DeltaWriter.write((21 to 40).toDF("id"), dir, SaveMode.Append, Nil)
+    val v = DeltaLog.snapshot(spark, dir).version
+    DeltaWriter.writeCheckpoint(spark, dir, v)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to v).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"_delta_log/$n%020d.json"), false)
+    }
+    assertSameSnapshot(dir)
+    assert(snapshotIn("always", dir).files.nonEmpty)
+  }
+
+  test("v2 sidecar checkpoints replay identically through the job path") {
+    val dir = tmpDir()
+    DeltaWriter.write(Seq((1, "x")).toDF("id", "s"), dir, SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.checkpointPolicy' = 'v2', 'delta.checkpoint.partSize' = '2')")
+    (2 to 8).foreach { i =>
+      DeltaWriter.write(Seq((i, s"v$i")).toDF("id", "s").coalesce(1),
+        dir, SaveMode.Append, Nil)
+    }
+    val v = DeltaLog.snapshot(spark, dir).version
+    DeltaWriter.writeCheckpoint(spark, dir, v)
+    DeltaWriter.write(Seq((9, "tail")).toDF("id", "s"), dir, SaveMode.Append, Nil)
+    assertSameSnapshot(dir)
+  }
+
+  test("foreign stats_parsed checkpoints keep stats through the job path") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    DeltaWriter.write((1 to 10).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    DeltaWriter.write((100 to 110).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    DeltaWriter.writeCheckpoint(spark, dir, 1L)
+    val cpPath = new org.apache.hadoop.fs.Path(
+      dir, "_delta_log/00000000000000000001.checkpoint.parquet")
+    val fs = cpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val statsSchema = StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", StructType(Seq(
+        StructField("id", IntegerType), StructField("s", StringType)))),
+      StructField("maxValues", StructType(Seq(
+        StructField("id", IntegerType), StructField("s", StringType)))),
+      StructField("nullCount", StructType(Seq(
+        StructField("id", LongType), StructField("s", LongType))))))
+    val cp = spark.read.parquet(cpPath.toString)
+    val foreignAdd = struct(
+      col("add.path").as("path"),
+      col("add.partitionValues").as("partitionValues"),
+      col("add.size").as("size"),
+      col("add.modificationTime").as("modificationTime"),
+      col("add.dataChange").as("dataChange"),
+      from_json(col("add.stats"), statsSchema).as("stats_parsed"))
+    val rewritten = cp.withColumn("add", when(col("add").isNotNull, foreignAdd))
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_cp-foreign")
+    rewritten.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.delete(cpPath, false) && fs.rename(part, cpPath))
+    fs.delete(tmp, true)
+    (0 to 1).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"_delta_log/$v%020d.json"), false)
+    }
+    val snap = snapshotIn("always", dir)
+    assert(snap.files.size === 2)
+    assert(snap.files.forall(_.stats.nonEmpty),
+      "stats_parsed must re-serialize executor-side (to_json)")
+    // skipping still prunes on the re-serialized stats
+    val minIds = snap.files.flatMap(_.stats).map { s =>
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(s).get("minValues").get("id").asInt()
+    }.sorted
+    assert(minIds === Seq(1, 100))
+  }
+
+  test("auto mode cuts over past the threshold and the snapshot is unchanged") {
+    val dir = tmpDir()
+    // 12 single-file commits -> checkpoint at v9 (cadence 10) records
+    // ~12 rows in _last_checkpoint; threshold 5 routes auto to the job path
+    (1 to 12).foreach { i =>
+      DeltaWriter.write(Seq((i, s"r$i")).toDF("id", "s").coalesce(1),
+        dir, SaveMode.Append, Nil)
+    }
+    val driver = snapshotIn("never", dir)
+    val prev = DeltaLog.SnapshotFileCountWarnThreshold
+    DeltaLog.SnapshotFileCountWarnThreshold = 5
+    try {
+      val auto = DeltaLog.snapshot(spark, dir) // auto mode
+      assert(auto.version === driver.version)
+      assert(auto.files.sortBy(_.path) === driver.files.sortBy(_.path))
+      assert(auto.metadata === driver.metadata)
+    } finally DeltaLog.SnapshotFileCountWarnThreshold = prev
+  }
+}
