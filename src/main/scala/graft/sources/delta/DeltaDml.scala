@@ -199,25 +199,21 @@ object DeltaDml {
         DeltaCdf.stageChanges(spark, tablePath, snap, changes)
       }
 
-    // ---- 4. validated commit loop (abort if a touched file was rewritten
-    // by a concurrent commit between our snapshot and our commit)
+    // ---- 4. validated commit loop: on a lost commit race, the
+    // ConflictChecker decides — disjoint concurrent commits (appends,
+    // other partitions' rewrites) proceed; a changed touched file or a
+    // concurrent metadata/protocol change aborts
     beforeCommit()
     var attempt = 0
     var committedVersion = -1L
     while (committedVersion < 0 && attempt < 20) {
       val latest = DeltaLog.snapshot(spark, tablePath)
-      val live = latest.files.map(_.path).toSet
-      val gone = touched.filterNot(f => live.contains(f.path))
-      if (gone.nonEmpty) {
+      ConflictChecker.checkRewrite(op, snap, latest, touched, () => {
         adds.foreach { case (rel, _, _, _, _) =>
           fs.delete(new Path(tablePath, rel), false)
         }
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
-        throw new java.util.ConcurrentModificationException(
-          s"$op aborted on $tablePath: ${gone.size} of ${touched.size} " +
-            s"source file(s) were removed by a concurrent commit " +
-            s"(e.g. ${gone.head.path}); rerun against the new snapshot")
-      }
+      })
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
@@ -433,24 +429,19 @@ object DeltaDml {
         DeltaCdf.stageChanges(spark, tablePath, snap, deleted)
       }
 
-    // ---- 4. validated commit loop: abort unless every touched add entry
-    // is byte-identical to the find snapshot's (path AND current DV)
+    // ---- 4. validated commit loop: touched add entries must be
+    // byte-identical to the find snapshot's (path AND current DV) —
+    // disjoint concurrent commits proceed (ConflictChecker)
     beforeCommit()
     var attempt = 0
     var committedVersion = -1L
     while (committedVersion < 0 && attempt < 20) {
       val latest = DeltaLog.snapshot(spark, tablePath)
-      val liveByPath = latest.files.map(f => f.path -> f).toMap
-      val changed = touched.filterNot(f => liveByPath.get(f.path).contains(f))
-      if (changed.nonEmpty) {
+      ConflictChecker.checkRewrite("DELETE (merge-on-read)", snap, latest, touched, () => {
         val fs = new Path(tablePath).getFileSystem(conf)
         dvFilePaths.foreach(p => fs.delete(p, false))
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
-        throw new java.util.ConcurrentModificationException(
-          s"DELETE (merge-on-read) aborted on $tablePath: ${changed.size} of " +
-            s"${touched.size} touched file(s) changed under a concurrent commit " +
-            s"(e.g. ${changed.head.path}); rerun against the new snapshot")
-      }
+      })
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()

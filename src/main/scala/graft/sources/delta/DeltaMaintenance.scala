@@ -153,7 +153,7 @@ object DeltaMaintenance {
       math.max(1, (groups.values.flatten.map(_.size).sum / math.max(1L, targetFileBytes)).toInt + groups.size)))
     val removed = groups.values.flatten.toSeq
     beforeCommit()
-    val committedVersion = commitReplace(spark, tablePath, fs, removed, adds,
+    val committedVersion = commitReplace(spark, tablePath, snap, fs, removed, adds,
       dataChange = false, op = "OPTIMIZE",
       params = Map("targetFileBytes" -> targetFileBytes.toString) ++
         predicate.map("predicate" -> _),
@@ -263,7 +263,7 @@ object DeltaMaintenance {
 
     val (adds, fs) = stagePublish(spark, tablePath, snap, rewritten)
     val removed = candidates
-    val committed = commitReplace(spark, tablePath, fs, removed, adds,
+    val committed = commitReplace(spark, tablePath, snap, fs, removed, adds,
       dataChange = false, op = "OPTIMIZE",
       params = Map("zOrderBy" -> zorderBy.mkString(","),
         "targetFileBytes" -> targetFileBytes.toString) ++ predicate.map("predicate" -> _),
@@ -307,11 +307,14 @@ object DeltaMaintenance {
   }
 
   /** Validated remove+add commit loop shared by the rewrite operations:
-    * re-reads the snapshot each attempt and aborts (cleaning up the staged
-    * adds) if any file in `removed` was removed by a concurrent commit. */
+    * re-reads the snapshot each attempt and defers to the
+    * [[ConflictChecker]] — disjoint concurrent commits proceed; a changed
+    * `removed` entry or concurrent metadata/protocol change aborts
+    * (cleaning up the staged adds). */
   private def commitReplace(
       spark: SparkSession,
       tablePath: String,
+      base: DeltaSnapshot,
       fs: org.apache.hadoop.fs.FileSystem,
       removed: Seq[DeltaAddFile],
       adds: Seq[(String, Map[String, String], Long, Long,
@@ -326,17 +329,11 @@ object DeltaMaintenance {
     while (committedVersion < 0 && attempt < 20) {
       val latest = DeltaLog.snapshot(spark, tablePath)
       lastConfig = latest.metadata.configuration
-      val live = latest.files.map(_.path).toSet
-      val gone = removed.filterNot(f => live.contains(f.path))
-      if (gone.nonEmpty) {
+      ConflictChecker.checkRewrite(abortOp, base, latest, removed, () => {
         adds.foreach { case (rel, _, _, _, _) =>
           fs.delete(new Path(tablePath, rel), false)
         }
-        throw new java.util.ConcurrentModificationException(
-          s"$abortOp aborted on $tablePath: ${gone.size} of ${removed.size} " +
-            s"source file(s) were removed by a concurrent commit " +
-            s"(e.g. ${gone.head.path}); rerun against the new snapshot")
-      }
+      })
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
@@ -576,7 +573,7 @@ object DeltaMaintenance {
     val out = (survivors :+ data).map(_.select(outCols.map(col): _*))
       .reduce(_ unionByName _)
     val (adds, fs) = stagePublish(spark, tablePath, snap, out)
-    commitReplace(spark, tablePath, fs, touched, adds, dataChange = true,
+    commitReplace(spark, tablePath, snap, fs, touched, adds, dataChange = true,
       op = "REPLACE WHERE", params = Map("condition" -> condition),
       abortOp = "REPLACE WHERE")
   }

@@ -383,18 +383,12 @@ object DeltaMerge {
     var committedVersion = -1L
     while (committedVersion < 0 && attempt < 20) {
       val latest = DeltaLog.snapshot(spark, tablePath)
-      val live = latest.files.map(_.path).toSet
-      val gone = touched.filterNot(f => live.contains(f.path))
-      if (gone.nonEmpty) {
+      ConflictChecker.checkRewrite("MERGE", snap, latest, touched, () => {
         adds.foreach { case (rel, _, _, _, _) =>
           fs.delete(new Path(tablePath, rel), false)
         }
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
-        throw new java.util.ConcurrentModificationException(
-          s"MERGE aborted on $tablePath: ${gone.size} of ${touched.size} " +
-            s"source file(s) were removed by a concurrent commit; rerun " +
-            s"against the new snapshot")
-      }
+      })
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()

@@ -379,6 +379,25 @@ object DeltaWriter {
         }
         return
       }
+      // logical conflict check (WriteSerializable): a blind append
+      // tolerates ANY concurrent file activity — appends, DML, OPTIMIZE on
+      // other files all interleave — but not a metadata or protocol change
+      // (schema/constraints/CDF this write validated against no longer
+      // hold), nor a concurrent CREATION of the table it was about to
+      // create (committing v1 blind on a stranger's v0 schema).
+      val dropStaged = () => adds.foreach { case (rel, _, _, _, _) =>
+        fs.delete(new Path(tablePath, rel), false)
+      }
+      (existing, current) match {
+        case (Some(base), Some(cur)) =>
+          ConflictChecker.checkTableState("WRITE", base, cur, dropStaged)
+        case (None, Some(_)) =>
+          dropStaged()
+          throw new java.util.ConcurrentModificationException(
+            s"WRITE aborted on $tablePath: the table was created by a " +
+              "concurrent writer; rerun the write against the existing table")
+        case _ => ()
+      }
       val lines = Seq.newBuilder[String]
 
       val commitInfo = mapper.createObjectNode()

@@ -9,7 +9,7 @@ import scala.concurrent.duration._
 import org.apache.spark.sql.SaveMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.delta.{DeltaLog, DeltaTable, DeltaWriter}
+import graft.sources.delta.{DeltaDml, DeltaLog, DeltaMaintenance, DeltaTable, DeltaWriter}
 
 /** ACID under contention: concurrent appenders race on the commit version;
   * the atomic-rename commit protocol (tryCommit + retry) must serialize
@@ -40,5 +40,110 @@ class DeltaConcurrencySuite extends AnyFunSuite {
     (0L to 4L).foreach { v =>
       assert(DeltaTable.readVersion(spark, dir, v).count() === v + 1)
     }
+  }
+
+  // --- logical conflict resolution (ConflictChecker, WriteSerializable):
+  // disjoint concurrent commits both succeed; overlapping or
+  // metadata-changing ones abort. The beforeCommit seams inject the
+  // concurrent commit deterministically between staging and commit.
+
+  import spark.implicits._
+
+  private def partitionedTable(): String = {
+    val dir = Files.createTempDirectory("graft-conflict").toString
+    DeltaWriter.write(
+      (1 to 40).map(i => (i.toLong, s"r$i", i % 4)).toDF("id", "payload", "p"),
+      dir, SaveMode.Append, Seq("p"))
+    dir
+  }
+
+  test("concurrent DELETE on partition A and append to partition B both commit") {
+    val dir = partitionedTable()
+    val m = DeltaDml.delete(spark, dir, "p = 1", beforeCommit = () => {
+      DeltaWriter.write(Seq((100L, "late", 2)).toDF("id", "payload", "p"),
+        dir, SaveMode.Append, Nil)
+    })
+    assert(m.committedVersion === 2L) // v0 create, v1 append, v2 delete
+    val ids = DeltaTable.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(!ids.exists(_ % 4 == 1), "partition 1 deleted")
+    assert(ids.contains(100L), "concurrent append to partition 2 survived")
+  }
+
+  test("concurrent DELETEs on disjoint partitions both commit") {
+    val dir = partitionedTable()
+    val m = DeltaDml.delete(spark, dir, "p = 1", beforeCommit = () => {
+      DeltaDml.delete(spark, dir, "p = 3")
+    })
+    assert(m.committedVersion === 2L)
+    val ps = DeltaTable.read(spark, dir).select("p").distinct()
+      .as[Int].collect().sorted.toSeq
+    assert(ps === Seq(0, 2))
+  }
+
+  test("overlapping-file DML still aborts, and the loser's changes do not land") {
+    val dir = Files.createTempDirectory("graft-conflict").toString
+    DeltaWriter.write((1 to 20).map(i => (i.toLong, s"r$i")).toDF("id", "payload")
+      .coalesce(1), dir, SaveMode.Append, Nil)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      DeltaDml.delete(spark, dir, "id <= 5", beforeCommit = () => {
+        DeltaDml.delete(spark, dir, "id >= 15") // same single file
+      })
+    }
+    assert(e.getMessage.contains("DELETE aborted"))
+    val ids = DeltaTable.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(ids === (1L to 14L).toSet, "winner applied, loser fully rolled back")
+  }
+
+  test("a concurrent metadata change aborts in-flight DML") {
+    val dir = partitionedTable()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      DeltaDml.delete(spark, dir, "p = 1", beforeCommit = () => {
+        spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+          "('graft.test.marker' = 'on')")
+      })
+    }
+    assert(e.getMessage.contains("metadata changed concurrently"))
+    // nothing from the aborted DELETE landed
+    assert(DeltaTable.read(spark, dir).count() === 40)
+  }
+
+  test("a concurrent DV attach aborts a copy-on-write rewrite of the same file") {
+    val dir = Files.createTempDirectory("graft-conflict").toString
+    DeltaWriter.write((1 to 20).map(i => (i.toLong, s"r$i")).toDF("id", "payload")
+      .coalesce(1), dir, SaveMode.Append, Nil)
+    // the copy-on-write rewrite is staged from the PRE-DV state; letting it
+    // commit would resurrect the DV-deleted row — the entry-changed rule
+    // (not just live/gone) must catch it
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaDml.delete(spark, dir, "id <= 5", beforeCommit = () => {
+        DeltaDml.deleteWithDv(spark, dir, "id = 7")
+      })
+    }
+    val ids = DeltaTable.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(!ids.contains(7L), "DV delete holds — no resurrection")
+    assert(ids.contains(5L), "aborted copy-on-write delete did not apply")
+  }
+
+  test("OPTIMIZE proceeds past a disjoint concurrent append, aborts when its sources change") {
+    val dir = Files.createTempDirectory("graft-conflict").toString
+    (1 to 3).foreach { i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i", 1), (i + 10L, s"s$i", 2))
+        .toDF("id", "payload", "p"), dir, SaveMode.Append, Seq("p"))
+    }
+    // disjoint append interleaves: OPTIMIZE still commits
+    val m = DeltaMaintenance.optimize(spark, dir, 128L << 20, Some("p = 1"), () => {
+      DeltaWriter.write(Seq((99L, "late", 2)).toDF("id", "payload", "p"),
+        dir, SaveMode.Append, Nil)
+    })
+    assert(m.filesRemoved === 3)
+    assert(DeltaTable.read(spark, dir).count() === 7)
+    // overlapping rewrite aborts: a DELETE rewrites the files OPTIMIZE is
+    // about to replace
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaMaintenance.optimize(spark, dir, 128L << 20, Some("p = 2"), () => {
+        DeltaDml.delete(spark, dir, "p = 2 AND id = 11")
+      })
+    }
+    assert(DeltaTable.read(spark, dir).filter("p = 2").count() === 3)
   }
 }
