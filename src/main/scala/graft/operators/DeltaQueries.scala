@@ -158,6 +158,7 @@ object DeltaQueries {
       matchedUpdate = Some(Map(
         "s_acctbal" -> "s.s_acctbal + 50.0",
         "s_name" -> "upper(s.s_name)")),
+      matchedDelete = false,
       notMatchedInsert = Some(
         supplier.columns.map(c => c -> s"s.$c").toMap))
     DeltaTable.read(s, path)
@@ -545,7 +546,8 @@ object DeltaQueries {
     * rows in the hash. */
   private def dl22GeneratedPrune(s: SparkSession, dir: String): DataFrame = {
     val path = scratch()
-    // events.ts is TIMESTAMP(NANOS): [[Tables.events]] reads it as micros
+    // events.ts: [[Tables.events]] normalizes all fixture generations to
+    // session-tz TIMESTAMP(MICROS)
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("ts"), col("user_id"), col("value"))
     DeltaWriter.write(ev, path, SaveMode.Append, Seq("d"),
@@ -588,7 +590,48 @@ object DeltaQueries {
       .orderBy(col("tier"))
   }
 
+  /** Batch idempotent writes (`txnAppId`/`txnVersion`): deliver the even
+    * suppliers twice through the options path (second is a SetTransaction
+    * no-op), then upsert the odd suppliers twice via an idempotence-keyed
+    * MERGE (second is a no-op). Any failure of the redelivery contract
+    * doubles rows and breaks the hash against the raw fixture. */
+  private def dl24IdempotentWrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.delta.{DeltaMerge, MergeClause}
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    val evens = supplier.filter(col("s_suppkey") % 2 === 0)
+    def deliverBatch(): Unit = evens.write.format("delta")
+      .mode(SaveMode.Append)
+      .option("txnAppId", "dl24-loader").option("txnVersion", "1")
+      .save(path)
+    deliverBatch()
+    deliverBatch() // redelivery: same (appId, version) → no-op
+    val odds = supplier.filter(col("s_suppkey") % 2 === 1)
+    def upsert(): Unit = DeltaMerge.merge(
+      s, path, odds, "t.s_suppkey = s.s_suppkey",
+      matched = Nil,
+      notMatched = Seq(MergeClause.NotMatched(
+        odds.columns.map(c => c -> s"s.$c").toMap)),
+      bySource = Nil,
+      schemaEvolution = false,
+      txn = Some(("dl24-upsert", 1L)))
+    upsert()
+    upsert() // redelivered merge → no-op
+    DeltaTable.read(s, path)
+      .groupBy((col("s_suppkey") % 5).cast("int").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .orderBy(col("grp"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl24_idempotent_write" -> """
+      SELECT CAST(s_suppkey % 5 AS INT) AS grp, count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
+      FROM supplier GROUP BY 1 ORDER BY 1""",
     "dl23_column_defaults" -> """
       WITH w AS (
         SELECT s_suppkey, s_acctbal, 'none' AS tier FROM supplier
@@ -807,5 +850,6 @@ object DeltaQueries {
     "dl20_convert_to_delta" -> dl20ConvertToDelta,
     "dl21_merge_clauses" -> dl21MergeClauses,
     "dl22_generated_partition_prune" -> dl22GeneratedPrune,
-    "dl23_column_defaults" -> dl23ColumnDefaults)
+    "dl23_column_defaults" -> dl23ColumnDefaults,
+    "dl24_idempotent_write" -> dl24IdempotentWrite)
 }

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * StreamingSuite).
   *
   * Engine-parity rules:
-  *  - events.ts is TIMESTAMP(NANOS): Spark reads it as micros
-  *    ([[Tables.events]]); any oracle comparing sub-second arithmetic
-  *    truncates with date_trunc('microseconds', ts) first;
+  *  - events.ts is normalized by [[Tables.events]] to session-tz
+  *    TIMESTAMP(MICROS) regardless of fixture generation (nanos-as-long,
+  *    TIMESTAMP_NTZ micros, or session-tz); any oracle comparing
+  *    sub-second arithmetic truncates with
+  *    date_trunc('microseconds', ts) first;
   *  - durations are summed in integer MICROSECONDS (exact), never double
   *    seconds (a sum landing exactly on a rounding boundary would flip);
   *  - `value` sums go through DECIMAL(18,6) (exact, order-independent) and

@@ -71,14 +71,29 @@ class DeltaDataSource extends RelationProvider
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
     val path = pathOf(parameters)
+    // Batch idempotent writes (production's txnAppId/txnVersion options):
+    // a redelivered batch — same appId, version at or below the recorded
+    // SetTransaction high-water mark — is a no-op, the retry contract an
+    // orchestrator (Airflow re-run, speculative retry) relies on. Same
+    // protocol `txn` action the streaming sink keys exactly-once on.
+    val txn: Option[(String, Long)] =
+      (caseGet(parameters, "txnAppId"), caseGet(parameters, "txnVersion")) match {
+        case (Some(a), Some(v)) => Some((a, v.trim.toLong))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "txnAppId and txnVersion must be set together")
+      }
     caseGet(parameters, "replaceWhere") match {
       case Some(cond) =>
         require(mode == SaveMode.Overwrite,
           "replaceWhere requires SaveMode.Overwrite")
+        require(txn.isEmpty,
+          "txnAppId/txnVersion is not supported with replaceWhere")
         DeltaMaintenance.replaceWhere(sqlContext.sparkSession, path, data, cond)
       case None =>
         DeltaWriter.write(data, path, mode, partitionColumnsOf(parameters),
-          mergeSchema = caseGet(parameters, "mergeSchema").exists(_.toBoolean))
+          mergeSchema = caseGet(parameters, "mergeSchema").exists(_.toBoolean),
+          txn = txn)
     }
     createRelation(sqlContext, parameters)
   }
@@ -187,8 +202,9 @@ object DeltaTable {
     spark.read.format("delta").option("versionAsOf", version).load(path)
 
   def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Append,
-      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Unit =
-    DeltaWriter.write(df, path, mode, partitionBy, mergeSchema)
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Unit =
+    DeltaWriter.write(df, path, mode, partitionBy, mergeSchema, txn = txn)
 
   def snapshot(spark: SparkSession, path: String): DeltaSnapshot =
     DeltaLog.snapshot(spark, path)

@@ -236,6 +236,11 @@ object DeltaLog {
     * ≤ (1 checkpoint + tail JSONs) regardless of history length. */
   private[graft] val replayReads = new java.util.concurrent.atomic.AtomicLong
 
+  /** Test seam: snapshots served by the Spark-job replay plane
+    * (DeltaStateReconstruction) — pins the auto-cutover ROUTING decisions,
+    * which result-equality alone cannot observe. */
+  private[graft] val jobReplays = new java.util.concurrent.atomic.AtomicLong
+
   def logDir(tablePath: String): Path = new Path(tablePath, LogDirName)
 
   def isDeltaTable(spark: SparkSession, tablePath: String): Boolean = {
@@ -341,11 +346,20 @@ object DeltaLog {
     val useJob = DistributedReplayMode match {
       case "always" => true
       case "never" => false
-      case _ => cp.exists { case (v, parts) =>
-        estimatedCheckpointAdds(spark, tablePath, v, parts) > SnapshotFileCountWarnThreshold
-      }
+      case _ =>
+        cp.exists { case (v, parts) =>
+          estimatedCheckpointAdds(spark, tablePath, v, parts) > SnapshotFileCountWarnThreshold
+        } ||
+        // Pre-checkpoint bulk load: a single commit carrying millions of
+        // adds BEFORE any checkpoint exists has no checkpoint estimate to
+        // trip the cutover, so route on total tail-commit JSON bytes —
+        // already in hand from the listing (O(1), no reads). An add line
+        // with stats runs well over 512 B, so bytes/512 over-counts,
+        // which only moves the cutover earlier.
+        tailCommits.iterator.map(_._2.getLen).sum / 512 > SnapshotFileCountWarnThreshold
     }
     if (useJob) {
+      jobReplays.incrementAndGet()
       val (p, m, files, txns) =
         DeltaStateReconstruction.replay(spark, tablePath, cp, tailCommits)
       return finishSnapshot(tablePath, target, p, m, files, txns, driverPlane = false)

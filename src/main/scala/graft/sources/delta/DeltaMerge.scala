@@ -101,6 +101,11 @@ object DeltaMerge {
     * @param bySource        WHEN NOT MATCHED BY SOURCE clauses
     * @param schemaEvolution allow assignments to columns absent from the
     *                        target schema by appending them (nullable)
+    * @param txn             optional (appId, version) SetTransaction key:
+    *                        a redelivered merge — same appId, version at
+    *                        or below the recorded high-water mark — is a
+    *                        no-op (the batch-retry idempotence contract,
+    *                        same protocol `txn` action as the writer path)
     */
   def merge(
       spark: SparkSession,
@@ -110,11 +115,33 @@ object DeltaMerge {
       matched: Seq[Matched],
       notMatched: Seq[NotMatched],
       bySource: Seq[NotMatchedBySource],
-      schemaEvolution: Boolean): MergeMetrics = {
+      schemaEvolution: Boolean): MergeMetrics =
+    merge(spark, tablePath, source, condition,
+      matched, notMatched, bySource, schemaEvolution, txn = None)
+
+  /** Full surface plus the SetTransaction idempotence key. No default on
+    * `txn`: Scala allows default arguments on only one overload (the
+    * single-clause one above keeps them). */
+  def merge(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      condition: String,
+      matched: Seq[Matched],
+      notMatched: Seq[NotMatched],
+      bySource: Seq[NotMatchedBySource],
+      schemaEvolution: Boolean,
+      txn: Option[(String, Long)]): MergeMetrics = {
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE requires at least one WHEN clause")
     val snap = DeltaLog.snapshot(spark, tablePath)
     snap.assertWritable("MERGE")
+    // SetTransaction idempotence: a redelivered merge is a no-op BEFORE
+    // any find/rewrite work runs
+    txn.foreach { case (appId, v) =>
+      if (snap.transactions.get(appId).exists(_ >= v))
+        return MergeMetrics(0, 0, 0, 0, snap.version)
+    }
     val rewrites = matched.nonEmpty || bySource.nonEmpty
     // an insert-only merge commits no removes and stays legal on an
     // append-only table; any MATCHED / BY SOURCE clause rewrites files
@@ -374,7 +401,9 @@ object DeltaMerge {
     val adds = rewrittenOpt.map(_._1._1).getOrElse(Nil) ++ insertedOpt.map(_._1._1).getOrElse(Nil)
     val cdcFiles = rewrittenOpt.map(_._2).getOrElse(Nil) ++ insertedOpt.map(_._2).getOrElse(Nil)
 
-    if (touched.isEmpty && rowsInserted == 0 && evolved.isEmpty)
+    // an idempotence-keyed merge must still commit its SetTransaction
+    // watermark even when it changed nothing, or a retry would re-run it
+    if (touched.isEmpty && rowsInserted == 0 && evolved.isEmpty && txn.isEmpty)
       return MergeMetrics(0, 0, 0, 0, snap.version)
 
     // ---- 4. validated commit loop (same contract as DELETE/OPTIMIZE)
@@ -383,6 +412,17 @@ object DeltaMerge {
     var committedVersion = -1L
     while (committedVersion < 0 && attempt < 20) {
       val latest = DeltaLog.snapshot(spark, tablePath)
+      // concurrent same-app redelivery: another writer committed this
+      // (appId, version) between our snapshot and this attempt — drop the
+      // staged files, succeed as a no-op (same contract as DeltaWriter)
+      if (txn.exists { case (appId, v) =>
+            latest.transactions.get(appId).exists(_ >= v) }) {
+        adds.foreach { case (rel, _, _, _, _) =>
+          fs.delete(new Path(tablePath, rel), false)
+        }
+        DeltaCdf.cleanup(spark, tablePath, cdcFiles)
+        return MergeMetrics(0, 0, 0, 0, latest.version)
+      }
       ConflictChecker.checkRewrite("MERGE", snap, latest, touched, () => {
         adds.foreach { case (rel, _, _, _, _) =>
           fs.delete(new Path(tablePath, rel), false)
@@ -406,6 +446,14 @@ object DeltaMerge {
         "numTargetFilesRemoved" -> touched.size.toLong,
         "numTargetFilesAdded" -> adds.size.toLong))
       lines += mapper.writeValueAsString(ciLine)
+      txn.foreach { case (appId, v) =>
+        val txnLine = mapper.createObjectNode()
+        val t = txnLine.putObject("txn")
+        t.put("appId", appId)
+        t.put("version", v)
+        t.put("lastUpdated", System.currentTimeMillis())
+        lines += mapper.writeValueAsString(txnLine)
+      }
       if (evolved.nonEmpty) {
         // metaData re-emission (same table id — replay is last-metaData-
         // wins): the evolved schema is rebuilt against the LATEST metadata

@@ -189,7 +189,7 @@ class DeletionVectorSuite extends AnyFunSuite {
     graft.sources.delta.DeltaMerge.merge(
       spark, path, src,
       condition = "t.id = s.id",
-      matchedUpdate = Some(Map("v" -> "s.v")),
+      matchedUpdate = Some(Map("v" -> "s.v")), matchedDelete = false,
       notMatchedInsert = None)
     val after = DeltaTable.read(spark, path)
     assert(after.count() == 90, "rewrite must not resurrect DV'd rows")

@@ -168,7 +168,8 @@ class DeltaDmlSuite extends AnyFunSuite {
     assert(refused(DeltaDml.deleteWithDv(spark, dir, "v >= 300")).contains("append-only"))
     assert(refused(DeltaMerge.merge(spark, dir,
       Seq((1, "a", 999)).toDF("id", "k", "v"), "t.id = s.id",
-      matchedUpdate = Some(Map("v" -> "s.v")))).contains("append-only"))
+      matchedUpdate = Some(Map("v" -> "s.v")), matchedDelete = false,
+      notMatchedInsert = None)).contains("append-only"))
     assert(refused(DeltaMaintenance.replaceWhere(spark, dir,
       Seq((77, "b", 700)).toDF("id", "k", "v"), "k = 'b'")).contains("append-only"))
     assert(refused(DeltaMaintenance.restore(spark, dir, 0L)).contains("append-only"))
@@ -179,6 +180,7 @@ class DeltaDmlSuite extends AnyFunSuite {
       dir, SaveMode.Append, Seq("k"))
     DeltaMerge.merge(spark, dir,
       Seq((60, "b", 600)).toDF("id", "k", "v"), "t.id = s.id",
+      matchedUpdate = None, matchedDelete = false,
       notMatchedInsert = Some(Map("id" -> "s.id", "k" -> "s.k", "v" -> "s.v")))
     // OPTIMIZE's removes are dataChange=false — compaction stays legal
     DeltaMaintenance.optimize(spark, dir)

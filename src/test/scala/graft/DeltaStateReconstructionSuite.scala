@@ -172,4 +172,34 @@ class DeltaStateReconstructionSuite extends AnyFunSuite {
       assert(auto.metadata === driver.metadata)
     } finally DeltaLog.SnapshotFileCountWarnThreshold = prev
   }
+
+  test("pre-checkpoint bulk load routes to the job path on tail-commit bytes") {
+    val dir = tmpDir()
+    // 3 commits, NO checkpoint yet (cadence 10): the checkpoint-estimate
+    // signal cannot fire, so the cutover must come from the tail-commit
+    // JSON byte signal alone — the bulk-load-before-first-checkpoint case
+    (1 to 3).foreach { i =>
+      DeltaWriter.write(Seq((i, s"r$i" * 50)).toDF("id", "s").coalesce(1),
+        dir, SaveMode.Append, Nil)
+    }
+    assert(!new java.io.File(s"$dir/_delta_log/_last_checkpoint").exists())
+    val driver = snapshotIn("never", dir)
+    val prev = DeltaLog.SnapshotFileCountWarnThreshold
+    DeltaLog.SnapshotFileCountWarnThreshold = 1 // tail bytes/512 > 1
+    try {
+      val before = DeltaLog.jobReplays.get()
+      val auto = DeltaLog.snapshot(spark, dir) // auto mode
+      assert(DeltaLog.jobReplays.get() === before + 1,
+        "auto mode did not route the pre-checkpoint snapshot to the job plane")
+      assert(auto.version === driver.version)
+      assert(auto.files.sortBy(_.path) === driver.files.sortBy(_.path))
+      assert(auto.metadata === driver.metadata)
+    } finally DeltaLog.SnapshotFileCountWarnThreshold = prev
+
+    // and a small table (threshold restored) still takes the driver plane
+    val before = DeltaLog.jobReplays.get()
+    DeltaLog.snapshot(spark, dir)
+    assert(DeltaLog.jobReplays.get() === before,
+      "small pre-checkpoint table must not pay a Spark job for its snapshot")
+  }
 }

@@ -52,6 +52,7 @@ class DeltaTableManagementSuite extends AnyFunSuite {
     intercept[DeltaConstraintViolationException] {
       DeltaMerge.merge(spark, dir, Seq((9, "z", -9)).toDF("id", "k", "v"),
         condition = "t.id = s.id",
+        matchedUpdate = None, matchedDelete = false,
         notMatchedInsert = Some(Map("id" -> "s.id", "k" -> "s.k", "v" -> "s.v")))
     }
 
