@@ -132,6 +132,29 @@ object DeltaMetadata {
     schema.fields.foreach(f => walkDt(f.name, f.dataType))
     b.result()
   }
+
+  /** Column-mapping field ids of NESTED struct fields, keyed by dotted
+    * LOGICAL path (same convention as [[nestedPhysicalPaths]]). Array
+    * elements / map entries carry no ids themselves (parquet ids attach to
+    * named fields only); struct fields INSIDE them do and are walked. */
+  def nestedFieldIds(schema: StructType): Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    def walkDt(path: String, dt: DataType): Unit = dt match {
+      case s: StructType => s.fields.foreach { f =>
+        val key = s"$path.${f.name}"
+        if (f.metadata.contains(ColumnIdKey))
+          b += key -> f.metadata.getLong(ColumnIdKey)
+        walkDt(key, f.dataType)
+      }
+      case a: org.apache.spark.sql.types.ArrayType =>
+        walkDt(s"$path.element", a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        walkDt(s"$path.key", m.keyType); walkDt(s"$path.value", m.valueType)
+      case _ => ()
+    }
+    schema.fields.foreach(f => walkDt(f.name, f.dataType))
+    b.result()
+  }
 }
 
 final case class DeltaAddFile(

@@ -644,6 +644,20 @@ object DeltaWriter {
     case _ => false
   }
 
+  /** `stats_parsed.minValues`/`maxValues` schema for a table: the statable
+    * leaf columns typed as themselves — the from_json target that turns
+    * the JSON stats string into the typed struct foreign
+    * writeStatsAsJson=false readers consume. Fields beyond the
+    * dataSkippingNumIndexedCols limit simply parse to NULL. */
+  private def statsValueSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields.filter(f => isStatsType(f.dataType))
+      .map(f => StructField(f.name, f.dataType, nullable = true)))
+
+  /** `stats_parsed.nullCount` schema: same field names, LongType. */
+  private def statsCountSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields.filter(f => isStatsType(f.dataType))
+      .map(f => StructField(f.name, LongType, nullable = true)))
+
   private def putStatValue(node: ObjectNode, f: StructField, v: Any): Unit = v match {
     case null => ()
     case x: Byte => node.put(f.name, x.toInt)
@@ -771,8 +785,42 @@ object DeltaWriter {
         Row(null, null, null, null, Row(version), null)
     val tmp = new Path(tablePath, s"_cp-${UUID.randomUUID()}")
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    // Typed stats on the WRITE side (production's
+    // delta.checkpoint.writeStatsAsStruct / writeStatsAsJson): foreign
+    // readers that only consume `stats_parsed` (writeStatsAsJson=false
+    // deployments) keep typed-stats skipping over OUR checkpoints too —
+    // the mirror of the read-side re-serialization in DeltaLog /
+    // DeltaStateReconstruction. stats_parsed is derived from the JSON
+    // string with from_json against the table's data schema, so the two
+    // forms can never disagree.
+    val statsAsStruct = snap.metadata.configuration
+      .get("delta.checkpoint.writeStatsAsStruct").exists(_.trim.equalsIgnoreCase("true"))
+    val statsAsJson = !snap.metadata.configuration
+      .get("delta.checkpoint.writeStatsAsJson").exists(_.trim.equalsIgnoreCase("false"))
+    require(statsAsJson || statsAsStruct,
+      "delta.checkpoint.writeStatsAsJson=false requires " +
+        "delta.checkpoint.writeStatsAsStruct=true — dropping both forms " +
+        "would silently lose stats skipping for every reader")
+    def withTypedStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      if ((!statsAsStruct && statsAsJson) || !df.schema.fieldNames.contains("add")) df
+      else {
+        val statsSchema = StructType(Seq(
+          StructField("numRecords", LongType),
+          StructField("minValues", statsValueSchema(snap.dataSchema)),
+          StructField("maxValues", statsValueSchema(snap.dataSchema)),
+          StructField("nullCount", statsCountSchema(snap.dataSchema))))
+        val addFields = df.schema("add").dataType.asInstanceOf[StructType].fieldNames
+        val kept = addFields.toSeq
+          .filter(f => statsAsJson || f != "stats")
+          .map(f => col(s"add.$f").as(f))
+        val grown =
+          if (!statsAsStruct) kept
+          else kept :+ from_json(col("add.stats"), statsSchema).as("stats_parsed")
+        df.withColumn("add", when(col("add").isNotNull, struct(grown: _*)))
+      }
+    }
     def writeOne(someRows: Seq[Row], targetName: String): Unit = {
-      spark.createDataFrame(someRows.asJava, schema).repartition(1)
+      withTypedStats(spark.createDataFrame(someRows.asJava, schema)).repartition(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(_.getName.endsWith(".parquet"))
@@ -797,8 +845,8 @@ object DeltaWriter {
         fs.mkdirs(sidecarDir)
         val sidecarSchema = StructType(Seq(schema("add")))
         val sidecarRows = snap.files.grouped(partSize.get).toSeq.map { chunk =>
-          spark.createDataFrame(
-            chunk.map(f => Row(addStructOf(f))).asJava, sidecarSchema)
+          withTypedStats(spark.createDataFrame(
+            chunk.map(f => Row(addStructOf(f))).asJava, sidecarSchema))
             .repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
           val part = fs.listStatus(tmp).map(_.getPath)
             .find(_.getName.endsWith(".parquet"))

@@ -65,13 +65,17 @@ import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, Struc
   * @param nestedPathByLogical dotted LOGICAL path → physical SEGMENT name
   *                       for nested fields (identity entries omitted;
   *                       empty when nothing nested is mapped)
+  * @param nestedFieldIdByLogical dotted LOGICAL path → parquet field id
+  *                       for nested fields (`id` mode only) — the reader
+  *                       matches nested columns by id at every level
   */
 class GraftParquetFileFormat(
     private val tablePath: String,
     private val dvByPath: Map[String, DvDescriptor],
     private val physicalByLogical: Map[String, String] = Map.empty,
     private val fieldIdByLogical: Map[String, Long] = Map.empty,
-    private val nestedPathByLogical: Map[String, String] = Map.empty)
+    private val nestedPathByLogical: Map[String, String] = Map.empty,
+    private val nestedFieldIdByLogical: Map[String, Long] = Map.empty)
   extends ParquetFileFormat {
 
   override def supportBatch(sparkSession: SparkSession, schema: StructType): Boolean =
@@ -101,9 +105,14 @@ class GraftParquetFileFormat(
     case s: StructType =>
       StructType(s.fields.map { f =>
         val key = s"$path.${f.name}"
-        f.copy(
+        val renamed = f.copy(
           name = nestedPathByLogical.getOrElse(key, f.name),
           dataType = renameDataType(key, f.dataType))
+        nestedFieldIdByLogical.get(key) match {
+          case Some(id) => renamed.copy(metadata = new MetadataBuilder()
+            .withMetadata(renamed.metadata).putLong("parquet.field.id", id).build())
+          case None => renamed
+        }
       })
     case a: org.apache.spark.sql.types.ArrayType =>
       a.copy(elementType = renameDataType(s"$path.element", a.elementType))
@@ -115,12 +124,12 @@ class GraftParquetFileFormat(
 
   private def toPhysical(schema: StructType): StructType =
     if (physicalByLogical.isEmpty && fieldIdByLogical.isEmpty &&
-        nestedPathByLogical.isEmpty) schema
+        nestedPathByLogical.isEmpty && nestedFieldIdByLogical.isEmpty) schema
     else StructType(schema.fields.map { f =>
       val renamed = f.copy(
         name = physicalByLogical.getOrElse(f.name, f.name),
         dataType =
-          if (nestedPathByLogical.isEmpty) f.dataType
+          if (nestedPathByLogical.isEmpty && nestedFieldIdByLogical.isEmpty) f.dataType
           else renameDataType(f.name, f.dataType))
       fieldIdByLogical.get(f.name) match {
         case Some(id) => renamed.copy(metadata = new MetadataBuilder()
@@ -243,11 +252,13 @@ class GraftParquetFileFormat(
       d.tablePath == tablePath && d.dvByPath == dvByPath &&
         d.physicalByLogical == physicalByLogical &&
         d.fieldIdByLogical == fieldIdByLogical &&
-        d.nestedPathByLogical == nestedPathByLogical
+        d.nestedPathByLogical == nestedPathByLogical &&
+        d.nestedFieldIdByLogical == nestedFieldIdByLogical
     case _ => false
   }
   override def hashCode(): Int =
-    (tablePath, dvByPath, physicalByLogical, fieldIdByLogical, nestedPathByLogical).##
+    (tablePath, dvByPath, physicalByLogical, fieldIdByLogical,
+      nestedPathByLogical, nestedFieldIdByLogical).##
 }
 
 object GraftParquetFileFormat {
@@ -275,9 +286,14 @@ object GraftParquetFileFormat {
           f.name -> f.metadata.getLong(DeltaMetadata.ColumnIdKey)
       }.toMap
     val nestedMap = DeltaMetadata.nestedPhysicalPaths(snap.schema)
-    if (dvByPath.isEmpty && nameMap.isEmpty && fieldIds.isEmpty && nestedMap.isEmpty)
+    val nestedIds: Map[String, Long] =
+      if (snap.metadata.columnMappingMode != "id") Map.empty
+      else DeltaMetadata.nestedFieldIds(snap.schema)
+    if (dvByPath.isEmpty && nameMap.isEmpty && fieldIds.isEmpty &&
+        nestedMap.isEmpty && nestedIds.isEmpty)
       new ParquetFileFormat
-    else new GraftParquetFileFormat(tablePath, dvByPath, nameMap, fieldIds, nestedMap)
+    else new GraftParquetFileFormat(
+      tablePath, dvByPath, nameMap, fieldIds, nestedMap, nestedIds)
   }
 
   private[delta] def checkReadable(tablePath: String, snap: DeltaSnapshot): Unit = {
@@ -293,14 +309,34 @@ object GraftParquetFileFormat {
       if (missing.nonEmpty) throw new UnsupportedOperationException(
         s"$tablePath: id-mode column mapping but column(s) " +
           s"${missing.mkString(",")} carry no ${DeltaMetadata.ColumnIdKey}")
+      // nested fields read by field id too ([[GraftParquetFileFormat]]
+      // stamps `parquet.field.id` at every struct level) — a NESTED field
+      // without an id cannot be resolved and must fail loudly, same as
+      // the top-level check above
+      val nestedMissing = nestedStructPathsWithoutId(snap.schema)
+      if (nestedMissing.nonEmpty) throw new UnsupportedOperationException(
+        s"$tablePath: id-mode column mapping but nested field(s) " +
+          s"${nestedMissing.mkString(",")} carry no ${DeltaMetadata.ColumnIdKey}")
     }
-    // nested mapped names: name mode reads via the path-keyed rename
-    // recursion; id-mode nested field-id plumbing is not implemented, so
-    // that combination stays a loud failure
-    if (mode == "id" && DeltaMetadata.nestedPhysicalPaths(snap.schema).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$tablePath maps NESTED column names under id mode; nested " +
-          "field-id matching is not implemented (name-mode nested " +
-          "mappings are supported)")
+  }
+
+  /** Dotted paths of nested STRUCT fields lacking a column-mapping id —
+    * the id-mode readability gate for nested schemas. */
+  private def nestedStructPathsWithoutId(schema: StructType): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    def walkDt(path: String, dt: org.apache.spark.sql.types.DataType): Unit = dt match {
+      case s: StructType => s.fields.foreach { f =>
+        val key = s"$path.${f.name}"
+        if (!f.metadata.contains(DeltaMetadata.ColumnIdKey)) b += key
+        walkDt(key, f.dataType)
+      }
+      case a: org.apache.spark.sql.types.ArrayType =>
+        walkDt(s"$path.element", a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        walkDt(s"$path.key", m.keyType); walkDt(s"$path.value", m.valueType)
+      case _ => ()
+    }
+    schema.fields.foreach(f => walkDt(f.name, f.dataType))
+    b.result()
   }
 }

@@ -393,4 +393,64 @@ class DeltaCheckpointSuite extends AnyFunSuite {
       s"expected a v3 checkpoint, log: ${names.mkString(",")}")
     assert(DeltaTable.read(spark, dir).count() === 3)
   }
+
+  test("writeStatsAsStruct emits typed stats_parsed a writeStatsAsJson=false reader can skip on") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-structstats").toString
+    DeltaWriter.write((1 to 10).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1),
+      dir, org.apache.spark.sql.SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.checkpoint.writeStatsAsStruct' = 'true', " +
+      "'delta.checkpoint.writeStatsAsJson' = 'false')") // v1
+    DeltaWriter.write((100 to 110).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1),
+      dir, org.apache.spark.sql.SaveMode.Append, Nil)
+    DeltaWriter.writeCheckpoint(spark, dir, 2L)
+
+    // the checkpoint itself: typed stats_parsed present, JSON stats GONE
+    val cpPath = new org.apache.hadoop.fs.Path(
+      dir, "_delta_log/00000000000000000002.checkpoint.parquet")
+    val cp = spark.read.parquet(cpPath.toString)
+    val addType = cp.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(!addType.fieldNames.contains("stats"), "writeStatsAsJson=false must drop JSON stats")
+    assert(addType.fieldNames.contains("stats_parsed"))
+    val parsed = cp.filter(col("add").isNotNull)
+      .select(
+        col("add.stats_parsed.numRecords").as("n"),
+        col("add.stats_parsed.minValues.id").as("mn"),
+        col("add.stats_parsed.maxValues.id").as("mx"),
+        col("add.stats_parsed.nullCount.id").as("nulls"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).sortBy(_._2)
+    assert(parsed === Array((10L, 1, 10, 0L), (11L, 100, 110, 0L)))
+
+    // retire the JSONs: stats can only come from the struct — and OUR OWN
+    // reader (the foreign-stats path) must keep skipping over them
+    val fs = cpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    (0 to 2).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"_delta_log/$v%020d.json"), false)
+    }
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.size === 2)
+    assert(snap.files.forall(_.stats.nonEmpty), "stats_parsed must re-serialize")
+    val q = DeltaTable.read(spark, dir).filter(col("id") >= 100)
+    val scanned = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    assert(scanned === 1, "skipping must work off the struct stats round-trip")
+    assert(q.count() === 11)
+  }
+
+  test("writeStatsAsJson=false without writeStatsAsStruct is refused") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-nostats").toString
+    DeltaWriter.write(Seq((1, "a")).toDF("id", "s").coalesce(1),
+      dir, org.apache.spark.sql.SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.checkpoint.writeStatsAsJson' = 'false')")
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.writeCheckpoint(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("writeStatsAsStruct"))
+  }
 }

@@ -367,6 +367,66 @@ class DeltaColumnMappingSuite extends AnyFunSuite {
     assert(e.getMessage.contains("NESTED"))
   }
 
+  test("nested id-mode: struct fields resolve by parquet field id at every level") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-idnest").toString
+    // foreign data file: names agree with NOTHING (neither logical nor the
+    // log's physical names) — only the field ids, at every level, line up
+    def fidMd(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    Seq((1L, (10, "a")), (2L, (20, "b")), (3L, (30, "c")))
+      .toDF("kcol", "scol")
+      .select(
+        col("kcol").as("w1", fidMd(1)),
+        org.apache.spark.sql.functions.struct(
+          col("scol._1").as("w3", fidMd(3)),
+          col("scol._2").as("w4", fidMd(4))).as("w2", fidMd(2)))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFile = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val st = fs.getFileStatus(dataFile)
+    def md(id: Long, phys: String) = new MetadataBuilder()
+      .putLong(DeltaMetadata.ColumnIdKey, id)
+      .putString(DeltaMetadata.PhysicalNameKey, phys).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, md(1, "col-id")),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType, nullable = true, md(3, "col-x")),
+        StructField("y", StringType, nullable = true, md(4, "col-y")))),
+        nullable = true, md(2, "col-s"))))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(DeltaLog.tryCommit(spark, dir, 0L,
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{"${DeltaMetadata.ModeKey}":"id","${DeltaMetadata.MaxColumnIdKey}":"4"}}}
+         |{"add":{"path":"${dataFile.getName}","partitionValues":{},"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}"""
+        .stripMargin))
+    val got = DeltaTable.read(spark, dir)
+    assert(got.columns.toSeq === Seq("id", "s"))
+    // full read, nested projection (schema pruning rebuilds the struct —
+    // the id stamping must be path-keyed), nested filter
+    assert(got.select(col("id"), col("s.x"), col("s.y")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      === Seq((1L, 10, "a"), (2L, 20, "b"), (3L, 30, "c")))
+    assert(got.select(col("s.x")).orderBy("x").collect().map(_.getInt(0)).toSeq
+      === Seq(10, 20, 30))
+    assert(got.filter(col("s.x") >= 20).count() === 2)
+
+    // a nested field WITHOUT an id is unreadable in id mode: loud failure
+    val bad = StructType(Seq(
+      StructField("id", LongType, nullable = true, md(1, "col-id")),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType, nullable = true, md(3, "col-x")),
+        StructField("y", StringType, nullable = true))),
+        nullable = true, md(2, "col-s"))))
+    assert(DeltaLog.tryCommit(spark, dir, 1L,
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(bad.json)},"partitionColumns":[],"configuration":{"${DeltaMetadata.ModeKey}":"id","${DeltaMetadata.MaxColumnIdKey}":"4"}}}"""))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaTable.read(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("s.y"))
+  }
+
   test("unknown mapping modes fail loudly at scan build") {
     val dir = fresh()
     DeltaSchema.renameColumn(spark, dir, "score", "points")
