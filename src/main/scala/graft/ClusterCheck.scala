@@ -97,5 +97,17 @@ object ClusterCheck {
     require(cm.getLong(0) == 150L, s"mapped read count ${cm.getLong(0)}")
     require(cm.getDouble(1) == (50 until 200).map(_ * 2.0).sum,
       s"mapped read sum ${cm.getDouble(1)}")
+
+    // 4. distributed snapshot replay — the Spark-job reconstruction's
+    // executor-side JSON parse / last-wins dedup must serialize to remote
+    // executor JVMs (its scale case IS the multi-executor cluster)
+    import graft.sources.delta.DeltaLog
+    DeltaLog.DistributedReplayMode = "always"
+    try {
+      val snap = DeltaLog.snapshot(spark, dvDir)
+      require(snap.files.nonEmpty, "job-plane snapshot returned no files")
+      val viaJob = DeltaTable.read(spark, dvDir).count()
+      require(viaJob == 5000L, s"job-plane replay read $viaJob rows, expected 5000")
+    } finally DeltaLog.DistributedReplayMode = "auto"
   }
 }

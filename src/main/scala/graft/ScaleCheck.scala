@@ -1,0 +1,236 @@
+package graft
+
+import java.lang.management.{ManagementFactory, MemoryType}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.delta.DeltaLog
+
+/** Scale probe: measures how the headline operators behave when the data
+  * grows 10× past the bench scale (sf0.1 → ~sf1: 6M lineitem, 50k docs,
+  * 20k embeddings), plus the snapshot-replay planes on a synthetic
+  * 200k-file log. Emits SCALECHECK.json.
+  *
+  * The sf1 inputs are DERIVED from the read-only sf0.1 fixtures (10 copies,
+  * keys offset per copy so join fanout stays constant): text is
+  * alphabet-rotated and embeddings jittered per copy so the dedup/ANN
+  * probes don't degenerate into one giant duplicate cluster — the honest
+  * linear-scaling setup. Derived data lives under a scratch dir, never
+  * inside /root/testdata.
+  *
+  * Caveat recorded in the JSON: local-mode executors share the JVM, so
+  * "peak heap" covers driver + task memory together; the flat-driver
+  * argument rests on the driver-plane code paths measured separately
+  * (replay probe) and on plan shape, not on this combined number. */
+object ScaleCheck {
+
+  private def heapPools =
+    ManagementFactory.getMemoryPoolMXBeans.asScala.filter(_.getType == MemoryType.HEAP)
+  private def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+  private def peakHeapMb(): Long = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+  private def usedHeapMb(): Long = {
+    System.gc(); Thread.sleep(200)
+    heapPools.map(_.getUsage.getUsed).sum >> 20
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft-scalecheck/sf1")
+    val outPath = args.lift(2).getOrElse("SCALECHECK.json")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", classOf[graft.functions.GraftSparkExtensions].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- stage 1: derive the scaled dir (idempotent: skipped when present)
+    val genT0 = System.nanoTime()
+    val rowCounts = generate(spark, baseDir, workDir, copies)
+    val genSec = (System.nanoTime() - genT0) / 1e9
+
+    // ---- stage 2: probe queries at both scales
+    val prefixes = Seq("dd03", "dd08", "ss02", "ss06", "dl06", "dl10", "q24", "pp01")
+    val probes = prefixes.map(p =>
+      SparkEntry.queries.keys.find(_.startsWith(p)).getOrElse(
+        sys.error(s"no registered query with prefix $p")))
+    // generic warmup (JVM/codegen/parquet-footer) + one untimed pass per
+    // probe so first-use costs never land inside a measured rep
+    val l = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    l.filter(col("l_quantity") > 0).groupBy("l_returnflag").count().collect()
+    probes.foreach(n => run(spark, n, baseDir))
+
+    def measure(dir: String): Map[String, (Double, Long)] =
+      probes.map { name =>
+        var best = Double.MaxValue
+        var peak = 0L
+        (0 until reps).foreach { _ =>
+          resetPeaks()
+          val t0 = System.nanoTime()
+          run(spark, name, dir)
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          peak = math.max(peak, peakHeapMb())
+        }
+        name -> (best, peak)
+      }.toMap
+    val base = measure(baseDir)
+    val scaled = measure(workDir)
+
+    // ---- stage 3: snapshot replay planes on synthetic logs at two sizes
+    // (the second point shows the trend: driver plane linear in files, job
+    // plane ~flat past its fixed overhead)
+    val mapperR = new com.fasterxml.jackson.databind.ObjectMapper()
+    val replay = mapperR.createArrayNode()
+    Seq(200000, 1000000).foreach(n => replay.add(replayProbe(spark, n)))
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("caveat",
+      s"local[$cpus] single JVM: peak_heap_mb spans driver AND task memory; " +
+        "replay probe isolates the driver plane")
+    val gen = root.putObject("generated")
+    gen.put("base", baseDir); gen.put("dir", workDir)
+    gen.put("copies", copies); gen.put("seconds", math.round(genSec * 100) / 100.0)
+    val rc = gen.putObject("rows")
+    rowCounts.toSeq.sortBy(_._1).foreach { case (t, n) => rc.put(t, n) }
+    val qn = root.putObject("queries")
+    probes.foreach { name =>
+      val (bs, bp) = base(name); val (ss, sp) = scaled(name)
+      val q = qn.putObject(name)
+      q.put("base_sec", math.round(bs * 1000) / 1000.0)
+      q.put("scaled_sec", math.round(ss * 1000) / 1000.0)
+      q.put("data_ratio", copies)
+      q.put("time_ratio", math.round(ss / bs * 100) / 100.0)
+      q.put("base_peak_heap_mb", bp); q.put("scaled_peak_heap_mb", sp)
+    }
+    root.set("replay", replay)
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+
+  private def run(spark: SparkSession, name: String, dir: String): Unit =
+    SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+
+  /** 10-copy key-offset scale-up of the sf0.1 fixtures. Copy 0 is the
+    * original; copies 1..n-1 offset every join key so fanout per key stays
+    * constant, rotate document text (shingle decorrelation) and jitter
+    * embeddings (direction decorrelation). */
+  private def generate(
+      spark: SparkSession, baseDir: String, workDir: String,
+      copies: Int): Map[String, Long] = {
+    val done = new java.io.File(s"$workDir/_GENERATED")
+    def t(n: String) = spark.read.parquet(s"$baseDir/$n.parquet")
+    if (!done.exists()) {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      def rotated(c: Int) = alpha.drop(c % 26) + alpha.take(c % 26)
+      def scaledUnion(df: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until copies).map(c => per(df, c)).reduce(_ unionByName _)
+      def write(name: String, df: DataFrame, parts: Int): Unit =
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$workDir/$name.parquet")
+
+      val ordOff = 10000000L; val custOff = 1000000L
+      val suppOff = 100000L; val partOff = 1000000L; val idOff = 10000000L
+      write("lineitem", scaledUnion(t("lineitem")) { (df, c) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + c * ordOff)
+          .withColumn("l_partkey", col("l_partkey") + c * partOff)
+          .withColumn("l_suppkey", col("l_suppkey") + c * suppOff)
+      }, 32)
+      write("orders", scaledUnion(t("orders")) { (df, c) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + c * ordOff)
+          .withColumn("o_custkey", col("o_custkey") + c * custOff)
+      }, 16)
+      write("customer", scaledUnion(t("customer")) { (df, c) =>
+        df.withColumn("c_custkey", col("c_custkey") + c * custOff)
+      }, 8)
+      write("supplier", scaledUnion(t("supplier")) { (df, c) =>
+        df.withColumn("s_suppkey", col("s_suppkey") + c * suppOff)
+      }, 4)
+      write("part", scaledUnion(t("part")) { (df, c) =>
+        df.withColumn("p_partkey", col("p_partkey") + c * partOff)
+      }, 4)
+      write("documents", scaledUnion(t("documents")) { (df, c) =>
+        df.withColumn("doc_id", col("doc_id") + c * idOff)
+          .withColumn("text",
+            if (c == 0) col("text") else translate(col("text"), alpha, rotated(c)))
+      }, 8)
+      write("embeddings", scaledUnion(t("embeddings")) { (df, c) =>
+        df.withColumn("vec_id", col("vec_id") + c * idOff)
+          .withColumn("embedding",
+            if (c == 0) col("embedding")
+            else transform(col("embedding"), (x, i) =>
+              (x * (lit(0.75) + pmod(hash(col("vec_id"), i, lit(c)), lit(100))
+                .cast("double") / 200.0)).cast("float")))
+      }, 8)
+      Seq("nation", "region", "events").foreach(n => write(n, t(n), 1))
+      done.getParentFile.mkdirs(); done.createNewFile()
+    }
+    Seq("lineitem", "orders", "customer", "supplier", "part",
+      "documents", "embeddings")
+      .map(n => n -> spark.read.parquet(s"$workDir/$n.parquet").count()).toMap
+  }
+
+  /** Synthetic nFiles-add log (commits of 50k adds with realistic stats;
+    * no data files — snapshot never opens them): driver plane vs Spark-job
+    * plane wall time, the retained snapshot footprint, and which plane
+    * auto mode picks from the O(1) tail-bytes signal. */
+  private def replayProbe(spark: SparkSession, nFiles: Int)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val perCommit = 50000
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-replay").toString
+    val logDir = new java.io.File(s"$dir/_delta_log"); logDir.mkdirs()
+    val w0 = new java.io.PrintWriter(s"$dir/_delta_log/00000000000000000000.json")
+    w0.println("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    w0.println("""{"metaData":{"id":"scale-probe","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"double\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{}}}""")
+    w0.close()
+    (0 until nFiles / perCommit).foreach { c =>
+      val w = new java.io.PrintWriter(f"$dir/_delta_log/${c + 1}%020d.json")
+      (0 until perCommit).foreach { i =>
+        val n = c * perCommit + i
+        w.println(
+          s"""{"add":{"path":"part-$n%06d-${java.util.UUID.randomUUID()}.snappy.parquet","partitionValues":{},"size":${1000000 + n},"modificationTime":${1700000000000L + n},"dataChange":true,"stats":"{\\"numRecords\\":1000,\\"minValues\\":{\\"id\\":${n * 1000L},\\"v\\":0.5},\\"maxValues\\":{\\"id\\":${n * 1000L + 999},\\"v\\":99.5},\\"nullCount\\":{\\"id\\":0,\\"v\\":0}}"}}""")
+      }
+      w.close()
+    }
+    def timeSnapshot(mode: String): (Double, Long) = {
+      DeltaLog.DistributedReplayMode = mode
+      try {
+        val before = usedHeapMb()
+        val t0 = System.nanoTime()
+        val snap = DeltaLog.snapshot(spark, dir)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(snap.files.size == nFiles, s"expected $nFiles files, got ${snap.files.size}")
+        val retained = usedHeapMb() - before // snap still referenced here
+        (sec, math.max(retained, 0L))
+      } finally DeltaLog.DistributedReplayMode = "auto"
+    }
+    val (jobWarm, _) = timeSnapshot("always") // warm the json read path
+    val (driverSec, driverRetained) = timeSnapshot("never")
+    val (jobSec, jobRetained) = timeSnapshot("always")
+    val before = DeltaLog.jobReplays.get()
+    DeltaLog.snapshot(spark, dir) // auto: which plane does the signal pick?
+    val autoPlane = if (DeltaLog.jobReplays.get() > before) "job" else "driver"
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("files", nFiles)
+    node.put("commits", nFiles / perCommit)
+    node.put("driver_plane_sec", math.round(driverSec * 1000) / 1000.0)
+    node.put("job_plane_sec", math.round(jobSec * 1000) / 1000.0)
+    node.put("job_plane_warm_sec", math.round(jobWarm * 1000) / 1000.0)
+    node.put("snapshot_retained_mb_driver_plane", driverRetained)
+    node.put("snapshot_retained_mb_job_plane", jobRetained)
+    node.put("auto_routes_to", autoPlane)
+    node
+  }
+}

@@ -366,6 +366,38 @@ object Dedup {
       .limit(50)
   }
 
+  /** Segment-level exact dedup — the RefinedWeb/CCNet paragraph-dedup
+    * shape: dedup UNITS SMALLER than a document across the whole corpus,
+    * keeping each distinct segment's first occurrence in (doc_id, chunk)
+    * order. The fixture's text carries no paragraph breaks, so the segment
+    * unit is a non-overlapping 10-word chunk (same split convention as
+    * tx01). Scale posture: the only corpus-wide shuffle is on the segment
+    * hash (uniform by construction); row_number runs per segment group
+    * (group size = duplication factor, small); no global sort, no
+    * all-pairs anything. */
+  private def dd09SegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = docs(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("words")) > 0)
+      .withColumn("chunk",
+        explode(expr("sequence(0, CAST(ceil(size(words) / 10.0) AS INT) - 1)")))
+      .withColumn("seg", expr("slice(words, chunk * 10 + 1, 10)"))
+      .select(col("doc_id"), col("lang"), col("chunk"),
+        md5(concat_ws(" ", col("seg"))).as("h"),
+        size(col("seg")).cast("long").as("seg_words"))
+    segs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk"))))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        expr("count_if(rn = 1)").as("n_kept"),
+        sum(when(col("rn") === 1, col("seg_words")).otherwise(0L)).as("kept_words"),
+        countDistinct(when(col("rn") > 1, col("doc_id"))).as("docs_affected"))
+      .orderBy(col("lang"))
+  }
+
   /** Shared oracle CTE chain ending in `verified` = the MinHash-LSH
     * verified near-dup edge list (mirrors [[verifiedPairs]]). */
   private[operators] lazy val duckVerifiedCtes: String = s"""
@@ -457,6 +489,31 @@ object Dedup {
         WHERE jac >= 0.5)
       SELECT new_doc, corpus_doc, jac FROM inc
       ORDER BY jac DESC, new_doc, corpus_doc LIMIT 50""",
+    "dd09_segment_dedup" -> """
+      WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS words
+        FROM documents),
+      w1 AS (SELECT * FROM w WHERE len(words) > 0),
+      c AS (
+        SELECT doc_id, lang, words,
+               unnest(generate_series(0, CAST(ceil(len(words) / 10.0) AS INT) - 1)) AS chunk
+        FROM w1),
+      s AS (
+        SELECT doc_id, lang, chunk,
+               md5(array_to_string(words[chunk * 10 + 1 : chunk * 10 + 10], ' ')) AS h,
+               len(words[chunk * 10 + 1 : chunk * 10 + 10]) AS seg_words
+        FROM c),
+      r AS (
+        SELECT lang, doc_id, seg_words,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk) AS rn
+        FROM s)
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_segs,
+             CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN rn = 1 THEN seg_words ELSE 0 END) AS BIGINT) AS kept_words,
+             CAST(count(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS BIGINT) AS docs_affected
+      FROM r GROUP BY 1 ORDER BY 1""",
     "dd04_simhash" -> """
       WITH sigs AS (
         SELECT doc_id,
@@ -532,5 +589,6 @@ object Dedup {
     "dd05_embed_dup" -> dd05EmbedDup,
     "dd06_cluster_dedup" -> dd06ClusterDedup,
     "dd07_embed_lsh_dup" -> dd07EmbedLshDup,
-    "dd08_incremental_dedup" -> dd08IncrementalDedup)
+    "dd08_incremental_dedup" -> dd08IncrementalDedup,
+    "dd09_segment_dedup" -> dd09SegmentDedup)
 }

@@ -278,6 +278,44 @@ object Pipeline {
       .orderBy(col("split"), col("source"))
   }
 
+  /** Sequence packing — the concat-then-chunk shape GPT-style training
+    * uses: documents in deterministic (doc_id) order, token budget 256 per
+    * pack, a doc landing on a boundary spills into the next pack (pack =
+    * floor(tokens-before / budget)). Scale posture: the global prefix sum
+    * is computed DISTRIBUTED — contiguous doc_id buckets get per-bucket
+    * running totals (window partitioned by bucket), and the O(buckets)
+    * bucket offsets are a tiny broadcast join — never a single-partition
+    * global window, which is how a naive ORDER BY window would execute.
+    * The oracle replays the same boundaries with a plain global cumsum. */
+  private def pp09SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 256.0
+    val bucketSize = 100L
+    val toks = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("toks"))
+      .withColumn("bucket", (col("doc_id") / bucketSize).cast("long"))
+    val offsets = toks.groupBy(col("bucket")).agg(sum(col("toks")).as("btoks"))
+      .withColumn("offset", coalesce(
+        sum(col("btoks")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val packed = toks.join(broadcast(offsets), "bucket")
+      .withColumn("cum_before", col("offset") + coalesce(
+        sum(col("toks")).over(Window.partitionBy(col("bucket"))
+          .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("pack", floor(col("cum_before") / budget).cast("long"))
+    packed.groupBy(col("pack"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("ptoks"))
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("docs")).as("total_docs"),
+        (floor(avg(col("docs")) * 10000.0) / 10000.0).as("avg_docs_pack"),
+        max(col("ptoks")).as("max_pack_tokens"),
+        expr("count_if(ptoks > 256)").as("packs_over_budget"))
+  }
+
   private val duckQualityCte: String = """
       quality AS (
         SELECT doc_id, source, n_chars,
@@ -295,6 +333,26 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "pp01_curation" -> oracle,
+    "pp09_sequence_packing" -> """
+      WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, toks,
+               COALESCE(sum(toks) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM t),
+      g AS (
+        SELECT CAST(floor(cum_before / 256.0) AS BIGINT) AS pack,
+               count(*) AS docs, sum(toks) AS ptoks
+        FROM c GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_packs,
+             CAST(sum(docs) AS BIGINT) AS total_docs,
+             floor(avg(docs) * 10000.0) / 10000.0 AS avg_docs_pack,
+             CAST(max(ptoks) AS BIGINT) AS max_pack_tokens,
+             CAST(count(*) FILTER (ptoks > 256) AS BIGINT) AS packs_over_budget
+      FROM g""",
     "pp02_hash_split" -> """
       SELECT split, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -431,5 +489,6 @@ object Pipeline {
     "pp05_pii_redact" -> pp05PiiRedact,
     "pp06_mixture_sample" -> pp06MixtureSample,
     "pp07_corpus_build" -> pp07CorpusBuild,
-    "pp08_contam_report" -> pp08ContamReport)
+    "pp08_contam_report" -> pp08ContamReport,
+    "pp09_sequence_packing" -> pp09SequencePacking)
 }
