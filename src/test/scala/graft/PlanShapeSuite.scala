@@ -146,4 +146,22 @@ class PlanShapeSuite extends AnyFunSuite {
       s"expected broadcast of the global total in:\n$p")
     assert(!p.contains("CartesianProduct"), "1-row join must never cartesian")
   }
+
+  test("pp09: the corpus-wide prefix sum runs bucket-partitioned, offsets broadcast") {
+    val p = finalPlanOf("pp09_sequence_packing")
+    // the document-scale window must be PARTITIONED by bucket — a global
+    // ORDER BY window would drag the whole corpus into one partition
+    assert(p.contains("windowspecdefinition(bucket"),
+      s"expected the per-bucket (partitioned) running sum in:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected the O(buckets) offset table to broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), "offset join must never cartesian")
+  }
+
+  test("dd09: segment dedup shuffles on the segment hash, never sorts globally") {
+    val p = finalPlanOf("dd09_segment_dedup")
+    assert(p.contains("windowspecdefinition(h#") || p.contains("windowspecdefinition(h,"),
+      s"expected row_number partitioned by segment hash in:\n$p")
+    assert(!p.contains("CartesianProduct"), "segment dedup must never cartesian")
+  }
 }
