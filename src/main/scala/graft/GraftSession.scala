@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", classOf[graft.functions.GraftSparkExtensions].getName)
+      // HTTP(S) object store (reference object_store.rs:36-41 parity):
+      // point reads of single objects over plain HTTP
+      .config("spark.hadoop.fs.http.impl", classOf[graft.sources.HttpFileSystem].getName)
+      .config("spark.hadoop.fs.https.impl", classOf[graft.sources.HttpsFileSystem].getName)
       .getOrCreate()
     // idempotent re-registration: getOrCreate may have returned a session
     // built elsewhere (extensions only apply at context build time)

@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.io.{EOFException, IOException, InputStream}
+import java.net.{HttpURLConnection, URI, URL}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, FileSystem, Path, PositionedReadable, Seekable}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Read-only Hadoop FileSystem over plain HTTP(S) — the Spark-side
+  * equivalent of the reference's HTTP object store
+  * (`/root/reference/src/object_store.rs:36-41`, which registers an HTTP
+  * store so `register_parquet("http://…")` works). Hadoop ships no such
+  * FileSystem, so this one is implemented here from the JDK's
+  * HttpURLConnection alone:
+  *
+  *  - `getFileStatus` = HEAD (falling back to a 1-byte ranged GET for
+  *    servers that reject HEAD, taking the total from `Content-Range`);
+  *  - `open` returns a seekable stream: sequential reads share one
+  *    connection, a `seek` lazily reopens at the new offset with a
+  *    `Range: bytes=pos-` request, and positioned reads (`readFully`) are
+  *    independent one-shot range requests — exactly the access pattern a
+  *    parquet footer + column-chunk read needs;
+  *  - like the reference's store (and HTTP itself) there is NO listing:
+  *    a path names one object, so `listStatus` returns just it — point
+  *    reads of single files (`spark.read.parquet("http://…/f.parquet")`),
+  *    not directory tables;
+  *  - every mutation throws: the store is read-only by protocol.
+  *
+  * Register with `fs.http.impl` / `fs.https.impl` (GraftSession presets
+  * both): `spark.hadoop.fs.http.impl=graft.sources.HttpFileSystem`. */
+class HttpFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+
+  override def getScheme: String = "http"
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    fsUri = URI.create(s"$getScheme://${Option(name.getAuthority).getOrElse("")}")
+    setConf(conf)
+  }
+
+  override def getUri: URI = fsUri
+
+  private def urlOf(f: Path): URL = f.toUri.toURL
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$op: the $getScheme:// store is read-only (HTTP has no write surface)")
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val conn = urlOf(f).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("HEAD")
+    conn.setInstanceFollowRedirects(true)
+    try {
+      val code = conn.getResponseCode
+      if (code == HttpURLConnection.HTTP_NOT_FOUND)
+        throw new java.io.FileNotFoundException(f.toString)
+      if (code >= 400 || conn.getContentLengthLong < 0)
+        return statusViaRangedGet(f) // HEAD unsupported → 1-byte ranged GET
+      status(f, conn.getContentLengthLong, conn.getLastModified)
+    } finally conn.disconnect()
+  }
+
+  /** Servers that reject HEAD still answer `Range: bytes=0-0` with a
+    * `Content-Range: bytes 0-0/<total>` — take the length from there. */
+  private def statusViaRangedGet(f: Path): FileStatus = {
+    val conn = urlOf(f).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestProperty("Range", "bytes=0-0")
+    try {
+      val code = conn.getResponseCode
+      if (code == HttpURLConnection.HTTP_NOT_FOUND)
+        throw new java.io.FileNotFoundException(f.toString)
+      if (code >= 400) throw new IOException(s"GET $f -> HTTP $code")
+      val total = Option(conn.getHeaderField("Content-Range"))
+        .filter(_.contains("/")).map(_.split('/').last.trim.toLong)
+        .getOrElse(conn.getContentLengthLong)
+      if (total < 0) throw new IOException(
+        s"$f: server reports no length (no HEAD, no Content-Range)")
+      conn.getInputStream.close()
+      status(f, total, conn.getLastModified)
+    } finally conn.disconnect()
+  }
+
+  private def status(f: Path, len: Long, mtime: Long): FileStatus =
+    new FileStatus(len, false, 1, 64L << 20, math.max(mtime, 0L), 0L,
+      FsPermission.getFileDefault, "", "", f)
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val len = getFileStatus(f).getLen
+    new FSDataInputStream(new HttpSeekableInputStream(urlOf(f), len))
+  }
+
+  /** HTTP has no listing protocol: a path IS one object. */
+  override def listStatus(f: Path): Array[FileStatus] = Array(getFileStatus(f))
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = readOnly("create")
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    readOnly("append")
+  override def rename(src: Path, dst: Path): Boolean = readOnly("rename")
+  override def delete(f: Path, recursive: Boolean): Boolean = readOnly("delete")
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = readOnly("mkdirs")
+
+  override def setWorkingDirectory(dir: Path): Unit = ()
+  override def getWorkingDirectory: Path = new Path(fsUri)
+}
+
+/** Same store over TLS (`fs.https.impl`). */
+class HttpsFileSystem extends HttpFileSystem {
+  override def getScheme: String = "https"
+}
+
+/** Seekable HTTP stream: one live connection for sequential reads, lazy
+  * `Range: bytes=pos-` reopen after a seek, one-shot bounded range
+  * requests for positioned reads (safe to call concurrently with the
+  * sequential cursor — they share no state). */
+private[graft] class HttpSeekableInputStream(url: URL, length: Long)
+  extends InputStream with Seekable with PositionedReadable {
+
+  private var pos = 0L
+  private var in: InputStream = _
+  private var streamPos = -1L // offset the open stream is positioned at
+
+  private def ensureOpen(): InputStream = {
+    if (in == null || streamPos != pos) {
+      if (in != null) { in.close(); in = null }
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
+      val code = conn.getResponseCode
+      if (code >= 400) throw new IOException(s"GET $url @$pos -> HTTP $code")
+      if (pos > 0 && code != HttpURLConnection.HTTP_PARTIAL)
+        throw new IOException(
+          s"$url: server ignored Range (HTTP $code) — cannot serve seekable reads")
+      in = conn.getInputStream
+      streamPos = pos
+    }
+    in
+  }
+
+  override def read(): Int = {
+    if (pos >= length) return -1
+    val b = ensureOpen().read()
+    if (b >= 0) { pos += 1; streamPos = pos }
+    b
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (pos >= length) return -1
+    val n = ensureOpen().read(b, off, len)
+    if (n > 0) { pos += n; streamPos = pos }
+    n
+  }
+
+  override def seek(newPos: Long): Unit = {
+    if (newPos < 0 || newPos > length)
+      throw new EOFException(s"seek($newPos) outside [0, $length] for $url")
+    pos = newPos // stream reopens lazily on the next read
+  }
+
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  override def read(position: Long, buffer: Array[Byte], offset: Int, len: Int): Int = {
+    if (position >= length) return -1
+    val want = math.min(len.toLong, length - position).toInt
+    if (want <= 0) return 0
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestProperty("Range", s"bytes=$position-${position + want - 1}")
+    try {
+      val code = conn.getResponseCode
+      if (code >= 400) throw new IOException(s"GET $url @$position -> HTTP $code")
+      if (code != HttpURLConnection.HTTP_PARTIAL) throw new IOException(
+        s"$url: server ignored Range (HTTP $code) — cannot serve positioned reads")
+      val s = conn.getInputStream
+      try {
+        var total = 0
+        var n = 0
+        while (total < want &&
+          { n = s.read(buffer, offset + total, want - total); n > 0 }) total += n
+        total
+      } finally s.close()
+    } finally conn.disconnect()
+  }
+
+  override def readFully(position: Long, buffer: Array[Byte], offset: Int, len: Int): Unit = {
+    var total = 0
+    while (total < len) {
+      val n = read(position + total, buffer, offset + total, len - total)
+      if (n <= 0) throw new EOFException(
+        s"EOF at ${position + total} reading $len bytes from $url")
+      total += n
+    }
+  }
+
+  override def readFully(position: Long, buffer: Array[Byte]): Unit =
+    readFully(position, buffer, 0, buffer.length)
+
+  override def close(): Unit = {
+    if (in != null) { in.close(); in = null }
+    streamPos = -1L
+  }
+}
