@@ -19,6 +19,12 @@ object Tables {
     * UTC session timezone (the oracle's frame of reference), so that conf
     * is pinned here alongside nanosAsLong rather than assumed from the
     * session factory. */
+  /** Dirs whose int64 `ts` magnitude has been verified as nanoseconds —
+    * the check is one tiny Spark job, so pay it once per dir, not once per
+    * query (the bench runs 10 event queries × N reps over one dir). */
+  private val nanosVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
@@ -30,12 +36,15 @@ object Tables {
         // writing plain micros/millis as int64) must fail loudly here, not
         // be silently divided by 1000. Nanos since epoch for the fixture's
         // 2024-era data ≈ 1.7e18; micros ≈ 1.7e15, millis ≈ 1.7e12.
-        raw.select(col("ts")).filter(col("ts").isNotNull).head(1).foreach { r =>
-          val v = math.abs(r.getLong(0))
-          require(v == 0L || v > 1e17.toLong,
-            s"events.ts is int64 but sampled |ts|=$v is too small for " +
-              "nanoseconds-since-epoch; refusing to div 1000 — fixture " +
-              "layout changed, update Tables.events")
+        if (!nanosVerified.contains(dir)) {
+          raw.select(col("ts")).filter(col("ts").isNotNull).head(1).foreach { r =>
+            val v = math.abs(r.getLong(0))
+            require(v == 0L || v > 1e17.toLong,
+              s"events.ts is int64 but sampled |ts|=$v is too small for " +
+                "nanoseconds-since-epoch; refusing to div 1000 — fixture " +
+                "layout changed, update Tables.events")
+          }
+          nanosVerified.add(dir)
         }
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => // micros, isAdjustedToUTC=false; session is UTC
