@@ -398,6 +398,47 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** SemDeDup (the published semantic-dedup recipe): cluster embeddings
+    * with a coarse quantizer, then pairwise-cosine ONLY within each
+    * cluster, dropping every vector that has a more-canonical (lower-id)
+    * near-duplicate in its cluster. Candidates are Σ|cluster|² ≈ N²/K
+    * instead of N² — the paper's exact scale mechanism (k-means there;
+    * the same first-16 coarse quantizer as ss03 here, so assignment is
+    * the identical broadcast + map-side-argmax plan with no N×K window).
+    * K grows with the corpus at scale, keeping clusters bounded; the
+    * within-cluster self-join is an equi-join on cid, the blocked-join
+    * shape every near-dup operator in this module uses. */
+  private def dd10Semdedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val v = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("e"))
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val assigned = v.join(broadcast(cents))
+      .withColumn("csim",
+        floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct((-col("csim")).as("ns"), col("cid"))).as("m"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"), col("m.cid").as("cid"))
+      .persist()
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        floor(expr("cosine_sim(a.e, b.e)") * lit(1000000.0)) / lit(1000000.0))
+      .filter(col("sim") >= 0.45)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+      .orderBy(col("cid"))
+  }
+
   /** Shared oracle CTE chain ending in `verified` = the MinHash-LSH
     * verified near-dup edge list (mirrors [[verifiedPairs]]). */
   private[operators] lazy val duckVerifiedCtes: String = s"""
@@ -489,6 +530,27 @@ object Dedup {
         WHERE jac >= 0.5)
       SELECT new_doc, corpus_doc, jac FROM inc
       ORDER BY jac DESC, new_doc, corpus_doc LIMIT 50""",
+    "dd10_semdedup" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, ${Similarity.duckNrm} AS nrm
+                 FROM embeddings),
+      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, e, nrm, cid FROM (
+          SELECT v.vec_id, v.e, v.nrm, cents.cid,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   floor(${Similarity.dDot("v.e", "ce")} / sqrt(v.nrm * cnrm) * 1000000.0) / 1000000.0 DESC,
+                   cents.cid) AS arn
+          FROM v CROSS JOIN cents)
+        WHERE arn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id FROM assigned a
+        JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE floor(${Similarity.dDot("a.e", "b.e")} / sqrt(a.nrm * b.nrm) * 1000000.0) / 1000000.0 >= 0.45)
+      SELECT CAST(a.cid AS BIGINT) AS cid,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+      FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      GROUP BY 1 ORDER BY 1""",
     "dd09_segment_dedup" -> """
       WITH w AS (
         SELECT doc_id, lang,
@@ -590,5 +652,6 @@ object Dedup {
     "dd06_cluster_dedup" -> dd06ClusterDedup,
     "dd07_embed_lsh_dup" -> dd07EmbedLshDup,
     "dd08_incremental_dedup" -> dd08IncrementalDedup,
-    "dd09_segment_dedup" -> dd09SegmentDedup)
+    "dd09_segment_dedup" -> dd09SegmentDedup,
+    "dd10_semdedup" -> dd10Semdedup)
 }
