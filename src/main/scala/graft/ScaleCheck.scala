@@ -58,7 +58,8 @@ object ScaleCheck {
     val genSec = (System.nanoTime() - genT0) / 1e9
 
     // ---- stage 2: probe queries at both scales
-    val prefixes = Seq("dd03", "dd08", "ss02", "ss06", "dl06", "dl10", "q24", "pp01")
+    val prefixes = Seq("dd03", "dd08", "dd09", "dd10", "ss02", "ss06",
+      "dl06", "dl10", "q24", "pp01", "pp09")
     val probes = prefixes.map(p =>
       SparkEntry.queries.keys.find(_.startsWith(p)).getOrElse(
         sys.error(s"no registered query with prefix $p")))
