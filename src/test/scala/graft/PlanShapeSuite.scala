@@ -164,4 +164,17 @@ class PlanShapeSuite extends AnyFunSuite {
       s"expected row_number partitioned by segment hash in:\n$p")
     assert(!p.contains("CartesianProduct"), "segment dedup must never cartesian")
   }
+
+  test("dd10: SemDeDup assignment aggregates map-side; within-cluster join stays keyed") {
+    val p = finalPlanOf("dd10_semdedup")
+    // the ONE BroadcastNestedLoopJoin is the deliberate K-centroid fan-out
+    // (same shape as ss03/ss04); the N×K scored rows must still collapse
+    // map-side, and the pair join must be the cid equi-join, not cartesian
+    assert(p.contains("partial_min(struct"),
+      s"expected map-side partial argmin centroid assignment in:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"within-cluster pairs must come from a keyed cid equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), "SemDeDup must never cartesian")
+  }
 }
