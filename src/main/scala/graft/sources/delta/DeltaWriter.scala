@@ -804,11 +804,15 @@ object DeltaWriter {
     def withTypedStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       if ((!statsAsStruct && statsAsJson) || !df.schema.fieldNames.contains("add")) df
       else {
+        // stats JSON keys are PHYSICAL column names (the stats pass runs
+        // over the physicalized staged files), so the from_json target
+        // must be too — with logical names every field would parse NULL
+        // on a column-mapped table
         val statsSchema = StructType(Seq(
           StructField("numRecords", LongType),
-          StructField("minValues", statsValueSchema(snap.dataSchema)),
-          StructField("maxValues", statsValueSchema(snap.dataSchema)),
-          StructField("nullCount", statsCountSchema(snap.dataSchema))))
+          StructField("minValues", statsValueSchema(snap.physicalDataSchema)),
+          StructField("maxValues", statsValueSchema(snap.physicalDataSchema)),
+          StructField("nullCount", statsCountSchema(snap.physicalDataSchema))))
         val addFields = df.schema("add").dataType.asInstanceOf[StructType].fieldNames
         val kept = addFields.toSeq
           .filter(f => statsAsJson || f != "stats")

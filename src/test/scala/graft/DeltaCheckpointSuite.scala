@@ -441,6 +441,32 @@ class DeltaCheckpointSuite extends AnyFunSuite {
     assert(q.count() === 11)
   }
 
+  test("writeStatsAsStruct on a column-mapped table keys stats_parsed by PHYSICAL names") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-mapstats").toString
+    DeltaWriter.write((1 to 10).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1),
+      dir, org.apache.spark.sql.SaveMode.Append, Nil)
+    graft.sources.delta.DeltaSchema.renameColumn(spark, dir, "s", "txt") // physical stays "s"
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.checkpoint.writeStatsAsStruct' = 'true')")
+    val v = DeltaLog.snapshot(spark, dir).version
+    DeltaWriter.writeCheckpoint(spark, dir, v)
+    val cp = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(dir, f"_delta_log/$v%020d.checkpoint.parquet").toString)
+    val mins = cp.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .apply("stats_parsed").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .apply("minValues").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(mins.fieldNames.toSeq === Seq("id", "s"),
+      s"stats_parsed must be keyed by PHYSICAL names, got ${mins.fieldNames.toSeq}")
+    // and the values actually parse (a logical-keyed schema would NULL out)
+    val rows = cp.filter(col("add").isNotNull)
+      .select(col("add.stats_parsed.minValues.s"), col("add.stats_parsed.numRecords"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r => !r.isNullAt(0) && r.getLong(1) > 0L),
+      "physical-keyed stats_parsed must carry real values on a mapped table")
+  }
+
   test("writeStatsAsJson=false without writeStatsAsStruct is refused") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-nostats").toString
