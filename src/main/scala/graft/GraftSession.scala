@@ -33,6 +33,8 @@ object GraftSession {
       // point reads of single objects over plain HTTP
       .config("spark.hadoop.fs.http.impl", classOf[graft.sources.HttpFileSystem].getName)
       .config("spark.hadoop.fs.https.impl", classOf[graft.sources.HttpsFileSystem].getName)
+      // S3 store (SigV4 REST; needs fs.s3.endpoint + creds, conf or env)
+      .config("spark.hadoop.fs.s3.impl", classOf[graft.sources.S3FileSystem].getName)
       .getOrCreate()
     // idempotent re-registration: getOrCreate may have returned a session
     // built elsewhere (extensions only apply at context build time)

@@ -117,8 +117,12 @@ class HttpsFileSystem extends HttpFileSystem {
 /** Seekable HTTP stream: one live connection for sequential reads, lazy
   * `Range: bytes=pos-` reopen after a seek, one-shot bounded range
   * requests for positioned reads (safe to call concurrently with the
-  * sequential cursor — they share no state). */
-private[graft] class HttpSeekableInputStream(url: URL, length: Long)
+  * sequential cursor — they share no state).
+  *
+  * @param prepare hook run on every connection before it is sent — the
+  *        seam stores with authenticated GETs (S3 SigV4) plug into */
+private[graft] class HttpSeekableInputStream(
+    url: URL, length: Long, prepare: HttpURLConnection => Unit = _ => ())
   extends InputStream with Seekable with PositionedReadable {
 
   private var pos = 0L
@@ -130,6 +134,7 @@ private[graft] class HttpSeekableInputStream(url: URL, length: Long)
       if (in != null) { in.close(); in = null }
       val conn = url.openConnection().asInstanceOf[HttpURLConnection]
       if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
+      prepare(conn)
       val code = conn.getResponseCode
       if (code >= 400) throw new IOException(s"GET $url @$pos -> HTTP $code")
       if (pos > 0 && code != HttpURLConnection.HTTP_PARTIAL)
@@ -170,6 +175,7 @@ private[graft] class HttpSeekableInputStream(url: URL, length: Long)
     if (want <= 0) return 0
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestProperty("Range", s"bytes=$position-${position + want - 1}")
+    prepare(conn)
     try {
       val code = conn.getResponseCode
       if (code >= 400) throw new IOException(s"GET $url @$position -> HTTP $code")

@@ -832,16 +832,38 @@ object DeltaLog {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(dir)
-    val target = new java.io.File(new Path(dir, f"$version%020d.json").toUri.getPath)
-    val tmp = new java.io.File(target.getParentFile, s".tmp-${java.util.UUID.randomUUID()}.json")
-    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
-    try {
-      java.nio.file.Files.createLink(target.toPath, tmp.toPath)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally {
-      tmp.delete()
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      // POSIX plane (file:// and local-backed test schemes): hard-link
+      // publish — atomic create-if-absent at the filesystem level
+      val target = new java.io.File(new Path(dir, f"$version%020d.json").toUri.getPath)
+      val tmp = new java.io.File(target.getParentFile, s".tmp-${java.util.UUID.randomUUID()}.json")
+      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.createLink(target.toPath, tmp.toPath)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        tmp.delete()
+      }
+    } else {
+      // object-store plane: `create(path, overwrite = false)` must be the
+      // store's atomic create-if-absent (the S3 store maps it to a
+      // conditional PUT `If-None-Match: *`; losers surface
+      // FileAlreadyExistsException — possibly at close(), where the PUT
+      // actually happens)
+      val target = new Path(dir, f"$version%020d.json")
+      try {
+        val out = fs.create(target, false)
+        out.write(content.getBytes("UTF-8"))
+        out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
     }
   }
 }

@@ -1,0 +1,235 @@
+package graft
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.S3FileSystem
+import graft.sources.delta.{DeltaDml, DeltaLog, DeltaTable, DeltaWriter}
+
+/** In-process fake S3: the REST surface [[S3FileSystem]] speaks —
+  * GET/HEAD objects (+Range), PUT (+`If-None-Match: *` conditional
+  * create, +`x-amz-copy-source` COPY), DELETE, ListObjectsV2 with
+  * delimiter/continuation-token — with REAL SigV4 verification (the
+  * server recomputes every request's signature from the shared secret
+  * and rejects mismatches), so the signer is tested end-to-end, not
+  * just "an Authorization header exists". */
+class FakeS3Server(accessKey: String, secretKey: String) {
+  private val objects = new ConcurrentHashMap[String, Array[Byte]]() // "bucket/key" -> bytes
+  private var server: HttpServer = _
+
+  def port: Int = server.getAddress.getPort
+  def keys: Set[String] = objects.keySet().asScala.toSet
+
+  def start(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try route(ex)
+        catch { case e: Exception =>
+          System.err.println(s"[fake-s3] ${e.getMessage}")
+          ex.sendResponseHeaders(500, -1); ex.close()
+        }
+    })
+    server.start()
+  }
+  def stop(): Unit = server.stop(0)
+
+  private def verifySig(ex: HttpExchange, payload: Array[Byte]): Boolean = {
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(return false)
+    val sigM = """Signature=([0-9a-f]{64})""".r.findFirstMatchIn(auth).getOrElse(return false)
+    val credM = """Credential=([^/]+)/(\d{8})/([^/]+)/s3/aws4_request""".r
+      .findFirstMatchIn(auth).getOrElse(return false)
+    if (credM.group(1) != accessKey) return false
+    val (date, region) = (credM.group(2), credM.group(3))
+    val amzDate = ex.getRequestHeaders.getFirst("x-amz-date")
+    val contentSha = ex.getRequestHeaders.getFirst("x-amz-content-sha256")
+    val host = ex.getRequestHeaders.getFirst("Host")
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    def sha(b: Array[Byte]) =
+      hex(java.security.MessageDigest.getInstance("SHA-256").digest(b))
+    def hmac(k: Array[Byte], d: String) = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(k, "HmacSHA256")); m.doFinal(d.getBytes(UTF_8))
+    }
+    val canonicalQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split('&').filter(_.nonEmpty).sorted.mkString("&")
+    val canonical = Seq(
+      ex.getRequestMethod, ex.getRequestURI.getRawPath, canonicalQuery,
+      s"host:$host\nx-amz-content-sha256:$contentSha\nx-amz-date:$amzDate\n",
+      "host;x-amz-content-sha256;x-amz-date", contentSha).mkString("\n")
+    val toSign = Seq("AWS4-HMAC-SHA256", amzDate,
+      s"$date/$region/s3/aws4_request", sha(canonical.getBytes(UTF_8))).mkString("\n")
+    val kSigning = hmac(hmac(hmac(hmac(
+      s"AWS4$secretKey".getBytes(UTF_8), date), region), "s3"), "aws4_request")
+    hex(hmac(kSigning, toSign)) == sigM.group(1)
+  }
+
+  private def route(ex: HttpExchange): Unit = {
+    val body = ex.getRequestBody.readAllBytes()
+    if (!verifySig(ex, body)) { ex.sendResponseHeaders(403, -1); ex.close(); return }
+    val rawPath = URLDecoder.decode(ex.getRequestURI.getRawPath, "UTF-8").stripPrefix("/")
+    val query = Option(ex.getRequestURI.getQuery).getOrElse("").split('&')
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    val isList = query.get("list-type").contains("2")
+    (ex.getRequestMethod, isList) match {
+      case ("GET", true) => list(ex, rawPath.stripSuffix("/"), query)
+      case ("GET", _) | ("HEAD", _) => getObject(ex, rawPath)
+      case ("PUT", _) => putObject(ex, rawPath, body)
+      case ("DELETE", _) =>
+        objects.remove(rawPath); ex.sendResponseHeaders(204, -1); ex.close()
+      case _ => ex.sendResponseHeaders(405, -1); ex.close()
+    }
+  }
+
+  private def getObject(ex: HttpExchange, path: String): Unit = {
+    val bytes = objects.get(path)
+    if (bytes == null) { ex.sendResponseHeaders(404, -1); ex.close(); return }
+    val head = ex.getRequestMethod == "HEAD"
+    Option(ex.getRequestHeaders.getFirst("Range")) match {
+      case Some(r) if !head =>
+        val m = """bytes=(\d+)-(\d*)""".r.findFirstMatchIn(r).get
+        val from = m.group(1).toInt
+        val to = Option(m.group(2)).filter(_.nonEmpty).map(_.toInt)
+          .getOrElse(bytes.length - 1).min(bytes.length - 1)
+        val slice = java.util.Arrays.copyOfRange(bytes, from, to + 1)
+        ex.getResponseHeaders.add("Content-Range", s"bytes $from-$to/${bytes.length}")
+        ex.sendResponseHeaders(206, slice.length.toLong)
+        ex.getResponseBody.write(slice)
+      case _ =>
+        // HEAD still advertises Content-Length (the JDK server suppresses
+        // the body and logs a cosmetic warning)
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        if (!head) ex.getResponseBody.write(bytes)
+    }
+    ex.close()
+  }
+
+  private def putObject(ex: HttpExchange, path: String, body: Array[Byte]): Unit = {
+    val copySource = Option(ex.getRequestHeaders.getFirst("x-amz-copy-source"))
+    val conditional = Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
+    val payload = copySource match {
+      case Some(src) =>
+        val bytes = objects.get(URLDecoder.decode(src, "UTF-8").stripPrefix("/"))
+        if (bytes == null) { ex.sendResponseHeaders(404, -1); ex.close(); return }
+        bytes
+      case None => body
+    }
+    if (conditional) {
+      // the atomicity under test: putIfAbsent is one atomic map op
+      if (objects.putIfAbsent(path, payload) != null) {
+        ex.sendResponseHeaders(412, -1); ex.close(); return
+      }
+    } else objects.put(path, payload)
+    ex.sendResponseHeaders(200, -1); ex.close()
+  }
+
+  private def list(ex: HttpExchange, bucket: String, query: Map[String, String]): Unit = {
+    val prefix = query.getOrElse("prefix", "")
+    val delimiter = query.get("delimiter")
+    val all = objects.keySet().asScala.toSeq.sorted
+      .filter(_.startsWith(s"$bucket/$prefix"))
+      .map(_.stripPrefix(s"$bucket/"))
+    val (objsOut, prefixesOut) = delimiter match {
+      case Some(d) =>
+        val (direct, deeper) = all.partition(k => !k.stripPrefix(prefix).contains(d))
+        (direct,
+          deeper.map(k => prefix + k.stripPrefix(prefix).takeWhile(_ != d.head) + d).distinct)
+      case None => (all, Nil)
+    }
+    val xml = new StringBuilder("<?xml version=\"1.0\"?><ListBucketResult>")
+    objsOut.foreach { k =>
+      xml ++= s"<Contents><Key>$k</Key><Size>${objects.get(s"$bucket/$k").length}</Size>" +
+        "<LastModified>2026-01-01T00:00:00Z</LastModified></Contents>"
+    }
+    prefixesOut.foreach(p => xml ++= s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>")
+    xml ++= "</ListBucketResult>"
+    val bytes = xml.toString.getBytes(UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/xml")
+    ex.sendResponseHeaders(200, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}
+
+/** S3 object store end-to-end (reference `src/object_store.rs:42-47` +
+  * `examples/s3_standalone.rs` — endpoint override + env credentials;
+  * here the first-party SigV4 [[S3FileSystem]] against [[FakeS3Server]],
+  * signature-VERIFIED per request). */
+class S3StoreSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def withS3(body: (FakeS3Server, String) => Unit): Unit = {
+    val server = new FakeS3Server("graft-access", "graft-secret")
+    server.start()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3.impl", classOf[S3FileSystem].getName)
+      hc.set("fs.s3.endpoint", s"http://127.0.0.1:${server.port}")
+      hc.set("fs.s3.access.key", "graft-access")
+      hc.set("fs.s3.secret.key", "graft-secret")
+      hc.set("fs.s3.impl.disable.cache", "true") // endpoint/port changes per test
+      body(server, s"s3://bucket/tbl-${java.util.UUID.randomUUID().toString.take(8)}")
+    } finally server.stop()
+  }
+
+  test("full delta write -> log replay -> scan -> DML over s3://") {
+    import spark.implicits._
+    withS3 { (server, table) =>
+      DeltaTable.write(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k"),
+        table, SaveMode.Append, partitionBy = Seq("k"))
+      assert(server.keys.exists(_.contains("_delta_log/00000000000000000000.json")))
+      val got = DeltaTable.read(spark, table)
+      assert(got.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+      // partition pruning still applies through the store
+      assert(got.filter($"k" === "a").count() === 2L)
+      // a second commit + DML (copy-on-write rewrite through the store)
+      DeltaTable.write(Seq((4L, "b")).toDF("id", "k"), table, SaveMode.Append)
+      DeltaDml.delete(spark, table, "id = 2")
+      assert(DeltaTable.read(spark, table).select("id").as[Long].collect().sorted.toSeq
+        === Seq(1L, 3L, 4L))
+      // time travel replays the s3-hosted log
+      assert(DeltaTable.readVersion(spark, table, 0L).count() === 3L)
+    }
+  }
+
+  test("commit mutual exclusion: conditional PUT makes the second writer lose") {
+    withS3 { (_, table) =>
+      import spark.implicits._
+      DeltaTable.write(Seq((1L, "a")).toDF("id", "k"), table, SaveMode.Append)
+      val v1 = """{"commitInfo":{"operation":"TEST","timestamp":1}}"""
+      assert(DeltaLog.tryCommit(spark, table, 1L, v1))
+      assert(!DeltaLog.tryCommit(spark, table, 1L, v1),
+        "second commit of the same version must lose the conditional PUT")
+      assert(DeltaLog.tryCommit(spark, table, 2L, v1))
+    }
+  }
+
+  test("plain parquet + checkpointed log round-trip on s3://") {
+    import spark.implicits._
+    withS3 { (server, table) =>
+      // enough commits to cross the checkpoint cadence (10)
+      (0 until 12).foreach { i =>
+        DeltaTable.write(Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1),
+          table, SaveMode.Append)
+      }
+      assert(server.keys.exists(_.contains(".checkpoint.parquet")),
+        s"expected a checkpoint object, got: ${server.keys.filter(_.contains("_delta_log"))}")
+      assert(DeltaTable.read(spark, table).count() === 12L)
+      val fs = new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+      intercept[java.io.FileNotFoundException] {
+        fs.getFileStatus(new Path(s"$table/absent.parquet"))
+      }
+    }
+  }
+}
