@@ -278,29 +278,106 @@ class S3FileSystem extends FileSystem {
 
   // ---- write ----
 
-  /** Buffers to a local temp file, PUTs on close (single-object upload;
-    * Content-Length known, payload SHA signed). `overwrite = false` maps
-    * to `If-None-Match: *` — S3-native conditional create: the FIRST
-    * closer wins, every loser gets 412 → FileAlreadyExistsException. */
+  /** Buffers to a local temp file; on close, objects at or under
+    * `fs.s3.multipart.threshold` (default 128 MB) go up as one PUT
+    * (Content-Length known, payload SHA signed), larger ones as a
+    * MULTIPART upload in `fs.s3.multipart.size` parts (default 64 MB) —
+    * a single PUT caps at 5 GB on real S3, a ceiling a 100 TB pipeline's
+    * compacted parquet files WILL hit. `overwrite = false` maps to
+    * `If-None-Match: *` — S3-native conditional create: the FIRST closer
+    * wins, every loser gets 412 → FileAlreadyExistsException (commit
+    * JSONs are small, so the conditional path is always single-PUT). */
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
     val key = keyOf(f)
+    val threshold = getConf.getLong("fs.s3.multipart.threshold", 128L << 20)
+    val partSize = math.max(getConf.getLong("fs.s3.multipart.size", 64L << 20), 1L)
     val tmp = java.nio.file.Files.createTempFile("graft-s3-put", ".tmp")
     val local = java.nio.file.Files.newOutputStream(tmp)
     val out = new java.io.FilterOutputStream(local) {
       private var closed = false
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        local.write(b, off, len) // FilterOutputStream defaults to byte-at-a-time
       override def close(): Unit = {
         if (closed) return
         closed = true
         local.close()
         try {
-          val bytes = java.nio.file.Files.readAllBytes(tmp)
-          putObject(key, bytes, failIfExists = !overwrite)
+          val size = java.nio.file.Files.size(tmp)
+          // the conditional create (overwrite=false) stays single-PUT up
+          // to the threshold — commit JSONs are tiny, so the atomic path
+          // always holds for them; a LARGE overwrite=false object (a
+          // parquet part file, unique by name) goes multipart and keeps
+          // only name-uniqueness, which is what its caller relies on
+          if (size <= threshold)
+            putObject(key, java.nio.file.Files.readAllBytes(tmp),
+              failIfExists = !overwrite)
+          else multipartUpload(key, tmp, partSize)
         } finally java.nio.file.Files.deleteIfExists(tmp)
       }
     }
     new FSDataOutputStream(out, null)
+  }
+
+  /** InitiateMultipartUpload → UploadPart per chunk → Complete. Parts
+    * stream from the temp file, so driver/executor heap holds one part,
+    * never the object. */
+  private def multipartUpload(key: String, tmp: java.nio.file.Path, partSize: Long): Unit = {
+    // initiate
+    val initConn = connect("POST", key, Seq("uploads" -> ""))
+    initConn.setDoOutput(true)
+    initConn.setFixedLengthStreamingMode(0)
+    initConn.getOutputStream.close()
+    if (initConn.getResponseCode != 200)
+      throw new IOException(s"initiate multipart s3://$bucket/$key -> HTTP ${initConn.getResponseCode}")
+    val initDoc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(initConn.getInputStream)
+    val uploadId = initDoc.getElementsByTagName("UploadId").item(0).getTextContent
+
+    // parts
+    val in = java.nio.file.Files.newInputStream(tmp)
+    val etags = Seq.newBuilder[(Int, String)]
+    try {
+      val buf = new Array[Byte](partSize.toInt)
+      var partNumber = 1
+      var n = 0
+      while ({ n = readFull(in, buf); n > 0 }) {
+        val chunk = if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
+        val conn = connect("PUT", key,
+          Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
+          sha256(chunk))
+        conn.setDoOutput(true)
+        conn.setFixedLengthStreamingMode(chunk.length)
+        val os = conn.getOutputStream
+        os.write(chunk); os.close()
+        if (conn.getResponseCode != 200)
+          throw new IOException(s"upload part $partNumber of s3://$bucket/$key -> HTTP ${conn.getResponseCode}")
+        etags += partNumber -> Option(conn.getHeaderField("ETag")).getOrElse(s"part-$partNumber")
+        partNumber += 1
+      }
+    } finally in.close()
+
+    // complete
+    val xml = etags.result().map { case (pn, etag) =>
+      s"<Part><PartNumber>$pn</PartNumber><ETag>$etag</ETag></Part>"
+    }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+    val body = xml.getBytes(UTF_8)
+    val done = connect("POST", key, Seq("uploadId" -> uploadId), sha256(body))
+    done.setDoOutput(true)
+    done.setFixedLengthStreamingMode(body.length)
+    val os = done.getOutputStream
+    os.write(body); os.close()
+    if (done.getResponseCode != 200)
+      throw new IOException(s"complete multipart s3://$bucket/$key -> HTTP ${done.getResponseCode}")
+  }
+
+  private def readFull(in: InputStream, buf: Array[Byte]): Int = {
+    var total = 0
+    var n = 0
+    while (total < buf.length && { n = in.read(buf, total, buf.length - total); n > 0 })
+      total += n
+    total
   }
 
   private def putObject(key: String, bytes: Array[Byte], failIfExists: Boolean,

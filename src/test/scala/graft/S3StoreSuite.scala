@@ -23,6 +23,9 @@ import graft.sources.delta.{DeltaDml, DeltaLog, DeltaTable, DeltaWriter}
   * just "an Authorization header exists". */
 class FakeS3Server(accessKey: String, secretKey: String) {
   private val objects = new ConcurrentHashMap[String, Array[Byte]]() // "bucket/key" -> bytes
+  private val uploads = // uploadId -> (path, partNumber -> bytes)
+    new ConcurrentHashMap[String, (String, ConcurrentHashMap[Int, Array[Byte]])]()
+  @volatile var multipartCompletions = 0 // observability for specs
   private var server: HttpServer = _
 
   def port: Int = server.getAddress.getPort
@@ -84,7 +87,28 @@ class FakeS3Server(accessKey: String, secretKey: String) {
     (ex.getRequestMethod, isList) match {
       case ("GET", true) => list(ex, rawPath.stripSuffix("/"), query)
       case ("GET", _) | ("HEAD", _) => getObject(ex, rawPath)
+      case ("PUT", _) if query.contains("partNumber") =>
+        val (_, parts) = uploads.get(query("uploadId"))
+        parts.put(query("partNumber").toInt, body)
+        ex.getResponseHeaders.add("ETag", s""""p${query("partNumber")}"""")
+        ex.sendResponseHeaders(200, -1); ex.close()
       case ("PUT", _) => putObject(ex, rawPath, body)
+      case ("POST", _) if query.contains("uploads") =>
+        val id = java.util.UUID.randomUUID().toString
+        uploads.put(id, (rawPath, new ConcurrentHashMap[Int, Array[Byte]]()))
+        val xml = s"<InitiateMultipartUploadResult><UploadId>$id</UploadId></InitiateMultipartUploadResult>"
+          .getBytes(UTF_8)
+        ex.sendResponseHeaders(200, xml.length.toLong)
+        ex.getResponseBody.write(xml); ex.close()
+      case ("POST", _) if query.contains("uploadId") =>
+        val (path, parts) = uploads.remove(query("uploadId"))
+        val whole = parts.asScala.toSeq.sortBy(_._1).map(_._2)
+          .foldLeft(Array.emptyByteArray)(_ ++ _)
+        objects.put(path, whole)
+        multipartCompletions += 1
+        val xml = "<CompleteMultipartUploadResult/>".getBytes(UTF_8)
+        ex.sendResponseHeaders(200, xml.length.toLong)
+        ex.getResponseBody.write(xml); ex.close()
       case ("DELETE", _) =>
         objects.remove(rawPath); ex.sendResponseHeaders(204, -1); ex.close()
       case _ => ex.sendResponseHeaders(405, -1); ex.close()
@@ -212,6 +236,29 @@ class S3StoreSuite extends AnyFunSuite {
       assert(!DeltaLog.tryCommit(spark, table, 1L, v1),
         "second commit of the same version must lose the conditional PUT")
       assert(DeltaLog.tryCommit(spark, table, 2L, v1))
+    }
+  }
+
+  test("large objects go up MULTIPART and read back bit-identical") {
+    import spark.implicits._
+    withS3 { (server, table) =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3.multipart.threshold", "1024") // every parquet file crosses it
+      hc.set("fs.s3.multipart.size", "2048")
+      try {
+        val df = (0 until 5000).map(i => (i.toLong, s"row-$i-${"x" * 20}")).toDF("id", "s")
+        DeltaTable.write(df.coalesce(2), table, SaveMode.Append)
+        assert(server.multipartCompletions >= 2,
+          s"expected the parquet files to upload multipart, saw ${server.multipartCompletions}")
+        val got = DeltaTable.read(spark, table)
+        assert(got.count() === 5000L)
+        assert(got.agg(org.apache.spark.sql.functions.sum("id")).as[Long].collect().head
+          === (0L until 5000L).sum)
+        // commits stay single conditional PUTs (small JSON, If-None-Match)
+        assert(DeltaLog.snapshot(spark, table).version === 0L)
+      } finally {
+        hc.unset("fs.s3.multipart.threshold"); hc.unset("fs.s3.multipart.size")
+      }
     }
   }
 
