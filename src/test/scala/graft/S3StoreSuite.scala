@@ -26,6 +26,7 @@ class FakeS3Server(accessKey: String, secretKey: String) {
   private val uploads = // uploadId -> (path, partNumber -> bytes)
     new ConcurrentHashMap[String, (String, ConcurrentHashMap[Int, Array[Byte]])]()
   @volatile var multipartCompletions = 0 // observability for specs
+  @volatile var bulkDeletes = 0
   private var server: HttpServer = _
 
   def port: Int = server.getAddress.getPort
@@ -93,6 +94,19 @@ class FakeS3Server(accessKey: String, secretKey: String) {
         ex.getResponseHeaders.add("ETag", s""""p${query("partNumber")}"""")
         ex.sendResponseHeaders(200, -1); ex.close()
       case ("PUT", _) => putObject(ex, rawPath, body)
+      case ("POST", _) if query.contains("delete") =>
+        // bulk DeleteObjects: parse <Key> elements, remove each
+        val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+          .newDocumentBuilder().parse(new java.io.ByteArrayInputStream(body))
+        val nl = doc.getElementsByTagName("Key")
+        val bucket = rawPath.stripSuffix("/")
+        (0 until nl.getLength).foreach { i =>
+          objects.remove(s"$bucket/${nl.item(i).getTextContent}")
+        }
+        bulkDeletes += 1
+        val xml = "<DeleteResult/>".getBytes(UTF_8)
+        ex.sendResponseHeaders(200, xml.length.toLong)
+        ex.getResponseBody.write(xml); ex.close()
       case ("POST", _) if query.contains("uploads") =>
         val id = java.util.UUID.randomUUID().toString
         uploads.put(id, (rawPath, new ConcurrentHashMap[Int, Array[Byte]]()))
@@ -259,6 +273,24 @@ class S3StoreSuite extends AnyFunSuite {
       } finally {
         hc.unset("fs.s3.multipart.threshold"); hc.unset("fs.s3.multipart.size")
       }
+    }
+  }
+
+  test("recursive prefix delete goes through ONE bulk DeleteObjects request") {
+    withS3 { (server, table) =>
+      import spark.implicits._
+      DeltaTable.write((0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .repartition(4), table, SaveMode.Append)
+      val before = server.keys.count(_.startsWith("bucket/"))
+      assert(before > 4)
+      val fs = new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+      val deletesBefore = server.bulkDeletes
+      assert(fs.delete(new Path(table), true))
+      assert(server.bulkDeletes === deletesBefore + 1,
+        "a <=1000-object prefix must retire in ONE DeleteObjects call")
+      val tableName = new Path(table).getName // UUID-suffixed, unique
+      assert(!server.keys.exists(_.contains(tableName)),
+        s"objects survived the recursive delete: ${server.keys.filter(_.contains(tableName))}")
     }
   }
 
