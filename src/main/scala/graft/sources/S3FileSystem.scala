@@ -15,6 +15,15 @@ import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileAlreadyE
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
+/** Capability seam for stores with a batched delete cheaper than
+  * per-object calls — maintenance paths (VACUUM) pattern-match on it and
+  * retire files in batches instead of one request each. */
+trait BulkDeleteStore {
+  /** Delete the given paths (same store) in as few requests as the
+    * protocol allows; returns the number submitted for deletion. */
+  def deleteBatch(paths: Seq[Path]): Long
+}
+
 /** S3 object store over the REST API — the Spark-side equivalent of the
   * reference's S3/MinIO store (`/root/reference/src/object_store.rs:42-47`:
   * endpoint + env credentials; `examples/s3_standalone.rs:15-18`). The
@@ -40,7 +49,7 @@ import org.apache.hadoop.util.Progressable
   * S3 semantics honestly surfaced: `mkdirs` is a no-op (prefixes, not
   * directories), `rename` is COPY+DELETE per object (non-atomic — which
   * is exactly why the COMMIT path uses conditional PUT, never rename). */
-class S3FileSystem extends FileSystem {
+class S3FileSystem extends FileSystem with BulkDeleteStore {
 
   private var fsUri: URI = _
   private var bucket: String = _
@@ -467,6 +476,11 @@ class S3FileSystem extends FileSystem {
       objs.map(_._1).grouped(1000).foreach(deleteObjects)
       true
     }
+  }
+
+  override def deleteBatch(paths: Seq[Path]): Long = {
+    paths.map(keyOf).grouped(1000).foreach(deleteObjects)
+    paths.size.toLong
   }
 
   /** `POST /?delete` multi-object delete. */

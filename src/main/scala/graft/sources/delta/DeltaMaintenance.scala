@@ -399,6 +399,14 @@ object DeltaMaintenance {
         }
     val cutoff = System.currentTimeMillis() - retentionMs
     var deleted = 0L
+    // object stores with a batched delete (S3 DeleteObjects: 1000/request)
+    // retire expired files in batches — a million-file VACUUM must not
+    // cost a million round-trips
+    val bulk = fs match {
+      case b: graft.sources.BulkDeleteStore => Some(b)
+      case _ => None
+    }
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Path]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
@@ -409,9 +417,15 @@ object DeltaMaintenance {
         (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin"))
       if (!inLog && vacuumable && !live.contains(rel)
           && f.getModificationTime < cutoff) {
-        if (fs.delete(p, false)) deleted += 1
+        bulk match {
+          case Some(b) =>
+            pending += p
+            if (pending.size >= 1000) { deleted += b.deleteBatch(pending.toSeq); pending.clear() }
+          case None => if (fs.delete(p, false)) deleted += 1
+        }
       }
     }
+    bulk.foreach(b => if (pending.nonEmpty) deleted += b.deleteBatch(pending.toSeq))
     deleted
   }
 

@@ -294,6 +294,23 @@ class S3StoreSuite extends AnyFunSuite {
     }
   }
 
+  test("VACUUM on s3:// retires expired files through bulk DeleteObjects") {
+    import spark.implicits._
+    withS3 { (server, table) =>
+      DeltaTable.write((0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .repartition(3), table, SaveMode.Append)
+      // overwrite strands the v0 files; retention 0 makes them vacuumable
+      DeltaTable.write(Seq((99L, "z")).toDF("id", "s").coalesce(1),
+        table, SaveMode.Overwrite)
+      val deletesBefore = server.bulkDeletes
+      val n = graft.sources.delta.DeltaMaintenance.vacuum(spark, table, retentionMs = 0L)
+      assert(n >= 3L, s"expected the 3 stranded v0 files vacuumed, got $n")
+      assert(server.bulkDeletes === deletesBefore + 1,
+        "vacuum must retire the batch in ONE DeleteObjects request")
+      assert(DeltaTable.read(spark, table).count() === 1L, "live data must survive")
+    }
+  }
+
   test("plain parquet + checkpointed log round-trip on s3://") {
     import spark.implicits._
     withS3 { (server, table) =>
