@@ -824,10 +824,12 @@ object DeltaLog {
 
   /** Atomically publish `_delta_log/<version>.json` with `content`.
     * Returns false when that version already exists (concurrent writer —
-    * caller re-reads state and retries at version+1). Local-FS commit via
-    * hard-link-from-temp, which is atomic create-exclusive (the same
-    * single-writer local-FS scope the reference exercises; its S3 path is
-    * out of scope here — no hadoop-aws jar, documented gap). */
+    * caller re-reads state and retries at version+1). Two planes:
+    * local-FS commit via hard-link-from-temp (atomic create-exclusive on
+    * POSIX); object stores via `create(path, overwrite=false)`, which
+    * [[graft.sources.S3FileSystem]] maps to a conditional PUT
+    * (`If-None-Match: *`) — S3-native mutual exclusion, no external lock
+    * table (S3StoreSuite pins the race). */
   def tryCommit(spark: SparkSession, tablePath: String, version: Long, content: String): Boolean = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
