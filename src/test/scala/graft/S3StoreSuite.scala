@@ -311,6 +311,33 @@ class S3StoreSuite extends AnyFunSuite {
     }
   }
 
+  test("delta STREAMING source tails an s3:// table (listing-based discovery)") {
+    import spark.implicits._
+    withS3 { (_, table) =>
+      DeltaTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), table, SaveMode.Append)
+      // stream checkpoint stays local (production object-store checkpoints
+      // ride committer machinery out of scope here); the SOURCE is s3://
+      val cp = java.nio.file.Files.createTempDirectory("graft-s3-stream-cp").toString
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("delta").load(table)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= batch.select("id").collect().map(_.getLong(0)) }
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(seen.synchronized(seen.sorted.toSeq) === Seq(1L, 2L))
+        // a NEW commit lands on s3 and the stream picks it up
+        DeltaTable.write(Seq((3L, "c")).toDF("id", "k"), table, SaveMode.Append)
+        q.processAllAvailable()
+        assert(seen.synchronized(seen.sorted.toSeq) === Seq(1L, 2L, 3L))
+      } finally q.stop()
+    }
+  }
+
   test("plain parquet + checkpointed log round-trip on s3://") {
     import spark.implicits._
     withS3 { (server, table) =>
