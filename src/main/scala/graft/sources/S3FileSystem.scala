@@ -360,9 +360,12 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
         conn.setFixedLengthStreamingMode(chunk.length)
         val os = conn.getOutputStream
         os.write(chunk); os.close()
-        if (conn.getResponseCode != 200)
-          throw new IOException(s"upload part $partNumber of s3://$bucket/$key -> HTTP ${conn.getResponseCode}")
-        etags += partNumber -> Option(conn.getHeaderField("ETag")).getOrElse(s"part-$partNumber")
+        val code = conn.getResponseCode
+        val etag = Option(conn.getHeaderField("ETag"))
+        drain(conn)
+        if (code != 200)
+          throw new IOException(s"upload part $partNumber of s3://$bucket/$key -> HTTP $code")
+        etags += partNumber -> etag.getOrElse(s"part-$partNumber")
         partNumber += 1
       }
     } finally in.close()
@@ -389,6 +392,16 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     total
   }
 
+  /** Drain whichever response stream exists so the JDK can return the
+    * keep-alive connection to its pool — commit-heavy workloads issue
+    * many small requests and connection reuse is the difference between
+    * one TCP handshake and thousands. */
+  private def drain(conn: HttpURLConnection): Unit =
+    try {
+      val s = if (conn.getResponseCode >= 400) conn.getErrorStream else conn.getInputStream
+      if (s != null) { s.readAllBytes(); s.close() }
+    } catch { case _: Exception => () }
+
   private def putObject(key: String, bytes: Array[Byte], failIfExists: Boolean,
       copySource: Option[String] = None): Unit = {
     val payloadSha = sha256(bytes)
@@ -399,11 +412,13 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     conn.setFixedLengthStreamingMode(bytes.length)
     val os = conn.getOutputStream
     os.write(bytes); os.close()
-    conn.getResponseCode match {
+    val code = conn.getResponseCode
+    drain(conn)
+    code match {
       case 200 => ()
       case 412 if failIfExists =>
         throw new FileAlreadyExistsException(s"s3://$bucket/$key already exists")
-      case code => throw new IOException(s"PUT s3://$bucket/$key -> HTTP $code")
+      case c => throw new IOException(s"PUT s3://$bucket/$key -> HTTP $c")
     }
   }
 
@@ -413,8 +428,10 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     conn.setDoOutput(true)
     conn.setFixedLengthStreamingMode(0)
     conn.getOutputStream.close()
-    if (conn.getResponseCode != 200)
-      throw new IOException(s"COPY $srcKey -> $dstKey: HTTP ${conn.getResponseCode}")
+    val code = conn.getResponseCode
+    drain(conn)
+    if (code != 200)
+      throw new IOException(s"COPY $srcKey -> $dstKey: HTTP $code")
   }
 
   private def deleteObject(key: String): Boolean = {
@@ -495,8 +512,10 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     conn.setFixedLengthStreamingMode(body.length)
     val os = conn.getOutputStream
     os.write(body); os.close()
-    if (conn.getResponseCode != 200)
-      throw new IOException(s"bulk delete on s3://$bucket -> HTTP ${conn.getResponseCode}")
+    val code = conn.getResponseCode
+    drain(conn)
+    if (code != 200)
+      throw new IOException(s"bulk delete on s3://$bucket -> HTTP $code")
   }
 
   /** S3 has no directories — but committers (FileOutputCommitter's
