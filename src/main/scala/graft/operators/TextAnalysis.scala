@@ -172,9 +172,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus drift per source: TOTAL-VARIATION distance between each
+    * source's token distribution and the whole corpus's —
+    * `TV(q_s, p) = ½ Σ_t |q_s(t) − p(t)|` — the mixture-observability
+    * measure a production pipeline watches when a crawl slice or dump
+    * shifts. TV (not KL) because it is EXACTLY computable in integer
+    * arithmetic: with counts c_s(t), c(t) and totals N_s, N,
+    * `TV = [Σ_{t∈s} |c_s(t)·N − c(t)·N_s| + N_s·(N − Σ_{t∈s} c(t))] / (2·N_s·N)`
+    * (the second term covers corpus tokens absent from the source), so
+    * both engines sum the same integers and divide the same bit-identical
+    * doubles — no transcendental whose last ulp could differ.
+    *
+    * Scale posture: two hash aggregations over the token stream, a keyed
+    * equi-join of per-source counts against corpus counts (vocabulary is
+    * Zipf-unbounded — no forced broadcast, same rule as tx06), and two
+    * 1-row/O(sources) broadcasts for the totals. */
+  private def tx07Drift(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"), explode(expr(tokenize)).as("tok"))
+    val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bySrc = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+    val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val nDf = toks.agg(count(lit(1)).as("n"))
+    bySrc.join(corpus, "tok")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(nDf))
+      .groupBy(col("source"))
+      .agg(
+        max(col("ns")).as("n_toks"),
+        max(col("n")).as("ntotal"),
+        count(lit(1)).as("distinct_toks"),
+        sum(abs(col("cs") * col("n") - col("c") * col("ns"))).as("in_sum"),
+        sum(col("c")).as("covered"))
+      .select(
+        col("source"), col("n_toks"), col("distinct_toks"),
+        (floor((col("in_sum") + col("n_toks") * (col("ntotal") - col("covered")))
+          .cast("double")
+          / (lit(2.0) * col("n_toks") * col("ntotal")) * lit(10000.0)) / lit(10000.0))
+          .as("tv_drift"))
+      .orderBy(col("source"))
+  }
+
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracleSql: Map[String, String] = Map(
+    "tx07_drift" -> s"""
+      WITH t AS (SELECT source, unnest(l) AS tok
+                 FROM (SELECT source, $duckToks AS l FROM documents)),
+      c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+      s AS (SELECT source, tok, count(*) AS cs FROM t GROUP BY 1, 2),
+      tot AS (SELECT source, count(*) AS ns FROM t GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM t),
+      g AS (
+        SELECT s.source,
+               max(tot.ns) AS n_toks, max(n.n) AS ntotal,
+               count(*) AS distinct_toks,
+               sum(abs(s.cs * n.n - c.c * tot.ns)) AS in_sum,
+               sum(c.c) AS covered
+        FROM s JOIN c USING (tok) JOIN tot USING (source) CROSS JOIN n
+        GROUP BY 1)
+      SELECT source, CAST(n_toks AS BIGINT) AS n_toks,
+             CAST(distinct_toks AS BIGINT) AS distinct_toks,
+             floor(CAST(in_sum + n_toks * (ntotal - covered) AS DOUBLE)
+                   / (2.0 * n_toks * ntotal) * 10000.0) / 10000.0 AS tv_drift
+      FROM g ORDER BY source""",
     "tx01_tokens" -> s"""
       SELECT doc_id,
              len(l) AS n_tok,
@@ -262,5 +322,6 @@ object TextAnalysis {
     "tx03_langid" -> tx03Langid,
     "tx04_fingerprint" -> tx04Fingerprint,
     "tx05_repetition" -> tx05Repetition,
-    "tx06_rarity" -> tx06Rarity)
+    "tx06_rarity" -> tx06Rarity,
+    "tx07_drift" -> tx07Drift)
 }
