@@ -165,6 +165,16 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "segment dedup must never cartesian")
   }
 
+  test("tx07: drift joins the vocab keyed (no forced broadcast), totals broadcast") {
+    val p = finalPlanOf("tx07_drift")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"vocab join must stay a keyed equi-join:\n$p")
+    // the ONLY unkeyed join allowed is the deliberate 1-row total
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total must broadcast, never cartesian:\n$p")
+  }
+
   test("dd10: SemDeDup assignment aggregates map-side; within-cluster join stays keyed") {
     val p = finalPlanOf("dd10_semdedup")
     // the ONE BroadcastNestedLoopJoin is the deliberate K-centroid fan-out
