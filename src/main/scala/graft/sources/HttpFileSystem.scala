@@ -119,15 +119,50 @@ class HttpsFileSystem extends HttpFileSystem {
   * requests for positioned reads (safe to call concurrently with the
   * sequential cursor — they share no state).
   *
+  * Every GET is idempotent, so transient failures — 429/5xx responses
+  * and transport-level IOExceptions (connection reset mid-column-chunk:
+  * routine at 100 TB scan scale) — retry with bounded exponential
+  * backoff + jitter; a mid-stream reset reopens at the CURRENT offset,
+  * never re-reading delivered bytes.
+  *
   * @param prepare hook run on every connection before it is sent — the
   *        seam stores with authenticated GETs (S3 SigV4) plug into */
 private[graft] class HttpSeekableInputStream(
-    url: URL, length: Long, prepare: HttpURLConnection => Unit = _ => ())
+    url: URL, length: Long, prepare: HttpURLConnection => Unit = _ => (),
+    maxRetries: Int = 3, retryBaseMs: Long = 100L)
   extends InputStream with Seekable with PositionedReadable {
 
   private var pos = 0L
   private var in: InputStream = _
   private var streamPos = -1L // offset the open stream is positioned at
+
+  /** Throttle/server-transient status — always retried. */
+  private final class TransientHttpIOException(msg: String) extends IOException(msg)
+  /** Contract error (404, range-unsupported) — never retried. */
+  private final class PermanentHttpIOException(msg: String) extends IOException(msg)
+
+  private def transientCode(code: Int): Boolean =
+    code == 408 || code == 429 || code >= 500
+
+  /** Retry transient HTTP statuses and transport-level IOExceptions
+    * (connection reset, truncated body); contract errors and EOF fail
+    * through untouched. */
+  private def withRetries[T](attempt: () => T): T = {
+    var tries = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: IOException
+          if tries < maxRetries && !e.isInstanceOf[PermanentHttpIOException] &&
+            !e.isInstanceOf[EOFException] =>
+          val cap = math.min(retryBaseMs << math.min(tries, 16), 10000L)
+          Thread.sleep(
+            (java.util.concurrent.ThreadLocalRandom.current().nextDouble() * cap).toLong)
+          tries += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def ensureOpen(): InputStream = {
     if (in == null || streamPos != pos) {
@@ -136,9 +171,13 @@ private[graft] class HttpSeekableInputStream(
       if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
       prepare(conn)
       val code = conn.getResponseCode
-      if (code >= 400) throw new IOException(s"GET $url @$pos -> HTTP $code")
+      if (code >= 400) {
+        if (transientCode(code))
+          throw new TransientHttpIOException(s"GET $url @$pos -> HTTP $code")
+        throw new PermanentHttpIOException(s"GET $url @$pos -> HTTP $code")
+      }
       if (pos > 0 && code != HttpURLConnection.HTTP_PARTIAL)
-        throw new IOException(
+        throw new PermanentHttpIOException(
           s"$url: server ignored Range (HTTP $code) — cannot serve seekable reads")
       in = conn.getInputStream
       streamPos = pos
@@ -146,18 +185,26 @@ private[graft] class HttpSeekableInputStream(
     in
   }
 
-  override def read(): Int = {
-    if (pos >= length) return -1
-    val b = ensureOpen().read()
-    if (b >= 0) { pos += 1; streamPos = pos }
-    b
+  override def read(): Int = withRetries { () =>
+    if (pos >= length) -1
+    else {
+      val b =
+        try ensureOpen().read()
+        catch { case e: IOException => close(); throw e } // reopen at pos on retry
+      if (b >= 0) { pos += 1; streamPos = pos }
+      b
+    }
   }
 
-  override def read(b: Array[Byte], off: Int, len: Int): Int = {
-    if (pos >= length) return -1
-    val n = ensureOpen().read(b, off, len)
-    if (n > 0) { pos += n; streamPos = pos }
-    n
+  override def read(b: Array[Byte], off: Int, len: Int): Int = withRetries { () =>
+    if (pos >= length) -1
+    else {
+      val n =
+        try ensureOpen().read(b, off, len)
+        catch { case e: IOException => close(); throw e } // reopen at pos on retry
+      if (n > 0) { pos += n; streamPos = pos }
+      n
+    }
   }
 
   override def seek(newPos: Long): Unit = {
@@ -173,23 +220,29 @@ private[graft] class HttpSeekableInputStream(
     if (position >= length) return -1
     val want = math.min(len.toLong, length - position).toInt
     if (want <= 0) return 0
-    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestProperty("Range", s"bytes=$position-${position + want - 1}")
-    prepare(conn)
-    try {
-      val code = conn.getResponseCode
-      if (code >= 400) throw new IOException(s"GET $url @$position -> HTTP $code")
-      if (code != HttpURLConnection.HTTP_PARTIAL) throw new IOException(
-        s"$url: server ignored Range (HTTP $code) — cannot serve positioned reads")
-      val s = conn.getInputStream
+    withRetries { () =>
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty("Range", s"bytes=$position-${position + want - 1}")
+      prepare(conn)
       try {
-        var total = 0
-        var n = 0
-        while (total < want &&
-          { n = s.read(buffer, offset + total, want - total); n > 0 }) total += n
-        total
-      } finally s.close()
-    } finally conn.disconnect()
+        val code = conn.getResponseCode
+        if (code >= 400) {
+          if (transientCode(code))
+            throw new TransientHttpIOException(s"GET $url @$position -> HTTP $code")
+          throw new PermanentHttpIOException(s"GET $url @$position -> HTTP $code")
+        }
+        if (code != HttpURLConnection.HTTP_PARTIAL) throw new PermanentHttpIOException(
+          s"$url: server ignored Range (HTTP $code) — cannot serve positioned reads")
+        val s = conn.getInputStream
+        try {
+          var total = 0
+          var n = 0
+          while (total < want &&
+            { n = s.read(buffer, offset + total, want - total); n > 0 }) total += n
+          total
+        } finally s.close()
+      } finally conn.disconnect()
+    }
   }
 
   override def readFully(position: Long, buffer: Array[Byte], offset: Int, len: Int): Unit = {

@@ -24,6 +24,11 @@ trait BulkDeleteStore {
   def deleteBatch(paths: Seq[Path]): Long
 }
 
+/** An HTTP error response (as opposed to a transport failure) — carries
+  * the status so the retry seam can tell 503 SlowDown from 403/404. */
+private[sources] final class S3HttpException(val code: Int, msg: String)
+  extends IOException(msg)
+
 /** S3 object store over the REST API — the Spark-side equivalent of the
   * reference's S3/MinIO store (`/root/reference/src/object_store.rs:42-47`:
   * endpoint + env credentials; `examples/s3_standalone.rs:15-18`). The
@@ -57,6 +62,8 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
   private var accessKey: String = _
   private var secretKey: String = _
   private var region: String = _
+  private var retryLimit: Int = _
+  private var retryBaseMs: Long = _
 
   override def getScheme: String = "s3"
 
@@ -75,6 +82,50 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
       .orElse(sys.env.get("AWS_SECRET_ACCESS_KEY")).getOrElse(
         throw new IOException("no S3 credentials: set fs.s3.secret.key or AWS_SECRET_ACCESS_KEY"))
     region = Option(conf.get("fs.s3.region")).getOrElse("us-east-1")
+    retryLimit = conf.getInt("fs.s3.retry.limit", 4)
+    retryBaseMs = conf.getLong("fs.s3.retry.base.ms", 100L)
+  }
+
+  // ---- transient-failure retry seam ----
+
+  private def httpError(code: Int, msg: String): Nothing =
+    throw new S3HttpException(code, msg)
+
+  /** Throttling and server-side transient statuses — at 100 TB scale,
+    * `503 SlowDown` and sporadic 500s are routine, not exceptional. */
+  private def isRetryableCode(code: Int): Boolean =
+    code == 408 || code == 429 || code == 500 || code == 502 || code == 503 || code == 504
+
+  /** Full-jitter exponential backoff (AWS's published retry guidance):
+    * sleep uniform(0, base·2^attempt), capped at 10 s. */
+  private def backoff(attempt: Int): Unit = {
+    val cap = math.min(retryBaseMs << math.min(attempt, 16), 10000L)
+    Thread.sleep((java.util.concurrent.ThreadLocalRandom.current().nextDouble() * cap).toLong)
+  }
+
+  /** Run `attempt` (which must open a FRESH connection per call — an
+    * HttpURLConnection is single-shot) with bounded backoff+jitter on
+    * retryable HTTP statuses and transport-level IOExceptions. ONLY for
+    * idempotent requests: GET/HEAD/LIST/DELETE, bulk delete, COPY,
+    * unconditional PUT, and per-part multipart uploads. The conditional
+    * PUT has its own ambiguity-aware loop in [[conditionalPut]]. */
+  private def retrying[T](what: String)(attempt: () => T): T = {
+    var tries = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: S3HttpException if isRetryableCode(e.code) && tries < retryLimit =>
+          backoff(tries); tries += 1
+        case e: IOException
+          if !e.isInstanceOf[S3HttpException] &&
+            !e.isInstanceOf[java.io.FileNotFoundException] &&
+            !e.isInstanceOf[FileAlreadyExistsException] && tries < retryLimit =>
+          // transport failure (connect reset, truncated response) — the
+          // request never completed cleanly; safe to re-send an idempotent verb
+          backoff(tries); tries += 1
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
   }
 
   override def getUri: URI = fsUri
@@ -111,14 +162,26 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     * must be byte-identical to the raw path the request goes out with —
     * any drift (a trailing slash, an encoding difference) fails
     * verification server-side. */
+  /** @return the Authorization header value (the JDK filters
+    *         security-sensitive headers out of getRequestProperty, so
+    *         specs can only observe the signature via this return). */
   private[sources] def sign(
       conn: HttpURLConnection, method: String, canonicalPath: String,
-      query: Seq[(String, String)], payloadSha: String): Unit = {
+      query: Seq[(String, String)], payloadSha: String): String = {
     val now = Instant.now()
     val amzDate = amzDateFmt.format(now)
     val date = amzDate.take(8)
-    val host = conn.getURL.getAuthority
-    conn.setRequestProperty("Host", host)
+    // Host is a JDK-restricted header: setRequestProperty("Host", …) is
+    // silently IGNORED and the JDK derives the header from the URL — so the
+    // SIGNED host string must be computed the way the JDK emits it (the
+    // port is dropped when it equals the scheme default, kept otherwise).
+    // Signing getAuthority verbatim would break against an endpoint that
+    // pins the default port explicitly (http://host:80 → JDK sends
+    // `Host: host`, signature covers `host:80`).
+    val u = conn.getURL
+    val host =
+      if (u.getPort == -1 || u.getPort == u.getDefaultPort) u.getHost
+      else s"${u.getHost}:${u.getPort}"
     conn.setRequestProperty("x-amz-date", amzDate)
     conn.setRequestProperty("x-amz-content-sha256", payloadSha)
     val canonicalQuery = query.map { case (k, v) =>
@@ -136,9 +199,10 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     val kSigning = hmac(hmac(hmac(hmac(
       s"AWS4$secretKey".getBytes(UTF_8), date), region), "s3"), "aws4_request")
     val signature = hex(hmac(kSigning, toSign))
-    conn.setRequestProperty("Authorization",
-      s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
-        s"SignedHeaders=$signedHeaders, Signature=$signature")
+    val auth = s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+      s"SignedHeaders=$signedHeaders, Signature=$signature"
+    conn.setRequestProperty("Authorization", auth)
+    auth
   }
 
   private val UnsignedPayload = "UNSIGNED-PAYLOAD"
@@ -173,12 +237,12 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
   /** Length via `Range: bytes=0-0` + `Content-Range` total — for servers
     * whose HEAD replies carry no Content-Length (same fallback as
     * [[HttpFileSystem]]). */
-  private def lengthViaRangedGet(key: String): Long = {
+  private def lengthViaRangedGet(key: String): Long = retrying(s"GET $key") { () =>
     val conn = connect("GET", key)
     conn.setRequestProperty("Range", "bytes=0-0")
     try {
       if (conn.getResponseCode >= 400)
-        throw new IOException(s"GET s3://$bucket/$key -> HTTP ${conn.getResponseCode}")
+        httpError(conn.getResponseCode, s"GET s3://$bucket/$key -> HTTP ${conn.getResponseCode}")
       val total = Option(conn.getHeaderField("Content-Range"))
         .filter(_.contains("/")).map(_.split('/').last.trim.toLong)
         .getOrElse(conn.getContentLengthLong)
@@ -192,22 +256,25 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
   override def getFileStatus(f: Path): FileStatus = {
     val key = keyOf(f)
     if (key.isEmpty) return dirStatusOf("") // bucket root
-    val conn = connect("HEAD", key)
-    try {
-      conn.getResponseCode match {
-        case 200 =>
-          val len = conn.getContentLengthLong
-          fileStatusOf(key, if (len >= 0) len else lengthViaRangedGet(key),
-            math.max(conn.getLastModified, 0L))
-        case 404 =>
-          // an S3 "directory" is a non-empty key prefix
-          if (listPage(s"$key/", delimiter = None, maxKeys = Some(1))._1.nonEmpty ||
-            listPage(s"$key/", delimiter = Some("/"), maxKeys = Some(1))._2.nonEmpty)
-            dirStatusOf(key)
-          else throw new java.io.FileNotFoundException(f.toString)
-        case code => throw new IOException(s"HEAD s3://$bucket/$key -> HTTP $code")
-      }
-    } finally conn.disconnect()
+    val headCode = retrying(s"HEAD $key") { () =>
+      val conn = connect("HEAD", key)
+      try {
+        conn.getResponseCode match {
+          case 200 =>
+            val len = conn.getContentLengthLong
+            return fileStatusOf(key, if (len >= 0) len else lengthViaRangedGet(key),
+              math.max(conn.getLastModified, 0L))
+          case 404 => 404
+          case code => httpError(code, s"HEAD s3://$bucket/$key -> HTTP $code")
+        }
+      } finally conn.disconnect()
+    }
+    require(headCode == 404)
+    // an S3 "directory" is a non-empty key prefix
+    if (listPage(s"$key/", delimiter = None, maxKeys = Some(1))._1.nonEmpty ||
+      listPage(s"$key/", delimiter = Some("/"), maxKeys = Some(1))._2.nonEmpty)
+      dirStatusOf(key)
+    else throw new java.io.FileNotFoundException(f.toString)
   }
 
   /** One ListObjectsV2 page: (objects(key, size, mtime), commonPrefixes,
@@ -220,10 +287,11 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
       delimiter.map("delimiter" -> _) ++
       maxKeys.map(n => "max-keys" -> n.toString) ++
       token.map("continuation-token" -> _)
+    retrying(s"LIST $prefix") { () =>
     val conn = connect("GET", "", query)
     try {
       if (conn.getResponseCode >= 400)
-        throw new IOException(s"LIST s3://$bucket/$prefix -> HTTP ${conn.getResponseCode}")
+        httpError(conn.getResponseCode, s"LIST s3://$bucket/$prefix -> HTTP ${conn.getResponseCode}")
       val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
         .newDocumentBuilder().parse(conn.getInputStream)
       def texts(tag: String): Seq[org.w3c.dom.Element] = {
@@ -242,18 +310,26 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
         .filter(_.nonEmpty)
       (objs, prefixes, next)
     } finally conn.disconnect()
+    }
   }
 
   override def listStatus(f: Path): Array[FileStatus] = {
     val key = keyOf(f)
     // a FILE path lists as itself (Hadoop contract)
     if (key.nonEmpty) {
-      val conn = connect("HEAD", key)
-      try { if (conn.getResponseCode == 200) {
-        val len = conn.getContentLengthLong
-        return Array(fileStatusOf(key, if (len >= 0) len else lengthViaRangedGet(key),
-          math.max(conn.getLastModified, 0L)))
-      } } finally conn.disconnect()
+      val self = retrying(s"HEAD $key") { () =>
+        val conn = connect("HEAD", key)
+        try {
+          if (conn.getResponseCode == 200) {
+            val len = conn.getContentLengthLong
+            Some(fileStatusOf(key, if (len >= 0) len else lengthViaRangedGet(key),
+              math.max(conn.getLastModified, 0L)))
+          } else if (isRetryableCode(conn.getResponseCode))
+            httpError(conn.getResponseCode, s"HEAD s3://$bucket/$key -> HTTP ${conn.getResponseCode}")
+          else None
+        } finally conn.disconnect()
+      }
+      self.foreach(st => return Array(st))
     }
     val prefix = if (key.isEmpty) "" else s"$key/"
     val out = Array.newBuilder[FileStatus]
@@ -282,7 +358,7 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     val canonicalPath = s"/$bucket/${uriEncode(key, keepSlash = true)}"
     val url = new URL(s"$endpoint$canonicalPath")
     new FSDataInputStream(new HttpSeekableInputStream(url, st.getLen,
-      conn => sign(conn, "GET", canonicalPath, Nil, EmptySha)))
+      conn => sign(conn, "GET", canonicalPath, Nil, EmptySha), retryLimit, retryBaseMs))
   }
 
   // ---- write ----
@@ -322,7 +398,7 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
           if (size <= threshold)
             putObject(key, java.nio.file.Files.readAllBytes(tmp),
               failIfExists = !overwrite)
-          else multipartUpload(key, tmp, partSize)
+          else multipartUpload(key, tmp, partSize, failIfExists = !overwrite)
         } finally java.nio.file.Files.deleteIfExists(tmp)
       }
     }
@@ -331,58 +407,97 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
 
   /** InitiateMultipartUpload → UploadPart per chunk → Complete. Parts
     * stream from the temp file, so driver/executor heap holds one part,
-    * never the object. */
-  private def multipartUpload(key: String, tmp: java.nio.file.Path, partSize: Long): Unit = {
+    * never the object. Each phase rides the retry seam (a part re-upload
+    * with the same partNumber is idempotent — S3 keeps the last). Any
+    * failure after initiate ABORTS the upload before rethrowing —
+    * orphaned parts otherwise accrue billable storage until a lifecycle
+    * rule notices. `failIfExists` keeps create(overwrite=false)'s atomic
+    * contract for LARGE objects too: the COMPLETE carries
+    * `If-None-Match: *` (S3 supports conditional completes), so the
+    * first completer wins and losers get 412, same as the single-PUT
+    * plane. */
+  private def multipartUpload(key: String, tmp: java.nio.file.Path, partSize: Long,
+      failIfExists: Boolean): Unit = {
     // initiate
-    val initConn = connect("POST", key, Seq("uploads" -> ""))
-    initConn.setDoOutput(true)
-    initConn.setFixedLengthStreamingMode(0)
-    initConn.getOutputStream.close()
-    if (initConn.getResponseCode != 200)
-      throw new IOException(s"initiate multipart s3://$bucket/$key -> HTTP ${initConn.getResponseCode}")
-    val initDoc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder().parse(initConn.getInputStream)
-    val uploadId = initDoc.getElementsByTagName("UploadId").item(0).getTextContent
+    val uploadId = retrying(s"initiate multipart $key") { () =>
+      val initConn = connect("POST", key, Seq("uploads" -> ""))
+      initConn.setDoOutput(true)
+      initConn.setFixedLengthStreamingMode(0)
+      initConn.getOutputStream.close()
+      if (initConn.getResponseCode != 200)
+        httpError(initConn.getResponseCode,
+          s"initiate multipart s3://$bucket/$key -> HTTP ${initConn.getResponseCode}")
+      val initDoc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder().parse(initConn.getInputStream)
+      initDoc.getElementsByTagName("UploadId").item(0).getTextContent
+    }
 
-    // parts
-    val in = java.nio.file.Files.newInputStream(tmp)
-    val etags = Seq.newBuilder[(Int, String)]
     try {
-      val buf = new Array[Byte](partSize.toInt)
-      var partNumber = 1
-      var n = 0
-      while ({ n = readFull(in, buf); n > 0 }) {
-        val chunk = if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
-        val conn = connect("PUT", key,
-          Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
-          sha256(chunk))
-        conn.setDoOutput(true)
-        conn.setFixedLengthStreamingMode(chunk.length)
-        val os = conn.getOutputStream
-        os.write(chunk); os.close()
-        val code = conn.getResponseCode
-        val etag = Option(conn.getHeaderField("ETag"))
-        drain(conn)
-        if (code != 200)
-          throw new IOException(s"upload part $partNumber of s3://$bucket/$key -> HTTP $code")
-        etags += partNumber -> etag.getOrElse(s"part-$partNumber")
-        partNumber += 1
-      }
-    } finally in.close()
+      // parts
+      val in = java.nio.file.Files.newInputStream(tmp)
+      val etags = Seq.newBuilder[(Int, String)]
+      try {
+        val buf = new Array[Byte](partSize.toInt)
+        var partNumber = 1
+        var n = 0
+        while ({ n = readFull(in, buf); n > 0 }) {
+          val chunk = if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
+          val etag = retrying(s"upload part $partNumber of $key") { () =>
+            val conn = connect("PUT", key,
+              Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
+              sha256(chunk))
+            conn.setDoOutput(true)
+            conn.setFixedLengthStreamingMode(chunk.length)
+            val os = conn.getOutputStream
+            os.write(chunk); os.close()
+            val code = conn.getResponseCode
+            val tag = Option(conn.getHeaderField("ETag"))
+            drain(conn)
+            if (code != 200)
+              httpError(code, s"upload part $partNumber of s3://$bucket/$key -> HTTP $code")
+            tag.getOrElse(s"part-$partNumber")
+          }
+          etags += partNumber -> etag
+          partNumber += 1
+        }
+      } finally in.close()
 
-    // complete
-    val xml = etags.result().map { case (pn, etag) =>
-      s"<Part><PartNumber>$pn</PartNumber><ETag>$etag</ETag></Part>"
-    }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
-    val body = xml.getBytes(UTF_8)
-    val done = connect("POST", key, Seq("uploadId" -> uploadId), sha256(body))
-    done.setDoOutput(true)
-    done.setFixedLengthStreamingMode(body.length)
-    val os = done.getOutputStream
-    os.write(body); os.close()
-    if (done.getResponseCode != 200)
-      throw new IOException(s"complete multipart s3://$bucket/$key -> HTTP ${done.getResponseCode}")
+      // complete (conditional when the caller asked for create-if-absent)
+      val xml = etags.result().map { case (pn, etag) =>
+        s"<Part><PartNumber>$pn</PartNumber><ETag>$etag</ETag></Part>"
+      }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+      val body = xml.getBytes(UTF_8)
+      retrying(s"complete multipart $key") { () =>
+        val done = connect("POST", key, Seq("uploadId" -> uploadId), sha256(body))
+        if (failIfExists) done.setRequestProperty("If-None-Match", "*")
+        done.setDoOutput(true)
+        done.setFixedLengthStreamingMode(body.length)
+        val os = done.getOutputStream
+        os.write(body); os.close()
+        val code = done.getResponseCode
+        drain(done)
+        if (code == 412 && failIfExists)
+          throw new FileAlreadyExistsException(s"s3://$bucket/$key already exists")
+        if (code != 200)
+          httpError(code, s"complete multipart s3://$bucket/$key -> HTTP $code")
+      }
+    } catch {
+      case e: Throwable =>
+        abortMultipartUpload(key, uploadId)
+        throw e
+    }
   }
+
+  /** Best-effort AbortMultipartUpload (`DELETE ?uploadId=…`) — releases
+    * the stored parts of a failed upload. */
+  private def abortMultipartUpload(key: String, uploadId: String): Unit =
+    try retrying(s"abort multipart $key") { () =>
+      val conn = connect("DELETE", key, Seq("uploadId" -> uploadId))
+      try {
+        val code = conn.getResponseCode
+        if (isRetryableCode(code)) httpError(code, s"abort multipart $key -> HTTP $code")
+      } finally conn.disconnect()
+    } catch { case _: Exception => () } // abort is cleanup; never mask the cause
 
   private def readFull(in: InputStream, buf: Array[Byte]): Int = {
     var total = 0
@@ -402,44 +517,119 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
       if (s != null) { s.readAllBytes(); s.close() }
     } catch { case _: Exception => () }
 
-  private def putObject(key: String, bytes: Array[Byte], failIfExists: Boolean,
-      copySource: Option[String] = None): Unit = {
-    val payloadSha = sha256(bytes)
-    val conn = connect("PUT", key, Nil, payloadSha)
-    if (failIfExists) conn.setRequestProperty("If-None-Match", "*")
-    copySource.foreach(conn.setRequestProperty("x-amz-copy-source", _))
+  private def putObject(key: String, bytes: Array[Byte], failIfExists: Boolean): Unit =
+    if (failIfExists) conditionalPut(key, bytes)
+    else retrying(s"PUT $key") { () =>
+      val code = putOnce(key, bytes, conditional = false)
+      if (code != 200) httpError(code, s"PUT s3://$bucket/$key -> HTTP $code")
+    }
+
+  /** One PUT attempt; returns the HTTP status (response drained). */
+  private def putOnce(key: String, bytes: Array[Byte], conditional: Boolean): Int = {
+    val conn = connect("PUT", key, Nil, sha256(bytes))
+    if (conditional) conn.setRequestProperty("If-None-Match", "*")
     conn.setDoOutput(true)
     conn.setFixedLengthStreamingMode(bytes.length)
     val os = conn.getOutputStream
     os.write(bytes); os.close()
     val code = conn.getResponseCode
     drain(conn)
-    code match {
-      case 200 => ()
-      case 412 if failIfExists =>
-        throw new FileAlreadyExistsException(s"s3://$bucket/$key already exists")
-      case c => throw new IOException(s"PUT s3://$bucket/$key -> HTTP $c")
+    code
+  }
+
+  /** GET the object and compare against `bytes`: Some(true) = identical,
+    * Some(false) = exists with other content, None = absent. The
+    * disambiguation read for ambiguous conditional-PUT outcomes. */
+  private def readMatches(key: String, bytes: Array[Byte]): Option[Boolean] =
+    retrying(s"GET $key") { () =>
+      val conn = connect("GET", key)
+      try {
+        conn.getResponseCode match {
+          case 200 => Some(java.util.Arrays.equals(conn.getInputStream.readAllBytes(), bytes))
+          case 404 => None
+          case code => httpError(code, s"GET s3://$bucket/$key -> HTTP $code")
+        }
+      } finally conn.disconnect()
+    }
+
+  /** Atomic create-if-absent (`If-None-Match: *`) with AMBIGUITY-AWARE
+    * retries — this is the delta COMMIT primitive, where a blind retry is
+    * wrong in both directions: a 5xx/transport failure after the server
+    * applied the PUT would make a naive retry see 412 and report
+    * "lost the race" for a commit WE won (the caller would then re-apply
+    * the same actions at version+1 — double apply); and a 409
+    * (ConditionalRequestConflict: concurrent conditional writes racing on
+    * real S3) is transient contention, not a loss. So: after any ambiguous
+    * failure, every exists-signal (412/409-exhausted) is resolved by
+    * reading the object back and comparing content — identical ⇒ our
+    * earlier attempt landed ⇒ success. */
+  private def conditionalPut(key: String, bytes: Array[Byte]): Unit = {
+    var tries = 0
+    var ambiguous = false // some earlier attempt MAY have been applied server-side
+    def lostOrWon(): Unit =
+      if (ambiguous && readMatches(key, bytes).contains(true)) () // our PUT landed
+      else throw new FileAlreadyExistsException(s"s3://$bucket/$key already exists")
+    while (true) {
+      val code =
+        try putOnce(key, bytes, conditional = true)
+        catch {
+          case e: IOException if !e.isInstanceOf[S3HttpException] =>
+            // transport failure mid-PUT: the server may or may not have it
+            ambiguous = true
+            if (tries >= retryLimit) {
+              readMatches(key, bytes) match {
+                case Some(true) => return
+                case Some(false) =>
+                  throw new FileAlreadyExistsException(s"s3://$bucket/$key already exists")
+                case None => throw e
+              }
+            }
+            -1
+        }
+      code match {
+        case 200 => return
+        case 412 => lostOrWon(); return
+        case 409 =>
+          // concurrent conditional writes in flight — transient: back off and
+          // re-issue; on exhaustion resolve via read-back like 412
+          if (tries >= retryLimit) { lostOrWon(); return }
+        case c if c > 0 && isRetryableCode(c) =>
+          // 5xx/429 on a PUT is AMBIGUOUS (a 500 can follow a server-side
+          // apply) — mark it so a later 412 disambiguates by content
+          ambiguous = true
+          if (tries >= retryLimit) {
+            readMatches(key, bytes) match {
+              case Some(true) => return
+              case Some(false) =>
+                throw new FileAlreadyExistsException(s"s3://$bucket/$key already exists")
+              case None => httpError(c, s"PUT s3://$bucket/$key -> HTTP $c (retries exhausted)")
+            }
+          }
+        case -1 => () // transport failure already accounted above
+        case c => httpError(c, s"PUT s3://$bucket/$key -> HTTP $c")
+      }
+      backoff(tries); tries += 1
     }
   }
 
-  private def copyObject(srcKey: String, dstKey: String): Unit = {
-    val conn = connect("PUT", dstKey)
-    conn.setRequestProperty("x-amz-copy-source", s"/$bucket/$srcKey")
-    conn.setDoOutput(true)
-    conn.setFixedLengthStreamingMode(0)
-    conn.getOutputStream.close()
-    val code = conn.getResponseCode
-    drain(conn)
-    if (code != 200)
-      throw new IOException(s"COPY $srcKey -> $dstKey: HTTP $code")
-  }
+  private def copyObject(srcKey: String, dstKey: String): Unit =
+    retrying(s"COPY $srcKey") { () =>
+      val conn = connect("PUT", dstKey)
+      conn.setRequestProperty("x-amz-copy-source", s"/$bucket/$srcKey")
+      conn.setDoOutput(true)
+      conn.setFixedLengthStreamingMode(0)
+      conn.getOutputStream.close()
+      val code = conn.getResponseCode
+      drain(conn)
+      if (code != 200) httpError(code, s"COPY $srcKey -> $dstKey: HTTP $code")
+    }
 
-  private def deleteObject(key: String): Boolean = {
+  private def deleteObject(key: String): Boolean = retrying(s"DELETE $key") { () =>
     val conn = connect("DELETE", key)
     try conn.getResponseCode match {
       case 204 | 200 => true
       case 404 => false
-      case code => throw new IOException(s"DELETE s3://$bucket/$key -> HTTP $code")
+      case code => httpError(code, s"DELETE s3://$bucket/$key -> HTTP $code")
     } finally conn.disconnect()
   }
 
@@ -500,22 +690,24 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     paths.size.toLong
   }
 
-  /** `POST /?delete` multi-object delete. */
+  /** `POST /?delete` multi-object delete (idempotent: deleting an
+    * already-deleted key is a no-op, so the batch retries whole). */
   private def deleteObjects(keys: Seq[String]): Unit = {
     if (keys.isEmpty) return
     val xml = keys.map(k =>
       s"<Object><Key>${k.replace("&", "&amp;").replace("<", "&lt;")}</Key></Object>")
       .mkString("<Delete><Quiet>true</Quiet>", "", "</Delete>")
     val body = xml.getBytes(UTF_8)
-    val conn = connect("POST", "", Seq("delete" -> ""), sha256(body))
-    conn.setDoOutput(true)
-    conn.setFixedLengthStreamingMode(body.length)
-    val os = conn.getOutputStream
-    os.write(body); os.close()
-    val code = conn.getResponseCode
-    drain(conn)
-    if (code != 200)
-      throw new IOException(s"bulk delete on s3://$bucket -> HTTP $code")
+    retrying("bulk DELETE") { () =>
+      val conn = connect("POST", "", Seq("delete" -> ""), sha256(body))
+      conn.setDoOutput(true)
+      conn.setFixedLengthStreamingMode(body.length)
+      val os = conn.getOutputStream
+      os.write(body); os.close()
+      val code = conn.getResponseCode
+      drain(conn)
+      if (code != 200) httpError(code, s"bulk delete on s3://$bucket -> HTTP $code")
+    }
   }
 
   /** S3 has no directories — but committers (FileOutputCommitter's

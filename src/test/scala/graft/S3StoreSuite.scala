@@ -21,16 +21,42 @@ import graft.sources.delta.{DeltaDml, DeltaLog, DeltaTable, DeltaWriter}
   * server recomputes every request's signature from the shared secret
   * and rejects mismatches), so the signer is tested end-to-end, not
   * just "an Authorization header exists". */
+/** A queued fault: the next request matching (method, path substring,
+  * query substring) draws this response instead of normal handling.
+  * `applyFirst` performs the PUT server-side BEFORE failing the response
+  * (the ambiguous commit case: applied-but-unacknowledged); `killConn`
+  * closes the connection without any response (transport failure). */
+case class S3Fault(method: String, pathContains: String, code: Int,
+    applyFirst: Boolean = false, killConn: Boolean = false, queryContains: String = "")
+
 class FakeS3Server(accessKey: String, secretKey: String) {
   private val objects = new ConcurrentHashMap[String, Array[Byte]]() // "bucket/key" -> bytes
   private val uploads = // uploadId -> (path, partNumber -> bytes)
     new ConcurrentHashMap[String, (String, ConcurrentHashMap[Int, Array[Byte]])]()
   @volatile var multipartCompletions = 0 // observability for specs
   @volatile var bulkDeletes = 0
+  @volatile var multipartAborts = 0
+  private val faults = new java.util.concurrent.ConcurrentLinkedQueue[S3Fault]()
   private var server: HttpServer = _
 
   def port: Int = server.getAddress.getPort
   def keys: Set[String] = objects.keySet().asScala.toSet
+  def get(key: String): Array[Byte] = objects.get(key)
+  def activeUploads: Int = uploads.size()
+  def injectFault(f: S3Fault): Unit = faults.add(f)
+
+  /** Pop the first queued fault matching this request, if any. */
+  private def takeFault(method: String, path: String, query: String): Option[S3Fault] = {
+    val it = faults.iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.method == method && path.contains(f.pathContains) &&
+        (f.queryContains.isEmpty || query.contains(f.queryContains))) {
+        it.remove(); return Some(f)
+      }
+    }
+    None
+  }
 
   def start(): Unit = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -80,10 +106,19 @@ class FakeS3Server(accessKey: String, secretKey: String) {
     val body = ex.getRequestBody.readAllBytes()
     if (!verifySig(ex, body)) { ex.sendResponseHeaders(403, -1); ex.close(); return }
     val rawPath = URLDecoder.decode(ex.getRequestURI.getRawPath, "UTF-8").stripPrefix("/")
-    val query = Option(ex.getRequestURI.getQuery).getOrElse("").split('&')
+    val rawQuery = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val query = rawQuery.split('&')
       .filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2); k -> URLDecoder.decode(v, "UTF-8")
       }.toMap
+    takeFault(ex.getRequestMethod, rawPath, rawQuery).foreach { f =>
+      if (f.killConn) { ex.close(); return }
+      if (f.applyFirst && ex.getRequestMethod == "PUT")
+        // apply the mutation server-side, then fail the RESPONSE — the
+        // ambiguous outcome a real S3 500 after a successful write produces
+        applyPut(ex, rawPath, body)
+      ex.sendResponseHeaders(f.code, -1); ex.close(); return
+    }
     val isList = query.get("list-type").contains("2")
     (ex.getRequestMethod, isList) match {
       case ("GET", true) => list(ex, rawPath.stripSuffix("/"), query)
@@ -115,14 +150,29 @@ class FakeS3Server(accessKey: String, secretKey: String) {
         ex.sendResponseHeaders(200, xml.length.toLong)
         ex.getResponseBody.write(xml); ex.close()
       case ("POST", _) if query.contains("uploadId") =>
-        val (path, parts) = uploads.remove(query("uploadId"))
+        // CompleteMultipartUpload — honors `If-None-Match: *` (S3 supports
+        // conditional completes); a lost conditional leaves the upload in
+        // place for the client to abort, like real S3
+        val (path, parts) = uploads.get(query("uploadId"))
+        val conditional =
+          Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
         val whole = parts.asScala.toSeq.sortBy(_._1).map(_._2)
           .foldLeft(Array.emptyByteArray)(_ ++ _)
-        objects.put(path, whole)
-        multipartCompletions += 1
-        val xml = "<CompleteMultipartUploadResult/>".getBytes(UTF_8)
-        ex.sendResponseHeaders(200, xml.length.toLong)
-        ex.getResponseBody.write(xml); ex.close()
+        val won =
+          if (conditional) objects.putIfAbsent(path, whole) == null
+          else { objects.put(path, whole); true }
+        if (!won) { ex.sendResponseHeaders(412, -1); ex.close() }
+        else {
+          uploads.remove(query("uploadId"))
+          multipartCompletions += 1
+          val xml = "<CompleteMultipartUploadResult/>".getBytes(UTF_8)
+          ex.sendResponseHeaders(200, xml.length.toLong)
+          ex.getResponseBody.write(xml); ex.close()
+        }
+      case ("DELETE", _) if query.contains("uploadId") =>
+        // AbortMultipartUpload: release the stored parts
+        if (uploads.remove(query("uploadId")) != null) multipartAborts += 1
+        ex.sendResponseHeaders(204, -1); ex.close()
       case ("DELETE", _) =>
         objects.remove(rawPath); ex.sendResponseHeaders(204, -1); ex.close()
       case _ => ex.sendResponseHeaders(405, -1); ex.close()
@@ -152,23 +202,29 @@ class FakeS3Server(accessKey: String, secretKey: String) {
     ex.close()
   }
 
-  private def putObject(ex: HttpExchange, path: String, body: Array[Byte]): Unit = {
+  /** Apply the PUT's mutation (copy / conditional / plain); returns the
+    * status it produces — shared by the normal handler and the
+    * applyFirst fault path. */
+  private def applyPut(ex: HttpExchange, path: String, body: Array[Byte]): Int = {
     val copySource = Option(ex.getRequestHeaders.getFirst("x-amz-copy-source"))
     val conditional = Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
     val payload = copySource match {
       case Some(src) =>
         val bytes = objects.get(URLDecoder.decode(src, "UTF-8").stripPrefix("/"))
-        if (bytes == null) { ex.sendResponseHeaders(404, -1); ex.close(); return }
+        if (bytes == null) return 404
         bytes
       case None => body
     }
     if (conditional) {
       // the atomicity under test: putIfAbsent is one atomic map op
-      if (objects.putIfAbsent(path, payload) != null) {
-        ex.sendResponseHeaders(412, -1); ex.close(); return
-      }
+      if (objects.putIfAbsent(path, payload) != null) return 412
     } else objects.put(path, payload)
-    ex.sendResponseHeaders(200, -1); ex.close()
+    200
+  }
+
+  private def putObject(ex: HttpExchange, path: String, body: Array[Byte]): Unit = {
+    val code = applyPut(ex, path, body)
+    ex.sendResponseHeaders(code, -1); ex.close()
   }
 
   private def list(ex: HttpExchange, bucket: String, query: Map[String, String]): Unit = {
@@ -217,6 +273,7 @@ class S3StoreSuite extends AnyFunSuite {
       hc.set("fs.s3.access.key", "graft-access")
       hc.set("fs.s3.secret.key", "graft-secret")
       hc.set("fs.s3.impl.disable.cache", "true") // endpoint/port changes per test
+      hc.set("fs.s3.retry.base.ms", "1") // keep fault-injection specs fast
       body(server, s"s3://bucket/tbl-${java.util.UUID.randomUUID().toString.take(8)}")
     } finally server.stop()
   }
@@ -311,6 +368,153 @@ class S3StoreSuite extends AnyFunSuite {
     }
   }
 
+  // ---- transient-failure resilience (fault injection) ----
+
+  private def fsOf(table: String): graft.sources.S3FileSystem =
+    new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+      .asInstanceOf[graft.sources.S3FileSystem]
+
+  test("503 SlowDown twice on GET is retried transparently") {
+    withS3 { (server, table) =>
+      val fs = fsOf(table)
+      val p = new Path(s"$table/obj.bin")
+      val out = fs.create(p, true)
+      out.write("payload-under-test".getBytes(UTF_8)); out.close()
+      server.injectFault(S3Fault("GET", "obj.bin", 503))
+      server.injectFault(S3Fault("GET", "obj.bin", 503))
+      val in = fs.open(p, 4096)
+      val got = new String(in.readAllBytes(), UTF_8)
+      in.close()
+      assert(got === "payload-under-test")
+    }
+  }
+
+  test("LIST and HEAD retry through 500s") {
+    withS3 { (server, table) =>
+      val fs = fsOf(table)
+      val p = new Path(s"$table/a/x.bin")
+      val out = fs.create(p, true); out.write(Array[Byte](1, 2, 3)); out.close()
+      server.injectFault(S3Fault("HEAD", "x.bin", 500))
+      assert(fs.getFileStatus(p).getLen === 3L)
+      server.injectFault(S3Fault("GET", "", 503, queryContains = "list-type"))
+      assert(fs.listStatus(new Path(s"$table/a")).length === 1)
+    }
+  }
+
+  test("connection killed mid-PUT is retried (transport failure, idempotent verb)") {
+    withS3 { (server, table) =>
+      val fs = fsOf(table)
+      server.injectFault(S3Fault("PUT", "killed.bin", 0, killConn = true))
+      val p = new Path(s"$table/killed.bin")
+      val out = fs.create(p, true)
+      out.write("survived".getBytes(UTF_8)); out.close()
+      val in = fs.open(p, 4096)
+      assert(new String(in.readAllBytes(), UTF_8) === "survived")
+      in.close()
+    }
+  }
+
+  test("ambiguous 500 AFTER server-side apply on the commit PUT: tryCommit wins, no double apply") {
+    withS3 { (server, table) =>
+      import spark.implicits._
+      DeltaTable.write(Seq((1L, "a")).toDF("id", "k"), table, SaveMode.Append)
+      val content = """{"commitInfo":{"operation":"TEST","timestamp":7}}"""
+      // server applies the conditional PUT, then fails the response — the
+      // client must read back, recognize ITS OWN content, and claim the win
+      server.injectFault(S3Fault("PUT", "00000000000000000001.json", 500, applyFirst = true))
+      assert(DeltaLog.tryCommit(spark, table, 1L, content),
+        "an applied-but-unacknowledged commit is a WIN, not a lost race")
+      val key = server.keys.find(_.endsWith("00000000000000000001.json")).get
+      assert(new String(server.get(key), UTF_8) === content)
+    }
+  }
+
+  test("transient 500 (not applied) on the commit PUT retries and commits") {
+    withS3 { (server, table) =>
+      import spark.implicits._
+      DeltaTable.write(Seq((1L, "a")).toDF("id", "k"), table, SaveMode.Append)
+      server.injectFault(S3Fault("PUT", "00000000000000000001.json", 500))
+      assert(DeltaLog.tryCommit(spark, table, 1L, """{"commitInfo":{"operation":"T"}}"""))
+    }
+  }
+
+  test("ambiguous failure then a GENUINE loss still reports false (content differs)") {
+    withS3 { (server, table) =>
+      import spark.implicits._
+      DeltaTable.write(Seq((1L, "a")).toDF("id", "k"), table, SaveMode.Append)
+      val winner = """{"commitInfo":{"operation":"WINNER"}}"""
+      assert(DeltaLog.tryCommit(spark, table, 1L, winner))
+      // the loser's first attempt draws a 500 (ambiguous), the retry sees
+      // 412, and read-back shows someone ELSE's content → lost
+      server.injectFault(S3Fault("PUT", "00000000000000000001.json", 500))
+      assert(!DeltaLog.tryCommit(spark, table, 1L, """{"commitInfo":{"operation":"LOSER"}}"""))
+      val key = server.keys.find(_.endsWith("00000000000000000001.json")).get
+      assert(new String(server.get(key), UTF_8) === winner, "the winner's commit must survive")
+    }
+  }
+
+  test("409 ConditionalRequestConflict on conditional PUT is transient, not a hard failure") {
+    withS3 { (server, table) =>
+      val fs = fsOf(table)
+      server.injectFault(S3Fault("PUT", "cond.json", 409))
+      val out = fs.create(new Path(s"$table/cond.json"), false)
+      out.write("won-after-contention".getBytes(UTF_8)); out.close()
+      val in = fs.open(new Path(s"$table/cond.json"), 4096)
+      assert(new String(in.readAllBytes(), UTF_8) === "won-after-contention")
+      in.close()
+    }
+  }
+
+  test("multipart create-if-absent stays atomic: conditional COMPLETE loses 412 and aborts") {
+    withS3 { (server, table) =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3.multipart.threshold", "64")
+      hc.set("fs.s3.multipart.size", "64")
+      try {
+        val fs = fsOf(table)
+        val p = new Path(s"$table/big.bin")
+        val first = fs.create(p, false)
+        first.write(("A" * 300).getBytes(UTF_8)); first.close()
+        assert(server.multipartCompletions >= 1)
+        // second exclusive create of the SAME key must lose at COMPLETE time
+        intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+          val out = fs.create(p, false)
+          out.write(("B" * 300).getBytes(UTF_8)); out.close()
+        }
+        assert(new String(server.get(s"bucket/${new Path(table).getName}/big.bin"), UTF_8)
+          === "A" * 300, "the first writer's object must survive")
+        assert(server.multipartAborts >= 1, "the losing upload must be aborted")
+        assert(server.activeUploads === 0, "no orphaned multipart uploads may remain")
+      } finally {
+        hc.unset("fs.s3.multipart.threshold"); hc.unset("fs.s3.multipart.size")
+      }
+    }
+  }
+
+  test("a failed part upload aborts the multipart upload (no orphaned parts)") {
+    withS3 { (server, table) =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3.multipart.threshold", "64")
+      hc.set("fs.s3.multipart.size", "64")
+      try {
+        val fs = fsOf(table)
+        // exhaust the retry budget (limit 4 ⇒ 5 attempts) on part 2
+        (0 until 5).foreach { _ =>
+          server.injectFault(S3Fault("PUT", "doomed.bin", 500, queryContains = "partNumber=2"))
+        }
+        intercept[java.io.IOException] {
+          val out = fs.create(new Path(s"$table/doomed.bin"), true)
+          out.write(("C" * 300).getBytes(UTF_8)); out.close()
+        }
+        assert(server.multipartAborts >= 1, "failed upload must be aborted")
+        assert(server.activeUploads === 0, "no orphaned multipart uploads may remain")
+        assert(!server.keys.exists(_.endsWith("doomed.bin")))
+      } finally {
+        hc.unset("fs.s3.multipart.threshold"); hc.unset("fs.s3.multipart.size")
+      }
+    }
+  }
+
   test("delta STREAMING source tails an s3:// table (listing-based discovery)") {
     import spark.implicits._
     withS3 { (_, table) =>
@@ -335,6 +539,101 @@ class S3StoreSuite extends AnyFunSuite {
         q.processAllAvailable()
         assert(seen.synchronized(seen.sorted.toSeq) === Seq(1L, 2L, 3L))
       } finally q.stop()
+    }
+  }
+
+  test("dl-family parity: the same delta pipeline on s3:// and file:// is value-identical") {
+    import org.apache.spark.sql.functions._
+    // the dl01–dl05 shapes (partitioned roundtrip, time travel, pruned
+    // read, DML rewrite, VACUUM) executed against BOTH stores from the
+    // same fixture — any divergence in scan/commit/delete behavior
+    // between the conditional-PUT plane and POSIX shows here
+    def pipeline(root: String): Seq[Seq[String]] = {
+      val dir = "/root/testdata/sf0.001"
+      val supplier = spark.read.parquet(s"$dir/supplier.parquet")
+      // dl01: partitioned write → provider read → aggregate
+      val p1 = s"$root/t1"
+      supplier.write.format("delta").partitionBy("s_nationkey").save(p1)
+      val r1 = DeltaTable.read(spark, p1)
+        .groupBy(col("s_nationkey").cast("int").as("k"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("string").as("bal"))
+        .orderBy(col("k")).collect().map(_.mkString("|")).toSeq
+      // dl02: two commits + VERSION AS OF 0
+      val p2 = s"$root/t2"
+      DeltaTable.write(supplier.filter(col("s_suppkey") % 2 === 0), p2, SaveMode.Append)
+      DeltaTable.write(supplier.filter(col("s_suppkey") % 2 === 1), p2, SaveMode.Append)
+      val r2 = DeltaTable.readVersion(spark, p2, 0L)
+        .agg(count(lit(1)), sum(col("s_suppkey")))
+        .collect().map(_.mkString("|")).toSeq
+      // dl03: partition-pruned read
+      val r3 = DeltaTable.read(spark, p1).filter(col("s_nationkey") === 3)
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey")).collect().map(_.mkString("|")).toSeq
+      // dl06-shape: DELETE rewrite, then VACUUM the stranded files
+      DeltaDml.delete(spark, p2, "s_suppkey % 7 = 0")
+      val r4 = DeltaTable.read(spark, p2)
+        .agg(count(lit(1)), sum(col("s_suppkey")))
+        .collect().map(_.mkString("|")).toSeq
+      graft.sources.delta.DeltaMaintenance.vacuum(spark, p2, retentionMs = 0L)
+      val r5 = DeltaTable.read(spark, p2)
+        .agg(count(lit(1)), sum(col("s_suppkey")))
+        .collect().map(_.mkString("|")).toSeq
+      Seq(r1, r2, r3, r4, r5)
+    }
+    withS3 { (_, table) =>
+      val local = java.nio.file.Files.createTempDirectory("graft-s3-parity").toString
+      val onLocal = pipeline(local)
+      val onS3 = pipeline(table)
+      onLocal.zip(onS3).zipWithIndex.foreach { case ((l, s3r), i) =>
+        assert(l === s3r, s"stage $i diverged between file:// and s3://")
+      }
+    }
+  }
+
+  test("mixed concurrent writers race the conditional-PUT commit plane to a serial result") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    import spark.implicits._
+    withS3 { (_, table) =>
+      (0 until 2).foreach { b =>
+        DeltaTable.write(
+          (1 to 20).map(i => ((b * 20 + i).toLong, s"r${b * 20 + i}", i % 2))
+            .toDF("id", "payload", "p"),
+          table, SaveMode.Append, partitionBy = Seq("p"))
+      }
+      val aborts = new java.util.concurrent.atomic.AtomicInteger(0)
+      def untilCommitted(op: () => Unit): Unit = {
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 20) {
+          try { op(); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              aborts.incrementAndGet(); attempts += 1
+          }
+        }
+        assert(done, "op failed to commit within 20 conflict retries")
+      }
+      val ops: Seq[() => Unit] = Seq(
+        () => DeltaTable.write(Seq((101L, "a1", 0)).toDF("id", "payload", "p"),
+          table, SaveMode.Append, partitionBy = Seq("p")),
+        () => DeltaTable.write(Seq((102L, "a2", 1)).toDF("id", "payload", "p"),
+          table, SaveMode.Append, partitionBy = Seq("p")),
+        () => DeltaDml.delete(spark, table, "p = 1 AND id <= 20"),
+        () => DeltaDml.delete(spark, table, "p = 0 AND id <= 20"),
+        () => DeltaDml.delete(spark, table, "p = 1 AND id > 20")) // overlaps p=1
+      Await.result(
+        Future.sequence(ops.map(op => Future(untilCommitted(op)))), 300.seconds)
+      assert(DeltaLog.snapshot(spark, table).version === 6L,
+        "2 seeds + 5 ops must serialize into a linear 7-version history")
+      val deleted = (1 to 40).filter(i =>
+        (i % 2 == 1 && i <= 20) || (i % 2 == 0 && i <= 20) ||
+          (i % 2 == 1 && i > 20)).map(_.toLong).toSet
+      val expected = (1L to 40L).toSet -- deleted ++ Set(101L, 102L)
+      val got = DeltaTable.read(spark, table).select("id").as[Long].collect().toSet
+      assert(got === expected, "final snapshot must equal the serial result")
     }
   }
 
