@@ -20,10 +20,25 @@ object Bench {
     }
     // untimed warmup: JVM/codegen/parquet-footer costs otherwise land on
     // whichever query happens to run first (measured ~5s of noise)
-    try {
+    def anchorProbe(): Unit = {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.filter(l("l_quantity") > 0).groupBy("l_returnflag").count().collect()
-    } catch { case _: Throwable => () }
+      ()
+    }
+    try anchorProbe() catch { case _: Throwable => () }
+    // calibration anchor: the SAME fixed trivial probe timed between
+    // passes. Its spread is a machine-health signal the per-query numbers
+    // can't provide — min-over-interleaved-passes defends against a slow
+    // window inside the run, but not against interference spanning the
+    // WHOLE run (r12 recorded phantom 4x regressions on byte-unchanged
+    // queries that way). A polluted run now self-identifies: anchor_spread
+    // far above 1 ⇒ discount this bench, re-run on a quiet machine.
+    val anchorTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def timeAnchor(): Unit = {
+      val t0 = System.nanoTime()
+      try { anchorProbe(); anchorTimes += (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => () }
+    }
     // min over N INTERLEAVED full passes (default 3): r8 proved median of
     // consecutive reps doesn't defend against sustained interference — all
     // three reps of a query can sit inside the same slow window (q33 recorded
@@ -38,6 +53,7 @@ object Bench {
     val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     (0 until reps).foreach { _ =>
+      timeAnchor()
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink: executes the FULL plan (count() would let Catalyst
@@ -50,8 +66,13 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
           }
         timings(name) = timings(name) :+ t
+        // per-query cache hygiene: dd/ss/pp persists would otherwise pile
+        // up evicted-but-pinned blocks across reps × 139 queries, adding
+        // memory pressure exactly where interference noise is measured
+        graft.operators.QueryCaches.release()
       }
     }
+    timeAnchor()
     val results = names.map { case (name, _) =>
       val times = timings(name)
       // any crashed rep records -1, never a (tiny) elapsed time — a broken
@@ -81,7 +102,9 @@ object Bench {
     val spreadQ = results.filter(_._2 >= 0).sortBy(-_._3).headOption
       .map(_._1.takeWhile(_ != '_')).getOrElse("")
     val spreadMed = if (spreads.isEmpty) 1.0 else spreads.sorted.apply(spreads.size / 2)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"reps":$reps,"spread_max":${ms(spreadMax)},"spread_max_q":"$spreadQ","spread_med":${ms(spreadMed)},"queries":$qs,"sf":"$sfDir"}""")
+    val (aMin, aMax) = if (anchorTimes.isEmpty) (-1.0, -1.0) else (anchorTimes.min, anchorTimes.max)
+    val aSpread = if (aMin <= 0) -1.0 else aMax / math.max(aMin, 1e-9)
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"reps":$reps,"spread_max":${ms(spreadMax)},"spread_max_q":"$spreadQ","spread_med":${ms(spreadMed)},"anchor_min":${ms(aMin)},"anchor_max":${ms(aMax)},"anchor_spread":${ms(aSpread)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

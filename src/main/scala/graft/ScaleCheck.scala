@@ -121,7 +121,8 @@ object ScaleCheck {
   }
 
   private def run(spark: SparkSession, name: String, dir: String): Unit =
-    SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+    try SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+    finally graft.operators.QueryCaches.release() // per-probe cache hygiene
 
   /** 10-copy key-offset scale-up of the sf0.1 fixtures. Copy 0 is the
     * original; copies 1..n-1 offset every join key so fanout per key stays

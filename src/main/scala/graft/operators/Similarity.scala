@@ -136,15 +136,14 @@ object Similarity {
     * per vec_id, so first(e) is deterministic in value. Persisted: probed
     * by both the query side and the candidate side. */
   private def assignedFrame(v: DataFrame, cents: DataFrame): DataFrame =
-    v.join(broadcast(cents))
+    QueryCaches.persist(v.join(broadcast(cents))
       .withColumn("csim",
         floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
       .groupBy(col("vec_id"))
       .agg(
         min(struct((-col("csim")).as("ns"), col("cid"))).as("m"),
         first(col("e")).as("e"))
-      .select(col("vec_id"), col("e"), col("m.cid").as("cid"))
-      .persist()
+      .select(col("vec_id"), col("e"), col("m.cid").as("cid")))
 
   /** IVF-style ANN (the second scale path beside hyperplane LSH): vectors
     * are assigned to their nearest of K=16 coarse-quantizer centroids, and
@@ -239,7 +238,7 @@ object Similarity {
     * into the 64-term dot product and re-run it per element. */
   private def ss06Int8Ann(s: SparkSession, dir: String): DataFrame = {
     val v0 = vecs(s, dir)
-    val corpus = v0
+    val corpus = QueryCaches.persist(v0
       .withColumn("maxabs0",
         aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x.cast("double")))))
       .withColumn("maxabs",
@@ -248,13 +247,11 @@ object Similarity {
       .withColumn("q", transform(col("e"),
         x => floor(x.cast("double") * lit(127.0) / col("maxabs") + lit(0.5))))
       .withColumn("q2", aggregate(col("q"), lit(0.0), (a, x) => a + x * x))
-      .select(col("vec_id"), col("scale"), col("q"), col("q2"))
-      .persist()
-    val q = v0.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("scale"), col("q"), col("q2")))
+    val q = QueryCaches.persist(v0.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
       .withColumn("qnrm",
-        aggregate(col("qe"), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
-      .persist()
+        aggregate(col("qe"), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     broadcast(q)
       .join(corpus, col("qid") =!= col("vec_id"))
