@@ -9,8 +9,10 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: cosine similarity of two `ARRAY<FLOAT>`
-  * embeddings, computed in DOUBLE with a single strict left-to-right pass.
+/** Native Catalyst expression: cosine similarity of two `ARRAY<FLOAT>` (or
+  * `ARRAY<DOUBLE>` — each side independently; k-means centroids are exact
+  * double ratios) embeddings, computed in DOUBLE with a single strict
+  * left-to-right pass.
   *
   * Why an Expression and not a higher-order-function pipeline or a UDF
   * (preference order per the rebuild brief — compose > Expression > UDF):
@@ -30,16 +32,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects (array<float>, array<float>), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+  private def isDouble(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float|double> on both sides, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   override def dataType: DataType = DoubleType
 
@@ -48,14 +54,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = isDouble(left.dataType)
+    val yd = isDouble(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -73,12 +81,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val getX =
+        if (isDouble(left.dataType)) s"$a.getDouble($i)"
+        else s"(double) $a.getFloat($i)"
+      val getY =
+        if (isDouble(right.dataType)) s"$b.getDouble($i)"
+        else s"(double) $b.getFloat($i)"
       s"""
          |final int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = (double) $a.getFloat($i);
-         |  final double $y = (double) $b.getFloat($i);
+         |  final double $x = $getX;
+         |  final double $y = $getY;
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / Math.sqrt($na * $nb);

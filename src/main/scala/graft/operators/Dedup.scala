@@ -81,12 +81,11 @@ object Dedup {
     // df and set size come from window counts (one shuffle each, no joins),
     // and the result is persisted so the self-join doesn't re-run the
     // interpreted shingling expression on both sides.
-    val capped = ex
+    val capped = QueryCaches.persist(ex
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("df") <= 20)
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("g"), col("sz"))
-      .persist()
+      .select(col("doc_id"), col("g"), col("sz")))
     capped.as("a")
       .join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -121,16 +120,15 @@ object Dedup {
     graft.functions.GraftFunctions.register(s)
     // persisted: read once, reused by the band self-join (both sides) and
     // the two candidate-verification joins.
-    val sh = shingled(s, dir).filter(size(col("shingles")) > 0).persist()
+    val sh = QueryCaches.persist(shingled(s, dir).filter(size(col("shingles")) > 0))
     // native minhash16 expression: the md5-hash HOF argument evaluates once
     // per row (projection contract) and the 16-permutation min loop is
     // codegen'd — no 16× re-hashing, no interpreted lambda dispatch.
-    val sigs = sh
+    val sigs = QueryCaches.persist(sh
       .select(col("doc_id"), expr(
-        "minhash16(transform(shingles, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))").as("sig"))
+        "minhash16(transform(shingles, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))").as("sig")))
       // materialize sig before the band explode (see dd02 note): the
       // posexplode child must read an attribute, not the minhash pipeline
-      .persist()
     val bands = sigs.select(
       col("doc_id"),
       posexplode(expr(
@@ -225,22 +223,22 @@ object Dedup {
     * hamming ≤ 3 pairs (candidates are exhaustive by pigeonhole). */
   private def dd04Simhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sigs = docs(s, dir)
+    // persisted (registered): reused by the sig-level join and both doc expansions
+    val sigs = QueryCaches.persist(docs(s, dir)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .filter(size(col("toks")) > 0)
       // native codegen'd simhash16 over the token hashes — same ±1 vote
       // semantics as the oracle's declarative fold (integer sums are
       // order-independent, so parity is exact)
       .select(col("doc_id"), expr(
-        "simhash16(transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))").as("sig"))
-      .persist() // reused by the sig-level join and both doc expansions
+        "simhash16(transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))").as("sig")))
     // Band-join at the DISTINCT-signature level, not the document level: a
     // low-diversity corpus collapses to few signatures (5000 docs → ~1.4k
     // sigs at sf0.1), while document-level nibble buckets are quadratically
     // skewed (measured 13.8M candidate pairs). Pigeonhole recall is
     // unchanged — every doc pair with ham ≤ 3 is either intra-sig (ham 0)
     // or expands from a close sig pair.
-    val sigSet = sigs.select(col("sig")).distinct().persist()
+    val sigSet = QueryCaches.persist(sigs.select(col("sig")).distinct())
     val bands = sigSet.select(
       col("sig"),
       posexplode(expr(
@@ -303,10 +301,9 @@ object Dedup {
     * both sides of the self-join (repo HOF-reuse rule). */
   private def dd07EmbedLshDup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val v = s.read.parquet(s"$dir/embeddings.parquet")
+    val v = QueryCaches.persist(s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").as("e"))
-      .withColumn("bucket", Similarity.bucketCol)
-      .persist()
+      .withColumn("bucket", Similarity.bucketCol))
     v.as("a")
       .join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -332,14 +329,13 @@ object Dedup {
     * the corpus side never even shuffles. */
   private def dd08IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sh = shingled(s, dir).filter(size(col("shingles")) > 0).persist()
+    val sh = QueryCaches.persist(shingled(s, dir).filter(size(col("shingles")) > 0))
     // same native minhash16 signature + 8×2 banding as dd03 (one index
     // definition serves batch and corpus — the invariant that makes the
     // incremental join sound)
-    val sigs = sh
+    val sigs = QueryCaches.persist(sh
       .select(col("doc_id"), expr(
-        "minhash16(transform(shingles, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))").as("sig"))
-      .persist()
+        "minhash16(transform(shingles, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))").as("sig")))
     val bands = sigs.select(
       col("doc_id"),
       posexplode(expr(
@@ -402,27 +398,28 @@ object Dedup {
     * with a coarse quantizer, then pairwise-cosine ONLY within each
     * cluster, dropping every vector that has a more-canonical (lower-id)
     * near-duplicate in its cluster. Candidates are Σ|cluster|² ≈ N²/K
-    * instead of N² — the paper's exact scale mechanism (k-means there;
-    * the same first-16 coarse quantizer as ss03 here, so assignment is
-    * the identical broadcast + map-side-argmax plan with no N×K window).
-    * K grows with the corpus at scale, keeping clusters bounded; the
+    * instead of N² — the paper's exact scale mechanism. The quantizer is
+    * a DATA-ADAPTIVE one-pass k-means (the paper uses k-means too):
+    * seeds are a deterministic hash-sample (the K vectors ranked first
+    * by md5(vec_id) — unbiased, unlike first-K insertion order), one
+    * Lloyd update recomputes each centroid as the mean of its members,
+    * and the final assignment uses the updated centroids. Cluster
+    * balance is what bounds Σ|cluster|², so the update step directly
+    * serves the scale mechanism (DedupConvergenceSuite pins the spread
+    * tightening vs the seed-only assignment). Centroid means are EXACT:
+    * dim value = Σ floor(e_d·4096) / (4096·n) — integer sums are
+    * order-independent, so the single double division is bit-identical
+    * across engines (a float avg() would be summation-order-dependent
+    * and break the oracle hash). The mean aggregation is 64 per-dim
+    * sums in ONE hash aggregate (map-side partial, K×65 output rows) —
+    * no explode, no N×64 shuffle. K grows with the corpus at scale; the
     * within-cluster self-join is an equi-join on cid, the blocked-join
     * shape every near-dup operator in this module uses. */
   private def dd10Semdedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val v = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").as("e"))
-    val cents = v.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
-    val assigned = v.join(broadcast(cents))
-      .withColumn("csim",
-        floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
-      .groupBy(col("vec_id"))
-      .agg(
-        min(struct((-col("csim")).as("ns"), col("cid"))).as("m"),
-        first(col("e")).as("e"))
-      .select(col("vec_id"), col("e"), col("m.cid").as("cid"))
-      .persist()
+    val assigned = QueryCaches.persist(dd10Assignments(v))
     val dropped = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
@@ -437,6 +434,51 @@ object Dedup {
         count(lit(1)).as("n_vecs"),
         sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
       .orderBy(col("cid"))
+  }
+
+  /** dd10's final (vec_id, e, cid) assignment after the one-pass k-means:
+    * hash-sampled seeds → pass-1 argmax → exact-integer mean update →
+    * pass-2 argmax. Exposed for the cluster-balance spec. */
+  private[operators] def dd10Assignments(v: DataFrame): DataFrame = {
+    val cents2 = dd10Centroids(v)
+    assignToCentroids(v, cents2)
+  }
+
+  /** Nearest-centroid argmax (broadcast K centroids, map-side partial-min
+    * struct — the ss03/ss04 assignment shape; never an N×K window). */
+  private[operators] def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame =
+    v.join(broadcast(cents))
+      .withColumn("csim",
+        floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct((-col("csim")).as("ns"), col("cid"))).as("m"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"), col("m.cid").as("cid"))
+
+  /** Deterministic hash-sampled seeds (K vectors ranked first by
+    * md5(vec_id)) — TakeOrdered over the corpus, no shuffle. */
+  private[operators] def dd10Seeds(v: DataFrame): DataFrame =
+    v.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(16)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+
+  /** One Lloyd update: assign to seeds, recompute each centroid as the
+    * EXACT-integer member mean (Σ floor(e_d·4096) / (4096·n) per dim —
+    * bit-identical across engines; see dd10 scaladoc). */
+  private[operators] def dd10Centroids(v: DataFrame): DataFrame = {
+    val assigned1 = assignToCentroids(v, dd10Seeds(v))
+    val sumCols = (1 to 64).map(d =>
+      sum(floor(element_at(col("e"), d).cast("double") * lit(4096.0)).cast("long"))
+        .as(s"s$d"))
+    val aggd = assigned1.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+    aggd.select(
+      col("cid"),
+      array((1 to 64).map(d =>
+        col(s"s$d").cast("double") / (lit(4096.0) * col("n").cast("double"))): _*)
+        .as("ce"))
   }
 
   /** Shared oracle CTE chain ending in `verified` = the MinHash-LSH
@@ -533,14 +575,38 @@ object Dedup {
     "dd10_semdedup" -> s"""
       WITH v AS (SELECT vec_id, embedding AS e, ${Similarity.duckNrm} AS nrm
                  FROM embeddings),
-      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16),
-      assigned AS (
-        SELECT vec_id, e, nrm, cid FROM (
-          SELECT v.vec_id, v.e, v.nrm, cents.cid,
+      seeds AS (
+        SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
+        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+      a1 AS (
+        SELECT vec_id, e, cid FROM (
+          SELECT v.vec_id, v.e, seeds.cid,
                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
                    floor(${Similarity.dDot("v.e", "ce")} / sqrt(v.nrm * cnrm) * 1000000.0) / 1000000.0 DESC,
-                   cents.cid) AS arn
-          FROM v CROSS JOIN cents)
+                   seeds.cid) AS arn
+          FROM v CROSS JOIN seeds)
+        WHERE arn = 1),
+      qd AS (
+        SELECT cid, i,
+               CAST(sum(CAST(floor(e[i]::DOUBLE * 4096.0) AS BIGINT)) AS BIGINT) AS sq,
+               count(*) AS n
+        FROM a1, generate_series(1, 64) AS t(i)
+        GROUP BY cid, i),
+      cent2 AS (
+        SELECT cid, list(sq::DOUBLE / (4096.0 * n) ORDER BY i) AS ce
+        FROM qd GROUP BY cid),
+      cent2n AS (
+        SELECT cid, ce,
+               list_reduce(list_prepend(0.0, list_transform(ce, x -> x * x)),
+                 (a, b) -> a + b) AS cnrm
+        FROM cent2),
+      assigned AS (
+        SELECT vec_id, e, nrm, cid FROM (
+          SELECT v.vec_id, v.e, v.nrm, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   floor(${Similarity.dDot("v.e", "c.ce")} / sqrt(v.nrm * c.cnrm) * 1000000.0) / 1000000.0 DESC,
+                   c.cid) AS arn
+          FROM v CROSS JOIN cent2n c)
         WHERE arn = 1),
       dropped AS (
         SELECT DISTINCT b.vec_id FROM assigned a

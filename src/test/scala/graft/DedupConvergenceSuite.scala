@@ -34,4 +34,26 @@ class DedupConvergenceSuite extends AnyFunSuite {
     assert(labels.size == 12)
     assert(labels.values.forall(_ == 0L), s"all chain members must label to min id 0: $labels")
   }
+
+  test("dd10's Lloyd update tightens cluster balance vs the seed-only assignment") {
+    // Cluster balance is what bounds SemDeDup's Σ|cluster|² candidate
+    // count, so the k-means update must not be cosmetic: compare the
+    // candidate-pair mass of the FINAL assignment against assigning to
+    // the raw hash-sampled seeds (what a quantizer without the update
+    // step would use).
+    graft.functions.GraftFunctions.register(spark)
+    val v = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("e"))
+    def pairMass(assign: org.apache.spark.sql.DataFrame): Long =
+      assign.groupBy("cid").count()
+        .agg(sum(expr("count * (count - 1) DIV 2"))).head().getLong(0)
+    val seedOnly = pairMass(Dedup.assignToCentroids(v, Dedup.dd10Seeds(v)))
+    val afterLloyd = pairMass(Dedup.dd10Assignments(v))
+    assert(afterLloyd <= seedOnly,
+      s"Lloyd update worsened candidate-pair mass: seeds=$seedOnly lloyd=$afterLloyd")
+    // and the quantizer must actually spread the corpus (no collapse)
+    val sizes = Dedup.dd10Assignments(v).groupBy("cid").count()
+      .select("count").collect().map(_.getLong(0))
+    assert(sizes.length >= 8, s"k-means collapsed to ${sizes.length} clusters")
+  }
 }
