@@ -286,14 +286,37 @@ object Pipeline {
     * running totals (window partitioned by bucket), and the O(buckets)
     * bucket offsets are a tiny broadcast join — never a single-partition
     * global window, which is how a naive ORDER BY window would execute.
-    * The oracle replays the same boundaries with a plain global cumsum. */
+    * The bucket size is SCALE-AWARE: ~√(id range), so the offsets side
+    * AND the per-bucket windows both stay O(√N) — a fixed size would
+    * make the offsets window O(N/c) and eventually reintroduce the
+    * single-partition bottleneck it exists to avoid. Bucketing is purely
+    * an execution detail: the prefix sum (and so the oracle, which
+    * replays a plain global cumsum) is boundary-identical for EVERY
+    * bucket size (PackingSuite pins this). */
   private def pp09SequencePacking(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val budget = 256.0
-    val bucketSize = 100L
-    val toks = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("toks"))
+    // one column-pruned pre-pass for the id range (cheap next to the
+    // shingle-scale work everywhere else in this module)
+    val maxId = docs.agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    packWithBucketSize(docs, packingBucketSize(maxId + 1))
+  }
+
+  /** ~√range bucket sizing, floored at 100 (below that the offsets table
+    * is trivially broadcastable anyway). */
+  private[operators] def packingBucketSize(idRange: Long): Long =
+    math.max(100L, math.ceil(math.sqrt(math.max(idRange, 1L).toDouble)).toLong)
+
+  /** The distributed prefix-sum packing over explicit buckets — split out
+    * so PackingSuite can pin bucket-size invariance. */
+  private[operators] def packWithBucketSize(docs: DataFrame, bucketSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 256.0
+    val toks = docs
       .withColumn("bucket", (col("doc_id") / bucketSize).cast("long"))
     val offsets = toks.groupBy(col("bucket")).agg(sum(col("toks")).as("btoks"))
       .withColumn("offset", coalesce(
