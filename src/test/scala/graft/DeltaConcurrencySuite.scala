@@ -124,6 +124,77 @@ class DeltaConcurrencySuite extends AnyFunSuite {
     assert(ids.contains(5L), "aborted copy-on-write delete did not apply")
   }
 
+  test("mixed concurrent append/DELETE/OPTIMIZE stress serializes to the serial result") {
+    // N genuinely-racing writers (real Futures, no injection seams):
+    //  - 4 appends (always disjoint — must commit, possibly after version
+    //    retries inside the writer)
+    //  - 2 DELETEs on DISJOINT partitions (commit after internal retries)
+    //  - 1 DELETE OVERLAPPING another's partition (file-level conflict →
+    //    clean ConcurrentModificationException abort; the spec retries it
+    //    like a production client until it commits on fresh state)
+    //  - 1 OPTIMIZE WHERE on its own partition
+    // Success = every op commits exactly once, the log is linear, and the
+    // final snapshot equals the SERIAL result of the 8 operations.
+    val dir = Files.createTempDirectory("graft-stress").toString
+    // 3 seed commits so every partition holds 3 files (gives OPTIMIZE real
+    // work and DELETEs multiple touched files)
+    (0 until 3).foreach { b =>
+      DeltaWriter.write(
+        (1 to 40).map(i => ((b * 40 + i).toLong, s"r${b * 40 + i}", i % 4))
+          .toDF("id", "payload", "p"),
+        dir, SaveMode.Append, Seq("p"))
+    }
+
+    // client-style retry: a logical-conflict abort re-runs the op on the
+    // fresh snapshot; anything else propagates
+    val aborts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def untilCommitted(op: () => Unit): Unit = {
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 20) {
+        try { op(); done = true }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            aborts.incrementAndGet(); attempts += 1
+        }
+      }
+      assert(done, "op failed to commit within 20 conflict retries")
+    }
+
+    val ops: Seq[() => Unit] = Seq(
+      () => DeltaWriter.write(Seq((201L, "a1", 0)).toDF("id", "payload", "p"),
+        dir, SaveMode.Append, Seq("p")),
+      () => DeltaWriter.write(Seq((202L, "a2", 1)).toDF("id", "payload", "p"),
+        dir, SaveMode.Append, Seq("p")),
+      () => DeltaWriter.write(Seq((203L, "a3", 2)).toDF("id", "payload", "p"),
+        dir, SaveMode.Append, Seq("p")),
+      () => DeltaWriter.write(Seq((204L, "a4", 3)).toDF("id", "payload", "p"),
+        dir, SaveMode.Append, Seq("p")),
+      () => DeltaDml.delete(spark, dir, "p = 1 AND id <= 40"),
+      () => DeltaDml.delete(spark, dir, "p = 3 AND id <= 40"),
+      () => DeltaDml.delete(spark, dir, "p = 1 AND id > 40 AND id <= 80"), // overlaps p=1
+      () => DeltaMaintenance.optimize(spark, dir, 128L << 20, Some("p = 0")))
+
+    Await.result(
+      Future.sequence(ops.map(op => Future(untilCommitted(op)))), 300.seconds)
+
+    // linear history: 3 seeds + 8 ops, each committed exactly once
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.version === 10L,
+      s"expected versions 0..10 (3 seeds + 8 ops), got ${snap.version}")
+    // serial-equivalent final state
+    val deleted = (1 to 120).filter(i =>
+      (i % 4 == 1 && i <= 40) || (i % 4 == 3 && i <= 40) ||
+        (i % 4 == 1 && i > 40 && i <= 80)).map(_.toLong).toSet
+    val expected = (1L to 120L).toSet -- deleted ++ Set(201L, 202L, 203L, 204L)
+    val got = DeltaTable.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(got === expected, "final snapshot must equal the serial result")
+    // every intermediate version replays cleanly
+    (0L to 10L).foreach { v =>
+      DeltaTable.readVersion(spark, dir, v).count()
+    }
+  }
+
   test("OPTIMIZE proceeds past a disjoint concurrent append, aborts when its sources change") {
     val dir = Files.createTempDirectory("graft-conflict").toString
     (1 to 3).foreach { i =>
