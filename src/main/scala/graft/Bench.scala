@@ -35,9 +35,16 @@ object Bench {
     // far above 1 ⇒ discount this bench, re-run on a quiet machine.
     val anchorTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def timeAnchor(): Unit = {
-      val t0 = System.nanoTime()
-      try { anchorProbe(); anchorTimes += (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => () }
+      // each sample is a min-of-3: a single ~0.2s probe is scheduler-noise
+      // dominated (measured spread 2.4x on a healthy machine); min-of-3
+      // keeps a sample cheap while making spread>~1.5 actually mean
+      // sustained interference, not one unlucky quantum
+      val sample = (0 until 3).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { anchorProbe(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      if (sample.nonEmpty) anchorTimes += sample.min
     }
     // min over N INTERLEAVED full passes (default 3): r8 proved median of
     // consecutive reps doesn't defend against sustained interference — all

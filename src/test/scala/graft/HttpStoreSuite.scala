@@ -20,13 +20,18 @@ class HttpStoreSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   /** Static file server with HEAD and `Range: bytes=a-b` support, plus a
-    * headToggle to exercise the HEAD-less fallback path. */
-  private def withServer(root: File, headSupported: Boolean = true)(
+    * headToggle to exercise the HEAD-less fallback path and a fault queue
+    * (next requests draw the queued status instead of being served). */
+  private def withServer(root: File, headSupported: Boolean = true,
+      faults: java.util.Queue[Integer] =
+        new java.util.concurrent.ConcurrentLinkedQueue[Integer]())(
       body: Int => Unit): Unit = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         try {
+          val fault = faults.poll()
+          if (fault != null) { ex.sendResponseHeaders(fault.intValue(), -1); return }
           val f = new File(root, ex.getRequestURI.getPath)
           if (!f.isFile) { ex.sendResponseHeaders(404, -1); return }
           val bytes = Files.readAllBytes(f.toPath)
@@ -106,6 +111,37 @@ class HttpStoreSuite extends AnyFunSuite {
         assert(df.select("a").collect().map(_.getString(0)).sorted.toSeq
           === Seq("1", "2", "3"))
       }
+    }
+  }
+
+  test("transient 503s on range reads retry; contract errors (404) fail fast") {
+    register()
+    val root = Files.createTempDirectory("graft-http-retry").toFile
+    val payload = (0 until 1000).map(i => (i % 251).toByte).toArray
+    Files.write(new File(root, "blob.bin").toPath, payload)
+    val faults = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    withServer(root, headSupported = true, faults) { port =>
+      val url = new java.net.URL(s"http://127.0.0.1:$port/blob.bin")
+      val s = new HttpSeekableInputStream(url, payload.length.toLong,
+        maxRetries = 3, retryBaseMs = 1)
+      try {
+        // positioned read survives two consecutive 503s
+        faults.add(503); faults.add(503)
+        val buf = new Array[Byte](100)
+        s.readFully(0L, buf)
+        assert(buf.toSeq === payload.take(100).toSeq)
+        assert(faults.isEmpty, "both faults must have been consumed by retries")
+        // sequential read path retries a mid-stream 500 reopen
+        faults.add(500)
+        s.seek(500L)
+        val one = s.read()
+        assert(one === (500 % 251), "read after 500 must resume at the SAME offset")
+        // a contract error is NOT retried: 404 surfaces immediately
+        faults.add(404)
+        val e = intercept[java.io.IOException] { s.read(0L, buf, 0, 10) }
+        assert(e.getMessage.contains("404"))
+        assert(faults.isEmpty)
+      } finally s.close()
     }
   }
 
