@@ -268,7 +268,140 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Product-quantization ANN scoring (ss07) — the production MEMORY path
+    * past ss06's int8 (4×): the 64-dim float corpus (256 B/vector) is
+    * encoded as 8 one-byte codes (one per 8-dim subspace, 16-centroid
+    * codebook) — 32× smaller, the difference between an in-RAM and a
+    * cold-object-store index at 100 TB. The codebook derives from the
+    * same deterministic hash-sample as dd10's quantizer (16 vectors
+    * ranked by md5(vec_id); code = rank), each corpus subvector takes the
+    * L2-nearest codebook entry, and queries score ASYMMETRICALLY (exact
+    * query subvector × reconstructed centroid subvector — classic ADC)
+    * against codes + the broadcast codebook only, never the original
+    * embeddings. Engine parity: every float widens exactly to double;
+    * distances/dots/norms are LEFT-ASSOCIATIVE 8-term chains within a
+    * subspace and a left fold across subspaces in subspace order (DuckDB
+    * mirrors with `list(x ORDER BY sub)` folds — a bare SUM() would sum
+    * rows in nondeterministic order and break the hash), so sims are
+    * bit-identical and floor-scaled. The codebook is a 16×8×8 plan
+    * literal — the honest production shape (codebooks are tiny trained
+    * artifacts broadcast to executors). */
+  private def ss07PqAdc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val v = vecs(s, dir)
+    // deterministic hash-sampled codebook seeds; code = 1..16 by (h, vec_id)
+    val seeds = v
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(16)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))).cast("long"))
+      .select(col("code"), col("e").as("ce"))
+    // the codebook itself is driver-side: 16 rows → [code][sub][dim] literal
+    val cbRows = seeds.orderBy(col("code")).collect()
+    val cb: Seq[Seq[Seq[Double]]] = cbRows.toSeq.map { r =>
+      val e = r.getSeq[Float](1)
+      (0 until 8).map(sub => (0 until 8).map(j => e(sub * 8 + j).toDouble))
+    }
+    // per-(code, sub) reconstructed-subvector norms, same left-assoc chain
+    // the oracle uses
+    val cbNorm: Seq[Seq[Double]] =
+      cb.map(_.map(subv => subv.map(x => x * x).reduceLeft(_ + _)))
+    val cbLit = typedLit(cb)
+    val normLit = typedLit(cbNorm)
+
+    def elem(c: Column, sub: Int, j: Int): Column =
+      element_at(c, sub * 8 + j).cast("double")
+    // ---- encoding: L2-nearest code per subspace (broadcast 16 seeds +
+    // map-side partial argmin — the dd10/ss03 assignment shape)
+    def d2(sub: Int): Column =
+      (1 to 8).map { j =>
+        val d = elem(col("e"), sub, j) - elem(col("ce"), sub, j)
+        d * d
+      }.reduceLeft(_ + _)
+    val paired = v.join(broadcast(seeds))
+    val withD2 = (0 until 8).foldLeft(paired) { (df, sub) =>
+      df.withColumn(s"d2_$sub", d2(sub))
+    }
+    val codes = withD2.groupBy(col("vec_id"))
+      .agg(
+        min(struct(col("d2_0"), col("code"))).as("m0"),
+        (1 until 8).map(sub => min(struct(col(s"d2_$sub"), col("code"))).as(s"m$sub")): _*)
+      .select(col("vec_id") +: (0 until 8).map(sub => col(s"m$sub.code").as(s"c$sub")): _*)
+
+    // ---- ADC scoring: queries keep exact vectors, corpus is codes-only
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .withColumn("qnrm",
+        aggregate(col("qe"), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+    def cbVal(sub: Int, j: Int): Column =
+      element_at(element_at(element_at(cbLit, col(s"c$sub").cast("int")),
+        lit(sub + 1)), lit(j))
+    def dotSub(sub: Int): Column =
+      (1 to 8).map(j => elem(col("qe"), sub, j) * cbVal(sub, j)).reduceLeft(_ + _)
+    val adc = (0 until 8).map(dotSub).reduceLeft(_ + _)
+    val recn = (0 until 8).map(sub =>
+      element_at(element_at(normLit, col(s"c$sub").cast("int")), lit(sub + 1)))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    broadcast(q)
+      .join(codes, col("qid") =!= col("vec_id"))
+      .withColumn("sim",
+        floor(adc / sqrt(col("qnrm") * recn) * lit(1000000.0)) / lit(1000000.0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** 8-term left-assoc chains for the ss07 oracle (sub is a COLUMN). */
+  private def duckD2Chain(a: String, b: String): String =
+    (1 to 8).map(j =>
+      s"($a[8*t.sub+$j]::DOUBLE - $b[8*t.sub+$j]::DOUBLE) * ($a[8*t.sub+$j]::DOUBLE - $b[8*t.sub+$j]::DOUBLE)")
+      .mkString(" + ")
+  private def duckDotChain(a: String, b: String): String =
+    (1 to 8).map(j => s"($a[8*c.sub+$j]::DOUBLE * $b[8*c.sub+$j]::DOUBLE)").mkString(" + ")
+  private def duckNrm8Chain(b: String): String =
+    (1 to 8).map(j => s"($b[8*c.sub+$j]::DOUBLE * $b[8*c.sub+$j]::DOUBLE)").mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "ss07_pq_adc" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
+      seeds AS (
+        SELECT vec_id, e,
+               row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS code
+        FROM (SELECT vec_id, e FROM v ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+      dists AS (
+        SELECT v.vec_id, t.sub, s.code,
+               ${duckD2Chain("v.e", "s.e")} AS d2
+        FROM v CROSS JOIN generate_series(0, 7) AS t(sub) CROSS JOIN seeds s),
+      codes AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+          FROM dists)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM v WHERE vec_id < 5),
+      persub AS (
+        SELECT q.qid, q.qnrm, c.vec_id, c.sub,
+               ${duckDotChain("q.qe", "s.e")} AS dot,
+               ${duckNrm8Chain("s.e")} AS nrm8
+        FROM q
+        JOIN codes c ON q.qid <> c.vec_id
+        JOIN seeds s ON s.code = c.code),
+      scored AS (
+        SELECT qid, vec_id,
+               list_reduce(list_prepend(0.0, list(dot ORDER BY sub)), (a, b) -> a + b) AS adc,
+               list_reduce(list_prepend(0.0, list(nrm8 ORDER BY sub)), (a, b) -> a + b) AS recn,
+               max(qnrm) AS qnrm
+        FROM persub GROUP BY qid, vec_id),
+      ranked AS (
+        SELECT qid, vec_id,
+               floor(adc / sqrt(qnrm * recn) * 1000000.0) / 1000000.0 AS sim,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                 floor(adc / sqrt(qnrm * recn) * 1000000.0) / 1000000.0 DESC, vec_id) AS rk
+        FROM scored)
+      SELECT qid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""",
     "ss06_int8_ann" -> s"""
       WITH v0 AS (SELECT vec_id, embedding AS e FROM embeddings),
       vm AS (
@@ -412,5 +545,6 @@ object Similarity {
     "ss03_ann_ivf" -> ss03AnnIvf,
     "ss04_ann_multiprobe" -> ss04AnnMultiprobe,
     "ss05_ann_recall" -> ss05AnnRecall,
-    "ss06_int8_ann" -> ss06Int8Ann)
+    "ss06_int8_ann" -> ss06Int8Ann,
+    "ss07_pq_adc" -> ss07PqAdc)
 }

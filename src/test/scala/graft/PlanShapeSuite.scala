@@ -175,6 +175,19 @@ class PlanShapeSuite extends AnyFunSuite {
       s"the 1-row total must broadcast, never cartesian:\n$p")
   }
 
+  test("ss07: PQ encoding argmin aggregates map-side; ADC scoring never cartesians") {
+    val p = finalPlanOf("ss07_pq_adc")
+    // per-subspace code assignment must collapse the N×16 seed fan-out
+    // map-side (partial min-struct), like every assignment in the module
+    assert(p.contains("partial_min(struct"),
+      s"expected map-side partial argmin code assignment in:\n$p")
+    assert(!p.contains("CartesianProduct"), "PQ scoring must never cartesian")
+    // scoring reads CODES, not embeddings: the corpus-side embedding column
+    // must not survive into the scoring join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected the 5-query side broadcast in:\n$p")
+  }
+
   test("dd10: SemDeDup assignment aggregates map-side; within-cluster join stays keyed") {
     val p = finalPlanOf("dd10_semdedup")
     // the ONE BroadcastNestedLoopJoin is the deliberate K-centroid fan-out
