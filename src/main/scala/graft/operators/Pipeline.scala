@@ -339,6 +339,51 @@ object Pipeline {
         expr("count_if(ptoks > 256)").as("packs_over_budget"))
   }
 
+  /** Epoch-aware mixture UPSAMPLING (pp10) — the data-recipe stage every
+    * LLM training mix publishes (LLaMA-style "epochs per source": wiki
+    * 3.4 epochs, crawl 0.5): each document is REPLICATED
+    * floor(epochs) times plus one more when its salted hash bucket falls
+    * under the fractional part — deterministic fractional repetition, the
+    * upsampling dual of pp06's downsampling (rates ≤ 1). The instance
+    * stream is a per-row `explode(sequence(1, n_inst))` — bounded
+    * fan-out, no shuffle until the terminal per-source report (instances,
+    * realized epochs vs target, chars in/out, dropped docs). At 100 TB
+    * the replicated stream feeds pp09's packing directly; the hash bucket
+    * is salted independently of pp02's split bits so epoch mixing never
+    * correlates with train/validation membership. */
+  private def pp10EpochMix(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("ep_base",
+        when(col("source") === "src0", 3L).when(col("source") === "src1", 2L)
+          .when(col("source") === "src2", 0L).otherwise(1L))
+      .withColumn("ep_fr",
+        when(col("source") === "src0", 40L).when(col("source") === "src1", 0L)
+          .when(col("source") === "src2", 50L).otherwise(0L))
+      .withColumn("b",
+        expr("CAST(conv(substr(md5(concat('ep_', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("n_inst",
+        col("ep_base") + when(col("b") < col("ep_fr"), 1L).otherwise(0L))
+    val perSource = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_in"), expr("count_if(n_inst = 0)").as("n_dropped"))
+    // the instance STREAM (what a real pipeline materializes into packing).
+    // n_inst = 0 must be filtered BEFORE the explode: Spark's
+    // sequence(1, 0) yields a DESCENDING [1, 0] (auto step -1), not empty
+    val inst = base.filter(col("n_inst") > 0)
+      .withColumn("i", explode(expr("sequence(1L, n_inst)")))
+    inst.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_instances"),
+        sum(col("n_chars")).as("chars_out"),
+        sum(when(col("i") === 1L, col("n_chars")).otherwise(0L)).as("chars_unique"))
+      .join(broadcast(perSource), "source")
+      .select(
+        col("source"), col("n_docs_in"), col("n_dropped"), col("n_instances"),
+        (floor(col("n_instances").cast("double") / col("n_docs_in").cast("double")
+          * lit(10000.0)) / lit(10000.0)).as("realized_epochs"),
+        col("chars_unique"), col("chars_out"))
+      .orderBy(col("source"))
+  }
+
   private val duckQualityCte: String = """
       quality AS (
         SELECT doc_id, source, n_chars,
@@ -356,6 +401,33 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "pp01_curation" -> oracle,
+    "pp10_epoch_mix" -> """
+      WITH base AS (
+        SELECT doc_id, source, n_chars,
+               CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                           WHEN 'src2' THEN 0 ELSE 1 END
+                 + CASE WHEN ('0x' || substr(md5('ep_' || doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                             < CASE source WHEN 'src0' THEN 40 WHEN 'src2' THEN 50 ELSE 0 END
+                        THEN 1 ELSE 0 END AS n_inst
+        FROM documents),
+      per_source AS (
+        SELECT source, count(*) AS n_docs_in,
+               CAST(count_if(n_inst = 0) AS BIGINT) AS n_dropped
+        FROM base GROUP BY 1),
+      inst AS (
+        SELECT source, n_chars, unnest(generate_series(1, n_inst)) AS i
+        FROM base WHERE n_inst > 0),
+      agg AS (
+        SELECT source, count(*) AS n_instances,
+               CAST(sum(n_chars) AS BIGINT) AS chars_out,
+               CAST(sum(CASE WHEN i = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_unique
+        FROM inst GROUP BY 1)
+      SELECT a.source, p.n_docs_in, p.n_dropped, a.n_instances,
+             floor(a.n_instances::DOUBLE / p.n_docs_in::DOUBLE * 10000.0) / 10000.0
+               AS realized_epochs,
+             a.chars_unique, a.chars_out
+      FROM agg a JOIN per_source p ON a.source = p.source
+      ORDER BY a.source""",
     "pp09_sequence_packing" -> """
       WITH t AS (
         SELECT doc_id,
@@ -513,5 +585,6 @@ object Pipeline {
     "pp06_mixture_sample" -> pp06MixtureSample,
     "pp07_corpus_build" -> pp07CorpusBuild,
     "pp08_contam_report" -> pp08ContamReport,
-    "pp09_sequence_packing" -> pp09SequencePacking)
+    "pp09_sequence_packing" -> pp09SequencePacking,
+    "pp10_epoch_mix" -> pp10EpochMix)
 }

@@ -354,6 +354,27 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** PQ index-quality gate (ss08) — recall@3 of the ADC index (ss07)
+    * against the brute-force ground truth (ss01), per query: the
+    * measurement that tells a production deployment whether 32×
+    * compression kept enough ranking fidelity (the PQ analog of ss05's
+    * LSH recall gate). Both sides are deterministic, so recall itself is
+    * oracle-checkable, not just a smoke metric. */
+  private def ss08PqRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ss01TopkBruteforce(s, dir).select(col("qid"), col("vec_id"))
+    val pq = ss07PqAdc(s, dir)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact
+      .join(pq, col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("k"),
+        count(col("avid")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("k").cast("double"), 4))
+      .orderBy(col("qid"))
+  }
+
   /** 8-term left-assoc chains for the ss07 oracle (sub is a COLUMN). */
   private def duckD2Chain(a: String, b: String): String =
     (1 to 8).map(j =>
@@ -364,9 +385,9 @@ object Similarity {
   private def duckNrm8Chain(b: String): String =
     (1 to 8).map(j => s"($b[8*c.sub+$j]::DOUBLE * $b[8*c.sub+$j]::DOUBLE)").mkString(" + ")
 
-  val oracleSql: Map[String, String] = Map(
-    "ss07_pq_adc" -> s"""
-      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
+  /** Shared ss07 oracle chain: seeds → per-subspace codes → ADC-scored →
+    * pq_ranked. Assumes a preceding `v AS (vec_id, e, nrm)` CTE. */
+  private lazy val duckPqCtes: String = s"""
       seeds AS (
         SELECT vec_id, e,
                row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS code
@@ -389,19 +410,41 @@ object Similarity {
         FROM q
         JOIN codes c ON q.qid <> c.vec_id
         JOIN seeds s ON s.code = c.code),
-      scored AS (
+      pq_scored AS (
         SELECT qid, vec_id,
                list_reduce(list_prepend(0.0, list(dot ORDER BY sub)), (a, b) -> a + b) AS adc,
                list_reduce(list_prepend(0.0, list(nrm8 ORDER BY sub)), (a, b) -> a + b) AS recn,
                max(qnrm) AS qnrm
         FROM persub GROUP BY qid, vec_id),
-      ranked AS (
+      pq_ranked AS (
         SELECT qid, vec_id,
                floor(adc / sqrt(qnrm * recn) * 1000000.0) / 1000000.0 AS sim,
                row_number() OVER (PARTITION BY qid ORDER BY
                  floor(adc / sqrt(qnrm * recn) * 1000000.0) / 1000000.0 DESC, vec_id) AS rk
-        FROM scored)
-      SELECT qid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""",
+        FROM pq_scored)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "ss07_pq_adc" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
+      $duckPqCtes
+      SELECT qid, rk, vec_id, sim FROM pq_ranked WHERE rk <= 3 ORDER BY qid, rk""",
+    "ss08_pq_recall" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
+      $duckPqCtes,
+      exact AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY
+                   floor(${dDot("qe", "e")} / sqrt(qnrm * nrm) * 1000000.0) / 1000000.0 DESC,
+                   vec_id) AS rk
+          FROM q JOIN v ON qid <> vec_id)
+        WHERE rk <= 3),
+      pq3 AS (SELECT qid, vec_id FROM pq_ranked WHERE rk <= 3)
+      SELECT e.qid, count(*) AS k,
+             CAST(count(p.vec_id) AS BIGINT) AS n_hit,
+             round(count(p.vec_id)::DOUBLE / count(*)::DOUBLE, 4) AS recall
+      FROM exact e LEFT JOIN pq3 p ON e.qid = p.qid AND e.vec_id = p.vec_id
+      GROUP BY e.qid ORDER BY e.qid""",
     "ss06_int8_ann" -> s"""
       WITH v0 AS (SELECT vec_id, embedding AS e FROM embeddings),
       vm AS (
@@ -546,5 +589,6 @@ object Similarity {
     "ss04_ann_multiprobe" -> ss04AnnMultiprobe,
     "ss05_ann_recall" -> ss05AnnRecall,
     "ss06_int8_ann" -> ss06Int8Ann,
-    "ss07_pq_adc" -> ss07PqAdc)
+    "ss07_pq_adc" -> ss07PqAdc,
+    "ss08_pq_recall" -> ss08PqRecall)
 }
