@@ -59,7 +59,7 @@ object ScaleCheck {
 
     // ---- stage 2: probe queries at both scales
     val prefixes = Seq("dd03", "dd08", "dd09", "dd10", "ss02", "ss06",
-      "dl06", "dl10", "q24", "pp01", "pp09")
+      "ss07", "dl06", "dl10", "q24", "pp01", "pp09", "pp10", "tx08")
     val probes = prefixes.map(p =>
       SparkEntry.queries.keys.find(_.startsWith(p)).getOrElse(
         sys.error(s"no registered query with prefix $p")))

@@ -18,20 +18,29 @@ class OperatorSuite extends AnyFunSuite {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001 with rows") {
-      val df = fn(spark, dir)
-      assert(df.schema.nonEmpty)
-      val n = df.count()
-      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      try {
+        val df = fn(spark, dir)
+        assert(df.schema.nonEmpty)
+        val n = df.count()
+        if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      } finally graft.operators.QueryCaches.release()
+      // released like every long-lived consumer: leftover registered caches
+      // would otherwise leak into LATER suites — the CacheManager silently
+      // substitutes InMemoryRelations into any matching plan, which skews
+      // PlanShapeSuite's pins (seen live: dd10's pin truncated at the
+      // cached subtree's nested AQE section)
     }
   }
 
   Seq("q03_join_multi", "fn06_array", "ev03_session", "tx04_fingerprint",
     "dd02_ngram_jaccard", "ss02_ann_lsh", "mm02_media_features").foreach { name =>
     test(s"$name is deterministic across runs") {
-      val fn = SparkEntry.queries(name)
-      val a = fn(spark, dir).collect().map(_.toString).toSeq
-      val b = fn(spark, dir).collect().map(_.toString).toSeq
-      assert(a === b)
+      try {
+        val fn = SparkEntry.queries(name)
+        val a = fn(spark, dir).collect().map(_.toString).toSeq
+        val b = fn(spark, dir).collect().map(_.toString).toSeq
+        assert(a === b)
+      } finally graft.operators.QueryCaches.release()
     }
   }
 

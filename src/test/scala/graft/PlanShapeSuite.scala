@@ -11,10 +11,21 @@ class PlanShapeSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def planOf(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, dir)
-    df.collect() // let AQE finalize
-    df.queryExecution.executedPlan.toString
+  private def planOf(name: String): String = planOfAt(name, dir)
+
+  private def planOfAt(name: String, atDir: String): String = {
+    // pins must see the plan a FRESH session would run: leftover registered
+    // caches from earlier suites make the CacheManager substitute
+    // pre-materialized InMemoryRelations, whose runtime stats change AQE's
+    // choices (seen live: dd10's empty `dropped` side propagated into
+    // eliminating the pinned join) and whose nested AQE sections corrupt
+    // the "== Initial Plan ==" split below
+    graft.operators.QueryCaches.release()
+    try {
+      val df = SparkEntry.queries(name)(spark, atDir)
+      df.collect() // let AQE finalize
+      df.queryExecution.executedPlan.toString
+    } finally graft.operators.QueryCaches.release()
   }
 
   /** AQE's toString prints the Initial Plan after the Final one — operator
@@ -189,7 +200,10 @@ class PlanShapeSuite extends AnyFunSuite {
   }
 
   test("dd10: SemDeDup assignment aggregates map-side; within-cluster join stays keyed") {
-    val p = finalPlanOf("dd10_semdedup")
+    // pinned at sf0.01: at sf0.001 the dropped side can be EMPTY and AQE
+    // legitimately eliminates the join this pin exists to check
+    val p = planOfAt("dd10_semdedup", "/root/testdata/sf0.01")
+      .split("== Initial Plan ==")(0)
     // the ONE BroadcastNestedLoopJoin is the deliberate K-centroid fan-out
     // (same shape as ss03/ss04); the N×K scored rows must still collapse
     // map-side, and the pair join must be the cid equi-join, not cartesian
