@@ -481,6 +481,57 @@ object Dedup {
         .as("ce"))
   }
 
+  /** Exact-substring (span) dedup (dd11) — the remaining published dedup
+    * modality (cf. `/root/reference/README.md` dedup scope; the technique
+    * is the suffix-array exact-substring pass of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a token
+    * position is DUPLICATED when its k-word window (k = 4) recurs
+    * anywhere in the corpus (same or another document), covered tokens
+    * are the union of `[pos, pos + 3]` over duplicated starts, and
+    * maximal duplicated SPANS are gaps-and-islands over the covered
+    * positions — the distributed equivalent of the paper's repeated-
+    * substring extraction, with the suffix array replaced by a shingle
+    * hash join (the Spark-native shape: no global suffix sort).
+    *
+    * Scale posture: shingling is per-row (array transform, no window, no
+    * shuffle); the only corpus-wide exchanges are the groupBy on the
+    * shingle text and the join back on it (uniform-ish hash keys; hot
+    * boilerplate shingles are exactly the signal here so no df-cap);
+    * islands use per-document windows (doc-sized groups). Nothing
+    * all-pairs, nothing driver-side. */
+  private def dd11SubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = QueryCaches.persist(docs(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("words")) >= 4)
+      .select(
+        col("doc_id"), size(col("words")).cast("long").as("n_toks"),
+        posexplode(expr(
+          "transform(sequence(0, size(words) - 4), i -> concat_ws(' ', slice(words, i + 1, 4)))"))
+          .as(Seq("pos", "g"))))
+    val dupG = sh.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("g"))
+    val cov = sh.join(dupG, Seq("g"))
+      .withColumn("cp", explode(expr("sequence(pos, pos + 3)")))
+      .select(col("doc_id"), col("n_toks"), col("cp")).distinct()
+    val spans = cov
+      .withColumn("grp", col("cp") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("cp"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("n_toks")).as("n_toks"), count(lit(1)).as("span_len"))
+    spans.groupBy(col("doc_id"))
+      .agg(
+        min(col("n_toks")).as("n_toks"),
+        sum(col("span_len")).as("dup_tokens"),
+        count(lit(1)).as("n_spans"),
+        max(col("span_len")).as("max_span"))
+      .withColumn("dup_ratio",
+        floor(col("dup_tokens").cast("double") / col("n_toks").cast("double")
+          * lit(10000.0)) / lit(10000.0))
+      .orderBy(col("dup_tokens").desc, col("doc_id"))
+      .limit(30)
+  }
+
   /** Shared oracle CTE chain ending in `verified` = the MinHash-LSH
     * verified near-dup edge list (mirrors [[verifiedPairs]]). */
   private[operators] lazy val duckVerifiedCtes: String = s"""
@@ -514,6 +565,34 @@ object Dedup {
         WHERE jac >= 0.5)"""
 
   val oracleSql: Map[String, String] = Map(
+    "dd11_substring_dedup" -> """
+      WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+                 FROM documents),
+      t4 AS (SELECT doc_id, len(l) AS n_toks, l FROM t WHERE len(l) >= 4),
+      c AS (SELECT doc_id, n_toks, l,
+                   unnest(generate_series(1, len(l) - 3)) AS i FROM t4),
+      sh AS (SELECT doc_id, n_toks, i - 1 AS pos,
+                    l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] || ' ' || l[i + 3] AS g
+             FROM c),
+      dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 1),
+      covu AS (SELECT sh.doc_id, sh.n_toks,
+                      sh.pos + unnest(generate_series(0, 3)) AS cp
+               FROM sh JOIN dup ON sh.g = dup.g),
+      cov AS (SELECT DISTINCT doc_id, n_toks, cp FROM covu),
+      isl AS (SELECT doc_id, n_toks, cp,
+                     cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
+              FROM cov),
+      sp AS (SELECT doc_id, min(n_toks) AS n_toks, count(*) AS span_len
+             FROM isl GROUP BY doc_id, grp)
+      SELECT doc_id,
+             CAST(min(n_toks) AS BIGINT) AS n_toks,
+             CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(max(span_len) AS BIGINT) AS max_span,
+             floor(sum(span_len)::DOUBLE / min(n_toks)::DOUBLE * 10000.0) / 10000.0
+               AS dup_ratio
+      FROM sp GROUP BY doc_id
+      ORDER BY dup_tokens DESC, doc_id LIMIT 30""",
     "dd01_exact" -> """
       SELECT CAST(sum(c) AS BIGINT) AS n_docs,
              count(*) AS n_distinct,
@@ -719,5 +798,6 @@ object Dedup {
     "dd07_embed_lsh_dup" -> dd07EmbedLshDup,
     "dd08_incremental_dedup" -> dd08IncrementalDedup,
     "dd09_segment_dedup" -> dd09SegmentDedup,
-    "dd10_semdedup" -> dd10Semdedup)
+    "dd10_semdedup" -> dd10Semdedup,
+    "dd11_substring_dedup" -> dd11SubstringDedup)
 }

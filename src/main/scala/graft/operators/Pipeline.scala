@@ -384,6 +384,36 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Seeded deterministic global shuffle + shard assignment (pp11) — the
+    * last materialization step of a training-data pipeline: every
+    * document gets a reproducible pseudo-random position (order by
+    * md5(seed ‖ doc_id)) and a shard (first 8 hash hex digits mod 8), so
+    * the training order is (a) uniform, (b) identical across reruns and
+    * engines, and (c) producible WITHOUT a global sort: shard assignment
+    * is a per-row hash, and ordering is per-shard (row_number partitioned
+    * by shard — the shape that scales, vs. a single-partition global
+    * window; at 100 TB each shard sorts independently, which is exactly
+    * how sharded training data is laid out). The output pins the whole
+    * permutation: per-shard doc counts, id sums, and an order-weighted
+    * checksum Σ rank·doc_id that differs if ANY within-shard position
+    * moves. */
+  private def pp11ShardShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+    s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("h", md5(concat(lit("sh_"), col("doc_id").cast("string"))))
+      .withColumn("shard_id",
+        expr("CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) % 8"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("rn") * col("doc_id")).as("ord_check"),
+        sum(col("n_chars")).as("chars_total"))
+      .orderBy(col("shard_id"))
+  }
+
   private val duckQualityCte: String = """
       quality AS (
         SELECT doc_id, source, n_chars,
@@ -401,6 +431,20 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "pp01_curation" -> oracle,
+    "pp11_shard_shuffle" -> """
+      WITH h AS (SELECT doc_id, n_chars, md5('sh_' || doc_id::VARCHAR) AS h
+                 FROM documents),
+      sh AS (SELECT doc_id, n_chars, h,
+                    ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard_id FROM h),
+      r AS (SELECT doc_id, n_chars, shard_id,
+                   row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS rn
+            FROM sh)
+      SELECT shard_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+             CAST(sum(rn * doc_id) AS BIGINT) AS ord_check,
+             CAST(sum(n_chars) AS BIGINT) AS chars_total
+      FROM r GROUP BY 1 ORDER BY 1""",
     "pp10_epoch_mix" -> """
       WITH base AS (
         SELECT doc_id, source, n_chars,
@@ -586,5 +630,6 @@ object Pipeline {
     "pp07_corpus_build" -> pp07CorpusBuild,
     "pp08_contam_report" -> pp08ContamReport,
     "pp09_sequence_packing" -> pp09SequencePacking,
-    "pp10_epoch_mix" -> pp10EpochMix)
+    "pp10_epoch_mix" -> pp10EpochMix,
+    "pp11_shard_shuffle" -> pp11ShardShuffle)
 }

@@ -375,6 +375,57 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Binary (1-bit sign) quantization + Hamming ANN with exact rerank
+    * (ss09) — the tier past ss07's PQ: 64 float dims → 64 sign bits
+    * (256 B → 8 B/vector, 32× under int8, 256× under float), the
+    * binary-quantization path every production vector store ships
+    * because Hamming distance is XOR+popcount (SIMD-trivial, and here a
+    * codegen'd integer expression — no float math in the scan). Bits are
+    * packed into TWO 32-bit words (two BIGINT halves, max shift 31) so
+    * the packing is overflow-safe in any engine. Search is two stages:
+    * (1) Hamming top-10 per query over the packed words — the cheap
+    * coarse pass that at 100 TB runs against an 8-byte-per-vector index
+    * that fits in memory when nothing else does; (2) exact-cosine RERANK
+    * of the 10 candidates (the standard quality-restoring refine step),
+    * reusing ss01's bit-identical scoring. Query side broadcast; corpus
+    * streams once; ranking windows are per-query. */
+  private def ss09BinaryHamming(s: SparkSession, dir: String): DataFrame = {
+    val packed = QueryCaches.persist(vecs(s, dir)
+      .withColumn("w0", expr(
+        """aggregate(sequence(0, 31), 0L, (acc, d) ->
+           acc + IF(element_at(e, d + 1) >= CAST(0.0 AS FLOAT), shiftleft(1L, d), 0L))"""))
+      .withColumn("w1", expr(
+        """aggregate(sequence(32, 63), 0L, (acc, d) ->
+           acc + IF(element_at(e, d + 1) >= CAST(0.0 AS FLOAT), shiftleft(1L, d - 32), 0L))"""))
+      .select(col("vec_id"), col("e"), col("w0"), col("w1")))
+    val q = packed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val wH = Window.partitionBy(col("qid")).orderBy(col("hd"), col("vec_id"))
+    val cand = broadcast(q)
+      .join(packed, col("qid") =!= col("vec_id"))
+      .withColumn("hd",
+        (expr("bit_count(qw0 ^ w0)") + expr("bit_count(qw1 ^ w1)")).cast("long"))
+      .withColumn("hrk", row_number().over(wH))
+      .filter(col("hrk") <= 10)
+    val wS = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    cand
+      .withColumn("sim",
+        floor(expr("cosine_sim(qe, e)") * lit(1000000.0)) / lit(1000000.0))
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"),
+        col("hd"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** One packed 32-bit sign word for the ss09 oracle (bits lo..lo+31). */
+  private def duckPackWord(lo: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series($lo, ${lo + 31}), d ->
+            CASE WHEN e[d + 1] >= 0 THEN (CAST(1 AS BIGINT) << (d - $lo))
+                 ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"""
+
   /** 8-term left-assoc chains for the ss07 oracle (sub is a COLUMN). */
   private def duckD2Chain(a: String, b: String): String =
     (1 to 8).map(j =>
@@ -424,6 +475,27 @@ object Similarity {
         FROM pq_scored)"""
 
   val oracleSql: Map[String, String] = Map(
+    "ss09_binary_hamming" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm,
+                        ${duckPackWord(0)} AS w0,
+                        ${duckPackWord(32)} AS w1
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm, w0 AS qw0, w1 AS qw1
+            FROM v WHERE vec_id < 5),
+      h AS (SELECT qid, qe, qnrm, vec_id, e, nrm,
+                   CAST(bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)) AS BIGINT) AS hd
+            FROM q JOIN v ON qid <> vec_id),
+      cand AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hd, vec_id) AS hrk
+               FROM h),
+      scored AS (
+        SELECT qid, vec_id, hd,
+               floor(${dDot("qe", "e")} / sqrt(qnrm * nrm) * 1000000.0) / 1000000.0 AS sim
+        FROM cand WHERE hrk <= 10),
+      ranked AS (
+        SELECT qid, vec_id, hd, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+        FROM scored)
+      SELECT qid, rk, vec_id, hd, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""",
     "ss07_pq_adc" -> s"""
       WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
       $duckPqCtes
@@ -590,5 +662,6 @@ object Similarity {
     "ss05_ann_recall" -> ss05AnnRecall,
     "ss06_int8_ann" -> ss06Int8Ann,
     "ss07_pq_adc" -> ss07PqAdc,
-    "ss08_pq_recall" -> ss08PqRecall)
+    "ss08_pq_recall" -> ss08PqRecall,
+    "ss09_binary_hamming" -> ss09BinaryHamming)
 }

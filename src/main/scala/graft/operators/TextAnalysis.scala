@@ -247,9 +247,61 @@ object TextAnalysis {
           * lit(10000.0)) / lit(10000.0)).as("mean_score"))
       .orderBy(col("source"))
 
+  /** Corpus-trained bigram LM scoring (tx09) — the perplexity-filter
+    * stage (CCNet / KenLM shape): train a maximum-likelihood bigram model
+    * ON the corpus itself (P(w2|w1) = c(w1 w2) / c(w1 ·), both counts
+    * distributed hash aggregates), then score every document by its mean
+    * bigram probability and surface the 25 least-likely documents — the
+    * ones a perplexity filter drops. Engine parity is INTEGER-EXACT, the
+    * dd10/tx07 discipline: each bigram term is floor(1e6·c_b/c_u) in
+    * pure integer arithmetic, per-doc terms are an integer sum (order-
+    * independent, unlike float log-prob accumulation — the reason this
+    * uses mean probability, not log perplexity), and the mean is one
+    * integer division. Scale posture: two corpus-wide aggregates (bigram
+    * and unigram-history counts) + two KEYED joins back (Zipf-hot heads
+    * are AQE-skew-split, never broadcast-exploded); per-doc scoring is a
+    * hash aggregate on doc_id. Nothing driver-side — the "model" stays
+    * distributed, exactly how a corpus-scale n-gram LM is trained. */
+  private def tx09BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val big = graft.operators.QueryCaches.persist(docs(s, dir)
+      .withColumn("l", expr(tokenize))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(l) - 2), i ->
+           struct(element_at(l, i + 1) AS w1, element_at(l, i + 2) AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val cb = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = big.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    big
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .withColumn("t", expr("(1000000L * cb) div cu"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(t) div count(1)").as("avg_p_micro"))
+      .orderBy(col("avg_p_micro"), col("doc_id"))
+      .limit(25)
+  }
+
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracleSql: Map[String, String] = Map(
+    "tx09_bigram_lm" -> s"""
+      WITH t AS (SELECT doc_id, $duckToks AS l FROM documents),
+      t2 AS (SELECT doc_id, l FROM t WHERE len(l) >= 2),
+      c AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM t2),
+      big AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM c),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+      cu AS (SELECT w1, count(*) AS cu FROM big GROUP BY 1),
+      sc AS (SELECT big.doc_id, (1000000 * cb.cb) // cu.cu AS t
+             FROM big JOIN cb ON big.w1 = cb.w1 AND big.w2 = cb.w2
+                      JOIN cu ON big.w1 = cu.w1)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(t) // count(*) AS BIGINT) AS avg_p_micro
+      FROM sc GROUP BY doc_id
+      ORDER BY avg_p_micro, doc_id LIMIT 25""",
     "tx08_classifier_score" -> s"""
       WITH d AS (SELECT source, $duckToks AS l FROM documents),
       sc AS (
@@ -376,5 +428,6 @@ object TextAnalysis {
     "tx05_repetition" -> tx05Repetition,
     "tx06_rarity" -> tx06Rarity,
     "tx07_drift" -> tx07Drift,
-    "tx08_classifier_score" -> tx08ClassifierScore)
+    "tx08_classifier_score" -> tx08ClassifierScore,
+    "tx09_bigram_lm" -> tx09BigramLm)
 }

@@ -16,9 +16,10 @@ class CacheHygieneSuite extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private val names = SparkEntry.queries.keys
-    .filter(n => n.startsWith("dd") || n.startsWith("ss")).toSeq.sorted
+    .filter(n => n.startsWith("dd") || n.startsWith("ss")
+      || n.startsWith("tx") || n.startsWith("pp")).toSeq.sorted
 
-  test("every dd/ss query runs cache-clean: execute → release → cacheManager empty") {
+  test("every dd/ss/tx/pp query runs cache-clean: execute → release → cacheManager empty") {
     // a shared-session precondition, not part of the property under test
     spark.sharedState.cacheManager.clearCache()
     names.foreach { name =>

@@ -199,6 +199,59 @@ class PlanShapeSuite extends AnyFunSuite {
       s"expected the 5-query side broadcast in:\n$p")
   }
 
+  test("dd11: substring dedup joins keyed on the shingle, islands window per-doc") {
+    val p = finalPlanOf("dd11_substring_dedup")
+    // the duplicated-shingle set joins BACK on the shingle text — a keyed
+    // equi-join (Zipf-hot shingles are the signal; AQE handles skew), and
+    // the gaps-and-islands window must be partitioned per document, never
+    // a global sort of covered positions
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"dup-shingle join must be a keyed equi-join:\n$p")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"expected the per-document islands window in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must never degenerate to an unkeyed join:\n$p")
+    // top-30 must be a TakeOrdered, not a global sort + limit
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("ss09: Hamming scan runs on packed words (no float math), queries broadcast") {
+    val p = finalPlanOf("ss09_binary_hamming")
+    // coarse pass: XOR+popcount over the two packed BIGINT words
+    assert(p.contains("bit_count"),
+      s"expected the popcount Hamming distance in the scan:\n$p")
+    // the 5-query side must broadcast; candidate windows are per-query
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected the query side broadcast in:\n$p")
+    assert(p.contains("windowspecdefinition(qid"),
+      s"expected per-query ranking windows in:\n$p")
+    assert(!p.contains("CartesianProduct"), "Hamming ANN must never cartesian")
+  }
+
+  test("tx09: bigram-LM counts join back keyed (no forced broadcast), scoring aggregates") {
+    // like tx06: the bigram/unigram count tables are Zipf-unbounded at
+    // corpus scale — the plan must keep them as keyed equi-joins that AQE
+    // may broadcast at small SF but never HAS to hold on the driver
+    val p = finalPlanOf("tx09_bigram_lm")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"count joins must be keyed equi-joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LM scoring must never degenerate to an unkeyed join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-25 must be a top-k operator, not a global sort:\n$p")
+  }
+
+  test("pp11: shard shuffle windows per-shard, never a global sort") {
+    val p = finalPlanOf("pp11_shard_shuffle")
+    assert(p.contains("windowspecdefinition(shard_id"),
+      s"expected the per-shard ranking window in:\n$p")
+    assert(!p.contains("windowspecdefinition()") && !p.contains("Window [row_number() windowspecdefinition(h"),
+      s"a global (unpartitioned) permutation window would single-partition the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), "shard shuffle must never join at all")
+  }
+
   test("dd10: SemDeDup assignment aggregates map-side; within-cluster join stays keyed") {
     // pinned at sf0.01: at sf0.001 the dropped side can be EMPTY and AQE
     // legitimately eliminates the join this pin exists to check
