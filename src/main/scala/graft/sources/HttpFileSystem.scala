@@ -52,6 +52,9 @@ class HttpFileSystem extends FileSystem {
 
   override def getFileStatus(f: Path): FileStatus = {
     val conn = urlOf(f).openConnection().asInstanceOf[HttpURLConnection]
+    HttpTimeouts(conn,
+      getConf.getInt("fs.http.connect.timeout.ms", 15000),
+      getConf.getInt("fs.http.read.timeout.ms", 60000))
     conn.setRequestMethod("HEAD")
     conn.setInstanceFollowRedirects(true)
     try {
@@ -68,6 +71,9 @@ class HttpFileSystem extends FileSystem {
     * `Content-Range: bytes 0-0/<total>` — take the length from there. */
   private def statusViaRangedGet(f: Path): FileStatus = {
     val conn = urlOf(f).openConnection().asInstanceOf[HttpURLConnection]
+    HttpTimeouts(conn,
+      getConf.getInt("fs.http.connect.timeout.ms", 15000),
+      getConf.getInt("fs.http.read.timeout.ms", 60000))
     conn.setRequestProperty("Range", "bytes=0-0")
     try {
       val code = conn.getResponseCode
@@ -168,6 +174,7 @@ private[graft] class HttpSeekableInputStream(
     if (in == null || streamPos != pos) {
       if (in != null) { in.close(); in = null }
       val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      HttpTimeouts(conn)
       if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
       prepare(conn)
       val code = conn.getResponseCode
@@ -222,6 +229,7 @@ private[graft] class HttpSeekableInputStream(
     if (want <= 0) return 0
     withRetries { () =>
       val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      HttpTimeouts(conn)
       conn.setRequestProperty("Range", s"bytes=$position-${position + want - 1}")
       prepare(conn)
       try {
@@ -261,5 +269,21 @@ private[graft] class HttpSeekableInputStream(
   override def close(): Unit = {
     if (in != null) { in.close(); in = null }
     streamPos = -1L
+  }
+}
+
+/** Bounded connect/read timeouts for every JDK connection the stores
+  * open: without them one black-holed TCP connection (routine at
+  * 100-TB fleet scale) parks a Spark task forever — there is no default
+  * task reaper. A timeout surfaces as IOException and flows into the
+  * same transient-retry seams as a 5xx. Defaults are deliberately
+  * generous (15 s connect / 60 s read — a slow-but-alive range stream
+  * must not be killed mid-column-chunk); stores with a Configuration
+  * pass conf-driven values, bare streams use the defaults. */
+private[graft] object HttpTimeouts {
+  def apply(conn: HttpURLConnection,
+      connectMs: Int = 15000, readMs: Int = 60000): Unit = {
+    conn.setConnectTimeout(connectMs)
+    conn.setReadTimeout(readMs)
   }
 }

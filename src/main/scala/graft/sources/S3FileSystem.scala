@@ -219,6 +219,14 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     val canonicalPath = s"/$bucket/${uriEncode(key, keepSlash = true)}"
     val url = new URL(s"$endpoint$canonicalPath$qs")
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    // bounded connect/read timeouts: without them a single black-holed
+    // TCP connection (routine at 100-TB fleet scale) parks the task
+    // forever — Spark has no default task reaper. A timeout surfaces as
+    // IOException and flows into the same retry seam as a 5xx.
+    conn.setConnectTimeout(
+      getConf.getInt("fs.s3.connect.timeout.ms", 15000))
+    conn.setReadTimeout(
+      getConf.getInt("fs.s3.read.timeout.ms", 60000))
     conn.setRequestMethod(method)
     sign(conn, method, canonicalPath, query, payloadSha)
     conn

@@ -183,4 +183,37 @@ class HttpStoreSuite extends AnyFunSuite {
       assert(e.getMessage.contains("read-only"))
     }
   }
+
+  test("a black-holed connection times out instead of parking the task forever") {
+    register()
+    // a ServerSocket that ACCEPTS and never responds — the black-hole
+    // shape (SYN-ACK then silence) that, without a read timeout, blocks
+    // HttpURLConnection.getResponseCode indefinitely
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val accepted = new java.util.concurrent.ConcurrentLinkedQueue[java.net.Socket]()
+    val acceptor = new Thread(() => {
+      try { while (true) accepted.add(server.accept()) }
+      catch { case _: Exception => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      conf.setInt("fs.http.read.timeout.ms", 300)
+      val fs = new Path(s"http://127.0.0.1:${server.getLocalPort}/")
+        .getFileSystem(conf)
+      val t0 = System.nanoTime()
+      val e = intercept[Exception] {
+        fs.getFileStatus(new Path(s"http://127.0.0.1:${server.getLocalPort}/x.bin"))
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(e.isInstanceOf[java.net.SocketTimeoutException]
+        || Option(e.getCause).exists(_.isInstanceOf[java.net.SocketTimeoutException]),
+        s"expected a socket timeout, got: $e")
+      assert(elapsedMs < 10000L,
+        s"timeout must bound the stall (took ${elapsedMs}ms)")
+    } finally {
+      server.close()
+      accepted.forEach(s => try s.close() catch { case _: Exception => () })
+    }
+  }
 }

@@ -61,6 +61,54 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: new docs band-join a STATIC corpus MinHash index") {
+    // the streaming-native dd08 shape: at ingestion time each arriving
+    // document's MinHash band keys probe a precomputed corpus band index
+    // (stream-static inner join — stateless, no watermark, the index is
+    // the broadcast/shuffled side), flagging probable near-dups before
+    // they enter the corpus. Mechanics verified against the batch
+    // computation on identical data.
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val bandExpr =
+      """posexplode(transform(sequence(0, 7), b ->
+           concat(CAST(element_at(sig, 2 * b + 1) AS STRING), '_',
+                  CAST(element_at(sig, 2 * b + 2) AS STRING))))"""
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def bands(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("shingles",
+          expr("word_ngrams_arr(filter(split(text, ' '), x -> x != ''), 3)"))
+        .filter(size(col("shingles")) > 0)
+        .withColumn("sig", expr(
+          "minhash16(transform(shingles, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))"))
+        .select(col("doc_id"), expr(bandExpr).as(Seq("band", "key")))
+    val corpusIndex = bands(docs.filter(col("doc_id") % 4 =!= 0))
+      .withColumnRenamed("doc_id", "corpus_doc")
+    val newDocs = docs.filter(col("doc_id") % 4 === 0)
+      .as[(Long, String)].collect().toSeq
+    val expected = bands(docs.filter(col("doc_id") % 4 === 0))
+      .join(corpusIndex, Seq("band", "key"))
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    assert(expected.nonEmpty, "fixture must contain at least one near-dup collision")
+
+    val in = MemoryStream[(Long, String)]
+    val flagged = bands(in.toDF().toDF("doc_id", "text"))
+      .join(corpusIndex, Seq("band", "key")) // stream-static inner join
+      .select(col("doc_id"), col("corpus_doc"))
+    val q = flagged.writeStream.format("memory").queryName("inc_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, rest) = newDocs.splitAt(newDocs.size / 2)
+      in.addData(first); q.processAllAvailable()
+      in.addData(rest); q.processAllAvailable()
+      val got = spark.table("inc_dedup").select("doc_id").distinct()
+        .as[Long].collect().toSet
+      assert(got === expected,
+        "stream-static band probe must flag exactly the batch candidate set")
+    } finally q.stop()
+  }
+
   test("arbitrary stateful aggregation: flatMapGroupsWithState running totals") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
