@@ -25,14 +25,20 @@ object QueryCaches {
     p
   }
 
-  /** Unpersist every registered frame (non-blocking: the cache-manager
-    * entry drops synchronously; block deletion proceeds async). Safe to
-    * call any time AFTER the consuming action — a subsequent re-execution
-    * of an already-built plan just recomputes without the cache. */
+  /** Unpersist every registered frame, BLOCKING until the blocks are
+    * actually gone. Non-blocking release let evictions lag behind a
+    * rapid query sequence (Bench/ScaleCheck: ~40 heavy probes in one
+    * JVM) — the next query's persist then didn't fit in storage memory
+    * and silently RECOMPUTED its cached subtree per consumer (measured:
+    * dd03 3×-inflated when scheduled after a large probe backlog, clean
+    * in isolation). Blocking frees storage deterministically, so each
+    * query sees the storage pool it was designed for. Safe to call any
+    * time AFTER the consuming action — a subsequent re-execution of an
+    * already-built plan just recomputes without the cache. */
   def release(): Unit = {
     var df = frames.poll()
     while (df != null) {
-      try df.unpersist(blocking = false)
+      try df.unpersist(blocking = true)
       catch { case _: Exception => () } // a stopped session must not fail cleanup
       df = frames.poll()
     }
