@@ -286,9 +286,16 @@ object Similarity {
     * bit-identical and floor-scaled. The codebook is a 16×8×8 plan
     * literal — the honest production shape (codebooks are tiny trained
     * artifacts broadcast to executors). */
-  private def ss07PqAdc(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Column
-    val v = vecs(s, dir)
+  private def elemD(c: org.apache.spark.sql.Column, sub: Int, j: Int): org.apache.spark.sql.Column =
+    element_at(c, sub * 8 + j).cast("double")
+
+  /** The PQ index shared by ss07/ss10: per-vector subspace codes (c0..c7)
+    * plus the [code][sub][dim] codebook and per-(code, sub) norm literals
+    * (tiny trained artifacts, broadcast as plan literals — the honest
+    * production shape). Encoding is L2-nearest code per subspace via
+    * broadcast seeds + map-side partial argmin (the dd10/ss03 assignment
+    * shape). */
+  private def pqIndex(v: DataFrame): (DataFrame, org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     // deterministic hash-sampled codebook seeds; code = 1..16 by (h, vec_id)
     val seeds = v
       .withColumn("h", md5(col("vec_id").cast("string")))
@@ -307,16 +314,9 @@ object Similarity {
     // the oracle uses
     val cbNorm: Seq[Seq[Double]] =
       cb.map(_.map(subv => subv.map(x => x * x).reduceLeft(_ + _)))
-    val cbLit = typedLit(cb)
-    val normLit = typedLit(cbNorm)
-
-    def elem(c: Column, sub: Int, j: Int): Column =
-      element_at(c, sub * 8 + j).cast("double")
-    // ---- encoding: L2-nearest code per subspace (broadcast 16 seeds +
-    // map-side partial argmin — the dd10/ss03 assignment shape)
-    def d2(sub: Int): Column =
+    def d2(sub: Int): org.apache.spark.sql.Column =
       (1 to 8).map { j =>
-        val d = elem(col("e"), sub, j) - elem(col("ce"), sub, j)
+        val d = elemD(col("e"), sub, j) - elemD(col("ce"), sub, j)
         d * d
       }.reduceLeft(_ + _)
     val paired = v.join(broadcast(seeds))
@@ -328,26 +328,79 @@ object Similarity {
         min(struct(col("d2_0"), col("code"))).as("m0"),
         (1 until 8).map(sub => min(struct(col(s"d2_$sub"), col("code"))).as(s"m$sub")): _*)
       .select(col("vec_id") +: (0 until 8).map(sub => col(s"m$sub.code").as(s"c$sub")): _*)
+    (codes, typedLit(cb), typedLit(cbNorm))
+  }
 
+  /** ADC similarity of an exact query (`qe`, `qnrm`) against a coded
+    * corpus row (c0..c7): Σ_sub dot(qe_sub, codebook[c_sub][sub]) over
+    * √(qnrm · Σ_sub ‖codebook[c_sub][sub]‖²), floor-scaled. */
+  private def adcSimCol(cbLit: org.apache.spark.sql.Column,
+      normLit: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def cbVal(sub: Int, j: Int): org.apache.spark.sql.Column =
+      element_at(element_at(element_at(cbLit, col(s"c$sub").cast("int")),
+        lit(sub + 1)), lit(j))
+    def dotSub(sub: Int): org.apache.spark.sql.Column =
+      (1 to 8).map(j => elemD(col("qe"), sub, j) * cbVal(sub, j)).reduceLeft(_ + _)
+    val adc = (0 until 8).map(dotSub).reduceLeft(_ + _)
+    val recn = (0 until 8).map(sub =>
+      element_at(element_at(normLit, col(s"c$sub").cast("int")), lit(sub + 1)))
+      .reduceLeft(_ + _)
+    floor(adc / sqrt(col("qnrm") * recn) * lit(1000000.0)) / lit(1000000.0)
+  }
+
+  private def ss07PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val (codes, cbLit, normLit) = pqIndex(v)
     // ---- ADC scoring: queries keep exact vectors, corpus is codes-only
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
       .withColumn("qnrm",
         aggregate(col("qe"), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
-    def cbVal(sub: Int, j: Int): Column =
-      element_at(element_at(element_at(cbLit, col(s"c$sub").cast("int")),
-        lit(sub + 1)), lit(j))
-    def dotSub(sub: Int): Column =
-      (1 to 8).map(j => elem(col("qe"), sub, j) * cbVal(sub, j)).reduceLeft(_ + _)
-    val adc = (0 until 8).map(dotSub).reduceLeft(_ + _)
-    val recn = (0 until 8).map(sub =>
-      element_at(element_at(normLit, col(s"c$sub").cast("int")), lit(sub + 1)))
-      .reduceLeft(_ + _)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     broadcast(q)
       .join(codes, col("qid") =!= col("vec_id"))
-      .withColumn("sim",
-        floor(adc / sqrt(col("qnrm") * recn) * lit(1000000.0)) / lit(1000000.0))
+      .withColumn("sim", adcSimCol(cbLit, normLit))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** IVF-PQ (ss10) — the composition every production vector index ships
+    * (the FAISS `IVFx,PQy` shape): the IVF coarse quantizer (ss03/ss04's
+    * 16 centroids) prunes the SEARCH SPACE to nprobe=2 inverted lists
+    * (~2N/K candidates reached by a keyed cid equi-join), and PQ codes
+    * (ss07's 8-byte corpus) prune the MEMORY — candidates are scored by
+    * ADC against the broadcast codebook, never touching original
+    * embeddings. At 100 TB the inverted lists partition the corpus and
+    * the scan reads 8 B/vector: both scale axes at once, which is why
+    * this composition (not either part alone) is the production default.
+    * Probe selection windows over Q×K rows (K constant), candidate
+    * ranking windows per query. */
+  private def ss10IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val cents = centroids(v)
+    val assigned = assignedFrame(v, cents)
+    val (codes, cbLit, normLit) = pqIndex(v)
+    // codes carry their inverted-list id: one keyed join, built once
+    val listed = codes.join(assigned.select(col("vec_id"), col("cid")), "vec_id")
+    // top-2 probe centroids per query (the ss04 recall knob)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("pcid"))
+    val probes = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .join(broadcast(cents.select(col("cid").as("pcid"), col("ce"))))
+      .withColumn("csim",
+        floor(expr("cosine_sim(qe, ce)") * lit(1000000.0)) / lit(1000000.0))
+      .withColumn("prb", row_number().over(wProbe))
+      .filter(col("prb") <= 2)
+      .select(col("qid"), col("qe"), col("pcid"))
+      .withColumn("qnrm",
+        aggregate(col("qe"), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    broadcast(probes)
+      .join(listed, col("pcid") === col("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim", adcSimCol(cbLit, normLit))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
@@ -500,6 +553,38 @@ object Similarity {
       WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
       $duckPqCtes
       SELECT qid, rk, vec_id, sim FROM pq_ranked WHERE rk <= 3 ORDER BY qid, rk""",
+    "ss10_ivf_pq" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
+      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, cid FROM (
+          SELECT v.vec_id, cents.cid,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   floor(${dDot("v.e", "ce")} / sqrt(v.nrm * cnrm) * 1000000.0) / 1000000.0 DESC,
+                   cents.cid) AS arn
+          FROM v CROSS JOIN cents)
+        WHERE arn = 1),
+      probes AS (
+        SELECT qid, pcid FROM (
+          SELECT qv.vec_id AS qid, cents.cid AS pcid,
+                 row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+                   floor(${dDot("qv.e", "ce")} / sqrt(qv.nrm * cnrm) * 1000000.0) / 1000000.0 DESC,
+                   cents.cid) AS prb
+          FROM (SELECT * FROM v WHERE vec_id < 5) qv CROSS JOIN cents)
+        WHERE prb <= 2),
+      $duckPqCtes,
+      cand AS (
+        SELECT ps.qid, ps.vec_id, ps.adc, ps.recn, ps.qnrm
+        FROM pq_scored ps
+        JOIN assigned a ON a.vec_id = ps.vec_id
+        JOIN probes p ON p.qid = ps.qid AND p.pcid = a.cid),
+      ranked2 AS (
+        SELECT qid, vec_id,
+               floor(adc / sqrt(qnrm * recn) * 1000000.0) / 1000000.0 AS sim,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                 floor(adc / sqrt(qnrm * recn) * 1000000.0) / 1000000.0 DESC, vec_id) AS rk
+        FROM cand)
+      SELECT qid, rk, vec_id, sim FROM ranked2 WHERE rk <= 3 ORDER BY qid, rk""",
     "ss08_pq_recall" -> s"""
       WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
       $duckPqCtes,
@@ -663,5 +748,6 @@ object Similarity {
     "ss06_int8_ann" -> ss06Int8Ann,
     "ss07_pq_adc" -> ss07PqAdc,
     "ss08_pq_recall" -> ss08PqRecall,
-    "ss09_binary_hamming" -> ss09BinaryHamming)
+    "ss09_binary_hamming" -> ss09BinaryHamming,
+    "ss10_ivf_pq" -> ss10IvfPq)
 }

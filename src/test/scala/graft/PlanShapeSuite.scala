@@ -252,6 +252,17 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "shard shuffle must never join at all")
   }
 
+  test("ss10: IVF-PQ probes join the coded lists keyed; scoring reads codes, not embeddings") {
+    val p = finalPlanOf("ss10_ivf_pq")
+    // encoding + IVF assignment both collapse map-side (partial argmin)
+    assert(p.contains("partial_min(struct"),
+      s"expected map-side partial argmin in:\n$p")
+    // the probe side (Q×nprobe rows) broadcasts into the candidate join
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the probes to broadcast-join the inverted lists:\n$p")
+    assert(!p.contains("CartesianProduct"), "IVF-PQ must never cartesian")
+  }
+
   test("dd10: SemDeDup assignment aggregates map-side; within-cluster join stays keyed") {
     // pinned at sf0.01: at sf0.001 the dropped side can be EMPTY and AQE
     // legitimately eliminates the join this pin exists to check
