@@ -125,7 +125,105 @@ object Multimodal {
         min(col("keeper")).as("first_keeper"))
       .orderBy(col("kind"))
 
+  /** Perceptual near-dup media detection (mm05) — the step past mm04's
+    * exact content hash: a 16-bit SimHash over 4-BYTE shingles of the
+    * binary payload (dd04's text recipe re-grounded at the byte level —
+    * the pHash-family shape: payloads differing in a few bytes land
+    * within small Hamming distance), banded by nibble and paired only
+    * WITHIN a modality. A real perceptual hash (DCT for images, chroma
+    * for audio) would replace only the shingle→signature step — banding,
+    * per-kind blocking, and the signature-level join (not doc-level:
+    * low-diversity corpora collapse to few signatures) are the scale
+    * mechanics being graded, same as dd04. */
+  private def mm05PerceptualDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sigs = QueryCaches.persist(media(s, dir)
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("toks", expr(
+        "transform(sequence(0, CAST(ceil(length(hx) / 8.0) AS INT) - 1), i -> substr(hx, i * 8 + 1, 8))"))
+      .filter(size(col("toks")) > 0)
+      .select(col("kind"), col("doc_id"), expr(
+        "simhash16(transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))").as("sig")))
+    val sigSet = QueryCaches.persist(
+      sigs.select(col("kind"), col("sig")).distinct())
+    val bands = sigSet.select(col("kind"), col("sig"),
+      posexplode(expr("transform(sequence(0, 3), b -> (sig >> (4 * b)) & 15)"))
+        .as(Seq("band", "nib")))
+    val sigPairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.kind") === col("b.kind") && col("a.band") === col("b.band")
+          && col("a.nib") === col("b.nib") && col("a.sig") < col("b.sig"))
+      .select(col("a.kind").as("kind"), col("a.sig").as("s1"), col("b.sig").as("s2"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("ham"))
+      .filter(col("ham") <= 3)
+      .distinct()
+    val inter = sigPairs
+      .join(sigs.select(col("kind"), col("doc_id").as("id1"), col("sig").as("s1")),
+        Seq("kind", "s1"))
+      .join(sigs.select(col("kind"), col("doc_id").as("id2"), col("sig").as("s2")),
+        Seq("kind", "s2"))
+      .select(col("kind"), least(col("id1"), col("id2")).as("doc_a"),
+        greatest(col("id1"), col("id2")).as("doc_b"), col("ham"))
+    val intra = sigs.as("x")
+      .join(sigs.as("y"),
+        col("x.kind") === col("y.kind") && col("x.sig") === col("y.sig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.kind").as("kind"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"), lit(0L).as("ham"))
+    inter.unionByName(intra)
+      .orderBy(col("ham"), col("kind"), col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "mm05_perceptual_dedup" -> """
+      WITH m AS (
+        SELECT doc_id,
+               (['image', 'audio', 'video'])[((doc_id % 3) + 1)::INT] AS kind,
+               hex(encode(text)) AS hx
+        FROM documents),
+      t AS (
+        SELECT doc_id, kind,
+               list_transform(generate_series(0, CAST(ceil(length(hx) / 8.0) AS INT) - 1),
+                              i -> substr(hx, i * 8 + 1, 8)) AS toks
+        FROM m),
+      sigs AS (
+        SELECT kind, doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(0, 15), b ->
+                   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(
+                            list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+                            h -> CASE WHEN ((h >> b) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                          (acc, v) -> acc + v) > 0
+                        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)),
+                 (a, x) -> a + x) AS sig
+        FROM t WHERE len(toks) > 0),
+      sigset AS (SELECT DISTINCT kind, sig FROM sigs),
+      bands AS (
+        SELECT kind, sig,
+               unnest(generate_series(0, 3)) AS band,
+               unnest(list_transform(generate_series(0, 3), b -> (sig >> (4 * b)) & 15)) AS nib
+        FROM sigset),
+      sigpairs AS (
+        SELECT DISTINCT a.kind AS kind, a.sig AS s1, b.sig AS s2,
+               bit_count(xor(a.sig, b.sig)) AS ham
+        FROM bands a JOIN bands b
+        ON a.kind = b.kind AND a.band = b.band AND a.nib = b.nib AND a.sig < b.sig
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+      inter AS (
+        SELECT sigpairs.kind, least(d1.doc_id, d2.doc_id) AS doc_a,
+               greatest(d1.doc_id, d2.doc_id) AS doc_b, ham
+        FROM sigpairs
+        JOIN sigs d1 ON d1.kind = sigpairs.kind AND d1.sig = s1
+        JOIN sigs d2 ON d2.kind = sigpairs.kind AND d2.sig = s2),
+      intra AS (
+        SELECT x.kind, x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(0 AS BIGINT) AS ham
+        FROM sigs x JOIN sigs y
+        ON x.kind = y.kind AND x.sig = y.sig AND x.doc_id < y.doc_id)
+      SELECT kind, doc_a, doc_b, CAST(ham AS BIGINT) AS ham FROM
+        (SELECT * FROM inter UNION ALL SELECT * FROM intra)
+      ORDER BY ham, kind, doc_a, doc_b LIMIT 50""",
     "mm03_crossmodal_join" -> """
       SELECT label, count(*) AS n_docs,
              floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 10000.0) / 10000.0 AS avg_chars,
@@ -167,5 +265,6 @@ object Multimodal {
     "mm01_binary_meta" -> mm01BinaryMeta,
     "mm02_media_features" -> mm02MediaFeatures,
     "mm03_crossmodal_join" -> mm03CrossmodalJoin,
-    "mm04_media_dedup" -> mm04MediaDedup)
+    "mm04_media_dedup" -> mm04MediaDedup,
+    "mm05_perceptual_dedup" -> mm05PerceptualDedup)
 }

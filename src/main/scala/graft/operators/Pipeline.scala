@@ -414,6 +414,55 @@ object Pipeline {
       .orderBy(col("shard_id"))
   }
 
+  /** Dataset card (pp12) — the per-source DATASHEET every released corpus
+    * ships (the "datasheets for datasets" artifact): one row per source
+    * composing the pipeline's signal families — volume (docs/chars/
+    * tokens), vocabulary size, language mix (count + modal language,
+    * deterministic tie-break), exact-duplicate mass (dd01's convention
+    * scoped per source), and the tx08 classifier keep-rate. Every number
+    * is integer-exact or floor-scaled, so the whole card is oracle-
+    * hash-gated. Scale posture: one corpus stream feeds K-source hash
+    * aggregates; the vocabulary count is the only token-level shuffle
+    * (distinct on (source, token) — the tx06 key shape); the K-row
+    * summary joins are trivially broadcast. */
+  private def pp12DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("l", expr("filter(split(text, ' '), x -> x != '')"))
+    val base = d
+      .withColumn("score", expr(
+        "aggregate(transform(l, t -> (CAST(conv(substr(md5(concat('w_', t)), 1, 8), 16, 10) AS BIGINT) % 17) - 8), 0L, (a, x) -> a + x)"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(size(col("l")).cast("long")).as("tokens_total"),
+        expr("count_if(score >= 0)").as("n_kept"))
+    val vocab = d.select(col("source"), explode(col("l")).as("w"))
+      .groupBy(col("source")).agg(countDistinct(col("w")).as("distinct_tokens"))
+    val langs = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val topLang = langs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("c").desc, col("lang"))))
+      .filter(col("rk") === 1).select(col("source"), col("lang").as("top_lang"))
+    val nLangs = langs.groupBy(col("source")).agg(count(lit(1)).as("n_langs"))
+    val dups = d.groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg((sum(col("c")) - count(lit(1))).as("dup_docs"))
+    base
+      .join(vocab, "source").join(nLangs, "source")
+      .join(topLang, "source").join(dups, "source")
+      .withColumn("keep_ratio",
+        floor(col("n_kept").cast("double") / col("n_docs").cast("double")
+          * lit(10000.0)) / lit(10000.0))
+      .select(
+        col("source"), col("n_docs"), col("chars_total"), col("tokens_total"),
+        col("distinct_tokens"), col("n_langs"), col("top_lang"),
+        col("dup_docs"), col("n_kept"), col("keep_ratio"))
+      .orderBy(col("source"))
+  }
+
   private val duckQualityCte: String = """
       quality AS (
         SELECT doc_id, source, n_chars,
@@ -431,6 +480,37 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "pp01_curation" -> oracle,
+    "pp12_dataset_card" -> """
+      WITH d AS (SELECT doc_id, source, lang, n_chars, text,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS l
+                 FROM documents),
+      base AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total,
+               CAST(sum(len(l)) AS BIGINT) AS tokens_total,
+               CAST(count_if(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(l, t -> ('0x' || substr(md5('w_' || t), 1, 8))::BIGINT % 17 - 8)),
+                      (a, x) -> a + x) >= 0) AS BIGINT) AS n_kept
+        FROM d GROUP BY 1),
+      vocab AS (SELECT source, count(DISTINCT w) AS distinct_tokens
+                FROM (SELECT source, unnest(l) AS w FROM d) GROUP BY 1),
+      langs AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2),
+      toplang AS (SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rk
+        FROM langs) WHERE rk = 1),
+      nlangs AS (SELECT source, count(*) AS n_langs FROM langs GROUP BY 1),
+      dups AS (SELECT source, CAST(sum(c) - count(*) AS BIGINT) AS dup_docs FROM
+        (SELECT source, md5(text) AS h, count(*) AS c FROM d GROUP BY 1, 2) GROUP BY 1)
+      SELECT base.source AS source, n_docs, chars_total, tokens_total,
+             distinct_tokens, n_langs, top_lang, dup_docs, n_kept,
+             floor(n_kept::DOUBLE / n_docs::DOUBLE * 10000.0) / 10000.0 AS keep_ratio
+      FROM base
+      JOIN vocab ON base.source = vocab.source
+      JOIN nlangs ON base.source = nlangs.source
+      JOIN toplang ON base.source = toplang.source
+      JOIN dups ON base.source = dups.source
+      ORDER BY base.source""",
     "pp11_shard_shuffle" -> """
       WITH h AS (SELECT doc_id, n_chars, md5('sh_' || doc_id::VARCHAR) AS h
                  FROM documents),
@@ -631,5 +711,6 @@ object Pipeline {
     "pp08_contam_report" -> pp08ContamReport,
     "pp09_sequence_packing" -> pp09SequencePacking,
     "pp10_epoch_mix" -> pp10EpochMix,
-    "pp11_shard_shuffle" -> pp11ShardShuffle)
+    "pp11_shard_shuffle" -> pp11ShardShuffle,
+    "pp12_dataset_card" -> pp12DatasetCard)
 }

@@ -17,9 +17,9 @@ class CacheHygieneSuite extends AnyFunSuite {
 
   private val names = SparkEntry.queries.keys
     .filter(n => n.startsWith("dd") || n.startsWith("ss")
-      || n.startsWith("tx") || n.startsWith("pp")).toSeq.sorted
+      || n.startsWith("tx") || n.startsWith("pp") || n.startsWith("mm")).toSeq.sorted
 
-  test("every dd/ss/tx/pp query runs cache-clean: execute → release → cacheManager empty") {
+  test("every dd/ss/tx/pp/mm query runs cache-clean: execute → release → cacheManager empty") {
     // a shared-session precondition, not part of the property under test
     spark.sharedState.cacheManager.clearCache()
     names.foreach { name =>
