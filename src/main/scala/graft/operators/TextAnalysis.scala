@@ -284,9 +284,50 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** BPE-ish regex token counting (tx10) — the second counter the north
+    * star asks for beside tx01's whitespace split: a GPT-2-pre-tokenizer-
+    * style alternation (` ?[a-z]+ | ?[0-9]+ | ?[^a-z0-9 ]+`, leftmost-
+    * first in both engines' regex dialects) splits letter runs, digit
+    * runs and punctuation runs into separate pieces, the shape a real
+    * BPE pre-tokenizer feeds the merge table. Reported per source:
+    * FERTILITY (regex pieces per whitespace word) and chars-per-piece —
+    * the two ratios a training pipeline tracks to budget tokens before
+    * the real tokenizer runs. Per-row regex + K-source aggregate; ratios
+    * are floor-scaled sums-of-integers (engine-exact). */
+  private def tx10BpeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("ws", size(expr(tokenize)).cast("long"))
+      .withColumn("bpe", size(expr(
+        "regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("n_chars")).as("chars_total"))
+      .select(
+        col("source"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        (floor(col("bpe_tokens").cast("double") / col("ws_tokens").cast("double")
+          * lit(10000.0)) / lit(10000.0)).as("fertility"),
+        (floor(col("chars_total").cast("double") / col("bpe_tokens").cast("double")
+          * lit(10000.0)) / lit(10000.0)).as("chars_per_tok"))
+      .orderBy(col("source"))
+
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracleSql: Map[String, String] = Map(
+    "tx10_bpe_tokens" -> s"""
+      WITH d AS (
+        SELECT source, n_chars,
+               len($duckToks) AS ws,
+               len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS bpe
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(ws) AS BIGINT) AS ws_tokens,
+             CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+             floor(sum(bpe)::DOUBLE / sum(ws)::DOUBLE * 10000.0) / 10000.0 AS fertility,
+             floor(sum(n_chars)::DOUBLE / sum(bpe)::DOUBLE * 10000.0) / 10000.0 AS chars_per_tok
+      FROM d GROUP BY 1 ORDER BY 1""",
     "tx09_bigram_lm" -> s"""
       WITH t AS (SELECT doc_id, $duckToks AS l FROM documents),
       t2 AS (SELECT doc_id, l FROM t WHERE len(l) >= 2),
@@ -429,5 +470,6 @@ object TextAnalysis {
     "tx06_rarity" -> tx06Rarity,
     "tx07_drift" -> tx07Drift,
     "tx08_classifier_score" -> tx08ClassifierScore,
-    "tx09_bigram_lm" -> tx09BigramLm)
+    "tx09_bigram_lm" -> tx09BigramLm,
+    "tx10_bpe_tokens" -> tx10BpeTokens)
 }
