@@ -150,6 +150,15 @@ object GraftFunctions {
           s"word_ngrams_arr: n must be an integer literal, got $other")
       }
       WordNGramsArray(exprs.head, n)
+    },
+    "byte_ngram_hashes" -> { exprs =>
+      require(exprs.length == 2, s"byte_ngram_hashes expects 2 arguments, got ${exprs.length}")
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"byte_ngram_hashes: width must be an integer literal, got $other")
+      }
+      ByteNGramHashes(exprs.head, n)
     })
 
   /** Imperative per-session registration (idempotent) — lets any session

@@ -137,13 +137,14 @@ object Multimodal {
     * mechanics being graded, same as dd04. */
   private def mm05PerceptualDedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // byte_ngram_hashes is the native one-pass shingle hasher (bit-equal
+    // to the declarative hex-substr/md5 chain — ByteNGramHashesSuite);
+    // simhash16 is codegen'd. The whole signature derives per-row with no
+    // interpreted lambda dispatch.
     val sigs = QueryCaches.persist(media(s, dir)
-      .withColumn("hx", hex(col("payload")))
-      .withColumn("toks", expr(
-        "transform(sequence(0, CAST(ceil(length(hx) / 8.0) AS INT) - 1), i -> substr(hx, i * 8 + 1, 8))"))
-      .filter(size(col("toks")) > 0)
-      .select(col("kind"), col("doc_id"), expr(
-        "simhash16(transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)))").as("sig")))
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("kind"), col("doc_id"),
+        expr("simhash16(byte_ngram_hashes(payload, 4))").as("sig")))
     val sigSet = QueryCaches.persist(
       sigs.select(col("kind"), col("sig")).distinct())
     val bands = sigSet.select(col("kind"), col("sig"),

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the native byte-shingle hasher to the declarative recipe it
+  * replaces (and that the mm05 DuckDB oracle re-states): per 4-byte
+  * chunk of the UPPERCASE-hex payload, first-8-hex-chars of md5 as an
+  * unsigned 32-bit BIGINT. */
+class ByteNGramHashesSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("native hashes == hex-substr/md5 HOF chain on the documents fixture") {
+    GraftFunctions.register(spark)
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .withColumn("native", expr("byte_ngram_hashes(payload, 4)"))
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("declarative", expr(
+        """transform(sequence(0, CAST(ceil(length(hx) / 8.0) AS INT) - 1),
+             i -> CAST(conv(substr(md5(substr(hx, i * 8 + 1, 8)), 1, 8), 16, 10) AS BIGINT))"""))
+      .select(col("doc_id"), col("native"), col("declarative"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"hash mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("tail chunk shorter than the width hashes its remaining hex chars") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // 5 bytes -> one full 8-hex chunk + one 2-hex tail
+    val r = Seq(Array[Byte](0x41, 0x42, 0x43, 0x44, 0x45)).toDF("b")
+      .select(expr("byte_ngram_hashes(b, 4)").as("h"))
+      .head().getSeq[Long](0)
+    assert(r.length === 2)
+    def ref(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BigInt(1, md.digest(s.getBytes("UTF-8")).take(4)).toLong
+    }
+    assert(r(0) === ref("41424344"))
+    assert(r(1) === ref("45"))
+  }
+}
