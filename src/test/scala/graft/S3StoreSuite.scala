@@ -637,6 +637,52 @@ class S3StoreSuite extends AnyFunSuite {
     }
   }
 
+  test("concurrent writers serialize THROUGH injected 503s/ambiguous 500s on commit PUTs") {
+    // the production composition: OCC conflict retries × transport retries
+    // × ambiguity read-back, all at once. Faults target the commit plane
+    // (version JSON PUTs): a 503 before apply (pure retry), and an
+    // ambiguous 500 AFTER server-side apply (read-back must recognize the
+    // winner as itself, not abort as lost).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    import spark.implicits._
+    withS3 { (server, table) =>
+      DeltaTable.write(
+        (1 to 20).map(i => (i.toLong, s"r$i", i % 2)).toDF("id", "payload", "p"),
+        table, SaveMode.Append, partitionBy = Seq("p"))
+      (1 to 4).foreach { v =>
+        server.injectFault(S3Fault("PUT", f"$v%020d.json", 503))
+      }
+      server.injectFault(S3Fault("PUT", f"${2}%020d.json", 500, applyFirst = true))
+      val ops: Seq[() => Unit] = Seq(
+        () => DeltaTable.write(Seq((101L, "a1", 0)).toDF("id", "payload", "p"),
+          table, SaveMode.Append, partitionBy = Seq("p")),
+        () => DeltaTable.write(Seq((102L, "a2", 1)).toDF("id", "payload", "p"),
+          table, SaveMode.Append, partitionBy = Seq("p")),
+        () => DeltaDml.delete(spark, table, "p = 1 AND id <= 20"))
+      def untilCommitted(op: () => Unit): Unit = {
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 20) {
+          try { op(); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException => attempts += 1
+          }
+        }
+        assert(done, "op failed to commit within 20 conflict retries")
+      }
+      Await.result(
+        Future.sequence(ops.map(op => Future(untilCommitted(op)))), 300.seconds)
+      assert(DeltaLog.snapshot(spark, table).version === 3L,
+        "1 seed + 3 ops must serialize into a linear 4-version history")
+      val expected = (1L to 20L).filter(_ % 2 == 0).toSet ++ Set(101L, 102L)
+      val got = DeltaTable.read(spark, table).select("id").as[Long].collect().toSet
+      assert(got === expected,
+        "faults on the commit plane must not lose or double-apply any op")
+    }
+  }
+
   test("streaming CHECKPOINT lives on s3:// too, and a restart resumes exactly-once") {
     import spark.implicits._
     withS3 { (server, table) =>
