@@ -1,0 +1,82 @@
+package graft.sources.delta
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Per-commit version checksum (`_delta_log/<version>.crc`) — the
+  * consistency artifact delta clients publish beside every commit (the
+  * delta-spark `VersionChecksum` shape, subset): the POST-COMMIT
+  * snapshot's table totals, so a reader or repair pass can detect a log
+  * damaged by partial replication, manual edits, or a buggy writer by
+  * comparing two tiny numbers instead of re-deriving state from parquet
+  * footers.
+  *
+  * Format (one JSON object):
+  * `{"tableSizeBytes": N, "numFiles": N, "numMetadata": 1, "numProtocol": 1}`
+  *
+  * Writing is BEST-EFFORT from [[DeltaLog.tryCommit]]'s winner path: a
+  * checksum failure must never fail a commit (the artifact is advisory;
+  * readers treat a missing `.crc` as "not validated", same as every
+  * delta client). The totals come from replaying the just-committed
+  * version — at local scale a cheap second read of the log the writer
+  * just walked for conflict detection; a long-lived production writer
+  * would thread its incrementally-maintained post-commit snapshot here
+  * instead (same artifact, no re-read). Disable with
+  * `spark.graft.delta.writeChecksums=false`. */
+object DeltaChecksum {
+
+  final case class Crc(tableSizeBytes: Long, numFiles: Long)
+
+  private[delta] val CrcRe = """(\d{20})\.crc""".r
+
+  def crcPath(tablePath: String, version: Long): Path =
+    new Path(DeltaLog.logDir(tablePath), f"$version%020d.crc")
+
+  /** Best-effort post-commit publish; never throws. */
+  def write(spark: SparkSession, tablePath: String, version: Long): Unit =
+    try {
+      if (spark.conf.get("spark.graft.delta.writeChecksums", "true").toBoolean) {
+        val snap = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(version))
+        val mapper = new ObjectMapper()
+        val node = mapper.createObjectNode()
+        node.put("tableSizeBytes", snap.files.map(_.size).sum)
+        node.put("numFiles", snap.files.size.toLong)
+        node.put("numMetadata", 1L)
+        node.put("numProtocol", 1L)
+        val p = crcPath(tablePath, version)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val out = fs.create(p, true) // checksums are idempotent per version
+        out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+        out.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The recorded checksum for `version`, when one was published. */
+  def read(spark: SparkSession, tablePath: String, version: Long): Option[Crc] =
+    try {
+      val p = crcPath(tablePath, version)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val node = new ObjectMapper().readTree(content)
+        Some(Crc(node.get("tableSizeBytes").asLong(), node.get("numFiles").asLong()))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Compare the recorded checksum (when present) against the replayed
+    * snapshot at `version` (latest when unset). Returns
+    * `Some((recorded, actual))` on mismatch, `None` when consistent or
+    * unvalidatable (no `.crc` published). */
+  def validate(spark: SparkSession, tablePath: String,
+      version: Option[Long] = None): Option[(Crc, Crc)] = {
+    val snap = DeltaLog.snapshot(spark, tablePath, versionAsOf = version)
+    read(spark, tablePath, snap.version).flatMap { recorded =>
+      val actual = Crc(snap.files.map(_.size).sum, snap.files.size.toLong)
+      if (recorded == actual) None else Some((recorded, actual))
+    }
+  }
+}

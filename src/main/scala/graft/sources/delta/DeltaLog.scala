@@ -844,6 +844,7 @@ object DeltaLog {
       java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
       try {
         java.nio.file.Files.createLink(target.toPath, tmp.toPath)
+        DeltaChecksum.write(spark, tablePath, version) // best-effort, post-commit
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
@@ -861,6 +862,7 @@ object DeltaLog {
         val out = fs.create(target, false)
         out.write(content.getBytes("UTF-8"))
         out.close()
+        DeltaChecksum.write(spark, tablePath, version) // best-effort, post-commit
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false

@@ -996,7 +996,11 @@ object DeltaMaintenance {
     var deleted = 0L
     commits.foreach { case (v, st) =>
       if (v < newestCp && st.getModificationTime < cutoff)
-        if (fs.delete(st.getPath, false)) deleted += 1
+        if (fs.delete(st.getPath, false)) {
+          deleted += 1
+          // the commit's advisory checksum retires with it
+          fs.delete(DeltaChecksum.crcPath(tablePath, v), false)
+        }
     }
     checkpoints.foreach { case (v, sts) =>
       if (v < newestCp) sts.foreach { st =>
