@@ -481,6 +481,56 @@ object Dedup {
         .as("ce"))
   }
 
+  /** MinHash-LSH index-quality gate (dd12) — the dedup analog of ss05/
+    * ss08's ANN recall gates, the measurement a production dedup
+    * deployment runs before trusting banding parameters: exact near-dup
+    * TRUTH over the df-capped shingle universe (pairs sharing ≥1 capped
+    * shingle, Jaccard from inverted-index GROUP COUNTS — dd02's exact
+    * mechanism: sizes and intersections in the same universe, no array
+    * ops on the hot path; the df ≤ 20 cap prunes only ubiquitous
+    * shingles, which generate quadratic candidates and no near-dup
+    * signal) versus the dd03 pipeline's banding+verify OUTPUT. Reports
+    * both directions: recall (truth pairs the bands caught) and
+    * precision (band pairs inside the capped truth set — < 1 exposes
+    * pairs whose similarity rides on hot shingles). All counts
+    * deterministic, so the gate itself is oracle-hash-exact. */
+  private def dd12LshQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val ex = docs(s, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), expr("word_ngrams(toks, 3)").as("g"))
+    val capped = QueryCaches.persist(ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("df") <= 20)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("g"), col("sz")))
+    val truth = capped.as("a")
+      .join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(
+        round(col("n_inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 4) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val lsh = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val hit = truth.join(lsh, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_true")).crossJoin(
+        lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(
+        col("n_true"), col("n_lsh"), col("n_hit"),
+        (floor(col("n_hit").cast("double")
+          / nullif(col("n_true").cast("double"), lit(0.0)) * lit(10000.0))
+          / lit(10000.0)).as("recall"),
+        (floor(col("n_hit").cast("double")
+          / nullif(col("n_lsh").cast("double"), lit(0.0)) * lit(10000.0))
+          / lit(10000.0)).as("precision"))
+  }
+
   /** Exact-substring (span) dedup (dd11) — the remaining published dedup
     * modality (cf. `/root/reference/README.md` dedup scope; the technique
     * is the suffix-array exact-substring pass of Lee et al. 2022,
@@ -565,6 +615,33 @@ object Dedup {
         WHERE jac >= 0.5)"""
 
   val oracleSql: Map[String, String] = Map(
+    "dd12_lsh_quality" -> s"""
+      WITH RECURSIVE $duckVerifiedCtes,
+      ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh1),
+      capped AS (SELECT ex.doc_id, ex.g FROM ex
+                 JOIN (SELECT g FROM ex GROUP BY g HAVING count(*) <= 20) ok
+                 ON ex.g = ok.g),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+      inter2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                 FROM capped a JOIN capped b
+                 ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+      truth AS (
+        SELECT doc_a, doc_b FROM inter2
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter)::DOUBLE, 4) >= 0.5),
+      hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+              JOIN verified v ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b)
+      SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM verified) AS n_lsh,
+             (SELECT count(*) FROM hit) AS n_hit,
+             floor((SELECT count(*) FROM hit)::DOUBLE
+                   / nullif((SELECT count(*) FROM truth)::DOUBLE, 0.0) * 10000.0)
+               / 10000.0 AS recall,
+             floor((SELECT count(*) FROM hit)::DOUBLE
+                   / nullif((SELECT count(*) FROM verified)::DOUBLE, 0.0) * 10000.0)
+               / 10000.0 AS precision""",
     "dd11_substring_dedup" -> """
       WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
                  FROM documents),
@@ -799,5 +876,6 @@ object Dedup {
     "dd08_incremental_dedup" -> dd08IncrementalDedup,
     "dd09_segment_dedup" -> dd09SegmentDedup,
     "dd10_semdedup" -> dd10Semdedup,
-    "dd11_substring_dedup" -> dd11SubstringDedup)
+    "dd11_substring_dedup" -> dd11SubstringDedup,
+    "dd12_lsh_quality" -> dd12LshQuality)
 }
