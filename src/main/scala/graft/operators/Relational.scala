@@ -543,6 +543,36 @@ object Relational {
     * decorrelation stress. Catalyst rewrites them to a semi join + anti
     * join on l_orderkey (no per-row re-scan of lineitem), which is the
     * only shape that survives at 100 TB. */
+  /** TPC-H Q20 shape (excess-stock suppliers): nested IN chains with a
+    * correlated scalar aggregate at the bottom — the deepest
+    * decorrelation shape in the classic suite. The fixture carries no
+    * partsupp table, so availability derives from lineitem (all-time
+    * shipped quantity per (part, supplier)); the predicate compares it
+    * decimal-exact against the 1996 shipped quantity (doubled, so no
+    * fractional factor enters the decimal domain). Catalyst decorrelates
+    * the whole chain into semi joins + one keyed aggregate — no per-row
+    * re-scan (plan-pinned in spirit by q36's EXISTS pin). */
+  private def q37ExcessStock(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "supplier", "lineitem", "nation", "part")
+    s.sql("""
+      WITH partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s_suppkey, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND s_suppkey IN (
+          SELECT ps_suppkey FROM partsupp
+          WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+            AND ps_availqty * 2 > (SELECT sum(CAST(l_quantity AS DECIMAL(18,6)))
+                                   FROM lineitem
+                                   WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                                     AND l_shipdate >= TIMESTAMP '1996-01-01'
+                                     AND l_shipdate < TIMESTAMP '1997-01-01'))
+      ORDER BY s_suppkey
+    """)
+  }
+
   private def q36BlameSupplier(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "supplier", "lineitem", "orders")
     s.sql("""
@@ -984,6 +1014,22 @@ object Relational {
       FROM per_part, total
       WHERE value * 5000 > grand
       ORDER BY value DESC, l_partkey""",
+    "q37_excess_stock" -> """
+      WITH partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s_suppkey, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND s_suppkey IN (
+          SELECT ps_suppkey FROM partsupp
+          WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+            AND ps_availqty * 2 > (SELECT sum(CAST(l_quantity AS DECIMAL(18,6)))
+                                   FROM lineitem
+                                   WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                                     AND l_shipdate >= TIMESTAMP '1996-01-01'
+                                     AND l_shipdate < TIMESTAMP '1997-01-01'))
+      ORDER BY s_suppkey""",
     "q36_blame_supplier" -> """
       SELECT s_name, count(*) AS numwait
       FROM supplier, lineitem l1, orders
@@ -1011,6 +1057,7 @@ object Relational {
     "q34_top_supplier" -> q34TopSupplier,
     "q35_revenue_share" -> q35RevenueShare,
     "q36_blame_supplier" -> q36BlameSupplier,
+    "q37_excess_stock" -> q37ExcessStock,
     "q24_volume_pairs" -> q24VolumePairs,
     "q25_disjunctive" -> q25Disjunctive,
     "q26_global_avg_anti" -> q26GlobalAvgAnti,
