@@ -109,6 +109,60 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CURATION capstone: doc stream -> quality+dedup filters -> exactly-once delta sink") {
+    // the end-to-end streaming shape of the batch pp01 pipeline: arriving
+    // documents are quality-scored (tx02's formula), streaming-deduped on
+    // content hash, and land in a Delta table through the native sink —
+    // restart-redelivery collapses via the sink's SetTransaction tags.
+    implicit val ctx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft-stream-cur").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-cur-ck").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    def curated(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+        .withColumn("n_tok", size(col("toks")).cast("double"))
+        .withColumn("sr", expr(
+          "size(filter(toks, x -> array_contains(array('the','a','of','and','to','in','is'), x)))")
+          .cast("double") / nullif(col("n_tok"), lit(0.0)))
+        .withColumn("ls", least(lit(1.0), col("n_tok") / lit(100.0)))
+        .withColumn("pr", expr("regexp_count(text, '[^a-z0-9 ]')").cast("double")
+          / nullif(length(col("text")).cast("double"), lit(0.0)))
+        .withColumn("score",
+          floor((lit(0.5) * col("sr") + lit(0.3) * col("ls") + lit(0.2) * (lit(1.0) - col("pr")))
+            * lit(10000.0)) / lit(10000.0))
+        .filter(col("score") >= 0.25) // drop 'poor'
+        .withColumn("h", md5(col("text")))
+        .select(col("doc_id"), col("h"), col("score"))
+    val q = curated(in.toDF().toDF("doc_id", "text"))
+      .dropDuplicates("h") // streaming exact dedup on content hash
+      .writeStream
+      .format("delta")
+      .option("checkpointLocation", ckpt)
+      .option("path", table)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val (first, rest) = docs.splitAt(docs.size / 2)
+      in.addData(first); q.processAllAvailable()
+      in.addData(rest); q.processAllAvailable()
+      in.addData(first.take(5)) // redelivered content -> dedup drops it
+      q.processAllAvailable()
+    } finally q.stop()
+    // equivalence: the batch composition over the same fixture. Compared
+    // on the content HASH set — dropDuplicates keeps an arbitrary row per
+    // group, so doc_id choice may differ between arrival and scan order.
+    val expected = curated(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .select("h").distinct().as[String].collect().toSet
+    val got = graft.sources.delta.DeltaTable.read(spark, table)
+      .select("h").as[String].collect().toSeq
+    assert(got.size === got.toSet.size, "no content lands twice")
+    assert(got.toSet === expected, "streaming curation equals the batch composition")
+  }
+
   test("arbitrary stateful aggregation: flatMapGroupsWithState running totals") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
