@@ -58,9 +58,9 @@ object ScaleCheck {
     val genSec = (System.nanoTime() - genT0) / 1e9
 
     // ---- stage 2: probe queries at both scales
-    val prefixes = Seq("dd03", "dd08", "dd09", "dd10", "dd11", "ss02", "ss06",
-      "ss07", "ss09", "ss10", "dl06", "dl10", "q24", "pp01", "pp09", "pp10",
-      "pp11", "pp12", "tx08", "tx09", "mm05")
+    val prefixes = Seq("dd03", "dd08", "dd09", "dd10", "dd11", "dd12", "ss02",
+      "ss06", "ss07", "ss09", "ss10", "dl06", "dl10", "q24", "q37", "pp01",
+      "pp09", "pp10", "pp11", "pp12", "tx08", "tx09", "mm05")
     val probes = prefixes.map(p =>
       SparkEntry.queries.keys.find(_.startsWith(p)).getOrElse(
         sys.error(s"no registered query with prefix $p")))
