@@ -76,4 +76,23 @@ class DeltaChecksumSuite extends AnyFunSuite {
     assert(DeltaChecksum.read(spark, table, 12L).isDefined,
       "the newest version keeps its crc")
   }
+
+  test("FSCK repair republishes a checksum reflecting the repaired state") {
+    val table = tmpTable()
+    DeltaTable.write(Seq((1L, "a")).toDF("id", "v").coalesce(1), table, SaveMode.Append)
+    DeltaTable.write(Seq((2L, "b")).toDF("id", "v").coalesce(1), table, SaveMode.Append)
+    // vandalize one data file behind the log's back
+    val snap = DeltaLog.snapshot(spark, table)
+    val victim = new java.io.File(
+      new org.apache.hadoop.fs.Path(table, snap.files.head.path).toUri.getPath)
+    assert(victim.delete(), "fixture data file must be removable")
+    assert(DeltaMaintenance.fsck(spark, table).nonEmpty, "FSCK must repair")
+    val repaired = DeltaLog.snapshot(spark, table)
+    assert(repaired.version === 2L)
+    val crc = DeltaChecksum.read(spark, table, repaired.version)
+    assert(crc.isDefined, "the repair commit must publish a checksum")
+    assert(crc.get.numFiles === repaired.files.size.toLong)
+    assert(DeltaChecksum.validate(spark, table).isEmpty,
+      "post-repair table must validate clean")
+  }
 }
