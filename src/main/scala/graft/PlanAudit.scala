@@ -36,6 +36,11 @@ object PlanAudit {
           df.collect() // run so AQE finalizes the plan
           out.println(df.queryExecution.executedPlan.toString)
         } catch { case e: Throwable => out.println(s"ERROR: ${e.getMessage}") }
+        // audited plans must be the plans a FRESH session runs: leftover
+        // registered caches would make the CacheManager substitute
+        // InMemoryRelations into later queries' matching subtrees (the
+        // PlanShapeSuite lesson), masking broadcasts/pushdowns
+        finally graft.operators.QueryCaches.release()
       }
     out.close()
     spark.stop()

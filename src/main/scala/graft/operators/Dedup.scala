@@ -65,27 +65,31 @@ object Dedup {
         expr("count_if(c > 1)").as("n_dup_groups"),
         (sum(col("c")) - count(lit(1))).as("n_dropped"))
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index join-count. */
-  private def dd02NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** The df-capped (≤ 20) shingle-occurrence universe with per-doc set
+    * sizes — dd02's exact-Jaccard machinery, shared VERBATIM by the dd12
+    * quality gate so the gate's truth can never desync from the operator
+    * it validates. word_ngrams is a custom Generator (one evaluation per
+    * document by Generate's contract); the frame is persisted because
+    * the self-join consumes it on both sides. The document-frequency cap
+    * exists because hot shingles produce quadratic bucket fan-out and
+    * carry no near-dup signal; Jaccard downstream is exact over the
+    * capped universe (sizes and intersections in the same universe). */
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    // word_ngrams is a custom Generator (one evaluation per document by
-    // Generate's contract — no HOF-re-evaluation-per-output-row wart);
-    // persisted because the self-join below consumes it on both sides.
     val ex = docs(s, dir)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .select(col("doc_id"), expr("word_ngrams(toks, 3)").as("g"))
-    // document-frequency cap: hot shingles produce quadratic bucket fan-out
-    // and carry no near-dup signal; Jaccard below is exact over the capped
-    // shingle universe (both sizes and intersections use the same universe).
-    // df and set size come from window counts (one shuffle each, no joins),
-    // and the result is persisted so the self-join doesn't re-run the
-    // interpreted shingling expression on both sides.
-    val capped = QueryCaches.persist(ex
+    QueryCaches.persist(ex
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("df") <= 20)
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("g"), col("sz")))
+  }
+
+  /** Capped-universe pair statistics: (doc_a, doc_b, sz_a, sz_b, n_inter)
+    * from the inverted-index self-join group-count (no array ops). */
+  private def cappedPairStats(capped: DataFrame): DataFrame =
     capped.as("a")
       .join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -93,13 +97,16 @@ object Dedup {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("n_inter"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join-count. */
+  private def dd02NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    cappedPairStats(cappedShingles(s, dir))
       .select(
         col("doc_a"), col("doc_b"), col("n_inter"),
         round(col("n_inter").cast("double")
           / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 4).as("jac"))
       .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
       .limit(20)
-  }
 
   // Permutation constants live in MinHashConstants (single source of truth
   // for the native expression AND these oracle-SQL literals).
@@ -495,23 +502,7 @@ object Dedup {
     * pairs whose similarity rides on hot shingles). All counts
     * deterministic, so the gate itself is oracle-hash-exact. */
   private def dd12LshQuality(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(s)
-    val ex = docs(s, dir)
-      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
-      .select(col("doc_id"), expr("word_ngrams(toks, 3)").as("g"))
-    val capped = QueryCaches.persist(ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("df") <= 20)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("g"), col("sz")))
-    val truth = capped.as("a")
-      .join(capped.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val truth = cappedPairStats(cappedShingles(s, dir))
       .filter(
         round(col("n_inter").cast("double")
           / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 4) >= 0.5)
@@ -582,6 +573,20 @@ object Dedup {
       .limit(30)
   }
 
+  /** Shared oracle CTE chain for the df-capped pair statistics (mirrors
+    * [[cappedShingles]]+[[cappedPairStats]]; `src` is a CTE of
+    * (doc_id, shingles)): cap_ex → capped → cap_sizes → cap_inter. */
+  private def duckCappedPairCtes(src: String): String = s"""
+      cap_ex AS (SELECT doc_id, unnest(shingles) AS g FROM $src),
+      capped AS (SELECT cap_ex.doc_id, cap_ex.g FROM cap_ex
+                 JOIN (SELECT g FROM cap_ex GROUP BY g HAVING count(*) <= 20) ok
+                 ON cap_ex.g = ok.g),
+      cap_sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+      cap_inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                    FROM capped a JOIN capped b
+                    ON a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)"""
+
   /** Shared oracle CTE chain ending in `verified` = the MinHash-LSH
     * verified near-dup edge list (mirrors [[verifiedPairs]]). */
   private[operators] lazy val duckVerifiedCtes: String = s"""
@@ -617,19 +622,11 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "dd12_lsh_quality" -> s"""
       WITH RECURSIVE $duckVerifiedCtes,
-      ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh1),
-      capped AS (SELECT ex.doc_id, ex.g FROM ex
-                 JOIN (SELECT g FROM ex GROUP BY g HAVING count(*) <= 20) ok
-                 ON ex.g = ok.g),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
-      inter2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-                 FROM capped a JOIN capped b
-                 ON a.g = b.g AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
+      ${duckCappedPairCtes("sh1")},
       truth AS (
-        SELECT doc_a, doc_b FROM inter2
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
+        SELECT doc_a, doc_b FROM cap_inter
+        JOIN cap_sizes sa ON sa.doc_id = doc_a
+        JOIN cap_sizes sb ON sb.doc_id = doc_b
         WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter)::DOUBLE, 4) >= 0.5),
       hit AS (SELECT t.doc_a, t.doc_b FROM truth t
               JOIN verified v ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b)
@@ -678,20 +675,12 @@ object Dedup {
       FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)""",
     "dd02_ngram_jaccard" -> s"""
       WITH sh AS ($duckShingled),
-      ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-      capped AS (SELECT ex.doc_id, ex.g FROM ex
-                 JOIN (SELECT g FROM ex GROUP BY g HAVING count(*) <= 20) ok
-                 ON ex.g = ok.g),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
-      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-                FROM capped a JOIN capped b
-                ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
+      ${duckCappedPairCtes("sh")}
       SELECT doc_a, doc_b, n_inter,
              round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter)::DOUBLE, 4) AS jac
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
+      FROM cap_inter
+      JOIN cap_sizes sa ON sa.doc_id = doc_a
+      JOIN cap_sizes sb ON sb.doc_id = doc_b
       ORDER BY jac DESC, doc_a, doc_b LIMIT 20""",
     "dd03_minhash_lsh" -> s"""
       WITH $duckVerifiedCtes

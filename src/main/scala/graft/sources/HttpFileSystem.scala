@@ -96,7 +96,9 @@ class HttpFileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val len = getFileStatus(f).getLen
-    new FSDataInputStream(new HttpSeekableInputStream(urlOf(f), len))
+    new FSDataInputStream(new HttpSeekableInputStream(urlOf(f), len,
+      connectTimeoutMs = getConf.getInt("fs.http.connect.timeout.ms", 15000),
+      readTimeoutMs = getConf.getInt("fs.http.read.timeout.ms", 60000)))
   }
 
   /** HTTP has no listing protocol: a path IS one object. */
@@ -135,7 +137,8 @@ class HttpsFileSystem extends HttpFileSystem {
   *        seam stores with authenticated GETs (S3 SigV4) plug into */
 private[graft] class HttpSeekableInputStream(
     url: URL, length: Long, prepare: HttpURLConnection => Unit = _ => (),
-    maxRetries: Int = 3, retryBaseMs: Long = 100L)
+    maxRetries: Int = 3, retryBaseMs: Long = 100L,
+    connectTimeoutMs: Int = 15000, readTimeoutMs: Int = 60000)
   extends InputStream with Seekable with PositionedReadable {
 
   private var pos = 0L
@@ -174,7 +177,7 @@ private[graft] class HttpSeekableInputStream(
     if (in == null || streamPos != pos) {
       if (in != null) { in.close(); in = null }
       val conn = url.openConnection().asInstanceOf[HttpURLConnection]
-      HttpTimeouts(conn)
+      HttpTimeouts(conn, connectTimeoutMs, readTimeoutMs)
       if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
       prepare(conn)
       val code = conn.getResponseCode
@@ -229,7 +232,7 @@ private[graft] class HttpSeekableInputStream(
     if (want <= 0) return 0
     withRetries { () =>
       val conn = url.openConnection().asInstanceOf[HttpURLConnection]
-      HttpTimeouts(conn)
+      HttpTimeouts(conn, connectTimeoutMs, readTimeoutMs)
       conn.setRequestProperty("Range", s"bytes=$position-${position + want - 1}")
       prepare(conn)
       try {

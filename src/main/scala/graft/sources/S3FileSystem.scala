@@ -366,7 +366,9 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     val canonicalPath = s"/$bucket/${uriEncode(key, keepSlash = true)}"
     val url = new URL(s"$endpoint$canonicalPath")
     new FSDataInputStream(new HttpSeekableInputStream(url, st.getLen,
-      conn => sign(conn, "GET", canonicalPath, Nil, EmptySha), retryLimit, retryBaseMs))
+      conn => sign(conn, "GET", canonicalPath, Nil, EmptySha), retryLimit, retryBaseMs,
+      connectTimeoutMs = getConf.getInt("fs.s3.connect.timeout.ms", 15000),
+      readTimeoutMs = getConf.getInt("fs.s3.read.timeout.ms", 60000)))
   }
 
   // ---- write ----
@@ -475,7 +477,43 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
         s"<Part><PartNumber>$pn</PartNumber><ETag>$etag</ETag></Part>"
       }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
       val body = xml.getBytes(UTF_8)
-      retrying(s"complete multipart $key") { () =>
+      // AMBIGUITY-AWARE completion for the create-if-absent contract
+      // (mirrors conditionalPut's read-back): a COMPLETE applied server-
+      // side whose 200 is lost makes a blind retry see 412 (If-None-Match
+      // against our OWN object) or 404 NoSuchUpload (the consumed
+      // uploadId) — both must resolve to success, not a false loss/abort.
+      // The read-back compares CONTENT (md5 of the visible object vs the
+      // local temp file — length alone cannot tell our upload from a
+      // same-length rival that won a genuine race), the same discipline
+      // as conditionalPut's byte compare; it runs only on the rare
+      // ambiguous path, never per upload.
+      val expectedLen = java.nio.file.Files.size(tmp)
+      lazy val expectedMd5: Array[Byte] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val in = java.nio.file.Files.newInputStream(tmp)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = 0
+          while ({ n = in.read(buf); n > 0 }) md.update(buf, 0, n)
+        } finally in.close()
+        md.digest()
+      }
+      def appliedByUs(): Boolean =
+        try {
+          val target = new Path(s"s3://$bucket/$key")
+          if (getFileStatus(target).getLen != expectedLen) false
+          else {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val in = open(target, 1 << 16)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = 0
+              while ({ n = in.read(buf); n > 0 }) md.update(buf, 0, n)
+            } finally in.close()
+            java.util.Arrays.equals(md.digest(), expectedMd5)
+          }
+        } catch { case _: java.io.FileNotFoundException => false }
+      try retrying(s"complete multipart $key") { () =>
         val done = connect("POST", key, Seq("uploadId" -> uploadId), sha256(body))
         if (failIfExists) done.setRequestProperty("If-None-Match", "*")
         done.setDoOutput(true)
@@ -488,6 +526,11 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
           throw new FileAlreadyExistsException(s"s3://$bucket/$key already exists")
         if (code != 200)
           httpError(code, s"complete multipart s3://$bucket/$key -> HTTP $code")
+      } catch {
+        case _: FileAlreadyExistsException if failIfExists && appliedByUs() => ()
+        case e: IOException
+          if failIfExists && !e.isInstanceOf[FileAlreadyExistsException]
+            && appliedByUs() => ()
       }
     } catch {
       case e: Throwable =>

@@ -28,8 +28,6 @@ object DeltaChecksum {
 
   final case class Crc(tableSizeBytes: Long, numFiles: Long)
 
-  private[delta] val CrcRe = """(\d{20})\.crc""".r
-
   def crcPath(tablePath: String, version: Long): Path =
     new Path(DeltaLog.logDir(tablePath), f"$version%020d.crc")
 

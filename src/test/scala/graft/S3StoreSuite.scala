@@ -117,6 +117,11 @@ class FakeS3Server(accessKey: String, secretKey: String) {
         // apply the mutation server-side, then fail the RESPONSE — the
         // ambiguous outcome a real S3 500 after a successful write produces
         applyPut(ex, rawPath, body)
+      if (f.applyFirst && ex.getRequestMethod == "POST" && query.contains("uploadId"))
+        // ambiguous CompleteMultipartUpload: applied (upload consumed,
+        // object visible) but the 200 never reaches the client
+        completeUpload(query("uploadId"),
+          Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*"))
       ex.sendResponseHeaders(f.code, -1); ex.close(); return
     }
     val isList = query.get("list-type").contains("2")
@@ -152,22 +157,16 @@ class FakeS3Server(accessKey: String, secretKey: String) {
       case ("POST", _) if query.contains("uploadId") =>
         // CompleteMultipartUpload — honors `If-None-Match: *` (S3 supports
         // conditional completes); a lost conditional leaves the upload in
-        // place for the client to abort, like real S3
-        val (path, parts) = uploads.get(query("uploadId"))
-        val conditional =
-          Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
-        val whole = parts.asScala.toSeq.sortBy(_._1).map(_._2)
-          .foldLeft(Array.emptyByteArray)(_ ++ _)
-        val won =
-          if (conditional) objects.putIfAbsent(path, whole) == null
-          else { objects.put(path, whole); true }
-        if (!won) { ex.sendResponseHeaders(412, -1); ex.close() }
-        else {
-          uploads.remove(query("uploadId"))
-          multipartCompletions += 1
-          val xml = "<CompleteMultipartUploadResult/>".getBytes(UTF_8)
-          ex.sendResponseHeaders(200, xml.length.toLong)
-          ex.getResponseBody.write(xml); ex.close()
+        // place for the client to abort, like real S3; a CONSUMED id (a
+        // retry after an applied-but-unacknowledged complete) gets 404
+        // NoSuchUpload, also like real S3
+        completeUpload(query("uploadId"),
+          Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")) match {
+          case 200 =>
+            val xml = "<CompleteMultipartUploadResult/>".getBytes(UTF_8)
+            ex.sendResponseHeaders(200, xml.length.toLong)
+            ex.getResponseBody.write(xml); ex.close()
+          case code => ex.sendResponseHeaders(code, -1); ex.close()
         }
       case ("DELETE", _) if query.contains("uploadId") =>
         // AbortMultipartUpload: release the stored parts
@@ -205,6 +204,21 @@ class FakeS3Server(accessKey: String, secretKey: String) {
   /** Apply the PUT's mutation (copy / conditional / plain); returns the
     * status it produces — shared by the normal handler and the
     * applyFirst fault path. */
+  /** CompleteMultipartUpload core: 200 applied, 412 conditional loss,
+    * 404 NoSuchUpload (consumed/unknown id). */
+  private def completeUpload(uploadId: String, conditional: Boolean): Int = {
+    val entry = uploads.get(uploadId)
+    if (entry == null) return 404
+    val (path, parts) = entry
+    val whole = parts.asScala.toSeq.sortBy(_._1).map(_._2)
+      .foldLeft(Array.emptyByteArray)(_ ++ _)
+    val won =
+      if (conditional) objects.putIfAbsent(path, whole) == null
+      else { objects.put(path, whole); true }
+    if (!won) 412
+    else { uploads.remove(uploadId); multipartCompletions += 1; 200 }
+  }
+
   private def applyPut(ex: HttpExchange, path: String, body: Array[Byte]): Int = {
     val copySource = Option(ex.getRequestHeaders.getFirst("x-amz-copy-source"))
     val conditional = Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
@@ -485,6 +499,32 @@ class S3StoreSuite extends AnyFunSuite {
           === "A" * 300, "the first writer's object must survive")
         assert(server.multipartAborts >= 1, "the losing upload must be aborted")
         assert(server.activeUploads === 0, "no orphaned multipart uploads may remain")
+      } finally {
+        hc.unset("fs.s3.multipart.threshold"); hc.unset("fs.s3.multipart.size")
+      }
+    }
+  }
+
+  test("ambiguous 500 AFTER an applied multipart COMPLETE resolves by read-back, no abort") {
+    withS3 { (server, table) =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3.multipart.threshold", "64")
+      hc.set("fs.s3.multipart.size", "64")
+      try {
+        val fs = fsOf(table)
+        val p = new Path(s"$table/big-ambig.bin")
+        // the COMPLETE applies server-side but its 200 is lost; the blind
+        // retry hits 404 NoSuchUpload (consumed id) — the writer must
+        // recognize its own object (unique key + expected length) and
+        // report success, never a loss, never an abort of a live object
+        server.injectFault(
+          S3Fault("POST", "big-ambig.bin", 500, applyFirst = true, queryContains = "uploadId"))
+        val out = fs.create(p, false)
+        out.write(("C" * 300).getBytes(UTF_8)); out.close()
+        assert(new String(server.get(s"bucket/${new Path(table).getName}/big-ambig.bin"), UTF_8)
+          === "C" * 300, "the applied upload must be the visible object")
+        assert(server.activeUploads === 0, "the consumed upload leaves no orphan")
+        assert(fs.getFileStatus(p).getLen === 300L)
       } finally {
         hc.unset("fs.s3.multipart.threshold"); hc.unset("fs.s3.multipart.size")
       }
