@@ -151,6 +151,10 @@ object GraftFunctions {
       }
       WordNGramsArray(exprs.head, n)
     },
+    "hp_bucket8" -> { exprs =>
+      require(exprs.length == 1, s"hp_bucket8 expects 1 argument, got ${exprs.length}")
+      HyperplaneBucket(exprs.head)
+    },
     "byte_ngram_hashes" -> { exprs =>
       require(exprs.length == 2, s"byte_ngram_hashes expects 2 arguments, got ${exprs.length}")
       val n = exprs(1) match {

@@ -62,11 +62,17 @@ object Similarity {
 
   /** The 8-bit hyperplane bucket of col("e") — ss02's partitioner, shared
     * with Dedup's dd07 (global embedding near-dup via the same buckets).
-    * The plane matrix is a [[typedLit]] — a real Literal node. An inline
-    * `array(array(…))` SQL literal is NOT constant-folded inside lambda
-    * bodies, so every element access would rebuild the 512-element array
-    * (measured 3–4× slower on ss02). */
-  private[operators] def bucketCol: org.apache.spark.sql.Column = {
+    * Now the native [[graft.functions.HyperplaneBucket]] expression (one
+    * primitive loop per row; the plane signs live in the expression's
+    * companion, same md5-parity formula) — the HOF fold it replaces is
+    * kept below as [[legacyBucketCol]] for the parity pin. */
+  private[operators] def bucketCol: org.apache.spark.sql.Column =
+    expr("hp_bucket8(e)")
+
+  /** The original HOF formulation of the bucket (interpreted lambda
+    * dispatch per element) — retained ONLY as the independent formula the
+    * parity spec checks the native expression against. */
+  private[graft] def legacyBucketCol: org.apache.spark.sql.Column = {
     val planesLit = typedLit(planes.map(_.toSeq))
     aggregate(
       sequence(lit(0), lit(7)), lit(0L),
