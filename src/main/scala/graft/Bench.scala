@@ -92,16 +92,17 @@ object Bench {
         else times.max / math.max(times.min, 1e-9)
       (name, best, spread)
     }
-    // ms precision + short keys (the unique "q01"/"fn13" prefix of each
-    // query name): the driver parses the line from a 2000-char stdout tail
-    // capture, so with 100+ queries every byte of the map counts — full
-    // names blew past the window in r2 (13 entries lost) and would again.
-    // Per-query spreads would double the map; the max/median spread pair
-    // below carries the stability signal in two fields.
+    // The driver records a 2000-char TAIL of stdout, so the LAST line must
+    // be a complete JSON object under that window — r13 proved it: one
+    // 2.3 KB line lost its head (metric/total/anchor fields) and the driver
+    // recorded "parsed": null, blinding the round's perf gate and hiding
+    // the anchor stats that would have flagged the polluted run.
+    // Emission contract now: line 1 = full-precision JSON (humans, logs,
+    // local diffing); final line = header + a precision-adaptive compact
+    // queries map, shrunk until the whole line fits comfortably inside the
+    // capture window. Short keys (the unique "q01"/"fn13" prefix) on both.
     def ms(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => s"\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val spreads = results.filter(_._2 >= 0).map(_._3)
@@ -111,7 +112,24 @@ object Bench {
     val spreadMed = if (spreads.isEmpty) 1.0 else spreads.sorted.apply(spreads.size / 2)
     val (aMin, aMax) = if (anchorTimes.isEmpty) (-1.0, -1.0) else (anchorTimes.min, anchorTimes.max)
     val aSpread = if (aMin <= 0) -1.0 else aMax / math.max(aMin, 1e-9)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"reps":$reps,"spread_max":${ms(spreadMax)},"spread_max_q":"$spreadQ","spread_med":${ms(spreadMed)},"anchor_min":${ms(aMin)},"anchor_max":${ms(aMax)},"anchor_spread":${ms(aSpread)},"queries":$qs,"sf":"$sfDir"}""")
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"reps":$reps,"spread_max":${ms(spreadMax)},"spread_max_q":"$spreadQ","spread_med":${ms(spreadMed)},"anchor_min":${ms(aMin)},"anchor_max":${ms(aMax)},"anchor_spread":${ms(aSpread)},"queries":$qs,"sf":"$sfDir"}"""
+    def qmap(scale: Int): String = results.map { case (k, v, _) =>
+      val s = if (v < 0) "-1" else {
+        // trim trailing zeros ("3.40"→"3.4", "2.00"→"2") — with 150+ queries
+        // every byte of the final line counts against the capture window
+        val r = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+        if (r.contains('.')) r.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else r
+      }
+      "\"" + k.takeWhile(_ != '_') + "\":" + s
+    }.mkString("{", ",", "}")
+    println(line(qmap(3)))
+    // final line: first precision whose full line fits the 2000-char tail
+    // with margin; worst case (all timings 5 digits at 1 decimal) drops the
+    // map entirely rather than emit an unparseable truncated line
+    val compact = Seq(3, 2, 1).map(s => line(qmap(s))).find(_.length <= 1900)
+      .getOrElse(line("{}"))
+    println(compact)
     spark.stop()
   }
 }

@@ -21,6 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   * of ~len/n interpreted lambda dispatches + per-piece Md5 expression
   * trees (the mm05 hot path: measured 3.2s → sub-2s at sf0.1).
   *
+  * NONEMPTY-input precondition for the parity claim: on an EMPTY payload
+  * this expression returns an empty array, while the declarative recipe's
+  * `sequence(0, ceil(0/2n)-1)` = `sequence(0, -1)` yields a DESCENDING
+  * [0, -1] and would hash two phantom chunks — callers (mm05) filter
+  * empty payloads before this point, and ByteNGramHashesSuite pins the
+  * empty-payload divergence explicitly.
+  *
   * Stays CodegenFallback: the md5 calls dominate, and the expression
   * feeds [[SimHash16]], which IS codegen'd. */
 case class ByteNGramHashes(child: Expression, nBytes: Int)

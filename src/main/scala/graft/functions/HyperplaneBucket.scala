@@ -33,6 +33,21 @@ case class HyperplaneBucket(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val e = input.asInstanceOf[ArrayData]
+    // the plane table is exactly 64-dim: a short array would otherwise
+    // throw a bare ArrayIndexOutOfBounds from deep inside getFloat, a
+    // long one would silently ignore dims, and a null element would read
+    // as 0.0 — fail loudly instead (the fixture schema is 64-dim
+    // non-null; anything else is caller error, not data)
+    if (e.numElements() != 64)
+      throw new IllegalArgumentException(
+        s"hp_bucket8 expects a 64-dim array<float>, got ${e.numElements()} elements")
+    var i = 0
+    while (i < 64) {
+      if (e.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"hp_bucket8 expects non-null elements, found null at index $i")
+      i += 1
+    }
     val signs = HyperplaneBucket.Signs
     var bucket = 0L
     var p = 0

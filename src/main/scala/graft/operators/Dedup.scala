@@ -80,9 +80,23 @@ object Dedup {
     val ex = docs(s, dir)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .select(col("doc_id"), expr("word_ngrams(toks, 3)").as("g"))
-    QueryCaches.persist(ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("df") <= 20)
+    // df via groupBy (map-side partial combine) + ANTI-join of the small
+    // hot set, NOT count().over(Window.partitionBy(g)): the window would
+    // shuffle EVERY occurrence of a hot shingle into one partition before
+    // the cap could drop it — boilerplate shingles, the very keys the cap
+    // exists to kill, are exactly the skewed ones. groupBy pre-aggregates
+    // per input partition (a hot shingle ships one (g, count) row per
+    // partition, not all its occurrences), and the hot set itself
+    // (df > 20) is tiny relative to the shingle universe, so the anti-join
+    // broadcasts under AQE and the occurrence stream never hash-exchanges
+    // on g at this stage at all. The per-doc size keeps a window — its
+    // partitions are doc-sized (bounded by document length), skew-free by
+    // construction, and it keeps the pipeline single-pass downstream of
+    // the anti-join.
+    val hot = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 20)
+      .select(col("g"))
+    QueryCaches.persist(ex.join(hot, Seq("g"), "left_anti")
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("g"), col("sz")))
   }
@@ -419,9 +433,10 @@ object Dedup {
     * across engines (a float avg() would be summation-order-dependent
     * and break the oracle hash). The mean aggregation is 64 per-dim
     * sums in ONE hash aggregate (map-side partial, K×65 output rows) —
-    * no explode, no N×64 shuffle. K grows with the corpus at scale; the
-    * within-cluster self-join is an equi-join on cid, the blocked-join
-    * shape every near-dup operator in this module uses. */
+    * no explode, no N×64 shuffle. K = [[Similarity.coarseK]](N) ≈ √N
+    * grows with the corpus (see [[dd10Seeds]]); the within-cluster
+    * self-join is an equi-join on cid, the blocked-join shape every
+    * near-dup operator in this module uses. */
   private def dd10Semdedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val v = s.read.parquet(s"$dir/embeddings.parquet")
@@ -463,12 +478,15 @@ object Dedup {
         first(col("e")).as("e"))
       .select(col("vec_id"), col("e"), col("m.cid").as("cid"))
 
-  /** Deterministic hash-sampled seeds (K vectors ranked first by
-    * md5(vec_id)) — TakeOrdered over the corpus, no shuffle. */
+  /** Deterministic hash-sampled seeds (the K = [[Similarity.coarseK]](N)
+    * ≈ √N vectors ranked first by md5(vec_id)) — TakeOrdered over the
+    * corpus (map-side heaps, no global sort). K derived from the corpus
+    * size keeps Σ|cluster|² ≈ N·√N — a FIXED K decays to quadratic
+    * N²/K at scale; the one count() pre-pass is the pp09 idiom. */
   private[operators] def dd10Seeds(v: DataFrame): DataFrame =
     v.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id"))
-      .limit(16)
+      .limit(Similarity.coarseK(v.count()).toInt)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
 
   /** One Lloyd update: assign to seeds, recompute each centroid as the
@@ -523,8 +541,8 @@ object Dedup {
   }
 
   /** Exact-substring (span) dedup (dd11) — the remaining published dedup
-    * modality (cf. `/root/reference/README.md` dedup scope; the technique
-    * is the suffix-array exact-substring pass of Lee et al. 2022,
+    * modality (no reference-engine counterpart; the technique is the
+    * suffix-array exact-substring pass of Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): a token
     * position is DUPLICATED when its k-word window (k = 4) recurs
     * anywhere in the corpus (same or another document), covered tokens
@@ -721,8 +739,11 @@ object Dedup {
       WITH v AS (SELECT vec_id, embedding AS e, ${Similarity.duckNrm} AS nrm
                  FROM embeddings),
       seeds AS (
-        SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
-        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM (
+          SELECT vec_id, e, nrm,
+                 row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS srn
+          FROM v)
+        WHERE srn <= ${Similarity.duckK}),
       a1 AS (
         SELECT vec_id, e, cid FROM (
           SELECT v.vec_id, v.e, seeds.cid,

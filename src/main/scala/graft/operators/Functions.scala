@@ -244,10 +244,23 @@ object Functions {
         expr("bool_or(l_discount > 0.05)").cast("int").as("any_disc"))
       .orderBy(col("l_returnflag"))
 
-  /** Approximate sketches (HLL, quantile digest) beside their exact
-    * counterparts. No SQL oracle — sketch internals are engine-specific —
-    * so the driver records a rows-only check; the exact columns let a
-    * human eyeball the sketch error. */
+  /** Approximate sketches (HLL distinct, quantile digest) GATED by their
+    * published error bounds. The sketch VALUES are engine-specific (no
+    * SQL engine reproduces Spark's HLL++ registers or GK summary), so
+    * this query outputs the exact aggregates plus booleans-as-ints
+    * asserting each sketch landed inside its bound; the oracle states the
+    * bounds hold (1), making the hash gate a real sketch-accuracy check
+    * instead of the rows-only fallback it was through r13. Deterministic
+    * for fixed data: HLL register merges are commutative max (partition
+    * order can't change the estimate), and the rank window is generous
+    * enough to absorb any GK-summary merge-order wobble.
+    *  - approx_count_distinct (default rsd 5%): |approx − exact| ≤
+    *    0.15·exact (3·rsd, the standard HLL confidence envelope);
+    *  - percentile_approx(0.5, accuracy 10000): the returned value (an
+    *    actual data element) must occupy a rank interval intersecting the
+    *    target median rank ± (N/1000 + 2) — 10× looser than the 1/acc
+    *    rank-error guarantee, still tight enough that a broken sketch
+    *    (e.g. min/max/garbage) fails the gate. */
   private def fn11ApproxSketch(s: SparkSession, dir: String): DataFrame = {
     // the distinct aggregate runs SEPARATELY from the imperative sketches:
     // mixing countDistinct with object-buffer aggregates in one Aggregate
@@ -256,12 +269,28 @@ object Functions {
     val li = t(s, dir, "lineitem")
     val sketches = li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_med"))
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("am"))
     val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-    sketches.join(exact, "l_returnflag")
-      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"), col("approx_med"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"), count(lit(1)).as("n"))
+    // rank interval of the approx median within its group: one more
+    // broadcast-join pass over lineitem, partial-agg count_ifs (no sort)
+    val ranks = li.join(broadcast(sketches), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        first(col("ap")).as("ap"),
+        expr("count_if(l_extendedprice < am)").as("rk_lt"),
+        expr("count_if(l_extendedprice <= am)").as("rk_le"))
+    ranks.join(exact, "l_returnflag")
+      .select(
+        col("l_returnflag"), col("exact_parts"), col("n"),
+        when(abs(col("ap") - col("exact_parts")).cast("double")
+          <= col("exact_parts").cast("double") * lit(0.15), 1).otherwise(0)
+          .cast("int").as("acd_ok"),
+        when(
+          (col("rk_lt") + 1 <= expr("(n + 1) DIV 2") + expr("n DIV 1000") + 2)
+            && (col("rk_le") >= expr("(n + 1) DIV 2") - expr("n DIV 1000") - 2), 1)
+          .otherwise(0).cast("int").as("med_ok"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -639,6 +668,18 @@ object Functions {
   // -------------------------------------------------------------------------
 
   val oracleSql: Map[String, String] = Map(
+    // fn11: the sketch values are engine-private, so the gated columns are
+    // the exact aggregates plus bound-assertion flags the Spark side
+    // computes and the oracle states (see fn11ApproxSketch scaladoc) — a
+    // sketch outside its error envelope flips a flag to 0 and fails the
+    // hash compare.
+    "fn11_approx_sketch" -> """
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             count(*) AS n,
+             CAST(1 AS INT) AS acd_ok,
+             CAST(1 AS INT) AS med_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
     "fn01_string" -> """
       SELECT p_partkey,
              length(p_name) AS name_len,

@@ -128,9 +128,26 @@ object Similarity {
                 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)),
          (a, x) -> a + x)"""
 
-  /** First-16-vectors coarse quantizer (production: k-means, same shape). */
+  /** Corpus-size-adaptive coarse-quantizer K: ⌈√N⌉ floored at 16 (pp09's
+    * sqrt idiom, `Pipeline.packingBucketSize`). With K ∝ √N both IVF
+    * axes scale: each inverted list holds ~√N vectors (so a probe scans
+    * ~√N candidates, not N/16) and within-list pair work in dd10 is
+    * Σ|cluster|² ≈ N·√N instead of the quadratic N²/16 a FIXED K decays
+    * to at 100 TB. Shared by ss03/ss04/ss10 and Dedup's dd10 quantizer;
+    * the oracle mirrors it via [[duckK]]. */
+  private[operators] def coarseK(n: Long): Long =
+    math.max(16L, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong)
+
+  /** [[coarseK]] as an inline DuckDB expression over the embeddings table. */
+  private[operators] val duckK: String =
+    "greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM embeddings)::DOUBLE)) AS BIGINT))"
+
+  /** First-K-vectors coarse quantizer, K = [[coarseK]](N) (production:
+    * k-means over the same K, same plan shape — dd10 runs the Lloyd
+    * refinement; here the seed assignment IS the partition). The one
+    * count() pre-pass is a column-pruned metadata scan, the pp09 idiom. */
   private def centroids(v: DataFrame): DataFrame =
-    v.filter(col("vec_id") < 16)
+    v.filter(col("vec_id") < coarseK(v.count()))
       .select(col("vec_id").as("cid"), col("e").as("ce"))
 
   /** Nearest-centroid inverted-list assignment, shared by ss03/ss04:
@@ -152,10 +169,10 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("m.cid").as("cid")))
 
   /** IVF-style ANN (the second scale path beside hyperplane LSH): vectors
-    * are assigned to their nearest of K=16 coarse-quantizer centroids, and
-    * a query probes ONLY its own centroid's inverted list (nprobe=1):
-    * expected N/K of the data per query, reached by an equi-join on the
-    * centroid id. */
+    * are assigned to their nearest of K = [[coarseK]](N) ≈ √N
+    * coarse-quantizer centroids, and a query probes ONLY its own
+    * centroid's inverted list (nprobe=1): expected N/K ≈ √N of the data
+    * per query, reached by an equi-join on the centroid id. */
   private def ss03AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
     val assigned = assignedFrame(v, centroids(v))
@@ -180,14 +197,14 @@ object Similarity {
     * Cost is still ~nprobe·N/K candidates per query via equi-join; the
     * probe fan-out is a 2-row-per-query broadcast, and candidate lists are
     * disjoint (a vector lives in exactly one list) so no dedup pass is
-    * needed. The probe ranking windows over Q×K rows (K=16 constant —
+    * needed. The probe ranking windows over Q×K rows (Q tiny, K ≈ √N —
     * unlike the N×K assignment, which stays the ss03 partial-agg shape). */
   private def ss04AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
     val cents = centroids(v)
     val assigned = assignedFrame(v, cents)
-    // top-2 probe centroids per query: Q×K scored rows, Q tiny and K=16
-    // constant, so the per-query window is bounded and broadcastable.
+    // top-2 probe centroids per query: Q×K scored rows, Q tiny and K ≈ √N,
+    // so the per-query window is bounded and broadcastable.
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("pcid"))
     val probes = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
@@ -374,7 +391,7 @@ object Similarity {
 
   /** IVF-PQ (ss10) — the composition every production vector index ships
     * (the FAISS `IVFx,PQy` shape): the IVF coarse quantizer (ss03/ss04's
-    * 16 centroids) prunes the SEARCH SPACE to nprobe=2 inverted lists
+    * K ≈ √N centroids) prunes the SEARCH SPACE to nprobe=2 inverted lists
     * (~2N/K candidates reached by a keyed cid equi-join), and PQ codes
     * (ss07's 8-byte corpus) prune the MEMORY — candidates are scored by
     * ADC against the broadcast codebook, never touching original
@@ -561,7 +578,7 @@ object Similarity {
       SELECT qid, rk, vec_id, sim FROM pq_ranked WHERE rk <= 3 ORDER BY qid, rk""",
     "ss10_ivf_pq" -> s"""
       WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
-      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16),
+      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < $duckK),
       assigned AS (
         SELECT vec_id, cid FROM (
           SELECT v.vec_id, cents.cid,
@@ -672,7 +689,7 @@ object Similarity {
       GROUP BY e.qid ORDER BY e.qid""",
     "ss04_ann_multiprobe" -> s"""
       WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
-      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16),
+      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < $duckK),
       assigned AS (
         SELECT vec_id, e, nrm, cid FROM (
           SELECT v.vec_id, v.e, v.nrm, cents.cid,
@@ -700,7 +717,7 @@ object Similarity {
       SELECT qid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""",
     "ss03_ann_ivf" -> s"""
       WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
-      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 16),
+      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < $duckK),
       assigned AS (
         SELECT vec_id, e, nrm, cid FROM (
           SELECT v.vec_id, v.e, v.nrm, cents.cid,

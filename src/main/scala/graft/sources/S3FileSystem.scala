@@ -528,9 +528,12 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
           httpError(code, s"complete multipart s3://$bucket/$key -> HTTP $code")
       } catch {
         case _: FileAlreadyExistsException if failIfExists && appliedByUs() => ()
+        // the content compare resolves the ambiguity for CONDITIONAL and
+        // UNCONDITIONAL completes alike — an overwrite-mode complete whose
+        // 200 was lost also retries into 404 NoSuchUpload (consumed id)
+        // and must not abort a live object it in fact wrote
         case e: IOException
-          if failIfExists && !e.isInstanceOf[FileAlreadyExistsException]
-            && appliedByUs() => ()
+          if !e.isInstanceOf[FileAlreadyExistsException] && appliedByUs() => ()
       }
     } catch {
       case e: Throwable =>

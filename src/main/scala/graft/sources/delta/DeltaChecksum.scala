@@ -45,25 +45,37 @@ object DeltaChecksum {
         val p = crcPath(tablePath, version)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         val out = fs.create(p, true) // checksums are idempotent per version
-        out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
-        out.close()
+        try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+        finally out.close()
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** The recorded checksum for `version`, when one was published. */
-  def read(spark: SparkSession, tablePath: String, version: Long): Option[Crc] =
-    try {
-      val p = crcPath(tablePath, version)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) None
-      else {
+  /** The recorded checksum for `version`, when one was published.
+    * `None` means ABSENT (never published — "not validated", the benign
+    * case); a `.crc` that EXISTS but cannot be parsed is evidence of log
+    * damage, not absence, and throws a clear IOException rather than
+    * silently downgrading to "not validated". */
+  def read(spark: SparkSession, tablePath: String, version: Long): Option[Crc] = {
+    val p = crcPath(tablePath, version)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val content =
+      try {
         val in = fs.open(p)
-        val content =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        val node = new ObjectMapper().readTree(content)
-        Some(Crc(node.get("tableSizeBytes").asLong(), node.get("numFiles").asLong()))
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    content.map { c =>
+      try {
+        val node = new ObjectMapper().readTree(c)
+        Crc(node.get("tableSizeBytes").asLong(), node.get("numFiles").asLong())
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new java.io.IOException(
+            s"corrupt checksum artifact $p (unparseable content is log damage, " +
+              s"not a missing checksum): ${e.getMessage}", e)
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
 
   /** Compare the recorded checksum (when present) against the replayed
     * snapshot at `version` (latest when unset). Returns

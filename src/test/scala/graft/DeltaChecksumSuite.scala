@@ -58,6 +58,19 @@ class DeltaChecksumSuite extends AnyFunSuite {
     assert(DeltaChecksum.read(spark, table, 0L).isEmpty)
   }
 
+  test("a CORRUPT .crc surfaces as log damage, not as 'not validated'") {
+    val table = tmpTable()
+    DeltaTable.write(Seq((1L, "a")).toDF("id", "v"), table, SaveMode.Append)
+    val p = DeltaChecksum.crcPath(table, 0L)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    out.write("{ truncated-mid-wri".getBytes("UTF-8"))
+    out.close()
+    val ex = intercept[java.io.IOException] { DeltaChecksum.read(spark, table, 0L) }
+    assert(ex.getMessage.contains("corrupt checksum artifact"),
+      s"unexpected message: ${ex.getMessage}")
+  }
+
   test("log cleanup retires expired checksums with their commits") {
     val table = tmpTable()
     DeltaTable.write(Seq((0L, "b0")).toDF("id", "v"), table, SaveMode.Append)

@@ -31,6 +31,19 @@ class ByteNGramHashesSuite extends AnyFunSuite {
     }
   }
 
+  test("EMPTY payload returns an empty array (documented divergence from the recipe)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // the declarative recipe's sequence(0, ceil(0/8.0)-1) = sequence(0,-1)
+    // is a DESCENDING [0,-1] that would hash two phantom chunks; the
+    // native expression returns [] — mm05 filters empty payloads, and this
+    // pin keeps the divergence visible rather than latent
+    val r = Seq(Array.emptyByteArray).toDF("b")
+      .select(expr("byte_ngram_hashes(b, 4)").as("h"))
+      .head().getSeq[Long](0)
+    assert(r.isEmpty, s"empty payload must hash to no chunks, got $r")
+  }
+
   test("tail chunk shorter than the width hashes its remaining hex chars") {
     GraftFunctions.register(spark)
     import spark.implicits._
