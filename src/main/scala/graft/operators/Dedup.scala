@@ -65,17 +65,16 @@ object Dedup {
         expr("count_if(c > 1)").as("n_dup_groups"),
         (sum(col("c")) - count(lit(1))).as("n_dropped"))
 
-  /** The df-capped (≤ 20) shingle-occurrence universe with per-doc set
-    * sizes — dd02's exact-Jaccard machinery, shared VERBATIM by the dd12
-    * quality gate so the gate's truth can never desync from the operator
-    * it validates. word_ngrams is a custom Generator (one evaluation per
-    * document by Generate's contract); the frame is persisted because
-    * the self-join consumes it on both sides. The document-frequency cap
-    * exists because hot shingles produce quadratic bucket fan-out and
-    * carry no near-dup signal; Jaccard downstream is exact over the
-    * capped universe (sizes and intersections in the same universe). */
+  /** The df-capped (≤ 20) shingle-occurrence universe (doc_id, g) —
+    * dd02's exact-Jaccard machinery, shared VERBATIM by the dd12 quality
+    * gate so the gate's truth can never desync from the operator it
+    * validates. word_ngrams is a custom Generator (one evaluation per
+    * document by Generate's contract). The document-frequency cap exists
+    * because hot shingles produce quadratic bucket fan-out and carry no
+    * near-dup signal; Jaccard downstream is exact over the capped
+    * universe (sizes and intersections in the same universe, both
+    * derived from this frame in [[cappedPairStats]]). */
   private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     val ex = docs(s, dir)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
@@ -89,28 +88,38 @@ object Dedup {
     // partition, not all its occurrences), and the hot set itself
     // (df > 20) is tiny relative to the shingle universe, so the anti-join
     // broadcasts under AQE and the occurrence stream never hash-exchanges
-    // on g at this stage at all. The per-doc size keeps a window — its
-    // partitions are doc-sized (bounded by document length), skew-free by
-    // construction, and it keeps the pipeline single-pass downstream of
-    // the anti-join.
+    // on g at this stage at all.
     val hot = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 20)
       .select(col("g"))
-    QueryCaches.persist(ex.join(hot, Seq("g"), "left_anti")
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("g"), col("sz")))
+    ex.join(hot, Seq("g"), "left_anti")
   }
 
   /** Capped-universe pair statistics: (doc_a, doc_b, sz_a, sz_b, n_inter)
-    * from the inverted-index self-join group-count (no array ops). */
-  private def cappedPairStats(capped: DataFrame): DataFrame =
-    capped.as("a")
-      .join(capped.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    * by ENUMERATING pairs from per-shingle posting lists — groupBy g →
+    * sorted ≤20-doc list → bounded explode of its ≤190 ordered pairs →
+    * pair group-count. Replaces the earlier sort-merge SELF-JOIN on g:
+    * same pair set and counts (word_ngrams emits distinct shingles per
+    * doc, so per-pair occurrence count IS the intersection size), but one
+    * hash-aggregate exchange instead of two sorted join sides, no window
+    * for the per-doc size (a second groupBy), and the df cap bounds every
+    * posting list so the explode can never skew. The two size joins run
+    * on the DISTINCT-pair frame (post-aggregation, output-sized). */
+  private def cappedPairStats(capped: DataFrame): DataFrame = {
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = capped.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+                       y -> named_struct('doc_a', x, 'doc_b', y))))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    pairs.groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("n_inter"))
+  }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join-count. */
   private def dd02NgramJaccard(s: SparkSession, dir: String): DataFrame =
