@@ -626,7 +626,52 @@ object DeltaQueries {
       .orderBy(col("grp"))
   }
 
+  /** Checkpoint-crossing replay in the VALUE gate (dl25): 12 appends
+    * cross the default 10-commit checkpoint cadence, so the
+    * latest-snapshot read must reconstruct through checkpoint parquet +
+    * JSON tail, while the VERSION AS OF 5 read must replay the
+    * pre-checkpoint JSON range (checkpoint selection bounded by the
+    * requested version). The oracle recomputes both aggregates from the
+    * raw fixture — a checkpoint that drops, duplicates or reorders
+    * actions breaks the hash. The mechanism itself (cadence, multipart,
+    * v2 sidecars, _last_checkpoint preference) is spec-pinned in
+    * DeltaCheckpointSuite; this row puts checkpoint-replayed VALUES
+    * through the driver's hash gate, closing the one §2 row that was
+    * spec-verified only. */
+  private def dl25CheckpointReplay(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val nation = t(s, dir, "nation")
+    (0 until 12).foreach { i =>
+      DeltaWriter.write(nation.filter(col("n_nationkey") % 12 === i),
+        path, SaveMode.Append, Nil)
+    }
+    def agg(df: DataFrame, stage: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n"),
+        sum(col("n_nationkey")).as("key_sum"),
+        countDistinct(col("n_regionkey")).as("n_regions"))
+        .withColumn("stage", lit(stage))
+    agg(DeltaTable.read(s, path), "full")
+      .unionByName(agg(DeltaTable.readVersion(s, path, 5L), "v5"))
+      .select(col("stage"), col("n"), col("key_sum"), col("n_regions"))
+      .orderBy(col("stage"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl25_checkpoint_replay" -> """
+      WITH f AS (
+        SELECT 'full' AS stage, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               count(DISTINCT n_regionkey) AS n_regions
+        FROM nation),
+      v AS (
+        SELECT 'v5' AS stage, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               count(DISTINCT n_regionkey) AS n_regions
+        FROM nation WHERE n_nationkey % 12 <= 5)
+      SELECT stage, n, key_sum, n_regions FROM (
+        SELECT * FROM f UNION ALL SELECT * FROM v)
+      ORDER BY stage""",
     "dl24_idempotent_write" -> """
       SELECT CAST(s_suppkey % 5 AS INT) AS grp, count(*) AS n,
              CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
@@ -851,5 +896,6 @@ object DeltaQueries {
     "dl21_merge_clauses" -> dl21MergeClauses,
     "dl22_generated_partition_prune" -> dl22GeneratedPrune,
     "dl23_column_defaults" -> dl23ColumnDefaults,
-    "dl24_idempotent_write" -> dl24IdempotentWrite)
+    "dl24_idempotent_write" -> dl24IdempotentWrite,
+    "dl25_checkpoint_replay" -> dl25CheckpointReplay)
 }

@@ -278,4 +278,19 @@ class PlanShapeSuite extends AnyFunSuite {
       s"within-cluster pairs must come from a keyed cid equi-join:\n$p")
     assert(!p.contains("CartesianProduct"), "SemDeDup must never cartesian")
   }
+
+  test("dd02: pair stats enumerate posting lists — no df window, no occurrence self-join") {
+    // r14 shape: df cap via groupBy + anti-join, pairs via a bounded
+    // explode of each ≤20-doc posting list. A Window here would mean the
+    // skewed hot-shingle shuffle came back; a SortMergeJoin would mean
+    // the occurrence stream is being self-joined (two full sorts) again.
+    val p = finalPlanOf("dd02_ngram_jaccard")
+    assert(p.contains("Generate"),
+      s"expected posting-list pair explode (Generate) in:\n$p")
+    assert(!p.contains("Window"),
+      s"dd02 must not window the occurrence stream (df/sz are groupBys now):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dd02 must not self-join the occurrence stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must stay a top-k operator")
+  }
 }
