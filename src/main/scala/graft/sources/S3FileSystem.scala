@@ -72,7 +72,7 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     setConf(conf)
     bucket = Option(name.getAuthority).filter(_.nonEmpty).getOrElse(
       throw new IOException(s"s3 URI needs a bucket authority: $name"))
-    fsUri = URI.create(s"s3://$bucket")
+    fsUri = URI.create(s"$getScheme://$bucket")
     endpoint = Option(conf.get("fs.s3.endpoint")).map(_.stripSuffix("/")).getOrElse(
       throw new IOException("fs.s3.endpoint is required (e.g. http://host:9000)"))
     accessKey = Option(conf.get("fs.s3.access.key"))
@@ -130,7 +130,7 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
 
   override def getUri: URI = fsUri
   override def setWorkingDirectory(dir: Path): Unit = ()
-  override def getWorkingDirectory: Path = new Path(s"s3://$bucket/")
+  override def getWorkingDirectory: Path = new Path(s"$getScheme://$bucket/")
 
   private def keyOf(f: Path): String = {
     val p = f.toUri.getPath
@@ -234,13 +234,16 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
 
   // ---- statuses & listing ----
 
+  // status paths carry the FS's own scheme (s3 or, via the compat
+  // subclass, s3a) — Spark hands these paths back to FileSystem.get,
+  // which must resolve to THIS filesystem again
   private def fileStatusOf(key: String, len: Long, mtime: Long): FileStatus =
     new FileStatus(len, false, 1, 64L << 20, mtime, 0L,
-      FsPermission.getFileDefault, "", "", new Path(s"s3://$bucket/$key"))
+      FsPermission.getFileDefault, "", "", new Path(s"$getScheme://$bucket/$key"))
 
   private def dirStatusOf(key: String): FileStatus =
     new FileStatus(0L, true, 1, 0L, 0L, 0L,
-      FsPermission.getDirDefault, "", "", new Path(s"s3://$bucket/${key.stripSuffix("/")}"))
+      FsPermission.getDirDefault, "", "", new Path(s"$getScheme://$bucket/${key.stripSuffix("/")}"))
 
   /** Length via `Range: bytes=0-0` + `Content-Range` total — for servers
     * whose HEAD replies carry no Content-Length (same fallback as
@@ -500,7 +503,7 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
       }
       def appliedByUs(): Boolean =
         try {
-          val target = new Path(s"s3://$bucket/$key")
+          val target = new Path(s"$getScheme://$bucket/$key")
           if (getFileStatus(target).getLen != expectedLen) false
           else {
             val md = java.security.MessageDigest.getInstance("MD5")
