@@ -35,6 +35,14 @@ object GraftSession {
       .config("spark.hadoop.fs.https.impl", classOf[graft.sources.HttpsFileSystem].getName)
       // S3 store (SigV4 REST; needs fs.s3.endpoint + creds, conf or env)
       .config("spark.hadoop.fs.s3.impl", classOf[graft.sources.S3FileSystem].getName)
+      // s3a:// fallback: serve the standard scheme first-party ONLY when
+      // hadoop-aws is absent — on a real cluster the genuine S3AFileSystem
+      // (core-default's fs.s3a.impl) must win untouched
+      .config(
+        (try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); Map.empty[String, String] }
+         catch { case _: ClassNotFoundException =>
+           Map("spark.hadoop.fs.s3a.impl" -> classOf[graft.sources.S3ACompatFileSystem].getName)
+         }))
       .getOrCreate()
     // idempotent re-registration: getOrCreate may have returned a session
     // built elsewhere (extensions only apply at context build time)
