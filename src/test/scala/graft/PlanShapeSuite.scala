@@ -63,6 +63,20 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(p.contains("vec_id"), s"expected vec_id pushdown in:\n$p")
   }
 
+  test("ss01/ss07: per-query top-k limits MAP-SIDE (Partial WindowGroupLimit before the shuffle)") {
+    // the scale property of the whole ANN family's final ranking: the
+    // row_number()<=3 filter must push a PARTIAL group-limit below the
+    // exchange, so each map task ships at most 3 rows per query instead of
+    // its full candidate stream (a rank() or a filter Spark can't infer a
+    // group-limit from would silently shuffle all Q·N scored candidates
+    // into Q partitions — the single-task-per-query bottleneck at 100 TB)
+    for (q <- Seq("ss01_topk_bruteforce", "ss07_pq_adc")) {
+      val p = finalPlanOf(q)
+      assert(p.contains("row_number(), 3, Partial"),
+        s"$q: expected a Partial-mode WindowGroupLimit (map-side top-k) in:\n$p")
+    }
+  }
+
   test("q12: distinct rewrite stays one Expand + partial/final aggregates, no extra shuffle") {
     // The 4-way Expand the distinct-rewrite plans for three countDistincts
     // is the honest linear cost (VERDICT r2); this pin keeps a future edit
