@@ -122,7 +122,7 @@ object Bench {
     // So the interference signal uses steady-state samples only (drop the
     // pre-pass one); machine interference inflates SOME steady sample
     // relative to the others, which is exactly what max/min then catches.
-    val steady = if (anchorTimes.size >= 3) anchorTimes.drop(1).toSeq else anchorTimes.toSeq
+    val steady = if (anchorTimes.size >= 2) anchorTimes.drop(1).toSeq else anchorTimes.toSeq
     val (aMin, aMax) = if (steady.isEmpty) (-1.0, -1.0) else (steady.min, steady.max)
     val aSpread = if (aMin <= 0) -1.0 else aMax / math.max(aMin, 1e-9)
     def line(qs: String): String =

@@ -30,15 +30,7 @@ object ClusterCheck {
       "ClusterCheck needs SPARK_HOME (e.g. /opt/spark) in the environment")
     require(sys.env.contains("SPARK_SCALA_VERSION"),
       "ClusterCheck needs SPARK_SCALA_VERSION (e.g. 2.13) in the environment")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    val addOpens = JvmOpens.asOptionString
     val spark = SparkSession.builder()
       .master("local-cluster[2,2,1024]")
       .appName("graft-cluster-check")
@@ -132,8 +124,9 @@ object ClusterCheck {
         .repartition(4).write.format("delta").save(s3tbl)
       require(server.keys.exists(_.contains("_delta_log/00000000000000000000.json")),
         "s3 write committed no delta log")
-      require(server.keys.count(_.endsWith(".parquet")) >= 4,
-        s"expected >=4 executor-written parquet objects, saw ${server.keys.size}")
+      val parquetCount = server.keys.count(_.endsWith(".parquet"))
+      require(parquetCount >= 4,
+        s"expected >=4 executor-written parquet objects, saw $parquetCount")
       val cnt = DeltaTable.read(spark, s3tbl).filter(col("k") === 2).count()
       require(cnt == 200L, s"s3 scan through remote executors returned $cnt rows")
       DeltaDml.delete(spark, s3tbl, "k = 2")

@@ -40,7 +40,10 @@ object GraftSession {
       // (core-default's fs.s3a.impl) must win untouched
       .config(
         (try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); Map.empty[String, String] }
-         catch { case _: ClassNotFoundException =>
+         // LinkageError too: a present-but-unlinkable S3AFileSystem (the
+         // hadoop-aws-without-aws-sdk misconfiguration) must fall back,
+         // not abort session construction
+         catch { case _: ClassNotFoundException | _: LinkageError =>
            Map("spark.hadoop.fs.s3a.impl" -> classOf[graft.sources.S3ACompatFileSystem].getName)
          }))
       .getOrCreate()

@@ -38,15 +38,6 @@ import org.apache.spark.sql.SparkSession
   */
 object StandaloneClusterCheck {
 
-  private val AddOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar")
-
   private def freePort(): Int = {
     val s = new ServerSocket(0)
     try s.getLocalPort finally s.close()
@@ -72,8 +63,7 @@ object StandaloneClusterCheck {
   private def launchDaemon(mainClass: String, daemonArgs: Seq[String],
       logDir: File, tag: String): Process = {
     val javaBin = s"${sys.props("java.home")}${File.separator}bin${File.separator}java"
-    val cmd = Seq(javaBin) ++
-      AddOpens.flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++ Seq(
+    val cmd = Seq(javaBin) ++ JvmOpens.asArgv ++ Seq(
       "-Xmx768m",
       "-Dspark.ui.enabled=false",
       "-cp", sys.props("java.class.path"),
@@ -113,7 +103,7 @@ object StandaloneClusterCheck {
           masterUrl),
         scratch, "worker")
 
-      val addOpensOpt = AddOpens.map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+      val addOpensOpt = JvmOpens.asOptionString
       val spark = SparkSession.builder()
         .master(masterUrl)
         .appName("graft-standalone-check")

@@ -76,9 +76,13 @@ object Dedup {
     * derived from this frame in [[cappedPairStats]]). */
   private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val ex = docs(s, dir)
+    // persisted: the occurrence stream feeds BOTH the hot-set aggregate
+    // and the anti-join probe side, and the capped result below feeds
+    // both sizes and pairs in [[cappedPairStats]] — without the persists
+    // the docs scan + word_ngrams Generate re-executes once per consumer
+    val ex = QueryCaches.persist(docs(s, dir)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
-      .select(col("doc_id"), expr("word_ngrams(toks, 3)").as("g"))
+      .select(col("doc_id"), expr("word_ngrams(toks, 3)").as("g")))
     // df via groupBy (map-side partial combine) + ANTI-join of the small
     // hot set, NOT count().over(Window.partitionBy(g)): the window would
     // shuffle EVERY occurrence of a hot shingle into one partition before
@@ -92,7 +96,7 @@ object Dedup {
     val hot = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 20)
       .select(col("g"))
-    ex.join(hot, Seq("g"), "left_anti")
+    QueryCaches.persist(ex.join(hot, Seq("g"), "left_anti"))
   }
 
   /** Capped-universe pair statistics: (doc_a, doc_b, sz_a, sz_b, n_inter)

@@ -22,8 +22,9 @@ import org.apache.hadoop.conf.Configuration
   *  - `fs.s3a.endpoint.region` → `fs.s3.region`
   *  - `fs.s3a.path.style.access` is accepted and ignored: this store is
   *    ALWAYS path-style (the MinIO shape)
-  *  - `fs.s3a.connection.timeout` / retry keys map onto the base
-  *    class's connect/retry knobs when set
+  *  - timeout/retry tuning stays on the store's own `fs.s3.*` keys
+  *    (hadoop-common ships defaults under `fs.s3a.*`, so those cannot
+  *    distinguish a user override from a foreign default)
   *
   * Everything else — SigV4 signing, conditional-PUT atomic commits,
   * multipart, retry/backoff, bulk delete — is inherited unchanged, and
@@ -44,14 +45,12 @@ class S3ACompatFileSystem extends S3FileSystem {
     fwd("access.key", "access.key")
     fwd("secret.key", "secret.key")
     fwd("endpoint.region", "region")
-    // hadoop-common's core-default ships these in s3a DURATION syntax
-    // ("200s") — forward only a plain numeric override (our keys are
-    // integer ms/counts); the duration-syntax defaults stay ignored
-    def fwdNumeric(s3aKey: String, s3Key: String): Unit =
-      Option(conf.get(s"fs.s3a.$s3aKey")).filter(_.forall(_.isDigit))
-        .foreach(v => mapped.set(s"fs.s3.$s3Key", v))
-    fwdNumeric("connection.timeout", "connect.timeout.ms")
-    fwdNumeric("retry.limit", "retry.limit")
+    // timeout/retry knobs are NOT forwarded from the fs.s3a.* namespace:
+    // hadoop-common's core-default SHIPS values there (fs.s3a.retry.limit=7,
+    // fs.s3a.connection.timeout="200s" duration syntax), so a forward
+    // cannot tell a user override from a foreign default and would
+    // silently reconfigure this store's retry policy. Tuning uses the
+    // store's own fs.s3.retry.* / fs.s3.*.timeout.ms keys directly.
     super.initialize(name, mapped)
   }
 }

@@ -530,13 +530,20 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
         if (code != 200)
           httpError(code, s"complete multipart s3://$bucket/$key -> HTTP $code")
       } catch {
-        case _: FileAlreadyExistsException if failIfExists && appliedByUs() => ()
         // the content compare resolves the ambiguity for CONDITIONAL and
         // UNCONDITIONAL completes alike — an overwrite-mode complete whose
         // 200 was lost also retries into 404 NoSuchUpload (consumed id)
-        // and must not abort a live object it in fact wrote
+        // and must not abort a live object it in fact wrote. After the
+        // read-back declares success, STILL best-effort abort: if the
+        // COMPLETE did apply the abort 404s harmlessly, but if the bytes
+        // matched only because a previous write left an identical object
+        // (complete genuinely never applied), the abort is what releases
+        // the upload's stored parts — otherwise they leak server-side
+        case _: FileAlreadyExistsException if failIfExists && appliedByUs() =>
+          abortMultipartUpload(key, uploadId)
         case e: IOException
-          if !e.isInstanceOf[FileAlreadyExistsException] && appliedByUs() => ()
+          if !e.isInstanceOf[FileAlreadyExistsException] && appliedByUs() =>
+          abortMultipartUpload(key, uploadId)
       }
     } catch {
       case e: Throwable =>

@@ -13,35 +13,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class ConnectSuite extends AnyFunSuite {
 
   test("thin JDBC-over-gRPC client queries the server's delta table remotely") {
-    val javaBin = s"${sys.props("java.home")}/bin/java"
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx2g",
-      "-Dspark.ui.enabled=false",
-      "-Dspark.sql.session.timeZone=UTC",
-      "-cp", sys.props("java.class.path"),
-      "graft.ConnectCheck")
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(true)
-    val proc = pb.start()
-    val out = new StringBuilder
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(proc.getInputStream))
-    var line = reader.readLine()
-    while (line != null) { out.append(line).append('\n'); line = reader.readLine() }
-    val finished = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-    if (!finished) proc.destroyForcibly()
-    val tail = out.toString.linesIterator.toSeq.takeRight(40).mkString("\n")
-    assert(finished, s"ConnectCheck timed out; tail:\n$tail")
-    assert(proc.exitValue() == 0, s"ConnectCheck exited ${proc.exitValue()}; tail:\n$tail")
-    assert(out.toString.contains("CONNECTCHECK OK"), s"marker missing; tail:\n$tail")
+    SubprocessCheck.assertOk("graft.ConnectCheck", "CONNECTCHECK OK", 300)
   }
 }

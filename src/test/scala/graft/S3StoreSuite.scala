@@ -272,6 +272,35 @@ class S3StoreSuite extends AnyFunSuite {
     }
   }
 
+  test("multipart COMPLETE that never applied over an identical pre-existing object: success AND parts released") {
+    withS3 { (server, table) =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3.multipart.threshold", "64")
+      hc.set("fs.s3.multipart.size", "64")
+      try {
+        val fs = fsOf(table)
+        val p = new Path(s"$table/idem.bin")
+        val payload = ("D" * 300).getBytes(UTF_8)
+        // first write leaves the object in place
+        val o1 = fs.create(p, false); o1.write(payload); o1.close()
+        // idempotent overwrite of the SAME bytes whose COMPLETE dies 500
+        // on every attempt (never applied): the read-back sees identical
+        // content and resolves to success — but the upload was NOT
+        // consumed, so the writer must still abort it or its stored
+        // parts leak server-side forever
+        (0 until 6).foreach(_ => server.injectFault(
+          S3Fault("POST", "idem.bin", 500, queryContains = "uploadId")))
+        val o2 = fs.create(p, true); o2.write(payload); o2.close()
+        assert(new String(server.get(s"bucket/${new Path(table).getName}/idem.bin"), UTF_8)
+          === "D" * 300, "the pre-existing identical object must remain visible")
+        assert(server.activeUploads === 0,
+          "a never-applied complete resolved by read-back must still release its parts")
+      } finally {
+        hc.unset("fs.s3.multipart.threshold"); hc.unset("fs.s3.multipart.size")
+      }
+    }
+  }
+
   test("a failed part upload aborts the multipart upload (no orphaned parts)") {
     withS3 { (server, table) =>
       val hc = spark.sparkContext.hadoopConfiguration
