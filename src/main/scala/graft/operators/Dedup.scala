@@ -76,13 +76,19 @@ object Dedup {
     * derived from this frame in [[cappedPairStats]]). */
   private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // persisted: the occurrence stream feeds BOTH the hot-set aggregate
-    // and the anti-join probe side, and the capped result below feeds
-    // both sizes and pairs in [[cappedPairStats]] — without the persists
-    // the docs scan + word_ngrams Generate re-executes once per consumer
-    val ex = QueryCaches.persist(docs(s, dir)
+    // DELIBERATELY NOT persisted: the occurrence stream feeds the hot-set
+    // aggregate and the anti-join probe side (and the capped result feeds
+    // sizes and pairs in [[cappedPairStats]]), so the docs scan +
+    // word_ngrams Generate re-executes once per consumer — and that is
+    // the MEASURED winner: the recompute is pipelined columnar-scan +
+    // codegen'd Generate work, while caching materializes a shingle
+    // stream LARGER than its input (ScaleCheck at 10× data: persisting
+    // here took dd12 from ~4.8s to reproducibly ~8.5s scaled and +350 MB
+    // peak heap — cache write/read beats recompute only for frames
+    // SMALLER than the work that builds them)
+    val ex = docs(s, dir)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
-      .select(col("doc_id"), expr("word_ngrams(toks, 3)").as("g")))
+      .select(col("doc_id"), expr("word_ngrams(toks, 3)").as("g"))
     // df via groupBy (map-side partial combine) + ANTI-join of the small
     // hot set, NOT count().over(Window.partitionBy(g)): the window would
     // shuffle EVERY occurrence of a hot shingle into one partition before
@@ -96,7 +102,7 @@ object Dedup {
     val hot = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 20)
       .select(col("g"))
-    QueryCaches.persist(ex.join(hot, Seq("g"), "left_anti"))
+    ex.join(hot, Seq("g"), "left_anti")
   }
 
   /** Capped-universe pair statistics: (doc_a, doc_b, sz_a, sz_b, n_inter)
