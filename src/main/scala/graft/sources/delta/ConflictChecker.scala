@@ -31,8 +31,23 @@ package graft.sources.delta
   *  - **A concurrent protocol change aborts** — the capability contract
   *    the transaction validated at start (assertWritable) no longer holds.
   *
-  * Blind appends run a lighter version ([[checkAppend]]): they touch no
-  * existing file, so only the metadata/protocol rules apply.
+  *  - **Concurrent NON-blind-append data adds that overlap the
+  *    transaction's READ SET abort** ([[checkReadSet]]) — the rule the
+  *    touched-file check cannot express: a MERGE's insert anti-join and a
+  *    DML's find read rows BEYOND the files they rewrite, and a concurrent
+  *    MERGE/rewrite that added matching data invalidates those decisions
+  *    (two concurrent upserts of the same absent key would otherwise BOTH
+  *    commit an insert — duplicate rows with no serial order). Blind
+  *    appends stay exempt: they read nothing, so they serialize before the
+  *    reader — Delta's WriteSerializable default, which is what keeps a
+  *    busy table's append firehose from starving row-level DML. The
+  *    transaction's partition-column read-predicate conjuncts prune the
+  *    overlap test, so partition-scoped DML still commits past concurrent
+  *    rewrites of OTHER partitions.
+  *
+  * Blind appends run a lighter version ([[checkTableState]]): they touch
+  * no existing file and read nothing, so only the metadata/protocol rules
+  * apply.
   */
 private[delta] object ConflictChecker {
 
@@ -52,6 +67,64 @@ private[delta] object ConflictChecker {
       abort(op, base, onAbort,
         s"${changed.size} of ${touched.size} source file(s) were removed or " +
           s"rewritten by a concurrent commit (e.g. ${changed.head.path})")
+  }
+
+  /** Read-set rule: abort when a concurrent NON-blind-append commit added
+    * dataChange files that may overlap what this transaction READ —
+    * `readPredicate` (the DML WHERE; None = the whole table, MERGE's
+    * anti-join scope) prunes the overlap test by its partition-column
+    * conjuncts. Call AFTER [[checkRewrite]] in the same attempt (the
+    * touched-file rule covers concurrent removes/rewrites of files we
+    * touch; this covers adds we never touched but did read). */
+  def checkReadSet(
+      op: String,
+      spark: org.apache.spark.sql.SparkSession,
+      base: DeltaSnapshot,
+      latest: DeltaSnapshot,
+      readPredicate: Option[String],
+      onAbort: () => Unit): Unit = {
+    if (latest.version == base.version) return
+    val added =
+      try DeltaLog.nonBlindDataAdds(spark, base.tablePath, base.version, latest.version)
+      catch { case e: java.io.IOException => abort(op, base, onAbort, e.getMessage) }
+    if (added.isEmpty) return
+    val overlapping = pruneByPartitionConjuncts(spark, base, added, readPredicate)
+    if (overlapping.nonEmpty)
+      abort(op, base, onAbort,
+        s"a concurrent non-append commit added ${overlapping.size} data file(s) " +
+          s"overlapping this transaction's read set (e.g. ${overlapping.head.path}); " +
+          "decisions computed from the stale read could be wrong")
+  }
+
+  /** Best-effort pruning of `files` by the partition-column conjuncts of
+    * `predicate`: each top-level AND conjunct that analyzes as a pure
+    * partition predicate filters the file list by partitionValues; any
+    * conjunct referencing data columns is skipped (cannot prune — stays
+    * conservative). No predicate, or an unpartitioned table, prunes
+    * nothing. */
+  private def pruneByPartitionConjuncts(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DeltaSnapshot,
+      files: Seq[DeltaAddFile],
+      predicate: Option[String]): Seq[DeltaAddFile] = predicate match {
+    case None => files
+    case Some(_) if base.partitionColumns.isEmpty => files
+    case Some(p) =>
+      def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      val parts =
+        try conjuncts(spark.sessionState.sqlParser.parseExpression(p))
+        catch { case _: Exception => return files }
+      parts.foldLeft(files) { (remaining, c) =>
+        if (remaining.isEmpty) remaining
+        else try DeltaMaintenance.filterByPartitionPredicate(
+          spark, base, remaining, Some(c.sql))
+        catch { case _: Exception => remaining } // not partition-only: skip
+      }
   }
 
   /** Metadata/protocol stability — the part that applies to EVERY

@@ -63,6 +63,29 @@ object DeltaConstraints {
       case (k, v) if k.startsWith(ConfPrefix) => k.stripPrefix(ConfPrefix) -> v
     }.toSeq.sortBy(_._1)
 
+  /** NOT NULL enforcement (the Delta `invariants` writer capability this
+    * engine declares): wrap every non-nullable column of `schema` in an
+    * inline raise-on-null guard. Unlike [[validate]]'s aggregate pass this
+    * adds NO extra job — the guard evaluates during the staging write
+    * itself (delta-spark enforces invariants the same way, as expressions
+    * in the write projection), so a NULL reaching a non-nullable column
+    * fails the write loudly instead of landing in parquet where a reader
+    * through the non-nullable schema would silently surface 0/garbage.
+    * Applies to every row-producing path: appends/overwrites, UPDATE
+    * rewrites, MERGE rewrites and inserts. */
+  private[delta] def notNullGuarded(
+      df: DataFrame, schema: org.apache.spark.sql.types.StructType, op: String): DataFrame = {
+    val guarded = schema.fields.filter(f => !f.nullable).map(_.name).toSet
+    if (guarded.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      if (guarded.contains(c))
+        when(col(c).isNotNull, col(c))
+          .otherwise(raise_error(lit(
+            s"$op violates NOT NULL constraint on column $c"))).as(c)
+      else col(c)
+    }: _*)
+  }
+
   /** Enforce `snap`'s constraints over rows about to be committed; throws
     * on the first violating constraint. Call before staging. */
   private[delta] def validate(df: DataFrame, snap: DeltaSnapshot, op: String): Unit = {

@@ -97,9 +97,14 @@ object DeltaDml {
 
     // ---- 1. find: which files contain matching rows, and how many each.
     // Goes through the provider scan, so partition pruning + stats skipping
-    // trim the read set before any row is touched.
+    // trim the read set before any row is touched. PINNED to the
+    // transaction's snapshot version: an unpinned read would resolve a
+    // fresh snapshot, so a commit landing between our snapshot() and this
+    // scan could make the find see files the touched-set (built from
+    // `snap`) then silently drops — rowsAffected counting rows in files
+    // the rewrite never touches.
     val matchesByFile: Map[String, Long] =
-      DeltaTable.read(spark, tablePath)
+      DeltaTable.readVersion(spark, tablePath, snap.version)
         .filter(expr(condition))
         .groupBy(input_file_name().as("_gf"))
         .count()
@@ -119,85 +124,108 @@ object DeltaDml {
 
     // ---- 2. rewrite touched files only: one unioned plan across partition
     // groups (partition values re-injected — data files do not store them),
-    // a single distributed job regardless of file count.
+    // a single distributed job regardless of file count. With CDF on, the
+    // injected frame is PERSISTED so the rewrite and the change rows read
+    // ONE materialization (separate scans could diverge under a
+    // nondeterministic predicate — MERGE pins its rewrite the same way).
     val outCols = snap.schema.fieldNames.toIndexedSeq
-    val rewritten = DeltaMaintenance.partitionInjected(
-      spark, tablePath, snap, touched).map { withParts =>
-      if (op == "DELETE") withParts.filter(!expr(condition))
-      else {
-        // one SELECT so every SET expression sees the pre-update row
-        val cond = expr(condition)
-        withParts.select(outCols.map { c =>
-          set.get(c) match {
-            case Some(e) => when(cond, expr(e).cast(snap.schema(c).dataType))
-              .otherwise(col(c)).as(c)
-            case None => col(c)
-          }
-        }: _*)
+    val cdfOn = DeltaCdf.enabled(snap.metadata)
+    val injected0 = DeltaMaintenance.partitionInjected(spark, tablePath, snap, touched)
+      .reduce(_ unionByName _)
+    val injected = if (cdfOn) injected0.persist() else injected0
+    val (adds, cdcFiles, fs, physPartCols) = try {
+      val rewritten0 =
+        // keep side of DELETE under SQL three-valued logic: only
+        // predicate-TRUE rows are deleted, so NULL-predicate rows are
+        // KEPT — `!condition` alone maps NULL->NULL and the filter would
+        // silently destroy them (the find/metrics/CDF passes all count
+        // TRUE rows only)
+        if (op == "DELETE") injected.filter(!coalesce(expr(condition), lit(false)))
+        else {
+          // one SELECT so every SET expression sees the pre-update row
+          val cond = expr(condition)
+          injected.select(outCols.map { c =>
+            set.get(c) match {
+              case Some(e) => when(cond, expr(e).cast(snap.schema(c).dataType))
+                .otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }: _*)
+        }
+      val rewritten1 = rewritten0.select(outCols.map(col): _*)
+      // UPDATE creates rows -> CHECK constraints + NOT NULL invariants
+      // apply (DELETE never creates rows)
+      val rewritten =
+        if (op == "UPDATE") {
+          DeltaConstraints.validate(rewritten1, snap, op)
+          DeltaConstraints.notNullGuarded(rewritten1, snap.schema, op)
+        } else rewritten1
+
+      // ---- 3. stage + publish like DeltaWriter/OPTIMIZE (physical names on
+      // column-mapped tables — the rewrite frame above is logical)
+      val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
+      val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
+      val physPartCols = snap.partitionColumns.map(snap.metadata.physicalOf)
+      val staged0 = DeltaWriter.physicalized(rewritten, snap.metadata)
+      // optimizeWrite for rewrites, same as appends: one shuffle by the
+      // partition columns so each hive partition is written by ~one task —
+      // without it every upstream shuffle partition fans a tiny file into
+      // every output partition (DML creating the small-files churn OPTIMIZE
+      // exists to cure)
+      val staged = if (physPartCols.nonEmpty) staged0.repartition(physPartCols.map(col): _*)
+                   else staged0
+      val writer = staged.write.mode(SaveMode.Overwrite)
+      (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
+       else writer).parquet(stagingDir.toString)
+
+      val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
+      val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString),
+        snap.physicalDataSchema, snap.metadata.configuration)
+      // a staged file holding ZERO rows (a partition whose every row was
+      // deleted, or Spark's empty part-file) is dropped, not published —
+      // committing it would accumulate empty adds every DML
+      val (emptyStaged, liveStaged) = stagedFiles.partition { f =>
+        stats.get(f.toString).exists(n => n.get("numRecords").asLong() == 0L)
       }
-    }.reduce(_ unionByName _)
-      .select(outCols.map(col): _*)
-
-    // UPDATE creates rows -> CHECK constraints apply (DELETE never does)
-    if (op == "UPDATE") DeltaConstraints.validate(rewritten, snap, op)
-
-    // ---- 3. stage + publish like DeltaWriter/OPTIMIZE (physical names on
-    // column-mapped tables — the rewrite frame above is logical)
-    val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
-    val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val physPartCols = snap.partitionColumns.map(snap.metadata.physicalOf)
-    val staged0 = DeltaWriter.physicalized(rewritten, snap.metadata)
-    // optimizeWrite for rewrites, same as appends: one shuffle by the
-    // partition columns so each hive partition is written by ~one task —
-    // without it every upstream shuffle partition fans a tiny file into
-    // every output partition (DML creating the small-files churn OPTIMIZE
-    // exists to cure)
-    val staged = if (physPartCols.nonEmpty) staged0.repartition(physPartCols.map(col): _*)
-                 else staged0
-    val writer = staged.write.mode(SaveMode.Overwrite)
-    (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
-     else writer).parquet(stagingDir.toString)
-
-    val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
-    val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString),
-      snap.physicalDataSchema, snap.metadata.configuration)
-    val adds = stagedFiles.map { staged =>
-      val rel = DeltaWriter.relativize(stagingDir, staged)
-      val target = new Path(tablePath, rel)
-      fs.mkdirs(target.getParent)
-      if (!fs.rename(staged, target))
-        throw new java.io.IOException(s"failed to publish $staged -> $target")
-      val st = fs.getFileStatus(target)
-      (rel, DeltaWriter.partitionValuesOf(rel, physPartCols), st.getLen,
-        st.getModificationTime, stats.get(staged.toString))
-    }
-    fs.delete(stagingDir, true)
-
-    // ---- 3b. change data feed: the exact changed rows as cdc files
-    // (delete → the matched rows; update → pre+post images, both computed
-    // from the PRE-update state like the rewrite itself)
-    val cdcFiles: Seq[(String, Long)] =
-      if (!DeltaCdf.enabled(snap.metadata)) Nil
-      else {
-        val matched = DeltaMaintenance.partitionInjected(spark, tablePath, snap, touched)
-          .reduce(_ unionByName _)
-          .filter(expr(condition))
-        val changes =
-          if (op == "DELETE")
-            matched.select((outCols.map(col) :+ lit("delete").as(DeltaCdf.TypeCol)): _*)
-          else {
-            val pre = matched.select(
-              (outCols.map(col) :+ lit("update_preimage").as(DeltaCdf.TypeCol)): _*)
-            val post = matched.select(outCols.map { c =>
-              set.get(c) match {
-                case Some(e) => expr(e).cast(snap.schema(c).dataType).as(c)
-                case None => col(c)
-              }
-            } :+ lit("update_postimage").as(DeltaCdf.TypeCol): _*)
-            pre.unionByName(post)
-          }
-        DeltaCdf.stageChanges(spark, tablePath, snap, changes)
+      emptyStaged.foreach(f => fs.delete(f, false))
+      val adds = liveStaged.map { staged =>
+        val rel = DeltaWriter.relativize(stagingDir, staged)
+        val target = new Path(tablePath, rel)
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(staged, target))
+          throw new java.io.IOException(s"failed to publish $staged -> $target")
+        val st = fs.getFileStatus(target)
+        (rel, DeltaWriter.partitionValuesOf(rel, physPartCols), st.getLen,
+          st.getModificationTime, stats.get(staged.toString))
       }
+      fs.delete(stagingDir, true)
+
+      // ---- 3b. change data feed: the exact changed rows as cdc files
+      // (delete → the matched rows; update → pre+post images, both computed
+      // from the PRE-update state like the rewrite itself — same persisted
+      // materialization)
+      val cdcFiles: Seq[(String, Long)] =
+        if (!cdfOn) Nil
+        else {
+          val matched = injected.filter(expr(condition))
+          val changes =
+            if (op == "DELETE")
+              matched.select((outCols.map(col) :+ lit("delete").as(DeltaCdf.TypeCol)): _*)
+            else {
+              val pre = matched.select(
+                (outCols.map(col) :+ lit("update_preimage").as(DeltaCdf.TypeCol)): _*)
+              val post = matched.select(outCols.map { c =>
+                set.get(c) match {
+                  case Some(e) => expr(e).cast(snap.schema(c).dataType).as(c)
+                  case None => col(c)
+                }
+              } :+ lit("update_postimage").as(DeltaCdf.TypeCol): _*)
+              pre.unionByName(post)
+            }
+          DeltaCdf.stageChanges(spark, tablePath, snap, changes)
+        }
+      (adds, cdcFiles, fs, physPartCols)
+    } finally if (cdfOn) injected.unpersist()
 
     // ---- 4. validated commit loop: on a lost commit race, the
     // ConflictChecker decides — disjoint concurrent commits (appends,
@@ -208,12 +236,16 @@ object DeltaDml {
     var committedVersion = -1L
     while (committedVersion < 0 && attempt < 20) {
       val latest = DeltaLog.snapshot(spark, tablePath)
-      ConflictChecker.checkRewrite(op, snap, latest, touched, () => {
+      val onAbort = () => {
         adds.foreach { case (rel, _, _, _, _) =>
           fs.delete(new Path(tablePath, rel), false)
         }
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
-      })
+      }
+      ConflictChecker.checkRewrite(op, snap, latest, touched, onAbort)
+      // the find READ the predicate's scope beyond the touched files: a
+      // concurrent non-blind-append add in that scope invalidates it
+      ConflictChecker.checkReadSet(op, spark, snap, latest, Some(condition), onAbort)
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
@@ -341,7 +373,8 @@ object DeltaDml {
     // new deletion_vector_<uuid>.bin. Only per-file descriptors are
     // collected: the driver never sees a row index.
     val built: Array[DvBuild] =
-      DeltaTable.read(spark, tablePath)
+      // pinned to the transaction's snapshot (see runDml's find comment)
+      DeltaTable.readVersion(spark, tablePath, snap.version)
         .filter(expr(condition))
         .select(col("_metadata.file_path").as("_f"), col("_metadata.row_index").as("_i"))
         .as[(String, Long)]
@@ -437,11 +470,14 @@ object DeltaDml {
     var committedVersion = -1L
     while (committedVersion < 0 && attempt < 20) {
       val latest = DeltaLog.snapshot(spark, tablePath)
-      ConflictChecker.checkRewrite("DELETE (merge-on-read)", snap, latest, touched, () => {
+      val onAbort = () => {
         val fs = new Path(tablePath).getFileSystem(conf)
         dvFilePaths.foreach(p => fs.delete(p, false))
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
-      })
+      }
+      ConflictChecker.checkRewrite("DELETE (merge-on-read)", snap, latest, touched, onAbort)
+      ConflictChecker.checkReadSet("DELETE (merge-on-read)", spark, snap, latest,
+        Some(condition), onAbort)
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
@@ -456,7 +492,10 @@ object DeltaDml {
       ci.put("engineInfo", "graft-spark/0.1.0")
       DeltaWriter.putMetrics(ci, Map(
         "numDeletedRows" -> rowsAffected,
-        "numDeletionVectorsAdded" -> touched.size.toLong))
+        // emptied files are removed outright with NO DV attached — only
+        // the kept files actually gain one
+        "numDeletionVectorsAdded" -> kept.size.toLong,
+        "numRemovedFiles" -> emptied.size.toLong))
       lines += mapper.writeValueAsString(ciLine)
       // first DV on the table upgrades the protocol to table features,
       // carrying the legacy writer capabilities forward explicitly

@@ -679,6 +679,56 @@ object DeltaLog {
       }
   }
 
+  /** DATA-CHANGE add actions from NON-BLIND-APPEND commits in versions
+    * (fromExclusive, toInclusive] — the read-set conflict surface for
+    * [[ConflictChecker.checkReadSet]]. A commit is a blind append when it
+    * adds files without removing any and is not a MERGE (whose inserts are
+    * decisions computed FROM a read of the table); only non-blind commits'
+    * dataChange adds can invalidate another transaction's reads under
+    * WriteSerializable — blind appends serialize before the reader by
+    * definition (production Delta's isBlindAppend exemption).
+    *
+    * Throws if any commit JSON in the range is missing (cleaned up
+    * mid-flight): an unvalidatable range must abort, not pass. */
+  private[delta] def nonBlindDataAdds(
+      spark: SparkSession,
+      tablePath: String,
+      fromExclusive: Long,
+      toInclusive: Long): Seq[DeltaAddFile] = {
+    val (commits, _) = listLog(spark, tablePath)
+    val inRange = commits.filter { case (v, _) => v > fromExclusive && v <= toInclusive }
+    val expected = (fromExclusive + 1) to toInclusive
+    if (inRange.map(_._1) != expected)
+      throw new java.io.IOException(
+        s"cannot validate read set on $tablePath: commit JSONs for versions " +
+          s"${expected.mkString(",")} are not all present (log cleaned up mid-transaction?)")
+    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    inRange.flatMap { case (_, status) =>
+      val in = fs.open(status.getPath)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val adds = Seq.newBuilder[DeltaAddFile]
+      var hasRemove = false
+      var operation: String = null
+      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("add")) {
+          val a = node.get("add")
+          if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
+            adds += DeltaAddFile(
+              a.get("path").asText(),
+              jsonStringMap(a.get("partitionValues")),
+              a.get("size").asLong(),
+              if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
+              if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None)
+        } else if (node.has("remove")) hasRemove = true
+        else if (node.has("commitInfo") && node.get("commitInfo").has("operation"))
+          operation = node.get("commitInfo").get("operation").asText()
+      }
+      val blindAppend = !hasRemove && operation != "MERGE"
+      if (blindAppend) Nil else adds.result()
+    }
+  }
+
   /** Reader-version-3 table features this engine can actually honor:
     * deletion vectors and column mapping (first-class above), v2
     * checkpoints (replay recognizes UUID-named checkpoints,

@@ -131,7 +131,23 @@ object DeltaMerge {
       notMatched: Seq[NotMatched],
       bySource: Seq[NotMatchedBySource],
       schemaEvolution: Boolean,
-      txn: Option[(String, Long)]): MergeMetrics = {
+      txn: Option[(String, Long)]): MergeMetrics =
+    merge(spark, tablePath, source, condition, matched, notMatched, bySource,
+      schemaEvolution, txn, beforeCommit = () => ())
+
+  /** Test seam: `beforeCommit` runs after staging, before the validated
+    * commit loop (the same deterministic-conflict seam as [[DeltaDml]]). */
+  private[graft] def merge(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      condition: String,
+      matched: Seq[Matched],
+      notMatched: Seq[NotMatched],
+      bySource: Seq[NotMatchedBySource],
+      schemaEvolution: Boolean,
+      txn: Option[(String, Long)],
+      beforeCommit: () => Unit): MergeMetrics = {
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE requires at least one WHEN clause")
     val snap = DeltaLog.snapshot(spark, tablePath)
@@ -186,7 +202,8 @@ object DeltaMerge {
     val evolved: Seq[StructField] =
       if (newCols.isEmpty) Nil
       else {
-        val typer = DeltaTable.read(spark, tablePath).limit(0).alias("t")
+        val typer = DeltaTable.readVersion(spark, tablePath, snap.version)
+          .limit(0).alias("t")
           .crossJoin(source.limit(0).alias("s"))
         newCols.map { case (c, e) =>
           StructField(c, typer.select(expr(e)).schema.head.dataType, nullable = true)
@@ -218,11 +235,15 @@ object DeltaMerge {
     // ---- 1. find touched files. The source is tagged with a constant
     // marker column: "did this left join find a source row" via any data
     // column's null-ness would break on sources that genuinely contain
-    // NULLs.
+    // NULLs. Every phase reads the table PINNED to the transaction's
+    // snapshot version — an unpinned read resolves a fresh snapshot at
+    // load() time, so a commit racing the merge could make the find see a
+    // file the `touched` set (built from `snap`) then silently drops: a
+    // matched row neither updated nor inserted, under no serial order.
     val src = source.withColumn("_smark", lit(1)).alias("s")
     val matchedTouch: Set[String] =
       if (matched.isEmpty) Set.empty
-      else DeltaTable.read(spark, tablePath)
+      else DeltaTable.readVersion(spark, tablePath, snap.version)
         .withColumn("_gf", input_file_name()).alias("t")
         .join(src, expr(condition), "inner")
         .select(col("_gf")).distinct()
@@ -232,7 +253,7 @@ object DeltaMerge {
       else {
         val anyCond = bySource.map(_.condition.map(expr).getOrElse(lit(true)))
           .reduce(_ || _)
-        DeltaTable.read(spark, tablePath)
+        DeltaTable.readVersion(spark, tablePath, snap.version)
           .withColumn("_gf", input_file_name()).alias("t")
           .join(src, expr(condition), "left_anti")
           .filter(anyCond)
@@ -242,6 +263,12 @@ object DeltaMerge {
     val touchedPaths = matchedTouch ++ bySourceTouch
     val touched = snap.files.filter(f => touchedPaths.contains(normalize(
       new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)))
+    // every found path must resolve to a snapshot file — a silent drop
+    // here would commit a merge that never rewrote a matched row
+    // (DeltaDml fails the same way on its find/snapshot mismatch)
+    require(touched.size == touchedPaths.size,
+      s"internal: ${touchedPaths.size - touched.size} matched file(s) not found " +
+        s"in snapshot v${snap.version} (e.g. ${touchedPaths.take(3).mkString(",")})")
 
     // ---- 2. rewrite touched files (first-match-wins clause application)
     val cdfOn = DeltaCdf.enabled(snap.metadata)
@@ -317,12 +344,15 @@ object DeltaMerge {
             if (acc == null) when(cond, v) else acc.when(cond, v)
           }.otherwise(carry(c))
         }
-        val result = withAct
+        val result0 = withAct
           .filter(if (deleteActs.isEmpty) lit(true)
                   else !col("_act").isInCollection(deleteActs))
           .select(outCols.map(c => resolved(c).as(c)): _*)
-        // updated rows must satisfy the table's CHECK constraints
-        DeltaConstraints.validate(result, snap, "MERGE")
+        // updated rows must satisfy the table's CHECK constraints AND the
+        // NOT NULL invariants (a SET expression evaluating NULL into a
+        // non-nullable column would read back as 0 through the schema)
+        DeltaConstraints.validate(result0, snap, "MERGE")
+        val result = DeltaConstraints.notNullGuarded(result0, snap.schema, "MERGE")
         // change data feed: per-action rows, computed from the same
         // persisted materialization as the rewrite
         val cdcMatched: Seq[(String, Long)] =
@@ -359,7 +389,8 @@ object DeltaMerge {
     val insertedOpt: Option[((Seq[Add], Long), Seq[(String, Long)])] =
       if (notMatched.isEmpty) None else Some {
       val anti = src.join(
-        DeltaTable.read(spark, tablePath).alias("t"), expr(condition), "left_anti")
+        DeltaTable.readVersion(spark, tablePath, snap.version).alias("t"),
+        expr(condition), "left_anti")
       val iactChain = {
         val cases = notMatched.zipWithIndex.map { case (nm, j) =>
           (nm.condition.map(expr).getOrElse(lit(true)), j)
@@ -379,7 +410,11 @@ object DeltaMerge {
           if (acc == null) when(cond, v) else acc.when(cond, v)
         }.otherwise(lit(null).cast(colType(c)))
       }
-      val insertRows = withIact.select(outCols.map(c => inserted(c).as(c)): _*)
+      // NOT NULL holds structurally for UNASSIGNED columns (checked at
+      // clause validation) and via the inline guard for assigned
+      // expressions that evaluate NULL at runtime
+      val insertRows = DeltaConstraints.notNullGuarded(
+        withIact.select(outCols.map(c => inserted(c).as(c)): _*), snap.schema, "MERGE INSERT")
       DeltaConstraints.validate(insertRows, snap, "MERGE INSERT")
       // persisted: the table write and the cdc 'insert' rows must come
       // from ONE evaluation of the anti-join (re-planning could diverge
@@ -407,6 +442,7 @@ object DeltaMerge {
       return MergeMetrics(0, 0, 0, 0, snap.version)
 
     // ---- 4. validated commit loop (same contract as DELETE/OPTIMIZE)
+    beforeCommit()
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     var attempt = 0
     var committedVersion = -1L
@@ -423,12 +459,18 @@ object DeltaMerge {
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
         return MergeMetrics(0, 0, 0, 0, latest.version)
       }
-      ConflictChecker.checkRewrite("MERGE", snap, latest, touched, () => {
+      val onAbort = () => {
         adds.foreach { case (rel, _, _, _, _) =>
           fs.delete(new Path(tablePath, rel), false)
         }
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
-      })
+      }
+      ConflictChecker.checkRewrite("MERGE", snap, latest, touched, onAbort)
+      // the merge's decisions READ the whole target (matched-find inner
+      // join, insert anti-join): any concurrent non-blind-append data add
+      // invalidates them — two concurrent upserts of the same absent key
+      // would otherwise BOTH insert it (read predicate None = table-wide)
+      ConflictChecker.checkReadSet("MERGE", spark, snap, latest, None, onAbort)
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
@@ -456,19 +498,18 @@ object DeltaMerge {
       }
       if (evolved.nonEmpty) {
         // metaData re-emission (same table id — replay is last-metaData-
-        // wins): the evolved schema is rebuilt against the LATEST metadata
-        // each attempt so a concurrent config change is never clobbered
-        val base = latest.metadata
-        val known = base.schema.fieldNames.toSet
-        val grown = StructType(
-          base.schema.fields ++ evolved.filterNot(f => known.contains(f.name)))
+        // wins). Emitted from the TRANSACTION's snapshot: checkTableState
+        // above aborts on ANY concurrent metadata change, so
+        // latest.metadata == snap.metadata here by construction — there is
+        // no concurrent config to preserve beyond what snap carries.
+        val base = snap.metadata
         val node = mapper.createObjectNode()
         val m = node.putObject("metaData")
         m.put("id", base.id)
         val fmt = m.putObject("format")
         fmt.put("provider", "parquet")
         fmt.putObject("options")
-        m.put("schemaString", grown.json)
+        m.put("schemaString", outSchema.json)
         base.partitionColumns.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
         val cfg = m.putObject("configuration")
         base.configuration.foreach { case (k, v) => cfg.put(k, v) }
@@ -549,8 +590,15 @@ object DeltaMerge {
       .map(f => f.copy(name = snap.metadata.physicalOf(f.name))))
     val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString),
       physDataSchema, snap.metadata.configuration)
+    // a zero-row staged file (Spark writes one schema-only part file even
+    // for an EMPTY frame — e.g. an insert clause no source row satisfied)
+    // is dropped, never published: publishing would orphan it on the
+    // no-op early return and accumulate empty adds on real commits
+    val liveStaged = stagedFiles.filterNot { f =>
+      stats.get(f.toString).exists(n => n.get("numRecords").asLong() == 0L)
+    }
     var rows = 0L
-    val adds: Seq[Add] = stagedFiles.map { staged =>
+    val adds: Seq[Add] = liveStaged.map { staged =>
       val rel = DeltaWriter.relativize(stagingDir, staged)
       val target = new Path(tablePath, rel)
       fs.mkdirs(target.getParent)
@@ -566,7 +614,7 @@ object DeltaMerge {
     (adds, rows)
   }
 
-  private def normalize(uri: String): String =
-    try new Path(new java.net.URI(uri)).toUri.getPath
-    catch { case _: Exception => new Path(uri).toUri.getPath }
+  /** Shared URI spelling normalization — one definition ([[DeltaDml]]'s),
+    * not a per-file copy a scheme-handling fix could miss. */
+  private def normalize(uri: String): String = DeltaDml.normalize(uri)
 }

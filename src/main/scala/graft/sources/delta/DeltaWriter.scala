@@ -307,6 +307,12 @@ object DeltaWriter {
     // CHECK constraints of the existing table apply to every incoming row
     // (validated AFTER identity assignment — constraints may reference it)
     existing.foreach(snap => DeltaConstraints.validate(data1i, snap, "WRITE"))
+    // NOT NULL invariants (the `invariants` writer capability): inline
+    // raise-on-null guards on the table's non-nullable columns — the
+    // incoming frame's own nullability says nothing about its VALUES
+    val data1g = existing
+      .map(snap => DeltaConstraints.notNullGuarded(data1i, snap.schema, "WRITE"))
+      .getOrElse(data1i)
 
     // ---- 1. write data files to a staging dir (distributed parquet write).
     // optimizeWrite: one shuffle by the partition columns so each hive
@@ -316,7 +322,7 @@ object DeltaWriter {
     // hive dirs, stats keys); everything above this point stays logical.
     val meta = existing.map(_.metadata)
     val physOf: String => String = n => meta.map(_.physicalOf(n)).getOrElse(n)
-    val data2 = meta.map(m => physicalized(data1i, m)).getOrElse(data1i)
+    val data2 = meta.map(m => physicalized(data1g, m)).getOrElse(data1g)
     val physPartitionCols = partitionCols.map(physOf)
     val toWrite =
       if (optimizeWrite && physPartitionCols.nonEmpty)

@@ -9,7 +9,7 @@ import scala.concurrent.duration._
 import org.apache.spark.sql.SaveMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.delta.{DeltaDml, DeltaLog, DeltaMaintenance, DeltaTable, DeltaWriter}
+import graft.sources.delta.{DeltaDml, DeltaLog, DeltaMaintenance, DeltaMerge, DeltaTable, DeltaWriter, MergeClause}
 
 /** ACID under contention: concurrent appenders race on the commit version;
   * the atomic-rename commit protocol (tryCommit + retry) must serialize
@@ -78,6 +78,63 @@ class DeltaConcurrencySuite extends AnyFunSuite {
     val ps = DeltaTable.read(spark, dir).select("p").distinct()
       .as[Int].collect().sorted.toSeq
     assert(ps === Seq(0, 2))
+  }
+
+  test("concurrent MERGEs upserting the same ABSENT key: the loser aborts, no duplicate insert") {
+    val dir = Files.createTempDirectory("graft-merge-race").toString
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    def upsert(beforeCommit: () => Unit): Unit =
+      DeltaMerge.merge(spark, dir,
+        Seq((100L, "new")).toDF("id", "v"), "t.id = s.id",
+        matched = Seq(MergeClause.Matched(Some(Map("v" -> "s.v")))),
+        notMatched = Seq(MergeClause.NotMatched(Map("id" -> "s.id", "v" -> "s.v"))),
+        bySource = Nil, schemaEvolution = false, txn = None,
+        beforeCommit = beforeCommit)
+    // both merges read "id=100 absent" from the same state; the winner's
+    // insert is a NON-blind add in the loser's read set — without the
+    // read-set rule BOTH would insert (duplicate key, no serial order)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      upsert(beforeCommit = () => upsert(beforeCommit = () => ()))
+    }
+    assert(e.getMessage.contains("read set"), s"unexpected abort reason: ${e.getMessage}")
+    assert(DeltaTable.read(spark, dir).filter($"id" === 100L).count() === 1L,
+      "exactly one merge's insert must land")
+  }
+
+  test("MERGE proceeds past a concurrent BLIND append (WriteSerializable exemption)") {
+    val dir = Files.createTempDirectory("graft-merge-append").toString
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    val m = DeltaMerge.merge(spark, dir,
+      Seq((100L, "new")).toDF("id", "v"), "t.id = s.id",
+      matched = Seq(MergeClause.Matched(Some(Map("v" -> "s.v")))),
+      notMatched = Seq(MergeClause.NotMatched(Map("id" -> "s.id", "v" -> "s.v"))),
+      bySource = Nil, schemaEvolution = false, txn = None,
+      beforeCommit = () =>
+        // a blind append reads nothing: it serializes BEFORE the merge
+        DeltaWriter.write(Seq((50L, "late")).toDF("id", "v"), dir, SaveMode.Append, Nil))
+    assert(m.rowsInserted === 1L)
+    assert(DeltaTable.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 50L, 100L))
+  }
+
+  test("row-level DML aborts when a concurrent MERGE added data in its read scope") {
+    val dir = Files.createTempDirectory("graft-dml-readset").toString
+    DeltaWriter.write((1 to 20).map(i => (i.toLong, s"r$i")).toDF("id", "payload")
+      .coalesce(1), dir, SaveMode.Append, Nil)
+    // the MERGE inserts a row the DELETE's unpartitioned predicate cannot
+    // be proven disjoint from — the DELETE's decisions are stale
+    val e = intercept[java.util.ConcurrentModificationException] {
+      DeltaDml.delete(spark, dir, "id <= 5", beforeCommit = () => {
+        DeltaMerge.merge(spark, dir, Seq((100L, "merged")).toDF("id", "payload"),
+          "t.id = s.id",
+          matched = Nil,
+          notMatched = Seq(MergeClause.NotMatched(Map("id" -> "s.id", "payload" -> "s.payload"))),
+          bySource = Nil, schemaEvolution = false)
+      })
+    }
+    assert(e.getMessage.contains("read set"), s"unexpected abort reason: ${e.getMessage}")
   }
 
   test("overlapping-file DML still aborts, and the loser's changes do not land") {

@@ -53,6 +53,44 @@ class DeltaDmlSuite extends AnyFunSuite {
     assert(DeltaTable.readVersion(spark, dir, before.version).count() === 8)
   }
 
+  test("DELETE keeps rows whose predicate evaluates to NULL (SQL three-valued logic)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml-null").toString
+    DeltaWriter.write(
+      Seq((1L, Some(1)), (2L, Some(10)), (3L, None))
+        .toDF("id", "x").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    // x > 5 is TRUE for id=2, FALSE for id=1, NULL for id=3: SQL DELETE
+    // removes only TRUE rows — a bare NOT(condition) keep-filter would
+    // silently destroy the NULL row (NOT NULL = NULL = dropped)
+    val m = DeltaDml.delete(spark, dir, "x > 5")
+    assert(m.rowsAffected === 1)
+    val left = DeltaTable.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+    assert(left === Seq(1L, 3L), "the NULL-predicate row must survive the delete")
+  }
+
+  test("UPDATE SET evaluating NULL into a non-nullable column fails loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml-nn").toString
+    // Long/Int primitives make toDF schema non-nullable — id and v are
+    // NOT NULL columns in the table schema
+    DeltaWriter.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    val e = intercept[Exception] {
+      DeltaDml.update(spark, dir, "id = 2",
+        Map("v" -> "IF(id = 2, CAST(NULL AS BIGINT), v)"))
+    }
+    // the raise_error fires inside the staging write; the NOT NULL text
+    // may sit anywhere down the wrapped-cause chain
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("NOT NULL"),
+      s"expected a NOT NULL violation, got: $chain")
+    // nothing committed: the table still reads the original values
+    assert(DeltaTable.read(spark, dir).select("v").as[Long].collect().sorted.toSeq
+      === Seq(10L, 20L))
+  }
+
   test("delete matching nothing is a no-op (no commit)") {
     val dir = freshTable()
     val before = DeltaLog.snapshot(spark, dir)
