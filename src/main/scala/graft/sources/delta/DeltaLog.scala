@@ -302,6 +302,27 @@ object DeltaLog {
         case _ => None
       }
     }.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.getPath.getName)).toSeq.sortBy(_._1)
+      // COMPLETENESS gate for classic multipart sets: each part name
+      // declares `<i>.<n>`; a writer that crashed mid-publish leaves
+      // i ⊂ 1..n, and replaying the partial set would silently drop every
+      // live file in the missing parts — the next checkpoint then makes
+      // the loss permanent. An incomplete set is treated as ABSENT (the
+      // same-version classic/uuid file, if any, still counts): replay
+      // falls back to an older checkpoint + JSON deltas, or fails loudly
+      // on a cleaned log — never a silently truncated snapshot.
+      .map { case (v, files) =>
+        val parts = files.flatMap(s => s.getPath.getName match {
+          case MultipartCheckpointRe(_, i, n) => Some((s, i.toInt, n.toInt))
+          case _ => None
+        })
+        val complete = parts.isEmpty || {
+          val n = parts.head._3
+          parts.forall(_._3 == n) && parts.map(_._2).toSet == (1 to n).toSet
+        }
+        if (complete) (v, files)
+        else (v, files.filterNot(parts.map(_._1).toSet))
+      }
+      .filter(_._2.nonEmpty)
     (commits, checkpoints)
   }
 
@@ -659,12 +680,7 @@ object DeltaLog {
           if (node.has("add")) {
             val a = node.get("add")
             val dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean(true)
-            if (dataChange) adds += DeltaAddFile(
-              a.get("path").asText(),
-              jsonStringMap(a.get("partitionValues")),
-              a.get("size").asLong(),
-              if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
-              if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None)
+            if (dataChange) adds += parseJsonAdd(a)
           } else if (node.has("remove") && !ignoreDataChangeRemoves) {
             val r = node.get("remove")
             val dataChange = !r.has("dataChange") || r.get("dataChange").asBoolean(true)
@@ -690,7 +706,7 @@ object DeltaLog {
     *
     * Throws if any commit JSON in the range is missing (cleaned up
     * mid-flight): an unvalidatable range must abort, not pass. */
-  private[delta] def nonBlindDataAdds(
+  private[graft] def nonBlindDataAdds(
       spark: SparkSession,
       tablePath: String,
       fromExclusive: Long,
@@ -708,26 +724,48 @@ object DeltaLog {
       val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val adds = Seq.newBuilder[DeltaAddFile]
       var hasRemove = false
+      var blindFlag: Option[Boolean] = None
       var operation: String = null
+      var writeMode: String = null
       content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         if (node.has("add")) {
           val a = node.get("add")
           if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
-            adds += DeltaAddFile(
-              a.get("path").asText(),
-              jsonStringMap(a.get("partitionValues")),
-              a.get("size").asLong(),
-              if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
-              if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None)
+            adds += parseJsonAdd(a)
         } else if (node.has("remove")) hasRemove = true
-        else if (node.has("commitInfo") && node.get("commitInfo").has("operation"))
-          operation = node.get("commitInfo").get("operation").asText()
+        else if (node.has("commitInfo")) {
+          val ci = node.get("commitInfo")
+          if (ci.has("operation")) operation = ci.get("operation").asText()
+          if (ci.has("isBlindAppend")) blindFlag = Some(ci.get("isBlindAppend").asBoolean())
+          if (ci.has("operationParameters") && ci.get("operationParameters").has("mode"))
+            writeMode = ci.get("operationParameters").get("mode").asText()
+        }
       }
-      val blindAppend = !hasRemove && operation != "MERGE"
+      // blind = the commit READ nothing. Keyed on the writer's explicit
+      // commitInfo.isBlindAppend (production's signal — our own appends
+      // stamp it), with an Append-mode WRITE fallback for older logs; a
+      // structural no-remove guard on top. Everything else — MERGE
+      // inserts, RESTORE re-adds, Overwrite of an empty table (no removes
+      // to emit!), foreign commits without commitInfo — is NON-blind: its
+      // adds came from decisions or histories a concurrent reader's
+      // snapshot never saw, and misclassifying it blind is silent
+      // duplicate/lost-row territory, while the converse is only a retry.
+      val blindAppend = !hasRemove &&
+        blindFlag.getOrElse(operation == "WRITE" && writeMode == "Append")
       if (blindAppend) Nil else adds.result()
     }
   }
+
+  /** One JSON `add` node → [[DeltaAddFile]] — shared by [[changes]] and
+    * [[nonBlindDataAdds]] so field handling cannot drift between them. */
+  private def parseJsonAdd(a: com.fasterxml.jackson.databind.JsonNode): DeltaAddFile =
+    DeltaAddFile(
+      a.get("path").asText(),
+      jsonStringMap(a.get("partitionValues")),
+      a.get("size").asLong(),
+      if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
+      if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None)
 
   /** Reader-version-3 table features this engine can actually honor:
     * deletion vectors and column mapping (first-class above), v2

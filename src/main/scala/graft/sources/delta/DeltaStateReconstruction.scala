@@ -88,7 +88,7 @@ private[delta] object DeltaStateReconstruction {
     // ---- checkpoint side: adds at version cpVersion (removes in a
     // checkpoint are vacuum tombstones, not live state — skipped exactly
     // like the driver path); v2 manifests contribute their sidecars' adds.
-    val cpFrames: Seq[(DataFrame, DataFrame, DataFrame)] = cp.toSeq.map { case (cpVersion, parts) =>
+    val cpFrames: Seq[(DataFrame, DataFrame, DataFrame, DataFrame)] = cp.toSeq.map { case (cpVersion, parts) =>
       val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
       DeltaLog.replayReads.addAndGet(parts.size.toLong)
       val cols = cpDf.schema.fieldNames.toSet
@@ -133,9 +133,7 @@ private[delta] object DeltaStateReconstruction {
           col("metaData.id").as("id"),
           col("metaData.schemaString").as("schemaString"),
           col("metaData.partitionColumns").as("partitionColumns"),
-          col("metaData.configuration").as("configuration"),
-          (if (cols.contains("protocol")) lit(null) else lit(null))
-            .cast(IntegerType).as("_pad")).drop("_pad")
+          col("metaData.configuration").as("configuration"))
       val protos =
         if (!cols.contains("protocol")) emptyProto(spark)
         else {
@@ -151,7 +149,16 @@ private[delta] object DeltaStateReconstruction {
             feat("readerFeatures").as("readerFeatures"),
             feat("writerFeatures").as("writerFeatures"))
         }
-      (adds, metas, protos)
+      // txn frame from the SAME cpDf (parquet column pruning keeps the
+      // txn-only job cheap; a separate read.parquet here would re-list
+      // the files and dodge the replayReads accounting)
+      val txns =
+        if (!cols.contains("txn")) emptyTxn(spark)
+        else cpDf.filter(col("txn").isNotNull).select(
+          lit(cpVersion).as("version"),
+          col("txn.appId").as("appId"),
+          col("txn.version").as("txnVersion"))
+      (adds, metas, protos, txns)
     }
 
     // ---- JSON tail: every action line parsed EXECUTOR-side (a single
@@ -166,7 +173,16 @@ private[delta] object DeltaStateReconstruction {
           .select(
             regexp_extract(input_file_name(), """(\d{20})\.json""", 1)
               .cast(LongType).as("version"),
-            from_json(col("value"), commitLineType).as("a")))
+            // FAILFAST: a malformed line (truncated object-store write)
+            // must fail the replay LOUDLY like the driver path's
+            // mapper.readTree does — the default PERMISSIVE mode would
+            // return a null struct and every action filter below would
+            // silently drop the line, vanishing a live file or metadata
+            // update purely because the table crossed the job-plane size
+            // cutover. Valid-but-foreign lines (commitInfo, cdc) still
+            // parse fine: missing fields are null, not malformed.
+            from_json(col("value"), commitLineType,
+              Map("mode" -> "FAILFAST").asJava).as("a")))
       }
 
     val jsonAdds = jsonRaw.map(_.filter(col("a.add").isNotNull).select(
@@ -255,14 +271,7 @@ private[delta] object DeltaStateReconstruction {
       }
 
     // ---- txn: latest SetTransaction per appId (O(appIds) rows collected)
-    val cpTxns = cp.toSeq.flatMap { case (cpVersion, parts) =>
-      val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
-      if (!cpDf.schema.fieldNames.contains("txn")) None
-      else Some(cpDf.filter(col("txn").isNotNull).select(
-        lit(cpVersion).as("version"),
-        col("txn.appId").as("appId"),
-        col("txn.version").as("txnVersion")))
-    }
+    val cpTxns = cpFrames.map(_._4)
     val jsonTxns = jsonRaw.map(_.filter(col("a.txn").isNotNull).select(
       col("version"),
       col("a.txn.appId").as("appId"),
@@ -320,6 +329,13 @@ private[delta] object DeltaStateReconstruction {
         StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", pvType))))
+
+  private def emptyTxn(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("version", LongType),
+        StructField("appId", StringType),
+        StructField("txnVersion", LongType))))
 
   private def emptyProto(spark: SparkSession): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -330,49 +330,67 @@ object DeltaWriter {
       else data2
     val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
     val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val writer = toWrite.write.mode(SaveMode.Overwrite)
-    (if (physPartitionCols.nonEmpty) writer.partitionBy(physPartitionCols: _*) else writer)
-      .parquet(stagingDir.toString)
+    // failure DURING staging/stats/publish (a raise-on-null invariant
+    // guard firing mid-write is now a routine path, not just I/O errors)
+    // must not leak the _staging dir or the pinned identity frame
+    val adds = try {
+      val writer = toWrite.write.mode(SaveMode.Overwrite)
+      (if (physPartitionCols.nonEmpty) writer.partitionBy(physPartitionCols: _*) else writer)
+        .parquet(stagingDir.toString)
 
-    val stagedFiles = listParquetFilesRecursively(fs, stagingDir)
-    val dataSchema = StructType(data2.schema.filterNot(f => physPartitionCols.contains(f.name)))
+      val stagedFiles = listParquetFilesRecursively(fs, stagingDir)
+      val dataSchema = StructType(data2.schema.filterNot(f => physPartitionCols.contains(f.name)))
 
-    // ---- 2. one distributed pass for per-file stats
-    val statsByStagedPath: Map[String, ObjectNode] =
-      if (stagedFiles.isEmpty) Map.empty
-      else collectFileStats(spark, stagedFiles.map(_.toString), dataSchema,
-        existing.map(_.metadata.configuration).getOrElse(Map.empty))
+      // ---- 2. one distributed pass for per-file stats
+      val statsByStagedPath: Map[String, ObjectNode] =
+        if (stagedFiles.isEmpty) Map.empty
+        else collectFileStats(spark, stagedFiles.map(_.toString), dataSchema,
+          existing.map(_.metadata.configuration).getOrElse(Map.empty))
 
-    // ---- 3. move staged files into the table dir (keeping hive dirs)
-    val adds = stagedFiles.map { staged =>
-      val rel = relativize(stagingDir, staged)
-      val target = new Path(tablePath, rel)
-      fs.mkdirs(target.getParent)
-      if (!fs.rename(staged, target))
-        throw new java.io.IOException(s"failed to publish $staged -> $target")
-      val st = fs.getFileStatus(target)
-      val stats = statsByStagedPath.get(staged.toString)
-      (rel, partitionValuesOf(rel, physPartitionCols), st.getLen, st.getModificationTime, stats)
+      // ---- 3. move staged files into the table dir (keeping hive dirs)
+      stagedFiles.map { staged =>
+        val rel = relativize(stagingDir, staged)
+        val target = new Path(tablePath, rel)
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(staged, target))
+          throw new java.io.IOException(s"failed to publish $staged -> $target")
+        val st = fs.getFileStatus(target)
+        val stats = statsByStagedPath.get(staged.toString)
+        (rel, partitionValuesOf(rel, physPartitionCols), st.getLen, st.getModificationTime, stats)
+      }
+    } finally {
+      try fs.delete(stagingDir, true) catch { case _: Exception => () }
+      identityPinned.foreach(_.unpersist())
     }
-    fs.delete(stagingDir, true)
-    identityPinned.foreach(_.unpersist())
+    val statsByStagedPath: Map[String, ObjectNode] =
+      adds.flatMap { case (rel, _, _, _, st) => st.map(rel -> _) }.toMap
 
     // ---- 4. commit (retry on concurrent-writer version conflict)
     var attempt = 0
     var committed = false
+    // the last table config this loop replayed — reused by the
+    // auto-compact flag check so a disabled flag costs no extra replay
+    var lastKnownConfig: Option[Map[String, String]] = None
     while (!committed && attempt < 20) {
       val current: Option[DeltaSnapshot] =
         if (DeltaLog.isDeltaTable(spark, tablePath)) Some(DeltaLog.snapshot(spark, tablePath)) else None
+      lastKnownConfig = current.map(_.metadata.configuration)
       val version = current.map(_.version + 1).getOrElse(0L)
       // identity safety: the ids were assigned from `assignedFromHwm`; a
       // concurrent identity write that advanced the hwm since would make
       // this commit hand out DUPLICATE ids — abort instead of retrying
       current.foreach { cur =>
         identityFieldsOf(cur.schema).foreach { f =>
-          if (assignedFromHwm.get(f.name).exists(_ != identityHwm(f)))
+          if (assignedFromHwm.get(f.name).exists(_ != identityHwm(f))) {
+            // same cleanup as every other abort path: the staged files
+            // were already published into the table dir and would orphan
+            adds.foreach { case (rel, _, _, _, _) =>
+              fs.delete(new Path(tablePath, rel), false)
+            }
             throw new java.util.ConcurrentModificationException(
               s"identity column ${f.name} advanced concurrently " +
                 s"(${assignedFromHwm(f.name)} -> ${identityHwm(f)}); rerun the write")
+          }
         }
       }
       // concurrent same-app redelivery: another writer committed this
@@ -412,6 +430,11 @@ object DeltaWriter {
       current.foreach(cur => InCommitTimestamps.stamp(
         spark, tablePath, cur.metadata.configuration, cur.version, ci))
       ci.put("operation", "WRITE")
+      // production Delta's read-set exemption signal: an append reads
+      // nothing, so concurrent readers need not conflict with it
+      // (ConflictChecker.checkReadSet / DeltaLog.nonBlindDataAdds key on
+      // this the way delta-spark keys on its own isBlindAppend)
+      ci.put("isBlindAppend", mode == SaveMode.Append)
       val params = ci.putObject("operationParameters")
       params.put("mode", mode.toString)
       params.put("partitionBy", mapper.writeValueAsString(
@@ -537,9 +560,16 @@ object DeltaWriter {
         current.map(_.metadata.configuration).getOrElse(Map.empty))
       attempt += 1
     }
-    if (!committed) throw new java.io.IOException(
-      s"could not commit to $tablePath after $attempt attempts (concurrent writers)")
-    maybeAutoCompact(spark, tablePath)
+    if (!committed) {
+      // loop exhaustion is an abort like any other: the published-but-
+      // never-referenced files must not orphan in the table dir
+      adds.foreach { case (rel, _, _, _, _) =>
+        try fs.delete(new Path(tablePath, rel), false) catch { case _: Exception => () }
+      }
+      throw new java.io.IOException(
+        s"could not commit to $tablePath after $attempt attempts (concurrent writers)")
+    }
+    maybeAutoCompact(spark, tablePath, lastKnownConfig)
   }
 
   /** Auto compaction (`delta.autoOptimize.autoCompact=true`): after a
@@ -550,10 +580,18 @@ object DeltaWriter {
     * the standard `dataChange=false` commit; concurrent-writer aborts
     * inside it are swallowed (compaction is best-effort by design — the
     * NEXT write retries). */
-  private def maybeAutoCompact(spark: SparkSession, tablePath: String): Unit = {
+  private def maybeAutoCompact(
+      spark: SparkSession, tablePath: String,
+      knownConfig: Option[Map[String, String]]): Unit = {
+    // the flag is checked from the commit loop's ALREADY-REPLAYED config
+    // when available — the common disabled case must not pay a fresh full
+    // log replay per append just to read one key
+    val enabled = knownConfig
+      .getOrElse(DeltaLog.snapshot(spark, tablePath).metadata.configuration)
+      .get("delta.autoOptimize.autoCompact")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    if (!enabled) return
     val snap = DeltaLog.snapshot(spark, tablePath)
-    if (!snap.metadata.configuration.get("delta.autoOptimize.autoCompact")
-        .exists(_.trim.equalsIgnoreCase("true"))) return
     val minN = spark.conf.getOption("spark.graft.delta.autoCompact.minNumFiles")
       .map(_.trim.toInt).getOrElse(50)
     val target = 128L << 20
@@ -835,7 +873,15 @@ object DeltaWriter {
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
-      fs.rename(part, new Path(DeltaLog.logDir(tablePath), targetName))
+      val target = new Path(DeltaLog.logDir(tablePath), targetName)
+      // a false return here (dest exists from a crashed prior attempt, or
+      // HDFS-style no-throw semantics) would otherwise silently skip a
+      // part — exactly the partial multipart set replay must never see
+      if (!fs.rename(part, target)) {
+        fs.delete(target, false)
+        if (!fs.rename(part, target))
+          throw new java.io.IOException(s"failed to publish checkpoint $target")
+      }
     }
     // classic multipart checkpoints (`delta.checkpoint.partSize` actions
     // per part — production's escape hatch when a single checkpoint file

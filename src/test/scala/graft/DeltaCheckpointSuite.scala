@@ -342,6 +342,34 @@ class DeltaCheckpointSuite extends AnyFunSuite {
     assert(q.count() === 11)
   }
 
+  test("an INCOMPLETE multipart checkpoint is treated as absent, never replayed truncated") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-partial").toString
+    DeltaWriter.write(Seq((0, "x")).toDF("id", "s").coalesce(1), dir,
+      org.apache.spark.sql.SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.checkpoint.partSize' = '3')")
+    (2 to 10).foreach { i =>
+      DeltaWriter.write(Seq((i, "x")).toDF("id", "s").coalesce(1), dir,
+        org.apache.spark.sql.SaveMode.Append, Nil)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val parts = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.matches("""0*10\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
+    assert(parts.length >= 2, "test needs a real multipart checkpoint")
+    // simulate a writer that crashed mid-publish: one part vanishes.
+    // Replaying the remaining parts would SILENTLY drop every live file in
+    // the missing one — the completeness gate must instead skip the whole
+    // set and fall back to pure JSON replay (all commits still present)
+    fs.delete(parts.head, false)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.size === 10,
+      "partial multipart checkpoint must not truncate the snapshot")
+    assert(DeltaTable.read(spark, dir).count() === 10)
+  }
+
   test("delta.checkpoint.partSize writes multipart checkpoints that replay whole") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-parts").toString

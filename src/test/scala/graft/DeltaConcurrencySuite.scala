@@ -119,6 +119,22 @@ class DeltaConcurrencySuite extends AnyFunSuite {
       === Seq(1L, 50L, 100L))
   }
 
+  test("read-set surface classification: appends are blind; RESTORE re-adds are not") {
+    val dir = Files.createTempDirectory("graft-readset-cls").toString
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1),
+      dir, SaveMode.Append, Nil)                       // v0: blind append
+    DeltaDml.delete(spark, dir, "id >= 1")             // v1: delete-all (removes only)
+    DeltaMaintenance.restore(spark, dir, 0L)           // v2: re-adds v0's file, NO removes
+    DeltaWriter.write(Seq((9L, "z")).toDF("id", "v"), dir, SaveMode.Append, Nil) // v3: blind
+    // the RESTORE's re-add must surface (its adds come from a history a
+    // concurrent reader never saw — structural no-removes must NOT make
+    // it blind); the appends must stay exempt
+    val v2Adds = DeltaLog.nonBlindDataAdds(spark, dir, 1L, 2L)
+    assert(v2Adds.nonEmpty, "RESTORE re-adds must be read-set relevant")
+    assert(DeltaLog.nonBlindDataAdds(spark, dir, 2L, 3L).isEmpty,
+      "a blind append must stay exempt from read-set conflicts")
+  }
+
   test("row-level DML aborts when a concurrent MERGE added data in its read scope") {
     val dir = Files.createTempDirectory("graft-dml-readset").toString
     DeltaWriter.write((1 to 20).map(i => (i.toLong, s"r$i")).toDF("id", "payload")

@@ -76,6 +76,35 @@ class DeltaStateReconstructionSuite extends AnyFunSuite {
     assert(rows === Seq(1, 3, 5, 6, 7, 8))
   }
 
+  test("a corrupt commit-JSON line fails the job replay LOUDLY (parity with the driver path)") {
+    val dir = tmpDir()
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "s").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    // truncated object-store write: the last line of the newest commit is
+    // cut mid-object — PERMISSIVE parsing would null-struct it and the
+    // action filters would silently DROP the action (a live file or
+    // metadata update vanishing only past the job-plane cutover)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val commit = new org.apache.hadoop.fs.Path(dir,
+      "_delta_log/00000000000000000001.json")
+    val in = fs.open(commit)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val out = fs.create(commit, true)
+    try out.write((content + "\n" + """{"add":{"path":"trunc""").getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[Exception] { snapshotIn("always", dir) }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ").toLowerCase
+    assert(chain.contains("malformed") || chain.contains("parse") || chain.contains("json"),
+      s"expected a loud parse failure, got: $chain")
+    // the driver path fails on the same log too — behavior must not
+    // diverge on table size
+    intercept[Exception] { snapshotIn("never", dir) }
+  }
+
   test("job replay handles a checkpoint-only log (no tail commits)") {
     val dir = tmpDir()
     DeltaWriter.write((1 to 20).toDF("id"), dir, SaveMode.Append, Nil)
