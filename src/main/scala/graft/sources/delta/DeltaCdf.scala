@@ -175,6 +175,18 @@ object DeltaCdf {
         "is no longer available (commit JSONs retired by log cleanup); " +
         "narrow the range to versions still present in _delta_log")
 
+    // per-VERSION enablement: checking only the end snapshot would let a
+    // range crossing the enablement boundary serve DERIVED whole-file
+    // changes for pre-enablement DML (an update that rewrote a 1M-row
+    // file to change one row would surface 1M phantom delete+insert
+    // rows). Track the metadata state across the range and fail loudly on
+    // any data-change commit made while CDF was off — production's
+    // changeDataNotRecorded contract. Seeded from the snapshot at the
+    // range start.
+    var cdfOnNow: Boolean =
+      if (fromExclusive < 0) false
+      else enabled(DeltaLog.snapshot(spark, tablePath,
+        versionAsOf = Some(fromExclusive)).metadata)
     val frames: Seq[DataFrame] = inRange
       .flatMap { case (v, status) =>
         val in = fs.open(status.getPath)
@@ -185,6 +197,12 @@ object DeltaCdf {
         val removeFiles = Seq.newBuilder[(String, Map[String, String])]
         content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
+          if (node.has("metaData")) {
+            val md = node.get("metaData")
+            if (md.has("configuration"))
+              cdfOnNow = Option(md.get("configuration").get(EnableKey))
+                .exists(_.asText().trim.equalsIgnoreCase("true"))
+          }
           if (node.has("commitInfo")) {
             val ciNode = node.get("commitInfo")
             // in-commit timestamp wins when present (mtime-independent)
@@ -217,6 +235,13 @@ object DeltaCdf {
           }
         }
         val cdc = cdcFiles.result()
+        val addsAll = addFiles.result()
+        val removesAll = removeFiles.result()
+        if (!cdfOnNow && cdc.isEmpty && (addsAll.nonEmpty || removesAll.nonEmpty))
+          throw new UnsupportedOperationException(
+            s"$tablePath: change data for version $v was not recorded (CDF was " +
+              s"not enabled when it committed); start the range at or after the " +
+              "enablement version")
         val perCommit: Seq[DataFrame] =
           if (cdc.nonEmpty) {
             // cdc actions take precedence: they carry the exact change rows.
@@ -235,7 +260,7 @@ object DeltaCdf {
                 }
             }
           } else {
-            val adds = addFiles.result()
+            val adds = addsAll
             val dvAdds = adds.filter(_._3)
             if (dvAdds.nonEmpty) throw new UnsupportedOperationException(
               s"$tablePath version $v attaches a deletion vector without cdc " +
@@ -252,7 +277,7 @@ object DeltaCdf {
             // A table whose protocol never enabled deletionVectors cannot
             // have DV'd files — it keeps the direct read (no per-commit
             // prior-snapshot replay).
-            val removes = removeFiles.result()
+            val removes = removesAll
             val dvPossible = endSnap.protocol.minReaderVersion >= 3 &&
               endSnap.protocol.readerFeatures.contains("deletionVectors")
             val deletes: Seq[DataFrame] =

@@ -43,7 +43,8 @@ object DeltaConstraints {
     commitMetadata(spark, tablePath,
       snap.metadata.configuration + (ConfPrefix + name -> expression),
       newSchemaString = None,
-      op = "ADD CONSTRAINT", params = Map("name" -> name))
+      op = "ADD CONSTRAINT", params = Map("name" -> name),
+      baseMetadata = Some(snap.metadata))
   }
 
   /** `ALTER TABLE … DROP CONSTRAINT name`. */
@@ -54,7 +55,8 @@ object DeltaConstraints {
     commitMetadata(spark, tablePath,
       snap.metadata.configuration - (ConfPrefix + name),
       newSchemaString = None,
-      op = "DROP CONSTRAINT", params = Map("name" -> name))
+      op = "DROP CONSTRAINT", params = Map("name" -> name),
+      baseMetadata = Some(snap.metadata))
   }
 
   /** Constraints of a snapshot as (name, expression). */
@@ -108,7 +110,8 @@ object DeltaConstraints {
   private[delta] def commitMetadata(
       spark: SparkSession, tablePath: String, newConfig: Map[String, String],
       newSchemaString: Option[String], op: String, params: Map[String, String],
-      newProtocol: Option[DeltaProtocol] = None): Long = {
+      newProtocol: Option[DeltaProtocol] = None,
+      baseMetadata: Option[DeltaMetadata] = None): Long = {
     var attempt = 0
     var committed = -1L
     while (committed < 0 && attempt < 20) {
@@ -116,6 +119,18 @@ object DeltaConstraints {
       // a metadata/DDL commit is a write too; `newProtocol` upgrades the
       // table's own demands, which this engine satisfies by construction
       current.assertWritable(op)
+      // LOST-UPDATE guard: newConfig/newSchemaString were derived from the
+      // caller's snapshot — re-committing them verbatim on top of a
+      // CONCURRENT metadata commit would silently revert it (a column
+      // added by another session vanishing from the schema). Production
+      // Delta fails every concurrent transaction on metadata update; a
+      // DDL racing a DDL is no exception.
+      baseMetadata.filter(_ != current.metadata).foreach { _ =>
+        throw new java.util.ConcurrentModificationException(
+          s"$op aborted on $tablePath: table metadata changed concurrently " +
+            s"(the ALTER was computed against a stale schema/configuration); " +
+            "rerun against the new table state")
+      }
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
       val ci = ciLine.putObject("commitInfo")

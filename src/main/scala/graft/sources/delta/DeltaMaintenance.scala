@@ -292,15 +292,24 @@ object DeltaMaintenance {
     val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)
     val stats = DeltaWriter.collectFileStats(spark, stagedFiles.map(_.toString),
       snap.physicalDataSchema, snap.metadata.configuration)
-    val adds = stagedFiles.map { staged =>
+    // a mid-list publish failure must roll back the files already renamed
+    // into the table dir — they are referenced by nothing and would orphan
+    val published = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val adds = try stagedFiles.map { staged =>
       val rel = DeltaWriter.relativize(stagingDir, staged)
       val target = new Path(tablePath, rel)
       fs.mkdirs(target.getParent)
       if (!fs.rename(staged, target))
         throw new java.io.IOException(s"failed to publish $staged -> $target")
+      published += target
       val st = fs.getFileStatus(target)
       (rel, DeltaWriter.partitionValuesOf(rel, physPartCols), st.getLen,
         st.getModificationTime, stats.get(staged.toString))
+    } catch {
+      case e: Throwable =>
+        published.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
+        try fs.delete(stagingDir, true) catch { case _: Exception => () }
+        throw e
     }
     fs.delete(stagingDir, true)
     (adds, fs)
@@ -322,7 +331,8 @@ object DeltaMaintenance {
       dataChange: Boolean,
       op: String,
       params: Map[String, String],
-      abortOp: String): Long = {
+      abortOp: String,
+      cdcFiles: Seq[(String, Long)] = Nil): Long = {
     var attempt = 0
     var committedVersion = -1L
     var lastConfig: Map[String, String] = Map.empty
@@ -333,6 +343,7 @@ object DeltaMaintenance {
         adds.foreach { case (rel, _, _, _, _) =>
           fs.delete(new Path(tablePath, rel), false)
         }
+        DeltaCdf.cleanup(spark, tablePath, cdcFiles)
       })
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
@@ -370,24 +381,71 @@ object DeltaMaintenance {
         st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
         lines += mapper.writeValueAsString(addLine)
       }
+      cdcFiles.foreach { case (rel, size) =>
+        lines += DeltaCdf.cdcLine(rel, size,
+          base.partitionColumns.map(base.metadata.physicalOf))
+      }
       if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n")))
         committedVersion = version
       attempt += 1
     }
-    if (committedVersion < 0) throw new java.io.IOException(
-      s"$abortOp could not commit to $tablePath after $attempt attempts")
+    if (committedVersion < 0) {
+      // loop exhaustion orphans the published adds like any other abort —
+      // clean them up (same contract as DeltaWriter's exhaustion path)
+      adds.foreach { case (rel, _, _, _, _) =>
+        try fs.delete(new Path(tablePath, rel), false) catch { case _: Exception => () }
+      }
+      DeltaCdf.cleanup(spark, tablePath, cdcFiles)
+      throw new java.io.IOException(
+        s"$abortOp could not commit to $tablePath after $attempt attempts")
+    }
     DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion, lastConfig)
     committedVersion
   }
 
-  /** Delete data files not referenced by the CURRENT snapshot whose
-    * modification time is older than `retentionMs`. Returns #deleted.
-    * Time travel to versions needing those files stops working — that is
-    * the vacuum contract. */
-  def vacuum(
+  /** Remove-tombstone deletionTimestamps from the retained commit JSONs:
+    * absolute fs path -> LATEST deletionTimestamp recorded for it. The
+    * retention clock for a removed file starts at its REMOVAL, not its
+    * creation — production Delta's contract, and the only one that
+    * protects in-flight readers of the pre-rewrite snapshot and time
+    * travel inside the window (a file compacted away today is 30 days
+    * old by mtime, but must survive another full retention). Tombstones
+    * live in the commit JSONs; `delta.logRetentionDuration` (default 30d)
+    * keeps those around longer than any sane vacuum retention. */
+  private def tombstoneTimes(spark: SparkSession, tablePath: String): Map[String, Long] = {
+    val (commits, _) = DeltaLog.listLog(spark, tablePath)
+    val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = scala.collection.mutable.HashMap.empty[String, Long]
+    commits.foreach { case (_, status) =>
+      val in = fs.open(status.getPath)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("remove")) {
+          val r = node.get("remove")
+          val abs = new Path(tablePath, decodeRel(r.get("path").asText())).toUri.getPath
+          val ts = if (r.has("deletionTimestamp")) r.get("deletionTimestamp").asLong() else 0L
+          out.updateWith(abs) {
+            case Some(prev) => Some(math.max(prev, ts))
+            case None => Some(ts)
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** The shared vacuum walk: one live-set + tombstone computation, one
+    * filesystem recursion, ONE eligibility predicate — the destructive
+    * [[vacuum]] and the audit [[vacuumDryRun]] must never diverge.
+    * Eligibility: not under `_delta_log`, a data/DV artifact, not live in
+    * the current snapshot, and past retention measured from its
+    * remove-tombstone's deletionTimestamp (an ORPHAN with no tombstone —
+    * crashed staging output — falls back to its modification time). */
+  private def vacuumWalk(
       spark: SparkSession,
       tablePath: String,
-      retentionMs: Long = 7L * 24 * 3600 * 1000): Long = {
+      retentionMs: Long)(onEligible: Path => Unit): Unit = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -397,7 +455,32 @@ object DeltaMaintenance {
           case d if d.storageType == "u" || d.storageType == "p" =>
             d.absolutePath(tablePath).toUri.getPath
         }
+    val tombstones = tombstoneTimes(spark, tablePath)
     val cutoff = System.currentTimeMillis() - retentionMs
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      val rel = p.toUri.getPath
+      val inLog = rel.contains(s"/${DeltaLog.LogDirName}/")
+      val vacuumable = p.getName.endsWith(".parquet") ||
+        (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin"))
+      if (!inLog && vacuumable && !live.contains(rel)) {
+        val clock = tombstones.getOrElse(rel, f.getModificationTime)
+        if (clock < cutoff) onEligible(p)
+      }
+    }
+  }
+
+  /** Delete data files not referenced by the CURRENT snapshot whose
+    * remove-tombstone (orphans: modification time) is older than
+    * `retentionMs`. Returns #deleted. Time travel to versions needing
+    * those files stops working — that is the vacuum contract. */
+  def vacuum(
+      spark: SparkSession,
+      tablePath: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Long = {
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     var deleted = 0L
     // object stores with a batched delete (S3 DeleteObjects: 1000/request)
     // retire expired files in batches — a million-file VACUUM must not
@@ -407,22 +490,12 @@ object DeltaMaintenance {
       case _ => None
     }
     val pending = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath
-      val rel = p.toUri.getPath
-      val inLog = rel.contains(s"/${DeltaLog.LogDirName}/")
-      val vacuumable = p.getName.endsWith(".parquet") ||
-        (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin"))
-      if (!inLog && vacuumable && !live.contains(rel)
-          && f.getModificationTime < cutoff) {
-        bulk match {
-          case Some(b) =>
-            pending += p
-            if (pending.size >= 1000) { deleted += b.deleteBatch(pending.toSeq); pending.clear() }
-          case None => if (fs.delete(p, false)) deleted += 1
-        }
+    vacuumWalk(spark, tablePath, retentionMs) { p =>
+      bulk match {
+        case Some(b) =>
+          pending += p
+          if (pending.size >= 1000) { deleted += b.deleteBatch(pending.toSeq); pending.clear() }
+        case None => if (fs.delete(p, false)) deleted += 1
       }
     }
     bulk.foreach(b => if (pending.nonEmpty) deleted += b.deleteBatch(pending.toSeq))
@@ -431,33 +504,14 @@ object DeltaMaintenance {
 
   /** `VACUUM … DRY RUN`: the absolute paths [[vacuum]] would delete under
     * the same retention, deleting nothing — the audit step production runs
-    * before a destructive vacuum. Same walk, same eligibility tests. */
+    * before a destructive vacuum. Literally the SAME walk ([[vacuumWalk]]),
+    * so the audit can never diverge from the deletion. */
   def vacuumDryRun(
       spark: SparkSession,
       tablePath: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val live: Set[String] =
-      snap.files.map(f => new Path(tablePath, decodeRel(f.path)).toUri.getPath).toSet ++
-        snap.files.flatMap(_.deletionVector).collect {
-          case d if d.storageType == "u" || d.storageType == "p" =>
-            d.absolutePath(tablePath).toUri.getPath
-        }
-    val cutoff = System.currentTimeMillis() - retentionMs
     val out = Seq.newBuilder[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath
-      val rel = p.toUri.getPath
-      val inLog = rel.contains(s"/${DeltaLog.LogDirName}/")
-      val vacuumable = p.getName.endsWith(".parquet") ||
-        (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin"))
-      if (!inLog && vacuumable && !live.contains(rel)
-          && f.getModificationTime < cutoff) out += rel
-    }
+    vacuumWalk(spark, tablePath, retentionMs)(p => out += p.toUri.getPath)
     out.result().sorted
   }
 
@@ -587,9 +641,27 @@ object DeltaMaintenance {
     val out = (survivors :+ data).map(_.select(outCols.map(col): _*))
       .reduce(_ unionByName _)
     val (adds, fs) = stagePublish(spark, tablePath, snap, out)
+    // CDF: the EXACT changes — predicate-matching rows of touched files
+    // out ('delete'), the incoming frame in ('insert'). Without cdc the
+    // reader's derived whole-file path would fabricate delete+insert churn
+    // for every SURVIVING row of the touched files (they were rewritten,
+    // not changed) — a downstream CDC consumer double-processing unchanged
+    // rows. Production Delta writes cdc for replaceWhere when CDF is on.
+    val cdcFiles: Seq[(String, Long)] =
+      if (!DeltaCdf.enabled(snap.metadata)) Nil
+      else {
+        val deleted = partitionInjected(spark, tablePath, snap, touched)
+          .reduceOption(_ unionByName _)
+          .map(_.filter(expr(condition))
+            .select(outCols.map(col) :+ lit("delete").as(DeltaCdf.TypeCol): _*))
+        val inserted = data
+          .select(outCols.map(col) :+ lit("insert").as(DeltaCdf.TypeCol): _*)
+        val changes = (deleted.toSeq :+ inserted).reduce(_ unionByName _)
+        DeltaCdf.stageChanges(spark, tablePath, snap, changes)
+      }
     commitReplace(spark, tablePath, snap, fs, touched, adds, dataChange = true,
       op = "REPLACE WHERE", params = Map("condition" -> condition),
-      abortOp = "REPLACE WHERE")
+      abortOp = "REPLACE WHERE", cdcFiles = cdcFiles)
   }
 
   /** `CREATE TABLE … SHALLOW CLONE src`: a zero-copy metadata-only fork.
@@ -635,21 +707,7 @@ object DeltaMaintenance {
     cp.put("sourceVersion", src.version)
     ci.put("engineInfo", "graft-spark/0.1.0")
     lines += mapper.writeValueAsString(ciLine)
-    val protoLine = mapper.createObjectNode()
-    val proto = protoLine.putObject("protocol")
-    // a clone of a DV-carrying source must itself declare the feature
-    val srcHasDv = src.files.exists(_.deletionVector.isDefined)
-    if (srcHasDv) {
-      proto.put("minReaderVersion", 3)
-      proto.put("minWriterVersion", 7)
-      proto.putArray("readerFeatures").add("deletionVectors")
-      val wf = proto.putArray("writerFeatures")
-      Seq("appendOnly", "invariants", "deletionVectors").foreach(wf.add)
-    } else {
-      proto.put("minReaderVersion", 1)
-      proto.put("minWriterVersion", 2)
-    }
-    lines += mapper.writeValueAsString(protoLine)
+    lines += cloneProtocolLine(src)
     val mdLine = mapper.createObjectNode()
     val m = mdLine.putObject("metaData")
     m.put("id", UUID.randomUUID().toString) // a clone is a NEW table
@@ -688,6 +746,36 @@ object DeltaMaintenance {
     if (!DeltaLog.tryCommit(spark, targetPath, 0L, lines.result().mkString("\n")))
       throw new java.io.IOException(s"CLONE lost the race creating $targetPath")
     0L
+  }
+
+  /** A clone's protocol line: the SOURCE's protocol carried VERBATIM —
+    * the copied schemaString/configuration may require column mapping,
+    * type widening, in-commit timestamps, constraints … and a hardcoded
+    * (1,2) would be spec-invalid (foreign readers either reject the clone
+    * or resolve logical column names against physical parquet names and
+    * read all-NULLs). Widened with deletionVectors when any copied add
+    * carries one and the source protocol predates the feature. */
+  private def cloneProtocolLine(src: DeltaSnapshot): String = {
+    val p0 = src.protocol
+    val p =
+      if (src.files.exists(_.deletionVector.isDefined) &&
+          (p0.minReaderVersion < 3 || !p0.readerFeatures.contains("deletionVectors")))
+        p0.withReaderWriterFeature("deletionVectors",
+          mappingActive = src.metadata.columnMappingMode != "none")
+      else p0
+    val protoLine = mapper.createObjectNode()
+    val proto = protoLine.putObject("protocol")
+    proto.put("minReaderVersion", p.minReaderVersion)
+    proto.put("minWriterVersion", p.minWriterVersion)
+    if (p.minReaderVersion >= 3) {
+      val rf = proto.putArray("readerFeatures")
+      p.readerFeatures.toSeq.sorted.foreach(rf.add)
+    }
+    if (p.minWriterVersion >= 7) {
+      val wf = proto.putArray("writerFeatures")
+      p.writerFeatures.toSeq.sorted.foreach(wf.add)
+    }
+    mapper.writeValueAsString(protoLine)
   }
 
   /** `CREATE TABLE t DEEP CLONE s`: an independent physical copy — every
@@ -756,7 +844,12 @@ object DeltaMaintenance {
     val copies = (addPlans.map(_._2) ++ addPlans.flatMap(_._4)).distinct
     val bConf = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
     val tgtRootStr = tgtRoot.toString
-    spark.sparkContext.parallelize(copies, math.max(1, math.min(copies.size, 64)))
+    // partition count scales with the CLUSTER, not a fixed cap: ~8 files
+    // per task amortizes task overhead while a 1000-executor clone still
+    // fans out to every slot (the doc's aggregate-bandwidth claim)
+    val copyParallelism = math.max(1,
+      math.min(copies.size, math.max(spark.sparkContext.defaultParallelism, copies.size / 8)))
+    spark.sparkContext.parallelize(copies, copyParallelism)
       .foreach { case (fromUri, rel) =>
         val c = bConf.value.value
         val from = new Path(new URI(fromUri))
@@ -764,8 +857,11 @@ object DeltaMaintenance {
         val ffs = from.getFileSystem(c)
         val tfs = to.getFileSystem(c)
         tfs.mkdirs(to.getParent)
+        // overwrite=true: a task RETRY (or a user re-running a failed
+        // clone) must be idempotent — overwrite=false permanently fails
+        // every attempt after the first copied its files
         if (!org.apache.hadoop.fs.FileUtil.copy(ffs, from, tfs, to,
-          false /* deleteSource */, false /* overwrite */, c))
+          false /* deleteSource */, true /* overwrite */, c))
           throw new java.io.IOException(s"deep clone copy failed: $fromUri -> $to")
       }
 
@@ -782,20 +878,7 @@ object DeltaMaintenance {
     cp.put("isShallow", false)
     ci.put("engineInfo", "graft-spark/0.1.0")
     lines += mapper.writeValueAsString(ciLine)
-    val protoLine = mapper.createObjectNode()
-    val proto = protoLine.putObject("protocol")
-    val srcHasDv = src.files.exists(_.deletionVector.isDefined)
-    if (srcHasDv) {
-      proto.put("minReaderVersion", 3)
-      proto.put("minWriterVersion", 7)
-      proto.putArray("readerFeatures").add("deletionVectors")
-      val wf = proto.putArray("writerFeatures")
-      Seq("appendOnly", "invariants", "deletionVectors").foreach(wf.add)
-    } else {
-      proto.put("minReaderVersion", 1)
-      proto.put("minWriterVersion", 2)
-    }
-    lines += mapper.writeValueAsString(protoLine)
+    lines += cloneProtocolLine(src)
     val mdLine = mapper.createObjectNode()
     val m = mdLine.putObject("metaData")
     m.put("id", UUID.randomUUID().toString) // a clone is a NEW table
@@ -901,16 +984,20 @@ object DeltaMaintenance {
     // inference; basePath makes nested files resolve against the root)
     val full = spark.read.option("basePath", tablePath)
       .parquet(tablePath).schema
-    val inferredParts: Seq[String] = {
-      val rel0 = DeltaWriter.relativize(root, all.head)
-      rel0.split('/').dropRight(1).toSeq.flatMap { seg =>
+    def partsOf(p: Path): Seq[String] =
+      DeltaWriter.relativize(root, p).split('/').dropRight(1).toSeq.flatMap { seg =>
         val i = seg.indexOf('=')
         if (i > 0) Some(seg.substring(0, i)) else None
       }
-    }
-    require(partitionBy == inferredParts,
+    // EVERY file must sit in the declared layout — validating only one
+    // file would let a stray root-level (or differently-keyed) parquet
+    // register with silently-null partition values, its rows invisible to
+    // every partition-filtered query
+    val misplaced = all.filter(p => partsOf(p) != partitionBy)
+    require(misplaced.isEmpty,
       s"declared partition columns [${partitionBy.mkString(",")}] do not match " +
-        s"the directory layout [${inferredParts.mkString(",")}] of $tablePath")
+        s"the directory layout of ${misplaced.size} file(s) in $tablePath " +
+        s"(e.g. ${misplaced.take(2).map(DeltaWriter.relativize(root, _)).mkString(", ")})")
     val dataSchema = StructType(full.filterNot(f => partitionBy.contains(f.name)))
 
     // one distributed pass for per-file stats — same plane as the writer

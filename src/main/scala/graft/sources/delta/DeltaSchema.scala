@@ -62,7 +62,8 @@ object DeltaSchema {
       newConfig,
       newSchemaString = Some(newSchema.json),
       op = "ADD COLUMNS",
-      params = Map("columns" -> cols.map(c => s"${c.name} ${c.dataType.sql}").mkString(", ")))
+      params = Map("columns" -> cols.map(c => s"${c.name} ${c.dataType.sql}").mkString(", ")),
+      baseMetadata = Some(snap.metadata))
   }
 
   /** Constant-fold `defaultSql` against `dt`, refusing non-constants
@@ -119,7 +120,8 @@ object DeltaSchema {
       newSchemaString = Some(newSchema.json),
       op = "ADD COLUMNS",
       params = Map("columns" -> s"${col.name} ${col.dataType.sql} DEFAULT $litSql"),
-      newProtocol = defaultsProtocol(snap))
+      newProtocol = defaultsProtocol(snap),
+      baseMetadata = Some(snap.metadata))
   }
 
   /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT` —
@@ -152,7 +154,8 @@ object DeltaSchema {
       newSchemaString = Some(newSchema.json),
       op = if (defaultSql.isDefined) "SET DEFAULT" else "DROP DEFAULT",
       params = Map("column" -> colName) ++ defaultSql.map("default" -> _),
-      newProtocol = if (defaultSql.isDefined) defaultsProtocol(snap) else None)
+      newProtocol = if (defaultSql.isDefined) defaultsProtocol(snap) else None,
+      baseMetadata = Some(snap.metadata))
   }
 
   /** `ALTER TABLE … RENAME COLUMN old TO new` — metadata-only, O(1) in
@@ -201,7 +204,8 @@ object DeltaSchema {
       newSchemaString = Some(mapped.json),
       op = "RENAME COLUMN",
       params = Map("oldName" -> oldName, "newName" -> newName),
-      newProtocol = Some(mappingProtocol(snap.protocol)))
+      newProtocol = Some(mappingProtocol(snap.protocol)),
+      baseMetadata = Some(snap.metadata))
   }
 
   /** Shared column-mapping enablement: every field without mapping
@@ -291,7 +295,8 @@ object DeltaSchema {
       newSchemaString = Some(remaining.json),
       op = "DROP COLUMN",
       params = Map("column" -> name),
-      newProtocol = Some(mappingProtocol(snap.protocol)))
+      newProtocol = Some(mappingProtocol(snap.protocol)),
+      baseMetadata = Some(snap.metadata))
   }
 
   /** `ALTER TABLE … ALTER COLUMN c TYPE t` — type WIDENING (the Delta
@@ -331,7 +336,8 @@ object DeltaSchema {
       newSchemaString = Some(widened.json),
       op = "ALTER COLUMN TYPE",
       params = Map("column" -> colName, "type" -> newType.sql),
-      newProtocol = Some(newProtocol))
+      newProtocol = Some(newProtocol),
+      baseMetadata = Some(snap.metadata))
   }
 
   def setTblProperties(spark: SparkSession, tablePath: String,
@@ -376,6 +382,7 @@ object DeltaSchema {
       newSchemaString = None,
       op = "SET TBLPROPERTIES",
       params = props,
-      newProtocol = newProtocol)
+      newProtocol = newProtocol,
+      baseMetadata = Some(snap.metadata))
   }
 }

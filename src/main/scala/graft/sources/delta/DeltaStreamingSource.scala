@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** `spark.readStream.format("delta").load(path)` — the streaming SOURCE
@@ -139,9 +139,25 @@ class DeltaStreamingSource(
     val to = versionOf(end)
     // changeFeed: each micro-batch serves the ROW-LEVEL changes of its
     // version range (insert/delete/update images + commit metadata) —
-    // `.option("readChangeFeed", "true")`, the production Delta surface
-    val batch = (if (changeFeed) DeltaCdf.read(spark, path, from, to)
-                 else DeltaTable.readChanges(spark, path, from, to, ignoreDataChangeRemoves))
+    // `.option("readChangeFeed", "true")`, the production Delta surface.
+    // A NEW query with no startingVersion serves its first batch as the
+    // CURRENT SNAPSHOT tagged 'insert' (production's initial-snapshot
+    // contract) rather than a per-version replay — the table's history
+    // may predate CDF enablement, and per-version change data for those
+    // commits legitimately does not exist (DeltaCdf.read refuses it).
+    val batch = (if (changeFeed) {
+      if (from < 0) {
+        val ts = InCommitTimestamps.readIct(spark, path, to).getOrElse {
+          DeltaLog.listLog(spark, path)._1
+            .collectFirst { case (v, st) if v == to => st.getModificationTime }
+            .getOrElse(System.currentTimeMillis())
+        }
+        DeltaTable.readVersion(spark, path, to)
+          .withColumn(DeltaCdf.TypeCol, lit("insert"))
+          .withColumn(DeltaCdf.VersionCol, lit(to))
+          .withColumn(DeltaCdf.TimestampCol, lit(new java.sql.Timestamp(ts)))
+      } else DeltaCdf.read(spark, path, from, to)
+    } else DeltaTable.readChanges(spark, path, from, to, ignoreDataChangeRemoves))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     // v1 Source contract: the returned frame must be a streaming frame over
     // this micro-batch's rows (same bridge MemoryStream uses)

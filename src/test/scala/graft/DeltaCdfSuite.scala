@@ -110,6 +110,46 @@ class DeltaCdfSuite extends AnyFunSuite {
     assert(ch.filter("_change_type = 'insert'").count() === 1)
   }
 
+  test("a range crossing the enablement boundary fails loudly (pre-enablement DML is unrecorded)") {
+    val dir = Files.createTempDirectory("graft-cdf-boundary").toString
+    DeltaWriter.write((0 until 10).map(i => (i, s"n$i")).toDF("id", "name"),
+      dir, SaveMode.Append, Nil)                     // v0 (CDF off)
+    DeltaDml.delete(spark, dir, "id < 3")            // v1: DML with NO cdc
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'true')")     // v2: enable
+    DeltaDml.update(spark, dir, "id = 5", Map("name" -> "'upd'")) // v3: cdc
+    // end-snapshot check alone would pass and DERIVE whole-file changes
+    // for v1 — phantom delete+insert churn for every surviving row
+    val e = intercept[UnsupportedOperationException] { cdf(dir, 0, 3).collect() }
+    assert(e.getMessage.contains("not recorded"), e.getMessage)
+    // a range starting at the enablement version reads fine
+    val ch = cdf(dir, 2, 3).collect()
+    assert(ch.map(_.getAs[String]("_change_type")).sorted.toSeq
+      === Seq("update_postimage", "update_preimage"))
+  }
+
+  test("replaceWhere records EXACT cdc: surviving rewritten rows emit no churn") {
+    val dir = Files.createTempDirectory("graft-cdf-rw").toString
+    DeltaWriter.write(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "name")
+      .coalesce(1), dir, SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'true')")
+    // row-level predicate: the single touched file keeps ids 3,4 — those
+    // SURVIVORS are rewritten but unchanged, so the change feed must not
+    // mention them (derived whole-file changes would emit delete+insert
+    // for them)
+    DeltaMaintenance.replaceWhere(spark, dir,
+      Seq((1, "x"), (2, "y")).toDF("id", "name"), "id <= 2")
+    val v = DeltaLog.snapshot(spark, dir).version
+    val ch = cdf(dir, v - 1, v).collect()
+    val byType = ch.groupBy(_.getAs[String]("_change_type"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Int]("id"), r.getAs[String]("name"))).sorted.toSeq).toMap
+    assert(byType === Map(
+      "delete" -> Seq((1, "a"), (2, "b")),
+      "insert" -> Seq((1, "x"), (2, "y"))), s"got $byType")
+  }
+
   test("SQL table_changes('/path', from[, to]) routes through the parser") {
     val dir = fresh()
     DeltaDml.update(spark, dir, "id = 7", Map("name" -> "'seven'"))
@@ -315,6 +355,10 @@ class DeltaCdfSuite extends AnyFunSuite {
     val e2 = intercept[UnsupportedOperationException] {
       cdf(dir, 0, 2).collect()
     }
-    assert(e2.getMessage.contains("deletion vector"))
+    // the general per-version enablement gate now fires first ("not
+    // recorded"); the DV-specific wording remains for foreign DV commits
+    // made while CDF was ON
+    assert(e2.getMessage.contains("not recorded")
+      || e2.getMessage.contains("deletion vector"), e2.getMessage)
   }
 }

@@ -92,6 +92,25 @@ class DeltaCloneSuite extends AnyFunSuite {
     assert(rows(dst) === rows(src))
   }
 
+  test("a clone of a column-mapped source carries the source PROTOCOL (not a hardcoded 1,2)") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-clone-cm").toString
+    DeltaWriter.write(Seq((1L, 1.5), (2L, 2.5)).toDF("id", "score").coalesce(1),
+      src, SaveMode.Append, Nil)
+    graft.sources.delta.DeltaSchema.renameColumn(spark, src, "score", "points")
+    val srcProto = DeltaLog.snapshot(spark, src).protocol
+    assert(srcProto.minReaderVersion >= 2 ||
+      srcProto.readerFeatures.contains("columnMapping"))
+    val tgt = java.nio.file.Files.createTempDirectory("graft-clone-cm-t").toString + "/t"
+    DeltaMaintenance.shallowClone(spark, src, tgt)
+    // a (1,2) clone protocol with a mapping-mode configuration is
+    // spec-invalid: foreign readers would resolve LOGICAL names against
+    // PHYSICAL parquet columns and read all-NULLs
+    assert(DeltaLog.snapshot(spark, tgt).protocol === srcProto)
+    assert(DeltaTable.read(spark, tgt).select("points").as[Double]
+      .collect().sorted.toSeq === Seq(1.5, 2.5))
+  }
+
   test("clone refuses an existing delta target") {
     val src = freshSource()
     intercept[IllegalArgumentException] {

@@ -153,6 +153,57 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     assert(oldRead.isFailure)
   }
 
+  test("vacuum retention clock starts at REMOVAL (tombstone), not file creation") {
+    val dir = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // age every data file's MTIME far past the retention window, as if
+    // the table had been written 30 days ago...
+    val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    DeltaLog.snapshot(spark, dir).files.foreach { f =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(dir, f.path), old, -1)
+    }
+    // ...then compact it NOW: the removed files were tombstoned seconds
+    // ago, so the default 7-day retention must keep them — an mtime-keyed
+    // vacuum would delete them instantly, breaking in-flight readers of
+    // the pre-OPTIMIZE snapshot and fresh time travel
+    val before = DeltaLog.snapshot(spark, dir).version
+    DeltaMaintenance.optimize(spark, dir)
+    assert(DeltaMaintenance.vacuum(spark, dir) === 0,
+      "files removed seconds ago must survive the retention window")
+    assert(DeltaTable.readVersion(spark, dir, before).count() === 8L,
+      "time travel inside the retention window must keep working")
+    // an ORPHAN (never referenced by the log — crashed staging output)
+    // has no tombstone: it falls back to its mtime and ages out
+    val orphan = new org.apache.hadoop.fs.Path(dir, "part-orphan.parquet")
+    val out = fs.create(orphan, true); out.write(1); out.close()
+    fs.setTimes(orphan, old, -1)
+    assert(DeltaMaintenance.vacuumDryRun(spark, dir)
+      .exists(_.endsWith("part-orphan.parquet")))
+    assert(DeltaMaintenance.vacuum(spark, dir) === 1)
+  }
+
+  test("CONVERT TO DELTA rejects a stray file outside the declared partition layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-convert-stray").toString
+    (1 to 6).map(i => (i, s"k${i % 2}")).toDF("id", "k")
+      .write.mode("overwrite").partitionBy("k").parquet(dir)
+    // a root-level parquet outside the hive layout: converting it would
+    // register null partition values — rows invisible to partition filters
+    Seq((99, "x")).toDF("id", "k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/__tmp_stray")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val strayPart = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/__tmp_stray"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(strayPart, new org.apache.hadoop.fs.Path(dir, "stray.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/__tmp_stray"), true)
+    val e = intercept[IllegalArgumentException] {
+      DeltaMaintenance.convertToDelta(spark, dir, Seq("k"))
+    }
+    assert(e.getMessage.contains("stray.parquet"), e.getMessage)
+  }
+
   test("CONVERT TO DELTA registers a hive-partitioned parquet dir in place") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-convert").toString
