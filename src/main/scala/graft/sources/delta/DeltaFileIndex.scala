@@ -169,7 +169,10 @@ object DeltaStatsSkipping {
   }
 
   /** Stats and literals are compared in a common ordered domain:
-    * Double for numerics, String for strings, epoch millis for date/ts. */
+    * Double for numerics, String for strings, epoch MICROS for
+    * timestamps (full precision — a millis-truncated max bound would
+    * under-estimate and unsoundly skip a file whose row equals a literal
+    * between the truncated and true max), epoch days for dates. */
   private def jsonToComparable(raw: String, dt: DataType): Option[Any] = dt match {
     case _: NumericType => raw.toDoubleOption
     case StringType => Some(raw)
@@ -177,7 +180,7 @@ object DeltaStatsSkipping {
       try Some(java.time.LocalDate.parse(raw.take(10)).toEpochDay.toDouble)
       catch { case _: Exception => None }
     case TimestampType | TimestampNTZType =>
-      try Some(DeltaLog.parseTimestampMillis(raw).toDouble) catch { case _: Exception => None }
+      try Some(DeltaLog.parseTimestampMicros(raw).toDouble) catch { case _: Exception => None }
     case BooleanType => raw.toBooleanOption.map(b => if (b) 1.0 else 0.0)
     case _ => None
   }
@@ -187,7 +190,7 @@ object DeltaStatsSkipping {
     case (v: UTF8String, StringType) => Some(v.toString)
     case (v: String, StringType) => Some(v)
     case (v: Number, DateType) => Some(v.doubleValue()) // days since epoch → days
-    case (v: Number, TimestampType | TimestampNTZType) => Some(v.doubleValue() / 1000.0) // micros → millis
+    case (v: Number, TimestampType | TimestampNTZType) => Some(v.doubleValue()) // micros
     case (v: Number, _: NumericType) => Some(v.doubleValue())
     case (v: java.math.BigDecimal, _) => Some(v.doubleValue())
     case (v: org.apache.spark.sql.types.Decimal, _) => Some(v.toDouble)
@@ -201,7 +204,13 @@ object DeltaStatsSkipping {
 
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    // UTF8String binary (code-point) order — the order Spark's min/max
+    // aggregates computed the stats in. Java String.compareTo is UTF-16
+    // code-unit order, which DISAGREES above the BMP (U+FFFF sorts after
+    // a surrogate-pair emoji there, before it in UTF-8), making pruning
+    // unsound for tables whose bounds hold non-BMP text.
+    case (x: String, y: String) =>
+      Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
     case _ => None
   }
 
@@ -249,7 +258,7 @@ object DeltaStatsSkipping {
         case _ => litToComparable(v, dt)
       }
       case TimestampType | TimestampNTZType => v match {
-        case micros: Long => Some(micros / 1000.0)
+        case micros: Long => Some(micros.toDouble) // micros domain, full precision
         case _ => litToComparable(v, dt)
       }
       case _ => litToComparable(v, dt)

@@ -853,14 +853,16 @@ object DeltaLog {
       case x: String => target.put(key, x)
       case x: java.sql.Date => target.put(key, x.toString)
       case x: java.time.LocalDate => target.put(key, x.toString)
+      // micros precision — a millis-truncated max bound makes stats
+      // skipping unsound (see DeltaWriter.putStatValue)
       case x: java.sql.Timestamp =>
         target.put(key, x.toInstant.atZone(java.time.ZoneOffset.UTC)
           .format(java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
       case x: java.time.Instant =>
         target.put(key, x.atZone(java.time.ZoneOffset.UTC)
           .format(java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
       case x: java.time.LocalDateTime => target.put(key, x.toString)
       case other => target.put(key, other.toString)
     }
@@ -894,20 +896,28 @@ object DeltaLog {
       e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
     }.toMap
 
-  private[delta] def parseTimestampMillis(ts: String): Long = {
+  private[delta] def parseTimestampMillis(ts: String): Long =
+    Math.floorDiv(parseTimestampMicros(ts), 1000L)
+
+  /** Full-precision (microsecond) parse — the stats-skipping comparison
+    * domain. A millis-truncating parse systematically UNDER-estimates a
+    * file's max bound (e.g. delta-rs stats carry micros), which makes
+    * pruning unsound: a literal between the truncated and true max would
+    * skip a file that contains its row. */
+  private[delta] def parseTimestampMicros(ts: String): Long = {
     val normalized = ts.trim.replace(' ', 'T')
-    val localTried =
-      try java.time.LocalDateTime.parse(normalized)
-        .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-      catch {
-        case _: Exception =>
-          try java.time.LocalDate.parse(ts.trim)
-            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-          catch {
-            case _: Exception => java.time.Instant.parse(normalized).toEpochMilli
-          }
-      }
-    localTried
+    def micros(i: java.time.Instant): Long =
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    try micros(java.time.LocalDateTime.parse(normalized)
+      .atZone(java.time.ZoneOffset.UTC).toInstant)
+    catch {
+      case _: Exception =>
+        try micros(java.time.LocalDate.parse(ts.trim)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+        catch {
+          case _: Exception => micros(java.time.Instant.parse(normalized))
+        }
+    }
   }
 
   /** Atomically publish `_delta_log/<version>.json` with `content`.

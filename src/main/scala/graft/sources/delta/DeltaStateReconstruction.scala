@@ -298,7 +298,9 @@ private[delta] object DeltaStateReconstruction {
     val stats =
       if (!addFields.contains("stats_parsed")) statsJson
       else coalesce(statsJson, to_json(col("add.stats_parsed"),
-        Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+        // micros precision: truncating a max bound to millis makes
+        // downstream stats skipping unsound (see DeltaWriter.putStatValue)
+        Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
           "timeZone" -> "UTC").asJava))
     val dv =
       if (!addFields.contains("deletionVector")) lit(null).cast(dvType)

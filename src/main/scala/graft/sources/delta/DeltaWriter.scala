@@ -715,12 +715,16 @@ object DeltaWriter {
     case x: Boolean => node.put(f.name, x)
     case x: java.sql.Date => node.put(f.name, x.toString)
     case x: java.time.LocalDate => node.put(f.name, x.toString)
+    // FULL microsecond precision (Spark timestamps are micros): a
+    // millis-truncated max stat UNDER-estimates the bound, and a reader
+    // pruning on it skips files whose rows sit between the truncated and
+    // true max — silently missing rows
     case x: java.sql.Timestamp =>
       node.put(f.name, x.toInstant.atZone(java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
     case x: java.time.Instant =>
       node.put(f.name, x.atZone(java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
     case x: java.time.LocalDateTime => node.put(f.name, x.toString)
     case other => node.put(f.name, other.toString)
   }

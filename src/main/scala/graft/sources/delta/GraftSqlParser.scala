@@ -100,7 +100,10 @@ private[graft] object GraftSqlCommands {
   private val ShowParts = re(s"""^\\s*SHOW\\s+PARTITIONS\\s+$T\\s*;?\\s*$$""")
   // DEFAULT form probed first (single column): the plain ADD COLUMNS regex
   // would otherwise swallow the DEFAULT clause into the type DDL
-  private val AlterAddColDefault = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\(?\\s*(\\w+)\\s+([\\w()\\s,]+?)\\s+DEFAULT\\s+(.+?)\\)?\\s*;?\\s*$$""")
+  // the optional column-list parens are matched as a PAIR (two branches)
+  // — independently-optional parens would let the trailing \)? bite the
+  // closing paren of a parenthesized DEFAULT expression like (1+2)
+  private val AlterAddColDefault = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s+(?:\\(\\s*(\\w+)\\s+([\\w()\\s,]+?)\\s+DEFAULT\\s+(.+?)\\s*\\)|(\\w+)\\s+([\\w()\\s,]+?)\\s+DEFAULT\\s+(.+?))\\s*;?\\s*$$""")
   private val AlterAddCols = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterRenameCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterDropCol = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$""")
@@ -265,17 +268,28 @@ private[graft] object GraftSqlCommands {
     * and parens, case-insensitive, word-bounded). Segment 0 is the text
     * before the first WHEN; each further segment is one clause body. */
   private[graft] def splitOnWhen(s: String): Seq[String] = {
+    def wordAt(i: Int, w: String): Boolean =
+      i + w.length <= s.length &&
+        s.substring(i, i + w.length).equalsIgnoreCase(w) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+        (i + w.length == s.length || !Character.isLetterOrDigit(s.charAt(i + w.length)))
     val bounds = Seq.newBuilder[Int]
-    var depth = 0; var inStr = false; var i = 0
+    // caseDepth: a WHEN inside CASE…END is the expression's, not a MERGE
+    // clause boundary — `UPDATE SET v = CASE WHEN s.x > 0 THEN 1 END`
+    // must not split mid-expression
+    var depth = 0; var caseDepth = 0; var inStr = false; var i = 0
     while (i < s.length) {
       s.charAt(i) match {
         case '\\' if inStr => i += 1
         case '\'' => inStr = !inStr
         case '(' if !inStr => depth += 1
         case ')' if !inStr => depth -= 1
-        case c if !inStr && depth == 0 && (c == 'W' || c == 'w') &&
-            i + 4 <= s.length &&
-            s.substring(i, i + 4).equalsIgnoreCase("WHEN") &&
+        case c if !inStr && (c == 'C' || c == 'c') && wordAt(i, "CASE") =>
+          caseDepth += 1; i += 3
+        case c if !inStr && caseDepth > 0 && (c == 'E' || c == 'e') && wordAt(i, "END") =>
+          caseDepth -= 1; i += 2
+        case c if !inStr && depth == 0 && caseDepth == 0 && (c == 'W' || c == 'w') &&
+            wordAt(i, "WHEN") &&
             (i == 0 || Character.isWhitespace(s.charAt(i - 1))) &&
             (i + 4 == s.length || Character.isWhitespace(s.charAt(i + 4))) =>
           bounds += i
@@ -338,13 +352,20 @@ private[graft] object GraftSqlCommands {
     -1
   }
 
-  /** Split `a = f(x, y), b = 2` on top-level commas only. */
-  private[graft] def splitAssignments(s: String): Map[String, String] =
-    splitTop(s).map { a =>
+  /** Split `a = f(x, y), b = 2` on top-level commas only. Duplicate
+    * targets are an error (SQL semantics — silently last-wins via a Map
+    * would DROP one of the user's updates). */
+  private[graft] def splitAssignments(s: String): Map[String, String] = {
+    val pairs = splitTop(s).map { a =>
       val eq = a.indexOf('=')
       require(eq > 0, s"malformed SET assignment: '$a'")
       a.substring(0, eq).trim -> a.substring(eq + 1).trim
-    }.toMap
+    }
+    val dups = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate SET assignment target(s): ${dups.toSeq.sorted.mkString(", ")}")
+    pairs.toMap
+  }
 
   def parse(sql: String): Option[LogicalPlan] = {
     val d = Delete.matcher(sql)
@@ -399,9 +420,14 @@ private[graft] object GraftSqlCommands {
     if (sp.matches())
       return Some(DeltaShowPartitionsCommand(path(sp, 1)))
     val aad = AlterAddColDefault.matcher(sql)
-    if (aad.matches())
-      return Some(DeltaAlterCommand(path(aad, 1), DeltaAlterCommand.AddColumnDefault(
-        aad.group(3), aad.group(4).trim, aad.group(5).trim)))
+    if (aad.matches()) {
+      // groups 3-5 = parenthesized-list branch, 6-8 = bare branch
+      val (n, t, d) =
+        if (aad.group(3) != null) (aad.group(3), aad.group(4), aad.group(5))
+        else (aad.group(6), aad.group(7), aad.group(8))
+      return Some(DeltaAlterCommand(path(aad, 1),
+        DeltaAlterCommand.AddColumnDefault(n, t.trim, d.trim)))
+    }
     val aac = AlterAddCols.matcher(sql)
     if (aac.matches())
       return Some(DeltaAlterCommand(path(aac, 1), DeltaAlterCommand.AddColumns(aac.group(3))))
@@ -565,8 +591,11 @@ case class DeltaShowPartitionsCommand(path: String)
     val snap = DeltaLog.snapshot(spark, path)
     require(snap.partitionColumns.nonEmpty, s"$path is not partitioned")
     snap.files.map(_.partitionValues).distinct
+      // partitionValues are keyed by PHYSICAL column names on mapped
+      // tables (same lookup convention as DeltaFileIndex.partitionRow)
       .map(pv => snap.partitionColumns.map(c =>
-        s"$c=${Option(pv.getOrElse(c, null)).getOrElse("__HIVE_DEFAULT_PARTITION__")}")
+        s"$c=${Option(pv.getOrElse(snap.metadata.physicalOf(c), null))
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")}")
         .mkString("/"))
       .sorted.map(Row(_))
   }

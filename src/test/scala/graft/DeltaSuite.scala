@@ -149,6 +149,34 @@ class DeltaSuite extends AnyFunSuite {
     assert(kept.flatMap(_.files).nonEmpty)
   }
 
+  test("timestamp stats skipping is micros-exact: equality on a sub-millisecond value survives") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // a timestamp 500 MICROSECONDS past the millisecond: a millis-
+    // truncated max stat would under-estimate the bound and an equality
+    // literal at the true value would unsoundly prune the file
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    ts.setNanos(500000) // .000500
+    DeltaTable.write(Seq((1L, ts)).toDF("id", "t"), dir, SaveMode.Overwrite)
+    val snap = DeltaTable.snapshot(spark, dir)
+    assert(snap.files.forall(_.stats.exists(_.contains("000500"))),
+      s"stats must carry micros: ${snap.files.flatMap(_.stats)}")
+    // end to end through the provider scan (filter pushdown + skipping)
+    val got = DeltaTable.read(spark, dir)
+      .filter($"t" === lit(ts)).count()
+    assert(got === 1L, "the micros-precision equality must find its row")
+    // and a bound truly past the max still prunes
+    val idx = new DeltaFileIndex(spark, snap)
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "t", org.apache.spark.sql.types.TimestampType)()
+    val tooLate = org.apache.spark.sql.catalyst.expressions.GreaterThan(attr,
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts) + 1L,
+        org.apache.spark.sql.types.TimestampType))
+    assert(idx.listFiles(Nil, Seq(tooLate)).flatMap(_.files).isEmpty,
+      "a bound one microsecond past the max must still prune")
+  }
+
   // --- write path (exceeds reference) ------------------------------------
 
   test("append + overwrite roundtrip with partitioning and time travel") {

@@ -176,6 +176,36 @@ class GraftSqlSuite extends AnyFunSuite {
     assert(esc === Map("a" -> "'it\\'s, fine'", "b" -> "2"))
   }
 
+  test("MERGE with a CASE WHEN expression inside UPDATE SET parses (WHEN is not a clause split)") {
+    import spark.implicits._
+    val dir = freshTable() // ids 0..7
+    Seq((3, "three", -1.0), (4, "four", 5.0))
+      .toDF("id", "name", "score").createOrReplaceTempView("merge_case_src")
+    spark.sql(
+      s"""MERGE INTO delta.`$dir` t USING merge_case_src s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET score = CASE WHEN s.score > 0 THEN s.score ELSE 0 END""")
+    val got = DeltaTable.read(spark, dir).filter("id in (3, 4)")
+      .orderBy("id").collect().map(_.getAs[Double]("score")).toSeq
+    assert(got === Seq(0.0, 5.0))
+  }
+
+  test("duplicate SET targets are rejected, not silently last-wins") {
+    val e = intercept[IllegalArgumentException] {
+      GraftSqlCommands.splitAssignments("a = 1, a = 2")
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
+  test("ADD COLUMN with a parenthesized DEFAULT expression keeps its parens intact") {
+    import spark.implicits._
+    val dir = freshTable()
+    spark.sql(s"ALTER TABLE delta.`$dir` ADD COLUMN bonus INT DEFAULT (1+2)")
+    DeltaWriter.write(Seq((50, "new", 1.0)).toDF("id", "name", "score"),
+      dir, SaveMode.Append, Seq.empty)
+    assert(DeltaTable.read(spark, dir).filter("id = 50")
+      .collect().head.getAs[Int]("bonus") === 3)
+  }
+
   test("SELECT … VERSION AS OF / FOR TIMESTAMP AS OF time-travels through SQL") {
     val dir = freshTable() // 4 appends: versions 0..3, 2 rows each
     // v0 snapshot: ids 0,1 only
