@@ -50,7 +50,44 @@ class HttpFileSystem extends FileSystem {
     throw new UnsupportedOperationException(
       s"$op: the $getScheme:// store is read-only (HTTP has no write surface)")
 
-  override def getFileStatus(f: Path): FileStatus = {
+  /** Transient-retry for the status/open probe — executed once per file
+    * fleet-wide, so a single throttling 503 or connect timeout must not
+    * kill the task while the byte-range reads next to it retry happily. */
+  private def retryingStatus[T](attempt: () => T): T = {
+    var tries = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: java.io.FileNotFoundException => throw e
+        case e: HttpStatusTransientException if tries < 3 =>
+          backoffStatus(tries); tries += 1
+        case e: IOException
+          if tries < 3 && !e.isInstanceOf[HttpStatusTransientException] &&
+            (e.isInstanceOf[java.net.SocketTimeoutException] ||
+             e.isInstanceOf[java.net.ConnectException] ||
+             e.isInstanceOf[java.net.SocketException]) =>
+          backoffStatus(tries); tries += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+  private def backoffStatus(tries: Int): Unit = {
+    val cap = math.min(100L << math.min(tries, 16), 10000L)
+    Thread.sleep(
+      (java.util.concurrent.ThreadLocalRandom.current().nextDouble() * cap).toLong)
+  }
+  private final class HttpStatusTransientException(msg: String) extends IOException(msg)
+
+  /** Unfollowed redirect (HttpURLConnection never crosses protocols,
+    * e.g. http→https): treating the 3xx response as the object would
+    * serve the redirect HTML as parquet — fail with the target instead. */
+  private def rejectRedirect(f: Path, conn: HttpURLConnection, code: Int): Unit =
+    if (code >= 300 && code < 400) throw new IOException(
+      s"$f: unfollowed HTTP $code redirect to " +
+        s"${Option(conn.getHeaderField("Location")).getOrElse("<no Location>")} — " +
+        "use the redirect target URL directly (cross-protocol redirects are not followed)")
+
+  override def getFileStatus(f: Path): FileStatus = retryingStatus { () =>
     val conn = urlOf(f).openConnection().asInstanceOf[HttpURLConnection]
     HttpTimeouts(conn,
       getConf.getInt("fs.http.connect.timeout.ms", 15000),
@@ -61,9 +98,12 @@ class HttpFileSystem extends FileSystem {
       val code = conn.getResponseCode
       if (code == HttpURLConnection.HTTP_NOT_FOUND)
         throw new java.io.FileNotFoundException(f.toString)
+      rejectRedirect(f, conn, code)
+      if (code == 408 || code == 429 || code >= 500)
+        throw new HttpStatusTransientException(s"HEAD $f -> HTTP $code")
       if (code >= 400 || conn.getContentLengthLong < 0)
-        return statusViaRangedGet(f) // HEAD unsupported → 1-byte ranged GET
-      status(f, conn.getContentLengthLong, conn.getLastModified)
+        statusViaRangedGet(f) // HEAD unsupported → 1-byte ranged GET
+      else status(f, conn.getContentLengthLong, conn.getLastModified)
     } finally conn.disconnect()
   }
 
@@ -79,12 +119,18 @@ class HttpFileSystem extends FileSystem {
       val code = conn.getResponseCode
       if (code == HttpURLConnection.HTTP_NOT_FOUND)
         throw new java.io.FileNotFoundException(f.toString)
+      rejectRedirect(f, conn, code)
+      if (code == 408 || code == 429 || code >= 500)
+        throw new HttpStatusTransientException(s"GET $f -> HTTP $code")
       if (code >= 400) throw new IOException(s"GET $f -> HTTP $code")
+      // RFC 7233 allows 'bytes 0-0/*' (total unknown) — a non-numeric
+      // total falls through to Content-Length, then the length error
       val total = Option(conn.getHeaderField("Content-Range"))
-        .filter(_.contains("/")).map(_.split('/').last.trim.toLong)
+        .filter(_.contains("/")).map(_.split('/').last.trim)
+        .filter(t => t.nonEmpty && t.forall(_.isDigit)).map(_.toLong)
         .getOrElse(conn.getContentLengthLong)
       if (total < 0) throw new IOException(
-        s"$f: server reports no length (no HEAD, no Content-Range)")
+        s"$f: server reports no length (no HEAD, no numeric Content-Range)")
       conn.getInputStream.close()
       status(f, total, conn.getLastModified)
     } finally conn.disconnect()
@@ -181,6 +227,10 @@ private[graft] class HttpSeekableInputStream(
       if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
       prepare(conn)
       val code = conn.getResponseCode
+      if (code >= 300 && code < 400)
+        throw new PermanentHttpIOException(
+          s"$url: unfollowed HTTP $code redirect to " +
+            s"${Option(conn.getHeaderField("Location")).getOrElse("<no Location>")}")
       if (code >= 400) {
         if (transientCode(code))
           throw new TransientHttpIOException(s"GET $url @$pos -> HTTP $code")
@@ -202,6 +252,15 @@ private[graft] class HttpSeekableInputStream(
         try ensureOpen().read()
         catch { case e: IOException => close(); throw e } // reopen at pos on retry
       if (b >= 0) { pos += 1; streamPos = pos }
+      else {
+        // PREMATURE server-side EOF: pos < length means the connection
+        // ended early (close-delimited response, object replaced) — a
+        // clean -1 here would silently truncate the stream. Transient:
+        // the retry reopens at pos via Range.
+        close()
+        throw new TransientHttpIOException(
+          s"$url: premature EOF at $pos of $length")
+      }
       b
     }
   }
@@ -213,6 +272,12 @@ private[graft] class HttpSeekableInputStream(
         try ensureOpen().read(b, off, len)
         catch { case e: IOException => close(); throw e } // reopen at pos on retry
       if (n > 0) { pos += n; streamPos = pos }
+      else if (n < 0) {
+        // premature EOF with pos < length — see read() above
+        close()
+        throw new TransientHttpIOException(
+          s"$url: premature EOF at $pos of $length")
+      }
       n
     }
   }
@@ -237,6 +302,10 @@ private[graft] class HttpSeekableInputStream(
       prepare(conn)
       try {
         val code = conn.getResponseCode
+        if (code >= 300 && code < 400)
+          throw new PermanentHttpIOException(
+            s"$url: unfollowed HTTP $code redirect to " +
+              s"${Option(conn.getHeaderField("Location")).getOrElse("<no Location>")}")
         if (code >= 400) {
           if (transientCode(code))
             throw new TransientHttpIOException(s"GET $url @$position -> HTTP $code")

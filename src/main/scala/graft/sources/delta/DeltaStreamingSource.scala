@@ -66,6 +66,12 @@ class DeltaStreamingSource(
 
   private def initialPosition: Long = startingVersion.map(_ - 1).getOrElse(-1L)
 
+  /** `startingVersion = Some(0)` and "no startingVersion" both make
+    * initialPosition -1 but mean OPPOSITE things: an explicit 0 demands a
+    * per-version replay from genesis (and must fail if that history is
+    * gone), while an unset start takes the initial-snapshot contract. */
+  private def explicitStart: Boolean = startingVersion.isDefined
+
   override def getDefaultReadLimit: ReadLimit = {
     val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
       maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
@@ -91,30 +97,35 @@ class DeltaStreamingSource(
 
   private def walk(
       base: Long, latest: Long, maxFiles: Option[Long], maxBytes: Option[Long]): Long = {
-    // lenient count pass (removes don't fail HERE — getBatch enforces the
-    // remove contract when the batch actually reads)
-    val perVersion = DeltaLog.changes(spark, path, base, latest,
-      ignoreDataChangeRemoves = true)
+    // CHUNKED lenient count pass (removes don't fail HERE — getBatch
+    // enforces the remove contract when the batch actually reads): commit
+    // JSONs are parsed 64 versions at a time and the walk stops at the
+    // first closed cap, so a 50k-commit backlog costs O(admitted), not a
+    // full-backlog parse per trigger (which made catch-up quadratic)
     var files = 0L
     var bytes = 0L
     var to = base
     var open = true
-    perVersion.foreach { case (v, adds) =>
-      if (open) {
-        val f = files + adds.size
-        val b = bytes + adds.iterator.map(_.size).sum
-        val within = maxFiles.forall(f <= _) && maxBytes.forall(b <= _)
-        if (within || to == base) {
-          // admit while inside the caps; the FIRST version is admitted
-          // even if it alone crosses them (progress guarantee)
-          to = v; files = f; bytes = b
-          if (!within) open = false
-        } else open = false
+    var chunkStart = base
+    while (open && chunkStart < latest) {
+      val chunkEnd = math.min(latest, chunkStart + 64)
+      DeltaLog.changes(spark, path, chunkStart, chunkEnd,
+        ignoreDataChangeRemoves = true).foreach { case (v, adds) =>
+        if (open) {
+          val f = files + adds.size
+          val b = bytes + adds.iterator.map(_.size).sum
+          val within = maxFiles.forall(f <= _) && maxBytes.forall(b <= _)
+          if (within || to == base) {
+            // admit while inside the caps; the FIRST version is admitted
+            // even if it alone crosses them (progress guarantee)
+            to = v; files = f; bytes = b
+            if (!within) open = false
+          } else open = false
+        }
       }
+      chunkStart = chunkEnd
     }
-    // an empty walk means the range has no commit JSONs left (log
-    // cleanup); don't stall behind the retention boundary
-    if (to == base) latest else to
+    to
   }
 
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
@@ -125,6 +136,14 @@ class DeltaStreamingSource(
     }
     val latest = availableNowEnd.getOrElse(DeltaLog.snapshot(spark, path).version)
     if (latest <= base) LongOffset(math.max(base, latest))
+    // a fresh query with no explicit start: an append-only history
+    // replays per-version under the rate limits (identical rows); a
+    // history with data-removing commits (or retired JSONs) serves its
+    // first batch as the CURRENT SNAPSHOT — one offset jump to latest
+    // (getBatch makes the same probe, so batch content matches)
+    else if (base == initialPosition && !explicitStart && !changeFeed &&
+        !DeltaLog.rangeReplayable(spark, path, base, latest)) LongOffset(latest)
+    else if (base == initialPosition && !explicitStart && changeFeed) LongOffset(latest)
     else LongOffset(admissible(base, latest, limit))
   }
 
@@ -137,16 +156,21 @@ class DeltaStreamingSource(
     // production's `.option("startingVersion", n)`) or table genesis
     val from = start.map(versionOf).getOrElse(initialPosition)
     val to = versionOf(end)
+    // A NEW query with NO explicit startingVersion: an append-only
+    // history replays per-version (identical rows, rate-limit paced); a
+    // history with data-removing commits or retired JSONs — or any CDF
+    // stream (whose history may predate enablement) — serves its first
+    // batch as the CURRENT SNAPSHOT (production's initial-snapshot
+    // contract): a replay there would fail, or worse serve rows deleted
+    // before the stream started. An EXPLICIT startingVersion (0 included)
+    // demands the true per-version replay and keeps its loud failures.
+    val initialSnapshot = from < 0 && !explicitStart &&
+      (changeFeed || !DeltaLog.rangeReplayable(spark, path, from, to))
     // changeFeed: each micro-batch serves the ROW-LEVEL changes of its
     // version range (insert/delete/update images + commit metadata) —
-    // `.option("readChangeFeed", "true")`, the production Delta surface.
-    // A NEW query with no startingVersion serves its first batch as the
-    // CURRENT SNAPSHOT tagged 'insert' (production's initial-snapshot
-    // contract) rather than a per-version replay — the table's history
-    // may predate CDF enablement, and per-version change data for those
-    // commits legitimately does not exist (DeltaCdf.read refuses it).
+    // `.option("readChangeFeed", "true")`, the production Delta surface
     val batch = (if (changeFeed) {
-      if (from < 0) {
+      if (initialSnapshot) {
         val ts = InCommitTimestamps.readIct(spark, path, to).getOrElse {
           DeltaLog.listLog(spark, path)._1
             .collectFirst { case (v, st) if v == to => st.getModificationTime }
@@ -157,7 +181,8 @@ class DeltaStreamingSource(
           .withColumn(DeltaCdf.VersionCol, lit(to))
           .withColumn(DeltaCdf.TimestampCol, lit(new java.sql.Timestamp(ts)))
       } else DeltaCdf.read(spark, path, from, to)
-    } else DeltaTable.readChanges(spark, path, from, to, ignoreDataChangeRemoves))
+    } else if (initialSnapshot) DeltaTable.readVersion(spark, path, to)
+    else DeltaTable.readChanges(spark, path, from, to, ignoreDataChangeRemoves))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     // v1 Source contract: the returned frame must be a streaming frame over
     // this micro-batch's rows (same bridge MemoryStream uses)

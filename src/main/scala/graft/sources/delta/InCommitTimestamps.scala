@@ -32,7 +32,13 @@ object InCommitTimestamps {
   def enabled(configuration: Map[String, String]): Boolean =
     configuration.get(EnableKey).exists(_.trim.equalsIgnoreCase("true"))
 
-  /** The ict recorded in `version`'s commitInfo, if any. */
+  /** The ict recorded in `version`'s commitInfo, if any. Streams the
+    * commit LINE BY LINE and stops at the first commitInfo — slurping the
+    * whole file would allocate a bulk-load commit's hundreds of MB on the
+    * driver per probe (and probes run once per commit attempt and per
+    * timestamp-resolution candidate), violating the O(1) metadata-plane
+    * claim above; commitInfo is the first line of every commit this
+    * writer produces. */
   def readIct(spark: SparkSession, tablePath: String, version: Long): Option[Long] = {
     val dir = DeltaLog.logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -40,11 +46,34 @@ object InCommitTimestamps {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      val content =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      ictOfCommitContent(content)
+      try {
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+        var line = reader.readLine()
+        while (line != null) {
+          if (line.trim.nonEmpty) {
+            val n = mapper.readTree(line)
+            if (n.has("commitInfo")) {
+              val ci = n.get("commitInfo")
+              return if (ci.has("inCommitTimestamp")) Some(ci.get("inCommitTimestamp").asLong())
+                     else None
+            }
+          }
+          line = reader.readLine()
+        }
+        None
+      } finally in.close()
     }
   }
+
+  // Timestamp-resolution note (why the recorded EnablementVersion/
+  // Timestamp keys are written but not consulted when resolving): the
+  // resolver takes max{v : effectiveTime(v) <= cutoff}. The ENABLING
+  // commit's ict equals the enablement timestamp by construction, so any
+  // cutoff at/after enablement finds an eligible ict-era version and the
+  // max lands correctly regardless of what migrated pre-enablement mtimes
+  // claim; a cutoff BEFORE enablement has only mtimes as evidence — for
+  // this engine and production alike (the spec's keys bound the ict
+  // search domain, they cannot recover pre-enablement true times).
 
   /** The ict inside one commit JSON's content, if any. */
   def ictOfCommitContent(content: String): Option[Long] =

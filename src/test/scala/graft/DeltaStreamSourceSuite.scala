@@ -37,6 +37,71 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fresh stream on a history WITH deletes serves the current snapshot, not a broken replay") {
+    val dir = Files.createTempDirectory("graft-stream-del").toString
+    DeltaWriter.write((1 to 6).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1),
+      dir, SaveMode.Append, Nil)                  // v0
+    DeltaDml.delete(spark, dir, "id <= 2")        // v1: data-change remove
+    DeltaWriter.write(Seq((7, "r7")).toDF("id", "name"), dir, SaveMode.Append, Nil) // v2
+    // a per-version replay from genesis would either FAIL on the v1
+    // remove or (with ignoreDataChangeRemoves) serve rows 1-2 that were
+    // deleted before the stream started — the first batch must be the
+    // CURRENT snapshot
+    val q = spark.readStream.format("delta").load(dir)
+      .writeStream.format("memory").queryName("dss_del")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-del-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dss_del").orderBy("id").collect().map(_.getInt(0)).toSeq
+        === Seq(3, 4, 5, 6, 7))
+      DeltaWriter.write(Seq((8, "r8")).toDF("id", "name"), dir, SaveMode.Append, Nil)
+      q.processAllAvailable()
+      assert(spark.table("dss_del").count() === 6, "the tail still streams")
+    } finally q.stop()
+  }
+
+  test("an incremental range with retired commit JSONs fails loudly (no silent data loss)") {
+    val dir = Files.createTempDirectory("graft-stream-gap").toString
+    (1 to 4).foreach { i =>
+      DeltaWriter.write(Seq((i, s"r$i")).toDF("id", "name"), dir, SaveMode.Append, Nil)
+    }
+    // simulate log cleanup retiring a mid-range commit
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir,
+      "_delta_log/00000000000000000002.json"), false)
+    val e = intercept[java.io.IOException] {
+      DeltaTable.readChanges(spark, dir, 0L, 3L).collect()
+    }
+    assert(e.getMessage.contains("no longer available"), e.getMessage)
+  }
+
+  test("an EXPLICIT startingVersion 0 is a real replay, never conflated with the snapshot start") {
+    val dir = Files.createTempDirectory("graft-stream-sv0").toString
+    DeltaWriter.write(Seq((1, "a")).toDF("id", "name"), dir, SaveMode.Append, Nil) // v0, CDF off
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'true')")                                    // v1
+    // CDF replay from v0 must attempt the true per-version read and fail
+    // loudly on the pre-enablement commit — serving the current snapshot
+    // tagged 'insert' here would silently ignore the explicit request
+    val q = spark.readStream.format("delta")
+      .option("readChangeFeed", "true").option("startingVersion", "0").load(dir)
+      .writeStream.format("memory").queryName("dss_sv0")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-sv0-ckpt").toString)
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    try {
+      val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("not recorded"), chain)
+    } finally q.stop()
+  }
+
   test("startingVersion skips the table's earlier history") {
     val dir = Files.createTempDirectory("graft-stream-sv").toString
     DeltaWriter.write(Seq((1, "a")).toDF("id", "name"), dir, SaveMode.Append, Nil) // v0
