@@ -99,17 +99,25 @@ class FakeS3Server(accessKey: String, secretKey: String) {
       s"$date/$region/s3/aws4_request", sha(canonical.getBytes(UTF_8))).mkString("\n")
     val kSigning = hmac(hmac(hmac(hmac(
       s"AWS4$secretKey".getBytes(UTF_8), date), region), "s3"), "aws4_request")
-    hex(hmac(kSigning, toSign)) == sigM.group(1)
+    // the declared body hash must also MATCH the body — without this the
+    // signature never binds the payload and the "real SigV4 verification"
+    // claim is hollow (UNSIGNED-PAYLOAD is accepted as itself)
+    val bodyBound = contentSha == "UNSIGNED-PAYLOAD" || contentSha == sha(payload)
+    bodyBound && hex(hmac(kSigning, toSign)) == sigM.group(1)
   }
 
   private def route(ex: HttpExchange): Unit = {
     val body = ex.getRequestBody.readAllBytes()
     if (!verifySig(ex, body)) { ex.sendResponseHeaders(403, -1); ex.close(); return }
     val rawPath = URLDecoder.decode(ex.getRequestURI.getRawPath, "UTF-8").stripPrefix("/")
-    val rawQuery = Option(ex.getRequestURI.getQuery).getOrElse("")
+    // decode from the RAW query exactly once: getQuery is already
+    // percent-decoded, so a second URLDecoder pass corrupted any value
+    // containing '%' or '+' (hive-encoded partition values)
+    val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val query = rawQuery.split('&')
       .filter(_.contains("=")).map { kv =>
-        val Array(k, v) = kv.split("=", 2); k -> URLDecoder.decode(v, "UTF-8")
+        val Array(k, v) = kv.split("=", 2)
+        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
       }.toMap
     takeFault(ex.getRequestMethod, rawPath, rawQuery).foreach { f =>
       if (f.killConn) { ex.close(); return }
@@ -129,10 +137,16 @@ class FakeS3Server(accessKey: String, secretKey: String) {
       case ("GET", true) => list(ex, rawPath.stripSuffix("/"), query)
       case ("GET", _) | ("HEAD", _) => getObject(ex, rawPath)
       case ("PUT", _) if query.contains("partNumber") =>
-        val (_, parts) = uploads.get(query("uploadId"))
-        parts.put(query("partNumber").toInt, body)
-        ex.getResponseHeaders.add("ETag", s""""p${query("partNumber")}"""")
-        ex.sendResponseHeaders(200, -1); ex.close()
+        uploads.get(query("uploadId")) match {
+          case null =>
+            // consumed/aborted id: 404 NoSuchUpload like real S3 (a 500
+            // here would read as transient and burn the client's retries)
+            ex.sendResponseHeaders(404, -1); ex.close()
+          case (_, parts) =>
+            parts.put(query("partNumber").toInt, body)
+            ex.getResponseHeaders.add("ETag", s""""p${query("partNumber")}"""")
+            ex.sendResponseHeaders(200, -1); ex.close()
+        }
       case ("PUT", _) => putObject(ex, rawPath, body)
       case ("POST", _) if query.contains("delete") =>
         // bulk DeleteObjects: parse <Key> elements, remove each
@@ -184,14 +198,29 @@ class FakeS3Server(accessKey: String, secretKey: String) {
     val head = ex.getRequestMethod == "HEAD"
     Option(ex.getRequestHeaders.getFirst("Range")) match {
       case Some(r) if !head =>
-        val m = """bytes=(\d+)-(\d*)""".r.findFirstMatchIn(r).get
-        val from = m.group(1).toInt
-        val to = Option(m.group(2)).filter(_.nonEmpty).map(_.toInt)
-          .getOrElse(bytes.length - 1).min(bytes.length - 1)
-        val slice = java.util.Arrays.copyOfRange(bytes, from, to + 1)
-        ex.getResponseHeaders.add("Content-Range", s"bytes $from-$to/${bytes.length}")
-        ex.sendResponseHeaders(206, slice.length.toLong)
-        ex.getResponseBody.write(slice)
+        // accept prefix/bounded AND suffix ("bytes=-N") forms; out-of-range
+        // answers 416 like real S3, never a 500 the client retries
+        val bounded = """bytes=(\d+)-(\d*)""".r.findFirstMatchIn(r)
+        val suffix = """bytes=-(\d+)""".r.findFirstMatchIn(r)
+        val span: Option[(Int, Int)] = bounded.map { m =>
+          val from = m.group(1).toInt
+          val to = Option(m.group(2)).filter(_.nonEmpty).map(_.toInt)
+            .getOrElse(bytes.length - 1).min(bytes.length - 1)
+          (from, to)
+        }.orElse(suffix.map { m =>
+          val n = m.group(1).toInt.min(bytes.length)
+          (bytes.length - n, bytes.length - 1)
+        })
+        span match {
+          case Some((from, to)) if from >= 0 && from < bytes.length && from <= to =>
+            val slice = java.util.Arrays.copyOfRange(bytes, from, to + 1)
+            ex.getResponseHeaders.add("Content-Range", s"bytes $from-$to/${bytes.length}")
+            ex.sendResponseHeaders(206, slice.length.toLong)
+            ex.getResponseBody.write(slice)
+          case _ =>
+            ex.getResponseHeaders.add("Content-Range", s"bytes */${bytes.length}")
+            ex.sendResponseHeaders(416, -1)
+        }
       case _ =>
         // HEAD still advertises Content-Length (the JDK server suppresses
         // the body and logs a cosmetic warning)
@@ -254,12 +283,16 @@ class FakeS3Server(accessKey: String, secretKey: String) {
           deeper.map(k => prefix + k.stripPrefix(prefix).takeWhile(_ != d.head) + d).distinct)
       case None => (all, Nil)
     }
+    // keys containing '&'/'<' must be XML-escaped or the client's
+    // DocumentBuilder.parse fails on every listing of the prefix
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val xml = new StringBuilder("<?xml version=\"1.0\"?><ListBucketResult>")
     objsOut.foreach { k =>
-      xml ++= s"<Contents><Key>$k</Key><Size>${objects.get(s"$bucket/$k").length}</Size>" +
+      xml ++= s"<Contents><Key>${esc(k)}</Key><Size>${objects.get(s"$bucket/$k").length}</Size>" +
         "<LastModified>2026-01-01T00:00:00Z</LastModified></Contents>"
     }
-    prefixesOut.foreach(p => xml ++= s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>")
+    prefixesOut.foreach(p => xml ++= s"<CommonPrefixes><Prefix>${esc(p)}</Prefix></CommonPrefixes>")
     xml ++= "</ListBucketResult>"
     val bytes = xml.toString.getBytes(UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/xml")

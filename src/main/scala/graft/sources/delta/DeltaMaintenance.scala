@@ -90,7 +90,9 @@ object DeltaMaintenance {
       val rows: java.util.List[org.apache.spark.sql.Row] =
         java.util.Arrays.asList(pvs.zipWithIndex.map { case (pv, i) =>
           org.apache.spark.sql.Row.fromSeq(
-            schema.fieldNames.toSeq.map(c => pv.getOrElse(c, null)) :+ i)
+            // partitionValues are keyed by PHYSICAL names on mapped tables
+            schema.fieldNames.toSeq.map(c =>
+              pv.getOrElse(snap.metadata.physicalOf(c), null)) :+ i)
         }: _*)
       val strSchema = org.apache.spark.sql.types.StructType(
         schema.fields.map(_.copy(dataType = org.apache.spark.sql.types.StringType)) :+
@@ -205,12 +207,15 @@ object DeltaMaintenance {
     // so prefix order is preserved: "b" > "aaa" numerically too) — 48 bits
     // sits inside double's exact range, and 6 leading bytes is plenty of
     // selectivity for a 256-bucket quantizer
-    def numericized(c: String): String = snap.schema(c).dataType match {
-      case DateType => s"CAST(unix_date($c) AS DOUBLE)"
-      case TimestampType => s"CAST(unix_micros($c) AS DOUBLE)"
-      case StringType =>
-        s"CAST(conv(rpad(hex(substr(CAST($c AS BINARY), 1, 6)), 12, '0'), 16, 10) AS DOUBLE)"
-      case _ => s"CAST($c AS DOUBLE)"
+    def numericized(c0: String): String = {
+      val c = s"`${c0.replace("`", "``")}`" // names may need quoting (mapped tables)
+      snap.schema(c0).dataType match {
+        case DateType => s"CAST(unix_date($c) AS DOUBLE)"
+        case TimestampType => s"CAST(unix_micros($c) AS DOUBLE)"
+        case StringType =>
+          s"CAST(conv(rpad(hex(substr(CAST($c AS BINARY), 1, 6)), 12, '0'), 16, 10) AS DOUBLE)"
+        case _ => s"CAST($c AS DOUBLE)"
+      }
     }
     val unsupported = zorderBy.filter { c =>
       val dt = snap.schema(c).dataType
@@ -805,7 +810,8 @@ object DeltaMaintenance {
         // source is itself a shallow clone: synthesize a fresh relative
         // name under the hive dirs its partition values imply
         val dirs = src.partitionColumns.map { c =>
-          val v = f.partitionValues.getOrElse(c, null)
+          // partitionValues are keyed by PHYSICAL names on mapped tables
+          val v = f.partitionValues.getOrElse(src.metadata.physicalOf(c), null)
           s"${src.metadata.physicalOf(c)}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else DeltaWriter.encodePath(v)}"
         }
         val name = s"part-deepclone-${UUID.randomUUID()}.parquet"
@@ -1124,7 +1130,9 @@ object DeltaMaintenance {
       StructField(c, StringType, nullable = true)))
     val rows: java.util.List[Row] = java.util.Arrays.asList(
       snap.files.map(_.partitionValues).distinct.map(pv =>
-        Row.fromSeq(snap.partitionColumns.map(pv.getOrElse(_, null)))): _*)
+        // physical-name keys on column-mapped tables
+        Row.fromSeq(snap.partitionColumns.map(c =>
+          pv.getOrElse(snap.metadata.physicalOf(c), null)))): _*)
     spark.createDataFrame(rows, schema)
       .orderBy(snap.partitionColumns.map(col): _*)
   }
@@ -1140,8 +1148,14 @@ object DeltaMaintenance {
   def fsck(spark: SparkSession, tablePath: String, dryRun: Boolean = false): Seq[String] = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
-    val missing = snap.files.filterNot(f =>
-      fs.exists(new Path(tablePath, decodeRel(f.path)))).map(_.path)
+    // a file is unreadable when its DATA file OR its deletion-vector blob
+    // is gone — the DV is load-bearing (the scan must anti-filter through
+    // it; restore() probes the same way)
+    val missing = snap.files.filterNot { f =>
+      fs.exists(new Path(tablePath, decodeRel(f.path))) &&
+        f.deletionVector.forall(d =>
+          d.storageType == "i" || fs.exists(d.absolutePath(tablePath)))
+    }.map(_.path)
     if (dryRun || missing.isEmpty) return missing
     snap.assertWritable("FSCK")
     snap.assertRemovable("FSCK")
