@@ -133,7 +133,17 @@ object DeltaDml {
     val injected0 = DeltaMaintenance.partitionInjected(spark, tablePath, snap, touched)
       .reduce(_ unionByName _)
     val injected = if (cdfOn) injected0.persist() else injected0
-    val (adds, cdcFiles, fs, physPartCols) = try {
+    // staging/publish rollback state, hoisted above the try: a NOT NULL
+    // guard raise_error firing mid staging write (a routine UPDATE path),
+    // a failed stats pass, or a rename error partway through publishing
+    // must not leak the _staging-<uuid> dir, already-published part files,
+    // or staged cdc files until a retention-delayed VACUUM — the same
+    // rollback DeltaWriter and DeltaMaintenance.stagePublish carry
+    val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
+    val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val physPartCols = snap.partitionColumns.map(snap.metadata.physicalOf)
+    val publishedTargets = Seq.newBuilder[Path]
+    val (adds, cdcFiles) = try {
       val rewritten0 =
         // keep side of DELETE under SQL three-valued logic: only
         // predicate-TRUE rows are deleted, so NULL-predicate rows are
@@ -163,9 +173,6 @@ object DeltaDml {
 
       // ---- 3. stage + publish like DeltaWriter/OPTIMIZE (physical names on
       // column-mapped tables — the rewrite frame above is logical)
-      val stagingDir = new Path(tablePath, s"_staging-${UUID.randomUUID()}")
-      val fs = stagingDir.getFileSystem(spark.sessionState.newHadoopConf())
-      val physPartCols = snap.partitionColumns.map(snap.metadata.physicalOf)
       val staged0 = DeltaWriter.physicalized(rewritten, snap.metadata)
       // optimizeWrite for rewrites, same as appends: one shuffle by the
       // partition columns so each hive partition is written by ~one task —
@@ -194,6 +201,7 @@ object DeltaDml {
         fs.mkdirs(target.getParent)
         if (!fs.rename(staged, target))
           throw new java.io.IOException(s"failed to publish $staged -> $target")
+        publishedTargets += target
         val st = fs.getFileStatus(target)
         (rel, DeltaWriter.partitionValuesOf(rel, physPartCols), st.getLen,
           st.getModificationTime, stats.get(staged.toString))
@@ -224,7 +232,14 @@ object DeltaDml {
             }
           DeltaCdf.stageChanges(spark, tablePath, snap, changes)
         }
-      (adds, cdcFiles, fs, physPartCols)
+      (adds, cdcFiles)
+    } catch { case e: Throwable =>
+      // best-effort rollback, then rethrow the original failure
+      try fs.delete(stagingDir, true) catch { case _: Exception => () }
+      publishedTargets.result().foreach { p =>
+        try fs.delete(p, false) catch { case _: Exception => () }
+      }
+      throw e
     } finally if (cdfOn) injected.unpersist()
 
     // ---- 4. validated commit loop: on a lost commit race, the

@@ -66,6 +66,18 @@ class DeltaStreamingSource(
 
   private def initialPosition: Long = startingVersion.map(_ - 1).getOrElse(-1L)
 
+  /** readChangeFeed on a CDF-disabled table fails UPFRONT (matching the
+    * batch CDF surface, [[DeltaCdf.read]]) — without this gate the
+    * initial-snapshot branch silently serves a first batch of synthetic
+    * 'insert' rows and the stream only errors on a later batch when
+    * [[DeltaCdf.read]] hits a commit without change actions. */
+  private def requireCdfEnabled(): Unit = {
+    val meta = DeltaLog.snapshot(spark, path).metadata
+    require(DeltaCdf.enabled(meta),
+      s"$path: change data feed is not enabled (set ${DeltaCdf.EnableKey}=true); " +
+      "a readChangeFeed stream needs CDF on the table")
+  }
+
   /** `startingVersion = Some(0)` and "no startingVersion" both make
     * initialPosition -1 but mean OPPOSITE things: an explicit 0 demands a
     * per-version replay from genesis (and must fail if that history is
@@ -128,34 +140,167 @@ class DeltaStreamingSource(
     to
   }
 
-  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val base = Option(startOffset) match {
-      case Some(o: Offset) => versionOf(o)
-      case Some(other) => other.json.trim.toLong
-      case None => initialPosition
+  // ---- rate-limited initial snapshot ----
+  //
+  // A fresh stream with NO explicit startingVersion serves its first
+  // batch(es) as the CURRENT snapshot. With maxFilesPerTrigger /
+  // maxBytesPerTrigger set, that snapshot is SPLIT across micro-batches
+  // (production's initial-snapshot pacing): the offset pins the snapshot
+  // version and a file index into its path-sorted file list —
+  // `{"snapshotVersion":V,"index":I}` = files [0, I) served. When the list
+  // is exhausted the offset collapses to LongOffset(V) and the ordinary
+  // per-version cursor takes over, so commits landing DURING the snapshot
+  // drain are picked up afterwards, exactly once.
+
+  /** (version, filesServed): `Some(i)` while an in-progress rate-limited
+    * initial snapshot at `version` has served files [0, i). */
+  private def decode(o: Offset): (Long, Option[Long]) = o match {
+    case l: LongOffset => (l.offset, None)
+    case s: SnapshotSliceOffset => (s.version, Some(s.index))
+    case other => decodeJson(other.json)
+  }
+
+  private def decodeJson(j0: String): (Long, Option[Long]) = {
+    val j = j0.trim
+    if (j.startsWith("{")) {
+      val node = DeltaStreamingSource.mapper.readTree(j)
+      (node.get("snapshotVersion").asLong(), Some(node.get("index").asLong()))
+    } else (j.toLong, None)
+  }
+
+  /** The pinned snapshot's file list in DETERMINISTIC (path) order — the
+    * slice cursor must mean the same files across triggers and restarts.
+    * Memoized per version: the walk is re-entered every trigger. */
+  @volatile private var sliceCache: Option[(Long, IndexedSeq[DeltaAddFile])] = None
+  private def snapshotSliceFiles(ver: Long): IndexedSeq[DeltaAddFile] =
+    sliceCache match {
+      case Some((v, fs)) if v == ver => fs
+      case _ =>
+        val fs = DeltaLog.snapshot(spark, path, versionAsOf = Some(ver))
+          .files.sortBy(_.path).toIndexedSeq
+        sliceCache = Some((ver, fs))
+        fs
     }
-    val latest = availableNowEnd.getOrElse(DeltaLog.snapshot(spark, path).version)
-    if (latest <= base) LongOffset(math.max(base, latest))
-    // a fresh query with no explicit start: an append-only history
-    // replays per-version under the rate limits (identical rows); a
-    // history with data-removing commits (or retired JSONs) serves its
-    // first batch as the CURRENT SNAPSHOT — one offset jump to latest
-    // (getBatch makes the same probe, so batch content matches)
-    else if (base == initialPosition && !explicitStart && !changeFeed &&
-        !DeltaLog.rangeReplayable(spark, path, base, latest)) LongOffset(latest)
-    else if (base == initialPosition && !explicitStart && changeFeed) LongOffset(latest)
-    else LongOffset(admissible(base, latest, limit))
+
+  /** Effective (maxFiles, maxBytes) caps of a ReadLimit; (None, None) when
+    * unlimited (row-based limits don't map to a file cursor). */
+  private def capsOf(limit: ReadLimit): (Option[Long], Option[Long]) = limit match {
+    case f: ReadMaxFiles => (Some(f.maxFiles.toLong), None)
+    case b: ReadMaxBytes => (None, Some(b.maxBytes))
+    case c: CompositeReadLimit =>
+      val parts = c.getReadLimits.map(capsOf).toSeq
+      (parts.flatMap(_._1).reduceOption(_ min _),
+        parts.flatMap(_._2).reduceOption(_ min _))
+    case _ => (None, None)
+  }
+
+  /** Next offset of an in-progress snapshot drain: admit files [from, i)
+    * under the caps (at least one — progress guarantee), collapsing to
+    * LongOffset(ver) when the list is exhausted. */
+  private def nextSnapshotOffset(ver: Long, from: Long, limit: ReadLimit): OffsetV2 = {
+    val files = snapshotSliceFiles(ver)
+    val n = files.length.toLong
+    if (from >= n) return LongOffset(ver)
+    val (mf, mb) = capsOf(limit)
+    if (mf.isEmpty && mb.isEmpty) return LongOffset(ver)
+    var i = from; var f = 0L; var b = 0L; var open = true
+    while (open && i < n) {
+      val f2 = f + 1
+      val b2 = b + files(i.toInt).size
+      val within = mf.forall(f2 <= _) && mb.forall(b2 <= _)
+      if (within || i == from) {
+        i += 1; f = f2; b = b2
+        if (!within) open = false
+      } else open = false
+    }
+    if (i >= n) LongOffset(ver) else SnapshotSliceOffset(ver, i)
+  }
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    if (changeFeed) requireCdfEnabled()
+    val (base, inSnapshot) = Option(startOffset) match {
+      case Some(o: Offset) => decode(o)
+      case Some(other) => decodeJson(other.json)
+      case None => (initialPosition, None)
+    }
+    inSnapshot match {
+      // mid-drain: keep serving the PINNED snapshot version's files; new
+      // commits wait for the version cursor that follows
+      case Some(i) => nextSnapshotOffset(base, i, limit)
+      case None =>
+        val latest = availableNowEnd.getOrElse(DeltaLog.snapshot(spark, path).version)
+        if (latest <= base) LongOffset(math.max(base, latest))
+        // a fresh query with no explicit start: an append-only history
+        // replays per-version under the rate limits (identical rows); a
+        // history with data-removing commits (or retired JSONs) — or any
+        // CDF stream — serves the CURRENT SNAPSHOT: one batch when
+        // unlimited, file-paced batches under the caps (getBatch makes the
+        // same probe, so batch content matches)
+        else if (base == initialPosition && !explicitStart &&
+            (changeFeed || !DeltaLog.rangeReplayable(spark, path, base, latest))) {
+          if (capsOf(limit) == ((None, None))) LongOffset(latest)
+          else nextSnapshotOffset(latest, 0L, limit)
+        }
+        else LongOffset(admissible(base, latest, limit))
+    }
   }
 
   /** Unlimited fallback for engines that ignore admission control. */
   override def getOffset: Option[Offset] =
     Some(LongOffset(DeltaLog.snapshot(spark, path).version))
 
+  /** Commit timestamp of `to` for synthetic initial-snapshot CDF rows:
+    * ICT when enabled, else the commit file's mtime. */
+  private def commitTs(to: Long): java.sql.Timestamp = {
+    val ts = InCommitTimestamps.readIct(spark, path, to).getOrElse {
+      DeltaLog.listLog(spark, path)._1
+        .collectFirst { case (v, st) if v == to => st.getModificationTime }
+        .getOrElse(System.currentTimeMillis())
+    }
+    new java.sql.Timestamp(ts)
+  }
+
+  /** Read files [i, j) of the pinned snapshot `ver` — the provider's own
+    * relation over a file-subset copy of the snapshot, so deletion
+    * vectors, column mapping and partition-value injection all apply
+    * exactly as in a full scan. CDF streams get the synthetic 'insert'
+    * decoration of the initial-snapshot contract. */
+  private def snapshotSlice(ver: Long, i: Long, j: Long): DataFrame = {
+    val snap = DeltaLog.snapshot(spark, path, versionAsOf = Some(ver))
+    val slice = snapshotSliceFiles(ver).slice(i.toInt, j.toInt)
+    val rel = new org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = new DeltaFileIndex(spark, snap.copy(files = slice)),
+      partitionSchema = snap.partitionSchema,
+      dataSchema = snap.dataSchema,
+      bucketSpec = None,
+      fileFormat = GraftParquetFileFormat.forSnapshot(path, snap),
+      options = Map.empty)(spark)
+    val base = spark.baseRelationToDataFrame(rel)
+    if (!changeFeed) base
+    else base
+      .withColumn(DeltaCdf.TypeCol, lit("insert"))
+      .withColumn(DeltaCdf.VersionCol, lit(ver))
+      .withColumn(DeltaCdf.TimestampCol, lit(commitTs(ver)))
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    if (changeFeed) requireCdfEnabled()
     // None = a NEW query's first batch: from `startingVersion` (inclusive,
     // production's `.option("startingVersion", n)`) or table genesis
-    val from = start.map(versionOf).getOrElse(initialPosition)
-    val to = versionOf(end)
+    val startDec = start.map(decode)
+    val (to, endIdx) = decode(end)
+    val from = startDec.map(_._1).getOrElse(initialPosition)
+    val startIdx = startDec.flatMap(_._2)
+    // in-progress rate-limited initial snapshot: serve the file slice
+    (endIdx, startIdx) match {
+      case (Some(j), si) =>
+        return toStreaming(snapshotSlice(to, si.getOrElse(0L), j))
+      case (None, Some(i)) if from == to =>
+        // closing batch: the snapshot's tail files [i, n)
+        return toStreaming(
+          snapshotSlice(to, i, snapshotSliceFiles(to).length.toLong))
+      case _ => ()
+    }
     // A NEW query with NO explicit startingVersion: an append-only
     // history replays per-version (identical rows, rate-limit paced); a
     // history with data-removing commits or retired JSONs — or any CDF
@@ -171,24 +316,36 @@ class DeltaStreamingSource(
     // `.option("readChangeFeed", "true")`, the production Delta surface
     val batch = (if (changeFeed) {
       if (initialSnapshot) {
-        val ts = InCommitTimestamps.readIct(spark, path, to).getOrElse {
-          DeltaLog.listLog(spark, path)._1
-            .collectFirst { case (v, st) if v == to => st.getModificationTime }
-            .getOrElse(System.currentTimeMillis())
-        }
         DeltaTable.readVersion(spark, path, to)
           .withColumn(DeltaCdf.TypeCol, lit("insert"))
           .withColumn(DeltaCdf.VersionCol, lit(to))
-          .withColumn(DeltaCdf.TimestampCol, lit(new java.sql.Timestamp(ts)))
+          .withColumn(DeltaCdf.TimestampCol, lit(commitTs(to)))
       } else DeltaCdf.read(spark, path, from, to)
     } else if (initialSnapshot) DeltaTable.readVersion(spark, path, to)
     else DeltaTable.readChanges(spark, path, from, to, ignoreDataChangeRemoves))
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    // v1 Source contract: the returned frame must be a streaming frame over
-    // this micro-batch's rows (same bridge MemoryStream uses)
+    toStreaming(batch)
+  }
+
+  /** v1 Source contract: the returned frame must be a streaming frame over
+    * this micro-batch's rows (same bridge MemoryStream uses). */
+  private def toStreaming(batch: DataFrame): DataFrame = {
+    val projected = batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     org.apache.spark.sql.graft.GraftStreamingBridge
-      .streamingDataFrame(spark, batch.queryExecution.toRdd, schema)
+      .streamingDataFrame(spark, projected.queryExecution.toRdd, schema)
   }
 
   override def stop(): Unit = ()
+}
+
+private[delta] object DeltaStreamingSource {
+  val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+}
+
+/** Offset of an in-progress rate-limited initial snapshot: the snapshot
+  * at `version` has served files [0, index) in path order. Collapses to a
+  * plain LongOffset(version) when the snapshot is drained. */
+private[delta] case class SnapshotSliceOffset(version: Long, index: Long)
+    extends Offset {
+  override def json: String =
+    s"""{"snapshotVersion":$version,"index":$index}"""
 }

@@ -268,11 +268,15 @@ private[graft] object GraftSqlCommands {
     * and parens, case-insensitive, word-bounded). Segment 0 is the text
     * before the first WHEN; each further segment is one clause body. */
   private[graft] def splitOnWhen(s: String): Seq[String] = {
+    // '_' is an identifier character: `case_id` / `end_date` must not read
+    // as CASE/END keywords (they would desync caseDepth and swallow every
+    // later WHEN boundary)
+    def identChar(ch: Char): Boolean = Character.isLetterOrDigit(ch) || ch == '_'
     def wordAt(i: Int, w: String): Boolean =
       i + w.length <= s.length &&
         s.substring(i, i + w.length).equalsIgnoreCase(w) &&
-        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-        (i + w.length == s.length || !Character.isLetterOrDigit(s.charAt(i + w.length)))
+        (i == 0 || !identChar(s.charAt(i - 1))) &&
+        (i + w.length == s.length || !identChar(s.charAt(i + w.length)))
     val bounds = Seq.newBuilder[Int]
     // caseDepth: a WHEN inside CASE…END is the expression's, not a MERGE
     // clause boundary — `UPDATE SET v = CASE WHEN s.x > 0 THEN 1 END`

@@ -26,4 +26,16 @@ object GraftStreamingBridge {
       spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** Spec-side inverse of [[streamingDataFrame]]: re-wrap a v1 Source
+    * micro-batch (a streaming-marked LogicalRDD) as a batch frame so
+    * tests can collect/count it OUTSIDE an active streaming query —
+    * batch execution refuses streaming plans otherwise. */
+  def asBatch(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        batchDataFrame(df.sparkSession, l.rdd, df.schema)
+      case other => throw new IllegalArgumentException(
+        s"not a Source micro-batch frame: ${other.getClass.getName}")
+    }
 }

@@ -89,6 +89,19 @@ class DeltaDmlSuite extends AnyFunSuite {
     // nothing committed: the table still reads the original values
     assert(DeltaTable.read(spark, dir).select("v").as[Long].collect().sorted.toSeq
       === Seq(10L, 20L))
+    // and nothing LEAKED: the failed staging write must roll back its
+    // _staging-<uuid> dir, and the table dir must hold exactly the
+    // snapshot's live files (no orphan part files awaiting a
+    // retention-delayed VACUUM)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
+    assert(!entries.exists(_.startsWith("_staging-")),
+      s"staging dir leaked: $entries")
+    val live = DeltaLog.snapshot(spark, dir).files.map(_.path).toSet
+    val orphans = entries.filter(_.endsWith(".parquet")) -- live
+    assert(orphans.isEmpty, s"orphan data files leaked: $orphans")
   }
 
   test("delete matching nothing is a no-op (no commit)") {

@@ -62,6 +62,88 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate limits pace the initial snapshot into file-sized batches, then the version cursor takes over") {
+    val dir = Files.createTempDirectory("graft-stream-snaplimit").toString
+    DeltaWriter.write((1 to 6).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1),
+      dir, SaveMode.Append, Nil)                    // v0
+    DeltaDml.delete(spark, dir, "id <= 2")          // v1: history not replayable
+    DeltaWriter.write(Seq((7, "r7")).toDF("id", "name").coalesce(1), dir, SaveMode.Append, Nil) // v2
+    DeltaWriter.write(Seq((8, "r8")).toDF("id", "name").coalesce(1), dir, SaveMode.Append, Nil) // v3
+    // snapshot at v3 = 3 files (v1 rewrite + v2 + v3); maxFilesPerTrigger=1
+    // must serve it in 3 one-file micro-batches, not one table-sized batch
+    val q = spark.readStream.format("delta")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("dss_snaplimit")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-snaplimit-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dss_snaplimit").orderBy("id").collect().map(_.getInt(0)).toSeq
+        === Seq(3, 4, 5, 6, 7, 8), "snapshot content exact, each row once")
+      val fed = q.recentProgress.filter(_.numInputRows > 0)
+      assert(fed.length >= 3, s"expected >=3 paced batches, got ${fed.length}")
+      assert(fed.forall(_.numInputRows <= 4),
+        "no batch may carry the whole snapshot: " + fed.map(_.numInputRows).mkString(","))
+      // commits after the drain flow through the ordinary version cursor
+      DeltaWriter.write(Seq((9, "r9")).toDF("id", "name"), dir, SaveMode.Append, Nil)
+      q.processAllAvailable()
+      assert(spark.table("dss_snaplimit").count() === 7, "tail exactly once")
+    } finally q.stop()
+  }
+
+  test("initial-snapshot offsets pin the version, pace by file, and survive serialized restart") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    import graft.sources.delta.{DeltaLog, DeltaStreamingSource}
+    val dir = Files.createTempDirectory("graft-stream-snapoff").toString
+    DeltaWriter.write((1 to 4).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1),
+      dir, SaveMode.Append, Nil)                    // v0
+    DeltaDml.delete(spark, dir, "id = 1")           // v1: snapshot mode
+    DeltaWriter.write(Seq((5, "r5")).toDF("id", "name").coalesce(1), dir, SaveMode.Append, Nil) // v2
+    val snap = DeltaLog.snapshot(spark, dir)        // 2 files
+    assert(snap.files.length === 2 && snap.version === 2)
+    val src = new DeltaStreamingSource(spark.sqlContext, dir, snap.schema,
+      ignoreDataChangeRemoves = false, maxFilesPerTrigger = Some(1))
+    val lim = ReadLimit.maxFiles(1)
+    val o1 = src.latestOffset(null, lim)
+    assert(o1.json === """{"snapshotVersion":2,"index":1}""", o1.json)
+    // restart decode: the checkpointed JSON round-trips through SerializedOffset
+    val o2 = src.latestOffset(SerializedOffset(o1.json), lim)
+    assert(o2.json === "2", s"drained snapshot collapses to the version cursor: ${o2.json}")
+    import org.apache.spark.sql.graft.GraftStreamingBridge.asBatch
+    val rows1 = asBatch(src.getBatch(None, SerializedOffset(o1.json))).count()
+    val rows2 = asBatch(
+      src.getBatch(Some(SerializedOffset(o1.json)), SerializedOffset(o2.json))).count()
+    assert(rows1 + rows2 === 4, s"slices partition the snapshot: $rows1 + $rows2")
+    assert(rows1 > 0 && rows2 > 0, "both slices non-empty (one file each)")
+    // post-drain the cursor is version-ranged: a new commit is one batch
+    DeltaWriter.write(Seq((6, "r6")).toDF("id", "name"), dir, SaveMode.Append, Nil) // v3
+    val o3 = src.latestOffset(SerializedOffset(o2.json), lim)
+    assert(o3.json === "3")
+    assert(asBatch(src.getBatch(Some(SerializedOffset(o2.json)), SerializedOffset(o3.json)))
+      .count() === 1)
+  }
+
+  test("readChangeFeed on a CDF-disabled table fails upfront, not on a later batch") {
+    val dir = Files.createTempDirectory("graft-stream-nocdf").toString
+    DeltaWriter.write(Seq((1, "a")).toDF("id", "name"), dir, SaveMode.Append, Nil)
+    val q = spark.readStream.format("delta")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName("dss_nocdf")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-nocdf-ckpt").toString)
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    try {
+      val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("change data feed is not enabled"), chain)
+    } finally q.stop()
+  }
+
   test("an incremental range with retired commit JSONs fails loudly (no silent data loss)") {
     val dir = Files.createTempDirectory("graft-stream-gap").toString
     (1 to 4).foreach { i =>

@@ -189,6 +189,30 @@ class GraftSqlSuite extends AnyFunSuite {
     assert(got === Seq(0.0, 5.0))
   }
 
+  test("identifiers with CASE/END prefixes (case_id, end_date) are not keywords to the WHEN splitter") {
+    import spark.implicits._
+    // '_' is an identifier char: `case_id` must not open a CASE depth
+    // (which would swallow every later WHEN boundary) and `end_date` must
+    // not close one
+    val segs = GraftSqlCommands.splitOnWhen(
+      "t.case_id = s.case_id WHEN MATCHED THEN UPDATE SET end_date = s.end_date WHEN NOT MATCHED THEN INSERT *")
+    assert(segs.length === 3, segs.mkString(" || "))
+    assert(segs(1).trim.startsWith("MATCHED"), segs(1))
+
+    val dir = Files.createTempDirectory("graft-sql-underscore").toString
+    DeltaWriter.write(Seq((1, "2024-01-01"), (2, "2024-02-02")).toDF("case_id", "end_date"),
+      dir, SaveMode.Append, Nil)
+    Seq((2, "2025-09-09"), (3, "2025-10-10")).toDF("case_id", "end_date")
+      .createOrReplaceTempView("merge_underscore_src")
+    spark.sql(
+      s"""MERGE INTO delta.`$dir` t USING merge_underscore_src s ON t.case_id = s.case_id
+         WHEN MATCHED THEN UPDATE SET end_date = s.end_date
+         WHEN NOT MATCHED THEN INSERT *""")
+    val got = DeltaTable.read(spark, dir).orderBy("case_id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got === Seq((1, "2024-01-01"), (2, "2025-09-09"), (3, "2025-10-10")))
+  }
+
   test("duplicate SET targets are rejected, not silently last-wins") {
     val e = intercept[IllegalArgumentException] {
       GraftSqlCommands.splitAssignments("a = 1, a = 2")
