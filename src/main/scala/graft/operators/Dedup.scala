@@ -407,12 +407,24 @@ object Dedup {
     * keeping each distinct segment's first occurrence in (doc_id, chunk)
     * order. The fixture's text carries no paragraph breaks, so the segment
     * unit is a non-overlapping 10-word chunk (same split convention as
-    * tx01). Scale posture: the only corpus-wide shuffle is on the segment
-    * hash (uniform by construction); row_number runs per segment group
-    * (group size = duplication factor, small); no global sort, no
-    * all-pairs anything. */
+    * tx01).
+    *
+    * Scale posture — keeper selection is a TWO-LEVEL PARTIAL AGGREGATE,
+    * never a window: on web-scale corpora the duplicated segments are
+    * exactly the hot keys (a boilerplate 10-word chunk recurs millions of
+    * times), and `row_number().over(Window.partitionBy(h))` would shuffle
+    * EVERY occurrence of the hottest segment into one task with no
+    * map-side combine (the same anti-pattern the dd02 df count removed —
+    * see [[cappedShingles]]). Instead: level 1 `groupBy(h, doc_id, lang)`
+    * collapses a document's repeated occurrences to one row BEFORE any
+    * exchange (a hot segment ships one partial row per input partition),
+    * level 2 `groupBy(h)` picks the global keeper as `min(struct(doc_id,
+    * chunk))`. The affected-docs pass joins the per-(h,doc) rows to the
+    * per-h keeper — both sides post-aggregate, so the hot key carries one
+    * row per CONTAINING DOC, not one per occurrence; docs_affected needs
+    * doc-level rows by definition (a corpus-wide countDistinct), so this
+    * join is the minimal shape. No global sort, no all-pairs anything. */
   private def dd09SegmentDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val segs = docs(s, dir)
       .withColumn("words", expr("filter(split(text, ' '), x -> x != '')"))
       .filter(size(col("words")) > 0)
@@ -422,15 +434,31 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("chunk"),
         md5(concat_ws(" ", col("seg"))).as("h"),
         size(col("seg")).cast("long").as("seg_words"))
-    segs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk"))))
+    // level 1: one row per (segment, containing doc) — partial-combined
+    val perHd = QueryCaches.persist(segs
+      .groupBy(col("h"), col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("chunk"), col("seg_words"))).as("first_occ")))
+    // level 2: the global keeper occurrence of each segment
+    val perH = perHd.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("first_occ.chunk").as("chunk"),
+        col("lang"), col("first_occ.seg_words").as("seg_words"))).as("keeper"))
+    val byLang = perHd.groupBy(col("lang")).agg(sum(col("c")).as("n_segs"))
+    val keptByLang = perH.groupBy(col("keeper.lang").as("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("keeper.seg_words")).as("kept_words"))
+    // a doc is affected iff it holds at least one NON-keeper occurrence:
+    // more than one occurrence, or its single one isn't the keeper
+    val affectedByLang = perHd.join(perH, "h")
+      .filter(col("c") > 1 || col("keeper.doc_id") =!= col("doc_id"))
       .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_segs"),
-        expr("count_if(rn = 1)").as("n_kept"),
-        sum(when(col("rn") === 1, col("seg_words")).otherwise(0L)).as("kept_words"),
-        countDistinct(when(col("rn") > 1, col("doc_id"))).as("docs_affected"))
+      .agg(countDistinct(col("doc_id")).as("docs_affected"))
+    byLang
+      .join(keptByLang, Seq("lang"), "left")
+      .join(affectedByLang, Seq("lang"), "left")
+      .select(col("lang"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        coalesce(col("docs_affected"), lit(0L)).as("docs_affected"))
       .orderBy(col("lang"))
   }
 

@@ -183,10 +183,15 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "offset join must never cartesian")
   }
 
-  test("dd09: segment dedup shuffles on the segment hash, never sorts globally") {
+  test("dd09: keeper selection is a two-level partial aggregate — no Window on the segment hash") {
     val p = finalPlanOf("dd09_segment_dedup")
-    assert(p.contains("windowspecdefinition(h#") || p.contains("windowspecdefinition(h,"),
-      s"expected row_number partitioned by segment hash in:\n$p")
+    // a Window partitioned on h would funnel every occurrence of the
+    // hottest (boilerplate) segment into one task with no map-side
+    // combine — the skewed-key shape the two-level groupBy removed
+    assert(!p.contains("windowspecdefinition"),
+      s"segment dedup must not window over the segment hash:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"expected partial-combined keeper aggregation in:\n$p")
     assert(!p.contains("CartesianProduct"), "segment dedup must never cartesian")
   }
 
