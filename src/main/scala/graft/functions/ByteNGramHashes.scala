@@ -30,10 +30,15 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   *
   * Stays CodegenFallback: the md5 calls dominate, and the expression
   * feeds [[SimHash16]], which IS codegen'd. */
-case class ByteNGramHashes(child: Expression, nBytes: Int)
+case class ByteNGramHashes(child: Expression, nBytes: Int, word: Int = 0)
   extends UnaryExpression with CodegenFallback {
 
   require(nBytes >= 1 && nBytes <= 32, s"byte_ngram_hashes: width $nBytes out of range")
+  // `word` selects which 32-bit window of the md5 to emit: word w = hex
+  // chars 8w+1..8w+8 = digest bytes 4w..4w+3. Word 0 is the historical
+  // surface; word 1 supplies the INDEPENDENT second half of mm06's 64-bit
+  // signature (DuckDB mirror: ('0x' || substr(md5(t), 9, 8))::BIGINT)
+  require(word >= 0 && word <= 3, s"byte_ngram_hashes: md5 word $word out of range")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -74,10 +79,10 @@ case class ByteNGramHashes(child: Expression, nBytes: Int)
       md.reset()
       md.update(piece, 0, w)
       val d = md.digest()
-      // first 8 md5 hex chars == first 4 digest bytes, unsigned
+      // 8 md5 hex chars == 4 digest bytes starting at word*4, unsigned
       var h = 0L
-      var j = 0
-      while (j < 4) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      var j = word * 4
+      while (j < word * 4 + 4) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
       out(c) = h
       c += 1
     }

@@ -116,6 +116,10 @@ object GraftFunctions {
       require(exprs.length == 1, s"simhash16 expects 1 argument, got ${exprs.length}")
       SimHash16(exprs.head)
     },
+    "simhash32" -> { exprs =>
+      require(exprs.length == 1, s"simhash32 expects 1 argument, got ${exprs.length}")
+      SimHash32(exprs.head)
+    },
     "minhash16" -> { exprs =>
       require(exprs.length == 1, s"minhash16 expects 1 argument, got ${exprs.length}")
       MinHash16(exprs.head)
@@ -156,13 +160,16 @@ object GraftFunctions {
       HyperplaneBucket(exprs.head)
     },
     "byte_ngram_hashes" -> { exprs =>
-      require(exprs.length == 2, s"byte_ngram_hashes expects 2 arguments, got ${exprs.length}")
-      val n = exprs(1) match {
+      require(exprs.length == 2 || exprs.length == 3,
+        s"byte_ngram_hashes expects 2 or 3 arguments, got ${exprs.length}")
+      def intLit(e: Expression, what: String): Int = e match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(
-          s"byte_ngram_hashes: width must be an integer literal, got $other")
+          s"byte_ngram_hashes: $what must be an integer literal, got $other")
       }
-      ByteNGramHashes(exprs.head, n)
+      val n = intLit(exprs(1), "width")
+      val w = if (exprs.length == 3) intLit(exprs(2), "md5 word") else 0
+      ByteNGramHashes(exprs.head, n, w)
     })
 
   /** Imperative per-session registration (idempotent) — lets any session

@@ -78,3 +78,73 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
 }
+
+/** 32-bit sibling of [[SimHash16]] — one half of mm06's 64-bit perceptual
+  * signature. A 64-bit signature is deliberately carried as TWO 32-bit
+  * halves (`sig_lo` over md5 hex chars 1-8, `sig_hi` over chars 9-16,
+  * see [[ByteNGramHashes]]'s `word`): every intermediate stays below
+  * 2³¹, so the DuckDB oracle can mirror the arithmetic bit-exactly
+  * without BIGINT shift/sign-overflow hazards at bit 63. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val cnt = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 32) {
+        cnt(b) += ((h >> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (2 * cnt(b) > n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $cnt = new int[32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    $cnt[$b] += (int) (($h >> $b) & 1L);
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 32; $b++) {
+         |  if (2 * $cnt[$b] > $n) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}

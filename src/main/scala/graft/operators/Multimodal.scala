@@ -189,7 +189,135 @@ object Multimodal {
       .limit(50)
   }
 
+  /** Production-width perceptual media dedup (mm06) — mm05 with the toy
+    * 16-bit signature widened to 64 bits and pairing switched to
+    * dd03-style MULTI-BAND EQUI-KEYS: 8 bands × 8 bits, candidates from
+    * an equi-join on (kind, band, band-byte). The pigeonhole principle
+    * makes the banding EXACT for the Hamming ≤ 7 threshold: a pair
+    * differing in ≤ 7 bits leaves at least one of the 8 byte-bands
+    * untouched. This retires mm05's saturation argument — there is no
+    * finite-universe crutch at 64 bits; the plan is bounded because each
+    * band bucket holds only signatures agreeing on 8 bits AND modality,
+    * and pair work is per-bucket, the same mechanics dd03 runs at corpus
+    * scale.
+    *
+    * The 64-bit signature is carried as TWO 32-bit halves (lo = md5 hex
+    * chars 1-8 of each 4-byte shingle, hi = chars 9-16 — independent
+    * bits of the same digest): every intermediate stays below 2³¹, so
+    * the DuckDB oracle mirrors the arithmetic bit-exactly with no BIGINT
+    * sign/overflow hazard at bit 63. Hamming = popcount(lo⊕lo') +
+    * popcount(hi⊕hi'). Signature-level pairing (not doc-level), per-kind
+    * blocking, and the doc expansion joins are exactly mm05's. */
+  private def mm06BandedMediaDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sigs = QueryCaches.persist(media(s, dir)
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("kind"), col("doc_id"),
+        expr("simhash32(byte_ngram_hashes(payload, 4))").as("lo"),
+        expr("simhash32(byte_ngram_hashes(payload, 4, 1))").as("hi")))
+    val sigSet = QueryCaches.persist(
+      sigs.select(col("kind"), col("hi"), col("lo")).distinct())
+    // 8 bands × 8 bits: bands 0-3 slice lo, 4-7 slice hi
+    val bands = sigSet.select(col("kind"), col("hi"), col("lo"),
+      posexplode(expr(
+        """concat(transform(sequence(0, 3), b -> (lo >> (8 * b)) & 255),
+                  transform(sequence(0, 3), b -> (hi >> (8 * b)) & 255))"""))
+        .as(Seq("band", "bkey")))
+    val sigPairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.kind") === col("b.kind") && col("a.band") === col("b.band")
+          && col("a.bkey") === col("b.bkey")
+          && (col("a.hi") < col("b.hi")
+            || (col("a.hi") === col("b.hi") && col("a.lo") < col("b.lo"))))
+      .select(col("a.kind").as("kind"),
+        col("a.hi").as("h1"), col("a.lo").as("l1"),
+        col("b.hi").as("h2"), col("b.lo").as("l2"),
+        (expr("bit_count(a.lo ^ b.lo)") + expr("bit_count(a.hi ^ b.hi)"))
+          .cast("long").as("ham"))
+      .filter(col("ham") <= 7)
+      .distinct()
+    val inter = sigPairs
+      .join(sigs.select(col("kind"), col("doc_id").as("id1"),
+        col("hi").as("h1"), col("lo").as("l1")), Seq("kind", "h1", "l1"))
+      .join(sigs.select(col("kind"), col("doc_id").as("id2"),
+        col("hi").as("h2"), col("lo").as("l2")), Seq("kind", "h2", "l2"))
+      .select(col("kind"), least(col("id1"), col("id2")).as("doc_a"),
+        greatest(col("id1"), col("id2")).as("doc_b"), col("ham"))
+    val intra = sigs.as("x")
+      .join(sigs.as("y"),
+        col("x.kind") === col("y.kind") && col("x.hi") === col("y.hi")
+          && col("x.lo") === col("y.lo") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.kind").as("kind"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"), lit(0L).as("ham"))
+    inter.unionByName(intra)
+      .orderBy(col("ham"), col("kind"), col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "mm06_banded_media_dedup" -> """
+      WITH m AS (
+        SELECT doc_id,
+               (['image', 'audio', 'video'])[((doc_id % 3) + 1)::INT] AS kind,
+               hex(encode(text)) AS hx
+        FROM documents),
+      t AS (
+        SELECT doc_id, kind,
+               list_transform(generate_series(0, CAST(ceil(length(hx) / 8.0) AS INT) - 1),
+                              i -> substr(hx, i * 8 + 1, 8)) AS toks
+        FROM m),
+      th AS (
+        SELECT doc_id, kind,
+               list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hlo,
+               list_transform(toks, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS hhi
+        FROM t WHERE len(toks) > 0),
+      sigs AS (
+        SELECT kind, doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(0, 31), b ->
+                   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(hlo,
+                            h -> CASE WHEN ((h >> b) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                          (acc, v) -> acc + v) > 0
+                        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)),
+                 (a, x) -> a + x) AS lo,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(0, 31), b ->
+                   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(hhi,
+                            h -> CASE WHEN ((h >> b) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                          (acc, v) -> acc + v) > 0
+                        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)),
+                 (a, x) -> a + x) AS hi
+        FROM th),
+      sigset AS (SELECT DISTINCT kind, hi, lo FROM sigs),
+      bands AS (
+        SELECT kind, hi, lo,
+               unnest(generate_series(0, 7)) AS band,
+               unnest(list_concat(
+                 list_transform(generate_series(0, 3), b -> (lo >> (8 * b)) & 255),
+                 list_transform(generate_series(0, 3), b -> (hi >> (8 * b)) & 255))) AS bkey
+        FROM sigset),
+      sigpairs AS (
+        SELECT DISTINCT a.kind AS kind, a.hi AS h1, a.lo AS l1, b.hi AS h2, b.lo AS l2,
+               bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS ham
+        FROM bands a JOIN bands b
+        ON a.kind = b.kind AND a.band = b.band AND a.bkey = b.bkey
+           AND (a.hi < b.hi OR (a.hi = b.hi AND a.lo < b.lo))
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7),
+      inter AS (
+        SELECT sigpairs.kind, least(d1.doc_id, d2.doc_id) AS doc_a,
+               greatest(d1.doc_id, d2.doc_id) AS doc_b, ham
+        FROM sigpairs
+        JOIN sigs d1 ON d1.kind = sigpairs.kind AND d1.hi = h1 AND d1.lo = l1
+        JOIN sigs d2 ON d2.kind = sigpairs.kind AND d2.hi = h2 AND d2.lo = l2),
+      intra AS (
+        SELECT x.kind, x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(0 AS BIGINT) AS ham
+        FROM sigs x JOIN sigs y
+        ON x.kind = y.kind AND x.hi = y.hi AND x.lo = y.lo AND x.doc_id < y.doc_id)
+      SELECT kind, doc_a, doc_b, CAST(ham AS BIGINT) AS ham FROM
+        (SELECT * FROM inter UNION ALL SELECT * FROM intra)
+      ORDER BY ham, kind, doc_a, doc_b LIMIT 50""",
     "mm05_perceptual_dedup" -> """
       WITH m AS (
         SELECT doc_id,
@@ -280,5 +408,6 @@ object Multimodal {
     "mm02_media_features" -> mm02MediaFeatures,
     "mm03_crossmodal_join" -> mm03CrossmodalJoin,
     "mm04_media_dedup" -> mm04MediaDedup,
-    "mm05_perceptual_dedup" -> mm05PerceptualDedup)
+    "mm05_perceptual_dedup" -> mm05PerceptualDedup,
+    "mm06_banded_media_dedup" -> mm06BandedMediaDedup)
 }
