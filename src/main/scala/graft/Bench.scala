@@ -1,30 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // same engine surface as Verify (delta SQL parser + native functions)
-      .config("spark.sql.extensions", classOf[graft.functions.GraftSparkExtensions].getName)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // optional comma-separated name-prefix filter for targeted local runs
-    // (the driver never sets it, so driver benches always cover everything)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith))
-    }
-    // untimed warmup: JVM/codegen/parquet-footer costs otherwise land on
-    // whichever query happens to run first (measured ~5s of noise)
+
+  /** One measured pass over `names` at `sfDir`: min-over-interleaved-reps
+    * per query plus the calibration-anchor stats for the pass window. */
+  private case class Pass(
+      results: Seq[(String, Double, Double)], // (name, bestSec, spread)
+      reps: Int, sfDir: String,
+      aMin: Double, aMax: Double, aSpread: Double)
+
+  private def runPass(
+      spark: SparkSession, sfDir: String,
+      names: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      reps: Int): Pass = {
     def anchorProbe(): Unit = {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.filter(l("l_quantity") > 0).groupBy("l_returnflag").count().collect()
       ()
     }
+    // untimed warmup: JVM/codegen/parquet-footer costs otherwise land on
+    // whichever query happens to run first (measured ~5s of noise)
     try anchorProbe() catch { case _: Throwable => () }
     // calibration anchor: the SAME fixed trivial probe timed between
     // passes. Its spread is a machine-health signal the per-query numbers
@@ -56,11 +52,6 @@ object Bench {
     // 75s, reproduced at 1s). Interleaving puts each query's reps minutes
     // apart, and min is the right estimator for "what the code costs":
     // machine noise can only inflate a timing, never deflate it.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    // fixed name order within a pass: run-to-run comparable timings, and
-    // queries sharing cached sub-plans (dd03/dd06/pp01's minhash pipeline)
-    // warm predictably
-    val names = selected.toSeq.sortBy(_._1)
     val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     (0 until reps).foreach { _ =>
@@ -78,7 +69,7 @@ object Bench {
           }
         timings(name) = timings(name) :+ t
         // per-query cache hygiene: dd/ss/pp persists would otherwise pile
-        // up evicted-but-pinned blocks across reps × 139 queries, adding
+        // up evicted-but-pinned blocks across reps × 150+ queries, adding
         // memory pressure exactly where interference noise is measured
         graft.operators.QueryCaches.release()
       }
@@ -96,24 +87,6 @@ object Bench {
         else times.max / math.max(times.min, 1e-9)
       (name, best, spread)
     }
-    // The driver records a 2000-char TAIL of stdout, so the LAST line must
-    // be a complete JSON object under that window — r13 proved it: one
-    // 2.3 KB line lost its head (metric/total/anchor fields) and the driver
-    // recorded "parsed": null, blinding the round's perf gate and hiding
-    // the anchor stats that would have flagged the polluted run.
-    // Emission contract now: line 1 = full-precision JSON (humans, logs,
-    // local diffing); final line = header + a precision-adaptive compact
-    // queries map, shrunk until the whole line fits comfortably inside the
-    // capture window. Short keys (the unique "q01"/"fn13" prefix) on both.
-    def ms(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
-    val spreads = results.filter(_._2 >= 0).map(_._3)
-    val spreadMax = if (spreads.isEmpty) 1.0 else spreads.max
-    val spreadQ = results.filter(_._2 >= 0).sortBy(-_._3).headOption
-      .map(_._1.takeWhile(_ != '_')).getOrElse("")
-    val spreadMed = if (spreads.isEmpty) 1.0 else spreads.sorted.apply(spreads.size / 2)
     // spread compares LIKE samples: the first anchor runs in a near-fresh
     // JVM (small heap, cold codegen caches, no pinned broadcast blocks)
     // and is SYSTEMATICALLY the fastest — r14 measured 0.12s first vs
@@ -125,9 +98,24 @@ object Bench {
     val steady = if (anchorTimes.size >= 2) anchorTimes.drop(1).toSeq else anchorTimes.toSeq
     val (aMin, aMax) = if (steady.isEmpty) (-1.0, -1.0) else (steady.min, steady.max)
     val aSpread = if (aMin <= 0) -1.0 else aMax / math.max(aMin, 1e-9)
-    def line(qs: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"reps":$reps,"spread_max":${ms(spreadMax)},"spread_max_q":"$spreadQ","spread_med":${ms(spreadMed)},"anchor_min":${ms(aMin)},"anchor_max":${ms(aMax)},"anchor_spread":${ms(aSpread)},"queries":$qs,"sf":"$sfDir"}"""
-    def qmap(scale: Int): String = results.map { case (k, v, _) =>
+    Pass(results, reps, sfDir, aMin, aMax, aSpread)
+  }
+
+  private def ms(v: Double): String =
+    if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** JSON line for one pass; `scale` sets the queries-map precision
+    * (negative = omit the per-query map, header stats kept). */
+  private def lineOf(p: Pass, scale: Int): String = {
+    val ok = p.results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    val failed = p.results.count(_._2 < 0)
+    val spreads = ok.map(_._3)
+    val spreadMax = if (spreads.isEmpty) 1.0 else spreads.max
+    val spreadQ = ok.sortBy(-_._3).headOption
+      .map(_._1.takeWhile(_ != '_')).getOrElse("")
+    val spreadMed = if (spreads.isEmpty) 1.0 else spreads.sorted.apply(spreads.size / 2)
+    val qs = if (scale < 0) "{}" else p.results.map { case (k, v, _) =>
       val s = if (v < 0) "-1" else {
         // trim trailing zeros ("3.40"→"3.4", "2.00"→"2") — with 150+ queries
         // every byte of the final line counts against the capture window
@@ -136,12 +124,69 @@ object Bench {
       }
       "\"" + k.takeWhile(_ != '_') + "\":" + s
     }.mkString("{", ",", "}")
-    println(line(qmap(3)))
-    // final line: first precision whose full line fits the 2000-char tail
-    // with margin; worst case (all timings 5 digits at 1 decimal) drops the
-    // map entirely rather than emit an unparseable truncated line
-    val compact = Seq(3, 2, 1).map(s => line(qmap(s))).find(_.length <= 1900)
-      .getOrElse(line("{}"))
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"reps":${p.reps},"spread_max":${ms(spreadMax)},"spread_max_q":"$spreadQ","spread_med":${ms(spreadMed)},"anchor_min":${ms(p.aMin)},"anchor_max":${ms(p.aMax)},"anchor_spread":${ms(p.aSpread)},"queries":$qs,"sf":"${p.sfDir}"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      // same engine surface as Verify (delta SQL parser + native functions)
+      .config("spark.sql.extensions", classOf[graft.functions.GraftSparkExtensions].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated name-prefix filter for targeted local runs
+    // (the driver never sets it, so driver benches always cover everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    // fixed name order within a pass: run-to-run comparable timings, and
+    // queries sharing cached sub-plans (dd03/dd06/pp01's minhash pipeline)
+    // warm predictably
+    val names = selected.toSeq.sortBy(_._1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val main = runPass(spark, sfDir, names, reps)
+
+    // ---- second anchor at ~sf1 (10× data): shuffles dominate there, so a
+    // regression that hides inside constant factors at sf0.1 shows up in
+    // this line. The scaled dir is ScaleCheck's derived fixture set
+    // (idempotent; generated here when absent). Headline subset × 2 reps
+    // keeps the pass a few minutes. Skipped for targeted local runs
+    // (SPARK_GRAFT_ONLY) or with SPARK_GRAFT_SF1=0.
+    val sf1Line: Option[String] =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("0")) None
+      else try {
+        val workDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-scalecheck/sf1")
+        ScaleCheck.generate(spark, sfDir, workDir, copies = 10)
+        val headline = Seq("q01", "q12", "dd02", "dd03", "dd09", "dd10", "dd12",
+          "ss01", "ss07", "ss10", "pp01", "tx09", "dl09", "mm06")
+        val subset = headline.flatMap(p => names.find(_._1.startsWith(p)))
+        Some(lineOf(runPass(spark, workDir, subset, reps = 2), 2))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 pass skipped: ${e.getMessage}"); None
+      }
+
+    // The driver records a 2000-char TAIL of stdout, so the LAST line must
+    // be a complete JSON object under that window — r13 proved it: one
+    // 2.3 KB line lost its head (metric/total/anchor fields) and the driver
+    // recorded "parsed": null, blinding the round's perf gate and hiding
+    // the anchor stats that would have flagged the polluted run.
+    // Emission contract: line 1 = full-precision sf0.1 JSON (humans, logs,
+    // local diffing); then the sf1 anchor line (short — headline subset);
+    // FINAL line = the sf0.1 compact line (tools that parse the last
+    // '"metric"' line keep seeing the full-coverage pass), shrunk until
+    // sf1 + final together fit the capture window.
+    println(lineOf(main, 3))
+    sf1Line.foreach(println)
+    val budget = 1900 - sf1Line.map(_.length + 1).getOrElse(0)
+    val compact = Seq(3, 2, 1).map(s => lineOf(main, s))
+      .find(_.length <= budget)
+      // worst case: drop the map rather than emit an unparseable line
+      .getOrElse(lineOf(main, -1))
     println(compact)
     spark.stop()
   }

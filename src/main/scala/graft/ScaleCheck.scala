@@ -93,6 +93,27 @@ object ScaleCheck {
     val replay = mapperR.createArrayNode()
     Seq(200000, 1000000).foreach(n => replay.add(replayProbe(spark, n)))
 
+    // ---- stage 4: quantizer assignment growth (r14 verdict #4) — the
+    // adaptive-K argmax costs K = √N dot products per row, so total
+    // assignment time should grow ~N^1.5 across 1×/10×/30× (a fixed
+    // per-row fanout that grew ~N would read ~N² here). 30× needs only
+    // the embeddings table, so its derive is cheap and embeddings-only.
+    val emb30 = sys.env.getOrElse("SPARK_GRAFT_EMB30_DIR", "/tmp/graft-scalecheck/emb30")
+    generateEmbeddings(spark, baseDir, emb30, 30)
+    def timeAssign(dir: String): (Double, Long) = {
+      var n = 0L
+      n = graft.operators.Similarity.assignmentProbeRun(spark, dir) // warm
+      val secs = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.assignmentProbeRun(spark, dir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      (secs.min, n)
+    }
+    val (a1, n1) = timeAssign(baseDir)
+    val (a10, n10) = timeAssign(workDir)
+    val (a30, n30) = timeAssign(emb30)
+
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("caveat",
@@ -114,6 +135,20 @@ object ScaleCheck {
       q.put("base_peak_heap_mb", bp); q.put("scaled_peak_heap_mb", sp)
     }
     root.set("replay", replay)
+    val quant = root.putObject("quantizer_assignment")
+    quant.put("model", "argmax over K=ceil(sqrt(N)) centroids: ~N^1.5 total; " +
+      "next rung = two-level assignment (see Similarity.coarseK scaladoc)")
+    def qPoint(tag: String, n: Long, sec: Double): Unit = {
+      val o = quant.putObject(tag)
+      o.put("n", n); o.put("sec", math.round(sec * 1000) / 1000.0)
+      o.put("k", graft.operators.Similarity.coarseK(n))
+    }
+    qPoint("x1", n1, a1); qPoint("x10", n10, a10); qPoint("x30", n30, a30)
+    quant.put("ratio_30_over_10", math.round(a30 / math.max(a10, 1e-9) * 100) / 100.0)
+    quant.put("expected_n1_5", math.round(math.pow(3.0, 1.5) * 100) / 100.0)
+    quant.put("expected_n2", 9.0)
+    quant.put("implied_exponent",
+      math.round(math.log(a30 / math.max(a10, 1e-9)) / math.log(3.0) * 100) / 100.0)
     val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
@@ -129,7 +164,31 @@ object ScaleCheck {
     * original; copies 1..n-1 offset every join key so fanout per key stays
     * constant, rotate document text (shingle decorrelation) and jitter
     * embeddings (direction decorrelation). */
-  private def generate(
+  /** Embeddings-only derive for the quantizer growth probe: same key
+    * offset + direction jitter as [[generate]], but no other tables —
+    * 30× of the one table the assignment stage reads. */
+  private def generateEmbeddings(
+      spark: SparkSession, baseDir: String, workDir: String, copies: Int): Long = {
+    val done = new java.io.File(s"$workDir/_GENERATED")
+    if (!done.exists()) {
+      val idOff = 10000000L
+      val df = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      (0 until copies).map { c =>
+        df.withColumn("vec_id", col("vec_id") + c * idOff)
+          .withColumn("embedding",
+            if (c == 0) col("embedding")
+            else transform(col("embedding"), (x, i) =>
+              (x * (lit(0.75) + pmod(hash(col("vec_id"), i, lit(c)), lit(100))
+                .cast("double") / 200.0)).cast("float")))
+      }.reduce(_ unionByName _)
+        .repartition(8).write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+      done.getParentFile.mkdirs(); done.createNewFile()
+    }
+    spark.read.parquet(s"$workDir/embeddings.parquet").count()
+  }
+
+  // private[graft]: Bench's optional sf1 pass reuses the derived dir
+  private[graft] def generate(
       spark: SparkSession, baseDir: String, workDir: String,
       copies: Int): Map[String, Long] = {
     val done = new java.io.File(s"$workDir/_GENERATED")

@@ -134,8 +134,22 @@ object Similarity {
     * ~√N candidates, not N/16) and within-list pair work in dd10 is
     * Σ|cluster|² ≈ N·√N instead of the quadratic N²/16 a FIXED K decays
     * to at 100 TB. Shared by ss03/ss04/ss10 and Dedup's dd10 quantizer;
-    * the oracle mirrors it via [[duckK]]. */
-  private[operators] def coarseK(n: Long): Long =
+    * the oracle mirrors it via [[duckK]].
+    *
+    * Assignment-cost rung at EXTREME scale: brute-force argmax over K
+    * centroids is √N dot products per row (SCALECHECK's quantizer probe
+    * pins the measured growth) and a K×64-float broadcast — standard
+    * FAISS practice through K ~ 10⁵ (N ~ 10¹⁰), but at N = 10¹² that is
+    * 10⁶ dots/row and a ~0.5 GB codebook. The next rung is TWO-LEVEL
+    * assignment (hierarchical/IMI): train √K super-centroids over the
+    * centroids, route each row to its super-cell first, then argmax only
+    * that cell's ~√K members — 2·√K ≈ 2·N^¼ dots per row and a √K-sized
+    * broadcast at the first level, same output contract (nearest
+    * centroid id), so [[assignedFrame]] is the single seam to swap. Not
+    * implemented here: at the probed scales the flat argmax is faster in
+    * wall-clock (no second routing pass) and keeps the oracle mirror
+    * exact. */
+  private[graft] def coarseK(n: Long): Long =
     math.max(16L, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong)
 
   /** [[coarseK]] as an inline DuckDB expression over the embeddings table. */
@@ -167,6 +181,20 @@ object Similarity {
         min(struct((-col("csim")).as("ns"), col("cid"))).as("m"),
         first(col("e")).as("e"))
       .select(col("vec_id"), col("e"), col("m.cid").as("cid")))
+
+  /** SCALECHECK hook: force the ss03/ss04 ASSIGNMENT stage alone
+    * (centroid selection + broadcast + argmax partial-aggregate) so the
+    * quantizer's √N-per-row cost can be measured against corpus growth
+    * without the downstream probe joins. Returns N. */
+  private[graft] def assignmentProbeRun(s: SparkSession, dir: String): Long = {
+    graft.functions.GraftFunctions.register(s)
+    val v = vecs(s, dir)
+    val n = v.count()
+    try assignedFrame(v, centroids(v))
+      .write.mode("overwrite").format("noop").save()
+    finally QueryCaches.release()
+    n
+  }
 
   /** IVF-style ANN (the second scale path beside hyperplane LSH): vectors
     * are assigned to their nearest of K = [[coarseK]](N) ≈ √N
