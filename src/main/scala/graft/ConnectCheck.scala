@@ -133,6 +133,64 @@ object ConnectCheck {
           "remote time travel through the parser extension failed")
         while (rs3.next()) ()
         rs3.close()
+
+        // ---- DML through the thin client: the SQL surface must survive
+        // session re-materialization on Connect-SPAWNED sessions (the
+        // parser extension and the Delta writer plane run server-side; the
+        // client sends only SQL text). MERGE INTO upserts via a temp view
+        // created over the same remote session, then OPTIMIZE ZORDER
+        // rewrites the layout — both validated by remote reads after a
+        // REFRESH (DSv1 plan caching, same contract as local SQL).
+        val stDml = conn.createStatement()
+        // the experimental driver's executeQuery refuses statements it
+        // classifies as non-SELECT ("does not produce a ResultSet");
+        // execute() + getResultSet covers commands AND metric-returning DML
+        def run(sql: String): Option[java.sql.ResultSet] =
+          if (stDml.execute(sql)) Option(stDml.getResultSet) else None
+        run(
+          s"""CREATE OR REPLACE TEMPORARY VIEW graft_merge_src AS
+              SELECT CAST($expMinKey AS BIGINT) AS s_suppkey,
+                     'graft-updated' AS s_name,
+                     CAST(0 AS INT) AS s_nationkey, CAST(1.5 AS DOUBLE) AS s_acctbal
+              UNION ALL
+              SELECT CAST(900001 AS BIGINT), 'graft-inserted',
+                     CAST(0 AS INT), CAST(2.5 AS DOUBLE)""").foreach(_.close())
+        val mrs = run(
+          s"""MERGE INTO delta.`$path` t USING graft_merge_src s
+              ON t.s_suppkey = s.s_suppkey
+              WHEN MATCHED THEN UPDATE SET s_name = s.s_name
+              WHEN NOT MATCHED THEN INSERT *""")
+          .getOrElse(sys.error("remote MERGE produced no result"))
+        require(mrs.next(), "remote MERGE returned no metrics row")
+        require(mrs.getLong(1) == 1L && mrs.getLong(3) == 1L,
+          s"remote MERGE metrics (updated=${mrs.getLong(1)}, inserted=${mrs.getLong(3)}) != (1, 1)")
+        while (mrs.next()) ()
+        mrs.close()
+        run("REFRESH TABLE connect_demo").foreach(_.close())
+        val rs4 = st.executeQuery(
+          s"SELECT count(*) AS n, " +
+            s"max(CASE WHEN s_suppkey = $expMinKey THEN s_name END) AS un " +
+            "FROM connect_demo")
+        require(rs4.next(), "no post-MERGE row")
+        require(rs4.getLong("n") == expN + 1,
+          s"post-MERGE remote count ${rs4.getLong("n")} != ${expN + 1}")
+        require(rs4.getString("un") == "graft-updated",
+          s"post-MERGE remote update lost: '${rs4.getString("un")}'")
+        while (rs4.next()) ()
+        rs4.close()
+        val ors = run(s"OPTIMIZE delta.`$path` ZORDER BY (s_suppkey, s_nationkey)")
+          .getOrElse(sys.error("remote OPTIMIZE produced no result"))
+        require(ors.next(), "remote OPTIMIZE ZORDER returned no metrics row")
+        while (ors.next()) ()
+        ors.close()
+        run("REFRESH TABLE connect_demo").foreach(_.close())
+        val rs5 = st.executeQuery(
+          "SELECT count(*) AS n FROM connect_demo WHERE s_name = 'graft-inserted'")
+        require(rs5.next() && rs5.getLong("n") == 1L,
+          "post-OPTIMIZE remote read lost the merged row")
+        while (rs5.next()) ()
+        rs5.close()
+        stDml.close()
         st.close()
       } finally
         try conn.close()
