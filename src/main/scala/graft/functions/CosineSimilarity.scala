@@ -155,6 +155,10 @@ object GraftFunctions {
       }
       WordNGramsArray(exprs.head, n)
     },
+    "scaled_dot" -> { exprs =>
+      require(exprs.length == 3, s"scaled_dot expects 3 arguments, got ${exprs.length}")
+      ScaledDot(exprs.head, exprs(1), exprs(2))
+    },
     "hp_bucket8" -> { exprs =>
       require(exprs.length == 1, s"hp_bucket8 expects 1 argument, got ${exprs.length}")
       HyperplaneBucket(exprs.head)

@@ -409,23 +409,25 @@ object Dedup {
     * unit is a non-overlapping 10-word chunk (same split convention as
     * tx01).
     *
-    * Scale posture — keeper selection is a TWO-LEVEL PARTIAL AGGREGATE,
+    * Scale posture — keeper selection is a PARTIAL-COMBINED AGGREGATE,
     * never a window: on web-scale corpora the duplicated segments are
     * exactly the hot keys (a boilerplate 10-word chunk recurs millions of
     * times), and `row_number().over(Window.partitionBy(h))` would shuffle
     * EVERY occurrence of the hottest segment into one task with no
     * map-side combine (the same anti-pattern the dd02 df count removed —
-    * see [[cappedShingles]]). Instead: level 1 `groupBy(h, doc_id, lang)`
-    * collapses a document's repeated occurrences to one row BEFORE any
-    * exchange (a hot segment ships one partial row per input partition),
-    * level 2 `groupBy(h)` picks the global keeper as `min(struct(doc_id,
-    * chunk))`. The affected-docs pass joins the per-(h,doc) rows to the
-    * per-h keeper — both sides post-aggregate, so the hot key carries one
-    * row per CONTAINING DOC, not one per occurrence; docs_affected needs
-    * doc-level rows by definition (a corpus-wide countDistinct), so this
-    * join is the minimal shape. No global sort, no all-pairs anything. */
+    * see [[cappedShingles]]). `groupBy(h).agg(min(struct(doc_id, chunk)))`
+    * is skew-proof by construction: the hottest segment ships ONE partial
+    * min row per input partition, never its occurrence stream. The
+    * affected-docs count works at DOC granularity (a doc is affected iff
+    * its total occurrences exceed the keeper occurrences it owns), so
+    * the only join runs between two doc-keyed aggregates — post-combine,
+    * output-sized. No global sort, no all-pairs anything. */
   private def dd09SegmentDedup(s: SparkSession, dir: String): DataFrame = {
-    val segs = docs(s, dir)
+    // persisted: the exploded chunk stream feeds the two corpus-wide
+    // aggregates (keeper-per-h, per-doc totals); the rows are compact
+    // scalars, unlike dd02's wider-than-input shingle stream whose
+    // recompute measured cheaper than its cache
+    val segs = QueryCaches.persist(docs(s, dir)
       .withColumn("words", expr("filter(split(text, ' '), x -> x != '')"))
       .filter(size(col("words")) > 0)
       .withColumn("chunk",
@@ -433,25 +435,31 @@ object Dedup {
       .withColumn("seg", expr("slice(words, chunk * 10 + 1, 10)"))
       .select(col("doc_id"), col("lang"), col("chunk"),
         md5(concat_ws(" ", col("seg"))).as("h"),
-        size(col("seg")).cast("long").as("seg_words"))
-    // level 1: one row per (segment, containing doc) — partial-combined
-    val perHd = QueryCaches.persist(segs
-      .groupBy(col("h"), col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("c"),
-        min(struct(col("chunk"), col("seg_words"))).as("first_occ")))
-    // level 2: the global keeper occurrence of each segment
-    val perH = perHd.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("first_occ.chunk").as("chunk"),
-        col("lang"), col("first_occ.seg_words").as("seg_words"))).as("keeper"))
-    val byLang = perHd.groupBy(col("lang")).agg(sum(col("c")).as("n_segs"))
-    val keptByLang = perH.groupBy(col("keeper.lang").as("lang"))
-      .agg(count(lit(1)).as("n_kept"), sum(col("keeper.seg_words")).as("kept_words"))
-    // a doc is affected iff it holds at least one NON-keeper occurrence:
-    // more than one occurrence, or its single one isn't the keeper
-    val affectedByLang = perHd.join(perH, "h")
-      .filter(col("c") > 1 || col("keeper.doc_id") =!= col("doc_id"))
+        size(col("seg")).cast("long").as("seg_words")))
+    // global keeper occurrence per segment: min (doc_id, chunk), one
+    // partial-combined exchange on the (uniform) segment hash; everything
+    // downstream of it is DOC-level (output-sized), so perH has exactly
+    // one consumer and the tiny per-doc keeper stats get the cache
+    val perH = segs.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk"),
+        col("lang"), col("seg_words"))).as("keeper"))
+    val perDoc = QueryCaches.persist(perH
+      .groupBy(col("keeper.doc_id").as("doc_id"), col("keeper.lang").as("lang"))
+      .agg(count(lit(1)).as("own"), sum(col("keeper.seg_words")).as("w")))
+    val keptByLang = perDoc.groupBy(col("lang"))
+      .agg(sum(col("own")).as("n_kept"), sum(col("w")).as("kept_words"))
+    // a doc is affected iff it holds at least one NON-keeper occurrence,
+    // i.e. its occurrence total exceeds the keepers it owns — two
+    // doc-keyed aggregates joined, each partial-combined; per-lang totals
+    // also derive from the doc-level frame, not another pass over segs
+    val docTot = QueryCaches.persist(segs.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("tot")))
+    val byLang = docTot.groupBy(col("lang")).agg(sum(col("tot")).as("n_segs"))
+    val affectedByLang = docTot
+      .join(perDoc.select(col("doc_id"), col("own")), Seq("doc_id"), "left")
+      .filter(col("tot") > coalesce(col("own"), lit(0L)))
       .groupBy(col("lang"))
-      .agg(countDistinct(col("doc_id")).as("docs_affected"))
+      .agg(count(lit(1)).as("docs_affected"))
     byLang
       .join(keptByLang, Seq("lang"), "left")
       .join(affectedByLang, Seq("lang"), "left")

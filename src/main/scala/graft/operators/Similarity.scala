@@ -306,10 +306,10 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     broadcast(q)
       .join(corpus, col("qid") =!= col("vec_id"))
-      .withColumn("dot", aggregate(
-        sequence(lit(1), lit(64)), lit(0.0),
-        (acc, d) => acc + element_at(col("q"), d) * col("scale")
-          * element_at(col("qe"), d).cast("double")))
+      // native scaled_dot: same left-fold chain as the HOF form (see
+      // ScaledDot scaladoc) but codegen'd — the HOF boxed 64 intermediates
+      // per (query × corpus) row, r14's 6.8 GB scaled-heap probe
+      .withColumn("dot", expr("scaled_dot(q, scale, qe)"))
       .withColumn("sim",
         floor(col("dot") / sqrt(col("q2") * col("scale") * col("scale") * col("qnrm"))
           * lit(1000000.0)) / lit(1000000.0))

@@ -31,6 +31,25 @@ class ByteNGramHashesSuite extends AnyFunSuite {
     }
   }
 
+  test("md5 word 1 == hex chars 9-16 of the same digest (mm06's hi half)") {
+    GraftFunctions.register(spark)
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .filter(octet_length(col("payload")) > 0)
+      .withColumn("native", expr("byte_ngram_hashes(payload, 4, 1)"))
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("declarative", expr(
+        """transform(sequence(0, CAST(ceil(length(hx) / 8.0) AS INT) - 1),
+             i -> CAST(conv(substr(md5(substr(hx, i * 8 + 1, 8)), 9, 8), 16, 10) AS BIGINT))"""))
+      .select(col("doc_id"), col("native"), col("declarative"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"word-1 hash mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("EMPTY payload returns an empty array (documented divergence from the recipe)") {
     GraftFunctions.register(spark)
     import spark.implicits._

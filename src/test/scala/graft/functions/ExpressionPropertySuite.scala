@@ -51,6 +51,38 @@ class ExpressionPropertySuite extends AnyFunSuite {
     })
   }
 
+  test("simhash32: eval == majority-vote bits over 32 positions, any hash set incl. empty") {
+    val gen = Gen.listOf(Gen.chooseNum(0L, (1L << 32) - 1))
+    check("simhash32", Prop.forAll(gen) { hs =>
+      val out = SimHash32(Literal.create(hs, ArrayType(LongType))).eval(null)
+        .asInstanceOf[Long]
+      val ref = (0 until 32).map { b =>
+        val set = hs.count(h => ((h >> b) & 1L) == 1L)
+        if (2 * set > hs.size) 1L << b else 0L
+      }.sum
+      out == ref
+    })
+  }
+
+  test("scaled_dot: eval bit-equals the strict left fold (q_d·s)·b_d") {
+    val qGen = Gen.chooseNum(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-127L, 127L)))
+    val sGen = Gen.chooseNum(1e-4, 2.0)
+    check("scaled_dot", Prop.forAll(qGen, sGen) { (q, s) =>
+      val b = q.map(x => (x / 31.0).toFloat)
+      val expect = {
+        var acc = 0.0
+        q.lazyZip(b).foreach { (x, y) => acc += (x.toDouble * s) * y.toDouble }
+        acc
+      }
+      val got = ScaledDot(
+        Literal.create(q, ArrayType(LongType)),
+        Literal.create(s, org.apache.spark.sql.types.DoubleType),
+        Literal.create(b, ArrayType(FloatType))).eval(null).asInstanceOf[Double]
+      bits(got) == bits(expect)
+    })
+  }
+
   test("cosine_sim: eval bit-equals the strict left fold, float and double sides") {
     val vecGen = Gen.chooseNum(1, 32).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-8.0f, 8.0f)))
