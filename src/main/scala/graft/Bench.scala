@@ -13,7 +13,7 @@ object Bench {
   private def runPass(
       spark: SparkSession, sfDir: String,
       names: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-      reps: Int): Pass = {
+      reps: Int, dropFirstAnchor: Boolean = true): Pass = {
     def anchorProbe(): Unit = {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.filter(l("l_quantity") > 0).groupBy("l_returnflag").count().collect()
@@ -95,7 +95,12 @@ object Bench {
     // So the interference signal uses steady-state samples only (drop the
     // pre-pass one); machine interference inflates SOME steady sample
     // relative to the others, which is exactly what max/min then catches.
-    val steady = if (anchorTimes.size >= 2) anchorTimes.drop(1).toSeq else anchorTimes.toSeq
+    // (second and later passes run in an already-warm JVM: their first
+    // sample is a valid steady-state one, so callers keep it — dropping
+    // it there would leave a 2-sample spread, all noise)
+    val steady =
+      if (dropFirstAnchor && anchorTimes.size >= 2) anchorTimes.drop(1).toSeq
+      else anchorTimes.toSeq
     val (aMin, aMax) = if (steady.isEmpty) (-1.0, -1.0) else (steady.min, steady.max)
     val aSpread = if (aMin <= 0) -1.0 else aMax / math.max(aMin, 1e-9)
     Pass(results, reps, sfDir, aMin, aMax, aSpread)
@@ -167,7 +172,7 @@ object Bench {
         val headline = Seq("q01", "q12", "dd02", "dd03", "dd09", "dd10", "dd12",
           "ss01", "ss07", "ss10", "pp01", "tx09", "dl09", "mm06")
         val subset = headline.flatMap(p => names.find(_._1.startsWith(p)))
-        Some(runPass(spark, workDir, subset, reps = 2))
+        Some(runPass(spark, workDir, subset, reps = 2, dropFirstAnchor = false))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 pass skipped: ${e.getMessage}"); None
       }
