@@ -125,6 +125,42 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
       .count() === 1)
   }
 
+  test("rate-limited CDF initial snapshot: paced synthetic inserts pinned to one version, then row-level changes") {
+    val dir = Files.createTempDirectory("graft-stream-cdflimit").toString
+    DeltaWriter.write(Seq((1, "a"), (2, "b")).toDF("id", "name").coalesce(1),
+      dir, SaveMode.Append, Nil)                                     // v0
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'true')")                     // v1
+    DeltaWriter.write(Seq((3, "c")).toDF("id", "name").coalesce(1), dir, SaveMode.Append, Nil) // v2
+    DeltaWriter.write(Seq((4, "d")).toDF("id", "name").coalesce(1), dir, SaveMode.Append, Nil) // v3
+    // fresh CDF stream, no startingVersion: initial-snapshot contract,
+    // SPLIT by maxFilesPerTrigger (3 snapshot files -> 3 paced batches),
+    // every synthetic insert row pinned to the SNAPSHOT version
+    val q = spark.readStream.format("delta")
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("dss_cdflimit")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-cdflimit-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table("dss_cdflimit").collect()
+      assert(snap.length === 4, "snapshot rows once each")
+      assert(snap.forall(_.getAs[String]("_change_type") == "insert"))
+      assert(snap.map(_.getAs[Long]("_commit_version")).toSet === Set(3L),
+        "synthetic inserts pin the snapshot version")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "snapshot must be paced into per-file batches")
+      // post-drain: the version cursor serves true row-level changes
+      DeltaDml.delete(spark, dir, "id = 1")                          // v4
+      q.processAllAvailable()
+      val del = spark.table("dss_cdflimit")
+        .filter("_change_type = 'delete'").collect()
+      assert(del.length === 1 && del.head.getAs[Long]("_commit_version") === 4L)
+    } finally q.stop()
+  }
+
   test("readChangeFeed on a CDF-disabled table fails upfront, not on a later batch") {
     val dir = Files.createTempDirectory("graft-stream-nocdf").toString
     DeltaWriter.write(Seq((1, "a")).toDF("id", "name"), dir, SaveMode.Append, Nil)
