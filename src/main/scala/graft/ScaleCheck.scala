@@ -62,7 +62,7 @@ object ScaleCheck {
     // sets it; a filtered run also skips the replay/quantizer stages)
     val scaleOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSeq)
     val prefixes = Seq("dd02", "dd03", "dd08", "dd09", "dd10", "dd11", "dd12", "ss02",
-      "ss06", "ss07", "ss09", "ss10", "dl06", "dl10", "q24", "q37", "pp01",
+      "ss06", "ss07", "ss09", "ss10", "ss11", "dl06", "dl10", "q24", "q37", "pp01",
       "pp09", "pp10", "pp11", "pp12", "tx08", "tx09", "mm05", "mm06")
       .filter(p => scaleOnly.forall(_.exists(p.startsWith)))
     val probes = prefixes.map(p =>
@@ -113,18 +113,25 @@ object ScaleCheck {
     // the embeddings table, so its derive is cheap and embeddings-only.
     val emb30 = sys.env.getOrElse("SPARK_GRAFT_EMB30_DIR", "/tmp/graft-scalecheck/emb30")
     if (scaleOnly.isEmpty) generateEmbeddings(spark, baseDir, emb30, 30)
-    def timeAssign(dir: String): (Double, Long) = {
-      var n = 0L
-      n = graft.operators.Similarity.assignmentProbeRun(spark, dir) // warm
+    def timed(run: String => Long)(dir: String): (Double, Long) = {
+      val n = run(dir) // warm
       val secs = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        graft.operators.Similarity.assignmentProbeRun(spark, dir)
+        run(dir)
         (System.nanoTime() - t0) / 1e9
       }
       (secs.min, n)
     }
+    val timeAssign = timed(graft.operators.Similarity.assignmentProbeRun(spark, _)) _
+    // the implemented next rung (ss11): route via K1 = ⌈√K⌉ ≈ N^¼ supers,
+    // then argmax the routed cell — per-row ~2·N^¼ dots, total ~N^1.25,
+    // so its 30×/10× ratio should sit near 3^1.25 ≈ 3.9 vs flat's 5.2
+    val timeAssign2 = timed(graft.operators.Similarity.twoLevelAssignProbeRun(spark, _)) _
     val ((a1, n1), (a10, n10), (a30, n30)) =
       if (scaleOnly.isEmpty) (timeAssign(baseDir), timeAssign(workDir), timeAssign(emb30))
+      else ((-1.0, 0L), (-1.0, 0L), (-1.0, 0L))
+    val ((t1, _), (t10, _), (t30, _)) =
+      if (scaleOnly.isEmpty) (timeAssign2(baseDir), timeAssign2(workDir), timeAssign2(emb30))
       else ((-1.0, 0L), (-1.0, 0L), (-1.0, 0L))
 
     // ---- stage 5: bounded-heap completion proof for the worst heap
@@ -179,19 +186,26 @@ object ScaleCheck {
     }
     root.set("replay", replay)
     val quant = root.putObject("quantizer_assignment")
-    quant.put("model", "argmax over K=ceil(sqrt(N)) centroids: ~N^1.5 total; " +
-      "next rung = two-level assignment (see Similarity.coarseK scaladoc)")
-    def qPoint(tag: String, n: Long, sec: Double): Unit = {
+    quant.put("model", "flat: argmax over K=ceil(sqrt(N)) centroids, ~N^1.5 total; " +
+      "two_level (ss11): route via K1=ceil(sqrt(K)) supers then argmax the cell, ~N^1.25 total")
+    def qPoint(tag: String, n: Long, sec: Double, sec2: Double): Unit = {
       val o = quant.putObject(tag)
       o.put("n", n); o.put("sec", math.round(sec * 1000) / 1000.0)
       o.put("k", graft.operators.Similarity.coarseK(n))
+      o.put("two_level_sec", math.round(sec2 * 1000) / 1000.0)
     }
-    qPoint("x1", n1, a1); qPoint("x10", n10, a10); qPoint("x30", n30, a30)
+    qPoint("x1", n1, a1, t1); qPoint("x10", n10, a10, t10); qPoint("x30", n30, a30, t30)
     quant.put("ratio_30_over_10", math.round(a30 / math.max(a10, 1e-9) * 100) / 100.0)
     quant.put("expected_n1_5", math.round(math.pow(3.0, 1.5) * 100) / 100.0)
     quant.put("expected_n2", 9.0)
     quant.put("implied_exponent",
       math.round(math.log(a30 / math.max(a10, 1e-9)) / math.log(3.0) * 100) / 100.0)
+    quant.put("two_level_ratio_30_over_10",
+      math.round(t30 / math.max(t10, 1e-9) * 100) / 100.0)
+    quant.put("two_level_expected_n1_25",
+      math.round(math.pow(3.0, 1.25) * 100) / 100.0)
+    quant.put("two_level_implied_exponent",
+      math.round(math.log(t30 / math.max(t10, 1e-9)) / math.log(3.0) * 100) / 100.0)
     val bh = root.putObject("bounded_heap_4g")
     bh.put("note", "worst heap probes re-run at the scaled dir in a 4g child JVM: " +
       "completion proves peak_heap measures the memory manager's GRANT " +

@@ -145,16 +145,28 @@ object Similarity {
     * centroids, route each row to its super-cell first, then argmax only
     * that cell's ~√K members — 2·√K ≈ 2·N^¼ dots per row and a √K-sized
     * broadcast at the first level, same output contract (nearest
-    * centroid id), so [[assignedFrame]] is the single seam to swap. Not
-    * implemented here: at the probed scales the flat argmax is faster in
-    * wall-clock (no second routing pass) and keeps the oracle mirror
-    * exact. */
+    * centroid id), so [[assignedFrame]] is the single seam to swap.
+    * IMPLEMENTED as [[ss11TwoLevelIvf]] (its own oracle-gated contract —
+    * nearest-centroid-WITHIN-ROUTED-CELL, with the flat-argmax agreement
+    * measured per cell); the flat argmax stays the ss03/ss04/dd10 path
+    * because at the probed scales it is faster in wall-clock (no second
+    * routing pass). SCALECHECK's quantizer probe times both growth
+    * curves. */
   private[graft] def coarseK(n: Long): Long =
     math.max(16L, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong)
+
+  /** Super-cell count of the two-level assignment: K1 = ⌈√K⌉ ≈ N^¼,
+    * floored at 4 (the same floor-then-sqrt shape as [[coarseK]]). */
+  private[graft] def superK(k: Long): Long =
+    math.max(4L, math.ceil(math.sqrt(math.max(k, 1L).toDouble)).toLong)
 
   /** [[coarseK]] as an inline DuckDB expression over the embeddings table. */
   private[operators] val duckK: String =
     "greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM embeddings)::DOUBLE)) AS BIGINT))"
+
+  /** [[superK]] over [[duckK]] as an inline DuckDB expression. */
+  private[operators] val duckK1: String =
+    s"greatest(4, CAST(ceil(sqrt(($duckK)::DOUBLE)) AS BIGINT))"
 
   /** First-K-vectors coarse quantizer, K = [[coarseK]](N) (production:
     * k-means over the same K, same plan shape — dd10 runs the Lloyd
@@ -191,6 +203,132 @@ object Similarity {
     val v = vecs(s, dir)
     val n = v.count()
     try assignedFrame(v, centroids(v))
+      .write.mode("overwrite").format("noop").save()
+    finally QueryCaches.release()
+    n
+  }
+
+  /** Two-level (hierarchical/IMI-style) IVF assignment — the assignment
+    * rung [[coarseK]]'s scaladoc names for N ≥ 10⁹ corpora, implemented
+    * and oracle-gated (ss11). K1 = [[superK]](K) ≈ N^¼ SUPER-centroids
+    * (the first K1 seed vectors — a prefix of the K centroid seeds, so
+    * the codebooks nest) partition the K centroids into cells; a row is
+    * routed to its nearest super first (N×K1 ≈ N^{5/4} scored rows,
+    * argmax via partial aggregate) and then argmaxes only that cell's
+    * ~√K members — per-row work 2·√K ≈ 2·N^¼ dots instead of the flat
+    * argmax's √N, and the level-1 broadcast is K1 vectors, not K.
+    *
+    * The output contract is the two-level assignment's OWN semantics
+    * (nearest centroid WITHIN the routed cell — the standard IVF
+    * approximation), summarized per super-cell together with its quality:
+    * `n_agree` counts rows whose two-level centroid equals the flat
+    * argmax over all K (the diagnostic a production index runs before
+    * trusting the hierarchical router). Every stage is deterministic
+    * (floor-scaled cosine, sid/cid tie-breaks), so cell sizes AND the
+    * agreement rate are hash-gated against the DuckDB mirror.
+    *
+    * Tie consistency guarantees no row ever routes to a centroid-less
+    * cell: supers are themselves centroids, and rows and centroids rank
+    * supers with the IDENTICAL floor-scaled score and min-sid tie-break,
+    * so a super that loses its own centroid to a duplicate twin loses
+    * every row the same way. The `cell` frame still left-joins the row
+    * aggregates (zero-filled) so that invariant is visible in the
+    * output, not assumed by it. */
+  private def ss11TwoLevelIvf(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val k = coarseK(v.count())
+    val k1 = superK(k)
+    val cents = QueryCaches.persist(v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("ce")))
+    val supers = v.filter(col("vec_id") < k1)
+      .select(col("vec_id").as("sid"), col("e").as("se"))
+    // level 1: centroid -> nearest super. K×K1 ≈ N^{3/4} scored rows,
+    // argmax as a partial-combined aggregate (the assignedFrame shape —
+    // never a window); persisted: probed by the cell stats AND the
+    // level-2 join.
+    val routed = QueryCaches.persist(cents.join(broadcast(supers))
+      .withColumn("ssim",
+        floor(expr("cosine_sim(ce, se)") * lit(1000000.0)) / lit(1000000.0))
+      .groupBy(col("cid"))
+      .agg(
+        min(struct((-col("ssim")).as("ns"), col("sid"))).as("m"),
+        first(col("ce")).as("ce"))
+      .select(col("cid"), col("ce"), col("m.sid").as("sid")))
+    // level 2a: row -> nearest super (N×K1 scored rows, partial-agg argmax)
+    val rowSuper = v.join(broadcast(supers))
+      .withColumn("ssim",
+        floor(expr("cosine_sim(e, se)") * lit(1000000.0)) / lit(1000000.0))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct((-col("ssim")).as("ns"), col("sid"))).as("m"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"), col("m.sid").as("sid"))
+    // level 2b: argmax over ONLY the routed cell's ~√K centroids — the
+    // equi-join on sid IS the candidate pruning (broadcast: K rows)
+    val twoLevel = rowSuper.join(broadcast(routed), Seq("sid"))
+      .withColumn("csim",
+        floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
+      .groupBy(col("vec_id"), col("sid"))
+      .agg(min(struct((-col("csim")).as("ns"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sid"), col("m.cid").as("cid"))
+    // flat argmax over all K (the ss03 assignment) — the agreement truth
+    val flat = v.join(broadcast(cents))
+      .withColumn("csim",
+        floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("csim")).as("ns"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("fcid"))
+    val cells = routed.groupBy(col("sid")).agg(count(lit(1)).as("n_cents"))
+    val perCell = twoLevel.join(flat, Seq("vec_id"))
+      .groupBy(col("sid"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("cid") === col("fcid"), lit(1L)).otherwise(lit(0L)))
+          .as("n_agree"))
+    cells.join(perCell, Seq("sid"), "left")
+      .select(col("sid"), col("n_cents"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .orderBy(col("sid"))
+  }
+
+  /** SCALECHECK hook, two-level sibling of [[assignmentProbeRun]]: the
+    * full hierarchical route (super selection + level-1 centroid routing
+    * + per-row super argmax + within-cell argmax) with the same noop
+    * sink, so the two assignment growth curves are measured on identical
+    * machinery. Returns N. */
+  private[graft] def twoLevelAssignProbeRun(s: SparkSession, dir: String): Long = {
+    graft.functions.GraftFunctions.register(s)
+    val v = vecs(s, dir)
+    val n = v.count()
+    val k = coarseK(n)
+    val k1 = superK(k)
+    val cents = QueryCaches.persist(v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("ce")))
+    val supers = v.filter(col("vec_id") < k1)
+      .select(col("vec_id").as("sid"), col("e").as("se"))
+    val routed = cents.join(broadcast(supers))
+      .withColumn("ssim",
+        floor(expr("cosine_sim(ce, se)") * lit(1000000.0)) / lit(1000000.0))
+      .groupBy(col("cid"))
+      .agg(
+        min(struct((-col("ssim")).as("ns"), col("sid"))).as("m"),
+        first(col("ce")).as("ce"))
+      .select(col("cid"), col("ce"), col("m.sid").as("sid"))
+    val rowSuper = v.join(broadcast(supers))
+      .withColumn("ssim",
+        floor(expr("cosine_sim(e, se)") * lit(1000000.0)) / lit(1000000.0))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct((-col("ssim")).as("ns"), col("sid"))).as("m"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"), col("m.sid").as("sid"))
+    try rowSuper.join(broadcast(routed), Seq("sid"))
+      .withColumn("csim",
+        floor(expr("cosine_sim(e, ce)") * lit(1000000.0)) / lit(1000000.0))
+      .groupBy(col("vec_id"), col("sid"))
+      .agg(min(struct((-col("csim")).as("ns"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sid"), col("m.cid").as("cid"))
       .write.mode("overwrite").format("noop").save()
     finally QueryCaches.release()
     n
@@ -579,6 +717,52 @@ object Similarity {
         FROM pq_scored)"""
 
   val oracleSql: Map[String, String] = Map(
+    "ss11_twolevel_ivf" -> s"""
+      WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm FROM embeddings),
+      cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < $duckK),
+      supers AS (SELECT vec_id AS sid, e AS se, nrm AS snrm FROM v WHERE vec_id < $duckK1),
+      routed AS (
+        SELECT cid, ce, cnrm, sid FROM (
+          SELECT cents.cid, cents.ce, cents.cnrm, supers.sid,
+                 row_number() OVER (PARTITION BY cents.cid ORDER BY
+                   floor(${dDot("ce", "se")} / sqrt(cnrm * snrm) * 1000000.0) / 1000000.0 DESC,
+                   supers.sid) AS rn
+          FROM cents CROSS JOIN supers)
+        WHERE rn = 1),
+      row_super AS (
+        SELECT vec_id, e, nrm, sid FROM (
+          SELECT v.vec_id, v.e, v.nrm, supers.sid,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   floor(${dDot("v.e", "se")} / sqrt(v.nrm * snrm) * 1000000.0) / 1000000.0 DESC,
+                   supers.sid) AS rn
+          FROM v CROSS JOIN supers)
+        WHERE rn = 1),
+      two_level AS (
+        SELECT vec_id, sid, cid FROM (
+          SELECT r.vec_id, r.sid, routed.cid,
+                 row_number() OVER (PARTITION BY r.vec_id ORDER BY
+                   floor(${dDot("r.e", "routed.ce")} / sqrt(r.nrm * routed.cnrm) * 1000000.0) / 1000000.0 DESC,
+                   routed.cid) AS rn
+          FROM row_super r JOIN routed ON r.sid = routed.sid)
+        WHERE rn = 1),
+      flat AS (
+        SELECT vec_id, cid AS fcid FROM (
+          SELECT v.vec_id, cents.cid,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   floor(${dDot("v.e", "ce")} / sqrt(v.nrm * cnrm) * 1000000.0) / 1000000.0 DESC,
+                   cents.cid) AS rn
+          FROM v CROSS JOIN cents)
+        WHERE rn = 1),
+      cells AS (SELECT sid, CAST(count(*) AS BIGINT) AS n_cents FROM routed GROUP BY sid),
+      per_cell AS (
+        SELECT t.sid, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN t.cid = f.fcid THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM two_level t JOIN flat f USING (vec_id) GROUP BY t.sid)
+      SELECT cells.sid, cells.n_cents,
+             coalesce(per_cell.n_vecs, 0) AS n_vecs,
+             coalesce(per_cell.n_agree, 0) AS n_agree
+      FROM cells LEFT JOIN per_cell ON cells.sid = per_cell.sid
+      ORDER BY cells.sid""",
     "ss09_binary_hamming" -> s"""
       WITH v AS (SELECT vec_id, embedding AS e, $duckNrm AS nrm,
                         ${duckPackWord(0)} AS w0,
@@ -800,5 +984,6 @@ object Similarity {
     "ss07_pq_adc" -> ss07PqAdc,
     "ss08_pq_recall" -> ss08PqRecall,
     "ss09_binary_hamming" -> ss09BinaryHamming,
-    "ss10_ivf_pq" -> ss10IvfPq)
+    "ss10_ivf_pq" -> ss10IvfPq,
+    "ss11_twolevel_ivf" -> ss11TwoLevelIvf)
 }

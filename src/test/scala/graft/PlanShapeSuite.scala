@@ -101,6 +101,20 @@ class PlanShapeSuite extends AnyFunSuite {
       s"expected map-side partial argmin assignment in:\n$p")
   }
 
+  test("ss11: hierarchical routing is windowless — every argmax aggregates map-side") {
+    val p = finalPlanOf("ss11_twolevel_ivf")
+    // FOUR argmaxes (centroid->super, row->super, within-cell, flat) and
+    // not one window: each must collapse its scored rows map-side
+    assert(!p.contains("Window ["),
+      s"expected no Window node anywhere in the two-level assignment:\n$p")
+    assert(p.contains("partial_min(struct"),
+      s"expected map-side partial argmin routing in:\n$p")
+    // the within-cell candidate pruning is the sid equi-join on the
+    // broadcast K-row routed codebook
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the routed-cell equi-join to broadcast in:\n$p")
+  }
+
   test("pp03: benchmark shingle set broadcasts; survivors reach a broadcast anti join") {
     val p = finalPlanOf("pp03_decontam")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
