@@ -134,6 +134,7 @@ private[graft] object GraftSqlCommands {
   private[graft] def inStringLiteral(s: String, pos: Int): Boolean = {
     var inSingle = false
     var inDouble = false
+    var inTick = false
     var inLine = false
     var inBlock = false
     var i = 0
@@ -145,6 +146,8 @@ private[graft] object GraftSqlCommands {
       } else if (inDouble) {
         if (c == '\\') i += 1
         else if (c == '"') inDouble = false
+      } else if (inTick) {
+        if (c == '`') inTick = false
       } else if (inLine) {
         if (c == '\n') inLine = false
       } else if (inBlock) {
@@ -154,6 +157,7 @@ private[graft] object GraftSqlCommands {
       } else c match {
         case '\'' => inSingle = true
         case '"' => inDouble = true
+        case '`' => inTick = true // quoted identifier — rewrites must not bind inside
         case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
           inLine = true; i += 1
         case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
@@ -162,7 +166,7 @@ private[graft] object GraftSqlCommands {
       }
       i += 1
     }
-    inSingle || inDouble || inLine || inBlock
+    inSingle || inDouble || inTick || inLine || inBlock
   }
 
   /** Deterministic, collision-proof temp-view name for a rewrite key: the
@@ -281,10 +285,15 @@ private[graft] object GraftSqlCommands {
     // caseDepth: a WHEN inside CASE…END is the expression's, not a MERGE
     // clause boundary — `UPDATE SET v = CASE WHEN s.x > 0 THEN 1 END`
     // must not split mid-expression
-    var depth = 0; var caseDepth = 0; var inStr = false; var i = 0
+    // backtick-quoted identifiers are opaque: `` `case` ``/`` `when` ``
+    // are column names, and a backticked name may contain quotes/parens
+    var depth = 0; var caseDepth = 0; var inStr = false; var inTick = false
+    var i = 0
     while (i < s.length) {
       s.charAt(i) match {
         case '\\' if inStr => i += 1
+        case '`' if !inStr => inTick = !inTick
+        case _ if inTick =>
         case '\'' => inStr = !inStr
         case '(' if !inStr => depth += 1
         case ')' if !inStr => depth -= 1
@@ -315,10 +324,12 @@ private[graft] object GraftSqlCommands {
     * backslash-escaped quotes inside literals do not close them). */
   private[graft] def splitTop(s: String): Seq[String] = {
     val parts = Seq.newBuilder[String]
-    var depth = 0; var inStr = false; var start = 0; var i = 0
+    var depth = 0; var inStr = false; var inTick = false; var start = 0; var i = 0
     while (i < s.length) {
       s.charAt(i) match {
         case '\\' if inStr => i += 1 // skip the escaped char
+        case '`' if !inStr => inTick = !inTick // backticked names are opaque
+        case _ if inTick =>
         case '\'' => inStr = !inStr
         case '(' if !inStr => depth += 1
         case ')' if !inStr => depth -= 1
@@ -336,18 +347,25 @@ private[graft] object GraftSqlCommands {
     * way to find clause boundaries a lazy regex would mis-split when the
     * keyword appears inside a string literal. */
   private[graft] def topLevelKeyword(s: String, word: String): Int = {
-    var depth = 0; var inStr = false; var i = 0
+    // '_' is an identifier character (the splitOnWhen rule): `where_flag`
+    // must not bind as a WHERE keyword; backtick-quoted identifiers are
+    // opaque (`` `where` `` is a column, and a backticked name may contain
+    // quotes/parens that would otherwise desync the scan)
+    def identChar(ch: Char): Boolean = Character.isLetterOrDigit(ch) || ch == '_'
+    var depth = 0; var inStr = false; var inTick = false; var i = 0
     val w = word.toUpperCase(java.util.Locale.ROOT)
     while (i < s.length) {
       s.charAt(i) match {
         case '\\' if inStr => i += 1
+        case '`' if !inStr => inTick = !inTick
+        case _ if inTick =>
         case '\'' => inStr = !inStr
         case '(' if !inStr => depth += 1
         case ')' if !inStr => depth -= 1
         case c if !inStr && depth == 0 && i + w.length <= s.length &&
             s.regionMatches(true, i, w, 0, w.length) &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-            (i + w.length == s.length || !Character.isLetterOrDigit(s.charAt(i + w.length))) =>
+            (i == 0 || !identChar(s.charAt(i - 1))) &&
+            (i + w.length == s.length || !identChar(s.charAt(i + w.length))) =>
           return i
         case _ =>
       }

@@ -213,6 +213,35 @@ class GraftSqlSuite extends AnyFunSuite {
     assert(got === Seq((1, "2024-01-01"), (2, "2025-09-09"), (3, "2025-10-10")))
   }
 
+  test("where_-prefixed identifiers are not WHERE to the UPDATE splitter; backticked keywords are opaque") {
+    import spark.implicits._
+    // same identifier-boundary rule as the WHEN splitter: '_' is an
+    // identifier char, so `where_flag` must not bind as the WHERE keyword
+    assert(GraftSqlCommands.topLevelKeyword("where_flag = 2", "WHERE") === -1)
+    assert(GraftSqlCommands.topLevelKeyword("flag = 2 WHERE id = 1", "WHERE") === 9)
+    // backtick-quoted identifiers are opaque to every scanner: a column
+    // named `where`/`case`/`when` is data, not syntax
+    assert(GraftSqlCommands.topLevelKeyword("`where` = 2 WHERE id = 1", "WHERE") === 12)
+    val segs = GraftSqlCommands.splitOnWhen(
+      "t.id = s.id WHEN MATCHED THEN UPDATE SET `case` = s.`case` WHEN NOT MATCHED THEN INSERT *")
+    assert(segs.length === 3, segs.mkString(" || "))
+    assert(GraftSqlCommands.splitTop("`a,b` = 1, c = 2") ===
+      Seq("`a,b` = 1", " c = 2"))
+
+    // end-to-end: UPDATE on a table whose column is where_-prefixed
+    val dir = Files.createTempDirectory("graft-sql-whereflag").toString
+    DeltaWriter.write(Seq((1, 0), (2, 0)).toDF("id", "where_flag"),
+      dir, SaveMode.Append, Nil)
+    spark.sql(s"UPDATE delta.`$dir` SET where_flag = 7 WHERE id = 2")
+    val got = DeltaTable.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got === Seq((1, 0), (2, 7)))
+    // no WHERE at all: the whole blob is the SET list
+    spark.sql(s"UPDATE delta.`$dir` SET where_flag = 9")
+    assert(DeltaTable.read(spark, dir).collect()
+      .map(_.getAs[Int]("where_flag")).toSeq === Seq(9, 9))
+  }
+
   test("duplicate SET targets are rejected, not silently last-wins") {
     val e = intercept[IllegalArgumentException] {
       GraftSqlCommands.splitAssignments("a = 1, a = 2")
