@@ -174,6 +174,12 @@ object ScaleCheck {
     gen.put("copies", copies); gen.put("seconds", math.round(genSec * 100) / 100.0)
     val rc = gen.putObject("rows")
     rowCounts.toSeq.sortBy(_._1).foreach { case (t, n) => rc.put(t, n) }
+    // per-probe context the raw ratios need to be read correctly
+    val probeNotes = Map(
+      "mm05_perceptual_dedup" -> ("toy 16-bit signature kept for history; " +
+        "SUPERSEDED by mm06 (64-bit multi-band) as the production plan — " +
+        "this row's ratio is the pre-saturation regime of the 2^16 universe " +
+        "(Multimodal.scala mm05 scaladoc), not a posture to fix"))
     val qn = root.putObject("queries")
     probes.foreach { name =>
       val (bs, bp) = base(name); val (ss, sp) = scaled(name)
@@ -183,6 +189,7 @@ object ScaleCheck {
       q.put("data_ratio", copies)
       q.put("time_ratio", math.round(ss / bs * 100) / 100.0)
       q.put("base_peak_heap_mb", bp); q.put("scaled_peak_heap_mb", sp)
+      probeNotes.get(name).foreach(q.put("note", _))
     }
     root.set("replay", replay)
     val quant = root.putObject("quantizer_assignment")
