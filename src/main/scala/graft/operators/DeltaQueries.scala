@@ -657,7 +657,87 @@ object DeltaQueries {
       .orderBy(col("stage"))
   }
 
+  /** Identity columns through MERGE and RESTORE in the gate (dl26): the
+    * round-15 extension of dl16. v0 seeds the `%3==0` slice with
+    * `rid GENERATED ALWAYS AS IDENTITY (START 1 STEP 1)`; a MERGE updates
+    * every matched row (identity values must ride through the
+    * copy-on-write rewrite untouched) and inserts the `%3==1` slice
+    * WITHOUT the identity column — generated ids continue from the high
+    * water mark, n0+1..n0+n1. RESTORE to v0 then rolls the DATA back but
+    * must NOT roll back the hwm (ids handed to the merge's rows may live
+    * downstream), so the closing append's ids start at n0+n1+1, never
+    * re-issuing the retired range. Both stages aggregate rid_min/max/sum —
+    * arithmetic the oracle replays from the raw fixture's slice counts; a
+    * merge that drops/duplicates identity values, or a restore that
+    * re-issues ids, breaks the hash. */
+  private def dl26IdentityMergeRestore(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 3 === 0), path,
+      SaveMode.Append, Nil, identityColumns = Map("rid" -> (1L, 1L)))
+    graft.sources.delta.DeltaMerge.merge(
+      s, path, supplier.filter(col("s_suppkey") % 3 =!= 2),
+      condition = "t.s_suppkey = s.s_suppkey",
+      matchedUpdate = Some(Map("s_acctbal" -> "s.s_acctbal + 100.0")),
+      matchedDelete = false,
+      notMatchedInsert = Some(supplier.columns.map(c => c -> s"s.$c").toMap))
+    def agg(df: DataFrame, stage: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n"),
+        min(col("rid")).as("rid_min"),
+        max(col("rid")).as("rid_max"),
+        sum(col("rid")).as("rid_sum"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2)
+          .cast("double").as("bal"))
+        .withColumn("stage", lit(stage))
+    val merged = agg(DeltaTable.read(s, path), "merged")
+    graft.sources.delta.DeltaMaintenance.restore(s, path, 0L)
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 3 === 2), path,
+      SaveMode.Append, Nil)
+    merged.unionByName(agg(DeltaTable.read(s, path), "final"))
+      .select(col("stage"), col("n"), col("rid_min"), col("rid_max"),
+        col("rid_sum"), col("key_sum"), col("bal"))
+      .orderBy(col("stage"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl26_identity_merge_restore" -> """
+      WITH c AS (
+        SELECT
+          count(*) FILTER (WHERE s_suppkey % 3 = 0) AS n0,
+          count(*) FILTER (WHERE s_suppkey % 3 = 1) AS n1,
+          count(*) FILTER (WHERE s_suppkey % 3 = 2) AS n2,
+          sum(s_suppkey) FILTER (WHERE s_suppkey % 3 = 0) AS k0,
+          sum(s_suppkey) FILTER (WHERE s_suppkey % 3 = 1) AS k1,
+          sum(s_suppkey) FILTER (WHERE s_suppkey % 3 = 2) AS k2,
+          sum(CAST(s_acctbal AS DECIMAL(18,6)))
+            FILTER (WHERE s_suppkey % 3 = 0) AS b0,
+          sum(CAST(s_acctbal AS DECIMAL(18,6)))
+            FILTER (WHERE s_suppkey % 3 = 1) AS b1,
+          sum(CAST(s_acctbal AS DECIMAL(18,6)))
+            FILTER (WHERE s_suppkey % 3 = 2) AS b2
+        FROM supplier)
+      SELECT * FROM (
+        SELECT 'merged' AS stage,
+               n0 + n1 AS n,
+               CAST(1 AS BIGINT) AS rid_min,
+               CAST(n0 + n1 AS BIGINT) AS rid_max,
+               CAST((n0 + n1) * (n0 + n1 + 1) / 2 AS BIGINT) AS rid_sum,
+               CAST(k0 + k1 AS BIGINT) AS key_sum,
+               CAST(round(b0 + b1 + 100 * n0, 2) AS DOUBLE) AS bal
+        FROM c
+        UNION ALL
+        SELECT 'final' AS stage,
+               n0 + n2 AS n,
+               CAST(1 AS BIGINT) AS rid_min,
+               CAST(n0 + n1 + n2 AS BIGINT) AS rid_max,
+               CAST(n0 * (n0 + 1) / 2
+                    + n2 * (n0 + n1) + n2 * (n2 + 1) / 2 AS BIGINT) AS rid_sum,
+               CAST(k0 + k2 AS BIGINT) AS key_sum,
+               CAST(round(b0 + b2, 2) AS DOUBLE) AS bal
+        FROM c)
+      ORDER BY stage""",
     "dl25_checkpoint_replay" -> """
       WITH f AS (
         SELECT 'full' AS stage, count(*) AS n,
@@ -897,5 +977,6 @@ object DeltaQueries {
     "dl22_generated_partition_prune" -> dl22GeneratedPrune,
     "dl23_column_defaults" -> dl23ColumnDefaults,
     "dl24_idempotent_write" -> dl24IdempotentWrite,
-    "dl25_checkpoint_replay" -> dl25CheckpointReplay)
+    "dl25_checkpoint_replay" -> dl25CheckpointReplay,
+    "dl26_identity_merge_restore" -> dl26IdentityMergeRestore)
 }

@@ -91,6 +91,13 @@ object DeltaDml {
     val badSet = set.keySet.intersect(snap.partitionColumns.toSet)
     if (badSet.nonEmpty) throw new IllegalArgumentException(
       s"cannot SET partition column(s) ${badSet.mkString(",")}")
+    // GENERATED ALWAYS AS IDENTITY columns cannot be assigned — rewriting
+    // them would silently break the uniqueness the hwm machinery maintains
+    val badId = set.keySet.intersect(
+      DeltaWriter.identityFieldsOf(snap.schema).map(_.name).toSet)
+    if (badId.nonEmpty) throw new IllegalArgumentException(
+      s"cannot UPDATE identity column(s) ${badId.mkString(",")} " +
+        "(GENERATED ALWAYS AS IDENTITY)")
     val unknown = set.keySet -- snap.schema.fieldNames
     if (unknown.nonEmpty) throw new IllegalArgumentException(
       s"SET references unknown column(s) ${unknown.mkString(",")}")

@@ -569,14 +569,40 @@ object DeltaMaintenance {
       ci.put("engineInfo", "graft-spark/0.1.0")
       lines += mapper.writeValueAsString(ciLine)
       // metadata at the target version wins (schema/partitioning rollback);
-      // same table id — replay is last-metaData-wins
+      // same table id — replay is last-metaData-wins. EXCEPTION: identity
+      // high water marks never roll back (production RESTORE's contract) —
+      // ids handed out between toVersion and now may live in downstream
+      // systems, and rolling the hwm back would re-issue them to DIFFERENT
+      // rows on the next write. Keep whichever hwm is further along the
+      // step direction.
+      val restoredSchemaString: String = {
+        val curIdent = DeltaWriter.identityFieldsOf(current.schema)
+          .map(f => f.name -> f).toMap
+        val tgtIdent = DeltaWriter.identityFieldsOf(target.schema)
+        if (tgtIdent.isEmpty || !tgtIdent.exists(f => curIdent.contains(f.name)))
+          target.metadata.schemaString
+        else org.apache.spark.sql.types.StructType(target.schema.fields.map { f =>
+          curIdent.get(f.name)
+            .filter(_ => f.metadata.contains(DeltaWriter.IdentityStartKey))
+            .map { cf =>
+              val step = f.metadata.getLong(DeltaWriter.IdentityStepKey)
+              val tHwm = DeltaWriter.identityHwm(f)
+              val cHwm = DeltaWriter.identityHwm(cf)
+              val keep = if (step > 0) math.max(tHwm, cHwm) else math.min(tHwm, cHwm)
+              if (keep == tHwm) f
+              else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong(DeltaWriter.IdentityHwmKey, keep).build())
+            }.getOrElse(f)
+        }).json
+      }
       val mdLine = mapper.createObjectNode()
       val m = mdLine.putObject("metaData")
       m.put("id", target.metadata.id)
       val fmt = m.putObject("format")
       fmt.put("provider", "parquet")
       fmt.putObject("options")
-      m.put("schemaString", target.metadata.schemaString)
+      m.put("schemaString", restoredSchemaString)
       target.partitionColumns.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
       val cfg = m.putObject("configuration")
       target.metadata.configuration.foreach { case (k, v) => cfg.put(k, v) }

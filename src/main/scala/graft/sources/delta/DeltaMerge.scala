@@ -165,6 +165,24 @@ object DeltaMerge {
 
     // ---- 0. validation + schema evolution
     val have = snap.schema.fieldNames.toSet
+    // GENERATED ALWAYS AS IDENTITY: explicit assignment is an error in
+    // every clause (production Delta's contract); inserts that OMIT the
+    // column get values assigned below, continuing from the table's high
+    // water mark
+    val identityFields = DeltaWriter.identityFieldsOf(snap.schema)
+    val identityNames = identityFields.map(_.name).toSet
+    (matched.flatMap(_.update) ++ bySource.flatMap(_.update)).foreach { set =>
+      val badId = set.keySet.intersect(identityNames)
+      if (badId.nonEmpty) throw new IllegalArgumentException(
+        s"cannot UPDATE identity column(s) ${badId.mkString(",")} " +
+          "(GENERATED ALWAYS AS IDENTITY)")
+    }
+    notMatched.foreach { nm =>
+      val badId = nm.insert.keySet.intersect(identityNames)
+      if (badId.nonEmpty) throw new IllegalArgumentException(
+        s"cannot INSERT into identity column(s) ${badId.mkString(",")} " +
+          "(GENERATED ALWAYS AS IDENTITY) — omit them and values are assigned")
+    }
     matched.flatMap(_.update).foreach { set =>
       val badSet = set.keySet.intersect(snap.partitionColumns.toSet)
       if (badSet.nonEmpty) throw new IllegalArgumentException(
@@ -215,9 +233,12 @@ object DeltaMerge {
     notMatched.foreach { nm =>
       // production Delta's NOT NULL constraint: an unassigned column can
       // only be NULL-filled if the table schema allows it (reading a
-      // parquet NULL through a non-nullable schema silently yields 0)
+      // parquet NULL through a non-nullable schema silently yields 0).
+      // Identity columns are exempt: they are EXPECTED unassigned and get
+      // generated values, never NULL
       val broken = snap.schema.fields
-        .filter(f => !f.nullable && !nm.insert.contains(f.name)).map(_.name)
+        .filter(f => !f.nullable && !nm.insert.contains(f.name)
+          && !identityNames.contains(f.name)).map(_.name)
       if (broken.nonEmpty) throw new IllegalArgumentException(
         s"INSERT leaves non-nullable column(s) ${broken.mkString(",")} unassigned")
     }
@@ -386,6 +407,7 @@ object DeltaMerge {
     // ---- 3. inserts: source rows matching NO row of the FULL target,
     // routed through the first insert clause whose condition they satisfy
     // (rows satisfying none are dropped — production semantics)
+    var identityNewHwm: Map[String, Long] = Map.empty
     val insertedOpt: Option[((Seq[Add], Long), Seq[(String, Long)])] =
       if (notMatched.isEmpty) None else Some {
       val anti = src.join(
@@ -410,26 +432,43 @@ object DeltaMerge {
           if (acc == null) when(cond, v) else acc.when(cond, v)
         }.otherwise(lit(null).cast(colType(c)))
       }
-      // NOT NULL holds structurally for UNASSIGNED columns (checked at
-      // clause validation) and via the inline guard for assigned
-      // expressions that evaluate NULL at runtime
-      val insertRows = DeltaConstraints.notNullGuarded(
-        withIact.select(outCols.map(c => inserted(c).as(c)): _*), snap.schema, "MERGE INSERT")
-      DeltaConstraints.validate(insertRows, snap, "MERGE INSERT")
-      // persisted: the table write and the cdc 'insert' rows must come
-      // from ONE evaluation of the anti-join (re-planning could diverge
-      // on nondeterministic sources, and re-runs the scan regardless)
-      val pinned = insertRows.persist()
+      // identity columns are omitted from the clause frame (enforced
+      // above) and assigned here, continuing from the table's high water
+      // mark — the SAME range-allocation machinery as the append path.
+      // checkTableState in the commit loop covers the concurrency story:
+      // a concurrent identity advance re-emits metaData, which aborts
+      // this merge before it could hand out duplicate ids.
+      val nonIdCols = outCols.filterNot(identityNames.contains)
+      val insertRows0 = withIact.select(nonIdCols.map(c => inserted(c).as(c)): _*)
+      val fromHwm = identityFields.map(f => f.name -> DeltaWriter.identityHwm(f)).toMap
+      val (withIds, newHwm, nAssigned, idPinned) =
+        DeltaWriter.assignIdentityValues(insertRows0, identityFields, fromHwm)
+      if (nAssigned > 0) identityNewHwm = newHwm
+      // the identity-pinned frame must not outlive a validation failure
+      // (CHECK/NOT NULL throwing below is a routine path) — outer finally
       try {
-        val addsAndRows = stageAndReturn(spark, tablePath, snap, pinned, outSchema)
-        // a commit with ANY cdc action is read from cdc only — the inserts
-        // must ride along when the matched clause produced change rows
-        val cdcIns: Seq[(String, Long)] =
-          if (!cdfOn || addsAndRows._2 == 0) Nil
-          else DeltaCdf.stageChanges(spark, tablePath, snap,
-            pinned.withColumn(DeltaCdf.TypeCol, lit("insert")))
-        (addsAndRows, cdcIns)
-      } finally pinned.unpersist()
+        // NOT NULL holds structurally for UNASSIGNED columns (checked at
+        // clause validation) and via the inline guard for assigned
+        // expressions that evaluate NULL at runtime; CHECK constraints see
+        // the assigned identity values (they may reference them)
+        val insertRows = DeltaConstraints.notNullGuarded(
+          withIds.select(outCols.map(col): _*), snap.schema, "MERGE INSERT")
+        DeltaConstraints.validate(insertRows, snap, "MERGE INSERT")
+        // persisted: the table write and the cdc 'insert' rows must come
+        // from ONE evaluation of the anti-join (re-planning could diverge
+        // on nondeterministic sources, and re-runs the scan regardless)
+        val pinned = insertRows.persist()
+        try {
+          val addsAndRows = stageAndReturn(spark, tablePath, snap, pinned, outSchema)
+          // a commit with ANY cdc action is read from cdc only — the inserts
+          // must ride along when the matched clause produced change rows
+          val cdcIns: Seq[(String, Long)] =
+            if (!cdfOn || addsAndRows._2 == 0) Nil
+            else DeltaCdf.stageChanges(spark, tablePath, snap,
+              pinned.withColumn(DeltaCdf.TypeCol, lit("insert")))
+          (addsAndRows, cdcIns)
+        } finally pinned.unpersist()
+      } finally idPinned.foreach(_.unpersist())
     }
 
     val rowsInserted = insertedOpt.map(_._1._2).getOrElse(0L)
@@ -496,12 +535,13 @@ object DeltaMerge {
         t.put("lastUpdated", System.currentTimeMillis())
         lines += mapper.writeValueAsString(txnLine)
       }
-      if (evolved.nonEmpty) {
+      if (evolved.nonEmpty || identityNewHwm.nonEmpty) {
         // metaData re-emission (same table id — replay is last-metaData-
-        // wins). Emitted from the TRANSACTION's snapshot: checkTableState
-        // above aborts on ANY concurrent metadata change, so
-        // latest.metadata == snap.metadata here by construction — there is
-        // no concurrent config to preserve beyond what snap carries.
+        // wins): schema evolution and/or identity hwm advance. Emitted
+        // from the TRANSACTION's snapshot: checkTableState above aborts
+        // on ANY concurrent metadata change, so latest.metadata ==
+        // snap.metadata here by construction — there is no concurrent
+        // config to preserve beyond what snap carries.
         val base = snap.metadata
         val node = mapper.createObjectNode()
         val m = node.putObject("metaData")
@@ -509,7 +549,8 @@ object DeltaMerge {
         val fmt = m.putObject("format")
         fmt.put("provider", "parquet")
         fmt.putObject("options")
-        m.put("schemaString", outSchema.json)
+        m.put("schemaString", DeltaWriter.stampIdentityHwm(
+          outSchema, identityFields, identityNewHwm).json)
         base.partitionColumns.foldLeft(m.putArray("partitionColumns"))((a, c) => a.add(c))
         val cfg = m.putObject("configuration")
         base.configuration.foreach { case (k, v) => cfg.put(k, v) }

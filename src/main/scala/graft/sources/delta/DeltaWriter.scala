@@ -93,9 +93,79 @@ object DeltaWriter {
   private[delta] def identityFieldsOf(schema: StructType): Seq[StructField] =
     schema.fields.filter(_.metadata.contains(IdentityStartKey)).toSeq
 
-  private def identityHwm(f: StructField): Long =
+  private[delta] def identityHwm(f: StructField): Long =
     if (f.metadata.contains(IdentityHwmKey)) f.metadata.getLong(IdentityHwmKey)
     else f.metadata.getLong(IdentityStartKey) - f.metadata.getLong(IdentityStepKey)
+
+  /** Assign identity values to every row of `df` (which must OMIT the
+    * identity columns), continuing from `fromHwm`. Shared by the append
+    * path and MERGE INSERT — both hand out ids the same way, and both
+    * verify at commit time that the hwm they assigned from is still
+    * current. Scale posture: per-partition range allocation entirely in
+    * the DataFrame/codegen path — `monotonically_increasing_id` gives
+    * each row a stable (partition, local-index) pair; ONE codegen'd
+    * aggregate counts rows per partition; driver-side prefix sums
+    * (O(partitions)) become per-partition start offsets broadcast-joined
+    * back, so ids are contiguous hwm+step, hwm+2·step, ….
+    *
+    * Returns (frame with identity columns appended, new hwm per column,
+    * row count, pinned frame the CALLER must unpersist after its terminal
+    * action — the counts job and the assignment must read one
+    * materialization). */
+  private[delta] def assignIdentityValues(
+      df: DataFrame,
+      identityFields: Seq[StructField],
+      fromHwm: Map[String, Long]): (DataFrame, Map[String, Long], Long, Option[DataFrame]) = {
+    if (identityFields.isEmpty) return (df, Map.empty, -1L, None)
+    val spark = df.sparkSession
+    val mid = "_graft_mid"
+    val withMid = df.withColumn(mid, monotonically_increasing_id()).persist()
+    val counts = withMid.groupBy(shiftright(col(mid), 33).as("_graft_pid"))
+      .count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val newHwm = identityFields.map { f =>
+      val step = f.metadata.getLong(IdentityStepKey)
+      f.name -> (fromHwm(f.name) + step * n)
+    }.toMap
+    val offsetRows = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    }
+    val offsetsDf = spark.createDataFrame(
+      java.util.Arrays.asList(offsetRows.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2)): _*),
+      StructType(Seq(StructField("_graft_pid", LongType),
+        StructField("_graft_off", LongType))))
+    val joined = withMid
+      .withColumn("_graft_pid", shiftright(col(mid), 33))
+      .join(broadcast(offsetsDf), "_graft_pid")
+    val localIdx = col(mid).bitwiseAND(lit((1L << 33) - 1))
+    val outCols = df.columns.map(col) ++ identityFields.map { f =>
+      val step = f.metadata.getLong(IdentityStepKey)
+      (lit(fromHwm(f.name) + step) +
+        (col("_graft_off") + localIdx) * lit(step)).as(f.name)
+    }
+    (joined.select(outCols.toIndexedSeq: _*), newHwm, n, Some(withMid))
+  }
+
+  /** Stamp advanced identity high water marks into `schema` ahead of a
+    * metaData re-emission; `decls` carry the start/step declarations the
+    * stamped metadata must preserve. */
+  private[delta] def stampIdentityHwm(
+      schema: StructType,
+      decls: Seq[StructField],
+      newHwm: Map[String, Long]): StructType =
+    if (newHwm.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      newHwm.get(f.name) match {
+        case Some(hwm) =>
+          val decl = decls.find(_.name == f.name).get
+          f.copy(nullable = false, metadata = new MetadataBuilder()
+            .withMetadata(decl.metadata).putLong(IdentityHwmKey, hwm).build())
+        case None => f
+      }
+    })
 
   /** Generation expressions declared in a schema's field metadata —
     * exactly where the Delta protocol's generated-columns feature puts
@@ -267,52 +337,24 @@ object DeltaWriter {
     // otherwise hand out duplicate ids)
     val assignedFromHwm: Map[String, Long] =
       identityFields.map(f => f.name -> identityHwm(f)).toMap
-    var identityNewHwm: Map[String, Long] = Map.empty
-    var identityPinned: Option[DataFrame] = None
-    val data1i: DataFrame =
-      if (identityFields.isEmpty) data1d
-      else {
-        val mid = "_graft_mid"
-        val withMid = data1d.withColumn(mid, monotonically_increasing_id()).persist()
-        identityPinned = Some(withMid)
-        val counts = withMid.groupBy(shiftright(col(mid), 33).as("_graft_pid"))
-          .count().collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-        val n = counts.map(_._2).sum
-        identityNewHwm = identityFields.map { f =>
-          val step = f.metadata.getLong(IdentityStepKey)
-          f.name -> (assignedFromHwm(f.name) + step * n)
-        }.toMap
-        val offsetRows = {
-          var acc = 0L
-          counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
-        }
-        val offsetsDf = spark.createDataFrame(
-          java.util.Arrays.asList(offsetRows.map(t =>
-            org.apache.spark.sql.Row(t._1, t._2)): _*),
-          StructType(Seq(StructField("_graft_pid", LongType),
-            StructField("_graft_off", LongType))))
-        val joined = withMid
-          .withColumn("_graft_pid", shiftright(col(mid), 33))
-          .join(broadcast(offsetsDf), "_graft_pid")
-        val localIdx = col(mid).bitwiseAND(lit((1L << 33) - 1))
-        val outCols = data1d.columns.map(col) ++ identityFields.map { f =>
-          val step = f.metadata.getLong(IdentityStepKey)
-          (lit(assignedFromHwm(f.name) + step) +
-            (col("_graft_off") + localIdx) * lit(step)).as(f.name)
-        }
-        joined.select(outCols.toIndexedSeq: _*)
-      }
+    val (data1i, identityNewHwm, _, identityPinned) =
+      assignIdentityValues(data1d, identityFields, assignedFromHwm)
 
     // CHECK constraints of the existing table apply to every incoming row
-    // (validated AFTER identity assignment — constraints may reference it)
-    existing.foreach(snap => DeltaConstraints.validate(data1i, snap, "WRITE"))
-    // NOT NULL invariants (the `invariants` writer capability): inline
-    // raise-on-null guards on the table's non-nullable columns — the
-    // incoming frame's own nullability says nothing about its VALUES
-    val data1g = existing
-      .map(snap => DeltaConstraints.notNullGuarded(data1i, snap.schema, "WRITE"))
-      .getOrElse(data1i)
+    // (validated AFTER identity assignment — constraints may reference it).
+    // A violation throwing HERE is a routine path and runs before the
+    // staging block's finally — unpersist the identity frame on the way out
+    val data1g = try {
+      existing.foreach(snap => DeltaConstraints.validate(data1i, snap, "WRITE"))
+      // NOT NULL invariants (the `invariants` writer capability): inline
+      // raise-on-null guards on the table's non-nullable columns — the
+      // incoming frame's own nullability says nothing about its VALUES
+      existing
+        .map(snap => DeltaConstraints.notNullGuarded(data1i, snap.schema, "WRITE"))
+        .getOrElse(data1i)
+    } catch {
+      case e: Throwable => identityPinned.foreach(_.unpersist()); throw e
+    }
 
     // ---- 1. write data files to a staging dir (distributed parquet write).
     // optimizeWrite: one shuffle by the partition columns so each hive
@@ -478,16 +520,7 @@ object DeltaWriter {
 
       // identity hwm stamped into the schema a metaData emission carries
       def withIdentityHwm(schema: StructType): StructType =
-        if (identityNewHwm.isEmpty) schema
-        else StructType(schema.fields.map { f =>
-          identityNewHwm.get(f.name) match {
-            case Some(hwm) =>
-              val decl = identityFields.find(_.name == f.name).get
-              f.copy(nullable = false, metadata = new MetadataBuilder()
-                .withMetadata(decl.metadata).putLong(IdentityHwmKey, hwm).build())
-            case None => f
-          }
-        })
+        stampIdentityHwm(schema, identityFields, identityNewHwm)
 
       if (version == 0L) {
         val schema0 = withIdentityHwm(withGenMetadata(data1i.schema, genExprs))

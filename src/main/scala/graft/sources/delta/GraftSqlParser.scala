@@ -697,7 +697,16 @@ case class DeltaMergeCommand(
         case DeltaMergeCommand.InsertStar if autoMerge =>
           src.columns.map(c => c -> s"s.$c").toMap
         case DeltaMergeCommand.InsertStar =>
-          DeltaLog.snapshot(spark, targetPath).schema.fieldNames
+          // identity columns the SOURCE does not carry are excluded from
+          // the expansion: they are GENERATED ALWAYS (values assigned by
+          // the merge). A source that DOES carry the column stays mapped,
+          // so the merge's explicit-assignment guard rejects it — the same
+          // outcome the autoMerge branch (source-schema expansion) gives,
+          // and production Delta's INSERT * contract
+          val sch = DeltaLog.snapshot(spark, targetPath).schema
+          val identity = DeltaWriter.identityFieldsOf(sch).map(_.name).toSet
+          val srcCols = src.columns.toSet
+          sch.fieldNames.filterNot(c => identity(c) && !srcCols(c))
             .map(c => c -> s"s.$c").toMap
         case DeltaMergeCommand.InsertCols(a) => a
       }, cond)
