@@ -701,7 +701,49 @@ object DeltaQueries {
       .orderBy(col("stage"))
   }
 
+  /** Row tracking end-to-end in the gate (dl27): nation is written as ONE
+    * sorted file, so after [[graft.sources.delta.RowTracking.enable]] every
+    * row's fresh id equals its physical position equals `n_nationkey`
+    * (25 keys, 0..24, at every SF). The copy-on-write UPDATE materializes
+    * ids and redates the `%4==1` rows to its commit (v2); the ZORDER
+    * rewrite physically REORDERS rows — ids must follow the rows through
+    * the clustered rewrite; the DV delete drops the `%5==4` rows without
+    * rewriting (surviving ids untouched). The oracle replays the whole
+    * ledger arithmetically: `row_id = n_nationkey`,
+    * `row_commit_version = 2 where %4==1 else 1` — any id drift,
+    * re-numbering, lost materialization or mis-dated rewrite breaks the
+    * hash. */
+  private def dl27RowTracking(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    DeltaWriter.write(
+      t(s, dir, "nation").repartition(1).sortWithinPartitions("n_nationkey"),
+      path, SaveMode.Append, Nil)                                       // v0
+    graft.sources.delta.RowTracking.enable(s, path)                     // v1
+    graft.sources.delta.DeltaDml.update(
+      s, path, "n_nationkey % 4 = 1", Map("n_name" -> "lower(n_name)")) // v2
+    graft.sources.delta.DeltaMaintenance.zorder(
+      s, path, Seq("n_name", "n_regionkey"))                            // v3
+    graft.sources.delta.DeltaDml.deleteWithDv(
+      s, path, "n_nationkey % 5 = 4")                                   // v4
+    graft.sources.delta.RowTracking.readWithRowIds(s, path)
+      .select(col("n_nationkey"), col("n_name"),
+        col(graft.sources.delta.RowTracking.RowIdCol).as("row_id"),
+        col(graft.sources.delta.RowTracking.RowVersionCol).as("row_commit_version"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl27_row_tracking" -> """
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 4 = 1 THEN lower(n_name) ELSE n_name END
+               AS n_name,
+             CAST(n_nationkey AS BIGINT) AS row_id,
+             CAST(CASE WHEN n_nationkey % 4 = 1 THEN 2 ELSE 1 END AS BIGINT)
+               AS row_commit_version
+      FROM nation
+      WHERE n_nationkey % 5 <> 4
+      ORDER BY n_nationkey
+    """,
     "dl26_identity_merge_restore" -> """
       WITH c AS (
         SELECT
@@ -978,5 +1020,6 @@ object DeltaQueries {
     "dl23_column_defaults" -> dl23ColumnDefaults,
     "dl24_idempotent_write" -> dl24IdempotentWrite,
     "dl25_checkpoint_replay" -> dl25CheckpointReplay,
-    "dl26_identity_merge_restore" -> dl26IdentityMergeRestore)
+    "dl26_identity_merge_restore" -> dl26IdentityMergeRestore,
+    "dl27_row_tracking" -> dl27RowTracking)
 }

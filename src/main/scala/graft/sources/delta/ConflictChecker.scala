@@ -142,6 +142,24 @@ private[delta] object ConflictChecker {
     if (latest.protocol != base.protocol)
       abort(op, base, onAbort,
         s"table protocol changed concurrently (v${base.version} -> v${latest.version})")
+    // domainMetadata stability: a concurrent change to ANY domain aborts
+    // (the spec's domain-conflict rule, taken conservatively: this engine
+    // cannot judge whether a foreign engine's domain state invalidated the
+    // transaction, so it never commits across one). The ONE exception is
+    // the row-id high water mark — every commit on a row-tracked table
+    // advances it, so two concurrent appends would deadlock-by-abort here;
+    // instead the commit loops RE-BASE their baseRowId allocation against
+    // the latest hwm on retry (see RowTracking.allocate), which is exactly
+    // how production resolves this conflict class.
+    val baseDoms = base.domainMetadata - RowTracking.Domain
+    val latestDoms = latest.domainMetadata - RowTracking.Domain
+    if (baseDoms != latestDoms)
+      abort(op, base, onAbort,
+        s"table domain metadata changed concurrently (v${base.version} -> " +
+          s"v${latest.version}: " +
+          (latestDoms.keySet ++ baseDoms.keySet)
+            .filter(k => baseDoms.get(k) != latestDoms.get(k))
+            .toSeq.sorted.mkString(", ") + ")")
   }
 
   private def abort(

@@ -4,7 +4,7 @@ import java.util.UUID
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Result of a DELETE / UPDATE run. */
@@ -137,7 +137,13 @@ object DeltaDml {
     // nondeterministic predicate — MERGE pins its rewrite the same way).
     val outCols = snap.schema.fieldNames.toIndexedSeq
     val cdfOn = DeltaCdf.enabled(snap.metadata)
-    val injected0 = DeltaMaintenance.partitionInjected(spark, tablePath, snap, touched)
+    // row tracking: the touched files' CURRENT ids ride the rewrite in the
+    // table's materialized columns ([[DeltaMaintenance.partitionInjected]])
+    // — kept rows preserve both; UPDATE-modified rows keep their id but
+    // null the version (the new add's defaultRowCommitVersion dates them)
+    val rtCols = DeltaMaintenance.rewriteCarryCols(snap)
+    val injected0 = DeltaMaintenance.partitionInjected(spark, tablePath, snap, touched,
+        withRowIds = true)
       .reduce(_ unionByName _)
     val injected = if (cdfOn) injected0.persist() else injected0
     // staging/publish rollback state, hoisted above the try: a NOT NULL
@@ -161,15 +167,24 @@ object DeltaDml {
         else {
           // one SELECT so every SET expression sees the pre-update row
           val cond = expr(condition)
+          val rtKeep: Seq[Column] = rtCols match {
+            case Seq(matId, matVer) => Seq(
+              col(s"`$matId`"),
+              when(coalesce(cond, lit(false)), lit(null)
+                .cast(org.apache.spark.sql.types.LongType))
+                .otherwise(col(s"`$matVer`")).as(matVer))
+            case _ => Nil
+          }
           injected.select(outCols.map { c =>
             set.get(c) match {
               case Some(e) => when(cond, expr(e).cast(snap.schema(c).dataType))
                 .otherwise(col(c)).as(c)
               case None => col(c)
             }
-          }: _*)
+          } ++ rtKeep: _*)
         }
-      val rewritten1 = rewritten0.select(outCols.map(col): _*)
+      val rewritten1 = rewritten0.select(
+        (outCols.map(col) ++ rtCols.map(c => col(s"`$c`"))): _*)
       // UPDATE creates rows -> CHECK constraints + NOT NULL invariants
       // apply (DELETE never creates rows)
       val rewritten =
@@ -293,7 +308,7 @@ object DeltaDml {
         r.put("dataChange", true)
         lines += mapper.writeValueAsString(rmLine)
       }
-      adds.foreach { case (rel, pv, size, modTime, st) =>
+      val addNodes = adds.map { case (rel, pv, size, modTime, st) =>
         val addLine = mapper.createObjectNode()
         val a = addLine.putObject("add")
         a.put("path", DeltaWriter.encodePath(rel))
@@ -303,8 +318,14 @@ object DeltaDml {
         a.put("modificationTime", modTime)
         a.put("dataChange", true)
         st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
-        lines += mapper.writeValueAsString(addLine)
+        (addLine, a, st.flatMap(n => Option(n.get("numRecords")).map(_.asLong())))
       }
+      // row tracking: fresh baseRowId ranges per attempt (re-based on the
+      // latest hwm); preserved ids override via the materialized columns
+      val rowDomain = RowTracking.stampAdds(
+        Some(latest), addNodes.map(_._2), addNodes.map(_._3), version)
+      addNodes.foreach { case (line, _, _) => lines += mapper.writeValueAsString(line) }
+      rowDomain.foreach(lines += _)
       cdcFiles.foreach { case (rel, size) =>
         lines += DeltaCdf.cdcLine(rel, size, physPartCols)
       }
@@ -561,6 +582,11 @@ object DeltaDml {
         a.put("dataChange", true)
         f.stats.foreach(s => a.put("stats", s))
         DeletionVectors.putDvNode(a, desc)
+        // row tracking: a DV attach re-adds the SAME physical file — row
+        // positions are untouched (deleted rows just turn invisible), so
+        // the original baseRowId keeps every surviving id stable
+        f.baseRowId.foreach(a.put("baseRowId", _))
+        f.defaultRowCommitVersion.foreach(a.put("defaultRowCommitVersion", _))
         lines += mapper.writeValueAsString(addLine)
       }
       cdcFiles.foreach { case (rel, size) =>

@@ -58,6 +58,16 @@ final case class DeltaProtocol(
       impliedReaderFeatures ++ newReader,
       impliedWriterFeatures ++ newReader ++ newWriter)
 
+  /** Add WRITER-ONLY features (rowTracking, domainMetadata): the writer
+    * plane upgrades to table features (7) with every implied legacy
+    * capability preserved; the READER version stays untouched — a v1
+    * reader remains able to scan the table, which is the point of
+    * writer-only features. */
+  def withWriterFeatures(newWriter: Set[String]): DeltaProtocol =
+    if (minWriterVersion >= 7) copy(writerFeatures = writerFeatures ++ newWriter)
+    else DeltaProtocol(minReaderVersion, 7, readerFeatures,
+      impliedWriterFeatures ++ newWriter)
+
   /** Add `feature` as a reader+writer capability: table-features protocols
     * list it; legacy protocols upgrade via [[withTableFeatures]]
     * (`mappingActive` carries an active legacy column mapping along). */
@@ -163,7 +173,13 @@ final case class DeltaAddFile(
     size: Long,
     modificationTime: Long,
     stats: Option[String],
-    deletionVector: Option[DvDescriptor] = None)
+    deletionVector: Option[DvDescriptor] = None,
+    /** Row tracking: first row id of this file (fresh id = baseRowId +
+      * row position); None on tables that do not maintain row tracking. */
+    baseRowId: Option[Long] = None,
+    /** Row tracking: commit version dating rows this file does not carry
+      * a materialized row commit version for. */
+    defaultRowCommitVersion: Option[Long] = None)
 
 final case class DeltaSnapshot(
     tablePath: String,
@@ -176,7 +192,17 @@ final case class DeltaSnapshot(
       * with (appId, version) can ask "did my version-N batch already
       * commit?" and skip the redelivery. Streaming sinks key exactly-once
       * on this (appId = query id, version = batchId). */
-    transactions: Map[String, Long] = Map.empty) {
+    transactions: Map[String, Long] = Map.empty,
+    /** Live `domainMetadata` actions (domain → configuration string) —
+      * the protocol's system-scoped key-value plane: last emission per
+      * domain wins, `removed=true` tombstones drop the domain. Row
+      * tracking keeps its id high water mark here
+      * (`delta.rowTracking` → `{"rowIdHighWaterMark":N}`); foreign
+      * engines park clustering state etc. — ALL domains replay and
+      * survive checkpoints, whether or not this engine understands
+      * them (the domainMetadata writer feature's preservation
+      * contract). */
+    domainMetadata: Map[String, String] = Map.empty) {
   def schema: StructType = metadata.schema
   def partitionColumns: Seq[String] = metadata.partitionColumns
   /** Partition columns are injected from `partitionValues`, never read from
@@ -404,20 +430,22 @@ object DeltaLog {
     }
     if (useJob) {
       jobReplays.incrementAndGet()
-      val (p, m, files, txns) =
+      val (p, m, files, txns, doms) =
         DeltaStateReconstruction.replay(spark, tablePath, cp, tailCommits)
-      return finishSnapshot(tablePath, target, p, m, files, txns, driverPlane = false)
+      return finishSnapshot(tablePath, target, p, m, files, txns, doms, driverPlane = false)
     }
 
     var protocol: Option[DeltaProtocol] = None
     var metadata: Option[DeltaMetadata] = None
     val live = mutable.LinkedHashMap.empty[String, DeltaAddFile]
     val txns = mutable.Map.empty[String, Long]
+    val domains = mutable.LinkedHashMap.empty[String, String]
     cp.foreach { case (cpVersion, parts) =>
       val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
       replayReads.addAndGet(parts.size.toLong)
       val cols = cpDf.schema.fieldNames.toSet
-      val sel = Seq("protocol", "metaData", "add", "txn", "checkpointMetadata", "sidecar")
+      val sel = Seq("protocol", "metaData", "add", "txn", "checkpointMetadata", "sidecar",
+          "domainMetadata")
         .filter(cols.contains)
       val sidecarNames = mutable.ArrayBuffer.empty[String]
       cpDf.select(sel.head, sel.tail: _*).collect().foreach { row =>
@@ -458,6 +486,18 @@ object DeltaLog {
                     s"version $declared")
               case "sidecar" =>
                 sidecarNames += r.getAs[String]("path")
+              case "domainMetadata" =>
+                // a checkpoint normally carries live domains only, but a
+                // foreign writer MAY checkpoint removal tombstones —
+                // honor the flag either way
+                val removed = {
+                  val fields = r.schema.fieldNames.toSet
+                  fields.contains("removed") &&
+                    !r.isNullAt(r.fieldIndex("removed")) && r.getAs[Boolean]("removed")
+                }
+                if (removed) domains.remove(r.getAs[String]("domain"))
+                else domains(r.getAs[String]("domain")) =
+                  Option(r.getAs[String]("configuration")).getOrElse("")
             }
           }
         }
@@ -527,7 +567,11 @@ object DeltaLog {
             a.get("size").asLong(),
             if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
             if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None,
-            parseDv(a))
+            parseDv(a),
+            if (a.has("baseRowId") && !a.get("baseRowId").isNull)
+              Some(a.get("baseRowId").asLong()) else None,
+            if (a.has("defaultRowCommitVersion") && !a.get("defaultRowCommitVersion").isNull)
+              Some(a.get("defaultRowCommitVersion").asLong()) else None)
         }
         if (node.has("remove")) {
           commitRemoves += node.get("remove").get("path").asText()
@@ -536,13 +580,21 @@ object DeltaLog {
           val t = node.get("txn")
           txns(t.get("appId").asText()) = t.get("version").asLong()
         }
+        if (node.has("domainMetadata")) {
+          val d = node.get("domainMetadata")
+          val domain = d.get("domain").asText()
+          if (d.has("removed") && d.get("removed").asBoolean(false)) domains.remove(domain)
+          else domains(domain) =
+            if (d.has("configuration") && !d.get("configuration").isNull)
+              d.get("configuration").asText() else ""
+        }
       }
       commitRemoves.foreach(live.remove)
       commitAdds.foreach(a => live(a.path) = a)
     }
 
     finishSnapshot(tablePath, target, protocol, metadata,
-      live.values.toSeq, txns.toMap, driverPlane = true)
+      live.values.toSeq, txns.toMap, domains.toMap, driverPlane = true)
   }
 
   /** Shared snapshot finalization for the driver-map and Spark-job replay
@@ -555,6 +607,7 @@ object DeltaLog {
       metadata: Option[DeltaMetadata],
       files: Seq[DeltaAddFile],
       txns: Map[String, Long],
+      domains: Map[String, String],
       driverPlane: Boolean): DeltaSnapshot = {
     val proto = protocol.getOrElse(DeltaProtocol(1, 2))
     // Reader-version gate: v1 unconditionally; v2 (legacy column mapping —
@@ -589,7 +642,7 @@ object DeltaLog {
           "degrades past ~1M files — the next checkpoint routes replay to the " +
           "distributed path, and OPTIMIZE shrinks the file count (small files " +
           "are also slowing every scan)")
-    DeltaSnapshot(tablePath, target, proto, meta, files, txns)
+    DeltaSnapshot(tablePath, target, proto, meta, files, txns, domains)
   }
 
   /** Live-file count past which [[snapshot]] replays via Spark job instead
@@ -825,14 +878,18 @@ object DeltaLog {
     * appendOnly (enforced), invariants (NOT NULL enforced; legacy
     * expression invariants refused at the write gate), checkConstraints,
     * changeDataFeed, generatedColumns, columnMapping, identityColumns —
-    * plus the table features it writes first-class. Notably ABSENT:
-    * rowTracking, domainMetadata, icebergCompat*, variantType,
-    * collations — committing to tables that demand them must fail. */
+    * plus the table features it writes first-class — including
+    * rowTracking/domainMetadata ([[RowTracking]]: every commit path
+    * allocates baseRowIds and rewrites preserve materialized ids, which is
+    * what listing the feature promises). Notably ABSENT: icebergCompat*,
+    * variantType, collations — committing to tables that demand them must
+    * fail. */
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "identityColumns",
       "deletionVectors", "v2Checkpoint", "timestampNtz", "typeWidening",
-      "inCommitTimestamp", "allowColumnDefaults")
+      "inCommitTimestamp", "allowColumnDefaults",
+      "rowTracking", "domainMetadata")
 
   /** Checkpoint/sidecar `add` struct row → [[DeltaAddFile]] (tolerant of
     * absent optional fields across writer engines). */
@@ -860,6 +917,8 @@ object DeltaLog {
             r.isNullAt(r.fieldIndex("stats_parsed"))) None
           else Some(serializeParsedStats(r.getStruct(r.fieldIndex("stats_parsed"))))
         }
+    def optLong(f: String): Option[Long] =
+      if (fields.contains(f) && !r.isNullAt(r.fieldIndex(f))) Some(r.getAs[Long](f)) else None
     DeltaAddFile(
       r.getAs[String]("path"),
       Option(r.getAs[scala.collection.Map[String, String]]("partitionValues"))
@@ -867,7 +926,9 @@ object DeltaLog {
       r.getAs[Long]("size"),
       if (fields.contains("modificationTime")) r.getAs[Long]("modificationTime") else 0L,
       statsJson,
-      dv)
+      dv,
+      optLong("baseRowId"),
+      optLong("defaultRowCommitVersion"))
   }
 
   /** Typed `stats_parsed` struct → this engine's JSON stats string

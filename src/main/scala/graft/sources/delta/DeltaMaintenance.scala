@@ -47,24 +47,56 @@ object DeltaMaintenance {
     * stable group order (callers size output files per group). Each frame
     * reads through the provider's own [[DeltaFileIndex]] + file format so
     * a rewrite of a DV-carrying file NEVER resurrects its deleted rows;
-    * the rewritten output is then committed without a DV. */
+    * the rewritten output is then committed without a DV.
+    *
+    * `withRowIds`: on a row-tracked table, each frame additionally carries
+    * the table's MATERIALIZED row-id/commit-version columns resolved to
+    * every row's CURRENT values (`coalesce(materialized,
+    * baseRowId + row_index)`) — a preserving rewrite keeps them through
+    * its transform and stages them back, which is exactly how row ids
+    * survive compaction/DML (the spec's materialization contract). Callers
+    * whose transform MODIFIES a row null that row's version column (the
+    * new add's defaultRowCommitVersion then dates it). */
   private[delta] def partitionInjected(
       spark: SparkSession,
       tablePath: String,
       snap: DeltaSnapshot,
-      files: Seq[DeltaAddFile]): Seq[DataFrame] = {
+      files: Seq[DeltaAddFile],
+      withRowIds: Boolean = false): Seq[DataFrame] = {
+    val mat: Option[(String, String)] =
+      if (withRowIds) RowTracking.materializedColumnsOf(snap) else None
     files.groupBy(_.partitionValues).toSeq.map { case (_, fs) =>
       val sub = snap.copy(files = fs)
+      val dataSchema = mat match {
+        case None => sub.dataSchema
+        case Some((mi, mv)) => org.apache.spark.sql.types.StructType(
+          sub.dataSchema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(mi,
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField(mv,
+              org.apache.spark.sql.types.LongType, nullable = true)))
+      }
       val rel = new org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         location = new DeltaFileIndex(spark, sub),
         partitionSchema = sub.partitionSchema,
-        dataSchema = sub.dataSchema,
+        dataSchema = dataSchema,
         bucketSpec = None,
         fileFormat = GraftParquetFileFormat.forSnapshot(tablePath, sub),
         options = Map.empty)(spark)
-      spark.baseRelationToDataFrame(rel)
+      val df = spark.baseRelationToDataFrame(rel)
+      mat match {
+        case None => df
+        case Some((mi, mv)) =>
+          RowTracking.withCurrentIds(spark, tablePath, fs, df, mi, mv)
+      }
     }
   }
+
+  /** The extra output columns a preserving rewrite carries —
+    * [[partitionInjected]]'s materialized pair on a row-tracked table,
+    * nothing otherwise. */
+  private[delta] def rewriteCarryCols(snap: DeltaSnapshot): Seq[String] =
+    RowTracking.materializedColumnsOf(snap).toSeq.flatMap(p => Seq(p._1, p._2))
 
   /** Restrict `files` to those whose PARTITION VALUES satisfy `predicate`
     * — the production `OPTIMIZE … WHERE` contract: the predicate may
@@ -144,11 +176,16 @@ object DeltaMaintenance {
 
     // one logical plan over all partitions: per-partition scans with the
     // partition values re-injected, unioned, then re-written partitioned —
-    // a single distributed job regardless of partition count.
-    val compacted = partitionInjected(spark, tablePath, snap, groups.values.flatten.toSeq)
+    // a single distributed job regardless of partition count. On a
+    // row-tracked table the materialized id/version columns ride through
+    // (compaction modifies no rows, so both are preserved verbatim).
+    val keepCols = (snap.schema.fieldNames.toSeq ++ rewriteCarryCols(snap))
+      .map(c => col(s"`$c`"))
+    val compacted = partitionInjected(spark, tablePath, snap,
+        groups.values.flatten.toSeq, withRowIds = true)
       .reduce(_ unionByName _)
       // bound output file count: ~one file per target size per partition
-      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(keepCols: _*)
 
     // stage + publish + commit through the shared rewrite helpers
     val (adds, fs) = stagePublish(spark, tablePath, snap, compacted.coalesce(
@@ -230,8 +267,10 @@ object DeltaMaintenance {
 
     // scoped provider read ([[partitionInjected]]): partition values
     // re-injected, column mapping resolved AND deletion vectors applied —
-    // used for BOTH the bucket bounds and the clustered rewrite
-    val scoped = partitionInjected(spark, tablePath, snap, candidates)
+    // used for BOTH the bucket bounds and the clustered rewrite. Row-id
+    // materialization rides through (clustering modifies no rows).
+    val scoped = partitionInjected(spark, tablePath, snap, candidates,
+        withRowIds = true)
       .reduce(_ unionByName _)
 
     // bucket bounds: one stats-only scan (vectorized min/max over the
@@ -264,7 +303,10 @@ object DeltaMaintenance {
     val rewritten = clustered
       .repartitionByRange(numOut, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      // row tracking: the materialized id/version columns ride the
+      // clustered rewrite (clustering moves rows, never modifies them)
+      .select((snap.schema.fieldNames.toSeq ++ rewriteCarryCols(snap))
+        .map(c => col(s"`$c`")): _*)
 
     val (adds, fs) = stagePublish(spark, tablePath, snap, rewritten)
     val removed = candidates
@@ -374,7 +416,7 @@ object DeltaMaintenance {
         r.put("dataChange", dataChange)
         lines += mapper.writeValueAsString(rmLine)
       }
-      adds.foreach { case (rel, pv, size, modTime, st) =>
+      val addNodes = adds.map { case (rel, pv, size, modTime, st) =>
         val addLine = mapper.createObjectNode()
         val a = addLine.putObject("add")
         a.put("path", DeltaWriter.encodePath(rel))
@@ -384,8 +426,16 @@ object DeltaMaintenance {
         a.put("modificationTime", modTime)
         a.put("dataChange", dataChange)
         st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
-        lines += mapper.writeValueAsString(addLine)
+        (addLine, a, st.flatMap(n => Option(n.get("numRecords")).map(_.asLong())))
       }
+      // row tracking: every add on a row-tracked table carries a fresh
+      // baseRowId range (re-based on THIS attempt's hwm — a lost race
+      // re-allocates against the winner); the PRESERVED ids of rewritten
+      // rows live in the materialized columns, which override these
+      val rowDomain = RowTracking.stampAdds(
+        Some(latest), addNodes.map(_._2), addNodes.map(_._3), version)
+      addNodes.foreach { case (line, _, _) => lines += mapper.writeValueAsString(line) }
+      rowDomain.foreach(lines += _)
       cdcFiles.foreach { case (rel, size) =>
         lines += DeltaCdf.cdcLine(rel, size,
           base.partitionColumns.map(base.metadata.physicalOf))
@@ -628,6 +678,12 @@ object DeltaMaintenance {
         a.put("dataChange", true)
         f.stats.foreach(st => a.put("stats", st))
         f.deletionVector.foreach(d => DeletionVectors.putDvNode(a, d))
+        // row tracking: a restore re-adds the file AS IT WAS — original
+        // baseRowId, so resurrected rows come back under their old ids
+        // (the hwm domain is not rolled back, so no NEW allocation can
+        // collide with them)
+        f.baseRowId.foreach(a.put("baseRowId", _))
+        f.defaultRowCommitVersion.foreach(a.put("defaultRowCommitVersion", _))
         lines += mapper.writeValueAsString(ad)
       }
       if (DeltaLog.tryCommit(spark, tablePath, current.version + 1,
@@ -667,10 +723,16 @@ object DeltaMaintenance {
     val touched = snap.files.filter(f => touchedPaths.contains(
       DeltaDml.normalize(new Path(tablePath, decodeRel(f.path)).toString)))
     val outCols = snap.schema.fieldNames.toIndexedSeq
-    val survivors = partitionInjected(spark, tablePath, snap, touched)
-      .map(_.filter(!coalesce(expr(condition), lit(false))))
-    val out = (survivors :+ data).map(_.select(outCols.map(col): _*))
-      .reduce(_ unionByName _)
+    // row tracking: survivors of the touched files keep their ids through
+    // the rewrite (materialized columns ride along); incoming rows carry
+    // NULL materialization — the new adds' baseRowId ranges identify them
+    val rtCols = rewriteCarryCols(snap)
+    val keep = (outCols ++ rtCols).map(c => col(s"`$c`"))
+    val survivors = partitionInjected(spark, tablePath, snap, touched, withRowIds = true)
+      .map(_.filter(!coalesce(expr(condition), lit(false))).select(keep: _*))
+    val newData = data.select(outCols.map(col) ++ rtCols.map(c =>
+      lit(null).cast(org.apache.spark.sql.types.LongType).as(c)): _*)
+    val out = (survivors :+ newData).reduce(_ unionByName _)
     val (adds, fs) = stagePublish(spark, tablePath, snap, out)
     // CDF: the EXACT changes — predicate-matching rows of touched files
     // out ('delete'), the incoming frame in ('insert'). Without cdc the
@@ -772,7 +834,19 @@ object DeltaMaintenance {
           else d
         DeletionVectors.putDvNode(a, pinned)
       }
+      // row tracking: the clone shares the source's physical files, so row
+      // ids carry over verbatim — together with the domain copy below the
+      // clone keeps the source's id space (and its hwm, so clone-side
+      // writes never collide with cloned ids)
+      f.baseRowId.foreach(a.put("baseRowId", _))
+      f.defaultRowCommitVersion.foreach(a.put("defaultRowCommitVersion", _))
       lines += mapper.writeValueAsString(adLine)
+    }
+    // domain metadata carries over whole (rowTracking hwm, foreign engines'
+    // clustering state …) — the preservation contract of the
+    // domainMetadata writer feature the cloned protocol may list
+    src.domainMetadata.toSeq.sortBy(_._1).foreach { case (d, c) =>
+      lines += RowTracking.domainLineOf(d, c)
     }
     if (!DeltaLog.tryCommit(spark, targetPath, 0L, lines.result().mkString("\n")))
       throw new java.io.IOException(s"CLONE lost the race creating $targetPath")
@@ -935,7 +1009,14 @@ object DeltaMaintenance {
       a.put("dataChange", true)
       f.stats.foreach(st => a.put("stats", st))
       dv.foreach(DeletionVectors.putDvNode(a, _))
+      // row tracking: copied files are byte-identical (materialized id
+      // columns included), so the original baseRowId keeps every id
+      f.baseRowId.foreach(a.put("baseRowId", _))
+      f.defaultRowCommitVersion.foreach(a.put("defaultRowCommitVersion", _))
       lines += mapper.writeValueAsString(adLine)
+    }
+    src.domainMetadata.toSeq.sortBy(_._1).foreach { case (d, c) =>
+      lines += RowTracking.domainLineOf(d, c)
     }
     if (!DeltaLog.tryCommit(spark, targetPath, 0L, lines.result().mkString("\n")))
       throw new java.io.IOException(s"CLONE lost the race creating $targetPath")

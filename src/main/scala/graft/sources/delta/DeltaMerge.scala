@@ -300,7 +300,14 @@ object DeltaMerge {
       // provider-scan read ([[DeltaMaintenance.partitionInjected]]):
       // partition injection, column mapping AND deletion-vector filtering
       // — a raw parquet read would resurrect DV'd rows into the rewrite
-      val perGroup = DeltaMaintenance.partitionInjected(spark, tablePath, snap, touched)
+      // row tracking: materialized id/version columns ride along — carried
+      // and updated rows preserve their id; updated rows null the version
+      // (the new add's defaultRowCommitVersion dates them); deleted rows
+      // drop out; inserted rows (separate staging below) carry no
+      // materialization and get fresh ids from their add's baseRowId
+      val rtCols = DeltaMaintenance.rewriteCarryCols(snap)
+      val perGroup = DeltaMaintenance.partitionInjected(spark, tablePath, snap, touched,
+          withRowIds = true)
         .reduce(_ unionByName _)
       // one materialization: the cardinality check, the metrics and the
       // rewrite must all see the same row ids
@@ -365,10 +372,21 @@ object DeltaMerge {
             if (acc == null) when(cond, v) else acc.when(cond, v)
           }.otherwise(carry(c))
         }
+        val rtKeep: Seq[Column] = rtCols match {
+          case Seq(matId, matVer) =>
+            val updIds = updateActs.map(_._1)
+            val verCol =
+              if (updIds.isEmpty) col(s"t.`$matVer`").as(matVer)
+              else when(col("_act").isInCollection(updIds),
+                lit(null).cast(org.apache.spark.sql.types.LongType))
+                .otherwise(col(s"t.`$matVer`")).as(matVer)
+            Seq(col(s"t.`$matId`").as(matId), verCol)
+          case _ => Nil
+        }
         val result0 = withAct
           .filter(if (deleteActs.isEmpty) lit(true)
                   else !col("_act").isInCollection(deleteActs))
-          .select(outCols.map(c => resolved(c).as(c)): _*)
+          .select(outCols.map(c => resolved(c).as(c)) ++ rtKeep: _*)
         // updated rows must satisfy the table's CHECK constraints AND the
         // NOT NULL invariants (a SET expression evaluating NULL into a
         // non-nullable column would read back as 0 through the schema)
@@ -565,7 +583,7 @@ object DeltaMerge {
         r.put("dataChange", true)
         lines += mapper.writeValueAsString(rmLine)
       }
-      adds.foreach { case (rel, pv, size, modTime, st) =>
+      val addNodes = adds.map { case (rel, pv, size, modTime, st) =>
         val addLine = mapper.createObjectNode()
         val a = addLine.putObject("add")
         a.put("path", DeltaWriter.encodePath(rel))
@@ -575,8 +593,15 @@ object DeltaMerge {
         a.put("modificationTime", modTime)
         a.put("dataChange", true)
         st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
-        lines += mapper.writeValueAsString(addLine)
+        (addLine, a, st.flatMap(n => Option(n.get("numRecords")).map(_.asLong())))
       }
+      // row tracking: fresh baseRowId ranges per attempt; rewritten rows'
+      // preserved ids override via the materialized columns, inserted rows
+      // take the fresh ids
+      val rowDomain = RowTracking.stampAdds(
+        Some(latest), addNodes.map(_._2), addNodes.map(_._3), version)
+      addNodes.foreach { case (line, _, _) => lines += mapper.writeValueAsString(line) }
+      rowDomain.foreach(lines += _)
       cdcFiles.foreach { case (rel, size) =>
         lines += DeltaCdf.cdcLine(rel, size,
           snap.partitionColumns.map(snap.metadata.physicalOf))

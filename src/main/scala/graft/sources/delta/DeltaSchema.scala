@@ -345,6 +345,17 @@ object DeltaSchema {
     require(props.nonEmpty, "SET TBLPROPERTIES requires at least one property")
     require(!props.keys.exists(_.startsWith(DeltaConstraints.ConfPrefix)),
       s"use ADD CONSTRAINT for ${DeltaConstraints.ConfPrefix}* keys")
+    // row tracking is more than a flag: enabling demands a protocol
+    // upgrade (writer features rowTracking+domainMetadata), a baseRowId
+    // backfill over every live file, materialized-column names and the
+    // hwm domain — one atomic commit owned by [[RowTracking.enable]].
+    // Remaining properties commit separately below.
+    if (props.get(RowTracking.EnableKey).exists(_.trim.equalsIgnoreCase("true"))) {
+      RowTracking.enable(spark, tablePath)
+      val rest = props - RowTracking.EnableKey
+      if (rest.isEmpty) return DeltaLog.snapshot(spark, tablePath).version
+      return setTblProperties(spark, tablePath, rest)
+    }
     val snap = DeltaLog.snapshot(spark, tablePath)
     // protocol side effects of specific properties:
     //  - change data feed is a writer capability (legacy → writer v4;

@@ -68,12 +68,18 @@ private[delta] object DeltaStateReconstruction {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("stats", StringType),
-      StructField("deletionVector", dvType)))),
+      StructField("deletionVector", dvType),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType)))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
-      StructField("version", LongType))))))
+      StructField("version", LongType)))),
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))))
 
   /** Replay `checkpoint ∪ tail commits` distributed; returns what
     * [[DeltaLog.snapshot]] needs to finish the snapshot (gates and
@@ -83,12 +89,13 @@ private[delta] object DeltaStateReconstruction {
       tablePath: String,
       cp: Option[(Long, Seq[FileStatus])],
       tailCommits: Seq[(Long, FileStatus)])
-      : (Option[DeltaProtocol], Option[DeltaMetadata], Seq[DeltaAddFile], Map[String, Long]) = {
+      : (Option[DeltaProtocol], Option[DeltaMetadata], Seq[DeltaAddFile],
+         Map[String, Long], Map[String, String]) = {
 
     // ---- checkpoint side: adds at version cpVersion (removes in a
     // checkpoint are vacuum tombstones, not live state — skipped exactly
     // like the driver path); v2 manifests contribute their sidecars' adds.
-    val cpFrames: Seq[(DataFrame, DataFrame, DataFrame, DataFrame)] = cp.toSeq.map { case (cpVersion, parts) =>
+    val cpFrames: Seq[(DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] = cp.toSeq.map { case (cpVersion, parts) =>
       val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
       DeltaLog.replayReads.addAndGet(parts.size.toLong)
       val cols = cpDf.schema.fieldNames.toSet
@@ -158,7 +165,22 @@ private[delta] object DeltaStateReconstruction {
           lit(cpVersion).as("version"),
           col("txn.appId").as("appId"),
           col("txn.version").as("txnVersion"))
-      (adds, metas, protos, txns)
+      val doms =
+        if (!cols.contains("domainMetadata")) emptyDomain(spark)
+        else {
+          val dFields = cpDf.schema("domainMetadata").dataType
+            .asInstanceOf[StructType].fieldNames.toSet
+          val removed =
+            if (dFields.contains("removed"))
+              coalesce(col("domainMetadata.removed"), lit(false))
+            else lit(false)
+          cpDf.filter(col("domainMetadata").isNotNull).select(
+            lit(cpVersion).as("version"),
+            col("domainMetadata.domain").as("domain"),
+            col("domainMetadata.configuration").as("configuration"),
+            removed.as("removed"))
+        }
+      (adds, metas, protos, txns, doms)
     }
 
     // ---- JSON tail: every action line parsed EXECUTOR-side (a single
@@ -192,7 +214,9 @@ private[delta] object DeltaStateReconstruction {
       col("a.add.size").as("size"),
       coalesce(col("a.add.modificationTime"), lit(0L)).as("modificationTime"),
       col("a.add.stats").as("stats"),
-      col("a.add.deletionVector").as("deletionVector")))
+      col("a.add.deletionVector").as("deletionVector"),
+      col("a.add.baseRowId").as("baseRowId"),
+      col("a.add.defaultRowCommitVersion").as("defaultRowCommitVersion")))
     val jsonRemoves = jsonRaw.map(_.filter(col("a.remove").isNotNull).select(
       col("version"), lit(false).as("isAdd"),
       col("a.remove.path").as("path"),
@@ -200,7 +224,9 @@ private[delta] object DeltaStateReconstruction {
       lit(0L).as("size"),
       lit(0L).as("modificationTime"),
       lit(null).cast(StringType).as("stats"),
-      lit(null).cast(dvType).as("deletionVector")))
+      lit(null).cast(dvType).as("deletionVector"),
+      lit(null).cast(LongType).as("baseRowId"),
+      lit(null).cast(LongType).as("defaultRowCommitVersion")))
 
     val actionFrames = cpFrames.map(_._1) ++ jsonAdds ++ jsonRemoves
     val live: Seq[DeltaAddFile] =
@@ -209,11 +235,13 @@ private[delta] object DeltaStateReconstruction {
         .groupBy(col("path"))
         .agg(max_by(
           struct(col("isAdd"), col("partitionValues"), col("size"),
-            col("modificationTime"), col("stats"), col("deletionVector")),
+            col("modificationTime"), col("stats"), col("deletionVector"),
+            col("baseRowId"), col("defaultRowCommitVersion")),
           struct(col("version"), col("isAdd"))).as("w"))
         .filter(col("w.isAdd"))
         .select(col("path"), col("w.partitionValues"), col("w.size"),
-          col("w.modificationTime"), col("w.stats"), col("w.deletionVector"))
+          col("w.modificationTime"), col("w.stats"), col("w.deletionVector"),
+          col("w.baseRowId"), col("w.defaultRowCommitVersion"))
         .sort("path") // deterministic snapshot order across runs
         .collect().toSeq.map { r =>
           val dv =
@@ -233,7 +261,9 @@ private[delta] object DeltaStateReconstruction {
             Option(r.getAs[scala.collection.Map[String, String]](1))
               .map(_.toMap).getOrElse(Map.empty),
             r.getLong(2), r.getLong(3),
-            Option(r.getAs[String](4)), dv)
+            Option(r.getAs[String](4)), dv,
+            if (r.isNullAt(6)) None else Some(r.getLong(6)),
+            if (r.isNullAt(7)) None else Some(r.getLong(7)))
         }
 
     // ---- protocol / metaData: last emission wins; one row each
@@ -283,7 +313,24 @@ private[delta] object DeltaStateReconstruction {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }.getOrElse(Map.empty)
 
-    (protocol, metadata, live, txns)
+    // ---- domainMetadata: last action per domain wins; removal tombstones
+    // drop the domain (O(domains) rows collected, like txn)
+    val cpDomains = cpFrames.map(_._5)
+    val jsonDomains = jsonRaw.map(_.filter(col("a.domainMetadata").isNotNull).select(
+      col("version"),
+      col("a.domainMetadata.domain").as("domain"),
+      col("a.domainMetadata.configuration").as("configuration"),
+      coalesce(col("a.domainMetadata.removed"), lit(false)).as("removed")))
+    val domains: Map[String, String] =
+      (cpDomains ++ jsonDomains).reduceOption(_ unionByName _).map {
+        _.groupBy(col("domain"))
+          .agg(max_by(struct(col("configuration"), col("removed")), col("version")).as("w"))
+          .filter(!col("w.removed"))
+          .select(col("domain"), col("w.configuration"))
+          .collect().map(r => r.getString(0) -> Option(r.getString(1)).getOrElse("")).toMap
+      }.getOrElse(Map.empty)
+
+    (protocol, metadata, live, txns, domains)
   }
 
   /** A checkpoint/sidecar frame's adds, normalized to the action-frame
@@ -310,6 +357,9 @@ private[delta] object DeltaStateReconstruction {
         col("add.deletionVector.offset").cast(IntegerType).as("offset"),
         col("add.deletionVector.sizeInBytes").cast(IntegerType).as("sizeInBytes"),
         col("add.deletionVector.cardinality").cast(LongType).as("cardinality")))
+    def optLong(f: String) =
+      if (addFields.contains(f)) col(s"add.$f").cast(LongType)
+      else lit(null).cast(LongType)
     df.filter(col("add").isNotNull).select(
       lit(cpVersion).as("version"), lit(true).as("isAdd"),
       col("add.path").as("path"),
@@ -320,7 +370,9 @@ private[delta] object DeltaStateReconstruction {
         coalesce(col("add.modificationTime").cast(LongType), lit(0L))
        else lit(0L)).as("modificationTime"),
       stats.as("stats"),
-      dv.as("deletionVector"))
+      dv.as("deletionVector"),
+      optLong("baseRowId").as("baseRowId"),
+      optLong("defaultRowCommitVersion").as("defaultRowCommitVersion"))
   }
 
   private def emptyMeta(spark: SparkSession): DataFrame =
@@ -338,6 +390,14 @@ private[delta] object DeltaStateReconstruction {
         StructField("version", LongType),
         StructField("appId", StringType),
         StructField("txnVersion", LongType))))
+
+  private def emptyDomain(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("version", LongType),
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))
 
   private def emptyProto(spark: SparkSession): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -573,7 +573,7 @@ object DeltaWriter {
         })
       }
 
-      adds.foreach { case (rel, pv, size, modTime, stats) =>
+      val addNodes = adds.map { case (rel, pv, size, modTime, stats) =>
         val addLine = mapper.createObjectNode()
         val a = addLine.putObject("add")
         a.put("path", encodePath(rel))
@@ -585,8 +585,14 @@ object DeltaWriter {
         a.put("modificationTime", modTime)
         a.put("dataChange", true)
         stats.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
-        lines += mapper.writeValueAsString(addLine)
+        (addLine, a, stats.flatMap(n => Option(n.get("numRecords")).map(_.asLong())))
       }
+      // row tracking: allocate baseRowIds from THIS attempt's snapshot hwm
+      // (a retry re-bases on the concurrent winner's hwm — see RowTracking)
+      val rowDomain = RowTracking.stampAdds(
+        current, addNodes.map(_._2), addNodes.map(_._3), version)
+      addNodes.foreach { case (line, _, _) => lines += mapper.writeValueAsString(line) }
+      rowDomain.foreach(lines += _)
 
       committed = DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n"))
       if (committed) maybeCheckpoint(spark, tablePath, version,
@@ -713,7 +719,23 @@ object DeltaWriter {
       val uri = row.getAs[String]("__file")
       new Path(new java.net.URI(uri)).toUri.getPath -> node
     }.toMap
-    files.flatMap(f => byPath.get(new Path(f).toUri.getPath).map(f -> _)).toMap
+    // TOTAL map: a requested file absent from the grouped scan contributed
+    // zero rows (input_file_name groups actual rows only) — record it as
+    // numRecords=0 explicitly. Leaving it out let Spark's empty part files
+    // slip past every "drop zero-row staged files" filter (they key on
+    // exists(numRecords==0)) and publish stats-less empty adds; row
+    // tracking turned that silent wart into a hard error (every stamped
+    // add needs a row count).
+    files.map { f =>
+      f -> byPath.getOrElse(new Path(f).toUri.getPath, {
+        val n = mapper.createObjectNode()
+        n.put("numRecords", 0L)
+        n.putObject("minValues")
+        n.putObject("maxValues")
+        n.putObject("nullCount")
+        n
+      })
+    }.toMap
   }
 
   private def isStatsType(dt: DataType): Boolean = dt match {
@@ -836,34 +858,48 @@ object DeltaWriter {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType))))))),
+          StructField("cardinality", LongType)))),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
-        StructField("version", LongType))))) ++ v2Field)
+        StructField("version", LongType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))) ++ v2Field)
     def dvRow(f: DeltaAddFile): Row = f.deletionVector.map(d =>
       Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
         d.sizeInBytes, d.cardinality)).orNull
     val addStructOf = (f: DeltaAddFile) =>
-      Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull, dvRow(f))
-    val addRows: Seq[Row] = snap.files.map(f => Row(null, null, addStructOf(f), null))
+      Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull, dvRow(f),
+        f.baseRowId.map(Long.box).orNull, f.defaultRowCommitVersion.map(Long.box).orNull)
+    val addRows: Seq[Row] = snap.files.map(f => Row(null, null, addStructOf(f), null, null))
     val rows3: Seq[Row] =
       Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
         if (snap.protocol.readerFeatures.isEmpty) null else snap.protocol.readerFeatures.toSeq.sorted,
         if (snap.protocol.writerFeatures.isEmpty) null else snap.protocol.writerFeatures.toSeq.sorted),
-        null, null, null) +:
+        null, null, null, null) +:
       Row(null, Row(snap.metadata.id, Row("parquet", Map.empty[String, String]),
         snap.metadata.schemaString, snap.metadata.partitionColumns,
-        snap.metadata.configuration), null, null) +:
+        snap.metadata.configuration), null, null, null) +:
       (addRows ++
        // the latest SetTransaction per appId is checkpoint state (spec):
        // dropping one would let a retired commit's redelivery double-apply
        snap.transactions.toSeq.sortBy(_._1).map { case (appId, v) =>
-         Row(null, null, null, Row(appId, v))
+         Row(null, null, null, Row(appId, v), null)
+       } ++
+       // live domainMetadata is checkpoint state (spec): dropping a domain
+       // would roll a row-id high water mark (or a foreign engine's
+       // clustering state) back to whatever the pre-checkpoint JSON said —
+       // or lose it entirely once those commits age out
+       snap.domainMetadata.toSeq.sortBy(_._1).map { case (domain, conf) =>
+         Row(null, null, null, null, Row(domain, conf, false))
        })
     val rows: Seq[Row] =
       if (!v2Policy) rows3
-      else rows3.map(r => Row(r(0), r(1), r(2), r(3), null, null)) :+
-        Row(null, null, null, null, Row(version), null)
+      else rows3.map(r => Row(r(0), r(1), r(2), r(3), r(4), null, null)) :+
+        Row(null, null, null, null, null, Row(version), null)
     val tmp = new Path(tablePath, s"_cp-${UUID.randomUUID()}")
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     // Typed stats on the WRITE side (production's
@@ -949,7 +985,8 @@ object DeltaWriter {
           if (!fs.rename(part, target))
             throw new java.io.IOException(s"failed to publish sidecar $target")
           val st = fs.getFileStatus(target)
-          Row(null, null, null, null, null, Row(name, st.getLen, st.getModificationTime))
+          Row(null, null, null, null, null, null,
+            Row(name, st.getLen, st.getModificationTime))
         }
         val manifest = rows.filter(r => r.isNullAt(2)) ++ sidecarRows
         writeOne(manifest, f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet")

@@ -312,15 +312,16 @@ class DeltaSuite extends AnyFunSuite {
     val dir = tmpDir()
     Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
       .write.format("delta").save(dir)
-    // a foreign writer upgrades the table to demand rowTracking — a
-    // capability this engine does not implement ((1,7) is legal per spec)
+    // a foreign writer upgrades the table to demand icebergCompatV2 — a
+    // capability this engine does not implement ((1,7) is legal per spec).
+    // (rowTracking was this test's example until the engine grew it.)
     assert(DeltaLog.tryCommit(spark, dir, 1L,
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","rowTracking"]}}"""))
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","icebergCompatV2"]}}"""))
     // reading demands nothing new
     assert(DeltaTable.read(spark, dir).count() === 2)
     def refused(op: => Any): Unit =
       assert(intercept[UnsupportedOperationException](op)
-        .getMessage.contains("rowTracking"))
+        .getMessage.contains("icebergCompatV2"))
     refused(DeltaWriter.write(Seq((3L, 30.0)).toDF("id", "v"), dir, SaveMode.Append, Nil))
     refused(DeltaDml.delete(spark, dir, "id = 1"))
     refused(DeltaMaintenance.optimize(spark, dir))

@@ -56,11 +56,16 @@ class GraftSqlSuite extends AnyFunSuite {
     val dir = freshTable()
     spark.sql(s"DELETE FROM delta.`$dir` WHERE id < 4")
     assert(DeltaTable.read(spark, dir).count() === 4)
+    // the DELETE itself emits NO rewrite files (every touched 1-row file
+    // is fully emptied, and zero-row staged files are dropped, never
+    // published) — compact the survivors so the restore strands a real
+    // rewrite output for VACUUM to reclaim
+    spark.sql(s"OPTIMIZE delta.`$dir`")
     val v = spark.sql(s"RESTORE TABLE delta.`$dir` TO VERSION AS OF 3").collect().head
     assert(v.getLong(0) > 3)
     assert(DeltaTable.read(spark, dir).count() === 8)
     val deleted = spark.sql(s"VACUUM delta.`$dir` RETAIN 0 HOURS").collect().head.getLong(0)
-    assert(deleted >= 1) // the delete-rewrite files are now unreferenced
+    assert(deleted >= 1) // the compaction output is now unreferenced
     assert(DeltaTable.read(spark, dir).count() === 8)
   }
 
