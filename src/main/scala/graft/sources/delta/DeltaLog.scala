@@ -889,7 +889,7 @@ object DeltaLog {
       "generatedColumns", "columnMapping", "identityColumns",
       "deletionVectors", "v2Checkpoint", "timestampNtz", "typeWidening",
       "inCommitTimestamp", "allowColumnDefaults",
-      "rowTracking", "domainMetadata")
+      "rowTracking", "domainMetadata", "clustering")
 
   /** Checkpoint/sidecar `add` struct row → [[DeltaAddFile]] (tolerant of
     * absent optional fields across writer engines). */

@@ -167,6 +167,13 @@ object DeltaMaintenance {
       beforeCommit: () => Unit): OptimizeMetrics = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     snap.assertWritable("OPTIMIZE")
+    // a CLUSTERED table's plain OPTIMIZE IS the clustering rewrite — the
+    // table's declaration drives the layout, the caller names nothing
+    // (production contract; ZORDER BY overrides explicitly via [[zorder]])
+    val clusterCols = Clustering.clusteringColumnsOf(snap)
+    if (clusterCols.nonEmpty)
+      return zorder(spark, tablePath, clusterCols, targetFileBytes,
+        outputFiles = None, predicate = predicate)
     val groups = filterByPartitionPredicate(spark, snap, snap.files, predicate)
       .filter(_.size < targetFileBytes)
       .groupBy(_.partitionValues)
@@ -229,8 +236,8 @@ object DeltaMaintenance {
       targetFileBytes: Long = 128L << 20,
       outputFiles: Option[Int] = None,
       predicate: Option[String] = None): OptimizeMetrics = {
-    require(zorderBy.size >= 2 && zorderBy.size <= 4,
-      s"ZORDER BY expects 2 to 4 columns, got ${zorderBy.size}")
+    require(zorderBy.nonEmpty && zorderBy.size <= 4,
+      s"ZORDER BY expects 1 to 4 columns, got ${zorderBy.size}")
     val snap = DeltaLog.snapshot(spark, tablePath)
     snap.assertWritable("OPTIMIZE ZORDER")
     val badPart = zorderBy.filter(snap.partitionColumns.contains)
@@ -292,7 +299,12 @@ object DeltaMaintenance {
       if (mx <= mn) "0"
       else s"CAST(least(greatest(floor((${numericized(c)} - $mn) / ${mx - mn} * 256.0), 0.0), 255.0) AS INT)"
     }
-    val zExpr = s"interleave_bits(${bucketSql.mkString(", ")})"
+    // a SINGLE column needs no interleaving — its monotone numericization
+    // IS the cluster key (a total range sort, strictly tighter than the
+    // 256-bucket quantization): the single-key CLUSTER BY path
+    val zExpr =
+      if (zorderBy.size == 1) numericized(zorderBy.head)
+      else s"interleave_bits(${bucketSql.mkString(", ")})"
 
     val clustered = scoped.withColumn("_z", expr(zExpr))
     val numOut = outputFiles.getOrElse(
@@ -1038,7 +1050,8 @@ object DeltaMaintenance {
     StructField("properties", StringType),
     StructField("minReaderVersion", IntegerType),
     StructField("minWriterVersion", IntegerType),
-    StructField("tableFeatures", StringType)))
+    StructField("tableFeatures", StringType),
+    StructField("clusteringColumns", StringType)))
 
   val historySchema: StructType = StructType(Seq(
     StructField("version", LongType),
@@ -1062,7 +1075,8 @@ object DeltaMaintenance {
       snap.protocol.minReaderVersion,
       snap.protocol.minWriterVersion,
       (snap.protocol.readerFeatures ++ snap.protocol.writerFeatures)
-        .toSeq.sorted.mkString(","))
+        .toSeq.sorted.mkString(","),
+      Clustering.clusteringColumnsOf(snap).mkString(","))
     spark.createDataFrame(java.util.Arrays.asList(row), detailSchema)
   }
 

@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *   DESCRIBE DETAIL | HISTORY <target>
   *   ALTER TABLE <target> ADD COLUMNS (…) | RENAME COLUMN a TO b |
   *     DROP COLUMN a | SET TBLPROPERTIES (…) |
-  *     ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n
+  *     ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n |
+  *     CLUSTER BY (c1 [, …]) | CLUSTER BY NONE
   *
   * Plus SQL time travel inside any SELECT (`spark.read` option parity):
   *
@@ -111,6 +112,7 @@ private[graft] object GraftSqlCommands {
   private val AlterSetDefault = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*$$""")
   private val AlterDropDefault = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+DEFAULT\\s*;?\\s*$$""")
   private val AlterSetProps = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val AlterClusterBy = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+CLUSTER\\s+BY\\s+(?:NONE|\\(([^)]*)\\))\\s*;?\\s*$$""")
   private val AlterAddConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterDropConstraint = re(s"""^\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
   // Restricted MERGE grammar: fixed t/s aliases (DeltaMerge's contract),
@@ -478,6 +480,11 @@ private[graft] object GraftSqlCommands {
       }.toMap
       return Some(DeltaAlterCommand(path(asp, 1), DeltaAlterCommand.SetProps(props)))
     }
+    val acb = AlterClusterBy.matcher(sql)
+    if (acb.matches())
+      return Some(DeltaAlterCommand(path(acb, 1),
+        DeltaAlterCommand.ClusterBy(Option(acb.group(3)).toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))))
     val asd = AlterSetDefault.matcher(sql)
     if (asd.matches())
       return Some(DeltaAlterCommand(path(asd, 1),
@@ -729,6 +736,8 @@ object DeltaAlterCommand {
   final case class SetProps(props: Map[String, String]) extends Op
   final case class AddConstraint(name: String, check: String) extends Op
   final case class DropConstraint(name: String) extends Op
+  /** CLUSTER BY (cols) / CLUSTER BY NONE (empty cols). */
+  final case class ClusterBy(cols: Seq[String]) extends Op
 }
 
 /** The metadata-only ALTER TABLE statements over a delta path. */
@@ -751,6 +760,7 @@ case class DeltaAlterCommand(path: String, op: DeltaAlterCommand.Op)
       case AlterColumnType(n, t) => DeltaSchema.alterColumnType(spark, path, n,
         spark.sessionState.sqlParser.parseDataType(t))
       case SetProps(props) => DeltaSchema.setTblProperties(spark, path, props)
+      case ClusterBy(cols) => Clustering.clusterBy(spark, path, cols)
       case AddConstraint(name, check) =>
         DeltaConstraints.addCheckConstraint(spark, path, name, check)
       case DropConstraint(name) => DeltaConstraints.dropConstraint(spark, path, name)

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta.{Clustering, DeltaLog, DeltaMaintenance, DeltaSchema,
+  DeltaTable, DeltaWriter, RowTracking}
+
+/** Clustered tables (`clustering` writer feature + `delta.clustering`
+  * domain): the table declares its clustering keys once; plain OPTIMIZE
+  * clusters on them; the declaration is redefinable without a rewrite.
+  * Spec: the published Delta protocol's clustered-table section (domain
+  * with physical-name clusteringColumns paths). */
+class ClusteringSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dir(tag: String): String =
+    Files.createTempDirectory(s"graft-cluster-$tag").toString
+
+  /** Interleaved multi-file seed: every file spans the whole key range, so
+    * pre-clustering stats cannot prune anything. */
+  private def seed(d: String, n: Int = 64): Unit =
+    (0 until 4).foreach { i =>
+      DeltaWriter.write(
+        (0 until n).filter(_ % 4 == i).map(j => (j, j % 8, s"name-$j"))
+          .toDF("k", "grp", "name"),
+        d, SaveMode.Append, Nil)
+    }
+
+  test("CLUSTER BY commits the domain + writer features; no data moves") {
+    val d = dir("declare")
+    seed(d)
+    val v0files = DeltaLog.snapshot(spark, d).files.map(_.path).toSet
+    val v = Clustering.clusterBy(spark, d, Seq("k", "grp"))
+    val snap = DeltaLog.snapshot(spark, d)
+    assert(snap.version === v)
+    assert(snap.protocol.writerFeatures.contains("clustering"))
+    assert(snap.protocol.writerFeatures.contains("domainMetadata"))
+    assert(snap.protocol.minReaderVersion === 1, "writer-only")
+    assert(Clustering.clusteringColumnsOf(snap) === Seq("k", "grp"))
+    assert(snap.files.map(_.path).toSet === v0files, "metadata-only commit")
+  }
+
+  test("plain OPTIMIZE clusters on the declaration; stats become prunable") {
+    val d = dir("optimize")
+    seed(d)
+    Clustering.clusterBy(spark, d, Seq("k"))
+    val before = DeltaTable.read(spark, d).orderBy("k").collect().toSeq
+    // small target + single-col key → a range-sorted multi-file layout
+    val m = DeltaMaintenance.zorder(spark, d, Seq("k"), outputFiles = Some(4))
+    assert(m.filesAdded >= 2)
+    // single-key clustering range-sorts: per-file [min,max] of k are
+    // pairwise DISJOINT — the stats-skipping property clustering buys
+    val ranges = DeltaLog.snapshot(spark, d).files.map { f =>
+      val n = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(f.stats.get)
+      (n.get("minValues").get("k").asLong(), n.get("maxValues").get("k").asLong())
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, max1), (min2, _)) => assert(max1 < min2,
+        s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(DeltaTable.read(spark, d).orderBy("k").collect().toSeq === before)
+    // and the ROUTING: plain OPTIMIZE re-clusters rather than compacting
+    DeltaWriter.write(Seq((1000, 0, "x")).toDF("k", "grp", "name"),
+      d, SaveMode.Append, Nil)
+    val m2 = DeltaMaintenance.optimize(spark, d)
+    assert(m2.filesRemoved >= 2,
+      "clustered OPTIMIZE rewrites the candidate set, not just small-file groups")
+    val hist = DeltaMaintenance.history(spark, d)
+      .select("operation").collect().map(_.getString(0))
+    assert(hist.head === "OPTIMIZE")
+  }
+
+  test("SQL surface: ALTER TABLE CLUSTER BY, auto-clustering OPTIMIZE, NONE, DESCRIBE DETAIL") {
+    val d = dir("sql")
+    seed(d)
+    spark.sql(s"ALTER TABLE delta.`$d` CLUSTER BY (grp, k)")
+    val snap1 = DeltaLog.snapshot(spark, d)
+    assert(Clustering.clusteringColumnsOf(snap1) === Seq("grp", "k"))
+    val det = spark.sql(s"DESCRIBE DETAIL delta.`$d`").collect().head
+    assert(det.getAs[String]("clusteringColumns") === "grp,k")
+    val m = spark.sql(s"OPTIMIZE delta.`$d`").collect().head
+    assert(m.getLong(0) === 16 && m.getLong(1) >= 1)
+    assert(DeltaMaintenance.history(spark, d)
+      .select("operation").collect().head.getString(0) === "OPTIMIZE")
+    spark.sql(s"ALTER TABLE delta.`$d` CLUSTER BY NONE")
+    val snap2 = DeltaLog.snapshot(spark, d)
+    assert(Clustering.clusteringColumnsOf(snap2) === Nil)
+    assert(snap2.protocol.writerFeatures.contains("clustering"),
+      "protocol upgrades are one-way")
+    // un-clustered again: OPTIMIZE compacts (one output, no zorder dance)
+    val m2 = spark.sql(s"OPTIMIZE delta.`$d`").collect().head
+    assert(m2.getLong(1) === 1)
+  }
+
+  test("declaration survives RENAME COLUMN (physical-name paths)") {
+    val d = dir("rename")
+    seed(d)
+    Clustering.clusterBy(spark, d, Seq("k"))
+    DeltaSchema.renameColumn(spark, d, "k", "key")
+    val snap = DeltaLog.snapshot(spark, d)
+    assert(Clustering.clusteringColumnsOf(snap) === Seq("key"),
+      "domain stores physical paths; the rename re-maps the logical view")
+    // OPTIMIZE still clusters on the renamed column
+    val m = DeltaMaintenance.optimize(spark, d)
+    assert(m.filesRemoved === 16)
+  }
+
+  test("refusals: partitioned table, too many / unknown / unsupported columns") {
+    val d = dir("refuse")
+    (0 until 8).map(i => (i, i % 2, s"n$i")).toDF("k", "p", "name")
+      .write.format("delta").partitionBy("p").save(d)
+    val e = intercept[IllegalArgumentException] {
+      Clustering.clusterBy(spark, d, Seq("k"))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+    val d2 = dir("refuse2")
+    seed(d2, 8)
+    intercept[IllegalArgumentException] {
+      Clustering.clusterBy(spark, d2, Seq("k", "grp", "name", "k", "grp"))
+    }
+    intercept[IllegalArgumentException] {
+      Clustering.clusterBy(spark, d2, Seq("nope"))
+    }
+  }
+
+  test("clustering + row tracking compose: ids survive the auto-cluster") {
+    val d = dir("rt")
+    DeltaWriter.write(
+      (0 until 24).map(j => (j, j % 5, s"n$j")).toDF("k", "grp", "name")
+        .repartition(1).sortWithinPartitions("k"),
+      d, SaveMode.Append, Nil)
+    RowTracking.enable(spark, d)
+    Clustering.clusterBy(spark, d, Seq("grp", "name"))
+    DeltaMaintenance.optimize(spark, d) // clusters, physically reordering
+    val ids = RowTracking.readWithRowIds(spark, d)
+      .select("k", RowTracking.RowIdCol).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ids === (0 until 24).map(k => k -> k.toLong).toMap)
+  }
+
+  test("CLONE carries the clustering declaration") {
+    val d = dir("clone-src")
+    seed(d, 16)
+    Clustering.clusterBy(spark, d, Seq("k"))
+    val tgt = dir("clone-tgt") + "/t"
+    DeltaMaintenance.shallowClone(spark, d, tgt)
+    assert(Clustering.clusteringColumnsOf(DeltaLog.snapshot(spark, tgt)) === Seq("k"))
+  }
+}
