@@ -223,6 +223,16 @@ object DeltaMaintenance {
     * like plain OPTIMIZE — readers of any version stay correct, and the
     * same concurrent-removal conflict validation applies.
     *
+    * Arity contract: 1 to 4 columns. A SINGLE column skips interleaving
+    * entirely and range-sorts on its monotone numericization — a total
+    * sort, strictly tighter per-file stats than the 256-bucket z-curve
+    * quantization. That is the single-key CLUSTER BY path ([[Clustering]]
+    * routes plain OPTIMIZE here), so one column is a first-class layout,
+    * not an error. Five or more is refused: each added dimension halves
+    * every column's effective bucket resolution (8 bits interleaved
+    * across k columns ⇒ 2^(8)/k-ish selectivity), and past 4 the curve
+    * no longer skips better than a plain sort on the leading column.
+    *
     * @param outputFiles overrides the size-derived output file count
     *                    (test seam / explicit tuning)
     * @param predicate   `OPTIMIZE … WHERE` partition scope: only matching

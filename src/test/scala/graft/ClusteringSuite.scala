@@ -95,9 +95,20 @@ class ClusteringSuite extends AnyFunSuite {
     assert(Clustering.clusteringColumnsOf(snap2) === Nil)
     assert(snap2.protocol.writerFeatures.contains("clustering"),
       "protocol upgrades are one-way")
-    // un-clustered again: OPTIMIZE compacts (one output, no zorder dance)
+    // un-clustered again: OPTIMIZE bin-packs. The clustered OPTIMIZE above
+    // left one ≥target file, so compaction needs fresh fragmentation to
+    // act on — append two small files, then expect small-file bin-packing
+    // (the appends + any prior small output fold into one), NOT a
+    // clustering rewrite of the whole table.
+    val preFiles = DeltaLog.snapshot(spark, d).files.size
+    Seq((100, 9, "a"), (101, 9, "b")).toDF("k", "grp", "name").coalesce(1)
+      .write.format("delta").mode("append").save(d)
+    Seq((102, 9, "c")).toDF("k", "grp", "name").coalesce(1)
+      .write.format("delta").mode("append").save(d)
     val m2 = spark.sql(s"OPTIMIZE delta.`$d`").collect().head
-    assert(m2.getLong(1) === 1)
+    assert(m2.getLong(0) >= 2 && m2.getLong(1) === 1,
+      s"bin-packing should fold the small files into one: $m2")
+    assert(DeltaLog.snapshot(spark, d).files.size <= preFiles + 1)
   }
 
   test("declaration survives RENAME COLUMN (physical-name paths)") {

@@ -81,9 +81,19 @@ class ZOrderSuite extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DeltaMaintenance.zorder(spark, dir, Seq("x", "b")) // boolean
     }
+    // arity contract: 1..4 columns. A SINGLE column is valid — it skips
+    // bit interleaving and range-sorts on the monotone numericization
+    // (strictly tighter stats than the 256-bucket z-curve), which is the
+    // single-key CLUSTER BY path. Five or more is refused: the z-curve's
+    // per-column selectivity collapses past 4 interleaved dimensions.
     intercept[IllegalArgumentException] {
-      DeltaMaintenance.zorder(spark, dir, Seq("x"))
+      DeltaMaintenance.zorder(spark, dir, Seq("x", "y", "x", "y", "x"))
     }
+    intercept[IllegalArgumentException] {
+      DeltaMaintenance.zorder(spark, dir, Nil)
+    }
+    val m = DeltaMaintenance.zorder(spark, dir, Seq("x"))
+    assert(m.filesRemoved >= 1 && m.filesAdded >= 1)
   }
 
   test("zorder clusters string columns by order-preserving byte prefix") {
