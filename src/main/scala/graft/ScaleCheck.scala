@@ -134,6 +134,42 @@ object ScaleCheck {
       if (scaleOnly.isEmpty) (timeAssign2(baseDir), timeAssign2(workDir), timeAssign2(emb30))
       else ((-1.0, 0L), (-1.0, 0L), (-1.0, 0L))
 
+    // ---- stage 4b: pp01 stage decomposition (r15 verdict: "which stage
+    // grows fastest at 10×? suspect: the dd06 min-label loop"). Three
+    // nested probes at both scales — verified-pair build (LSH+Jaccard),
+    // pair build + min-label loop, full pp01 — so each stage's cost is a
+    // subtraction, plus the loop's ITERATION counts: a 10× corpus that
+    // needs more rounds is growing component diameter (the scale risk);
+    // one that needs the same rounds is just paying linearly per round.
+    case class Pp01Stages(pairsSec: Double, minLabelSec: Double,
+      fullSec: Double, iterations: Int)
+    def pp01Decompose(d: String): Pp01Stages = {
+      def timeIt[A](f: () => A): (Double, A) = {
+        f() // warm
+        var best = Double.MaxValue
+        var last: A = null.asInstanceOf[A]
+        (0 until reps).foreach { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          last = f()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        (best, last)
+      }
+      def released[A](f: () => A): () => A =
+        () => try f() finally graft.operators.QueryCaches.release()
+      val (pairsSec, _) = timeIt(released(() =>
+        graft.operators.Dedup.verifiedPairsProbe(spark, d)))
+      val (mlSec, (_, iters)) = timeIt(released(() =>
+        graft.operators.Dedup.minLabelProbe(spark, d)))
+      val (fullSec, _) = timeIt(released(() =>
+        run(spark, "pp01_curation", d)))
+      Pp01Stages(pairsSec, mlSec, fullSec, iters)
+    }
+    val pp01Stages: Option[(Pp01Stages, Pp01Stages)] =
+      if (!scaleOnly.forall(_.exists(s => "pp01".startsWith(s)))) None
+      else Some((pp01Decompose(baseDir), pp01Decompose(workDir)))
+
     // ---- stage 5: bounded-heap completion proof for the worst heap
     // probes. Spark's memory manager CONSUMES whatever heap exists
     // (bigger JVM = lazier spill), so the peak_heap numbers above measure
@@ -213,6 +249,29 @@ object ScaleCheck {
       math.round(math.pow(3.0, 1.25) * 100) / 100.0)
     quant.put("two_level_implied_exponent",
       math.round(math.log(t30 / math.max(t10, 1e-9)) / math.log(3.0) * 100) / 100.0)
+    pp01Stages.foreach { case (b, sc) =>
+      val pp = root.putObject("pp01_stages")
+      pp.put("note", "pp01 decomposed by nested probes: pairs = LSH+Jaccard " +
+        "edge build; minlabel = pairs + the component loop (loop cost = " +
+        "difference); full = the whole curation query (rest = quality " +
+        "scoring + embedding join). Iterations growing with data = " +
+        "diameter growth (the scale risk); flat iterations = linear rounds.")
+      def stage(tag: String, s: Pp01Stages): Unit = {
+        val o = pp.putObject(tag)
+        o.put("pairs_sec", math.round(s.pairsSec * 1000) / 1000.0)
+        o.put("pairs_plus_minlabel_sec", math.round(s.minLabelSec * 1000) / 1000.0)
+        o.put("full_sec", math.round(s.fullSec * 1000) / 1000.0)
+        o.put("minlabel_loop_sec",
+          math.round((s.minLabelSec - s.pairsSec) * 1000) / 1000.0)
+        o.put("minlabel_iterations", s.iterations)
+      }
+      stage("base", b); stage("scaled", sc)
+      def ratio(f: Pp01Stages => Double): Double =
+        math.round(f(sc) / math.max(f(b), 1e-9) * 100) / 100.0
+      pp.put("pairs_ratio", ratio(_.pairsSec))
+      pp.put("minlabel_loop_ratio", ratio(s => math.max(s.minLabelSec - s.pairsSec, 0.0)))
+      pp.put("full_ratio", ratio(_.fullSec))
+    }
     val bh = root.putObject("bounded_heap_4g")
     bh.put("note", "worst heap probes re-run at the scaled dir in a 4g child JVM: " +
       "completion proves peak_heap measures the memory manager's GRANT " +

@@ -228,7 +228,15 @@ object Dedup {
     * only as a runaway guard — diameters past it mean the near-dup graph
     * is pathological (one giant chain) and the caller must raise the cap
     * deliberately. */
-  private[operators] def propagateMinLabels(sym: DataFrame, maxIters: Int = 25): DataFrame = {
+  private[operators] def propagateMinLabels(sym: DataFrame, maxIters: Int = 25): DataFrame =
+    propagateMinLabelsCounted(sym, maxIters)._1
+
+  /** [[propagateMinLabels]] plus the iteration count it needed — the
+    * ScaleCheck seam for the pp01 growth question: the loop's TOTAL cost is
+    * iterations × per-round join, and only the measurement can say whether
+    * a 10× corpus grows the diameter (more rounds) or just the rounds. */
+  private[operators] def propagateMinLabelsCounted(
+      sym: DataFrame, maxIters: Int = 25): (DataFrame, Int) = {
     var labels = sym.select(col("doc")).distinct()
       .withColumn("lab", col("doc"))
       .localCheckpoint()
@@ -256,7 +264,26 @@ object Dedup {
           s"$maxIters iterations — a component's diameter exceeds the cap; " +
           s"returning partial labels would silently mislabel clusters. " +
           s"Raise maxIters for pathologically chained near-dup graphs.")
-    labels
+    (labels, iter)
+  }
+
+  /** ScaleCheck seams decomposing pp01's dedup stages (callers time them):
+    * the verified-pair edge build (LSH + Jaccard verify) vs the min-label
+    * loop it feeds, with the loop's iteration count — the number that says
+    * whether corpus growth is buying more ROUNDS (diameter growth, the
+    * scale risk) or only costlier rounds (linear, fine). */
+  private[graft] def verifiedPairsProbe(s: SparkSession, dir: String): Long =
+    verifiedPairs(s, dir).count()
+
+  private[graft] def minLabelProbe(s: SparkSession, dir: String): (Long, Int) = {
+    val edges = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val sym = edges.select(col("doc_a").as("doc"), col("doc_b").as("nbr"))
+      .union(edges.select(col("doc_b").as("doc"), col("doc_a").as("nbr")))
+      .persist()
+    try {
+      val (labels, iters) = propagateMinLabelsCounted(sym)
+      (labels.count(), iters)
+    } finally sym.unpersist()
   }
 
   /** SimHash (16-bit, token-frequency weighted) + nibble-band candidates;

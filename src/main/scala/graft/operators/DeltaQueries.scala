@@ -732,7 +732,79 @@ object DeltaQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Clustered tables in the VALUE gate (dl28): the full liquid-clustering
+    * lifecycle — declare `CLUSTER BY (s_suppkey)` on an interleaved
+    * multi-file seed of the even keys (every file spans the whole key
+    * range: pre-clustering stats prune nothing), auto-cluster via plain
+    * OPTIMIZE at a toy target so the run emits a MULTI-file ZCube, append
+    * the odd keys, OPTIMIZE again. Three structural invariants ride the
+    * hash as boolean columns the oracle pins to TRUE:
+    *   - `clustered`: every live file carries ZCube provenance tags;
+    *   - `stats_tight`: within each ZCube, per-file [min,max] of the
+    *     clustering column are pairwise DISJOINT — the stats-skipping
+    *     property the feature exists to buy (single-key clustering is a
+    *     range sort, so overlap means the sort or the stats are wrong);
+    *   - `incremental`: the second OPTIMIZE rewrote exactly the appended
+    *     files and left the stable first cube untouched — the
+    *     O(new data), never O(table), maintenance contract at 100 TB.
+    * The value plane (count/sum/bal per key-group over the reassembled
+    * table) catches any row lost or doubled by the two rewrites. */
+  private def dl28ClusteredTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.delta.{Clustering, DeltaLog, DeltaMaintenance}
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    (0 until 4).foreach { i =>
+      DeltaWriter.write(supplier.filter(col("s_suppkey") % 8 === i * 2),
+        path, SaveMode.Append, Nil)
+    }
+    Clustering.clusterBy(s, path, Seq("s_suppkey"))
+    // toy-scale stability bound: any committed cube counts as done
+    s.sql(s"ALTER TABLE delta.`$path` SET TBLPROPERTIES " +
+      "('delta.clustering.minCubeSize'='1')")
+    DeltaMaintenance.optimize(s, path, targetFileBytes = 4096)
+    val cube1 = DeltaLog.snapshot(s, path).files.map(_.path).toSet
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 2 === 1),
+      path, SaveMode.Append, Nil)
+    val appended = DeltaLog.snapshot(s, path).files.map(_.path).toSet -- cube1
+    val m2 = DeltaMaintenance.optimize(s, path, targetFileBytes = 4096)
+    val finalSnap = DeltaLog.snapshot(s, path)
+    val incremental = m2.filesRemoved == appended.size &&
+      cube1.subsetOf(finalSnap.files.map(_.path).toSet)
+    val clustered = finalSnap.files.forall(_.tags.contains(Clustering.TagZcubeId))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tight = finalSnap.files.groupBy(_.tags.get(Clustering.TagZcubeId))
+      .forall { case (_, fs) =>
+        fs.forall(_.stats.nonEmpty) && {
+          val ranges = fs.map(f => mapper.readTree(f.stats.get))
+            .filter(_.path("numRecords").asLong() > 0)
+            .map(n => (n.path("minValues").path("s_suppkey").asLong(),
+              n.path("maxValues").path("s_suppkey").asLong()))
+            .sortBy(_._1)
+          ranges.sliding(2).forall {
+            case Seq((_, max1), (min2, _)) => max1 < min2
+            case _ => true
+          }
+        }
+      }
+    DeltaTable.read(s, path)
+      .groupBy((col("s_suppkey") % 4).cast("int").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .withColumn("clustered", lit(clustered))
+      .withColumn("stats_tight", lit(tight))
+      .withColumn("incremental", lit(incremental))
+      .orderBy(col("grp"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl28_clustered_table" -> """
+      SELECT CAST(s_suppkey % 4 AS INT) AS grp, count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal,
+             TRUE AS clustered, TRUE AS stats_tight, TRUE AS incremental
+      FROM supplier GROUP BY 1 ORDER BY 1""",
     "dl27_row_tracking" -> """
       SELECT n_nationkey,
              CASE WHEN n_nationkey % 4 = 1 THEN lower(n_name) ELSE n_name END
@@ -1021,5 +1093,6 @@ object DeltaQueries {
     "dl24_idempotent_write" -> dl24IdempotentWrite,
     "dl25_checkpoint_replay" -> dl25CheckpointReplay,
     "dl26_identity_merge_restore" -> dl26IdentityMergeRestore,
-    "dl27_row_tracking" -> dl27RowTracking)
+    "dl27_row_tracking" -> dl27RowTracking,
+    "dl28_clustered_table" -> dl28ClusteredTable)
 }

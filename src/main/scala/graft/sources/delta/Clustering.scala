@@ -39,7 +39,51 @@ object Clustering {
     * collapses beyond that). */
   val MaxColumns = 4
 
+  /** `add.tags` keys stamping ZCube provenance on every clustering/zorder
+    * rewrite output (production's zcube tag plane): the cube id groups one
+    * rewrite run's files; the zorder-by tag records the PHYSICAL columns
+    * the run clustered on, so a rename keeps provenance valid and a
+    * `CLUSTER BY` re-declaration invalidates it. */
+  val TagZcubeId = "ZCUBE_ID"
+  val TagZorderBy = "ZCUBE_ZORDER_BY"
+
+  /** Table property bounding which ZCubes are STABLE (skipped by a later
+    * clustered OPTIMIZE): a cube whose total bytes reach this is done —
+    * re-sorting it buys nothing a new cube can't. Production liquid
+    * clustering uses 100 GB; tests shrink it to observe incrementality at
+    * toy scale. */
+  val MinCubeSizeKey = "delta.clustering.minCubeSize"
+  val DefaultMinCubeSize: Long = 100L << 30
+
   private val mapper = new ObjectMapper()
+
+  /** Incremental clustered-OPTIMIZE candidate selection — the reason
+    * clustering scales where repeated full rewrites don't. Files partition
+    * into:
+    *   - STABLE: tagged with a ZCube matching the CURRENT declaration
+    *     whose cube total ≥ [[MinCubeSizeKey]] — never rewritten again;
+    *   - candidates: everything else — new/unclustered files, files
+    *     clustered under a SUPERSEDED declaration, and small matching
+    *     cubes (merged forward, production's cube-consolidation).
+    * Exception: when the candidates are exactly the files of at most one
+    * already-matching cube and nothing new arrived, the run is a no-op —
+    * re-sorting one sorted cube is pure write amplification (production's
+    * single-zcube skip). At 100 TB this turns every post-append OPTIMIZE
+    * from O(table) into O(new data). */
+  def incrementalCandidates(
+      snap: DeltaSnapshot,
+      clusterCols: Seq[String],
+      files: Seq[DeltaAddFile]): Seq[DeltaAddFile] = {
+    val declPhys = clusterCols.map(snap.metadata.physicalOf).mkString(",")
+    val minCube = snap.metadata.configuration.get(MinCubeSizeKey)
+      .map(_.trim.toLong).getOrElse(DefaultMinCubeSize)
+    val (matching, rest) = files.partition(f =>
+      f.tags.contains(TagZcubeId) && f.tags.get(TagZorderBy).contains(declPhys))
+    val unstableCubes = matching.groupBy(_.tags(TagZcubeId))
+      .filter(_._2.map(_.size).sum < minCube)
+    if (rest.isEmpty && unstableCubes.size <= 1) Nil
+    else (rest ++ unstableCubes.values.flatten).sortBy(_.path)
+  }
 
   /** The table's clustering columns as LOGICAL names (domain stores
     * physical paths); Nil when unclustered or cleared. Unknown physical

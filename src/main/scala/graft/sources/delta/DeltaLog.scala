@@ -179,7 +179,13 @@ final case class DeltaAddFile(
     baseRowId: Option[Long] = None,
     /** Row tracking: commit version dating rows this file does not carry
       * a materialized row commit version for. */
-    defaultRowCommitVersion: Option[Long] = None)
+    defaultRowCommitVersion: Option[Long] = None,
+    /** Writer-private provenance (the protocol's `add.tags` plane):
+      * clustering rewrites stamp `ZCUBE_ID`/`ZCUBE_ZORDER_BY` here so a
+      * later OPTIMIZE can tell already-clustered files from new ones —
+      * the incremental-clustering signal. Foreign tags replay and survive
+      * checkpoints untouched; empty = the add carried none. */
+    tags: Map[String, String] = Map.empty)
 
 final case class DeltaSnapshot(
     tablePath: String,
@@ -571,7 +577,9 @@ object DeltaLog {
             if (a.has("baseRowId") && !a.get("baseRowId").isNull)
               Some(a.get("baseRowId").asLong()) else None,
             if (a.has("defaultRowCommitVersion") && !a.get("defaultRowCommitVersion").isNull)
-              Some(a.get("defaultRowCommitVersion").asLong()) else None)
+              Some(a.get("defaultRowCommitVersion").asLong()) else None,
+            if (a.has("tags") && !a.get("tags").isNull) jsonStringMap(a.get("tags"))
+            else Map.empty)
         }
         if (node.has("remove")) {
           commitRemoves += node.get("remove").get("path").asText()
@@ -861,7 +869,10 @@ object DeltaLog {
       jsonStringMap(a.get("partitionValues")),
       a.get("size").asLong(),
       if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
-      if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None)
+      if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText()) else None,
+      tags =
+        if (a.has("tags") && !a.get("tags").isNull) jsonStringMap(a.get("tags"))
+        else Map.empty)
 
   /** Reader-version-3 table features this engine can actually honor:
     * deletion vectors and column mapping (first-class above), v2
@@ -928,7 +939,11 @@ object DeltaLog {
       statsJson,
       dv,
       optLong("baseRowId"),
-      optLong("defaultRowCommitVersion"))
+      optLong("defaultRowCommitVersion"),
+      tags =
+        if (fields.contains("tags") && !r.isNullAt(r.fieldIndex("tags")))
+          r.getAs[scala.collection.Map[String, String]]("tags").toMap
+        else Map.empty)
   }
 
   /** Typed `stats_parsed` struct → this engine's JSON stats string

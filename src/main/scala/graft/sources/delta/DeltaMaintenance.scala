@@ -169,11 +169,21 @@ object DeltaMaintenance {
     snap.assertWritable("OPTIMIZE")
     // a CLUSTERED table's plain OPTIMIZE IS the clustering rewrite — the
     // table's declaration drives the layout, the caller names nothing
-    // (production contract; ZORDER BY overrides explicitly via [[zorder]])
+    // (production contract; ZORDER BY overrides explicitly via [[zorder]]).
+    // INCREMENTAL: only files not already in a stable ZCube of the current
+    // declaration are rewritten ([[Clustering.incrementalCandidates]]) —
+    // at 100 TB a recurring full-table re-sort is exactly the cost
+    // clustering exists to avoid, so already-clustered data must not pay
+    // for new appends.
     val clusterCols = Clustering.clusteringColumnsOf(snap)
-    if (clusterCols.nonEmpty)
-      return zorder(spark, tablePath, clusterCols, targetFileBytes,
-        outputFiles = None, predicate = predicate)
+    if (clusterCols.nonEmpty) {
+      val scoped = filterByPartitionPredicate(spark, snap, snap.files, predicate)
+      val cands = Clustering.incrementalCandidates(snap, clusterCols, scoped)
+      if (cands.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)
+      return zorderImpl(spark, tablePath, clusterCols, targetFileBytes,
+        outputFiles = None, predicate = predicate,
+        candidatesOverride = Some((snap, cands)))
+    }
     val groups = filterByPartitionPredicate(spark, snap, snap.files, predicate)
       .filter(_.size < targetFileBytes)
       .groupBy(_.partitionValues)
@@ -245,10 +255,29 @@ object DeltaMaintenance {
       zorderBy: Seq[String],
       targetFileBytes: Long = 128L << 20,
       outputFiles: Option[Int] = None,
-      predicate: Option[String] = None): OptimizeMetrics = {
+      predicate: Option[String] = None): OptimizeMetrics =
+    zorderImpl(spark, tablePath, zorderBy, targetFileBytes, outputFiles,
+      predicate, candidatesOverride = None)
+
+  /** The rewrite body behind [[zorder]] and the clustered-OPTIMIZE route:
+    * `candidatesOverride` carries the snapshot and the PRE-SCOPED file set
+    * (the incremental-clustering candidate selection) so both callers
+    * rewrite against one consistent snapshot. Every output file is stamped
+    * with ZCube provenance tags ([[Clustering.TagZcubeId]]/
+    * [[Clustering.TagZorderBy]]) — the signal a later clustered OPTIMIZE
+    * uses to skip already-clustered data. */
+  private def zorderImpl(
+      spark: SparkSession,
+      tablePath: String,
+      zorderBy: Seq[String],
+      targetFileBytes: Long,
+      outputFiles: Option[Int],
+      predicate: Option[String],
+      candidatesOverride: Option[(DeltaSnapshot, Seq[DeltaAddFile])]): OptimizeMetrics = {
     require(zorderBy.nonEmpty && zorderBy.size <= 4,
       s"ZORDER BY expects 1 to 4 columns, got ${zorderBy.size}")
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = candidatesOverride.map(_._1)
+      .getOrElse(DeltaLog.snapshot(spark, tablePath))
     snap.assertWritable("OPTIMIZE ZORDER")
     val badPart = zorderBy.filter(snap.partitionColumns.contains)
     require(badPart.isEmpty,
@@ -278,7 +307,8 @@ object DeltaMaintenance {
     }
     require(unsupported.isEmpty,
       s"ZORDER BY supports numeric/date/timestamp/string columns; got ${unsupported.mkString(",")}")
-    val candidates = filterByPartitionPredicate(spark, snap, snap.files, predicate)
+    val candidates = candidatesOverride.map(_._2).getOrElse(
+      filterByPartitionPredicate(spark, snap, snap.files, predicate))
     if (candidates.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)
     graft.functions.GraftFunctions.register(spark)
 
@@ -336,7 +366,13 @@ object DeltaMaintenance {
       dataChange = false, op = "OPTIMIZE",
       params = Map("zOrderBy" -> zorderBy.mkString(","),
         "targetFileBytes" -> targetFileBytes.toString) ++ predicate.map("predicate" -> _),
-      abortOp = "ZORDER")
+      abortOp = "ZORDER",
+      // ZCube provenance: one cube id per rewrite run, keyed (in the tag
+      // value) by the PHYSICAL clustering columns so a rename never
+      // invalidates the provenance and a re-declaration always does
+      addTags = Map(
+        Clustering.TagZcubeId -> UUID.randomUUID().toString,
+        Clustering.TagZorderBy -> zorderBy.map(snap.metadata.physicalOf).mkString(",")))
     OptimizeMetrics(removed.size, adds.size, removed.map(_.size).sum, committed)
   }
 
@@ -401,7 +437,8 @@ object DeltaMaintenance {
       op: String,
       params: Map[String, String],
       abortOp: String,
-      cdcFiles: Seq[(String, Long)] = Nil): Long = {
+      cdcFiles: Seq[(String, Long)] = Nil,
+      addTags: Map[String, String] = Map.empty): Long = {
     var attempt = 0
     var committedVersion = -1L
     var lastConfig: Map[String, String] = Map.empty
@@ -448,6 +485,10 @@ object DeltaMaintenance {
         a.put("modificationTime", modTime)
         a.put("dataChange", dataChange)
         st.foreach(s => a.put("stats", mapper.writeValueAsString(s)))
+        if (addTags.nonEmpty) {
+          val tagNode = a.putObject("tags")
+          addTags.foreach { case (k, v) => tagNode.put(k, v) }
+        }
         (addLine, a, st.flatMap(n => Option(n.get("numRecords")).map(_.asLong())))
       }
       // row tracking: every add on a row-tracked table carries a fresh

@@ -70,7 +70,8 @@ private[delta] object DeltaStateReconstruction {
       StructField("stats", StringType),
       StructField("deletionVector", dvType),
       StructField("baseRowId", LongType),
-      StructField("defaultRowCommitVersion", LongType)))),
+      StructField("defaultRowCommitVersion", LongType),
+      StructField("tags", pvType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType)))),
     StructField("txn", StructType(Seq(
@@ -216,7 +217,8 @@ private[delta] object DeltaStateReconstruction {
       col("a.add.stats").as("stats"),
       col("a.add.deletionVector").as("deletionVector"),
       col("a.add.baseRowId").as("baseRowId"),
-      col("a.add.defaultRowCommitVersion").as("defaultRowCommitVersion")))
+      col("a.add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
+      col("a.add.tags").as("tags")))
     val jsonRemoves = jsonRaw.map(_.filter(col("a.remove").isNotNull).select(
       col("version"), lit(false).as("isAdd"),
       col("a.remove.path").as("path"),
@@ -226,7 +228,8 @@ private[delta] object DeltaStateReconstruction {
       lit(null).cast(StringType).as("stats"),
       lit(null).cast(dvType).as("deletionVector"),
       lit(null).cast(LongType).as("baseRowId"),
-      lit(null).cast(LongType).as("defaultRowCommitVersion")))
+      lit(null).cast(LongType).as("defaultRowCommitVersion"),
+      lit(null).cast(pvType).as("tags")))
 
     val actionFrames = cpFrames.map(_._1) ++ jsonAdds ++ jsonRemoves
     val live: Seq[DeltaAddFile] =
@@ -236,12 +239,12 @@ private[delta] object DeltaStateReconstruction {
         .agg(max_by(
           struct(col("isAdd"), col("partitionValues"), col("size"),
             col("modificationTime"), col("stats"), col("deletionVector"),
-            col("baseRowId"), col("defaultRowCommitVersion")),
+            col("baseRowId"), col("defaultRowCommitVersion"), col("tags")),
           struct(col("version"), col("isAdd"))).as("w"))
         .filter(col("w.isAdd"))
         .select(col("path"), col("w.partitionValues"), col("w.size"),
           col("w.modificationTime"), col("w.stats"), col("w.deletionVector"),
-          col("w.baseRowId"), col("w.defaultRowCommitVersion"))
+          col("w.baseRowId"), col("w.defaultRowCommitVersion"), col("w.tags"))
         .sort("path") // deterministic snapshot order across runs
         .collect().toSeq.map { r =>
           val dv =
@@ -263,7 +266,9 @@ private[delta] object DeltaStateReconstruction {
             r.getLong(2), r.getLong(3),
             Option(r.getAs[String](4)), dv,
             if (r.isNullAt(6)) None else Some(r.getLong(6)),
-            if (r.isNullAt(7)) None else Some(r.getLong(7)))
+            if (r.isNullAt(7)) None else Some(r.getLong(7)),
+            Option(r.getAs[scala.collection.Map[String, String]](8))
+              .map(_.toMap).getOrElse(Map.empty))
         }
 
     // ---- protocol / metaData: last emission wins; one row each
@@ -372,7 +377,9 @@ private[delta] object DeltaStateReconstruction {
       stats.as("stats"),
       dv.as("deletionVector"),
       optLong("baseRowId").as("baseRowId"),
-      optLong("defaultRowCommitVersion").as("defaultRowCommitVersion"))
+      optLong("defaultRowCommitVersion").as("defaultRowCommitVersion"),
+      (if (addFields.contains("tags")) col("add.tags")
+       else lit(null).cast(pvType)).as("tags"))
   }
 
   private def emptyMeta(spark: SparkSession): DataFrame =

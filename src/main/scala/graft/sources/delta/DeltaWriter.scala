@@ -860,7 +860,8 @@ object DeltaWriter {
           StructField("sizeInBytes", IntegerType),
           StructField("cardinality", LongType)))),
         StructField("baseRowId", LongType),
-        StructField("defaultRowCommitVersion", LongType)))),
+        StructField("defaultRowCommitVersion", LongType),
+        StructField("tags", mapT)))),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType)))),
@@ -873,7 +874,8 @@ object DeltaWriter {
         d.sizeInBytes, d.cardinality)).orNull
     val addStructOf = (f: DeltaAddFile) =>
       Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull, dvRow(f),
-        f.baseRowId.map(Long.box).orNull, f.defaultRowCommitVersion.map(Long.box).orNull)
+        f.baseRowId.map(Long.box).orNull, f.defaultRowCommitVersion.map(Long.box).orNull,
+        if (f.tags.isEmpty) null else f.tags)
     val addRows: Seq[Row] = snap.files.map(f => Row(null, null, addStructOf(f), null, null))
     val rows3: Seq[Row] =
       Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,

@@ -157,6 +157,64 @@ class ClusteringSuite extends AnyFunSuite {
     assert(ids === (0 until 24).map(k => k -> k.toLong).toMap)
   }
 
+  test("clustered OPTIMIZE is incremental: stable ZCubes are never rewritten") {
+    val d = dir("incr")
+    seed(d)
+    Clustering.clusterBy(spark, d, Seq("k"))
+    // toy-scale stability bound: any cube that committed counts as done
+    spark.sql(s"ALTER TABLE delta.`$d` SET TBLPROPERTIES " +
+      "('delta.clustering.minCubeSize'='1')")
+    val m1 = DeltaMaintenance.optimize(spark, d)
+    assert(m1.filesRemoved === 16, "first OPTIMIZE clusters the whole seed")
+    val cube = DeltaLog.snapshot(spark, d).files
+    assert(cube.forall(_.tags.contains(Clustering.TagZcubeId)),
+      "clustering outputs carry ZCube provenance")
+    assert(cube.map(_.tags(Clustering.TagZcubeId)).distinct.size === 1)
+    assert(cube.forall(_.tags.get(Clustering.TagZorderBy).contains("k")))
+    // appends arrive; the next OPTIMIZE touches ONLY them
+    DeltaWriter.write(Seq((200, 1, "a"), (201, 2, "b")).toDF("k", "grp", "name")
+      .coalesce(1), d, SaveMode.Append, Nil)
+    DeltaWriter.write(Seq((202, 3, "c")).toDF("k", "grp", "name")
+      .coalesce(1), d, SaveMode.Append, Nil)
+    val m2 = DeltaMaintenance.optimize(spark, d)
+    assert(m2.filesRemoved === 2, s"only the 2 new files rewrite: $m2")
+    val after = DeltaLog.snapshot(spark, d).files
+    assert(cube.map(_.path).toSet.subsetOf(after.map(_.path).toSet),
+      "the stable cube's files are untouched")
+    // idempotence: everything stable → structural no-op, no empty commit
+    val v = DeltaLog.snapshot(spark, d).version
+    val m3 = DeltaMaintenance.optimize(spark, d)
+    assert(m3.filesRemoved === 0 && m3.filesAdded === 0 && m3.committedVersion === v)
+    // re-declaration invalidates provenance: the next run re-clusters all
+    Clustering.clusterBy(spark, d, Seq("grp"))
+    val m4 = DeltaMaintenance.optimize(spark, d)
+    assert(m4.filesRemoved === after.size,
+      "superseded-declaration cubes rejoin the candidate set")
+    assert(DeltaTable.read(spark, d).count() === 67)
+  }
+
+  test("ZCube provenance survives checkpoints on both replay planes") {
+    val d = dir("cp")
+    seed(d)
+    Clustering.clusterBy(spark, d, Seq("k"))
+    spark.sql(s"ALTER TABLE delta.`$d` SET TBLPROPERTIES " +
+      "('delta.clustering.minCubeSize'='1')")
+    DeltaMaintenance.optimize(spark, d)
+    val v = DeltaLog.snapshot(spark, d).version
+    DeltaWriter.writeCheckpoint(spark, d, v)
+    def tagsVisible(): Unit = {
+      val snap = DeltaLog.snapshot(spark, d)
+      assert(snap.files.forall(_.tags.contains(Clustering.TagZcubeId)),
+        "tags must replay out of the checkpoint, not just the JSON log")
+      // and the behavior they gate: post-checkpoint OPTIMIZE stays a no-op
+      val m = DeltaMaintenance.optimize(spark, d)
+      assert(m.filesRemoved === 0 && m.filesAdded === 0)
+    }
+    tagsVisible() // driver-map replay
+    try { DeltaLog.DistributedReplayMode = "always"; tagsVisible() }
+    finally DeltaLog.DistributedReplayMode = "auto"
+  }
+
   test("CLONE carries the clustering declaration") {
     val d = dir("clone-src")
     seed(d, 16)
