@@ -283,10 +283,14 @@ object BenchSf1Child {
     spark.sparkContext.setLogLevel("ERROR")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val subset = Bench.Sf1Headline.flatMap(p => names.find(_._1.startsWith(p)))
-    // a fresh JVM's first steady anchor sample is valid (warmup probe ran
-    // untimed): keep all samples, like the parent's second pass did
-    val p = Bench.runPass(spark, workDir, subset, reps, dropFirstAnchor = false)
-    println("SF1PASS " + Bench.lineOf(p, 3))
+    // this IS a fresh JVM, so the pre-pass anchor sample is the
+    // systematically-fast near-fresh one (r14's phantom-spread lesson;
+    // measured again here: 0.24s first vs 0.43s steady = a fake 1.8x
+    // spread on a quiet machine) — drop it like the parent's first pass
+    val p = Bench.runPass(spark, workDir, subset, reps, dropFirstAnchor = true)
+    // "plane" says what this line certifies: a fresh process, so plan cost
+    // — NOT the parent's post-158-query JVM state (the r15 ambiguity)
+    println("SF1PASS " + Bench.lineOf(p, 3, """"plane":"fresh_jvm","""))
     spark.stop()
   }
 }

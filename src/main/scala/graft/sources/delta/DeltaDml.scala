@@ -587,6 +587,7 @@ object DeltaDml {
         // the original baseRowId keeps every surviving id stable
         f.baseRowId.foreach(a.put("baseRowId", _))
         f.defaultRowCommitVersion.foreach(a.put("defaultRowCommitVersion", _))
+        DeltaWriter.putTags(a, f)
         lines += mapper.writeValueAsString(addLine)
       }
       cdcFiles.foreach { case (rel, size) =>

@@ -153,18 +153,34 @@ object DeltaMaintenance {
       spark: SparkSession,
       tablePath: String,
       targetFileBytes: Long = 128L << 20,
-      predicate: Option[String] = None): OptimizeMetrics =
-    optimize(spark, tablePath, targetFileBytes, predicate, () => ())
+      predicate: Option[String] = None,
+      full: Boolean = false): OptimizeMetrics =
+    optimize(spark, tablePath, targetFileBytes, predicate, () => (), full)
 
-  /** Test seam: `beforeCommit` runs after the rewrite is staged but before
-    * the commit loop — a deterministic window to inject a concurrent
-    * commit in specs. Production callers use the default-arg overload. */
   private[graft] def optimize(
       spark: SparkSession,
       tablePath: String,
       targetFileBytes: Long,
       predicate: Option[String],
-      beforeCommit: () => Unit): OptimizeMetrics = {
+      beforeCommit: () => Unit): OptimizeMetrics =
+    optimize(spark, tablePath, targetFileBytes, predicate, beforeCommit, full = false)
+
+  /** Test seam: `beforeCommit` runs after the rewrite is staged but before
+    * the commit loop — a deterministic window to inject a concurrent
+    * commit in specs. Production callers use the default-arg overload.
+    * `full` = `OPTIMIZE … FULL`: on a clustered table, bypass the
+    * incremental ZCube selection and re-cluster EVERYTHING — the
+    * operator-invoked escape hatch for merging many stable cubes into one
+    * globally-ordered layout (each incremental cube is sorted internally
+    * but overlaps its siblings; a periodic FULL restores global
+    * disjointness). No-op on unclustered tables beyond normal compaction. */
+  private[graft] def optimize(
+      spark: SparkSession,
+      tablePath: String,
+      targetFileBytes: Long,
+      predicate: Option[String],
+      beforeCommit: () => Unit,
+      full: Boolean): OptimizeMetrics = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     snap.assertWritable("OPTIMIZE")
     // a CLUSTERED table's plain OPTIMIZE IS the clustering rewrite — the
@@ -178,7 +194,9 @@ object DeltaMaintenance {
     val clusterCols = Clustering.clusteringColumnsOf(snap)
     if (clusterCols.nonEmpty) {
       val scoped = filterByPartitionPredicate(spark, snap, snap.files, predicate)
-      val cands = Clustering.incrementalCandidates(snap, clusterCols, scoped)
+      val cands =
+        if (full) scoped
+        else Clustering.incrementalCandidates(snap, clusterCols, scoped)
       if (cands.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)
       return zorderImpl(spark, tablePath, clusterCols, targetFileBytes,
         outputFiles = None, predicate = predicate,
@@ -747,6 +765,7 @@ object DeltaMaintenance {
         // collide with them)
         f.baseRowId.foreach(a.put("baseRowId", _))
         f.defaultRowCommitVersion.foreach(a.put("defaultRowCommitVersion", _))
+        DeltaWriter.putTags(a, f)
         lines += mapper.writeValueAsString(ad)
       }
       if (DeltaLog.tryCommit(spark, tablePath, current.version + 1,
@@ -903,6 +922,7 @@ object DeltaMaintenance {
       // writes never collide with cloned ids)
       f.baseRowId.foreach(a.put("baseRowId", _))
       f.defaultRowCommitVersion.foreach(a.put("defaultRowCommitVersion", _))
+      DeltaWriter.putTags(a, f)
       lines += mapper.writeValueAsString(adLine)
     }
     // domain metadata carries over whole (rowTracking hwm, foreign engines'
@@ -1076,6 +1096,7 @@ object DeltaMaintenance {
       // columns included), so the original baseRowId keeps every id
       f.baseRowId.foreach(a.put("baseRowId", _))
       f.defaultRowCommitVersion.foreach(a.put("defaultRowCommitVersion", _))
+      DeltaWriter.putTags(a, f)
       lines += mapper.writeValueAsString(adLine)
     }
     src.domainMetadata.toSeq.sortBy(_._1).foreach { case (d, c) =>

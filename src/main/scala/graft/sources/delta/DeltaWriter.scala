@@ -39,6 +39,17 @@ object DeltaWriter {
       metrics.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v.toString) }
     }
 
+  /** Carry an add's provenance tags onto a RE-ADD node: operations that
+    * re-register a file AS IT IS (RESTORE, SHALLOW/DEEP CLONE, DV attach)
+    * must preserve `add.tags` — the file's bytes, and therefore its ZCube
+    * clustering provenance, are unchanged, and dropping the tags would
+    * silently demote a clustered table back to full-rewrite OPTIMIZE. */
+  private[delta] def putTags(a: ObjectNode, f: DeltaAddFile): Unit =
+    if (f.tags.nonEmpty) {
+      val t = a.putObject("tags")
+      f.tags.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    }
+
   /** On a column-mapped table EVERYTHING below the log speaks physical
     * names: parquet column names, stats keys, hive partition directories
     * and `partitionValues` keys. Rewrite/append paths call these just

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *
   *   DELETE FROM <target> [WHERE <cond>]
   *   UPDATE <target> SET c = e [, …] [WHERE <cond>]
-  *   OPTIMIZE <target> [ZORDER BY (c1, c2 [, …])]
+  *   OPTIMIZE <target> [FULL] [WHERE <partition-pred>] [ZORDER BY (c1, c2 [, …])]
   *   VACUUM <target> [RETAIN <n> HOURS]
   *   RESTORE [TABLE] <target> TO VERSION AS OF <v>
   *   CREATE TABLE <target> SHALLOW CLONE <target>
@@ -88,7 +88,7 @@ private[graft] object GraftSqlCommands {
 
   private val Delete = re(s"""^\\s*DELETE\\s+FROM\\s+$T(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""")
   private val Update = re(s"""^\\s*UPDATE\\s+$T\\s+SET\\s+(.+?)\\s*;?\\s*$$""")
-  private val Optimize = re(s"""^\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(?<where>.+?))?(?:\\s+ZORDER\\s+BY\\s*\\((?<zcols>[^)]*)\\))?\\s*;?\\s*$$""")
+  private val Optimize = re(s"""^\\s*OPTIMIZE\\s+$T(?:\\s+(?<full>FULL))?(?:\\s+WHERE\\s+(?<where>.+?))?(?:\\s+ZORDER\\s+BY\\s*\\((?<zcols>[^)]*)\\))?\\s*;?\\s*$$""")
   private val Vacuum = re(s"""^\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+(?<dry>DRY\\s+RUN))?\\s*;?\\s*$$""")
   private val Restore = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
   private val RestoreTs = re(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""")
@@ -407,10 +407,16 @@ private[graft] object GraftSqlCommands {
       return Some(DeltaUpdateCommand(path(u, 1), splitAssignments(setPart), cond))
     }
     val o = Optimize.matcher(sql)
-    if (o.matches())
-      return Some(DeltaOptimizeCommand(path(o, 1),
-        Option(o.group("zcols")).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq),
-        Option(o.group("where")).map(_.trim)))
+    if (o.matches()) {
+      val full = o.group("full") != null
+      val zcols = Option(o.group("zcols"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      require(!(full && zcols.nonEmpty),
+        "OPTIMIZE FULL names no columns (it re-clusters on the table's " +
+          "CLUSTER BY declaration); drop FULL or the ZORDER BY clause")
+      return Some(DeltaOptimizeCommand(path(o, 1), zcols,
+        Option(o.group("where")).map(_.trim), full))
+    }
     val v = Vacuum.matcher(sql)
     if (v.matches())
       return Some(DeltaVacuumCommand(path(v, 1),
@@ -580,14 +586,15 @@ case class DeltaUpdateCommand(path: String, set: Map[String, String], condition:
 }
 
 case class DeltaOptimizeCommand(
-    path: String, zorderBy: Option[Seq[String]], where: Option[String] = None)
+    path: String, zorderBy: Option[Seq[String]], where: Option[String] = None,
+    full: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     GraftSqlCommands.longAttrs("files_removed", "files_added", "committed_version")
   override def run(spark: SparkSession): Seq[Row] = {
     val m = zorderBy match {
       case Some(cols) => DeltaMaintenance.zorder(spark, path, cols, predicate = where)
-      case None => DeltaMaintenance.optimize(spark, path, predicate = where)
+      case None => DeltaMaintenance.optimize(spark, path, predicate = where, full = full)
     }
     Seq(Row(m.filesRemoved, m.filesAdded, m.committedVersion))
   }

@@ -215,6 +215,60 @@ class ClusteringSuite extends AnyFunSuite {
     finally DeltaLog.DistributedReplayMode = "auto"
   }
 
+  test("OPTIMIZE FULL merges stable cubes back into one global order") {
+    val d = dir("full")
+    seed(d)
+    Clustering.clusterBy(spark, d, Seq("k"))
+    spark.sql(s"ALTER TABLE delta.`$d` SET TBLPROPERTIES " +
+      "('delta.clustering.minCubeSize'='1')")
+    DeltaMaintenance.optimize(spark, d) // cube A
+    DeltaWriter.write(Seq((500, 0, "x")).toDF("k", "grp", "name")
+      .coalesce(1), d, SaveMode.Append, Nil)
+    DeltaMaintenance.optimize(spark, d) // cube B (incremental, overlaps A)
+    val files = DeltaLog.snapshot(spark, d).files
+    assert(files.flatMap(_.tags.get(Clustering.TagZcubeId)).distinct.size === 2)
+    // FULL bypasses the stable-cube skip: one rewrite, one cube, global order
+    val m = spark.sql(s"OPTIMIZE delta.`$d` FULL").collect().head
+    assert(m.getLong(0) === files.size)
+    val after = DeltaLog.snapshot(spark, d).files
+    assert(after.flatMap(_.tags.get(Clustering.TagZcubeId)).distinct.size === 1)
+    assert(DeltaTable.read(spark, d).count() === 65)
+    // FULL names no columns — it runs the declaration
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE delta.`$d` FULL ZORDER BY (k)")
+    }
+  }
+
+  test("ZCube provenance survives DV attach, CLONE and RESTORE") {
+    val d = dir("carry")
+    seed(d, 16)
+    Clustering.clusterBy(spark, d, Seq("k"))
+    spark.sql(s"ALTER TABLE delta.`$d` SET TBLPROPERTIES " +
+      "('delta.clustering.minCubeSize'='1')")
+    DeltaMaintenance.optimize(spark, d)
+    val vClustered = DeltaLog.snapshot(spark, d).version
+    def allTagged(path: String): Boolean =
+      DeltaLog.snapshot(spark, path).files.forall(_.tags.contains(Clustering.TagZcubeId))
+    // DV attach re-adds the same physical file: provenance must ride along
+    graft.sources.delta.DeltaDml.deleteWithDv(spark, d, "k % 16 = 3")
+    assert(allTagged(d), "DV attach dropped the ZCube tags")
+    val mDv = DeltaMaintenance.optimize(spark, d)
+    assert(mDv.filesRemoved === 0, "a DV'd clustered file must stay stable")
+    // clone shares the files: the target starts with provenance intact
+    val tgt = dir("carry-tgt") + "/t"
+    DeltaMaintenance.shallowClone(spark, d, tgt)
+    assert(allTagged(tgt), "CLONE dropped the ZCube tags")
+    assert(DeltaMaintenance.optimize(spark, tgt).filesRemoved === 0)
+    // copy-on-write rewrite detags its outputs; RESTORE resurrects the
+    // clustered originals WITH their provenance
+    graft.sources.delta.DeltaDml.update(spark, d, "k % 16 = 1",
+      Map("name" -> "'x'"))
+    DeltaMaintenance.restore(spark, d, vClustered)
+    assert(allTagged(d), "RESTORE dropped the ZCube tags")
+    assert(DeltaMaintenance.optimize(spark, d).filesRemoved === 0,
+      "a restored clustered table must not pay a full re-cluster")
+  }
+
   test("CLONE carries the clustering declaration") {
     val d = dir("clone-src")
     seed(d, 16)
