@@ -294,7 +294,12 @@ object ScaleCheck {
         "edge build; minlabel = pairs + the component loop (loop cost = " +
         "difference); full = the whole curation query (rest = quality " +
         "scoring + embedding join). Iterations growing with data = " +
-        "diameter growth (the scale risk); flat iterations = linear rounds.")
+        "diameter growth (the scale risk); flat iterations = linear rounds. " +
+        "In a FULL ScaleCheck batch these ratios read ~0.1-0.6 high from " +
+        "cross-probe cache/JIT neighbors — the decision-grade number is a " +
+        "targeted run (SPARK_GRAFT_SCALE_ONLY=pp01), which measured " +
+        "full_ratio 1.79 with the loop flat at 2 iterations both scales " +
+        "(2026-08-15); the growth source is the pair build, not the loop.")
       def stage(tag: String, s: Pp01Stages): Unit = {
         val o = pp.putObject(tag)
         o.put("pairs_sec", math.round(s.pairsSec * 1000) / 1000.0)
