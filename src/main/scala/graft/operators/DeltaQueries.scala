@@ -798,7 +798,51 @@ object DeltaQueries {
       .orderBy(col("grp"))
   }
 
+  /** VARIANT columns in the VALUE gate (dl29, `variantType` table feature
+    * — beyond delta-rs 0.29.4, which predates variant): semi-structured
+    * per-row metadata is THE 100 TB training-data shape (crawl headers,
+    * provenance blobs, per-doc labels) and VARIANT stores it binary-encoded
+    * without exploding the schema. Lifecycle exercised: v0 is a LEGACY
+    * (1,2)-protocol table; a mergeSchema append INTRODUCES the variant
+    * column, which must upgrade the protocol to reader3/writer7 +
+    * variantType in the SAME commit (a foreign reader without the feature
+    * cannot decode the binary encoding — spec); a copy-on-write DELETE
+    * then rewrites variant-carrying files (parquet re-encode roundtrip).
+    * The oracle replays the arithmetic from the raw fixture: rows from the
+    * legacy half have NULL meta, rows from the variant half carry
+    * `{"key":k,"nation":n,"tags":["a","b"]}` — `variant_get` sums and the
+    * tag-presence count break the hash on any encode/decode/rewrite
+    * drift. */
+  private def dl29Variant(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch()
+    val supplier = t(s, dir, "supplier")
+    DeltaWriter.write(supplier.filter(col("s_suppkey") % 2 === 0),
+      path, SaveMode.Append, Nil)
+    val withV = supplier.filter(col("s_suppkey") % 2 === 1)
+      .withColumn("meta", expr(
+        """parse_json(concat('{"key":', s_suppkey, ',"nation":', s_nationkey,
+           ',"tags":["a","b"]}'))"""))
+    DeltaWriter.write(withV, path, SaveMode.Append, Nil, mergeSchema = true)
+    graft.sources.delta.DeltaDml.delete(s, path, "s_suppkey % 10 = 3")
+    DeltaTable.read(s, path)
+      .groupBy((col("s_suppkey") % 4).cast("int").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        sum(expr("variant_get(meta, '$.key', 'bigint')")).as("vkey_sum"),
+        sum(expr("variant_get(meta, '$.nation', 'bigint')")).as("vnation_sum"),
+        count(expr("variant_get(meta, '$.tags[1]', 'string')")).as("n_tagged"))
+      .orderBy(col("grp"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dl29_variant" -> """
+      SELECT CAST(s_suppkey % 4 AS INT) AS grp, count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(sum(CASE WHEN s_suppkey % 2 = 1 THEN s_suppkey END) AS BIGINT) AS vkey_sum,
+             CAST(sum(CASE WHEN s_suppkey % 2 = 1 THEN s_nationkey END) AS BIGINT) AS vnation_sum,
+             count(CASE WHEN s_suppkey % 2 = 1 THEN 1 END) AS n_tagged
+      FROM supplier WHERE s_suppkey % 10 <> 3 GROUP BY 1 ORDER BY 1""",
     "dl28_clustered_table" -> """
       SELECT CAST(s_suppkey % 4 AS INT) AS grp, count(*) AS n,
              CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
@@ -1094,5 +1138,6 @@ object DeltaQueries {
     "dl25_checkpoint_replay" -> dl25CheckpointReplay,
     "dl26_identity_merge_restore" -> dl26IdentityMergeRestore,
     "dl27_row_tracking" -> dl27RowTracking,
-    "dl28_clustered_table" -> dl28ClusteredTable)
+    "dl28_clustered_table" -> dl28ClusteredTable,
+    "dl29_variant" -> dl29Variant)
 }

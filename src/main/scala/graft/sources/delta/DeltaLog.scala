@@ -882,7 +882,8 @@ object DeltaLog {
     * reader upcasts narrow files to the log schema's wider type).
     * Anything else still fails loudly. */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz", "typeWidening")
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
+      "typeWidening", "variantType")
 
   /** Writer capabilities this engine actually honors when committing
     * (see [[DeltaSnapshot.assertWritable]]): the legacy v2–v6 set —
@@ -892,15 +893,18 @@ object DeltaLog {
     * plus the table features it writes first-class — including
     * rowTracking/domainMetadata ([[RowTracking]]: every commit path
     * allocates baseRowIds and rewrites preserve materialized ids, which is
-    * what listing the feature promises). Notably ABSENT: icebergCompat*,
-    * variantType, collations — committing to tables that demand them must
-    * fail. */
+    * what listing the feature promises), and variantType (Spark-native
+    * VARIANT encode/decode rides the parquet scan; stats skipping treats
+    * variant as non-indexed — [[DeltaWriter.withTypedColumnFeatures]]
+    * stamps the feature on creation and evolution). Notably ABSENT:
+    * icebergCompat*, collations — committing to tables that demand them
+    * must fail. */
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "identityColumns",
       "deletionVectors", "v2Checkpoint", "timestampNtz", "typeWidening",
       "inCommitTimestamp", "allowColumnDefaults",
-      "rowTracking", "domainMetadata", "clustering")
+      "rowTracking", "domainMetadata", "clustering", "variantType")
 
   /** Checkpoint/sidecar `add` struct row → [[DeltaAddFile]] (tolerant of
     * absent optional fields across writer engines). */

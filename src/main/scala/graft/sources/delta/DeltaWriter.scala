@@ -39,6 +39,32 @@ object DeltaWriter {
       metrics.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v.toString) }
     }
 
+  /** Upgrade `proto` with the reader-writer table features the schema's
+    * column TYPES demand (spec): TIMESTAMP_NTZ → `timestampNtz` (a reader
+    * without it decodes the column with a UTC adjustment — silently wrong
+    * values), VARIANT → `variantType` (a reader without it cannot decode
+    * the binary encoding at all). Applied at table creation AND on every
+    * schema evolution, so a mergeSchema append that introduces such a
+    * column upgrades the protocol in the same commit. */
+  private def withTypedColumnFeatures(
+      proto: DeltaProtocol,
+      schema: StructType,
+      mappingActive: Boolean = false): DeltaProtocol = {
+    def has(dt: DataType)(pred: DataType => Boolean): Boolean = dt match {
+      case t if pred(t) => true
+      case s: StructType => s.fields.exists(f => has(f.dataType)(pred))
+      case a: ArrayType => has(a.elementType)(pred)
+      case m: MapType => has(m.keyType)(pred) || has(m.valueType)(pred)
+      case _ => false
+    }
+    var out = proto
+    if (has(schema)(_ == TimestampNTZType))
+      out = out.withReaderWriterFeature("timestampNtz", mappingActive)
+    if (has(schema)(_ == VariantType))
+      out = out.withReaderWriterFeature("variantType", mappingActive)
+    out
+  }
+
   /** Carry an add's provenance tags onto a RE-ADD node: operations that
     * re-register a file AS IT IS (RESTORE, SHALLOW/DEEP CLONE, DV attach)
     * must preserve `add.tags` — the file's bytes, and therefore its ZCube
@@ -535,25 +561,12 @@ object DeltaWriter {
 
       if (version == 0L) {
         val schema0 = withIdentityHwm(withGenMetadata(data1i.schema, genExprs))
-        def hasNtz(dt: DataType): Boolean = dt match {
-          case TimestampNTZType => true
-          case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
-          case a: ArrayType => hasNtz(a.elementType)
-          case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
-          case _ => false
-        }
         val protoLine = mapper.createObjectNode()
         val p = protoLine.putObject("protocol")
         // identity columns are legacy writer v6 — older writers would
         // append without maintaining the high water mark
         val legacy = DeltaProtocol(1, if (identityFields.nonEmpty) 6 else 2)
-        // a TIMESTAMP_NTZ column requires the timestampNtz reader-writer
-        // feature (spec): readers without it would decode the column with
-        // a UTC adjustment — protocol goes to table features at creation
-        val proto =
-          if (hasNtz(StructType(schema0.fields)))
-            legacy.withReaderWriterFeature("timestampNtz", mappingActive = false)
-          else legacy
+        val proto = withTypedColumnFeatures(legacy, StructType(schema0.fields))
         p.put("minReaderVersion", proto.minReaderVersion)
         p.put("minWriterVersion", proto.minWriterVersion)
         if (proto.minReaderVersion >= 3) {
@@ -568,6 +581,27 @@ object DeltaWriter {
         // metaData re-emission (same table id — replay is
         // last-metaData-wins): schema evolution and/or identity hwm advance
         val base = evolvedSchema.getOrElse(current.get.metadata.schema)
+        // schema evolution can INTRODUCE typed columns the table's current
+        // protocol cannot describe (mergeSchema adding a TIMESTAMP_NTZ or
+        // VARIANT column to a legacy (1,2) table): the same commit must
+        // upgrade the protocol, or a spec-conforming foreign reader would
+        // decode ntz with a UTC shift / refuse the table entirely
+        val curProto = current.get.protocol
+        val wanted = withTypedColumnFeatures(curProto, base,
+          mappingActive = current.get.metadata.hasColumnMapping)
+        if (wanted != curProto) {
+          val protoLine = mapper.createObjectNode()
+          val p = protoLine.putObject("protocol")
+          p.put("minReaderVersion", wanted.minReaderVersion)
+          p.put("minWriterVersion", wanted.minWriterVersion)
+          if (wanted.minReaderVersion >= 3) {
+            val rf = p.putArray("readerFeatures")
+            wanted.readerFeatures.toSeq.sorted.foreach(rf.add)
+            val wf = p.putArray("writerFeatures")
+            wanted.writerFeatures.toSeq.sorted.foreach(wf.add)
+          }
+          lines += mapper.writeValueAsString(protoLine)
+        }
         if (evolvedSchema.isDefined || identityNewHwm.nonEmpty)
           lines += metaLine(current.get.metadata.id, withIdentityHwm(base).json,
             current.get.metadata.configuration)

@@ -194,25 +194,34 @@ class ClusteringSuite extends AnyFunSuite {
   }
 
   test("ZCube provenance survives checkpoints on both replay planes") {
-    val d = dir("cp")
-    seed(d)
-    Clustering.clusterBy(spark, d, Seq("k"))
-    spark.sql(s"ALTER TABLE delta.`$d` SET TBLPROPERTIES " +
-      "('delta.clustering.minCubeSize'='1')")
-    DeltaMaintenance.optimize(spark, d)
-    val v = DeltaLog.snapshot(spark, d).version
-    DeltaWriter.writeCheckpoint(spark, d, v)
-    def tagsVisible(): Unit = {
-      val snap = DeltaLog.snapshot(spark, d)
-      assert(snap.files.forall(_.tags.contains(Clustering.TagZcubeId)),
-        "tags must replay out of the checkpoint, not just the JSON log")
-      // and the behavior they gate: post-checkpoint OPTIMIZE stays a no-op
-      val m = DeltaMaintenance.optimize(spark, d)
-      assert(m.filesRemoved === 0 && m.filesAdded === 0)
+    Seq(
+      // classic single-file AND the v2 + sidecar layout: the add structs
+      // live in different parquet files per policy, so both serializers
+      // must carry `tags`
+      "classic" -> "",
+      "v2_sidecar" ->
+        ", 'delta.checkpointPolicy'='v2', 'delta.checkpoint.partSize'='2'"
+    ).foreach { case (tag, extraProps) =>
+      val d = dir(s"cp-$tag")
+      seed(d)
+      Clustering.clusterBy(spark, d, Seq("k"))
+      spark.sql(s"ALTER TABLE delta.`$d` SET TBLPROPERTIES " +
+        s"('delta.clustering.minCubeSize'='1'$extraProps)")
+      DeltaMaintenance.optimize(spark, d)
+      val v = DeltaLog.snapshot(spark, d).version
+      DeltaWriter.writeCheckpoint(spark, d, v)
+      def tagsVisible(): Unit = {
+        val snap = DeltaLog.snapshot(spark, d)
+        assert(snap.files.forall(_.tags.contains(Clustering.TagZcubeId)),
+          s"[$tag] tags must replay out of the checkpoint, not just the JSON log")
+        // and the behavior they gate: post-checkpoint OPTIMIZE stays a no-op
+        val m = DeltaMaintenance.optimize(spark, d)
+        assert(m.filesRemoved === 0 && m.filesAdded === 0, s"[$tag]")
+      }
+      tagsVisible() // driver-map replay
+      try { DeltaLog.DistributedReplayMode = "always"; tagsVisible() }
+      finally DeltaLog.DistributedReplayMode = "auto"
     }
-    tagsVisible() // driver-map replay
-    try { DeltaLog.DistributedReplayMode = "always"; tagsVisible() }
-    finally DeltaLog.DistributedReplayMode = "auto"
   }
 
   test("OPTIMIZE FULL merges stable cubes back into one global order") {

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta.{DeltaLog, DeltaTable, DeltaWriter}
+
+/** VARIANT columns (`variantType` reader-writer table feature): the
+  * protocol plane dl29's oracle gate can't see. A variant column demands
+  * the feature in BOTH lists at reader version 3 — a reader without it
+  * cannot decode the binary encoding, so under-declaring silently strands
+  * foreign engines mid-table. Spec: Delta protocol variantType section;
+  * delta-rs 0.29.4 (`/root/reference/Cargo.toml:16`) predates the feature
+  * — exceed-the-reference. */
+class DeltaVariantSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dir(tag: String): String =
+    Files.createTempDirectory(s"graft-variant-$tag").toString
+
+  private def metaDf(n: Int) =
+    (0 until n).map(i => (i, s"d$i")).toDF("id", "name")
+      .withColumn("meta", expr(
+        """parse_json(concat('{"k":', id, ',"odd":', CAST(id % 2 = 1 AS STRING), '}'))"""))
+
+  test("creating a variant table declares reader3/writer7 + variantType") {
+    val d = dir("create")
+    DeltaWriter.write(metaDf(8), d, SaveMode.Append, Nil)
+    val snap = DeltaLog.snapshot(spark, d)
+    assert(snap.protocol.minReaderVersion === 3)
+    assert(snap.protocol.readerFeatures.contains("variantType"))
+    assert(snap.protocol.writerFeatures.contains("variantType"))
+    val got = DeltaTable.read(spark, d)
+      .select(col("id"), expr("variant_get(meta, '$.k', 'int')").as("k"),
+        expr("variant_get(meta, '$.odd', 'boolean')").as("odd"))
+      .orderBy("id").collect()
+    assert(got.map(_.getInt(1)).toSeq === (0 until 8))
+    assert(got.map(_.getBoolean(2)).toSeq === (0 until 8).map(_ % 2 == 1))
+  }
+
+  test("mergeSchema evolution introducing VARIANT upgrades the protocol in the same commit") {
+    val d = dir("evolve")
+    (0 until 4).map(i => (i, s"d$i")).toDF("id", "name")
+      .write.format("delta").save(d)
+    val before = DeltaLog.snapshot(spark, d)
+    assert(before.protocol.minReaderVersion === 1, "starts legacy")
+    DeltaWriter.write(metaDf(8).filter(col("id") >= 4), d, SaveMode.Append, Nil,
+      mergeSchema = true)
+    val after = DeltaLog.snapshot(spark, d)
+    assert(after.protocol.readerFeatures.contains("variantType") &&
+      after.protocol.writerFeatures.contains("variantType"),
+      "the evolution commit itself must carry the protocol upgrade")
+    // legacy rows read NULL meta; new rows decode
+    val n = DeltaTable.read(spark, d)
+      .filter(expr("variant_get(meta, '$.k', 'int')").isNotNull).count()
+    assert(n === 4)
+  }
+
+  test("copy-on-write rewrite re-encodes variant values losslessly; stats skip the column") {
+    val d = dir("rewrite")
+    DeltaWriter.write(metaDf(16), d, SaveMode.Append, Nil)
+    graft.sources.delta.DeltaDml.delete(spark, d, "id % 4 = 0")
+    val snap = DeltaLog.snapshot(spark, d)
+    // stats exist (numRecords + id bounds) but never index the variant col
+    assert(snap.files.forall(_.stats.exists(s =>
+      s.contains("\"id\"") && !s.contains("\"meta\""))))
+    val got = DeltaTable.read(spark, d)
+      .select(expr("variant_get(meta, '$.k', 'int')").as("k"))
+      .orderBy("k").collect().map(_.getInt(0)).toSeq
+    assert(got === (0 until 16).filter(_ % 4 != 0))
+  }
+}
