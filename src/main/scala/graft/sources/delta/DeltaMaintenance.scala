@@ -200,7 +200,7 @@ object DeltaMaintenance {
       if (cands.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)
       return zorderImpl(spark, tablePath, clusterCols, targetFileBytes,
         outputFiles = None, predicate = predicate,
-        candidatesOverride = Some((snap, cands)))
+        candidatesOverride = Some((snap, cands)), beforeCommit = beforeCommit)
     }
     val groups = filterByPartitionPredicate(spark, snap, snap.files, predicate)
       .filter(_.size < targetFileBytes)
@@ -291,7 +291,8 @@ object DeltaMaintenance {
       targetFileBytes: Long,
       outputFiles: Option[Int],
       predicate: Option[String],
-      candidatesOverride: Option[(DeltaSnapshot, Seq[DeltaAddFile])]): OptimizeMetrics = {
+      candidatesOverride: Option[(DeltaSnapshot, Seq[DeltaAddFile])],
+      beforeCommit: () => Unit = () => ()): OptimizeMetrics = {
     require(zorderBy.nonEmpty && zorderBy.size <= 4,
       s"ZORDER BY expects 1 to 4 columns, got ${zorderBy.size}")
     val snap = candidatesOverride.map(_._1)
@@ -380,6 +381,7 @@ object DeltaMaintenance {
 
     val (adds, fs) = stagePublish(spark, tablePath, snap, rewritten)
     val removed = candidates
+    beforeCommit()
     val committed = commitReplace(spark, tablePath, snap, fs, removed, adds,
       dataChange = false, op = "OPTIMIZE",
       params = Map("zOrderBy" -> zorderBy.mkString(","),

@@ -278,6 +278,30 @@ class ClusteringSuite extends AnyFunSuite {
       "a restored clustered table must not pay a full re-cluster")
   }
 
+  test("a concurrent re-declaration aborts an in-flight clustered OPTIMIZE") {
+    val d = dir("race")
+    seed(d)
+    Clustering.clusterBy(spark, d, Seq("k"))
+    // the rewrite stages clustered-on-k output, then loses the race to a
+    // CLUSTER BY (grp): its layout answers a declaration that no longer
+    // holds, so the conservative domain rule must abort it (scaladoc
+    // contract on [[Clustering]]) rather than commit a stale-keyed cube
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaMaintenance.optimize(spark, d, 128L << 20, None,
+        () => { Clustering.clusterBy(spark, d, Seq("grp")); () }, full = false)
+    }
+    val snap = DeltaLog.snapshot(spark, d)
+    assert(Clustering.clusteringColumnsOf(snap) === Seq("grp"),
+      "the winning re-declaration stands")
+    assert(snap.files.forall(f => !f.tags.contains(Clustering.TagZcubeId)),
+      "the aborted rewrite's adds never landed")
+    // the next OPTIMIZE clusters on the NEW declaration
+    val m = DeltaMaintenance.optimize(spark, d)
+    assert(m.filesRemoved === 16)
+    assert(DeltaLog.snapshot(spark, d).files
+      .forall(_.tags.get(Clustering.TagZorderBy).contains("grp")))
+  }
+
   test("CLONE carries the clustering declaration") {
     val d = dir("clone-src")
     seed(d, 16)
