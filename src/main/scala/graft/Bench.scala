@@ -180,7 +180,12 @@ object Bench {
         val workDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-scalecheck/sf1")
         ScaleCheck.generate(spark, sfDir, workDir, copies = 10)
         val javaBin = s"${sys.props("java.home")}/bin/java"
+        // mirror the parent's build.sbt -D surface (timezone above all:
+        // a child under the machine-default zone would plan the
+        // timestamp-heavy headliners differently than the sf0.1 pass)
         val cmd = Seq(javaBin) ++ JvmOpens.asArgv ++ Seq(
+          "-Dspark.ui.enabled=false",
+          "-Dspark.sql.session.timeZone=UTC",
           s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
           "-cp", sys.props("java.class.path"),
           "graft.BenchSf1Child", workDir, "2")

@@ -55,7 +55,30 @@ object Clustering {
   val MinCubeSizeKey = "delta.clustering.minCubeSize"
   val DefaultMinCubeSize: Long = 100L << 30
 
+  /** Deletion-vector debt bound (production's
+    * `delta.optimize.maxDeletedRowsRatio`, default 5%): a file whose DV
+    * hides more than this fraction of its rows rejoins the OPTIMIZE
+    * candidate set EVEN inside a stable cube — without it, stability would
+    * be a permanent exemption and DV-deleted rows in a stable cube would
+    * never be physically purged (unbounded read amplification, dead bytes
+    * still counting toward cube stability). */
+  val MaxDeletedRowsRatioKey = "delta.optimize.maxDeletedRowsRatio"
+  val DefaultMaxDeletedRowsRatio = 0.05
+
   private val mapper = new ObjectMapper()
+
+  /** True when `f`'s deletion vector hides more than `maxRatio` of its
+    * rows (numRecords from the file's stats; a DV'd file always has stats
+    * in this engine — absent stats conservatively count as indebted). */
+  private def dvDebt(f: DeltaAddFile, maxRatio: Double): Boolean =
+    f.deletionVector.exists { d =>
+      f.stats.forall { st =>
+        try {
+          val rows = mapper.readTree(st).path("numRecords").asLong()
+          rows <= 0 || d.cardinality.toDouble / rows > maxRatio
+        } catch { case _: Exception => true }
+      }
+    }
 
   /** Incremental clustered-OPTIMIZE candidate selection — the reason
     * clustering scales where repeated full rewrites don't. Files partition
@@ -77,8 +100,13 @@ object Clustering {
     val declPhys = clusterCols.map(snap.metadata.physicalOf).mkString(",")
     val minCube = snap.metadata.configuration.get(MinCubeSizeKey)
       .map(_.trim.toLong).getOrElse(DefaultMinCubeSize)
+    val maxDvRatio = snap.metadata.configuration.get(MaxDeletedRowsRatioKey)
+      .map(_.trim.toDouble).getOrElse(DefaultMaxDeletedRowsRatio)
+    // DV-indebted files are never stable: the rewrite reads through the DV,
+    // physically purging the hidden rows (the output carries no DV)
     val (matching, rest) = files.partition(f =>
-      f.tags.contains(TagZcubeId) && f.tags.get(TagZorderBy).contains(declPhys))
+      f.tags.contains(TagZcubeId) && f.tags.get(TagZorderBy).contains(declPhys) &&
+        !dvDebt(f, maxDvRatio))
     val unstableCubes = matching.groupBy(_.tags(TagZcubeId))
       .filter(_._2.map(_.size).sum < minCube)
     if (rest.isEmpty && unstableCubes.size <= 1) Nil
@@ -163,19 +191,7 @@ object Clustering {
 
       val proto = snap.protocol.withWriterFeatures(
         Set(Feature, RowTracking.DomainFeature))
-      if (proto != snap.protocol) {
-        val protoLine = mapper.createObjectNode()
-        val p = protoLine.putObject("protocol")
-        p.put("minReaderVersion", proto.minReaderVersion)
-        p.put("minWriterVersion", proto.minWriterVersion)
-        if (proto.minReaderVersion >= 3) {
-          val rf = p.putArray("readerFeatures")
-          proto.readerFeatures.toSeq.sorted.foreach(rf.add)
-        }
-        val wf = p.putArray("writerFeatures")
-        proto.writerFeatures.toSeq.sorted.foreach(wf.add)
-        lines += mapper.writeValueAsString(protoLine)
-      }
+      if (proto != snap.protocol) lines += DeltaWriter.protocolLine(proto)
       lines += domainLine(snap, cols)
 
       if (DeltaLog.tryCommit(spark, tablePath, version, lines.result().mkString("\n"))) {

@@ -156,15 +156,7 @@ object DeltaConstraints {
       // protocol upgrade (e.g. enabling column mapping bumps reader v1→v2)
       // rides in the same commit, before the metaData that relies on it
       newProtocol.filter(_ != current.protocol).foreach { p =>
-        val pLine = mapper.createObjectNode()
-        val pn2 = pLine.putObject("protocol")
-        pn2.put("minReaderVersion", p.minReaderVersion)
-        pn2.put("minWriterVersion", p.minWriterVersion)
-        if (p.readerFeatures.nonEmpty)
-          p.readerFeatures.toSeq.sorted.foldLeft(pn2.putArray("readerFeatures"))((a, f) => a.add(f))
-        if (p.writerFeatures.nonEmpty)
-          p.writerFeatures.toSeq.sorted.foldLeft(pn2.putArray("writerFeatures"))((a, f) => a.add(f))
-        lines += mapper.writeValueAsString(pLine)
+        lines += DeltaWriter.protocolLine(p)
       }
       val mdLine = mapper.createObjectNode()
       val m = mdLine.putObject("metaData")

@@ -544,21 +544,13 @@ object DeltaDml {
       // carrying the legacy writer capabilities forward explicitly
       val p0 = latest.protocol
       if (p0.minReaderVersion < 3 || !p0.readerFeatures.contains("deletionVectors")) {
-        val protoLine = mapper.createObjectNode()
-        val p = protoLine.putObject("protocol")
         // legacy capabilities become explicit features at (3, 7) — the
         // upgrade carries every implied one (column mapping,
         // changeDataFeed, constraints, …); dropping any would let
         // spec-conforming foreign writers corrupt the table
         val up = p0.withReaderWriterFeature("deletionVectors",
           mappingActive = latest.metadata.columnMappingMode != "none")
-        p.put("minReaderVersion", up.minReaderVersion)
-        p.put("minWriterVersion", up.minWriterVersion)
-        val rf = p.putArray("readerFeatures")
-        up.readerFeatures.toSeq.sorted.foreach(rf.add)
-        val wf = p.putArray("writerFeatures")
-        up.writerFeatures.toSeq.sorted.foreach(wf.add)
-        lines += mapper.writeValueAsString(protoLine)
+        lines += DeltaWriter.protocolLine(up)
       }
       (emptied ++ kept).foreach { f =>
         val rmLine = mapper.createObjectNode()

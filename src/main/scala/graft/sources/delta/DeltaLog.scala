@@ -234,7 +234,14 @@ final case class DeltaSnapshot(
     * its explicit feature list. Legacy column-level `delta.invariants`
     * expressions (pre-CHECK-constraint surface) are likewise refused
     * rather than silently ignored. */
-  def assertWritable(op: String): Unit = {
+  /** The PROTOCOL half of the writer gate: every listed writer capability
+    * is one this engine knows. This is what the spec's vacuumProtocolCheck
+    * asks of VACUUM — an unknown writer feature may reference physical
+    * files the live-set walk cannot see, so deletion must refuse; but the
+    * row-validation concerns below (legacy invariants expressions) are
+    * irrelevant to deleting unreferenced files, and folding them in would
+    * refuse cleanup on tables that are readable-but-not-row-writable. */
+  def assertKnownWriterFeatures(op: String): Unit = {
     val proto = protocol
     if (proto.minWriterVersion > 7) throw new UnsupportedOperationException(
       s"$op on $tablePath requires Delta writer version ${proto.minWriterVersion}; " +
@@ -246,6 +253,10 @@ final case class DeltaSnapshot(
           s"${unsupported.toSeq.sorted.mkString(", ")}; supported: " +
           DeltaLog.SupportedWriterFeatures.toSeq.sorted.mkString(", "))
     }
+  }
+
+  def assertWritable(op: String): Unit = {
+    assertKnownWriterFeatures(op)
     def hasInvariants(dt: DataType): Boolean = dt match {
       case s: StructType => s.fields.exists(f =>
         f.metadata.contains("delta.invariants") || hasInvariants(f.dataType))
@@ -883,7 +894,7 @@ object DeltaLog {
     * Anything else still fails loudly. */
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
-      "typeWidening", "variantType")
+      "typeWidening", "variantType", "vacuumProtocolCheck")
 
   /** Writer capabilities this engine actually honors when committing
     * (see [[DeltaSnapshot.assertWritable]]): the legacy v2–v6 set —
@@ -904,7 +915,8 @@ object DeltaLog {
       "generatedColumns", "columnMapping", "identityColumns",
       "deletionVectors", "v2Checkpoint", "timestampNtz", "typeWidening",
       "inCommitTimestamp", "allowColumnDefaults",
-      "rowTracking", "domainMetadata", "clustering", "variantType")
+      "rowTracking", "domainMetadata", "clustering", "variantType",
+      "vacuumProtocolCheck")
 
   /** Checkpoint/sidecar `add` struct row → [[DeltaAddFile]] (tolerant of
     * absent optional fields across writer engines). */

@@ -585,6 +585,16 @@ object DeltaMaintenance {
       tablePath: String,
       retentionMs: Long)(onEligible: Path => Unit): Unit = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    // the spec's vacuumProtocolCheck contract (supported feature): VACUUM
+    // must verify it understands the table's WRITER protocol before
+    // deleting anything — an unknown writer feature may reference physical
+    // files in ways this walk cannot see (the way deletionVectors would
+    // look like orphans to a DV-blind vacuum), and "unreferenced" is only
+    // as good as the feature list it was computed under. The check is the
+    // PROTOCOL half only: legacy-invariants row validation is irrelevant
+    // to deleting unreferenced files. Shared with DRY RUN so the audit can
+    // never claim deletions the real run would refuse.
+    snap.assertKnownWriterFeatures("VACUUM")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val live: Set[String] =
@@ -689,8 +699,16 @@ object DeltaMaintenance {
     while (committed < 0 && attempt < 20) {
       val current = DeltaLog.snapshot(spark, tablePath)
       if (current.version == toVersion) return current.version // no-op
-      val currentPaths = current.files.map(_.path).toSet
-      val targetPaths = target.files.map(_.path).toSet
+      // file identity for the diff is (path, deletionVector): a DV attach
+      // between toVersion and now keeps the path but hides rows — a
+      // path-only diff would keep the CURRENT (DV'd) add and the restore
+      // would silently serve the post-delete row set. Same-path
+      // remove+add in one commit nets to the add (replay applies removes
+      // first), so the DV'd form is replaced by the target's form.
+      def fileKey(f: DeltaAddFile): (String, Option[DvDescriptor]) =
+        (f.path, f.deletionVector)
+      val currentPaths = current.files.map(fileKey).toSet
+      val targetPaths = target.files.map(fileKey).toSet
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
       val ci = ciLine.putObject("commitInfo")
@@ -740,7 +758,7 @@ object DeltaMaintenance {
       val cfg = m.putObject("configuration")
       target.metadata.configuration.foreach { case (k, v) => cfg.put(k, v) }
       lines += mapper.writeValueAsString(mdLine)
-      current.files.filterNot(f => targetPaths.contains(f.path)).foreach { f =>
+      current.files.filterNot(f => targetPaths.contains(fileKey(f))).foreach { f =>
         val rm = mapper.createObjectNode()
         val r = rm.putObject("remove")
         r.put("path", f.path)
@@ -748,7 +766,7 @@ object DeltaMaintenance {
         r.put("dataChange", true)
         lines += mapper.writeValueAsString(rm)
       }
-      target.files.filterNot(f => currentPaths.contains(f.path)).foreach { f =>
+      target.files.filterNot(f => currentPaths.contains(fileKey(f))).foreach { f =>
         val ad = mapper.createObjectNode()
         val a = ad.putObject("add")
         a.put("path", f.path)
@@ -953,19 +971,7 @@ object DeltaMaintenance {
         p0.withReaderWriterFeature("deletionVectors",
           mappingActive = src.metadata.columnMappingMode != "none")
       else p0
-    val protoLine = mapper.createObjectNode()
-    val proto = protoLine.putObject("protocol")
-    proto.put("minReaderVersion", p.minReaderVersion)
-    proto.put("minWriterVersion", p.minWriterVersion)
-    if (p.minReaderVersion >= 3) {
-      val rf = proto.putArray("readerFeatures")
-      p.readerFeatures.toSeq.sorted.foreach(rf.add)
-    }
-    if (p.minWriterVersion >= 7) {
-      val wf = proto.putArray("writerFeatures")
-      p.writerFeatures.toSeq.sorted.foreach(wf.add)
-    }
-    mapper.writeValueAsString(protoLine)
+    DeltaWriter.protocolLine(p)
   }
 
   /** `CREATE TABLE t DEEP CLONE s`: an independent physical copy — every
@@ -1215,11 +1221,7 @@ object DeltaMaintenance {
     params.put("numFiles", all.size.toLong)
     ci.put("engineInfo", "graft-spark/0.1.0")
     lines += mapper.writeValueAsString(ciLine)
-    val protoLine = mapper.createObjectNode()
-    val proto = protoLine.putObject("protocol")
-    proto.put("minReaderVersion", 1)
-    proto.put("minWriterVersion", 2)
-    lines += mapper.writeValueAsString(protoLine)
+    lines += DeltaWriter.protocolLine(DeltaProtocol(1, 2))
     val metaLine = mapper.createObjectNode()
     val m = metaLine.putObject("metaData")
     m.put("id", UUID.randomUUID().toString)

@@ -39,6 +39,27 @@ object DeltaWriter {
       metrics.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v.toString) }
     }
 
+  /** One `protocol` action line (spec serialization: `readerFeatures`
+    * present iff minReaderVersion ≥ 3, `writerFeatures` iff
+    * minWriterVersion ≥ 7, both sorted). EVERY protocol-emitting commit
+    * path serializes through here — eight hand-rolled copies had already
+    * started to drift in their feature-array gating. */
+  private[delta] def protocolLine(proto: DeltaProtocol): String = {
+    val node = mapper.createObjectNode()
+    val p = node.putObject("protocol")
+    p.put("minReaderVersion", proto.minReaderVersion)
+    p.put("minWriterVersion", proto.minWriterVersion)
+    if (proto.minReaderVersion >= 3) {
+      val rf = p.putArray("readerFeatures")
+      proto.readerFeatures.toSeq.sorted.foreach(rf.add)
+    }
+    if (proto.minWriterVersion >= 7) {
+      val wf = p.putArray("writerFeatures")
+      proto.writerFeatures.toSeq.sorted.foreach(wf.add)
+    }
+    mapper.writeValueAsString(node)
+  }
+
   /** Upgrade `proto` with the reader-writer table features the schema's
     * column TYPES demand (spec): TIMESTAMP_NTZ → `timestampNtz` (a reader
     * without it decodes the column with a UTC adjustment — silently wrong
@@ -561,21 +582,11 @@ object DeltaWriter {
 
       if (version == 0L) {
         val schema0 = withIdentityHwm(withGenMetadata(data1i.schema, genExprs))
-        val protoLine = mapper.createObjectNode()
-        val p = protoLine.putObject("protocol")
         // identity columns are legacy writer v6 — older writers would
         // append without maintaining the high water mark
         val legacy = DeltaProtocol(1, if (identityFields.nonEmpty) 6 else 2)
         val proto = withTypedColumnFeatures(legacy, StructType(schema0.fields))
-        p.put("minReaderVersion", proto.minReaderVersion)
-        p.put("minWriterVersion", proto.minWriterVersion)
-        if (proto.minReaderVersion >= 3) {
-          val rf = p.putArray("readerFeatures")
-          proto.readerFeatures.toSeq.sorted.foreach(rf.add)
-          val wf = p.putArray("writerFeatures")
-          proto.writerFeatures.toSeq.sorted.foreach(wf.add)
-        }
-        lines += mapper.writeValueAsString(protoLine)
+        lines += protocolLine(proto)
         lines += metaLine(UUID.randomUUID().toString, schema0.json, Map.empty)
       } else {
         // metaData re-emission (same table id — replay is
@@ -589,19 +600,7 @@ object DeltaWriter {
         val curProto = current.get.protocol
         val wanted = withTypedColumnFeatures(curProto, base,
           mappingActive = current.get.metadata.hasColumnMapping)
-        if (wanted != curProto) {
-          val protoLine = mapper.createObjectNode()
-          val p = protoLine.putObject("protocol")
-          p.put("minReaderVersion", wanted.minReaderVersion)
-          p.put("minWriterVersion", wanted.minWriterVersion)
-          if (wanted.minReaderVersion >= 3) {
-            val rf = p.putArray("readerFeatures")
-            wanted.readerFeatures.toSeq.sorted.foreach(rf.add)
-            val wf = p.putArray("writerFeatures")
-            wanted.writerFeatures.toSeq.sorted.foreach(wf.add)
-          }
-          lines += mapper.writeValueAsString(protoLine)
-        }
+        if (wanted != curProto) lines += protocolLine(wanted)
         if (evolvedSchema.isDefined || identityNewHwm.nonEmpty)
           lines += metaLine(current.get.metadata.id, withIdentityHwm(base).json,
             current.get.metadata.configuration)

@@ -592,6 +592,12 @@ case class DeltaOptimizeCommand(
   override val output: Seq[Attribute] =
     GraftSqlCommands.longAttrs("files_removed", "files_added", "committed_version")
   override def run(spark: SparkSession): Seq[Row] = {
+    // invariant held HERE, not only in the SQL regex: the command is a
+    // public case class, and a programmatic construction with both set
+    // must fail loudly instead of silently dropping FULL
+    require(!(full && zorderBy.nonEmpty),
+      "OPTIMIZE FULL names no columns (it re-clusters on the table's " +
+        "CLUSTER BY declaration); drop FULL or the ZORDER BY clause")
     val m = zorderBy match {
       case Some(cols) => DeltaMaintenance.zorder(spark, path, cols, predicate = where)
       case None => DeltaMaintenance.optimize(spark, path, predicate = where, full = full)

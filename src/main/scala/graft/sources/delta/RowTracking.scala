@@ -237,18 +237,8 @@ object RowTracking {
       ci.put("engineInfo", "graft-spark/0.1.0")
       lines += mapper.writeValueAsString(commitInfo)
 
-      val protoLine = mapper.createObjectNode()
-      val p = protoLine.putObject("protocol")
       val proto = snap.protocol.withWriterFeatures(Set(Feature, DomainFeature))
-      p.put("minReaderVersion", proto.minReaderVersion)
-      p.put("minWriterVersion", proto.minWriterVersion)
-      if (proto.minReaderVersion >= 3) {
-        val rf = p.putArray("readerFeatures")
-        proto.readerFeatures.toSeq.sorted.foreach(rf.add)
-      }
-      val wf = p.putArray("writerFeatures")
-      proto.writerFeatures.toSeq.sorted.foreach(wf.add)
-      lines += mapper.writeValueAsString(protoLine)
+      lines += DeltaWriter.protocolLine(proto)
 
       // config: enablement + materialized column names (generated ONCE —
       // rewrites key their physical columns on these forever after)

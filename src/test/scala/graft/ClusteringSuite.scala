@@ -250,7 +250,7 @@ class ClusteringSuite extends AnyFunSuite {
 
   test("ZCube provenance survives DV attach, CLONE and RESTORE") {
     val d = dir("carry")
-    seed(d, 16)
+    seed(d)
     Clustering.clusterBy(spark, d, Seq("k"))
     spark.sql(s"ALTER TABLE delta.`$d` SET TBLPROPERTIES " +
       "('delta.clustering.minCubeSize'='1')")
@@ -259,10 +259,11 @@ class ClusteringSuite extends AnyFunSuite {
     def allTagged(path: String): Boolean =
       DeltaLog.snapshot(spark, path).files.forall(_.tags.contains(Clustering.TagZcubeId))
     // DV attach re-adds the same physical file: provenance must ride along
-    graft.sources.delta.DeltaDml.deleteWithDv(spark, d, "k % 16 = 3")
+    // (1/64 deleted = below the 5% debt bound, so stability holds too)
+    graft.sources.delta.DeltaDml.deleteWithDv(spark, d, "k % 64 = 3")
     assert(allTagged(d), "DV attach dropped the ZCube tags")
     val mDv = DeltaMaintenance.optimize(spark, d)
-    assert(mDv.filesRemoved === 0, "a DV'd clustered file must stay stable")
+    assert(mDv.filesRemoved === 0, "a lightly-DV'd clustered file stays stable")
     // clone shares the files: the target starts with provenance intact
     val tgt = dir("carry-tgt") + "/t"
     DeltaMaintenance.shallowClone(spark, d, tgt)
@@ -300,6 +301,42 @@ class ClusteringSuite extends AnyFunSuite {
     assert(m.filesRemoved === 16)
     assert(DeltaLog.snapshot(spark, d).files
       .forall(_.tags.get(Clustering.TagZorderBy).contains("grp")))
+  }
+
+  test("DV debt destabilizes a stable cube: OPTIMIZE physically purges hidden rows") {
+    val d = dir("dvdebt")
+    seed(d) // 64 rows
+    Clustering.clusterBy(spark, d, Seq("k"))
+    spark.sql(s"ALTER TABLE delta.`$d` SET TBLPROPERTIES " +
+      "('delta.clustering.minCubeSize'='1')")
+    DeltaMaintenance.optimize(spark, d) // stable cube
+    assert(DeltaMaintenance.optimize(spark, d).filesRemoved === 0)
+    // 16/64 = 25% hidden — far past the 5% maxDeletedRowsRatio bound: the
+    // file must rejoin the candidate set despite its stable cube, and the
+    // rewrite reads through the DV (physical purge, no DV on the output)
+    graft.sources.delta.DeltaDml.deleteWithDv(spark, d, "k % 4 = 0")
+    val m = DeltaMaintenance.optimize(spark, d)
+    assert(m.filesRemoved === 1 && m.filesAdded >= 1,
+      "a DV-indebted stable file must be rewritten")
+    val snap = DeltaLog.snapshot(spark, d)
+    assert(snap.files.forall(_.deletionVector.isEmpty), "rows purged physically")
+    assert(DeltaTable.read(spark, d).count() === 48)
+    assert(DeltaMaintenance.optimize(spark, d).filesRemoved === 0, "stable again")
+  }
+
+  test("RESTORE to a pre-DV version resurrects the hidden rows") {
+    val d = dir("dvrestore")
+    seed(d, 32)
+    val v0 = DeltaLog.snapshot(spark, d).version
+    graft.sources.delta.DeltaDml.deleteWithDv(spark, d, "k % 4 = 1")
+    assert(DeltaTable.read(spark, d).count() === 24)
+    // the DV attach kept the PATH — a path-only restore diff would keep
+    // the DV'd add and silently serve the post-delete row set forever
+    graft.sources.delta.DeltaMaintenance.restore(spark, d, v0)
+    val snap = DeltaLog.snapshot(spark, d)
+    assert(snap.files.forall(_.deletionVector.isEmpty),
+      "restore must swap the DV'd add back to the target's DV-free form")
+    assert(DeltaTable.read(spark, d).count() === 32)
   }
 
   test("CLONE carries the clustering declaration") {

@@ -296,14 +296,14 @@ class DeletionVectorSuite extends AnyFunSuite {
     val logDir = DeltaLog.logDir(path)
     val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(new org.apache.hadoop.fs.Path(logDir, f"${1L}%020d.json"), false)
-    // variantType is real but unimplemented here (v2Checkpoint/timestampNtz/
-    // typeWidening graduated into SupportedReaderFeatures)
+    // collations is real but unimplemented here (v2Checkpoint/timestampNtz/
+    // typeWidening/variantType all graduated into SupportedReaderFeatures)
     out.write(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}"""
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations"],"writerFeatures":["collations"]}}"""
         .getBytes("UTF-8"))
     out.close()
     val e = intercept[UnsupportedOperationException](DeltaTable.read(spark, path).count())
-    assert(e.getMessage.contains("variantType"))
+    assert(e.getMessage.contains("collations"))
   }
 
   test("concurrent modification of a touched file aborts the DV commit") {

@@ -132,6 +132,38 @@ class DeltaMaintenanceSuite extends AnyFunSuite {
     assert(ops.contains((3L, "RESTORE")))
   }
 
+  test("VACUUM protocol-checks before deleting (vacuumProtocolCheck contract)") {
+    val dir = freshTable()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def protoLine(reader: Seq[String], writer: Seq[String]): String = {
+      val pLine = mapper.createObjectNode()
+      val p = pLine.putObject("protocol")
+      p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+      val rf = p.putArray("readerFeatures"); reader.foreach(rf.add)
+      val wf = p.putArray("writerFeatures"); writer.foreach(wf.add)
+      mapper.writeValueAsString(pLine)
+    }
+    // a foreign table DEMANDING the check (feature in both lists) stays
+    // vacuumable by this engine — the check is implemented, not just listed
+    val v1 = DeltaLog.snapshot(spark, dir).version + 1
+    assert(DeltaLog.tryCommit(spark, dir, v1, protoLine(
+      Seq("vacuumProtocolCheck"), Seq("vacuumProtocolCheck", "appendOnly"))))
+    DeltaMaintenance.vacuumDryRun(spark, dir) // no throw
+    // an UNKNOWN writer feature may reference physical files this walk
+    // cannot see — both the audit and the deletion must refuse upfront
+    assert(DeltaLog.tryCommit(spark, dir, v1 + 1, protoLine(
+      Seq("vacuumProtocolCheck"),
+      Seq("vacuumProtocolCheck", "futureBlobRefs"))))
+    intercept[UnsupportedOperationException] {
+      DeltaMaintenance.vacuumDryRun(spark, dir)
+    }
+    intercept[UnsupportedOperationException] {
+      DeltaMaintenance.vacuum(spark, dir, retentionMs = 0L)
+    }
+    // nothing was deleted by the refused run
+    assert(DeltaTable.read(spark, dir).count() > 0)
+  }
+
   test("vacuum deletes aged-out unreferenced files; current reads survive") {
     val dir = freshTable()
     val before = DeltaLog.snapshot(spark, dir)
