@@ -61,6 +61,26 @@ class DeltaVariantSuite extends AnyFunSuite {
     assert(n === 4)
   }
 
+  test("streaming source serves variant columns decoded, exactly once") {
+    val d = dir("stream")
+    DeltaWriter.write(metaDf(4), d, SaveMode.Append, Nil)
+    val q = spark.readStream.format("delta").load(d)
+      .selectExpr("id", "variant_get(meta, '$.k', 'int') AS k")
+      .writeStream.format("memory").queryName("variant_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-variant-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("variant_stream").count() === 4)
+      DeltaWriter.write(metaDf(8).filter(col("id") >= 4), d, SaveMode.Append, Nil)
+      q.processAllAvailable()
+      val got = spark.table("variant_stream").orderBy("id")
+        .collect().map(_.getInt(1)).toSeq
+      assert(got === (0 until 8), "binary-encoded values decode through the stream")
+    } finally q.stop()
+  }
+
   test("copy-on-write rewrite re-encodes variant values losslessly; stats skip the column") {
     val d = dir("rewrite")
     DeltaWriter.write(metaDf(16), d, SaveMode.Append, Nil)
