@@ -3,6 +3,22 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** ONE parallelism default for every measurement harness (Bench, its
+    * sf1 child, Verify, ScaleCheck, BoundedHeapProbe): 32, matching the
+    * driver's local[32] contract. r16's split defaults (Bench/Verify 4 vs
+    * ScaleCheck 32) made the recorded sf1 anchor a 4-core artifact — dd02
+    * read 26.3s where the same plan costs 5.1s at local[32] — and
+    * invalidated every cross-harness compare. Override via
+    * SPARK_GRAFT_CPUS; whatever the value, [[planeExtra]] stamps it into
+    * every emitted JSON line so each number says what plane it certifies. */
+  private[graft] def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** The plane fields every bench JSON line carries (the r16 verdict's
+    * fix): a number without its master/shuffle-partitions context cannot
+    * be compared across harnesses or rounds. */
+  private[graft] def planeExtra(cpus: String): String =
+    s""""master":"local[$cpus]","shuffle_partitions":$cpus,"""
+
   /** One measured pass over `names` at `sfDir`: min-over-interleaved-reps
     * per query plus the calibration-anchor stats for the pass window. */
   private[graft] case class Pass(
@@ -120,16 +136,11 @@ object Bench {
     * (negative = omit the per-query map, header stats kept); `extra` is
     * an optional pre-rendered `"key":value,` fragment spliced before the
     * trailing "sf" field. */
-  private[graft] def lineOf(p: Pass, scale: Int, extra: String = ""): String = {
-    val ok = p.results.filter(_._2 >= 0)
-    val total = ok.map(_._2).sum
-    val failed = p.results.count(_._2 < 0)
-    val spreads = ok.map(_._3)
-    val spreadMax = if (spreads.isEmpty) 1.0 else spreads.max
-    val spreadQ = ok.sortBy(-_._3).headOption
-      .map(_._1.takeWhile(_ != '_')).getOrElse("")
-    val spreadMed = if (spreads.isEmpty) 1.0 else spreads.sorted.apply(spreads.size / 2)
-    val qs = if (scale < 0) "{}" else p.results.map { case (k, v, _) =>
+  private[graft] def lineOf(p: Pass, scale: Int, extra: String = ""): String =
+    render(p, s""""queries":${secondsMap(p, scale)},""", extra)
+
+  private def secondsMap(p: Pass, scale: Int): String =
+    if (scale < 0) "{}" else p.results.map { case (k, v, _) =>
       val s = if (v < 0) "-1" else {
         // trim trailing zeros ("3.40"→"3.4", "2.00"→"2") — with 150+ queries
         // every byte of the final line counts against the capture window
@@ -138,12 +149,44 @@ object Bench {
       }
       "\"" + k.takeWhile(_ != '_') + "\":" + s
     }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"reps":${p.reps},"spread_max":${ms(spreadMax)},"spread_max_q":"$spreadQ","spread_med":${ms(spreadMed)},"anchor_min":${ms(p.aMin)},"anchor_max":${ms(p.aMax)},"anchor_spread":${ms(p.aSpread)},"queries":$qs,$extra"sf":"${p.sfDir}"}"""
+
+  /** Decisecond integer map fragment: "dd2":42 = dd02 took 4.2s; crashed
+    * reps stay -1. ~9 chars/entry keeps all 160+ queries inside the tail
+    * budget at the 0.1s precision the cross-round compare actually uses. */
+  private[graft] def dsMapOf(p: Pass): String = p.results.map { case (k, v, _) =>
+    val ds = if (v < 0) -1L else math.round(v * 10)
+    "\"" + shortKey(k) + "\":" + ds
+  }.mkString(""""q_unit":"ds","queries_ds":{""", ",", "},")
+
+  /** ds-map key shortening: family prefix with the index's leading zeros
+    * stripped (unambiguous: no family has both "x1" and "x01") — with 160+
+    * entries each saved byte matters. Shared with BenchEmissionSuite's
+    * uniqueness pin so production and test cannot drift apart. */
+  private val ZeroPad = "([a-z]+)0+([1-9][0-9]*)".r
+  private[graft] def shortKey(name: String): String =
+    name.takeWhile(_ != '_') match {
+      case ZeroPad(fam, idx) => fam + idx
+      case other => other
+    }
+
+  /** Shared line skeleton: header stats + a pre-rendered queries fragment
+    * (seconds map OR ds map — STRUCTURAL, never post-hoc string surgery on
+    * a rendered line) + `extra` + the sf tail. */
+  private def render(p: Pass, qsFragment: String, extra: String): String = {
+    val ok = p.results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    val failed = p.results.count(_._2 < 0)
+    val spreads = ok.map(_._3)
+    val spreadMax = if (spreads.isEmpty) 1.0 else spreads.max
+    val spreadQ = ok.sortBy(-_._3).headOption
+      .map(_._1.takeWhile(_ != '_')).getOrElse("")
+    val spreadMed = if (spreads.isEmpty) 1.0 else spreads.sorted.apply(spreads.size / 2)
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"reps":${p.reps},"spread_max":${ms(spreadMax)},"spread_max_q":"$spreadQ","spread_med":${ms(spreadMed)},"anchor_min":${ms(p.aMin)},"anchor_max":${ms(p.aMax)},"anchor_spread":${ms(p.aSpread)},$qsFragment$extra"sf":"${p.sfDir}"}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = defaultCpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -174,8 +217,13 @@ object Bench {
     // ScaleCheck); the MEASUREMENT runs in a fresh process with the same
     // heap, like a real cluster's fresh executors would. Skipped for
     // targeted local runs (SPARK_GRAFT_ONLY) or with SPARK_GRAFT_SF1=0.
-    val sf1Line: Option[String] =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("0")) None
+    // Left(reason) = no sf1 pass, and WHY — the final line carries the
+    // marker so a crashed anchor is distinguishable from a disabled one
+    // (the r16 ADVICE: a silently-missing sf1 key blinded cross-round
+    // compares to child-JVM failures).
+    val sf1Line: Either[String, String] =
+      if (only.nonEmpty) Left("targeted_run")
+      else if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Left("disabled")
       else try {
         val workDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-scalecheck/sf1")
         ScaleCheck.generate(spark, sfDir, workDir, copies = 10)
@@ -188,7 +236,10 @@ object Bench {
           "-Dspark.sql.session.timeZone=UTC",
           s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
           "-cp", sys.props("java.class.path"),
-          "graft.BenchSf1Child", workDir, "2")
+          "graft.BenchSf1Child", workDir,
+          // the child honors the same reps knob the parent would (r16
+          // ADVICE: a hardcoded argv diverged from SPARK_GRAFT_REPS)
+          sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "2"))
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectErrorStream(true)
         val proc = pb.start()
@@ -198,8 +249,10 @@ object Bench {
           out.linesIterator.toSeq.takeRight(10).mkString("\n"))
         out.linesIterator.toSeq.reverse
           .collectFirst { case l if l.startsWith("SF1PASS ") => l.stripPrefix("SF1PASS ") }
+          .toRight("no SF1PASS line from child")
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] sf1 pass skipped: ${e.getMessage}"); None
+        System.err.println(s"[bench] sf1 pass skipped: ${e.getMessage}")
+        Left(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
       }
 
     // The driver records a 2000-char TAIL of stdout and sbt spends ~70 of
@@ -214,10 +267,11 @@ object Bench {
     // ends in a DECISECOND integer map (`"q_unit":"ds"`, value 42 = 4.2s)
     // — ~9 chars/entry keeps every query visible at the 0.1s precision the
     // cross-round compare actually uses.
-    println(lineOf(main, 3))
+    val plane = planeExtra(cpus)
+    println(lineOf(main, 3, plane))
     sf1Line.foreach(println)
     val sf1Parsed: Option[(Double, Double, Int, Seq[(String, Double)])] =
-      sf1Line.flatMap { l =>
+      sf1Line.toOption.flatMap { l =>
         try {
           val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
           val qs = Seq.newBuilder[(String, Double)]
@@ -233,8 +287,14 @@ object Bench {
         else qs.sortBy(-_._2).take(topQueries).map { case (k, v) =>
           "\"" + k + "\":" + ms(v) }.mkString(""","queries":{""", ",", "}")
       s""""sf1":{"total":${ms(total)},"anchor_spread":${ms(aSpread)},"reps":$reps$qPart},"""
-    }.getOrElse("")
-    println(finalLine(main, sf1Extra))
+    }.getOrElse {
+      // explicit skip marker: a missing/unparseable sf1 pass must be
+      // VISIBLE to the driver parse, never a silently-absent key
+      val reason = sf1Line.left.getOrElse("unparseable child line")
+        .linesIterator.mkString(" ").replaceAll("[\"\\\\]", "'").take(60)
+      s""""sf1":{"skipped":"$reason"},"""
+    }
+    println(finalLine(main, n => plane + sf1Extra(n)))
     spark.stop()
   }
 
@@ -243,20 +303,10 @@ object Bench {
     * map while a ds map would fit (the r15 regression). Exposed for the
     * emission-contract spec. */
   private[graft] def finalLine(main: Pass, sf1Extra: Int => String): String = {
-    // decisecond integer map: "dd2":42 = dd02 took 4.2s; crashed reps stay
-    // -1. Keys drop the index's leading zero (unambiguous: no family has
-    // both "x1" and "x01") — with 158 entries each saved byte matters.
-    val ZeroPad = "([a-z]+)0+([1-9][0-9]*)".r
-    def dsMap(p: Pass): String = p.results.map { case (k, v, _) =>
-      val ds = if (v < 0) -1L else math.round(v * 10)
-      val short = k.takeWhile(_ != '_') match {
-        case ZeroPad(fam, idx) => fam + idx
-        case other => other
-      }
-      "\"" + short + "\":" + ds
-    }.mkString(""""q_unit":"ds","queries_ds":{""", ",", "},")
-    def dsLine(extra: String): String =
-      lineOf(main, -1, extra).replace(""""queries":{},""", dsMap(main))
+    // the ds rung is emitted STRUCTURALLY via render (r16 ADVICE: the old
+    // string-replace of `"queries":{},` would turn into a silent no-op if
+    // the empty-map rendering ever changed)
+    def dsLine(extra: String): String = render(main, dsMapOf(main), extra)
     val candidates =
       Seq(3, 2, 1).map(s => lineOf(main, s, sf1Extra(6))) ++
         Seq(dsLine(sf1Extra(6)), dsLine(sf1Extra(0)),
@@ -278,7 +328,7 @@ object BenchSf1Child {
   def main(args: Array[String]): Unit = {
     val workDir = args(0)
     val reps = args(1).toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = Bench.defaultCpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -294,8 +344,10 @@ object BenchSf1Child {
     // spread on a quiet machine) — drop it like the parent's first pass
     val p = Bench.runPass(spark, workDir, subset, reps, dropFirstAnchor = true)
     // "plane" says what this line certifies: a fresh process, so plan cost
-    // — NOT the parent's post-158-query JVM state (the r15 ambiguity)
-    println("SF1PASS " + Bench.lineOf(p, 3, """"plane":"fresh_jvm","""))
+    // — NOT the parent's post-158-query JVM state (the r15 ambiguity) —
+    // at the stamped master/shuffle parallelism (the r16 ambiguity)
+    println("SF1PASS " + Bench.lineOf(p, 3,
+      """"plane":"fresh_jvm",""" + Bench.planeExtra(cpus)))
     spark.stop()
   }
 }

@@ -42,7 +42,7 @@ object ScaleCheck {
     val outPath = args.lift(2).getOrElse("SCALECHECK.json")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = Bench.defaultCpus
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -512,7 +512,7 @@ object BoundedHeapProbe {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = args(1)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = Bench.defaultCpus
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

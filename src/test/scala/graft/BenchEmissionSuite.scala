@@ -33,9 +33,13 @@ class BenchEmissionSuite extends AnyFunSuite {
     s""""sf1":{"total":48.094,"anchor_spread":1.410,"reps":2$qs},"""
   }
 
+  // the production composition: plane fields ride EVERY candidate rung
+  private def extraWithPlane(top: Int): String =
+    Bench.planeExtra(Bench.defaultCpus) + sf1Extra(top)
+
   test("final line fits the tail budget and keeps EVERY per-query value") {
     Seq(true, false).foreach { spike =>
-      val line = Bench.finalLine(pass(spike), sf1Extra)
+      val line = Bench.finalLine(pass(spike), extraWithPlane)
       assert(line.length <= Bench.TailBudget,
         s"final line is ${line.length} chars (budget ${Bench.TailBudget})")
       val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
@@ -47,19 +51,24 @@ class BenchEmissionSuite extends AnyFunSuite {
       assert(n.path("sf1").path("total").asDouble() > 0, "sf1 summary embedded")
       assert(n.path("anchor_spread").asDouble() > 0)
       assert(n.path("value").asDouble() > 0)
+      // plane fields (r16 verdict #1): every number names its plane
+      assert(n.path("master").asText().startsWith("local["))
+      assert(n.path("shuffle_partitions").asInt() > 0)
     }
   }
 
+  test("a skipped sf1 anchor is an explicit marker, never a missing key") {
+    val skipExtra = Bench.planeExtra("32") + """"sf1":{"skipped":"disabled"},"""
+    val line = Bench.finalLine(pass(spike = false), _ => skipExtra)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(n.path("sf1").path("skipped").asText() === "disabled")
+  }
+
   test("ds keys strip index zero-padding unambiguously") {
+    // calls the PRODUCTION shortening (not a re-implementation that could
+    // drift): uniqueness here is what keeps the ds map loss-free
     val names = SparkEntry.queries.keys.toSeq
-    def short(k: String): String = {
-      val fam = k.takeWhile(_ != '_')
-      "([a-z]+)0+([1-9][0-9]*)".r.findFirstMatchIn(fam) match {
-        case Some(m) if m.matched == fam => m.group(1) + m.group(2)
-        case _ => fam
-      }
-    }
-    val shorts = names.map(short)
+    val shorts = names.map(Bench.shortKey)
     assert(shorts.distinct.size === names.size,
       "zero-stripped bench keys must stay unique per query")
   }
