@@ -798,6 +798,66 @@ object DeltaQueries {
       .orderBy(col("grp"))
   }
 
+  /** Multi-column clustering tightness in the VALUE gate (dl30): dl28 pins
+    * single-key clustering, whose layout is a plain range sort — it never
+    * exercises the z-curve's actual value, MULTI-dimensional locality. This
+    * gate measures it: supplier keys become a dense (x, y) grid
+    * (`x = s_suppkey % 16`, `y = (s_suppkey / 16) % 16`), seeded as 4
+    * hash-interleaved single-part files so every seed file's per-file
+    * [min,max] hyper-rectangle covers ~the whole plane (stats prune
+    * nothing). `CLUSTER BY (x, y)` + OPTIMIZE at a toy target then rewrites
+    * into z-contiguous files, and the oracle pins two structural booleans
+    * alongside the usual value plane:
+    *   - `clustered`: every live file carries ZCube provenance;
+    *   - `volume_shrunk`: the mean per-file 2-D hyper-rectangle volume
+    *     (x-span × y-span from each file's OWN stats) is at most HALF the
+    *     seed layout's — the measured stats-skipping win the z-curve
+    *     exists to buy on both dimensions at once (ZOrderSuite's
+    *     measured-tightness pattern, promoted to an oracle-pinned
+    *     boolean). A rewrite that sorted on x alone, ignored y, or lost
+    *     the interleave would leave y-spans at full width and fail the
+    *     ×2 margin. */
+  private def dl30Clustered2d(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.delta.{Clustering, DeltaLog, DeltaMaintenance}
+    val path = scratch()
+    val grid = t(s, dir, "supplier")
+      .withColumn("x", (col("s_suppkey") % 16).cast("int"))
+      .withColumn("y", ((col("s_suppkey") / 16).cast("long") % 16).cast("int"))
+      .select("s_suppkey", "x", "y", "s_acctbal")
+    (0 until 4).foreach { i =>
+      DeltaWriter.write(grid.filter(pmod(hash(col("s_suppkey")), lit(4)) === i)
+        .repartition(1), path, SaveMode.Append, Nil)
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def meanVolume(files: Seq[graft.sources.delta.DeltaAddFile]): Double = {
+      val vols = files.flatMap(_.stats.map { st =>
+        val n = mapper.readTree(st)
+        def span(c: String): Double =
+          n.path("maxValues").path(c).asDouble() -
+            n.path("minValues").path(c).asDouble() + 1
+        span("x") * span("y")
+      })
+      if (vols.isEmpty) 0.0 else vols.sum / vols.size
+    }
+    val before = meanVolume(DeltaLog.snapshot(s, path).files)
+    Clustering.clusterBy(s, path, Seq("x", "y"))
+    DeltaMaintenance.optimize(s, path, targetFileBytes = 2048)
+    val finalSnap = DeltaLog.snapshot(s, path)
+    val clustered = finalSnap.files.forall(_.tags.contains(Clustering.TagZcubeId))
+    val after = meanVolume(finalSnap.files)
+    val shrunk = after > 0 && after * 2 <= before
+    DeltaTable.read(s, path)
+      .groupBy((col("s_suppkey") % 4).cast("int").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum"),
+        sum(col("x") + col("y") * 16).as("xy_sum"),
+        round(sum(col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").as("bal"))
+      .withColumn("clustered", lit(clustered))
+      .withColumn("volume_shrunk", lit(shrunk))
+      .orderBy(col("grp"))
+  }
+
   /** VARIANT columns in the VALUE gate (dl29, `variantType` table feature
     * — beyond delta-rs 0.29.4, which predates variant): semi-structured
     * per-row metadata is THE 100 TB training-data shape (crawl headers,
@@ -836,6 +896,14 @@ object DeltaQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "dl30_clustered_2d" -> """
+      SELECT CAST(s_suppkey % 4 AS INT) AS grp, count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(sum(s_suppkey % 16 + ((s_suppkey // 16) % 16) * 16)
+               AS BIGINT) AS xy_sum,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal,
+             TRUE AS clustered, TRUE AS volume_shrunk
+      FROM supplier GROUP BY 1 ORDER BY 1""",
     "dl29_variant" -> """
       SELECT CAST(s_suppkey % 4 AS INT) AS grp, count(*) AS n,
              CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
@@ -1139,5 +1207,6 @@ object DeltaQueries {
     "dl26_identity_merge_restore" -> dl26IdentityMergeRestore,
     "dl27_row_tracking" -> dl27RowTracking,
     "dl28_clustered_table" -> dl28ClusteredTable,
-    "dl29_variant" -> dl29Variant)
+    "dl29_variant" -> dl29Variant,
+    "dl30_clustered_2d" -> dl30Clustered2d)
 }
