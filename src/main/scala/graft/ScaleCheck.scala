@@ -106,6 +106,16 @@ object ScaleCheck {
     if (scaleOnly.isEmpty)
       Seq(200000, 1000000).foreach(n => replay.add(replayProbe(spark, n)))
 
+    // ---- stage 3b: deferred-scan plane at 1M and 10M synthetic adds
+    // (r16 verdict #2): selective planning heap must stay flat while the
+    // file count grows 10× — the pruned collect materializes survivors
+    // only. Targeted: SPARK_GRAFT_SCALE_ONLY=prunedscan.
+    val prunedScan = mapperR.createArrayNode()
+    if (scaleOnly.forall(_.exists(s => "prunedscan".startsWith(s)))) {
+      prunedScan.add(prunedScanProbe(spark, 1000000, fullMaterialize = true))
+      prunedScan.add(prunedScanProbe(spark, 10000000, fullMaterialize = false))
+    }
+
     // ---- stage 4: quantizer assignment growth (r14 verdict #4) — the
     // adaptive-K argmax costs K = √N dot products per row, so total
     // assignment time should grow ~N^1.5 across 1×/10×/30× (a fixed
@@ -279,6 +289,21 @@ object ScaleCheck {
       probeNotes.get(name).foreach(q.put("note", _))
     }
     root.set("replay", replay)
+    if (prunedScan.size() > 0) {
+      val ps = root.putObject("pruned_scan")
+      ps.put("note", "deferred-scan plane (DeltaLog.scanSnapshot): planning a " +
+        "SELECTIVE query over N synthetic add-actions materializes only " +
+        "surviving file descriptors — pruned_retained_mb must stay flat " +
+        "from 1M to 10M files while full_retained_mb (measured at 1M; the " +
+        "unchanged full-table path) is O(files). snapshot_sec is the " +
+        "metadata-plane replay; pruned_listfiles_sec is one distributed " +
+        "prune+collect. Absolute seconds overstate a real table's planning " +
+        "cost: the synthetic log is ALL raw JSON commits (no parquet " +
+        "checkpoint), so every plan re-parses N add lines — the " +
+        "decision-grade signal here is the retained-heap SHAPE (flat vs " +
+        "linear), not the wall time.")
+      ps.set("points", prunedScan)
+    }
     val quant = root.putObject("quantizer_assignment")
     quant.put("model", "flat: argmax over K=ceil(sqrt(N)) centroids, ~N^1.5 total; " +
       "two_level (ss11): route via K1=ceil(sqrt(K)) supers then argmax the cell, ~N^1.25 total")
@@ -449,12 +474,11 @@ object ScaleCheck {
       .map(n => n -> spark.read.parquet(s"$workDir/$n.parquet").count()).toMap
   }
 
-  /** Synthetic nFiles-add log (commits of 50k adds with realistic stats;
-    * no data files — snapshot never opens them): driver plane vs Spark-job
-    * plane wall time, the retained snapshot footprint, and which plane
-    * auto mode picks from the O(1) tail-bytes signal. */
-  private def replayProbe(spark: SparkSession, nFiles: Int)
-      : com.fasterxml.jackson.databind.node.ObjectNode = {
+  /** Synthetic nFiles-add log (commits of 50k adds with realistic stats,
+    * disjoint per-file id ranges [n*1000, n*1000+999]; no data files —
+    * snapshot/planning never opens them). Shared by [[replayProbe]] and
+    * [[prunedScanProbe]]. */
+  private def writeSyntheticLog(nFiles: Int): String = {
     val perCommit = 50000
     val dir = java.nio.file.Files.createTempDirectory("graft-scale-replay").toString
     val logDir = new java.io.File(s"$dir/_delta_log"); logDir.mkdirs()
@@ -462,15 +486,24 @@ object ScaleCheck {
     w0.println("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
     w0.println("""{"metaData":{"id":"scale-probe","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"double\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{}}}""")
     w0.close()
-    (0 until nFiles / perCommit).foreach { c =>
+    (0 until math.max(1, nFiles / perCommit)).foreach { c =>
       val w = new java.io.PrintWriter(f"$dir/_delta_log/${c + 1}%020d.json")
-      (0 until perCommit).foreach { i =>
+      (0 until math.min(perCommit, nFiles - c * perCommit)).foreach { i =>
         val n = c * perCommit + i
         w.println(
           s"""{"add":{"path":"part-$n%06d-${java.util.UUID.randomUUID()}.snappy.parquet","partitionValues":{},"size":${1000000 + n},"modificationTime":${1700000000000L + n},"dataChange":true,"stats":"{\\"numRecords\\":1000,\\"minValues\\":{\\"id\\":${n * 1000L},\\"v\\":0.5},\\"maxValues\\":{\\"id\\":${n * 1000L + 999},\\"v\\":99.5},\\"nullCount\\":{\\"id\\":0,\\"v\\":0}}"}}""")
       }
       w.close()
     }
+    dir
+  }
+
+  /** Driver plane vs Spark-job plane wall time, the retained snapshot
+    * footprint, and which plane auto mode picks from the O(1) tail-bytes
+    * signal. */
+  private def replayProbe(spark: SparkSession, nFiles: Int)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val dir = writeSyntheticLog(nFiles)
     def timeSnapshot(mode: String): (Double, Long) = {
       DeltaLog.DistributedReplayMode = mode
       try {
@@ -492,13 +525,75 @@ object ScaleCheck {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("files", nFiles)
-    node.put("commits", nFiles / perCommit)
+    node.put("commits", nFiles / 50000)
     node.put("driver_plane_sec", math.round(driverSec * 1000) / 1000.0)
     node.put("job_plane_sec", math.round(jobSec * 1000) / 1000.0)
     node.put("job_plane_warm_sec", math.round(jobWarm * 1000) / 1000.0)
     node.put("snapshot_retained_mb_driver_plane", driverRetained)
     node.put("snapshot_retained_mb_job_plane", jobRetained)
     node.put("auto_routes_to", autoPlane)
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    catch { case _: Exception => () }
+    node
+  }
+
+  /** Deferred-scan plane at nFiles synthetic add-actions (the r16 verdict's
+    * driver-plane bound, measured): a SELECTIVE scan's planning must
+    * materialize O(survivors) file descriptors — heap retained after a
+    * pruned `listFiles` stays flat across 1M → 10M files — while the
+    * unfiltered path still enumerates everything (measured at 1M only:
+    * O(files) driver heap is what any full scan must hold, and 10M of it
+    * would be most of the probe JVM's heap for a number whose shape 1M
+    * already proves). */
+  private def prunedScanProbe(spark: SparkSession, nFiles: Int,
+      fullMaterialize: Boolean): com.fasterxml.jackson.databind.node.ObjectNode = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.LongType
+    import graft.sources.delta.{DeltaFileIndex, DeltaLog}
+    val dir = writeSyntheticLog(nFiles)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("files", nFiles)
+    val before = DeltaLog.deferredScans.get()
+    // metadata-plane snapshot: no live-set collect
+    val t0 = System.nanoTime()
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, dir)
+    node.put("snapshot_sec", math.round((System.nanoTime() - t0) / 1e6) / 1000.0)
+    node.put("auto_deferred", DeltaLog.deferredScans.get() > before)
+    require(deferred.isDefined,
+      s"$nFiles-file synthetic table did not take the deferred scan plane")
+    val index = new DeltaFileIndex(spark, snap, deferred)
+    // selective planning: one matching file by stats (disjoint id ranges)
+    val target = (nFiles / 2) * 1000L + 5
+    val filter = Seq(EqualTo(AttributeReference("id", LongType)(), Literal(target)))
+    def prunedOnce(): Int = index.listFiles(Nil, filter).map(_.files.length).sum
+    prunedOnce() // warm (json/codegen paths)
+    System.gc(); Thread.sleep(200)
+    val heapBefore = usedHeapMb()
+    val t1 = System.nanoTime()
+    val survivors = prunedOnce()
+    node.put("pruned_listfiles_sec",
+      math.round((System.nanoTime() - t1) / 1e6) / 1000.0)
+    node.put("pruned_survivors", survivors)
+    node.put("pruned_retained_mb", math.max(usedHeapMb() - heapBefore, 0L))
+    require(survivors == 1, s"expected 1 surviving file, got $survivors")
+    if (fullMaterialize) {
+      System.gc(); Thread.sleep(200)
+      val fullBefore = usedHeapMb()
+      val t2 = System.nanoTime()
+      val all = deferred.get.all
+      node.put("full_materialize_sec",
+        math.round((System.nanoTime() - t2) / 1e6) / 1000.0)
+      node.put("full_files", all.size)
+      node.put("full_retained_mb", math.max(usedHeapMb() - fullBefore, 0L))
+      require(all.size == nFiles)
+    } else {
+      // distributed count proves the full set is still reachable without
+      // a driver materialization
+      node.put("distributed_count", deferred.get.fileCount)
+    }
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    catch { case _: Exception => () }
     node
   }
 }

@@ -32,7 +32,12 @@ class DeltaDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
-    val snap = DeltaLog.snapshot(
+    // scanSnapshot: on job-plane tables the live file set stays a
+    // DISTRIBUTED frame (deferred) and listFiles prunes executor-side with
+    // the pushed filters — planning heap O(survivors) at 10M-file tables;
+    // small / column-mapped / DV-bearing tables get the eager snapshot
+    // (deferred = None), byte-identical to the pre-deferral behavior.
+    val (snap, deferred) = DeltaLog.scanSnapshot(
       spark, path,
       versionAsOf = caseGet(parameters, "versionAsOf").map(_.toLong),
       timestampAsOf = caseGet(parameters, "timestampAsOf"))
@@ -51,7 +56,7 @@ class DeltaDataSource extends RelationProvider
     // the Graft format; everything else stays on the stock (batch-capable)
     // one — forSnapshot picks, and rejects unreadable mapping modes loudly.
     new HadoopFsRelation(
-      location = new DeltaFileIndex(spark, snap),
+      location = new DeltaFileIndex(spark, snap, deferred),
       partitionSchema = snap.partitionSchema,
       dataSchema = snap.dataSchema,
       bucketSpec = None,

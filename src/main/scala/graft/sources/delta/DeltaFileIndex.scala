@@ -29,7 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * cost is bounded by surviving files only, and the driver-side replay
   * cost by commits-since-checkpoint.
   */
-class DeltaFileIndex(spark: SparkSession, private[delta] val snapshot: DeltaSnapshot) extends FileIndex {
+class DeltaFileIndex(
+    spark: SparkSession,
+    private[delta] val snapshot: DeltaSnapshot,
+    /** Deferred live-file plane ([[DeltaLog.scanSnapshot]]): when present,
+      * `snapshot.files` is EMPTY and every materialization routes through
+      * the still-distributed add frame — `listFiles` prunes executor-side
+      * with the pushed filters and collects only survivors, the bound that
+      * keeps planning heap flat at 10M-file tables. */
+    private[delta] val deferred: Option[DeferredDeltaFiles] = None) extends FileIndex {
 
   private val tableRoot = new Path(snapshot.tablePath)
 
@@ -37,23 +45,97 @@ class DeltaFileIndex(spark: SparkSession, private[delta] val snapshot: DeltaSnap
 
   override def partitionSchema: StructType = snapshot.partitionSchema
 
-  override def sizeInBytes: Long = snapshot.files.map(_.size).sum
+  override def sizeInBytes: Long =
+    // deferred plane: a distributed agg (O(1) driver), never a collect
+    deferred.map(_.totalBytes).getOrElse(snapshot.files.map(_.size).sum)
 
   override def refresh(): Unit = ()
 
   override def inputFiles: Array[String] =
-    snapshot.files.map(f => absolutePath(f.path).toString).toArray
+    // the full-set surface (Dataset.inputFiles): on the deferred plane this
+    // is an explicit O(files) materialization — documented, rarely called
+    deferred.map(_.all).getOrElse(snapshot.files)
+      .map(f => absolutePath(f.path).toString).toArray
 
   /** add.path is a URL-encoded path relative to the table root. */
   private def absolutePath(p: String): Path = DeltaFileIndex.absoluteDataPath(tableRoot, p)
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+
+    // ONE pruning implementation for both planes (ScanPruner): driver-side
+    // over the materialized snapshot, executor-side inside the deferred
+    // collect — the two cannot disagree on which files survive.
+    val pruner = ScanPruner(partitionFilters, dataFilters, partitionSchema,
+      snapshot.dataSchema, snapshot.metadata.physicalNames)
+
+    val sourceFiles: Seq[DeltaAddFile] = deferred match {
+      case Some(d) if partitionFilters.nonEmpty || dataFilters.nonEmpty =>
+        d.collect(Some(pruner)) // pruned DISTRIBUTED, survivors only
+      case Some(d) => d.all     // unfiltered scan: the full-table path
+      case None => snapshot.files
+    }
+
+    // --- 1. group files by partition values, prune with partitionFilters
+    // (on the deferred plane this re-tests survivors — a no-op by
+    // construction, kept so both planes exit through identical code)
+    val groups: Seq[(Map[String, String], Seq[DeltaAddFile])] =
+      sourceFiles.groupBy(_.partitionValues).toSeq
+
+    val prunedGroups =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) groups
+      else groups.filter { case (values, _) => pruner.keepPartition(values) }
+
+    // --- 2. per-file stats skipping with dataFilters (stats keys are
+    // physical names on column-mapped tables; filters reference logical)
+    prunedGroups.map { case (values, files) =>
+      val kept = if (dataFilters.isEmpty) files
+        else files.filter(f => pruner.keepStats(f.stats))
+      val statuses = kept.map { f =>
+        new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime, absolutePath(f.path))
+      }.toArray
+      PartitionDirectory(pruner.partitionRow(values), statuses)
+    }.filter(_.files.nonEmpty)
+  }
+}
+
+/** Serializable file-survival predicate — the ONE implementation of
+  * partition-predicate evaluation + stats skipping, used driver-side by
+  * [[DeltaFileIndex.listFiles]] and shipped executor-side by
+  * [[DeltaStateReconstruction.collectLive]] on the deferred-scan plane.
+  * The Catalyst filter expressions serialize with the closure (attribute/
+  * literal trees are plain case classes); the bound predicate is built
+  * lazily per deserialized instance, so each task evaluates its own. */
+private[delta] final case class ScanPruner(
+    partitionFilters: Seq[Expression],
+    dataFilters: Seq[Expression],
+    partitionSchema: StructType,
+    dataSchema: StructType,
+    physicalNames: Map[String, String]) {
+
+  private def physicalOf(l: String): String = physicalNames.getOrElse(l, l)
+
+  @transient private lazy val partPredicate =
+    if (partitionFilters.isEmpty || partitionSchema.isEmpty) None
+    else {
+      val bound = partitionFilters.reduce(CatalystAnd).transform {
+        case a: Attribute =>
+          val idx = partitionSchema.fieldIndex(a.name)
+          BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+      }
+      val p = CatalystPredicate.create(bound)
+      p.initialize(0)
+      Some(p)
+    }
 
   /** Cast the string partition values of one file into an InternalRow laid
     * out like `partitionSchema` (same injection Spark's
     * PartitioningAwareFileIndex does for hive layouts). `partitionValues`
     * is keyed by PHYSICAL column names on column-mapped tables. */
-  private def partitionRow(values: Map[String, String]): InternalRow = {
+  private[delta] def partitionRow(values: Map[String, String]): InternalRow = {
     val casted = partitionSchema.fields.map { f =>
-      values.get(snapshot.metadata.physicalOf(f.name)).flatMap(Option(_)) match {
+      values.get(physicalOf(f.name)).flatMap(Option(_)) match {
         case None => null
         case Some(raw) =>
           Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
@@ -63,40 +145,15 @@ class DeltaFileIndex(spark: SparkSession, private[delta] val snapshot: DeltaSnap
     InternalRow.fromSeq(casted.toIndexedSeq)
   }
 
-  override def listFiles(
-      partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+  def keepPartition(pv: Map[String, String]): Boolean =
+    partPredicate.forall(_.eval(partitionRow(pv)))
 
-    // --- 1. group files by partition values, prune with partitionFilters
-    val groups: Seq[(Map[String, String], Seq[DeltaAddFile])] =
-      snapshot.files.groupBy(_.partitionValues).toSeq
+  def keepStats(stats: Option[String]): Boolean =
+    dataFilters.isEmpty ||
+      DeltaStatsSkipping.mightMatch(dataFilters, stats, dataSchema, physicalOf)
 
-    val prunedGroups =
-      if (partitionFilters.isEmpty || partitionSchema.isEmpty) groups
-      else {
-        val bound = partitionFilters.reduce(CatalystAnd).transform {
-          case a: Attribute =>
-            val idx = partitionSchema.fieldIndex(a.name)
-            BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
-        }
-        val predicate = CatalystPredicate.create(bound)
-        predicate.initialize(0)
-        groups.filter { case (values, _) => predicate.eval(partitionRow(values)) }
-      }
-
-    // --- 2. per-file stats skipping with dataFilters (stats keys are
-    // physical names on column-mapped tables; filters reference logical)
-    prunedGroups.map { case (values, files) =>
-      val kept = if (dataFilters.isEmpty) files else files.filter { f =>
-        DeltaStatsSkipping.mightMatch(dataFilters, f.stats, snapshot.dataSchema,
-          snapshot.metadata.physicalOf)
-      }
-      val statuses = kept.map { f =>
-        new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime, absolutePath(f.path))
-      }.toArray
-      PartitionDirectory(partitionRow(values), statuses)
-    }.filter(_.files.nonEmpty)
-  }
+  def keep(pv: Map[String, String], stats: Option[String]): Boolean =
+    keepPartition(pv) && keepStats(stats)
 }
 
 object DeltaFileIndex {

@@ -284,6 +284,47 @@ final case class DeltaSnapshot(
           "data-changing removes are forbidden")
 }
 
+/** The deferred live-file plane of a [[DeltaLog.scanSnapshot]]: the add
+  * frame of one resolved (checkpoint, tail-commits) replay, kept
+  * DISTRIBUTED until a consumer materializes it. Pruned collects ship the
+  * scan's predicates executor-side ([[ScanPruner]] — the same code the
+  * driver-side index evaluates), so a selective query over a 10M-file
+  * table lands O(survivors) descriptors on the driver. The replay inputs
+  * are captured at snapshot time (log files are immutable), so repeated
+  * `listFiles` calls see one consistent version even while writers
+  * append. */
+final class DeferredDeltaFiles(
+    spark: SparkSession,
+    tablePath: String,
+    cp: Option[(Long, Seq[FileStatus])],
+    tailCommits: Seq[(Long, FileStatus)]) {
+
+  private lazy val frame =
+    DeltaStateReconstruction.addWinnersFrame(spark, tablePath, cp, tailCommits)
+
+  /** Pruned materialization: executor-side partition + stats pruning;
+    * only survivors reach the driver. */
+  def collect(pruner: Option[ScanPruner]): Seq[DeltaAddFile] =
+    DeltaStateReconstruction.collectLive(frame, pruner)
+
+  /** The unchanged full-table path (cached once materialized — an
+    * unfiltered scan re-planned twice should not pay the job twice). */
+  lazy val all: Seq[DeltaAddFile] = collect(None)
+
+  /** Total live bytes via a distributed agg — O(1) driver heap (feeds
+    * [[DeltaFileIndex.sizeInBytes]], i.e. join-strategy estimates). */
+  lazy val totalBytes: Long = frame match {
+    case None => 0L
+    case Some(df) =>
+      val r = df.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("size"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Live-file count via a distributed count — O(1) driver heap. */
+  lazy val fileCount: Long = frame.map(_.count()).getOrElse(0L)
+}
+
 object DeltaLog {
 
   private val mapper = new ObjectMapper()
@@ -378,6 +419,20 @@ object DeltaLog {
       tablePath: String,
       versionAsOf: Option[Long] = None,
       timestampAsOf: Option[String] = None): DeltaSnapshot = {
+    val (target, cp, tailCommits) =
+      resolveReplay(spark, tablePath, versionAsOf, timestampAsOf)
+    snapshotResolved(spark, tablePath, target, cp, tailCommits)
+  }
+
+  /** Target version + the replay inputs (newest complete checkpoint at or
+    * below the target, JSON deltas after it) — shared by [[snapshot]] and
+    * [[scanSnapshot]] so the one log listing serves either plane. */
+  private def resolveReplay(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long],
+      timestampAsOf: Option[String])
+      : (Long, Option[(Long, Seq[FileStatus])], Seq[(Long, FileStatus)]) = {
     val (commits, checkpoints) = listLog(spark, tablePath)
     if (commits.isEmpty && checkpoints.isEmpty)
       throw new IllegalArgumentException(s"$tablePath: empty _delta_log")
@@ -422,28 +477,40 @@ object DeltaLog {
     val tailCommits = commits.filter { case (v, _) =>
       v >= cp.map(_._1 + 1).getOrElse(0L) && v <= target
     }
+    (target, cp, tailCommits)
+  }
 
+  /** Does the O(1) size estimate call this table big enough for the
+    * job-replay plane? `_last_checkpoint`'s recorded row count (else
+    * checkpoint bytes), plus total tail-commit JSON bytes so a
+    * pre-checkpoint bulk load routes distributed too. An add line with
+    * stats runs well over 512 B, so bytes/512 over-counts, which only
+    * moves the cutover earlier — never silently overloads the driver. */
+  private def estimateBig(
+      spark: SparkSession, tablePath: String,
+      cp: Option[(Long, Seq[FileStatus])],
+      tailCommits: Seq[(Long, FileStatus)]): Boolean =
+    cp.exists { case (v, parts) =>
+      estimatedCheckpointAdds(spark, tablePath, v, parts) > SnapshotFileCountWarnThreshold
+    } ||
+      tailCommits.iterator.map(_._2.getLen).sum / 512 > SnapshotFileCountWarnThreshold
+
+  private def snapshotResolved(
+      spark: SparkSession,
+      tablePath: String,
+      target: Long,
+      cp: Option[(Long, Seq[FileStatus])],
+      tailCommits: Seq[(Long, FileStatus)]): DeltaSnapshot = {
     // Scale fork: past [[SnapshotFileCountWarnThreshold]] live files the
     // driver-side map replay becomes the bottleneck (heap + single-thread
     // JSON parse) — hand the WHOLE replay to a Spark job instead
     // (DeltaStateReconstruction: checkpoint ∪ parsed JSON actions →
     // last-wins per path → live set). The file-count estimate is O(1)
-    // driver-side (_last_checkpoint's recorded row count, else checkpoint
-    // bytes), so small tables never pay a job for their snapshot.
+    // driver-side, so small tables never pay a job for their snapshot.
     val useJob = DistributedReplayMode match {
       case "always" => true
       case "never" => false
-      case _ =>
-        cp.exists { case (v, parts) =>
-          estimatedCheckpointAdds(spark, tablePath, v, parts) > SnapshotFileCountWarnThreshold
-        } ||
-        // Pre-checkpoint bulk load: a single commit carrying millions of
-        // adds BEFORE any checkpoint exists has no checkpoint estimate to
-        // trip the cutover, so route on total tail-commit JSON bytes —
-        // already in hand from the listing (O(1), no reads). An add line
-        // with stats runs well over 512 B, so bytes/512 over-counts,
-        // which only moves the cutover earlier.
-        tailCommits.iterator.map(_._2.getLen).sum / 512 > SnapshotFileCountWarnThreshold
+      case _ => estimateBig(spark, tablePath, cp, tailCommits)
     }
     if (useJob) {
       jobReplays.incrementAndGet()
@@ -673,6 +740,62 @@ object DeltaLog {
   /** Replay-path selector: `auto` (estimate-based, production behavior),
     * `never` / `always` (test pins for path-equivalence specs). */
   private[graft] var DistributedReplayMode: String = "auto"
+
+  /** Deferred-scan selector for [[scanSnapshot]]: `auto` (defer when the
+    * size estimate calls the table big), `always` / `never` (test and
+    * probe pins). */
+  private[graft] var DeferredScanMode: String = "auto"
+
+  /** Test seam: scans served with a DEFERRED file plane (live set never
+    * fully materialized at snapshot time) — pins the routing decision,
+    * which result-equality alone cannot observe. */
+  private[graft] val deferredScans = new java.util.concurrent.atomic.AtomicLong
+
+  /** Snapshot for the SCAN path ([[DeltaDataSource.createRelation]]): like
+    * [[snapshot]], but on job-plane tables the live file set is NOT
+    * collected to the driver here. The returned [[DeferredDeltaFiles]]
+    * holds the still-distributed add frame; [[DeltaFileIndex.listFiles]]
+    * ships the scan's pushed partition + stats predicates into it and
+    * materializes ONLY surviving file descriptors — at a 10M-file table a
+    * selective query's planning heap is O(survivors), not O(files), which
+    * closes the r16 verdict's driver-plane bound. The unfiltered scan
+    * still materializes everything (that O(live files) is what any full
+    * scan must hold to enumerate its splits).
+    *
+    * Deferral bounds (documented, estimate-gated): column-mapped and
+    * DV-bearing tables fall back to the eager path — their scan format
+    * ([[GraftParquetFileFormat.forSnapshot]]) needs the full file set up
+    * front to build the DV map. Small tables stay eager: one driver map
+    * beats Spark jobs per listFiles. */
+  def scanSnapshot(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[String] = None)
+      : (DeltaSnapshot, Option[DeferredDeltaFiles]) = {
+    val (target, cp, tailCommits) =
+      resolveReplay(spark, tablePath, versionAsOf, timestampAsOf)
+    val defer = DeferredScanMode match {
+      case "always" => true
+      case "never" => false
+      case _ => estimateBig(spark, tablePath, cp, tailCommits)
+    }
+    if (!defer)
+      return (snapshotResolved(spark, tablePath, target, cp, tailCommits), None)
+    val (p, m, _, txns, doms) =
+      DeltaStateReconstruction.replay(spark, tablePath, cp, tailCommits,
+        withLive = false)
+    val snap = finishSnapshot(tablePath, target, p, m, Nil, txns, doms,
+      driverPlane = false)
+    if (snap.metadata.columnMappingMode != "none" ||
+        snap.protocol.impliedReaderFeatures.contains("deletionVectors")) {
+      // documented deferral bound: these scans need the full file set
+      (snapshotResolved(spark, tablePath, target, cp, tailCommits), None)
+    } else {
+      deferredScans.incrementAndGet()
+      (snap, Some(new DeferredDeltaFiles(spark, tablePath, cp, tailCommits)))
+    }
+  }
 
   /** O(1) estimate of a checkpoint's add count, for the replay-path
     * decision: `_last_checkpoint`'s recorded row count when it describes

@@ -82,6 +82,50 @@ private[delta] object DeltaStateReconstruction {
       StructField("configuration", StringType),
       StructField("removed", BooleanType))))))
 
+  /** The checkpoint side of the ADD plane: cp parquet (∪ v2 sidecars)
+    * normalized to the action-frame shape — shared by [[replay]] and the
+    * deferred-scan path ([[addWinnersFrame]]) so v2/sidecar handling can
+    * never drift between them. Removes in a checkpoint are vacuum
+    * tombstones, not live state — skipped exactly like the driver path. */
+  private[delta] def checkpointAddsFrame(
+      spark: SparkSession, tablePath: String,
+      cpVersion: Long, parts: Seq[FileStatus]): DataFrame = {
+    val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
+    DeltaLog.replayReads.addAndGet(parts.size.toLong)
+    val cols = cpDf.schema.fieldNames.toSet
+    // v2 self-description + sidecar names are O(sidecars) rows — driver
+    // plane, same as the commit JSON itself
+    if (cols.contains("checkpointMetadata")) {
+      cpDf.filter(col("checkpointMetadata").isNotNull)
+        .select(col("checkpointMetadata.version")).collect().foreach { r =>
+          val declared = r.getLong(0)
+          if (declared != cpVersion) throw new IllegalStateException(
+            s"$tablePath: v2 checkpoint file named $cpVersion declares version $declared")
+        }
+    }
+    val sidecarNames: Seq[String] =
+      if (!cols.contains("sidecar")) Nil
+      else cpDf.filter(col("sidecar").isNotNull)
+        .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
+    val sidecarDf: Option[DataFrame] =
+      if (sidecarNames.isEmpty) None
+      else {
+        val sidecarDir = new Path(DeltaLog.logDir(tablePath), "_sidecars")
+        val abs = sidecarNames.map { p =>
+          if (p.contains("/")) p else new Path(sidecarDir, p).toString
+        }
+        val df = spark.read.parquet(abs: _*)
+        DeltaLog.replayReads.addAndGet(abs.size.toLong)
+        if (!df.schema.fieldNames.contains("add")) throw new IllegalStateException(
+          s"$tablePath: v2 checkpoint sidecars carry no 'add' column " +
+            s"(${abs.take(2).mkString(", ")})")
+        Some(df)
+      }
+    (Seq(cpDf) ++ sidecarDf)
+      .map(df => checkpointAdds(df, cpVersion))
+      .reduce(_ unionByName _)
+  }
+
   /** Replay `checkpoint ∪ tail commits` distributed; returns what
     * [[DeltaLog.snapshot]] needs to finish the snapshot (gates and
     * construction stay shared with the driver path). */
@@ -89,51 +133,22 @@ private[delta] object DeltaStateReconstruction {
       spark: SparkSession,
       tablePath: String,
       cp: Option[(Long, Seq[FileStatus])],
-      tailCommits: Seq[(Long, FileStatus)])
+      tailCommits: Seq[(Long, FileStatus)],
+      /** false = metadata planes only (protocol/metaData/txn/domains); the
+        * live set stays un-materialized — the deferred-scan path's
+        * snapshot, whose files come later through [[addWinnersFrame]] +
+        * [[collectLive]] with the scan's own pruner. */
+      withLive: Boolean = true)
       : (Option[DeltaProtocol], Option[DeltaMetadata], Seq[DeltaAddFile],
          Map[String, Long], Map[String, String]) = {
 
-    // ---- checkpoint side: adds at version cpVersion (removes in a
-    // checkpoint are vacuum tombstones, not live state — skipped exactly
-    // like the driver path); v2 manifests contribute their sidecars' adds.
+    // ---- checkpoint side, metadata planes (the ADD plane reads through
+    // [[checkpointAddsFrame]], shared with the deferred-scan path; both
+    // reads are column-pruned plans over the same parquet)
     val cpFrames: Seq[(DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] = cp.toSeq.map { case (cpVersion, parts) =>
+      val adds = checkpointAddsFrame(spark, tablePath, cpVersion, parts)
       val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
-      DeltaLog.replayReads.addAndGet(parts.size.toLong)
       val cols = cpDf.schema.fieldNames.toSet
-
-      // v2 self-description + sidecar names are O(sidecars) rows — driver
-      // plane, same as the commit JSON itself
-      if (cols.contains("checkpointMetadata")) {
-        cpDf.filter(col("checkpointMetadata").isNotNull)
-          .select(col("checkpointMetadata.version")).collect().foreach { r =>
-            val declared = r.getLong(0)
-            if (declared != cpVersion) throw new IllegalStateException(
-              s"$tablePath: v2 checkpoint file named $cpVersion declares version $declared")
-          }
-      }
-      val sidecarNames: Seq[String] =
-        if (!cols.contains("sidecar")) Nil
-        else cpDf.filter(col("sidecar").isNotNull)
-          .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
-
-      val sidecarDf: Option[DataFrame] =
-        if (sidecarNames.isEmpty) None
-        else {
-          val sidecarDir = new Path(DeltaLog.logDir(tablePath), "_sidecars")
-          val abs = sidecarNames.map { p =>
-            if (p.contains("/")) p else new Path(sidecarDir, p).toString
-          }
-          val df = spark.read.parquet(abs: _*)
-          DeltaLog.replayReads.addAndGet(abs.size.toLong)
-          if (!df.schema.fieldNames.contains("add")) throw new IllegalStateException(
-            s"$tablePath: v2 checkpoint sidecars carry no 'add' column " +
-              s"(${abs.take(2).mkString(", ")})")
-          Some(df)
-        }
-
-      val adds = (Seq(cpDf) ++ sidecarDf)
-        .map(df => checkpointAdds(df, cpVersion))
-        .reduce(_ unionByName _)
       val metas =
         if (!cols.contains("metaData")) emptyMeta(spark)
         else cpDf.filter(col("metaData").isNotNull).select(
@@ -184,92 +199,13 @@ private[delta] object DeltaStateReconstruction {
       (adds, metas, protos, txns, doms)
     }
 
-    // ---- JSON tail: every action line parsed EXECUTOR-side (a single
-    // bulk-load commit can carry millions of adds — the driver path pays
-    // that parse single-threaded; this one fans it across the cluster)
-    val jsonRaw: Option[DataFrame] =
-      if (tailCommits.isEmpty) None
-      else {
-        DeltaLog.replayReads.addAndGet(tailCommits.size.toLong)
-        Some(spark.read.text(tailCommits.map(_._2.getPath.toString): _*)
-          .filter(length(trim(col("value"))) > 0)
-          .select(
-            regexp_extract(input_file_name(), """(\d{20})\.json""", 1)
-              .cast(LongType).as("version"),
-            // FAILFAST: a malformed line (truncated object-store write)
-            // must fail the replay LOUDLY like the driver path's
-            // mapper.readTree does — the default PERMISSIVE mode would
-            // return a null struct and every action filter below would
-            // silently drop the line, vanishing a live file or metadata
-            // update purely because the table crossed the job-plane size
-            // cutover. Valid-but-foreign lines (commitInfo, cdc) still
-            // parse fine: missing fields are null, not malformed.
-            from_json(col("value"), commitLineType,
-              Map("mode" -> "FAILFAST").asJava).as("a")))
-      }
-
-    val jsonAdds = jsonRaw.map(_.filter(col("a.add").isNotNull).select(
-      col("version"), lit(true).as("isAdd"),
-      col("a.add.path").as("path"),
-      col("a.add.partitionValues").as("partitionValues"),
-      col("a.add.size").as("size"),
-      coalesce(col("a.add.modificationTime"), lit(0L)).as("modificationTime"),
-      col("a.add.stats").as("stats"),
-      col("a.add.deletionVector").as("deletionVector"),
-      col("a.add.baseRowId").as("baseRowId"),
-      col("a.add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
-      col("a.add.tags").as("tags")))
-    val jsonRemoves = jsonRaw.map(_.filter(col("a.remove").isNotNull).select(
-      col("version"), lit(false).as("isAdd"),
-      col("a.remove.path").as("path"),
-      lit(null).cast(pvType).as("partitionValues"),
-      lit(0L).as("size"),
-      lit(0L).as("modificationTime"),
-      lit(null).cast(StringType).as("stats"),
-      lit(null).cast(dvType).as("deletionVector"),
-      lit(null).cast(LongType).as("baseRowId"),
-      lit(null).cast(LongType).as("defaultRowCommitVersion"),
-      lit(null).cast(pvType).as("tags")))
-
-    val actionFrames = cpFrames.map(_._1) ++ jsonAdds ++ jsonRemoves
+    val jsonRaw: Option[DataFrame] = tailActionsFrame(spark, tailCommits)
     val live: Seq[DeltaAddFile] =
-      if (actionFrames.isEmpty) Nil
-      else actionFrames.reduce(_ unionByName _)
-        .groupBy(col("path"))
-        .agg(max_by(
-          struct(col("isAdd"), col("partitionValues"), col("size"),
-            col("modificationTime"), col("stats"), col("deletionVector"),
-            col("baseRowId"), col("defaultRowCommitVersion"), col("tags")),
-          struct(col("version"), col("isAdd"))).as("w"))
-        .filter(col("w.isAdd"))
-        .select(col("path"), col("w.partitionValues"), col("w.size"),
-          col("w.modificationTime"), col("w.stats"), col("w.deletionVector"),
-          col("w.baseRowId"), col("w.defaultRowCommitVersion"), col("w.tags"))
-        .sort("path") // deterministic snapshot order across runs
-        .collect().toSeq.map { r =>
-          val dv =
-            if (r.isNullAt(5)) None
-            else {
-              val d = r.getStruct(5)
-              Some(DvDescriptor(
-                d.getAs[String]("storageType"),
-                d.getAs[String]("pathOrInlineDv"),
-                if (d.isNullAt(d.fieldIndex("offset"))) None
-                else Some(d.getAs[Int]("offset")),
-                d.getAs[Int]("sizeInBytes"),
-                d.getAs[Long]("cardinality")))
-            }
-          DeltaAddFile(
-            r.getString(0),
-            Option(r.getAs[scala.collection.Map[String, String]](1))
-              .map(_.toMap).getOrElse(Map.empty),
-            r.getLong(2), r.getLong(3),
-            Option(r.getAs[String](4)), dv,
-            if (r.isNullAt(6)) None else Some(r.getLong(6)),
-            if (r.isNullAt(7)) None else Some(r.getLong(7)),
-            Option(r.getAs[scala.collection.Map[String, String]](8))
-              .map(_.toMap).getOrElse(Map.empty))
-        }
+      if (!withLive) Nil
+      else collectLive(
+        winnersFrame(cpFrames.map(_._1) ++
+          jsonRaw.map(jsonAddsOf) ++ jsonRaw.map(jsonRemovesOf)),
+        pruner = None)
 
     // ---- protocol / metaData: last emission wins; one row each
     val jsonMetas = jsonRaw.map(_.filter(col("a.metaData").isNotNull).select(
@@ -337,6 +273,139 @@ private[delta] object DeltaStateReconstruction {
 
     (protocol, metadata, live, txns, domains)
   }
+
+  /** The JSON tail of the ADD/metadata planes: every action line parsed
+    * EXECUTOR-side (a single bulk-load commit can carry millions of adds —
+    * the driver path pays that parse single-threaded; this one fans it
+    * across the cluster). */
+  private[delta] def tailActionsFrame(
+      spark: SparkSession, tailCommits: Seq[(Long, FileStatus)]): Option[DataFrame] =
+    if (tailCommits.isEmpty) None
+    else {
+      DeltaLog.replayReads.addAndGet(tailCommits.size.toLong)
+      Some(spark.read.text(tailCommits.map(_._2.getPath.toString): _*)
+        .filter(length(trim(col("value"))) > 0)
+        .select(
+          regexp_extract(input_file_name(), """(\d{20})\.json""", 1)
+            .cast(LongType).as("version"),
+          // FAILFAST: a malformed line (truncated object-store write)
+          // must fail the replay LOUDLY like the driver path's
+          // mapper.readTree does — the default PERMISSIVE mode would
+          // return a null struct and every action filter below would
+          // silently drop the line, vanishing a live file or metadata
+          // update purely because the table crossed the job-plane size
+          // cutover. Valid-but-foreign lines (commitInfo, cdc) still
+          // parse fine: missing fields are null, not malformed.
+          from_json(col("value"), commitLineType,
+            Map("mode" -> "FAILFAST").asJava).as("a")))
+    }
+
+  private def jsonAddsOf(jsonRaw: DataFrame): DataFrame =
+    jsonRaw.filter(col("a.add").isNotNull).select(
+      col("version"), lit(true).as("isAdd"),
+      col("a.add.path").as("path"),
+      col("a.add.partitionValues").as("partitionValues"),
+      col("a.add.size").as("size"),
+      coalesce(col("a.add.modificationTime"), lit(0L)).as("modificationTime"),
+      col("a.add.stats").as("stats"),
+      col("a.add.deletionVector").as("deletionVector"),
+      col("a.add.baseRowId").as("baseRowId"),
+      col("a.add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
+      col("a.add.tags").as("tags"))
+
+  private def jsonRemovesOf(jsonRaw: DataFrame): DataFrame =
+    jsonRaw.filter(col("a.remove").isNotNull).select(
+      col("version"), lit(false).as("isAdd"),
+      col("a.remove.path").as("path"),
+      lit(null).cast(pvType).as("partitionValues"),
+      lit(0L).as("size"),
+      lit(0L).as("modificationTime"),
+      lit(null).cast(StringType).as("stats"),
+      lit(null).cast(dvType).as("deletionVector"),
+      lit(null).cast(LongType).as("baseRowId"),
+      lit(null).cast(LongType).as("defaultRowCommitVersion"),
+      lit(null).cast(pvType).as("tags"))
+
+  /** Last-action-wins per path over the normalized action frames → the
+    * LIVE add set as a still-distributed frame (no driver materialization
+    * here — [[collectLive]] decides how much of it reaches the driver). */
+  private[delta] def winnersFrame(actionFrames: Seq[DataFrame]): Option[DataFrame] =
+    if (actionFrames.isEmpty) None
+    else Some(actionFrames.reduce(_ unionByName _)
+      .groupBy(col("path"))
+      .agg(max_by(
+        struct(col("isAdd"), col("partitionValues"), col("size"),
+          col("modificationTime"), col("stats"), col("deletionVector"),
+          col("baseRowId"), col("defaultRowCommitVersion"), col("tags")),
+        struct(col("version"), col("isAdd"))).as("w"))
+      .filter(col("w.isAdd"))
+      .select(col("path"), col("w.partitionValues"), col("w.size"),
+        col("w.modificationTime"), col("w.stats"), col("w.deletionVector"),
+        col("w.baseRowId"), col("w.defaultRowCommitVersion"), col("w.tags")))
+
+  /** The whole ADD plane of `checkpoint ∪ tail commits` as ONE deferred
+    * frame — the scan path's entry: [[graft.sources.delta.DeferredDeltaFiles]]
+    * holds this and materializes only what a pruner lets through. */
+  private[delta] def addWinnersFrame(
+      spark: SparkSession,
+      tablePath: String,
+      cp: Option[(Long, Seq[FileStatus])],
+      tailCommits: Seq[(Long, FileStatus)]): Option[DataFrame] = {
+    val cpAdds = cp.toSeq.map { case (v, parts) =>
+      checkpointAddsFrame(spark, tablePath, v, parts)
+    }
+    val jsonRaw = tailActionsFrame(spark, tailCommits)
+    winnersFrame(cpAdds ++ jsonRaw.map(jsonAddsOf) ++ jsonRaw.map(jsonRemovesOf))
+  }
+
+  /** Materialize a winners frame into driver-side [[DeltaAddFile]]s,
+    * OPTIONALLY pruned EXECUTOR-side first: the pruner runs the exact
+    * partition-predicate + stats-skipping logic the driver-side
+    * [[DeltaFileIndex]] applies (same code, shipped in the closure), so at
+    * a 10M-file table a selective scan materializes only surviving file
+    * descriptors instead of the whole live set — the driver-plane bound
+    * the r16 verdict flagged. `pruner = None` is the unchanged full-table
+    * path. */
+  private[delta] def collectLive(
+      winners: Option[DataFrame],
+      pruner: Option[ScanPruner]): Seq[DeltaAddFile] =
+    winners match {
+      case None => Nil
+      case Some(df) =>
+        val pruned = pruner match {
+          case None => df
+          case Some(p) =>
+            val keep = udf((pv: Map[String, String], stats: String) =>
+              p.keep(Option(pv).getOrElse(Map.empty), Option(stats)))
+            df.filter(keep(col("partitionValues"), col("stats")))
+        }
+        pruned
+          .sort("path") // deterministic snapshot order across runs
+          .collect().toSeq.map { r =>
+            val dv =
+              if (r.isNullAt(5)) None
+              else {
+                val d = r.getStruct(5)
+                Some(DvDescriptor(
+                  d.getAs[String]("storageType"),
+                  d.getAs[String]("pathOrInlineDv"),
+                  if (d.isNullAt(d.fieldIndex("offset"))) None
+                  else Some(d.getAs[Int]("offset")),
+                  d.getAs[Int]("sizeInBytes"),
+                  d.getAs[Long]("cardinality")))
+              }
+            DeltaAddFile(
+              r.getString(0),
+              Option(r.getAs[scala.collection.Map[String, String]](1))
+                .map(_.toMap).getOrElse(Map.empty),
+              r.getLong(2), r.getLong(3),
+              Option(r.getAs[String](4)), dv,
+              if (r.isNullAt(6)) None else Some(r.getLong(6)),
+              if (r.isNullAt(7)) None else Some(r.getLong(7)),
+              Option(r.getAs[scala.collection.Map[String, String]](8))
+                .map(_.toMap).getOrElse(Map.empty))
+          }
+    }
 
   /** A checkpoint/sidecar frame's adds, normalized to the action-frame
     * shape — tolerant of absent optional columns across writer engines,

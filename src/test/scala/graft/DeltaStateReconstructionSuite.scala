@@ -231,4 +231,107 @@ class DeltaStateReconstructionSuite extends AnyFunSuite {
     assert(DeltaLog.jobReplays.get() === before,
       "small pre-checkpoint table must not pay a Spark job for its snapshot")
   }
+
+  // ---- deferred-scan plane (DeltaLog.scanSnapshot + DeferredDeltaFiles):
+  // the live set stays a distributed frame; listFiles prunes executor-side
+
+  private def deferredScan[A](f: => A): A = {
+    DeltaLog.DeferredScanMode = "always"
+    try f finally DeltaLog.DeferredScanMode = "auto"
+  }
+
+  test("deferred scan returns results identical to the eager path (filtered, unfiltered, time travel)") {
+    val dir = tmpDir()
+    DeltaWriter.write(
+      (1 to 40).map(i => (i.toLong, s"s$i", s"p${i % 3}")).toDF("id", "s", "p"),
+      dir, SaveMode.Append, Seq("p"))
+    DeltaWriter.write(
+      (41 to 60).map(i => (i.toLong, s"s$i", s"p${i % 3}")).toDF("id", "s", "p"),
+      dir, SaveMode.Append, Nil)
+    DeltaDml.delete(spark, dir, "id = 7")
+    def readAll(versionAsOf: Option[Long]) = {
+      val r = versionAsOf.foldLeft(spark.read.format("delta")) {
+        (r, v) => r.option("versionAsOf", v)
+      }
+      r.load(dir)
+    }
+    Seq(None, Some(1L)).foreach { v =>
+      val eager = readAll(v).orderBy("id").collect().map(_.toString).toSeq
+      val before = DeltaLog.deferredScans.get()
+      val (deferredRows, filteredRows) = deferredScan {
+        (readAll(v).orderBy("id").collect().map(_.toString).toSeq,
+          // pushed partition + stats filters ride the deferred plane
+          readAll(v).filter("p = 'p1' AND id <= 20").orderBy("id")
+            .collect().map(_.toString).toSeq)
+      }
+      assert(DeltaLog.deferredScans.get() > before,
+        "scanSnapshot did not take the deferred plane under 'always'")
+      assert(deferredRows === eager)
+      val expectFiltered = eager.filter { s =>
+        val id = s.drop(1).takeWhile(_ != ',').toLong
+        id <= 20 && id % 3 == 1
+      }
+      assert(filteredRows === expectFiltered)
+    }
+  }
+
+  test("deferred listFiles materializes only surviving file descriptors") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmpDir()
+    // 8 single-file commits with DISJOINT id ranges (stats prune cleanly),
+    // partitioned two ways
+    (0 until 8).foreach { c =>
+      DeltaWriter.write(
+        (c * 100 until c * 100 + 10).map(i => (i.toLong, s"p${c % 2}"))
+          .toDF("id", "p").coalesce(1),
+        dir, SaveMode.Append, if (c == 0) Seq("p") else Nil)
+    }
+    deferredScan {
+      val (snap, deferred) = DeltaLog.scanSnapshot(spark, dir)
+      assert(deferred.isDefined, "plain table must defer under 'always'")
+      assert(snap.files.isEmpty, "deferred snapshot must not materialize files")
+      val index = new graft.sources.delta.DeltaFileIndex(spark, snap, deferred)
+      // stats filter: id = 305 lives in exactly one file
+      val idAttr = AttributeReference("id", LongType)()
+      val statsPruned = index.listFiles(Nil, Seq(EqualTo(idAttr, Literal(305L))))
+      assert(statsPruned.map(_.files.length).sum === 1,
+        s"expected 1 surviving file, got $statsPruned")
+      // partition filter: only p0 files survive
+      val pAttr = AttributeReference("p",
+        org.apache.spark.sql.types.StringType)()
+      val partPruned = index.listFiles(
+        Seq(EqualTo(pAttr, Literal(UTF8String.fromString("p0"),
+          org.apache.spark.sql.types.StringType))), Nil)
+      assert(partPruned.map(_.files.length).sum === 4)
+      // unfiltered: the full-table path still enumerates everything
+      assert(index.listFiles(Nil, Nil).map(_.files.length).sum === 8)
+      // metadata aggregates run distributed, never a collect
+      assert(deferred.get.fileCount === 8L)
+      assert(deferred.get.totalBytes > 0L)
+    }
+  }
+
+  test("deferred scan falls back to eager for DV-bearing and column-mapped tables") {
+    val dvDir = tmpDir()
+    DeltaWriter.write((1 to 30).map(i => (i, s"x$i")).toDF("id", "s"),
+      dvDir, SaveMode.Append, Nil)
+    DeltaDml.deleteWithDv(spark, dvDir, "id = 3")
+    val mapDir = tmpDir()
+    DeltaWriter.write((1 to 10).map(i => (i, s"x$i")).toDF("id", "s"),
+      mapDir, SaveMode.Append, Nil)
+    graft.sources.delta.DeltaSchema.renameColumn(spark, mapDir, "s", "label")
+    deferredScan {
+      val (dvSnap, dvDeferred) = DeltaLog.scanSnapshot(spark, dvDir)
+      assert(dvDeferred.isEmpty, "DV tables must take the eager path")
+      assert(dvSnap.files.nonEmpty)
+      // ... and the read stays correct through the fallback
+      assert(spark.read.format("delta").load(dvDir).count() === 29)
+      val (mapSnap, mapDeferred) = DeltaLog.scanSnapshot(spark, mapDir)
+      assert(mapDeferred.isEmpty, "column-mapped tables must take the eager path")
+      assert(mapSnap.files.nonEmpty)
+      assert(spark.read.format("delta").load(mapDir).columns.contains("label"))
+    }
+  }
 }
