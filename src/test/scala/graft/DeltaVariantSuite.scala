@@ -81,6 +81,60 @@ class DeltaVariantSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("MERGE assigns variant values through UPDATE and INSERT clauses") {
+    // the r16 verdict's named re-encode risk: a MERGE rewrite evaluates
+    // assignment expressions into a NEW file — the variant binary must
+    // round-trip through the source join, the clause projection and the
+    // parquet re-encode without value drift, and inserts must carry
+    // source-side variant bytes verbatim
+    val d = dir("merge")
+    DeltaWriter.write(metaDf(6), d, SaveMode.Append, Nil)
+    val source = (4 until 10).map(i => (i, s"m$i")).toDF("id", "name")
+      .withColumn("meta", expr(
+        """parse_json(concat('{"k":', id * 100, ',"src":true}'))"""))
+    val m = graft.sources.delta.DeltaMerge.merge(
+      spark, d, source, "t.id = s.id",
+      matchedUpdate = Some(Map("meta" -> "s.meta", "name" -> "s.name")),
+      notMatchedInsert = Some(Map(
+        "id" -> "s.id", "name" -> "s.name", "meta" -> "s.meta")))
+    assert(m.rowsUpdated === 2 && m.rowsInserted === 4)
+    val got = DeltaTable.read(spark, d)
+      .select(col("id"),
+        expr("variant_get(meta, '$.k', 'int')").as("k"),
+        expr("variant_get(meta, '$.src', 'boolean')").as("src"))
+      .orderBy("id").collect()
+    // ids 0..3 keep the original encoding; 4..9 carry the source's
+    assert(got.map(r => r.getInt(1)).toSeq ===
+      Seq(0, 1, 2, 3) ++ (4 until 10).map(_ * 100))
+    assert(got.map(r => !r.isNullAt(2) && r.getBoolean(2)).toSeq ===
+      Seq.fill(4)(false) ++ Seq.fill(6)(true))
+    // protocol still declares the feature after the rewrite commit
+    val proto = DeltaLog.snapshot(spark, d).protocol
+    assert(proto.readerFeatures.contains("variantType"))
+  }
+
+  test("CDF serves variant pre/postimages decoded (update + delete)") {
+    // the other named re-encode risk: CDF change rows are REBUILT from the
+    // pre/post files — a variant column must decode identically in both
+    // images, not just in the final table state
+    val d = dir("cdf")
+    DeltaWriter.write(metaDf(6), d, SaveMode.Append, Nil) // v0
+    spark.sql(s"ALTER TABLE delta.`$d` SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'true')") // v1
+    graft.sources.delta.DeltaDml.update(spark, d, "id = 2",
+      Map("meta" -> """parse_json('{"k":222,"upd":true}')""")) // v2
+    graft.sources.delta.DeltaDml.delete(spark, d, "id = 5") // v3
+    val cdf = DeltaTable.readCdf(spark, d, 1L, 3L)
+      .select(col("id"), col("_change_type"),
+        expr("variant_get(meta, '$.k', 'int')").as("k"))
+      .orderBy("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(cdf === Seq(
+      (2, "update_postimage", 222),
+      (2, "update_preimage", 2),
+      (5, "delete", 5)))
+  }
+
   test("copy-on-write rewrite re-encodes variant values losslessly; stats skip the column") {
     val d = dir("rewrite")
     DeltaWriter.write(metaDf(16), d, SaveMode.Append, Nil)
