@@ -91,12 +91,19 @@ object Clustering {
     * Exception: when the candidates are exactly the files of at most one
     * already-matching cube and nothing new arrived, the run is a no-op —
     * re-sorting one sorted cube is pure write amplification (production's
-    * single-zcube skip). At 100 TB this turns every post-append OPTIMIZE
-    * from O(table) into O(new data). */
+    * single-zcube skip) — UNLESS rewriting that lone cube would strictly
+    * REDUCE its file count: a cube fragmented into many below-target files
+    * bin-packs into fewer (a consolidation win, the r16 advice case —
+    * without it a small clustered table sits under target file size
+    * forever no matter how often OPTIMIZE runs). Strict reduction is also
+    * the convergence bound: the consolidated cube fails the test on its
+    * next run, so steady-state OPTIMIZE stays a no-op. At 100 TB this
+    * turns every post-append OPTIMIZE from O(table) into O(new data). */
   def incrementalCandidates(
       snap: DeltaSnapshot,
       clusterCols: Seq[String],
-      files: Seq[DeltaAddFile]): Seq[DeltaAddFile] = {
+      files: Seq[DeltaAddFile],
+      targetFileBytes: Long): Seq[DeltaAddFile] = {
     val declPhys = clusterCols.map(snap.metadata.physicalOf).mkString(",")
     val minCube = snap.metadata.configuration.get(MinCubeSizeKey)
       .map(_.trim.toLong).getOrElse(DefaultMinCubeSize)
@@ -109,7 +116,12 @@ object Clustering {
         !dvDebt(f, maxDvRatio))
     val unstableCubes = matching.groupBy(_.tags(TagZcubeId))
       .filter(_._2.map(_.size).sum < minCube)
-    if (rest.isEmpty && unstableCubes.size <= 1) Nil
+    // would rewriting the lone cube land strictly fewer files? (mirrors
+    // zorderImpl's output count: bytes/target + 1)
+    val consolidates = unstableCubes.values.exists { fs =>
+      fs.map(_.size).sum / math.max(1L, targetFileBytes) + 1 < fs.size
+    }
+    if (rest.isEmpty && unstableCubes.size <= 1 && !consolidates) Nil
     else (rest ++ unstableCubes.values.flatten).sortBy(_.path)
   }
 

@@ -196,7 +196,8 @@ object DeltaMaintenance {
       val scoped = filterByPartitionPredicate(spark, snap, snap.files, predicate)
       val cands =
         if (full) scoped
-        else Clustering.incrementalCandidates(snap, clusterCols, scoped)
+        else Clustering.incrementalCandidates(snap, clusterCols, scoped,
+          targetFileBytes)
       if (cands.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)
       return zorderImpl(spark, tablePath, clusterCols, targetFileBytes,
         outputFiles = None, predicate = predicate,

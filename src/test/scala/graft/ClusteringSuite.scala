@@ -193,6 +193,34 @@ class ClusteringSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, d).count() === 67)
   }
 
+  test("a lone fragmented unstable cube CONSOLIDATES instead of no-opping forever") {
+    val d = dir("lone-cube")
+    seed(d)
+    Clustering.clusterBy(spark, d, Seq("k"))
+    // default minCubeSize (100 GB): every toy cube stays UNSTABLE, which
+    // is exactly the regime where the old lone-cube skip starved a small
+    // clustered table of compaction (r16 advice)
+    val m1 = DeltaMaintenance.optimize(spark, d, targetFileBytes = 2048)
+    val fragmented = DeltaLog.snapshot(spark, d).files
+    assert(m1.filesAdded >= 2, s"tiny target must fragment the cube: $m1")
+    // a later OPTIMIZE at the real target must MERGE the lone unstable
+    // cube (strictly fewer files), not skip it as already-clustered
+    val m2 = DeltaMaintenance.optimize(spark, d, targetFileBytes = 8L << 20)
+    assert(m2.filesRemoved === fragmented.size,
+      s"lone fragmented cube must consolidate: $m2")
+    assert(m2.filesAdded < fragmented.size)
+    // convergence: once consolidated, the same OPTIMIZE is a no-op again
+    val v = DeltaLog.snapshot(spark, d).version
+    val m3 = DeltaMaintenance.optimize(spark, d, targetFileBytes = 8L << 20)
+    assert(m3.filesRemoved === 0 && m3.filesAdded === 0 &&
+      m3.committedVersion === v,
+      s"consolidation must converge, not churn: $m3")
+    // data intact, provenance intact
+    assert(DeltaTable.read(spark, d).count() === 64)
+    assert(DeltaLog.snapshot(spark, d).files
+      .forall(_.tags.contains(Clustering.TagZcubeId)))
+  }
+
   test("ZCube provenance survives checkpoints on both replay planes") {
     Seq(
       // classic single-file AND the v2 + sidecar layout: the add structs
