@@ -289,9 +289,13 @@ object Bench {
       s""""sf1":{"total":${ms(total)},"anchor_spread":${ms(aSpread)},"reps":$reps$qPart},"""
     }.getOrElse {
       // explicit skip marker: a missing/unparseable sf1 pass must be
-      // VISIBLE to the driver parse, never a silently-absent key
+      // VISIBLE to the driver parse, never a silently-absent key. Every
+      // control char is scrubbed, not just newlines — a tab in a Spark
+      // stack message would make the final line invalid JSON and blind
+      // the whole perf gate.
       val reason = sf1Line.left.getOrElse("unparseable child line")
-        .linesIterator.mkString(" ").replaceAll("[\"\\\\]", "'").take(60)
+        .map(c => if (c < ' ') ' ' else c)
+        .replaceAll("[\"\\\\]", "'").take(60)
       s""""sf1":{"skipped":"$reason"},"""
     }
     println(finalLine(main, n => plane + sf1Extra(n)))

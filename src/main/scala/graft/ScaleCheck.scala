@@ -537,7 +537,7 @@ object ScaleCheck {
     w0.println("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
     w0.println("""{"metaData":{"id":"scale-probe","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"double\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{}}}""")
     w0.close()
-    (0 until math.max(1, nFiles / perCommit)).foreach { c =>
+    (0 until math.max(1, (nFiles + perCommit - 1) / perCommit)).foreach { c =>
       val w = new java.io.PrintWriter(f"$dir/_delta_log/${c + 1}%020d.json")
       (0 until math.min(perCommit, nFiles - c * perCommit)).foreach { i =>
         val n = c * perCommit + i

@@ -311,18 +311,22 @@ final class DeferredDeltaFiles(
     * unfiltered scan re-planned twice should not pay the job twice). */
   lazy val all: Seq[DeltaAddFile] = collect(None)
 
-  /** Total live bytes via a distributed agg — O(1) driver heap (feeds
-    * [[DeltaFileIndex.sizeInBytes]], i.e. join-strategy estimates). */
-  lazy val totalBytes: Long = frame match {
-    case None => 0L
+  /** Bytes + count in ONE distributed agg — O(1) driver heap, and one log
+    * parse serves both [[DeltaFileIndex.sizeInBytes]] (join-strategy
+    * estimates) and the count surface. */
+  private lazy val sizeStats: (Long, Long) = frame match {
+    case None => (0L, 0L)
     case Some(df) =>
-      val r = df.agg(org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.col("size"))).collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val r = df.agg(sum(col("size")), count(lit(1))).collect()(0)
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
   }
 
-  /** Live-file count via a distributed count — O(1) driver heap. */
-  lazy val fileCount: Long = frame.map(_.count()).getOrElse(0L)
+  /** Total live bytes. */
+  def totalBytes: Long = sizeStats._1
+
+  /** Live-file count. */
+  def fileCount: Long = sizeStats._2
 }
 
 object DeltaLog {
@@ -778,7 +782,11 @@ object DeltaLog {
     val defer = DeferredScanMode match {
       case "always" => true
       case "never" => false
-      case _ => estimateBig(spark, tablePath, cp, tailCommits)
+      // respect the replay-plane pin: "never" means DRIVER replay, and the
+      // deferred plane is job-replay by construction — a path-equivalence
+      // spec pinning the driver plane must actually get it on scans too
+      case _ => DistributedReplayMode != "never" &&
+        estimateBig(spark, tablePath, cp, tailCommits)
     }
     if (!defer)
       return (snapshotResolved(spark, tablePath, target, cp, tailCommits), None)
@@ -789,8 +797,15 @@ object DeltaLog {
       driverPlane = false)
     if (snap.metadata.columnMappingMode != "none" ||
         snap.protocol.impliedReaderFeatures.contains("deletionVectors")) {
-      // documented deferral bound: these scans need the full file set
-      (snapshotResolved(spark, tablePath, target, cp, tailCommits), None)
+      // documented deferral bound: these scans need the full file set up
+      // front (the DV map). REUSE the metadata replay just done — only the
+      // live set is collected here, never the whole replay twice.
+      jobReplays.incrementAndGet()
+      val live = DeltaStateReconstruction.collectLive(
+        DeltaStateReconstruction.addWinnersFrame(spark, tablePath, cp, tailCommits),
+        pruner = None)
+      (finishSnapshot(tablePath, target, p, m, live, txns, doms,
+        driverPlane = false), None)
     } else {
       deferredScans.incrementAndGet()
       (snap, Some(new DeferredDeltaFiles(spark, tablePath, cp, tailCommits)))

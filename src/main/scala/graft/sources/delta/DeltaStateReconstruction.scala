@@ -144,9 +144,15 @@ private[delta] object DeltaStateReconstruction {
 
     // ---- checkpoint side, metadata planes (the ADD plane reads through
     // [[checkpointAddsFrame]], shared with the deferred-scan path; both
-    // reads are column-pruned plans over the same parquet)
-    val cpFrames: Seq[(DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] = cp.toSeq.map { case (cpVersion, parts) =>
-      val adds = checkpointAddsFrame(spark, tablePath, cpVersion, parts)
+    // reads are column-pruned plans over the same parquet). With
+    // withLive=false the adds frame (and its v2 validation collects) is
+    // skipped entirely — the deferred-scan path builds its own later —
+    // and the metadata read carries the replayReads accounting instead.
+    val cpFrames: Seq[(Option[DataFrame], DataFrame, DataFrame, DataFrame, DataFrame)] = cp.toSeq.map { case (cpVersion, parts) =>
+      val adds =
+        if (withLive) Some(checkpointAddsFrame(spark, tablePath, cpVersion, parts))
+        else None
+      if (!withLive) DeltaLog.replayReads.addAndGet(parts.size.toLong)
       val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
       val cols = cpDf.schema.fieldNames.toSet
       val metas =
@@ -203,7 +209,7 @@ private[delta] object DeltaStateReconstruction {
     val live: Seq[DeltaAddFile] =
       if (!withLive) Nil
       else collectLive(
-        winnersFrame(cpFrames.map(_._1) ++
+        winnersFrame(cpFrames.flatMap(_._1) ++
           jsonRaw.map(jsonAddsOf) ++ jsonRaw.map(jsonRemovesOf)),
         pruner = None)
 
