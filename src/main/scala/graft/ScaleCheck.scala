@@ -529,8 +529,12 @@ object ScaleCheck {
     * disjoint per-file id ranges [n*1000, n*1000+999]; no data files —
     * snapshot/planning never opens them). Shared by [[replayProbe]] and
     * [[prunedScanProbe]]. */
+  /** Adds per synthetic commit — shared with the probes' reported
+    * "commits" field so metadata can never misdescribe the workload. */
+  private val SyntheticPerCommit = 50000
+
   private def writeSyntheticLog(nFiles: Int): String = {
-    val perCommit = 50000
+    val perCommit = SyntheticPerCommit
     val dir = java.nio.file.Files.createTempDirectory("graft-scale-replay").toString
     val logDir = new java.io.File(s"$dir/_delta_log"); logDir.mkdirs()
     val w0 = new java.io.PrintWriter(s"$dir/_delta_log/00000000000000000000.json")
@@ -541,8 +545,11 @@ object ScaleCheck {
       val w = new java.io.PrintWriter(f"$dir/_delta_log/${c + 1}%020d.json")
       (0 until math.min(perCommit, nFiles - c * perCommit)).foreach { i =>
         val n = c * perCommit + i
+        // f-interpolator: under s"" the %08d spec would land LITERALLY in
+        // every path instead of zero-padding (lexicographic path order
+        // then diverges from numeric order past part-9...)
         w.println(
-          s"""{"add":{"path":"part-$n%06d-${java.util.UUID.randomUUID()}.snappy.parquet","partitionValues":{},"size":${1000000 + n},"modificationTime":${1700000000000L + n},"dataChange":true,"stats":"{\\"numRecords\\":1000,\\"minValues\\":{\\"id\\":${n * 1000L},\\"v\\":0.5},\\"maxValues\\":{\\"id\\":${n * 1000L + 999},\\"v\\":99.5},\\"nullCount\\":{\\"id\\":0,\\"v\\":0}}"}}""")
+          f"""{"add":{"path":"part-$n%08d-${java.util.UUID.randomUUID()}%s.snappy.parquet","partitionValues":{},"size":${1000000 + n}%d,"modificationTime":${1700000000000L + n}%d,"dataChange":true,"stats":"{\\"numRecords\\":1000,\\"minValues\\":{\\"id\\":${n * 1000L}%d,\\"v\\":0.5},\\"maxValues\\":{\\"id\\":${n * 1000L + 999}%d,\\"v\\":99.5},\\"nullCount\\":{\\"id\\":0,\\"v\\":0}}"}}""")
       }
       w.close()
     }
@@ -576,7 +583,8 @@ object ScaleCheck {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("files", nFiles)
-    node.put("commits", nFiles / 50000)
+    node.put("commits",
+      math.max(1, (nFiles + SyntheticPerCommit - 1) / SyntheticPerCommit))
     node.put("driver_plane_sec", math.round(driverSec * 1000) / 1000.0)
     node.put("job_plane_sec", math.round(jobSec * 1000) / 1000.0)
     node.put("job_plane_warm_sec", math.round(jobWarm * 1000) / 1000.0)

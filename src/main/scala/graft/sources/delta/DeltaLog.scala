@@ -504,7 +504,10 @@ object DeltaLog {
       tablePath: String,
       target: Long,
       cp: Option[(Long, Seq[FileStatus])],
-      tailCommits: Seq[(Long, FileStatus)]): DeltaSnapshot = {
+      tailCommits: Seq[(Long, FileStatus)],
+      /** Pre-computed [[estimateBig]] result, when the caller already paid
+        * for it (scanSnapshot) — avoids a second _last_checkpoint read. */
+      bigHint: Option[Boolean] = None): DeltaSnapshot = {
     // Scale fork: past [[SnapshotFileCountWarnThreshold]] live files the
     // driver-side map replay becomes the bottleneck (heap + single-thread
     // JSON parse) — hand the WHOLE replay to a Spark job instead
@@ -514,7 +517,7 @@ object DeltaLog {
     val useJob = DistributedReplayMode match {
       case "always" => true
       case "never" => false
-      case _ => estimateBig(spark, tablePath, cp, tailCommits)
+      case _ => bigHint.getOrElse(estimateBig(spark, tablePath, cp, tailCommits))
     }
     if (useJob) {
       jobReplays.incrementAndGet()
@@ -779,17 +782,27 @@ object DeltaLog {
       : (DeltaSnapshot, Option[DeferredDeltaFiles]) = {
     val (target, cp, tailCommits) =
       resolveReplay(spark, tablePath, versionAsOf, timestampAsOf)
+    // respect the replay-plane pin: "never" means DRIVER replay, and the
+    // deferred plane is job-replay by construction — a path-equivalence
+    // spec pinning the driver plane must actually get it on scans too.
+    // The size estimate is computed at most ONCE here and handed to
+    // snapshotResolved (it opens _last_checkpoint — a remote GET on
+    // object stores, not worth paying twice per relation).
+    val bigOpt: Option[Boolean] =
+      if (DeferredScanMode == "auto" && DistributedReplayMode != "never")
+        Some(estimateBig(spark, tablePath, cp, tailCommits))
+      else None
     val defer = DeferredScanMode match {
       case "always" => true
       case "never" => false
-      // respect the replay-plane pin: "never" means DRIVER replay, and the
-      // deferred plane is job-replay by construction — a path-equivalence
-      // spec pinning the driver plane must actually get it on scans too
-      case _ => DistributedReplayMode != "never" &&
-        estimateBig(spark, tablePath, cp, tailCommits)
+      case _ => bigOpt.contains(true)
     }
     if (!defer)
-      return (snapshotResolved(spark, tablePath, target, cp, tailCommits), None)
+      return (snapshotResolved(spark, tablePath, target, cp, tailCommits, bigOpt), None)
+    if (DistributedReplayMode == "never")
+      // a forced deferral (DeferredScanMode="always") still yields to the
+      // stronger driver-plane pin: the deferred plane cannot exist there
+      return (snapshotResolved(spark, tablePath, target, cp, tailCommits, bigOpt), None)
     val (p, m, _, txns, doms) =
       DeltaStateReconstruction.replay(spark, tablePath, cp, tailCommits,
         withLive = false)

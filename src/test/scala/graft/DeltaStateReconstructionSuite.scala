@@ -333,5 +333,16 @@ class DeltaStateReconstructionSuite extends AnyFunSuite {
       assert(mapSnap.files.nonEmpty)
       assert(spark.read.format("delta").load(mapDir).columns.contains("label"))
     }
+    // the driver-plane pin outranks a forced deferral: with
+    // DistributedReplayMode="never" even DeferredScanMode="always" must
+    // route through the driver replay (no job, no deferred handle)
+    DeltaLog.DistributedReplayMode = "never"
+    try deferredScan {
+      val jobsBefore = DeltaLog.jobReplays.get()
+      val (snap, deferred) = DeltaLog.scanSnapshot(spark, dvDir)
+      assert(deferred.isEmpty && snap.files.nonEmpty)
+      assert(DeltaLog.jobReplays.get() === jobsBefore,
+        "driver-plane pin must govern the scan path too")
+    } finally DeltaLog.DistributedReplayMode = "auto"
   }
 }
