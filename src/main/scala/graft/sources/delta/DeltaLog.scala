@@ -806,23 +806,28 @@ object DeltaLog {
     val (p, m, _, txns, doms) =
       DeltaStateReconstruction.replay(spark, tablePath, cp, tailCommits,
         withLive = false)
-    val snap = finishSnapshot(tablePath, target, p, m, Nil, txns, doms,
-      driverPlane = false)
-    if (snap.metadata.columnMappingMode != "none" ||
-        snap.protocol.impliedReaderFeatures.contains("deletionVectors")) {
-      // documented deferral bound: these scans need the full file set up
-      // front (the DV map). REUSE the metadata replay just done — only the
-      // live set is collected here, never the whole replay twice.
-      jobReplays.incrementAndGet()
-      val live = DeltaStateReconstruction.collectLive(
-        DeltaStateReconstruction.addWinnersFrame(spark, tablePath, cp, tailCommits),
+    // Column mapping costs the deferred plane NOTHING extra: physical
+    // names / field ids are schema metadata ([[GraftParquetFileFormat
+    // .forSnapshot]] reads them off the snapshot, not the files). Deletion
+    // vectors need the scan format's dvByPath up front — but only for the
+    // DV-CARRYING adds, so a DV-feature table materializes exactly those
+    // (one distributed filter; O(DV'd files) driver heap, typically a
+    // small fraction the next OPTIMIZE purges anyway) and still defers the
+    // full live set. The snapshot carries the DV adds as `files`, which is
+    // all forSnapshot consumes on the scan path; listFiles itself routes
+    // through the deferred frame.
+    val dvFiles: Seq[DeltaAddFile] =
+      if (!p.map(_.impliedReaderFeatures).exists(_.contains("deletionVectors"))) Nil
+      else DeltaStateReconstruction.collectLive(
+        DeltaStateReconstruction
+          .addWinnersFrame(spark, tablePath, cp, tailCommits)
+          .map(_.filter(org.apache.spark.sql.functions
+            .col("deletionVector").isNotNull)),
         pruner = None)
-      (finishSnapshot(tablePath, target, p, m, live, txns, doms,
-        driverPlane = false), None)
-    } else {
-      deferredScans.incrementAndGet()
-      (snap, Some(new DeferredDeltaFiles(spark, tablePath, cp, tailCommits)))
-    }
+    val snap = finishSnapshot(tablePath, target, p, m, dvFiles, txns, doms,
+      driverPlane = false)
+    deferredScans.incrementAndGet()
+    (snap, Some(new DeferredDeltaFiles(spark, tablePath, cp, tailCommits)))
   }
 
   /** O(1) estimate of a checkpoint's add count, for the replay-path

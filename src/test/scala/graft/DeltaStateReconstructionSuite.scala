@@ -313,10 +313,10 @@ class DeltaStateReconstructionSuite extends AnyFunSuite {
     }
   }
 
-  test("deferred scan falls back to eager for DV-bearing and column-mapped tables") {
+  test("deferred scan covers DV-bearing and column-mapped tables (DV adds only reach the driver)") {
     val dvDir = tmpDir()
-    DeltaWriter.write((1 to 30).map(i => (i, s"x$i")).toDF("id", "s"),
-      dvDir, SaveMode.Append, Nil)
+    DeltaWriter.write((1 to 30).map(i => (i, s"x$i")).toDF("id", "s")
+      .repartition(4), dvDir, SaveMode.Append, Nil)
     DeltaDml.deleteWithDv(spark, dvDir, "id = 3")
     val mapDir = tmpDir()
     DeltaWriter.write((1 to 10).map(i => (i, s"x$i")).toDF("id", "s"),
@@ -324,14 +324,25 @@ class DeltaStateReconstructionSuite extends AnyFunSuite {
     graft.sources.delta.DeltaSchema.renameColumn(spark, mapDir, "s", "label")
     deferredScan {
       val (dvSnap, dvDeferred) = DeltaLog.scanSnapshot(spark, dvDir)
-      assert(dvDeferred.isEmpty, "DV tables must take the eager path")
-      assert(dvSnap.files.nonEmpty)
-      // ... and the read stays correct through the fallback
+      assert(dvDeferred.isDefined, "DV tables defer too since r17")
+      // the snapshot materializes ONLY the DV-carrying adds (the scan
+      // format's dvByPath input) — never the whole live set
+      assert(dvSnap.files.nonEmpty &&
+        dvSnap.files.forall(_.deletionVector.isDefined))
+      assert(dvSnap.files.size < dvDeferred.get.fileCount,
+        "non-DV adds must stay deferred")
+      // ... and the read applies the DV through the deferred plane
       assert(spark.read.format("delta").load(dvDir).count() === 29)
+      assert(spark.read.format("delta").load(dvDir)
+        .filter("id <= 5").select("id").as[Int].collect().sorted.toSeq ===
+        Seq(1, 2, 4, 5))
       val (mapSnap, mapDeferred) = DeltaLog.scanSnapshot(spark, mapDir)
-      assert(mapDeferred.isEmpty, "column-mapped tables must take the eager path")
-      assert(mapSnap.files.nonEmpty)
-      assert(spark.read.format("delta").load(mapDir).columns.contains("label"))
+      assert(mapDeferred.isDefined,
+        "column mapping is schema metadata — it defers too")
+      assert(mapSnap.files.isEmpty, "no DVs -> nothing materialized")
+      val mapped = spark.read.format("delta").load(mapDir)
+      assert(mapped.columns.contains("label"))
+      assert(mapped.filter("id = 7").select("label").as[String].head() === "x7")
     }
     // the driver-plane pin outranks a forced deferral: with
     // DistributedReplayMode="never" even DeferredScanMode="always" must
