@@ -356,4 +356,58 @@ class DeltaStateReconstructionSuite extends AnyFunSuite {
         "driver-plane pin must govern the scan path too")
     } finally DeltaLog.DistributedReplayMode = "auto"
   }
+
+  test("deferred scans replay CHECKPOINTED state (classic and v2 sidecars)") {
+    // the probes and the other deferred tests exercise JSON-only logs; a
+    // 10M-file table in practice replays mostly out of its checkpoint —
+    // the deferred plane must prune/collect out of checkpoint parquet
+    // (and v2 sidecars) exactly like it does out of the JSON tail
+    Seq(
+      "classic" -> "",
+      "v2_sidecar" ->
+        ", 'delta.checkpointPolicy'='v2', 'delta.checkpoint.partSize'='3'"
+    ).foreach { case (tag, extraProps) =>
+      val dir = tmpDir()
+      DeltaWriter.write(Seq((0L, "seed")).toDF("id", "s").coalesce(1),
+        dir, SaveMode.Append, Nil)
+      spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+        s"('delta.appendOnly'='false'$extraProps)")
+      // disjoint id ranges per commit, checkpoint mid-history, JSON tail on top
+      (1 to 9).foreach { c =>
+        DeltaWriter.write(
+          (c * 100L until c * 100L + 5).map(i => (i, s"r$i")).toDF("id", "s")
+            .coalesce(1),
+          dir, SaveMode.Append, Nil)
+      }
+      val cpV = DeltaLog.snapshot(spark, dir).version
+      DeltaWriter.writeCheckpoint(spark, dir, cpV)
+      DeltaWriter.write(
+        (1000L until 1005L).map(i => (i, s"t$i")).toDF("id", "s").coalesce(1),
+        dir, SaveMode.Append, Nil)
+      val eager = spark.read.format("delta").load(dir)
+        .orderBy("id").collect().map(_.toString).toSeq
+      deferredScan {
+        val got = spark.read.format("delta").load(dir)
+          .orderBy("id").collect().map(_.toString).toSeq
+        assert(got === eager, s"[$tag]")
+        // pruned collect out of the CHECKPOINT side: id=302 predates the
+        // checkpoint, so its descriptor lives in checkpoint parquet (or a
+        // sidecar), not the JSON tail
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+        val (snap, deferred) = DeltaLog.scanSnapshot(spark, dir)
+        assert(deferred.isDefined, s"[$tag]")
+        val index = new graft.sources.delta.DeltaFileIndex(spark, snap, deferred)
+        val pruned = index.listFiles(Nil, Seq(EqualTo(
+          AttributeReference("id", org.apache.spark.sql.types.LongType)(),
+          Literal(302L))))
+        assert(pruned.map(_.files.length).sum === 1,
+          s"[$tag] expected the one checkpoint-side survivor, got $pruned")
+        // ... and out of the JSON tail in the same replay
+        val tailPruned = index.listFiles(Nil, Seq(EqualTo(
+          AttributeReference("id", org.apache.spark.sql.types.LongType)(),
+          Literal(1002L))))
+        assert(tailPruned.map(_.files.length).sum === 1, s"[$tag]")
+      }
+    }
+  }
 }
