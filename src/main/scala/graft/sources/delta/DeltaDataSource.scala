@@ -34,9 +34,11 @@ class DeltaDataSource extends RelationProvider
     val path = pathOf(parameters)
     // scanSnapshot: on job-plane tables the live file set stays a
     // DISTRIBUTED frame (deferred) and listFiles prunes executor-side with
-    // the pushed filters — planning heap O(survivors) at 10M-file tables;
-    // small / column-mapped / DV-bearing tables get the eager snapshot
-    // (deferred = None), byte-identical to the pre-deferral behavior.
+    // the pushed filters — planning heap O(survivors) at 10M-file tables.
+    // Column-mapped tables defer for free; DV tables defer with only their
+    // DV-carrying adds in snap.files (forSnapshot's dvByPath input). Small
+    // tables get the eager snapshot (deferred = None), byte-identical to
+    // the pre-deferral behavior.
     val (snap, deferred) = DeltaLog.scanSnapshot(
       spark, path,
       versionAsOf = caseGet(parameters, "versionAsOf").map(_.toLong),

@@ -33,10 +33,13 @@ class DeltaFileIndex(
     spark: SparkSession,
     private[delta] val snapshot: DeltaSnapshot,
     /** Deferred live-file plane ([[DeltaLog.scanSnapshot]]): when present,
-      * `snapshot.files` is EMPTY and every materialization routes through
-      * the still-distributed add frame — `listFiles` prunes executor-side
-      * with the pushed filters and collects only survivors, the bound that
-      * keeps planning heap flat at 10M-file tables. */
+      * every file materialization routes through the still-distributed add
+      * frame — `listFiles` prunes executor-side with the pushed filters
+      * and collects only survivors, the bound that keeps planning heap
+      * flat at 10M-file tables. `snapshot.files` is NOT the live set on
+      * this plane: it holds only the DV-CARRYING adds (the scan format's
+      * dvByPath input; empty on DV-free tables) and this index never
+      * consults it. */
     private[delta] val deferred: Option[DeferredDeltaFiles] = None) extends FileIndex {
 
   private val tableRoot = new Path(snapshot.tablePath)

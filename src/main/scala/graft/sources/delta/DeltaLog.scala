@@ -307,6 +307,16 @@ final class DeferredDeltaFiles(
   def collect(pruner: Option[ScanPruner]): Seq[DeltaAddFile] =
     DeltaStateReconstruction.collectLive(frame, pruner)
 
+  /** The DV-CARRYING adds only (the scan format's dvByPath input): a
+    * distributed deletionVector-not-null filter over the SHARED frame —
+    * O(DV'd files) driver heap, and no second checkpoint/sidecar
+    * construction beside the one listFiles will reuse. */
+  def dvAdds: Seq[DeltaAddFile] =
+    DeltaStateReconstruction.collectLive(
+      frame.map(_.filter(org.apache.spark.sql.functions
+        .col("deletionVector").isNotNull)),
+      pruner = None)
+
   /** The unchanged full-table path (cached once materialized — an
     * unfiltered scan re-planned twice should not pay the job twice). */
   lazy val all: Seq[DeltaAddFile] = collect(None)
@@ -769,11 +779,14 @@ object DeltaLog {
     * still materializes everything (that O(live files) is what any full
     * scan must hold to enumerate its splits).
     *
-    * Deferral bounds (documented, estimate-gated): column-mapped and
-    * DV-bearing tables fall back to the eager path — their scan format
-    * ([[GraftParquetFileFormat.forSnapshot]]) needs the full file set up
-    * front to build the DV map. Small tables stay eager: one driver map
-    * beats Spark jobs per listFiles. */
+    * Coverage: column mapping rides free (physical names / field ids are
+    * schema metadata — [[GraftParquetFileFormat.forSnapshot]] never reads
+    * files for them); DV-bearing tables defer with ONLY their DV-carrying
+    * adds materialized up front (the format's dvByPath input; warned past
+    * the snapshot threshold — a mass-DV'd table re-approaches O(files)
+    * until its next OPTIMIZE purges the DVs). Small tables stay eager
+    * (one driver map beats Spark jobs per listFiles), and
+    * `DistributedReplayMode="never"` outranks any deferral. */
   def scanSnapshot(
       spark: SparkSession,
       tablePath: String,
@@ -806,28 +819,37 @@ object DeltaLog {
     val (p, m, _, txns, doms) =
       DeltaStateReconstruction.replay(spark, tablePath, cp, tailCommits,
         withLive = false)
+    // reader gates FIRST (files empty): an unreadable table (unknown
+    // reader feature) must fail loudly BEFORE any live-plane job runs
+    val gated = finishSnapshot(tablePath, target, p, m, Nil, txns, doms,
+      driverPlane = false)
+    val deferredFiles = new DeferredDeltaFiles(spark, tablePath, cp, tailCommits)
     // Column mapping costs the deferred plane NOTHING extra: physical
     // names / field ids are schema metadata ([[GraftParquetFileFormat
     // .forSnapshot]] reads them off the snapshot, not the files). Deletion
     // vectors need the scan format's dvByPath up front — but only for the
     // DV-CARRYING adds, so a DV-feature table materializes exactly those
-    // (one distributed filter; O(DV'd files) driver heap, typically a
-    // small fraction the next OPTIMIZE purges anyway) and still defers the
-    // full live set. The snapshot carries the DV adds as `files`, which is
-    // all forSnapshot consumes on the scan path; listFiles itself routes
-    // through the deferred frame.
+    // through the SAME frame listFiles will reuse (one checkpoint/sidecar
+    // construction, one read accounting). The snapshot carries the DV adds
+    // as `files`, which is all forSnapshot consumes on the scan path;
+    // listFiles itself routes through the deferred frame.
     val dvFiles: Seq[DeltaAddFile] =
-      if (!p.map(_.impliedReaderFeatures).exists(_.contains("deletionVectors"))) Nil
-      else DeltaStateReconstruction.collectLive(
-        DeltaStateReconstruction
-          .addWinnersFrame(spark, tablePath, cp, tailCommits)
-          .map(_.filter(org.apache.spark.sql.functions
-            .col("deletionVector").isNotNull)),
-        pruner = None)
-    val snap = finishSnapshot(tablePath, target, p, m, dvFiles, txns, doms,
-      driverPlane = false)
+      if (!gated.protocol.impliedReaderFeatures.contains("deletionVectors")) Nil
+      else {
+        val dvs = deferredFiles.dvAdds
+        // visibility: the DV map is the one O(per-table) driver cost left
+        // on this plane — a mass-DV'd table re-approaches O(files) until
+        // OPTIMIZE purges, and that must never regress silently
+        if (dvs.size > SnapshotFileCountWarnThreshold)
+          System.err.println(
+            s"[graft] WARN: $tablePath deferred scan materialized ${dvs.size} " +
+              "DV-carrying add descriptors for the scan's DV map " +
+              s"(> $SnapshotFileCountWarnThreshold); planning heap is " +
+              "O(DV'd files) until OPTIMIZE physically purges the deleted rows")
+        dvs
+      }
     deferredScans.incrementAndGet()
-    (snap, Some(new DeferredDeltaFiles(spark, tablePath, cp, tailCommits)))
+    (gated.copy(files = dvFiles), Some(deferredFiles))
   }
 
   /** O(1) estimate of a checkpoint's add count, for the replay-path
