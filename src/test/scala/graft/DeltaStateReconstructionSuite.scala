@@ -275,6 +275,30 @@ class DeltaStateReconstructionSuite extends AnyFunSuite {
     }
   }
 
+  test("deferred pruning handles NULL partition values (executor-side UDF edge)") {
+    // a null hive-partition value rides partitionValues as a null map
+    // entry; the ScanPruner UDF must keep/drop such files exactly like the
+    // driver-side index — a null mishandled executor-side would silently
+    // vanish rows only past the deferral cutover
+    val dir = tmpDir()
+    DeltaWriter.write(
+      Seq((1, "a", "p1"), (2, "b", null), (3, "c", "p2"), (4, "d", null))
+        .toDF("id", "s", "p"),
+      dir, SaveMode.Append, Seq("p"))
+    val eagerNull = spark.read.format("delta").load(dir)
+      .filter("p IS NULL").select("id").as[Int].collect().sorted.toSeq
+    val eagerP1 = spark.read.format("delta").load(dir)
+      .filter("p = 'p1'").select("id").as[Int].collect().sorted.toSeq
+    assert(eagerNull === Seq(2, 4) && eagerP1 === Seq(1))
+    deferredScan {
+      assert(spark.read.format("delta").load(dir)
+        .filter("p IS NULL").select("id").as[Int].collect().sorted.toSeq === eagerNull)
+      assert(spark.read.format("delta").load(dir)
+        .filter("p = 'p1'").select("id").as[Int].collect().sorted.toSeq === eagerP1)
+      assert(spark.read.format("delta").load(dir).count() === 4)
+    }
+  }
+
   test("deferred listFiles materializes only surviving file descriptors") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
     import org.apache.spark.sql.types.LongType
