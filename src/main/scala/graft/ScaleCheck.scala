@@ -113,6 +113,8 @@ object ScaleCheck {
     val prunedScan = mapperR.createArrayNode()
     if (scaleOnly.forall(_.exists(s => "prunedscan".startsWith(s)))) {
       prunedScan.add(prunedScanProbe(spark, 1000000, fullMaterialize = true))
+      prunedScan.add(prunedScanProbe(spark, 1000000, fullMaterialize = false,
+        checkpointed = true))
       prunedScan.add(prunedScanProbe(spark, 10000000, fullMaterialize = false))
     }
 
@@ -331,11 +333,13 @@ object ScaleCheck {
         "from 1M to 10M files while full_retained_mb (measured at 1M; the " +
         "unchanged full-table path) is O(files). snapshot_sec is the " +
         "metadata-plane replay; pruned_listfiles_sec is one distributed " +
-        "prune+collect. Absolute seconds overstate a real table's planning " +
-        "cost: the synthetic log is ALL raw JSON commits (no parquet " +
-        "checkpoint), so every plan re-parses N add lines — the " +
-        "decision-grade signal here is the retained-heap SHAPE (flat vs " +
-        "linear), not the wall time.")
+        "prune+collect. log_shape says what the plan parses: json_only " +
+        "points re-read N raw add lines per plan (the pathological " +
+        "pre-checkpoint shape), the checkpointed point is the REAL big- " +
+        "table shape — its metadata-plane snapshot is sub-second (column- " +
+        "pruned checkpoint parquet) while the add-plane prune stays O(N) " +
+        "executor work either way. The decision-grade signal is the " +
+        "retained-heap SHAPE (flat vs linear), not the wall time.")
       ps.set("points", prunedScan)
     }
     val quant = root.putObject("quantizer_assignment")
@@ -605,14 +609,24 @@ object ScaleCheck {
     * would be most of the probe JVM's heap for a number whose shape 1M
     * already proves). */
   private def prunedScanProbe(spark: SparkSession, nFiles: Int,
-      fullMaterialize: Boolean): com.fasterxml.jackson.databind.node.ObjectNode = {
+      fullMaterialize: Boolean,
+      /** true = checkpoint the synthetic log first: the REAL shape of a
+        * big table (its adds replay out of columnar checkpoint parquet,
+        * zero JSON tail) vs the pathological all-JSON log the other points
+        * measure — the wall-time contrast the caveat note promises. */
+      checkpointed: Boolean = false): com.fasterxml.jackson.databind.node.ObjectNode = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
     import org.apache.spark.sql.types.LongType
     import graft.sources.delta.{DeltaFileIndex, DeltaLog}
     val dir = writeSyntheticLog(nFiles)
+    if (checkpointed) {
+      val v = DeltaLog.snapshot(spark, dir).version
+      graft.sources.delta.DeltaWriter.writeCheckpoint(spark, dir, v)
+    }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("files", nFiles)
+    node.put("log_shape", if (checkpointed) "checkpointed" else "json_only")
     val before = DeltaLog.deferredScans.get()
     // metadata-plane snapshot: no live-set collect
     val t0 = System.nanoTime()
