@@ -208,48 +208,58 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val main = runPass(spark, sfDir, names, reps)
 
-    // ---- second anchor at ~sf1 (10× data) in a FRESH CHILD JVM: r15's
-    // in-context sf1 pass recorded dd02 at 32.6s where the isolated run
-    // costs 4.2s — after 158 sf0.1 queries the parent JVM's accumulated
-    // broadcast blocks / codegen caches / GC backlog taxed the heavy
-    // queries 2-8x, so the anchor certified the JVM's wear, not the
-    // operators. The derive stays in the parent (idempotent, reused by
-    // ScaleCheck); the MEASUREMENT runs in a fresh process with the same
-    // heap, like a real cluster's fresh executors would. Skipped for
-    // targeted local runs (SPARK_GRAFT_ONLY) or with SPARK_GRAFT_SF1=0.
-    // Left(reason) = no sf1 pass, and WHY — the final line carries the
-    // marker so a crashed anchor is distinguishable from a disabled one
-    // (the r16 ADVICE: a silently-missing sf1 key blinded cross-round
-    // compares to child-JVM failures).
+    // ---- second anchor at ~sf1 (10× data), ONE FRESH CHILD JVM PER
+    // QUERY: r15's in-context sf1 pass recorded dd02 at 32.6s where the
+    // isolated run costs 4.2s (parent wear); r17's fix — one child for all
+    // 14 headliners — recursed the same defect one level down: queries
+    // late in the child's fixed order carried 3-4x within-child wear
+    // (pp01 21.6s vs 6.2s isolated, tx09 8.8s vs 2.2s), and min-over-reps
+    // cannot recover a plan cost when BOTH reps are worn. Per-query
+    // isolation kills the defect class structurally: each headliner runs
+    // in its own process with the exact measurement shape the SCALECHECK
+    // isolated probes use (untimed warm pass, GC, min over reps), so the
+    // RECORDED artifact and the isolated plane certify the same thing.
+    // The derive stays in the parent (idempotent, reused by ScaleCheck).
+    // Skipped for targeted local runs (SPARK_GRAFT_ONLY) or with
+    // SPARK_GRAFT_SF1=0. Left(reason) = no sf1 pass, and WHY — the final
+    // line carries the marker so a crashed anchor is distinguishable from
+    // a disabled one (the r16 ADVICE: a silently-missing sf1 key blinded
+    // cross-round compares to child-JVM failures).
     val sf1Line: Either[String, String] =
       if (only.nonEmpty) Left("targeted_run")
       else if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Left("disabled")
       else try {
         val workDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-scalecheck/sf1")
         ScaleCheck.generate(spark, sfDir, workDir, copies = 10)
-        val javaBin = s"${sys.props("java.home")}/bin/java"
-        // mirror the parent's build.sbt -D surface (timezone above all:
-        // a child under the machine-default zone would plan the
-        // timestamp-heavy headliners differently than the sf0.1 pass)
-        val cmd = Seq(javaBin) ++ JvmOpens.asArgv ++ Seq(
-          "-Dspark.ui.enabled=false",
-          "-Dspark.sql.session.timeZone=UTC",
-          s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-          "-cp", sys.props("java.class.path"),
-          "graft.BenchSf1Child", workDir,
-          // the child honors the same reps knob the parent would (r16
-          // ADVICE: a hardcoded argv diverged from SPARK_GRAFT_REPS)
-          sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "2"))
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.redirectErrorStream(true)
-        val proc = pb.start()
-        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-        val code = proc.waitFor()
-        require(code == 0, s"sf1 child exited $code:\n" +
-          out.linesIterator.toSeq.takeRight(10).mkString("\n"))
-        out.linesIterator.toSeq.reverse
-          .collectFirst { case l if l.startsWith("SF1PASS ") => l.stripPrefix("SF1PASS ") }
-          .toRight("no SF1PASS line from child")
+        val reps = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "2").toInt
+        val all = SparkEntry.queries.keys.toSeq.sorted
+        val results: Seq[(String, Double, Double, Double)] = Sf1Headline.map { prefix =>
+          val name = all.find(_.startsWith(prefix)).getOrElse(
+            sys.error(s"no registered query with prefix $prefix"))
+          sf1QueryChild(name, workDir, reps) match {
+            case Right((best, spread, anchorSec)) => (name, best, spread, anchorSec)
+            case Left(err) =>
+              // one crashed child must not blind the other 13 headliners;
+              // the -1 rides into the line's `failed` count
+              System.err.println(s"[bench] sf1 child $name failed: $err")
+              (name, -1.0, 1.0, -1.0)
+          }
+        }
+        // cross-child anchor spread: each child samples the SAME trivial
+        // probe in its own fresh JVM, so spread across children measures
+        // machine health over the whole sf1 window (the per-pass
+        // interference signal the single-child design got from
+        // interleaving) — all samples are steady-state-comparable
+        // (identical JVM age at sample time), so none is dropped
+        val anchors = results.map(_._4).filter(_ > 0)
+        val (aMin, aMax) =
+          if (anchors.isEmpty) (-1.0, -1.0) else (anchors.min, anchors.max)
+        val p = Pass(results.map(r => (r._1, r._2, r._3)), reps, workDir,
+          aMin, aMax, if (aMin <= 0) -1.0 else aMax / math.max(aMin, 1e-9))
+        // "plane" says what this line certifies: one fresh process per
+        // query — plan cost with NO within-child ordering wear (the r17
+        // ambiguity) — at the stamped parallelism (the r16 ambiguity)
+        Right(lineOf(p, 3, """"plane":"fresh_jvm_per_query",""" + planeExtra(cpus)))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 pass skipped: ${e.getMessage}")
         Left(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
@@ -318,20 +328,59 @@ object Bench {
     candidates.find(_.length <= TailBudget).getOrElse(lineOf(main, -1))
   }
 
+  /** Launch [[BenchSf1QueryChild]] for ONE headline query; parses its
+    * `SF1Q <name> <bestSec> <spread> <anchorSec>` line. Mirrors the
+    * parent's build.sbt -D surface (timezone above all: a child under the
+    * machine-default zone would plan the timestamp-heavy headliners
+    * differently than the sf0.1 pass). */
+  private def sf1QueryChild(
+      name: String, workDir: String, reps: Int): Either[String, (Double, Double, Double)] =
+    try {
+      val javaBin = s"${sys.props("java.home")}/bin/java"
+      val cmd = Seq(javaBin) ++ JvmOpens.asArgv ++ Seq(
+        "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-cp", sys.props("java.class.path"),
+        "graft.BenchSf1QueryChild", name, workDir, reps.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val code = proc.waitFor()
+      if (code != 0) Left(s"exit $code: " +
+        out.linesIterator.toSeq.takeRight(5).mkString(" | "))
+      else out.linesIterator.toSeq.reverse
+        .collectFirst { case l if l.startsWith(s"SF1Q $name ") =>
+          val parts = l.split(' ')
+          (parts(2).toDouble, parts(3).toDouble, parts(4).toDouble)
+        }
+        .toRight(s"no SF1Q line from child $name")
+    } catch { case e: Throwable =>
+      Left(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    }
+
   /** What survives of the driver's 2000-char stdout tail once sbt's
     * `[info] ` prefix and trailing `[success] Total time …` line are paid. */
   private[graft] val TailBudget = 1850
 }
 
-/** Child-JVM entry for Bench's sf1 pass: measure the headline subset at
-  * the (pre-derived) scaled dir in a FRESH process, so the 10x anchor
-  * reflects plan cost rather than the parent JVM's 158-query wear (the
-  * r15 dd02 32.6s-vs-4.2s lesson). Prints `SF1PASS <json>`; the parent
-  * embeds the summary in its final line. */
-object BenchSf1Child {
+/** Child-JVM entry measuring ONE sf1 headline query in a fresh process —
+  * the per-query isolation that kills within-child ordering wear (the r17
+  * lesson: one child running all 14 headliners in fixed order taxed the
+  * late-ordered ones 3-4x, so the recorded anchor certified JVM wear, not
+  * plans). The measurement shape is EXACTLY the SCALECHECK isolated
+  * probes' ([[BoundedHeapProbe]]): untimed warm pass, then min over reps
+  * with a GC before each — so the recorded BENCH sf1 value and the
+  * `SPARK_GRAFT_SCALE_ONLY` isolated number certify the same plane.
+  * Prints `SF1Q <name> <bestSec> <spread> <anchorSec>`; the anchor is a
+  * min-of-3 sample of the same trivial probe every harness uses, giving
+  * the parent a cross-child machine-health spread for the sf1 window. */
+object BenchSf1QueryChild {
   def main(args: Array[String]): Unit = {
-    val workDir = args(0)
-    val reps = args(1).toInt
+    val name = args(0)
+    val dir = args(1)
+    val reps = args(2).toInt
     val cpus = Bench.defaultCpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -340,18 +389,35 @@ object BenchSf1Child {
       .config("spark.sql.extensions", classOf[graft.functions.GraftSparkExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val subset = Bench.Sf1Headline.flatMap(p => names.find(_._1.startsWith(p)))
-    // this IS a fresh JVM, so the pre-pass anchor sample is the
-    // systematically-fast near-fresh one (r14's phantom-spread lesson;
-    // measured again here: 0.24s first vs 0.43s steady = a fake 1.8x
-    // spread on a quiet machine) — drop it like the parent's first pass
-    val p = Bench.runPass(spark, workDir, subset, reps, dropFirstAnchor = true)
-    // "plane" says what this line certifies: a fresh process, so plan cost
-    // — NOT the parent's post-158-query JVM state (the r15 ambiguity) —
-    // at the stamped master/shuffle parallelism (the r16 ambiguity)
-    println("SF1PASS " + Bench.lineOf(p, 3,
-      """"plane":"fresh_jvm",""" + Bench.planeExtra(cpus)))
+    val fn = SparkEntry.queries(name)
+    def anchorProbe(): Unit = {
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      l.filter(l("l_quantity") > 0).groupBy("l_returnflag").count().collect()
+      ()
+    }
+    // untimed warmup first (JVM/codegen/parquet-footer costs), THEN the
+    // timed anchor sample — the near-fresh first probe is systematically
+    // fast (r14's phantom-spread lesson) and must not be the sample
+    anchorProbe()
+    System.gc()
+    val anchorSec = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      anchorProbe()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    def once(): Unit =
+      try fn(spark, dir).write.mode("overwrite").format("noop").save()
+      finally graft.operators.QueryCaches.release()
+    once() // warm: first-use plan/codegen/shuffle-file costs stay untimed
+    val times = (0 until reps).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      once()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val spread =
+      if (times.size < 2) 1.0 else times.max / math.max(times.min, 1e-9)
+    println(s"SF1Q $name ${times.min} $spread $anchorSec")
     spark.stop()
   }
 }
