@@ -125,6 +125,48 @@ object Clustering {
     else (rest ++ unstableCubes.values.flatten).sortBy(_.path)
   }
 
+  /** Deferred-plane candidate pre-filter (r17 verdict #2): the metadata
+    * Column that is TRUE exactly for files [[incrementalCandidates]] would
+    * treat as candidates — non-matching (untagged / superseded
+    * declaration), DV-indebted, or members of a cube whose total bytes
+    * fall under [[MinCubeSizeKey]]. Cube totals come from ONE distributed
+    * aggregation over the winners frame (O(cubes) driver rows), so
+    * stable-cube files never reach the driver at all; the driver-side
+    * [[incrementalCandidates]] then re-derives its no-op/consolidation
+    * decisions over the collected subset, which is equivalent because
+    * unstable cubes survive the filter WHOLE (per-cube-id membership).
+    * Null discipline mirrors the driver predicates exactly: absent tags /
+    * mismatched zorder-by → non-matching; absent or unparseable
+    * numRecords on a DV'd file → conservatively indebted. */
+  private[delta] def deferredCandidateFilter(
+      snap: DeltaSnapshot,
+      d: DeferredDeltaFiles,
+      clusterCols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val declPhys = clusterCols.map(snap.metadata.physicalOf).mkString(",")
+    val minCube = snap.metadata.configuration.get(MinCubeSizeKey)
+      .map(_.trim.toLong).getOrElse(DefaultMinCubeSize)
+    val maxDvRatio = snap.metadata.configuration.get(MaxDeletedRowsRatioKey)
+      .map(_.trim.toDouble).getOrElse(DefaultMaxDeletedRowsRatio)
+    val tagId = col("tags").getItem(TagZcubeId)
+    val tagBy = col("tags").getItem(TagZorderBy)
+    val numRecords = get_json_object(col("stats"), "$.numRecords").cast("long")
+    val dvDebtCol = col("deletionVector").isNotNull &&
+      coalesce(
+        (numRecords <= 0) ||
+          (col("deletionVector.cardinality").cast("double") / numRecords > maxDvRatio),
+        lit(true))
+    val matching = tagId.isNotNull &&
+      coalesce(tagBy === lit(declPhys), lit(false)) && !dvDebtCol
+    val cubeBytes: Map[String, Long] = d.aggregate(
+      fr => fr.filter(matching).groupBy(tagId.as("cube"))
+        .agg(sum(col("size")).as("bytes")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      Map.empty[String, Long])
+    val unstable = cubeBytes.filter(_._2 < minCube).keySet.toSeq
+    !matching || (if (unstable.isEmpty) lit(false) else tagId.isin(unstable: _*))
+  }
+
   /** The table's clustering columns as LOGICAL names (domain stores
     * physical paths); Nil when unclustered or cleared. Unknown physical
     * names (a foreign engine clustering on columns since dropped) are

@@ -69,6 +69,38 @@ private[delta] object ConflictChecker {
           s"rewritten by a concurrent commit (e.g. ${changed.head.path})")
   }
 
+  /** Incremental form of [[checkRewrite]] for the deferred (job-plane)
+    * commit loops, where `latest` carries metadata planes but NO live set
+    * ([[DeltaLog.metadataSnapshot]]): scans ONLY the intervening commit
+    * JSONs — O(concurrent commits) driver work, never O(files) — and
+    * aborts when any of them removed OR (re-)added a file this transaction
+    * touched. Strictly conservative relative to the eager rule: a
+    * byte-identical re-add of a touched path passes the eager comparison
+    * but aborts here — a spurious retry, never a corruption; every abort
+    * the eager rule would raise, this raises too (a changed/removed
+    * touched entry implies an action on its path in the range). A range
+    * with missing commit JSONs aborts (unvalidatable). */
+  def checkRewriteIncremental(
+      op: String,
+      spark: org.apache.spark.sql.SparkSession,
+      base: DeltaSnapshot,
+      latest: DeltaSnapshot,
+      touched: Seq[DeltaAddFile],
+      onAbort: () => Unit): Unit = {
+    if (latest.version == base.version) return
+    checkTableState(op, base, latest, onAbort)
+    val touchedPaths = touched.map(_.path).toSet
+    val hit =
+      try DeltaLog.commitPathActions(spark, base.tablePath, base.version, latest.version)
+        .find(touchedPaths.contains)
+      catch { case e: java.io.IOException => abort(op, base, onAbort, e.getMessage) }
+    hit.foreach { p =>
+      abort(op, base, onAbort,
+        s"source file $p was removed or rewritten by a concurrent commit " +
+          s"(v${base.version} -> v${latest.version})")
+    }
+  }
+
   /** Read-set rule: abort when a concurrent NON-blind-append commit added
     * dataChange files that may overlap what this transaction READ —
     * `readPredicate` (the DML WHERE; None = the whole table, MERGE's

@@ -31,15 +31,26 @@ object DeltaChecksum {
   def crcPath(tablePath: String, version: Long): Path =
     new Path(DeltaLog.logDir(tablePath), f"$version%020d.crc")
 
-  /** Best-effort post-commit publish; never throws. */
+  /** Best-effort post-commit publish; never throws. On job-plane tables
+    * the totals come from the deferred frame's ONE distributed aggregate
+    * (O(1) driver heap) instead of a full live-set materialization — a
+    * 10M-file table must not re-collect 10M descriptors per commit just
+    * to publish two numbers (the r17 deferred-DML bound applies to every
+    * post-commit path too); the frame it builds is version-cached, so the
+    * next reader of the just-committed version reuses it for free. */
   def write(spark: SparkSession, tablePath: String, version: Long): Unit =
     try {
       if (spark.conf.get("spark.graft.delta.writeChecksums", "true").toBoolean) {
-        val snap = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(version))
+        val (snap, deferred) =
+          DeltaLog.scanSnapshot(spark, tablePath, versionAsOf = Some(version))
+        val (bytes, count) = deferred match {
+          case Some(d) => (d.totalBytes, d.fileCount)
+          case None => (snap.files.map(_.size).sum, snap.files.size.toLong)
+        }
         val mapper = new ObjectMapper()
         val node = mapper.createObjectNode()
-        node.put("tableSizeBytes", snap.files.map(_.size).sum)
-        node.put("numFiles", snap.files.size.toLong)
+        node.put("tableSizeBytes", bytes)
+        node.put("numFiles", count)
         node.put("numMetadata", 1L)
         node.put("numProtocol", 1L)
         val p = crcPath(tablePath, version)

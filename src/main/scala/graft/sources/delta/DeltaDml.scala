@@ -35,10 +35,17 @@ private[delta] final case class DvBuild(
   * index, so PARTITION PRUNING and per-file STATS SKIPPING narrow the scan
   * before any row is read — and resolves matching rows to their source
   * files with `input_file_name()` in ONE distributed aggregate (per-file
-  * match counts). Only touched files are rewritten; untouched files (the
-  * overwhelming majority under a selective predicate) are carried over by
-  * the log untouched. Commit is remove+add with `dataChange=true`
-  * (incremental consumers must see a row-level change; cf. OPTIMIZE's
+  * match counts). On job-plane tables the whole statement rides the
+  * DEFERRED file plane ([[DeltaLog.scanSnapshot]]): the touched-file
+  * lookup is a pruned distributed collect (O(touched) driver heap — a
+  * selective DELETE over a 10M-file table never materializes the live
+  * set), and the commit loop re-reads METADATA-ONLY snapshots validated
+  * by [[ConflictChecker.checkRewriteIncremental]] (intervening commit
+  * JSONs vs touched paths — O(concurrent commits) per retry). Only
+  * touched files are rewritten; untouched files (the overwhelming
+  * majority under a selective predicate) are carried over by the log
+  * untouched. Commit is remove+add with `dataChange=true` (incremental
+  * consumers must see a row-level change; cf. OPTIMIZE's
   * `dataChange=false`).
   *
   * Concurrency: same validated commit loop as OPTIMIZE — on version
@@ -85,7 +92,13 @@ object DeltaDml {
       set: Map[String, String],
       op: String,
       beforeCommit: () => Unit): DmlMetrics = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    // scanSnapshot: on job-plane tables the live set stays a DISTRIBUTED
+    // frame — the touched-file search below is a pruned collect by
+    // construction, so a selective DML over a 10M-file table plans with
+    // O(touched) driver heap instead of the ~O(files) the eager snapshot
+    // materialized on EVERY statement (r17 verdict #2). Small tables keep
+    // the eager snapshot (deferred = None), byte-identical behavior.
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath)
     snap.assertWritable(op)
     snap.assertRemovable(op)
     val badSet = set.keySet.intersect(snap.partitionColumns.toSet)
@@ -122,10 +135,7 @@ object DeltaDml {
     if (matchesByFile.isEmpty)
       return DmlMetrics(0, 0, 0, snap.version)
 
-    val touched = snap.files.filter { f =>
-      matchesByFile.contains(normalize(
-        new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString))
-    }
+    val touched = touchedAdds(tablePath, snap, deferred, matchesByFile.keySet)
     require(touched.nonEmpty,
       s"internal: matched files not found in snapshot (${matchesByFile.keys.take(3).mkString(",")})")
 
@@ -272,14 +282,21 @@ object DeltaDml {
     var attempt = 0
     var committedVersion = -1L
     while (committedVersion < 0 && attempt < 20) {
-      val latest = DeltaLog.snapshot(spark, tablePath)
+      // deferred plane: metadata-only re-read + the INCREMENTAL conflict
+      // rule (intervening commits vs touched paths) — a retry never pays
+      // the O(files) live-set materialization the eager re-read did
+      val latest =
+        if (deferred.isDefined) DeltaLog.metadataSnapshot(spark, tablePath)
+        else DeltaLog.snapshot(spark, tablePath)
       val onAbort = () => {
         adds.foreach { case (rel, _, _, _, _) =>
           fs.delete(new Path(tablePath, rel), false)
         }
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
       }
-      ConflictChecker.checkRewrite(op, snap, latest, touched, onAbort)
+      if (deferred.isDefined)
+        ConflictChecker.checkRewriteIncremental(op, spark, snap, latest, touched, onAbort)
+      else ConflictChecker.checkRewrite(op, snap, latest, touched, onAbort)
       // the find READ the predicate's scope beyond the touched files: a
       // concurrent non-blind-append add in that scope invalidates it
       ConflictChecker.checkReadSet(op, spark, snap, latest, Some(condition), onAbort)
@@ -383,7 +400,7 @@ object DeltaDml {
       beforeCommit: () => Unit): DmlMetrics = {
     import org.apache.spark.sql.functions.{col, expr}
     import spark.implicits._
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath)
     snap.assertWritable("DELETE (deletion vectors)")
     snap.assertRemovable("DELETE (deletion vectors)")
     val conf = spark.sessionState.newHadoopConf()
@@ -395,11 +412,32 @@ object DeltaDml {
       } catch { case _: Exception => None }
     }
 
+    // candidate adds for the build's per-file context. Deferred plane
+    // (r17 verdict #2): resolve the MATCHED file set first — one pruned
+    // scan collecting distinct file paths, O(touched) — then materialize
+    // exactly those descriptors through the distributed frame; the eager
+    // plane keeps the full snapshot set (already materialized). The extra
+    // find pass on the deferred plane buys O(touched) planning heap where
+    // the eager fileMeta map was O(files); a NONDETERMINISTIC predicate
+    // that matches different files on the second pass fails the
+    // touched-vs-built consistency require below, loudly.
+    val candidates: Seq[DeltaAddFile] = deferred match {
+      case Some(d) =>
+        val matchedPaths: Set[String] =
+          DeltaTable.readVersion(spark, tablePath, snap.version)
+            .filter(expr(condition))
+            .select(col("_metadata.file_path")).distinct()
+            .collect().map(r => normalize(r.getString(0))).toSet
+        if (matchedPaths.isEmpty) return DmlMetrics(0, 0, 0, snap.version)
+        touchedAdds(tablePath, snap, Some(d), matchedPaths)
+      case None => snap.files
+    }
+
     // per-file context the build tasks need: existing DV + row count,
-    // keyed by normalized absolute path. O(files) — broadcast, not shipped
-    // per row.
+    // keyed by normalized absolute path. O(candidates) — broadcast, not
+    // shipped per row.
     val fileMeta: Map[String, (Option[DvDescriptor], Option[Long])] =
-      snap.files.map { f =>
+      candidates.map { f =>
         normalize(new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString) ->
           ((f.deletionVector, numRecordsOf(f)))
       }.toMap
@@ -473,7 +511,7 @@ object DeltaDml {
     val byPath: Map[String, DvBuild] = built.map(b => b.path -> b).toMap
     def keyOf(f: DeltaAddFile): String =
       normalize(new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)
-    val touched = snap.files.filter(f => byPath.contains(keyOf(f)))
+    val touched = candidates.filter(f => byPath.contains(keyOf(f)))
     require(touched.size == byPath.size,
       s"internal: matched files not found in snapshot " +
         s"(${byPath.keys.take(3).mkString(",")})")
@@ -512,13 +550,19 @@ object DeltaDml {
     var attempt = 0
     var committedVersion = -1L
     while (committedVersion < 0 && attempt < 20) {
-      val latest = DeltaLog.snapshot(spark, tablePath)
+      val latest =
+        if (deferred.isDefined) DeltaLog.metadataSnapshot(spark, tablePath)
+        else DeltaLog.snapshot(spark, tablePath)
       val onAbort = () => {
         val fs = new Path(tablePath).getFileSystem(conf)
         dvFilePaths.foreach(p => fs.delete(p, false))
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
       }
-      ConflictChecker.checkRewrite("DELETE (merge-on-read)", snap, latest, touched, onAbort)
+      if (deferred.isDefined)
+        ConflictChecker.checkRewriteIncremental("DELETE (merge-on-read)", spark,
+          snap, latest, touched, onAbort)
+      else
+        ConflictChecker.checkRewrite("DELETE (merge-on-read)", snap, latest, touched, onAbort)
       ConflictChecker.checkReadSet("DELETE (merge-on-read)", spark, snap, latest,
         Some(condition), onAbort)
       val version = latest.version + 1
@@ -595,6 +639,26 @@ object DeltaDml {
     DeltaWriter.maybeCheckpoint(spark, tablePath, committedVersion,
       snap.metadata.configuration)
     DmlMetrics(touched.size, 0, rowsAffected, committedVersion)
+  }
+
+  /** The snapshot add entries whose data files resolve to `matchedPaths`
+    * (normalized ABSOLUTE paths from the find scan): a pruned distributed
+    * collect on the deferred plane — O(touched) driver heap at a 10M-file
+    * table — a driver filter over the materialized set on the eager one.
+    * Shared by DML and MERGE so the path-resolution logic (URL-decode +
+    * absolutize + normalize) cannot drift between the planes. */
+  private[delta] def touchedAdds(
+      tablePath: String,
+      snap: DeltaSnapshot,
+      deferred: Option[DeferredDeltaFiles],
+      matchedPaths: Set[String]): Seq[DeltaAddFile] = deferred match {
+    case Some(d) =>
+      val tp = tablePath // avoid capturing `this` in the task closure
+      d.collectByPath(p => matchedPaths.contains(
+        normalize(new Path(tp, DeltaMaintenance.decodeRel(p)).toString)))
+    case None =>
+      snap.files.filter(f => matchedPaths.contains(
+        normalize(new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)))
   }
 
   /** input_file_name() URIs and Path.toString spellings differ

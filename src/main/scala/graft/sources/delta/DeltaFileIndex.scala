@@ -110,7 +110,7 @@ class DeltaFileIndex(
   * The Catalyst filter expressions serialize with the closure (attribute/
   * literal trees are plain case classes); the bound predicate is built
   * lazily per deserialized instance, so each task evaluates its own. */
-private[delta] final case class ScanPruner(
+private[graft] final case class ScanPruner(
     partitionFilters: Seq[Expression],
     dataFilters: Seq[Expression],
     partitionSchema: StructType,

@@ -114,35 +114,81 @@ object DeltaMaintenance {
       predicate: Option[String]): Seq[DeltaAddFile] = predicate match {
     case None => files
     case Some(p) =>
-      require(snap.partitionColumns.nonEmpty,
-        s"WHERE '$p' requires a partitioned table: the predicate may only " +
-          "reference partition columns")
-      val schema = snap.partitionSchema
-      val pvs = files.map(_.partitionValues).distinct
-      val rows: java.util.List[org.apache.spark.sql.Row] =
-        java.util.Arrays.asList(pvs.zipWithIndex.map { case (pv, i) =>
-          org.apache.spark.sql.Row.fromSeq(
-            // partitionValues are keyed by PHYSICAL names on mapped tables
-            schema.fieldNames.toSeq.map(c =>
-              pv.getOrElse(snap.metadata.physicalOf(c), null)) :+ i)
-        }: _*)
-      val strSchema = org.apache.spark.sql.types.StructType(
-        schema.fields.map(_.copy(dataType = org.apache.spark.sql.types.StringType)) :+
-          org.apache.spark.sql.types.StructField("_pvi",
-            org.apache.spark.sql.types.IntegerType, nullable = false))
-      val kept =
-        try spark.createDataFrame(rows, strSchema)
-          .select(schema.fields.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq :+ col("_pvi"): _*)
-          .filter(expr(p))
-          .select(col("_pvi")).collect().map(_.getInt(0)).toSet
-        catch { case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            s"WHERE '$p' must reference partition columns " +
-              s"(${snap.partitionColumns.mkString(", ")}) only", e)
-        }
-      val keptPvs = pvs.zipWithIndex.collect { case (pv, i) if kept(i) => pv }.toSet
+      val keptPvs = keptPartitionTuples(spark, snap,
+        files.map(_.partitionValues).distinct, p)
       files.filter(f => keptPvs.contains(f.partitionValues))
+  }
+
+  /** The core of [[filterByPartitionPredicate]]: which of the DISTINCT
+    * partition tuples satisfy `predicate` — evaluated through the analyzer
+    * (one local job) so casts/implicit coercions match the reader exactly.
+    * Shared by the eager plane and the deferred candidate search, which
+    * cannot afford to materialize the file list the eager signature
+    * takes. */
+  private def keptPartitionTuples(
+      spark: SparkSession,
+      snap: DeltaSnapshot,
+      pvs: Seq[Map[String, String]],
+      p: String): Set[Map[String, String]] = {
+    require(snap.partitionColumns.nonEmpty,
+      s"WHERE '$p' requires a partitioned table: the predicate may only " +
+        "reference partition columns")
+    val schema = snap.partitionSchema
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(pvs.zipWithIndex.map { case (pv, i) =>
+        org.apache.spark.sql.Row.fromSeq(
+          // partitionValues are keyed by PHYSICAL names on mapped tables
+          schema.fieldNames.toSeq.map(c =>
+            pv.getOrElse(snap.metadata.physicalOf(c), null)) :+ i)
+      }: _*)
+    val strSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(dataType = org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField("_pvi",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    val kept =
+      try spark.createDataFrame(rows, strSchema)
+        .select(schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq :+ col("_pvi"): _*)
+        .filter(expr(p))
+        .select(col("_pvi")).collect().map(_.getInt(0)).toSet
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"WHERE '$p' must reference partition columns " +
+            s"(${snap.partitionColumns.mkString(", ")}) only", e)
+      }
+    pvs.zipWithIndex.collect { case (pv, i) if kept(i) => pv }.toSet
+  }
+
+  /** Deferred-plane candidate search (r17 verdict #2): collect only the
+    * live adds that survive the `OPTIMIZE … WHERE` partition scope AND a
+    * metadata predicate over the winners-frame columns — stable/oversized
+    * files never reach the driver, so a steady-state OPTIMIZE over a
+    * 10M-file table plans with O(candidates) heap. The partition scope is
+    * evaluated over the frame's DISTINCT partition tuples with the same
+    * analyzer-backed cast semantics as the eager plane
+    * ([[keptPartitionTuples]]), then shipped executor-side as a tuple-set
+    * membership test. */
+  private def deferredScoped(
+      spark: SparkSession,
+      snap: DeltaSnapshot,
+      d: DeferredDeltaFiles,
+      predicate: Option[String],
+      metaFilter: org.apache.spark.sql.Column): Seq[DeltaAddFile] = {
+    val pvFilter: org.apache.spark.sql.Column = predicate match {
+      case None => lit(true)
+      case Some(p) =>
+        val pvs: Seq[Map[String, String]] = d.aggregate(
+          _.select(col("partitionValues")).distinct().collect().toSeq
+            .map(r => Option(r.getAs[scala.collection.Map[String, String]](0))
+              .map(_.toMap).getOrElse(Map.empty[String, String])),
+          Seq.empty)
+        val kept = keptPartitionTuples(spark, snap, pvs, p)
+        val keep = org.apache.spark.sql.functions.udf(
+          (pv: Map[String, String]) =>
+            kept.contains(Option(pv).getOrElse(Map.empty[String, String])))
+        keep(col("partitionValues"))
+    }
+    d.collectCandidates(pvFilter && metaFilter, pruner = None)
   }
 
   /** Bin-packing compaction of files smaller than `targetFileBytes`,
@@ -181,7 +227,13 @@ object DeltaMaintenance {
       predicate: Option[String],
       beforeCommit: () => Unit,
       full: Boolean): OptimizeMetrics = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    // scanSnapshot: on job-plane tables the candidate search below runs
+    // over the DISTRIBUTED winners frame — only candidate files (small /
+    // unstable-cube / DV-indebted) ever reach the driver, so steady-state
+    // maintenance of a 10M-file table plans with O(candidates) heap
+    // (r17 verdict #2). OPTIMIZE FULL still materializes its scope: a
+    // full re-cluster rewrites everything by definition.
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath)
     snap.assertWritable("OPTIMIZE")
     // a CLUSTERED table's plain OPTIMIZE IS the clustering rewrite — the
     // table's declaration drives the layout, the caller names nothing
@@ -193,7 +245,21 @@ object DeltaMaintenance {
     // for new appends.
     val clusterCols = Clustering.clusteringColumnsOf(snap)
     if (clusterCols.nonEmpty) {
-      val scoped = filterByPartitionPredicate(spark, snap, snap.files, predicate)
+      val scoped = deferred match {
+        case Some(d) if !full =>
+          // executor-side stability pre-filter: stable-cube files never
+          // reach the driver. incrementalCandidates then re-derives its
+          // decisions over the collected subset — equivalent by
+          // construction: every file of an UNSTABLE cube survives the
+          // filter (per-cube-id membership), so cube totals recompute
+          // identically, and stable cubes contribute nothing to either
+          // plane's candidate set.
+          deferredScoped(spark, snap, d, predicate,
+            Clustering.deferredCandidateFilter(snap, d, clusterCols))
+        case Some(d) =>
+          deferredScoped(spark, snap, d, predicate, lit(true))
+        case None => filterByPartitionPredicate(spark, snap, snap.files, predicate)
+      }
       val cands =
         if (full) scoped
         else Clustering.incrementalCandidates(snap, clusterCols, scoped,
@@ -201,10 +267,18 @@ object DeltaMaintenance {
       if (cands.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)
       return zorderImpl(spark, tablePath, clusterCols, targetFileBytes,
         outputFiles = None, predicate = predicate,
-        candidatesOverride = Some((snap, cands)), beforeCommit = beforeCommit)
+        candidatesOverride = Some((snap, cands)), beforeCommit = beforeCommit,
+        deferredBase = deferred.isDefined)
     }
-    val groups = filterByPartitionPredicate(spark, snap, snap.files, predicate)
-      .filter(_.size < targetFileBytes)
+    val compactable = deferred match {
+      // compaction candidates are the BELOW-TARGET files only — shipped as
+      // a metadata predicate so right-sized files never reach the driver
+      case Some(d) => deferredScoped(spark, snap, d, predicate,
+        col("size") < targetFileBytes)
+      case None => filterByPartitionPredicate(spark, snap, snap.files, predicate)
+        .filter(_.size < targetFileBytes)
+    }
+    val groups = compactable
       .groupBy(_.partitionValues)
       .filter(_._2.size >= 2)
     if (groups.isEmpty)
@@ -232,7 +306,7 @@ object DeltaMaintenance {
       dataChange = false, op = "OPTIMIZE",
       params = Map("targetFileBytes" -> targetFileBytes.toString) ++
         predicate.map("predicate" -> _),
-      abortOp = "OPTIMIZE")
+      abortOp = "OPTIMIZE", deferredBase = deferred.isDefined)
     OptimizeMetrics(removed.size, adds.size, removed.map(_.size).sum, committedVersion)
   }
 
@@ -274,9 +348,21 @@ object DeltaMaintenance {
       zorderBy: Seq[String],
       targetFileBytes: Long = 128L << 20,
       outputFiles: Option[Int] = None,
-      predicate: Option[String] = None): OptimizeMetrics =
+      predicate: Option[String] = None): OptimizeMetrics = {
+    // an explicit ZORDER rewrites its whole scope, so the deferred plane
+    // buys no candidate pruning — but the commit loop still gets the
+    // metadata-only re-read + incremental conflict rule (no O(files)
+    // materialization per retry on job-plane tables)
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath)
+    snap.assertWritable("OPTIMIZE ZORDER")
+    val candidates = deferred match {
+      case Some(d) => deferredScoped(spark, snap, d, predicate, lit(true))
+      case None => filterByPartitionPredicate(spark, snap, snap.files, predicate)
+    }
     zorderImpl(spark, tablePath, zorderBy, targetFileBytes, outputFiles,
-      predicate, candidatesOverride = None)
+      predicate, candidatesOverride = Some((snap, candidates)),
+      deferredBase = deferred.isDefined)
+  }
 
   /** The rewrite body behind [[zorder]] and the clustered-OPTIMIZE route:
     * `candidatesOverride` carries the snapshot and the PRE-SCOPED file set
@@ -293,7 +379,11 @@ object DeltaMaintenance {
       outputFiles: Option[Int],
       predicate: Option[String],
       candidatesOverride: Option[(DeltaSnapshot, Seq[DeltaAddFile])],
-      beforeCommit: () => Unit = () => ()): OptimizeMetrics = {
+      beforeCommit: () => Unit = () => (),
+      /** true = the base snapshot came from the deferred plane (its
+        * `.files` is NOT the live set) — the commit loop must use the
+        * incremental conflict rule. */
+      deferredBase: Boolean = false): OptimizeMetrics = {
     require(zorderBy.nonEmpty && zorderBy.size <= 4,
       s"ZORDER BY expects 1 to 4 columns, got ${zorderBy.size}")
     val snap = candidatesOverride.map(_._1)
@@ -387,7 +477,7 @@ object DeltaMaintenance {
       dataChange = false, op = "OPTIMIZE",
       params = Map("zOrderBy" -> zorderBy.mkString(","),
         "targetFileBytes" -> targetFileBytes.toString) ++ predicate.map("predicate" -> _),
-      abortOp = "ZORDER",
+      abortOp = "ZORDER", deferredBase = deferredBase,
       // ZCube provenance: one cube id per rewrite run, keyed (in the tag
       // value) by the PHYSICAL clustering columns so a rename never
       // invalidates the provenance and a re-declaration always does
@@ -459,19 +549,29 @@ object DeltaMaintenance {
       params: Map[String, String],
       abortOp: String,
       cdcFiles: Seq[(String, Long)] = Nil,
-      addTags: Map[String, String] = Map.empty): Long = {
+      addTags: Map[String, String] = Map.empty,
+      /** true = `base` came from the deferred plane (its `.files` is not
+        * the live set): re-read metadata-only and run the INCREMENTAL
+        * conflict rule — no O(files) materialization per retry. */
+      deferredBase: Boolean = false): Long = {
     var attempt = 0
     var committedVersion = -1L
     var lastConfig: Map[String, String] = Map.empty
     while (committedVersion < 0 && attempt < 20) {
-      val latest = DeltaLog.snapshot(spark, tablePath)
+      val latest =
+        if (deferredBase) DeltaLog.metadataSnapshot(spark, tablePath)
+        else DeltaLog.snapshot(spark, tablePath)
       lastConfig = latest.metadata.configuration
-      ConflictChecker.checkRewrite(abortOp, base, latest, removed, () => {
+      val onAbort = () => {
         adds.foreach { case (rel, _, _, _, _) =>
           fs.delete(new Path(tablePath, rel), false)
         }
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
-      })
+      }
+      if (deferredBase)
+        ConflictChecker.checkRewriteIncremental(abortOp, spark, base, latest,
+          removed, onAbort)
+      else ConflictChecker.checkRewrite(abortOp, base, latest, removed, onAbort)
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
@@ -812,19 +912,24 @@ object DeltaMaintenance {
     * conflict loop as OPTIMIZE/DML. */
   def replaceWhere(
       spark: SparkSession, tablePath: String, data: DataFrame, condition: String): Long = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    // deferred plane: the touched-file search below is a pruned collect —
+    // O(touched) driver heap on job-plane tables (r17 verdict #2)
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath)
     snap.assertWritable("REPLACE WHERE")
     snap.assertRemovable("REPLACE WHERE")
     val badNew = data.filter(!coalesce(expr(condition), lit(false))).limit(1).count()
     if (badNew > 0) throw new IllegalArgumentException(
       s"replaceWhere: new rows do not all match '$condition'")
     DeltaConstraints.validate(data, snap, "REPLACE WHERE")
+    // PINNED to the transaction's snapshot version (the DML find's race
+    // comment): an unpinned read resolves a fresh snapshot at load(), so a
+    // commit landing between snapshot() and this scan could surface files
+    // the touched-set (built from `snap`) then silently drops
     val touchedPaths: Set[String] =
-      DeltaTable.read(spark, tablePath).filter(expr(condition))
+      DeltaTable.readVersion(spark, tablePath, snap.version).filter(expr(condition))
         .select(input_file_name().as("_f")).distinct()
         .collect().map(r => DeltaDml.normalize(r.getString(0))).toSet
-    val touched = snap.files.filter(f => touchedPaths.contains(
-      DeltaDml.normalize(new Path(tablePath, decodeRel(f.path)).toString)))
+    val touched = DeltaDml.touchedAdds(tablePath, snap, deferred, touchedPaths)
     val outCols = snap.schema.fieldNames.toIndexedSeq
     // row tracking: survivors of the touched files keep their ids through
     // the rewrite (materialized columns ride along); incoming rows carry
@@ -857,7 +962,8 @@ object DeltaMaintenance {
       }
     commitReplace(spark, tablePath, snap, fs, touched, adds, dataChange = true,
       op = "REPLACE WHERE", params = Map("condition" -> condition),
-      abortOp = "REPLACE WHERE", cdcFiles = cdcFiles)
+      abortOp = "REPLACE WHERE", cdcFiles = cdcFiles,
+      deferredBase = deferred.isDefined)
   }
 
   /** `CREATE TABLE … SHALLOW CLONE src`: a zero-copy metadata-only fork.

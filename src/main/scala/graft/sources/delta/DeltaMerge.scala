@@ -150,7 +150,11 @@ object DeltaMerge {
       beforeCommit: () => Unit): MergeMetrics = {
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE requires at least one WHEN clause")
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    // scanSnapshot: on job-plane tables the live set stays distributed —
+    // the touched-file lookup below becomes a pruned collect (O(touched)
+    // driver heap at a 10M-file table) instead of a filter over a fully
+    // materialized snapshot (r17 verdict #2)
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath)
     snap.assertWritable("MERGE")
     // SetTransaction idempotence: a redelivered merge is a no-op BEFORE
     // any find/rewrite work runs
@@ -282,8 +286,7 @@ object DeltaMerge {
           .collect().map(r => normalize(r.getString(0))).toSet
       }
     val touchedPaths = matchedTouch ++ bySourceTouch
-    val touched = snap.files.filter(f => touchedPaths.contains(normalize(
-      new Path(tablePath, DeltaMaintenance.decodeRel(f.path)).toString)))
+    val touched = DeltaDml.touchedAdds(tablePath, snap, deferred, touchedPaths)
     // every found path must resolve to a snapshot file — a silent drop
     // here would commit a merge that never rewrote a matched row
     // (DeltaDml fails the same way on its find/snapshot mismatch)
@@ -504,7 +507,11 @@ object DeltaMerge {
     var attempt = 0
     var committedVersion = -1L
     while (committedVersion < 0 && attempt < 20) {
-      val latest = DeltaLog.snapshot(spark, tablePath)
+      // deferred plane: metadata-only re-read (txn watermarks included) +
+      // incremental conflict rule — no O(files) materialization per retry
+      val latest =
+        if (deferred.isDefined) DeltaLog.metadataSnapshot(spark, tablePath)
+        else DeltaLog.snapshot(spark, tablePath)
       // concurrent same-app redelivery: another writer committed this
       // (appId, version) between our snapshot and this attempt — drop the
       // staged files, succeed as a no-op (same contract as DeltaWriter)
@@ -522,7 +529,10 @@ object DeltaMerge {
         }
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
       }
-      ConflictChecker.checkRewrite("MERGE", snap, latest, touched, onAbort)
+      if (deferred.isDefined)
+        ConflictChecker.checkRewriteIncremental("MERGE", spark, snap, latest,
+          touched, onAbort)
+      else ConflictChecker.checkRewrite("MERGE", snap, latest, touched, onAbort)
       // the merge's decisions READ the whole target (matched-find inner
       // join, insert anti-join): any concurrent non-blind-append data add
       // invalidates them — two concurrent upserts of the same absent key

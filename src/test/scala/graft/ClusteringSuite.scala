@@ -142,6 +142,33 @@ class ClusteringSuite extends AnyFunSuite {
     }
   }
 
+  test("CLUSTER BY / ZORDER BY on a VARIANT column refuse loudly") {
+    // variant stats are NON-indexed (writer skips min/max for variant —
+    // the protocol's variantType contract), so clustering on one buys
+    // zero file skipping while paying the full rewrite: the declaration
+    // must refuse like the other unsupported-type refusals, not silently
+    // produce an unskippable layout (r17 verdict #5)
+    val d = dir("variant")
+    DeltaWriter.write(
+      (0 until 8).map(i => (i, s"n$i")).toDF("k", "name")
+        .withColumn("meta", expr("""parse_json(concat('{"k":', k, '}'))""")),
+      d, SaveMode.Append, Nil)
+    val e = intercept[IllegalArgumentException] {
+      Clustering.clusterBy(spark, d, Seq("meta"))
+    }
+    assert(e.getMessage.contains("meta"),
+      s"refusal must name the variant column: ${e.getMessage}")
+    // the explicit ZORDER surface refuses the same way
+    val ez = intercept[IllegalArgumentException] {
+      DeltaMaintenance.zorder(spark, d, Seq("meta"))
+    }
+    assert(ez.getMessage.contains("meta"))
+    // a valid declaration on the same table still works (the variant
+    // column rides along unclustered)
+    Clustering.clusterBy(spark, d, Seq("k"))
+    assert(Clustering.clusteringColumnsOf(DeltaLog.snapshot(spark, d)) === Seq("k"))
+  }
+
   test("clustering + row tracking compose: ids survive the auto-cluster") {
     val d = dir("rt")
     DeltaWriter.write(

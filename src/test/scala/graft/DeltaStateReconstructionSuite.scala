@@ -434,4 +434,228 @@ class DeltaStateReconstructionSuite extends AnyFunSuite {
       }
     }
   }
+
+  // ---- deferred DML/OPTIMIZE plane (r18): candidate-finding routes
+  // through DeferredDeltaFiles, commit loops re-read metadata-only and
+  // validate via the incremental conflict rule — the full DML lifecycle
+  // must be byte-equivalent to the eager plane.
+
+  test("DELETE/UPDATE/DV-delete/MERGE/OPTIMIZE/replaceWhere on the deferred plane match the eager plane") {
+    import graft.sources.delta.DeltaMerge
+    def lifecycle(mode: String): (Seq[String], Long) = {
+      val dir = tmpDir()
+      DeltaLog.DeferredScanMode = mode
+      try {
+        DeltaWriter.write(
+          (1 to 100).map(i => (i.toLong, s"s$i", i * 1.0)).toDF("id", "s", "v")
+            .repartition(4),
+          dir, SaveMode.Append, Nil)
+        DeltaWriter.write(
+          (101 to 200).map(i => (i.toLong, s"s$i", i * 1.0)).toDF("id", "s", "v")
+            .repartition(4),
+          dir, SaveMode.Append, Nil)
+        val del = DeltaDml.delete(spark, dir, "id % 10 = 3")
+        assert(del.rowsAffected === 20, s"[$mode]")
+        val upd = DeltaDml.update(spark, dir, "id % 10 = 4", Map("v" -> "v + 0.5"))
+        assert(upd.rowsAffected === 20, s"[$mode]")
+        val dv = DeltaDml.deleteWithDv(spark, dir, "id % 10 = 5")
+        assert(dv.rowsAffected === 20, s"[$mode]")
+        val m = DeltaMerge.merge(spark, dir,
+          (195 to 210).map(i => (i.toLong, s"m$i", -1.0)).toDF("id", "s", "v"),
+          "t.id = s.id",
+          matchedUpdate = Some(Map("s" -> "s.s", "v" -> "s.v")),
+          notMatchedInsert = Some(Map("id" -> "s.id", "s" -> "s.s", "v" -> "s.v")))
+        // 195 was DV-deleted above, so it re-inserts alongside 201..210
+        assert(m.rowsInserted === 11, s"[$mode]")
+        DeltaMaintenance.replaceWhere(spark, dir,
+          Seq((7L, "rw", 7.5)).toDF("id", "s", "v"), "id <= 10")
+        val opt = DeltaMaintenance.optimize(spark, dir, targetFileBytes = 128L << 20)
+        assert(opt.filesRemoved > 0, s"[$mode] compaction found no candidates")
+        val rows = spark.read.format("delta").load(dir)
+          .orderBy("id").collect().map(_.toString).toSeq
+        (rows, DeltaLog.snapshot(spark, dir).version)
+      } finally DeltaLog.DeferredScanMode = "auto"
+    }
+    val (eagerRows, eagerV) = lifecycle("never")
+    val before = DeltaLog.deferredScans.get()
+    val (deferredRows, deferredV) = lifecycle("always")
+    assert(DeltaLog.deferredScans.get() > before,
+      "the lifecycle never exercised the deferred plane")
+    assert(deferredRows === eagerRows)
+    assert(deferredV === eagerV,
+      "both planes must commit the same number of versions")
+  }
+
+  test("deferred commit loop: a disjoint blind append proceeds; a concurrent rewrite of a touched file aborts") {
+    val dir = tmpDir()
+    // two files with disjoint ids, so DMLs can touch them independently
+    DeltaWriter.write((1 to 10).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    DeltaWriter.write((11 to 20).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      // blind append racing the DELETE: WriteSerializable exempts it —
+      // the incremental rule must NOT abort on it (fleet-scale liveness)
+      val m = DeltaDml.delete(spark, dir, "id = 1", () => {
+        DeltaWriter.write(Seq((999, "zz")).toDF("id", "s"), dir, SaveMode.Append, Nil)
+      })
+      assert(m.rowsAffected === 1)
+      val ids = spark.read.format("delta").load(dir)
+        .select("id").as[Int].collect().sorted.toSeq
+      assert(!ids.contains(1) && ids.contains(999))
+      // a concurrent DML that rewrites THIS transaction's touched file
+      // must abort (the incremental rule: an action on a touched path in
+      // the intervening range)
+      intercept[java.util.ConcurrentModificationException] {
+        DeltaDml.delete(spark, dir, "id = 2", () => {
+          DeltaDml.delete(spark, dir, "id = 3") // same file as id=2
+        })
+      }
+    } finally DeltaLog.DeferredScanMode = "auto"
+  }
+
+  test("deferred materialization survives log cleanup via re-resolve at the pinned version") {
+    import graft.sources.delta.DeferredDeltaFiles
+    val dir = tmpDir()
+    (0 until 3).foreach { c =>
+      DeltaWriter.write(
+        (c * 10 until c * 10 + 10).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+        dir, SaveMode.Append, Nil)
+    }
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      DeferredDeltaFiles.clearCache()
+      val (snap, deferred) = DeltaLog.scanSnapshot(spark, dir)
+      assert(deferred.isDefined)
+      // log cleanup races the long-lived relation: a checkpoint covers the
+      // pinned version, then the captured commit JSONs are retired —
+      // the deferred plane must re-resolve instead of failing the scan
+      // (the eager path, which collected at snapshot time, never saw this
+      // window — r17 ADVICE)
+      DeltaWriter.writeCheckpoint(spark, dir, snap.version)
+      (0L to snap.version).foreach { v =>
+        val f = new java.io.File(s"$dir/_delta_log/" + f"$v%020d.json")
+        assert(f.delete(), s"could not retire $f")
+      }
+      val all = deferred.get.all
+      assert(all.size === 3)
+      // and the recovered frame serves a real pruned read
+      assert(spark.read.format("delta").load(dir).count() === 30)
+    } finally {
+      DeltaLog.DeferredScanMode = "auto"
+      DeferredDeltaFiles.clearCache()
+    }
+  }
+
+  test("v2 checkpoint integrity gates fire AT scanSnapshot, not mid-query") {
+    import graft.sources.delta.DeferredDeltaFiles
+    val dir = tmpDir()
+    DeltaWriter.write(Seq((1, "a")).toDF("id", "s").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES " +
+      "('delta.checkpointPolicy' = 'v2')")
+    DeltaWriter.write(Seq((2, "b")).toDF("id", "s").coalesce(1),
+      dir, SaveMode.Append, Nil)
+    val v = DeltaLog.snapshot(spark, dir).version
+    DeltaWriter.writeCheckpoint(spark, dir, v)
+    // misplace the v2 checkpoint: a file NAMED v-1 that DECLARES v — the
+    // corruption the declared-version gate exists for
+    val logDir = new java.io.File(s"$dir/_delta_log")
+    val cp = logDir.listFiles().find(_.getName.matches(s"0*$v\\.checkpoint\\..*\\.parquet"))
+      .getOrElse(fail("no v2 checkpoint written"))
+    val renamed = new java.io.File(logDir,
+      cp.getName.replace(f"$v%020d", f"${v - 1}%020d"))
+    assert(cp.renameTo(renamed))
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      DeferredDeltaFiles.clearCache()
+      // the gate must fire HERE — at snapshot construction, like the eager
+      // replay — not lazily at the first listFiles (r17 ADVICE: a corrupt
+      // v2 checkpoint surfacing mid-query, or never for metadata-only use)
+      val e = intercept[IllegalStateException] {
+        DeltaLog.scanSnapshot(spark, dir, versionAsOf = Some(v - 1))
+      }
+      assert(e.getMessage.contains("declares version"))
+    } finally {
+      DeltaLog.DeferredScanMode = "auto"
+      DeferredDeltaFiles.clearCache()
+    }
+  }
+
+  test("a non-serializable pushed filter falls back to driver-side pruning (never fails the scan)") {
+    import graft.sources.delta.{DeltaFileIndex, ScanPruner}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, LeafExpression, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.types.{BooleanType, LongType}
+    // an Expression whose tree does NOT java-serialize (poison field) —
+    // the failure mode the r17 ADVICE flagged: the eager driver-side
+    // evaluation never serialized filters, the deferred plane ships them
+    // in the collect closure
+    case class NonSerializablePredicate() extends LeafExpression with CodegenFallback {
+      private val poison = new Object
+      override def dataType = BooleanType
+      override def nullable = false
+      override def eval(input: InternalRow): Any = { val _ = poison; true }
+    }
+    val dir = tmpDir()
+    (0 until 3).foreach { c =>
+      DeltaWriter.write(
+        (c * 100L until c * 100L + 10).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+        dir, SaveMode.Append, Nil)
+    }
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      val (snap, deferred) = DeltaLog.scanSnapshot(spark, dir)
+      assert(deferred.isDefined)
+      // a normal stats filter AND the poison predicate together: the
+      // executor-side prune cannot ship, so the fallback must evaluate
+      // BOTH driver-side — same survivors as the poison-free prune
+      val statsFilter = EqualTo(AttributeReference("id", LongType)(), Literal(105L))
+      val withPoison = ScanPruner(Nil, Seq(statsFilter, NonSerializablePredicate()),
+        snap.partitionSchema, snap.dataSchema, snap.metadata.physicalNames)
+      val got = deferred.get.collect(Some(withPoison)).map(_.path).sorted
+      val clean = ScanPruner(Nil, Seq(statsFilter),
+        snap.partitionSchema, snap.dataSchema, snap.metadata.physicalNames)
+      val expected = deferred.get.collect(Some(clean)).map(_.path).sorted
+      assert(got === expected)
+      assert(got.size === 1, "stats skipping must still prune to the one file")
+    } finally DeltaLog.DeferredScanMode = "auto"
+  }
+
+  test("snapshot frame cache: reuse at one version, invalidation on commit AND on table recreation") {
+    import graft.sources.delta.DeferredDeltaFiles
+    val dir = tmpDir()
+    DeltaWriter.write((1 to 30).map(i => (i, s"x$i")).toDF("id", "s"),
+      dir, SaveMode.Append, Nil)
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      DeferredDeltaFiles.clearCache()
+      assert(spark.read.format("delta").load(dir).count() === 30)
+      val h1 = DeferredDeltaFiles.cacheHits.get()
+      assert(spark.read.format("delta").load(dir).filter("id <= 5").count() === 5)
+      assert(DeferredDeltaFiles.cacheHits.get() > h1,
+        "second scan at the same version must reuse the cached frame")
+      // a commit advances the version: the next scan must NOT be served
+      // the stale frame. (It MAY still be a cache hit — the post-commit
+      // checksum writer snapshots the new version and warms the cache for
+      // it, by design — so the pin is on the DATA, not hit accounting.)
+      DeltaWriter.write(Seq((31, "y")).toDF("id", "s"), dir, SaveMode.Append, Nil)
+      assert(spark.read.format("delta").load(dir).count() === 31,
+        "post-commit scan served a stale cached frame")
+      // table recreated at the same path reuses version numbers — the
+      // replay-input fingerprint must reject the stale entry
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      DeltaWriter.write(
+        (1 to 12).map(i => (i, s"recreated-$i-with-longer-rows")).toDF("id", "s"),
+        dir, SaveMode.Append, Nil)
+      DeltaWriter.write(Seq((13, "tail")).toDF("id", "s"), dir, SaveMode.Append, Nil)
+      assert(spark.read.format("delta").load(dir).count() === 13,
+        "recreated table served the DELETED table's cached frame")
+    } finally {
+      DeltaLog.DeferredScanMode = "auto"
+      DeferredDeltaFiles.clearCache()
+    }
+  }
 }
