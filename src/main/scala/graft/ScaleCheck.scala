@@ -118,6 +118,18 @@ object ScaleCheck {
       prunedScan.add(prunedScanProbe(spark, 10000000, fullMaterialize = false))
     }
 
+    // ---- stage 3c: deferred DML plane at 1M and 10M synthetic adds
+    // (r17 verdict #2 done-bar): a selective DELETE's planning heap must
+    // stay flat while the file count grows 10×, with the 1M eager point
+    // showing the O(files) bound the deferral removed.
+    // Targeted: SPARK_GRAFT_SCALE_ONLY=dmlplane.
+    val dmlPlane = mapperR.createArrayNode()
+    if (scaleOnly.forall(_.exists(s => "dmlplane".startsWith(s)))) {
+      dmlPlane.add(dmlPlaneProbe(spark, 1000000, eager = true))
+      dmlPlane.add(dmlPlaneProbe(spark, 1000000, eager = false))
+      dmlPlane.add(dmlPlaneProbe(spark, 10000000, eager = false))
+    }
+
     // ---- stage 4: quantizer assignment growth (r14 verdict #4) — the
     // adaptive-K argmax costs K = √N dot products per row, so total
     // assignment time should grow ~N^1.5 across 1×/10×/30× (a fixed
@@ -181,6 +193,44 @@ object ScaleCheck {
     val pp01Stages: Option[(Pp01Stages, Pp01Stages)] =
       if (!scaleOnly.forall(_.exists(s => "pp01".startsWith(s)))) None
       else Some((pp01Decompose(baseDir), pp01Decompose(workDir)))
+
+    // ---- stage 4b2: dd03 stage decomposition (r17 verdict #4 — dd03's
+    // 1.82 isolated ratio was the highest surviving one). Three nested
+    // probes at both scales — band build (shingle→minhash→explode),
+    // + candidate-pair enumeration (band self-join, distinct), full dd03
+    // (adds the exact-Jaccard verify + top-50) — so each stage's cost is
+    // a subtraction, plus the ROW counts per stage: band rows are linear
+    // in the corpus by construction, so candidate pairs growing faster
+    // than the data names bucket-collision growth (the model's known
+    // super-linear term — same class as pp01's pairs_ratio).
+    case class Dd03Stages(bandsSec: Double, pairsSec: Double, fullSec: Double,
+      bandRows: Long, pairRows: Long)
+    def dd03Decompose(d: String): Dd03Stages = {
+      def timeIt[A](f: () => A): (Double, A) = {
+        f() // warm
+        var best = Double.MaxValue
+        var last: A = null.asInstanceOf[A]
+        (0 until reps).foreach { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          last = f()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        (best, last)
+      }
+      def released[A](f: () => A): () => A =
+        () => try f() finally graft.operators.QueryCaches.release()
+      val (bandsSec, bandRows) = timeIt(released(() =>
+        graft.operators.Dedup.dd03BandsProbe(spark, d)))
+      val (pairsSec, pairRows) = timeIt(released(() =>
+        graft.operators.Dedup.dd03PairsProbe(spark, d)))
+      val (fullSec, _) = timeIt(released(() =>
+        run(spark, "dd03_minhash_lsh", d)))
+      Dd03Stages(bandsSec, pairsSec, fullSec, bandRows, pairRows)
+    }
+    val dd03Stages: Option[(Dd03Stages, Dd03Stages)] =
+      if (!scaleOnly.forall(_.exists(s => "dd03".startsWith(s)))) None
+      else Some((dd03Decompose(baseDir), dd03Decompose(workDir)))
 
     // ---- stage 4c: clustered-OPTIMIZE incrementality (r15 verdict: the
     // full-rewrite OPTIMIZE was the round's one new scale-killer). The
@@ -332,14 +382,18 @@ object ScaleCheck {
         "surviving file descriptors — pruned_retained_mb must stay flat " +
         "from 1M to 10M files while full_retained_mb (measured at 1M; the " +
         "unchanged full-table path) is O(files). snapshot_sec is the " +
-        "metadata-plane replay; pruned_listfiles_sec is one distributed " +
-        "prune+collect. log_shape says what the plan parses: json_only " +
-        "points re-read N raw add lines per plan (the pathological " +
-        "pre-checkpoint shape), the checkpointed point is the REAL big- " +
-        "table shape — its metadata-plane snapshot is sub-second (column- " +
-        "pruned checkpoint parquet) while the add-plane prune stays O(N) " +
-        "executor work either way. The decision-grade signal is the " +
-        "retained-heap SHAPE (flat vs linear), not the wall time.")
+        "metadata-plane replay. pruned_listfiles_sec is the COLD first " +
+        "plan: one full distributed parse + last-wins shuffle + DISK_ONLY " +
+        "persist + prune (r17's per-plan re-parse cost, now paid once per " +
+        "(table, version)); pruned_listfiles_warm_sec is a SECOND plan at " +
+        "the same version served by the frame cache — the r17 verdict-#3 " +
+        "fix, must sit far below cold at 10M. log_shape says what the " +
+        "cold plan parses: json_only points read N raw add lines (the " +
+        "pathological pre-checkpoint shape), the checkpointed point is " +
+        "the REAL big-table shape — its metadata-plane snapshot is " +
+        "sub-second (column-pruned checkpoint parquet). The decision-" +
+        "grade signals are the retained-heap SHAPE (flat vs linear) and " +
+        "the warm/cold ratio, not absolute wall time.")
       ps.set("points", prunedScan)
     }
     val quant = root.putObject("quantizer_assignment")
@@ -390,6 +444,54 @@ object ScaleCheck {
       pp.put("pairs_ratio", ratio(_.pairsSec))
       pp.put("minlabel_loop_ratio", ratio(s => math.max(s.minLabelSec - s.pairsSec, 0.0)))
       pp.put("full_ratio", ratio(_.fullSec))
+    }
+    dd03Stages.foreach { case (b, sc) =>
+      val dd = root.putObject("dd03_stages")
+      dd.put("note", "dd03 decomposed by nested probes: bands = shingle + " +
+        "minhash + band-key explode (rows linear in corpus by construction); " +
+        "pairs = bands + the band self-join's distinct candidate pairs " +
+        "(pair enumeration cost = difference); full = the whole dd03 query " +
+        "(rest = exact-Jaccard verify joins + top-50). pair_rows growing " +
+        "faster than the 10x data = LSH bucket-collision growth, the " +
+        "model's super-linear term (same class as pp01's pairs_ratio — " +
+        "more near-dup candidates IS the workload growing, not a plan " +
+        "defect). In a FULL batch these ratios read high from cross-probe " +
+        "neighbors; the decision-grade numbers come from a targeted run " +
+        "(SPARK_GRAFT_SCALE_ONLY=dd03).")
+      def stage(tag: String, s: Dd03Stages): Unit = {
+        val o = dd.putObject(tag)
+        o.put("bands_sec", math.round(s.bandsSec * 1000) / 1000.0)
+        o.put("bands_plus_pairs_sec", math.round(s.pairsSec * 1000) / 1000.0)
+        o.put("full_sec", math.round(s.fullSec * 1000) / 1000.0)
+        o.put("pair_enum_sec", math.round((s.pairsSec - s.bandsSec) * 1000) / 1000.0)
+        o.put("verify_sec", math.round((s.fullSec - s.pairsSec) * 1000) / 1000.0)
+        o.put("band_rows", s.bandRows)
+        o.put("pair_rows", s.pairRows)
+      }
+      stage("base", b); stage("scaled", sc)
+      def ratio(f: Dd03Stages => Double): Double =
+        math.round(f(sc) / math.max(f(b), 1e-9) * 100) / 100.0
+      dd.put("bands_ratio", ratio(_.bandsSec))
+      dd.put("pair_enum_ratio", ratio(s => math.max(s.pairsSec - s.bandsSec, 0.0)))
+      dd.put("verify_ratio", ratio(s => math.max(s.fullSec - s.pairsSec, 0.0)))
+      dd.put("full_ratio", ratio(_.fullSec))
+      dd.put("pair_rows_ratio",
+        math.round(sc.pairRows.toDouble / math.max(b.pairRows, 1L) * 100) / 100.0)
+    }
+    if (dmlPlane.size() > 0) {
+      val dp = root.putObject("dml_plane")
+      dp.put("note", "deferred DML plane (r17 verdict #2): a selective " +
+        "copy-on-write DELETE over N synthetic adds, planning heap " +
+        "measured inside the beforeCommit seam (find + touched-lookup + " +
+        "staged rewrite live; commit not yet run). The eager 1M point " +
+        "materializes the full snapshot for candidate-finding — its " +
+        "planning_retained_mb is the O(files) bound the deferred plane " +
+        "removes: deferred points must stay ~flat 1M -> 10M. delete_sec " +
+        "includes the distributed O(N)-line log parses (find prune + " +
+        "metadata-only conflict re-read + checksum) — executor work that " +
+        "scales out on a real cluster; the decision-grade signal is the " +
+        "HEAP shape.")
+      dp.set("points", dmlPlane)
     }
     cloptProbes.foreach { case (b, sc) =>
       val co = root.putObject("clustered_optimize")
@@ -537,7 +639,15 @@ object ScaleCheck {
     * "commits" field so metadata can never misdescribe the workload. */
   private val SyntheticPerCommit = 50000
 
-  private def writeSyntheticLog(nFiles: Int): String = {
+  private def writeSyntheticLog(nFiles: Int): String =
+    writeSyntheticLogWithTarget(nFiles, targetIdx = -1)._1
+
+  /** Like [[writeSyntheticLog]], but also returns the generated
+    * table-relative path of add #`targetIdx` so the DML probe can
+    * materialize that ONE data file for real (the find scan must be able
+    * to execute; every other add stays metadata-only). */
+  private def writeSyntheticLogWithTarget(
+      nFiles: Int, targetIdx: Int): (String, Option[String]) = {
     val perCommit = SyntheticPerCommit
     val dir = java.nio.file.Files.createTempDirectory("graft-scale-replay").toString
     val logDir = new java.io.File(s"$dir/_delta_log"); logDir.mkdirs()
@@ -545,6 +655,7 @@ object ScaleCheck {
     w0.println("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
     w0.println("""{"metaData":{"id":"scale-probe","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"double\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{}}}""")
     w0.close()
+    var targetPath: Option[String] = None
     (0 until math.max(1, (nFiles + perCommit - 1) / perCommit)).foreach { c =>
       val w = new java.io.PrintWriter(f"$dir/_delta_log/${c + 1}%020d.json")
       (0 until math.min(perCommit, nFiles - c * perCommit)).foreach { i =>
@@ -552,12 +663,76 @@ object ScaleCheck {
         // f-interpolator: under s"" the %08d spec would land LITERALLY in
         // every path instead of zero-padding (lexicographic path order
         // then diverges from numeric order past part-9...)
+        val p = f"part-$n%08d-${java.util.UUID.randomUUID()}%s.snappy.parquet"
+        if (n == targetIdx) targetPath = Some(p)
         w.println(
-          f"""{"add":{"path":"part-$n%08d-${java.util.UUID.randomUUID()}%s.snappy.parquet","partitionValues":{},"size":${1000000 + n}%d,"modificationTime":${1700000000000L + n}%d,"dataChange":true,"stats":"{\\"numRecords\\":1000,\\"minValues\\":{\\"id\\":${n * 1000L}%d,\\"v\\":0.5},\\"maxValues\\":{\\"id\\":${n * 1000L + 999}%d,\\"v\\":99.5},\\"nullCount\\":{\\"id\\":0,\\"v\\":0}}"}}""")
+          f"""{"add":{"path":"$p%s","partitionValues":{},"size":${1000000 + n}%d,"modificationTime":${1700000000000L + n}%d,"dataChange":true,"stats":"{\\"numRecords\\":1000,\\"minValues\\":{\\"id\\":${n * 1000L}%d,\\"v\\":0.5},\\"maxValues\\":{\\"id\\":${n * 1000L + 999}%d,\\"v\\":99.5},\\"nullCount\\":{\\"id\\":0,\\"v\\":0}}"}}""")
       }
       w.close()
     }
-    dir
+    (dir, targetPath)
+  }
+
+  /** Deferred DML plane at nFiles synthetic adds (the r17 verdict's #2
+    * done-bar): a SELECTIVE copy-on-write DELETE's planning heap —
+    * measured inside the beforeCommit seam, where the eager plane still
+    * strongly references its materialized snapshot — must stay flat from
+    * 1M to 10M files on the deferred plane, while the 1M eager point
+    * shows the O(files) bound it replaced. One target data file is
+    * materialized for real (ids [target·1000, target·1000+999]) so the
+    * find scan, rewrite, commit and checksum all EXECUTE; stats-disjoint
+    * id ranges prune the find to that one file. */
+  private def dmlPlaneProbe(
+      spark: SparkSession, nFiles: Int, eager: Boolean)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    import graft.sources.delta.{DeltaDml, DeferredDeltaFiles}
+    val targetIdx = nFiles / 2
+    val (dir, relOpt) = writeSyntheticLogWithTarget(nFiles, targetIdx)
+    val rel = relOpt.getOrElse(sys.error(s"no add generated at index $targetIdx"))
+    // materialize the one real data file the probe's DELETE touches
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dml-data").toString
+    spark.range(targetIdx * 1000L, targetIdx * 1000L + 1000)
+      .select(col("id"),
+        (lit(0.5) + (col("id") % 100).cast("double")).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("no staged parquet part file"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir, rel))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("files", nFiles)
+    node.put("plane", if (eager) "eager" else "deferred")
+    if (eager) DeltaLog.DeferredScanMode = "never"
+    try {
+      System.gc(); Thread.sleep(200)
+      val baseline = usedHeapMb()
+      var planningMb = -1L
+      val t0 = System.nanoTime()
+      val m = DeltaDml.delete(spark, dir, s"id = ${targetIdx * 1000L + 5}", () => {
+        // the seam runs after find+rewrite staging, before the commit
+        // loop: on the eager plane the materialized snapshot is still
+        // live here — exactly the footprint the deferral removes
+        System.gc(); Thread.sleep(200)
+        planningMb = math.max(usedHeapMb() - baseline, 0L)
+      })
+      node.put("delete_sec", math.round((System.nanoTime() - t0) / 1e6) / 1000.0)
+      node.put("planning_retained_mb", planningMb)
+      node.put("files_rewritten", m.filesRewritten)
+      node.put("rows_deleted", m.rowsAffected)
+      require(m.filesRewritten == 1 && m.rowsAffected == 1,
+        s"expected a 1-file/1-row selective DELETE, got $m")
+    } finally {
+      DeltaLog.DeferredScanMode = "auto"
+      DeferredDeltaFiles.clearCache()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      catch { case _: Exception => () }
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      catch { case _: Exception => () }
+    }
+    node
   }
 
   /** Driver plane vs Spark-job plane wall time, the retained snapshot
@@ -617,12 +792,13 @@ object ScaleCheck {
       checkpointed: Boolean = false): com.fasterxml.jackson.databind.node.ObjectNode = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
     import org.apache.spark.sql.types.LongType
-    import graft.sources.delta.{DeltaFileIndex, DeltaLog}
+    import graft.sources.delta.{DeferredDeltaFiles, DeltaFileIndex, DeltaLog}
     val dir = writeSyntheticLog(nFiles)
     if (checkpointed) {
       val v = DeltaLog.snapshot(spark, dir).version
       graft.sources.delta.DeltaWriter.writeCheckpoint(spark, dir, v)
     }
+    DeferredDeltaFiles.clearCache() // each point starts cold
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("files", nFiles)
@@ -639,13 +815,30 @@ object ScaleCheck {
     // selective planning: one matching file by stats (disjoint id ranges)
     val target = (nFiles / 2) * 1000L + 5
     val filter = Seq(EqualTo(AttributeReference("id", LongType)(), Literal(target)))
-    def prunedOnce(): Int = index.listFiles(Nil, filter).map(_.files.length).sum
-    prunedOnce() // warm (json/codegen paths)
+    def prunedOnce(idx: DeltaFileIndex): Int =
+      idx.listFiles(Nil, filter).map(_.files.length).sum
+    // COLD: the first materialization pays the full O(N) parse +
+    // last-wins shuffle + DISK_ONLY persist + prune — the number
+    // comparable to r17's per-plan re-parse cost
+    val tCold = System.nanoTime()
+    val survivorsCold = prunedOnce(index)
+    node.put("pruned_listfiles_sec",
+      math.round((System.nanoTime() - tCold) / 1e6) / 1000.0)
+    require(survivorsCold == 1, s"expected 1 surviving file, got $survivorsCold")
+    // WARM second plan (r17 verdict #3's done-bar): a NEW scanSnapshot at
+    // the same version must hit the frame cache, and its prune must skip
+    // the O(N) re-parse — reading the persisted winners only
+    val hitsBefore = DeferredDeltaFiles.cacheHits.get()
+    val (snap2, deferred2) = DeltaLog.scanSnapshot(spark, dir)
+    require(DeferredDeltaFiles.cacheHits.get() > hitsBefore,
+      "second scanSnapshot at one version missed the frame cache")
+    val index2 = new DeltaFileIndex(spark, snap2, deferred2)
+    prunedOnce(index2) // warm codegen/disk-read paths
     System.gc(); Thread.sleep(200)
     val heapBefore = usedHeapMb()
     val t1 = System.nanoTime()
-    val survivors = prunedOnce()
-    node.put("pruned_listfiles_sec",
+    val survivors = prunedOnce(index2)
+    node.put("pruned_listfiles_warm_sec",
       math.round((System.nanoTime() - t1) / 1e6) / 1000.0)
     node.put("pruned_survivors", survivors)
     node.put("pruned_retained_mb", math.max(usedHeapMb() - heapBefore, 0L))
@@ -665,6 +858,7 @@ object ScaleCheck {
       // a driver materialization
       node.put("distributed_count", deferred.get.fileCount)
     }
+    DeferredDeltaFiles.clearCache() // drop the deleted dir's persisted frame
     try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     catch { case _: Exception => () }
     node

@@ -154,9 +154,11 @@ object Dedup {
       .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
       .limit(50)
 
-  /** The MinHash-LSH verified near-dup edge list (doc_a < doc_b, jac ≥ 0.5)
-    * — dd03's output (unlimited) and dd06's input graph. */
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Stage 1 of the MinHash-LSH pipeline: persisted non-empty shingle
+    * sets + the exploded band-key frame — split out so the SCALECHECK
+    * dd03_stages decomposition can time the band build apart from the
+    * pair enumeration and the Jaccard verify. */
+  private def dd03Bands(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     // persisted: read once, reused by the band self-join (both sides) and
     // the two candidate-verification joins.
@@ -176,13 +178,25 @@ object Dedup {
              concat(CAST(element_at(sig, 2 * b + 1) AS STRING), '_',
                     CAST(element_at(sig, 2 * b + 2) AS STRING)))"""))
         .as(Seq("band", "key")))
-    val cands = bands.as("a")
+    (sh, bands)
+  }
+
+  /** Stage 2: distinct candidate pairs from the band-key equi-join. */
+  private def dd03CandidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
+
+  /** The MinHash-LSH verified near-dup edge list (doc_a < doc_b, jac ≥ 0.5)
+    * — dd03's output (unlimited) and dd06's input graph. Stage 3 (the
+    * exact-Jaccard verify joins) on top of [[dd03Bands]] +
+    * [[dd03CandidatePairs]]. */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val (sh, bands) = dd03Bands(s, dir)
+    dd03CandidatePairs(bands)
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("jac",
@@ -274,6 +288,25 @@ object Dedup {
     * scale risk) or only costlier rounds (linear, fine). */
   private[graft] def verifiedPairsProbe(s: SparkSession, dir: String): Long =
     verifiedPairs(s, dir).count()
+
+  /** ScaleCheck seams decomposing dd03 itself (SCALECHECK dd03_stages —
+    * r17 verdict #4: dd03's 1.82 isolated ratio was the highest surviving
+    * one, unexplained). Nested prefixes of the verifiedPairs pipeline, so
+    * each stage's cost is a subtraction: band build (shingle → minhash →
+    * explode), + candidate enumeration (band self-join, distinct), + the
+    * exact-Jaccard verify (the full dd03 query is probed separately). The
+    * returned row counts name the growth source: band rows grow linearly
+    * with the corpus by construction; candidate pairs growing faster than
+    * the corpus = bucket-collision growth, the quadratic risk. */
+  private[graft] def dd03BandsProbe(s: SparkSession, dir: String): Long = {
+    val (_, bands) = dd03Bands(s, dir)
+    bands.count()
+  }
+
+  private[graft] def dd03PairsProbe(s: SparkSession, dir: String): Long = {
+    val (_, bands) = dd03Bands(s, dir)
+    dd03CandidatePairs(bands).count()
+  }
 
   private[graft] def minLabelProbe(s: SparkSession, dir: String): (Long, Int) = {
     val edges = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
