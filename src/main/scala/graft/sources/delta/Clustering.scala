@@ -141,7 +141,13 @@ object Clustering {
   private[delta] def deferredCandidateFilter(
       snap: DeltaSnapshot,
       d: DeferredDeltaFiles,
-      clusterCols: Seq[String]): org.apache.spark.sql.Column = {
+      clusterCols: Seq[String],
+      /** The caller's `OPTIMIZE … WHERE` partition scope: cube totals are
+        * aggregated over IN-SCOPE files only, matching the eager plane's
+        * scoped-first ordering — unscoped totals would call a cube stable
+        * (global bytes ≥ minCube) that the scoped view must rewrite
+        * (in-scope bytes < minCube). */
+      scope: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val declPhys = clusterCols.map(snap.metadata.physicalOf).mkString(",")
     val minCube = snap.metadata.configuration.get(MinCubeSizeKey)
@@ -159,7 +165,7 @@ object Clustering {
     val matching = tagId.isNotNull &&
       coalesce(tagBy === lit(declPhys), lit(false)) && !dvDebtCol
     val cubeBytes: Map[String, Long] = d.aggregate(
-      fr => fr.filter(matching).groupBy(tagId.as("cube"))
+      fr => fr.filter(scope && matching).groupBy(tagId.as("cube"))
         .agg(sum(col("size")).as("bytes")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap,
       Map.empty[String, Long])

@@ -42,7 +42,8 @@ object DeltaChecksum {
     try {
       if (spark.conf.get("spark.graft.delta.writeChecksums", "true").toBoolean) {
         val (snap, deferred) =
-          DeltaLog.scanSnapshot(spark, tablePath, versionAsOf = Some(version))
+          DeltaLog.scanSnapshot(spark, tablePath, versionAsOf = Some(version),
+            withDvAdds = false) // totals only — never open data files
         val (bytes, count) = deferred match {
           case Some(d) => (d.totalBytes, d.fileCount)
           case None => (snap.files.map(_.size).sum, snap.files.size.toLong)

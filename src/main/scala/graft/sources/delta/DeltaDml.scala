@@ -136,8 +136,14 @@ object DeltaDml {
       return DmlMetrics(0, 0, 0, snap.version)
 
     val touched = touchedAdds(tablePath, snap, deferred, matchesByFile.keySet)
-    require(touched.nonEmpty,
-      s"internal: matched files not found in snapshot (${matchesByFile.keys.take(3).mkString(",")})")
+    // EXACT-size invariant (same as MERGE's): a partial resolution miss —
+    // any path-decode divergence between input_file_name() URIs and the
+    // frame-stored add paths — must abort, never commit a rewrite that
+    // silently skips matched files while rowsAffected counts their rows
+    require(touched.size == matchesByFile.size,
+      s"internal: ${matchesByFile.size - touched.size} matched file(s) not " +
+        s"found in snapshot v${snap.version} " +
+        s"(e.g. ${matchesByFile.keys.take(3).mkString(",")})")
 
     // ---- 2. rewrite touched files only: one unioned plan across partition
     // groups (partition values re-injected — data files do not store them),

@@ -435,12 +435,34 @@ final class DeferredDeltaFiles private[delta] (
   /** The DV-CARRYING adds only (the scan format's dvByPath input): a
     * distributed deletionVector-not-null filter over the SHARED frame —
     * O(DV'd files) driver heap, and no second checkpoint/sidecar
-    * construction beside the one listFiles will reuse. */
-  def dvAdds: Seq[DeltaAddFile] =
+    * construction beside the one listFiles will reuse. MEMOIZED like
+    * [[all]]: the instance is per-(table, version) and cached, so a
+    * second scan at one version must not re-run the DV job. */
+  lazy val dvAdds: Seq[DeltaAddFile] =
     withFrame { fr =>
       DeltaStateReconstruction.collectLive(
         fr.map(_.filter(col("deletionVector").isNotNull)), pruner = None)
     }
+
+  /** The winners frame projected as checkpoint-shaped `add` structs
+    * (field order = [[DeltaWriter.writeCheckpoint]]'s add schema) — the
+    * checkpoint writer's DISTRIBUTED add plane: a 10M-file table's
+    * interval checkpoint must stream its adds executor-side, never
+    * collect them to the driver first. None = empty table. */
+  def checkpointAdds(): Option[DataFrame] = withFrame(_.map { fr =>
+    import org.apache.spark.sql.functions.{lit, struct}
+    fr.select(struct(
+      col("path").as("path"),
+      col("partitionValues").as("partitionValues"),
+      col("size").as("size"),
+      col("modificationTime").as("modificationTime"),
+      lit(true).as("dataChange"),
+      col("stats").as("stats"),
+      col("deletionVector").as("deletionVector"),
+      col("baseRowId").as("baseRowId"),
+      col("defaultRowCommitVersion").as("defaultRowCommitVersion"),
+      col("tags").as("tags")).as("add"))
+  })
 
   /** The unchanged full-table path (cached once materialized — an
     * unfiltered scan re-planned twice should not pay the job twice). */
@@ -504,28 +526,51 @@ object DeferredDeltaFiles {
       tablePath: String,
       version: Long,
       cp: Option[(Long, Seq[FileStatus])],
-      tailCommits: Seq[(Long, FileStatus)]): DeferredDeltaFiles = synchronized {
+      tailCommits: Seq[(Long, FileStatus)]): DeferredDeltaFiles = {
     val key = Key(tablePath, version)
     val fp = fingerprintOf(cp, tailCommits)
-    val hit = Option(cache.get(key))
-      .filter(e => e.fingerprint == fp && (e.files.sessionOf eq spark))
-    hit.map { e => cacheHits.incrementAndGet(); e.files }.getOrElse {
-      Option(cache.remove(key)).foreach(_.files.unpersist())
-      // newer version of the same table supersedes older cached frames
-      val stale = cache.keySet().iterator()
-      val toDrop = Seq.newBuilder[Key]
-      while (stale.hasNext) {
-        val k = stale.next()
-        if (k.tablePath == tablePath && k.version < version) toDrop += k
-      }
-      toDrop.result().foreach(k => Option(cache.remove(k)).foreach(_.files.unpersist()))
+    def lookup(): Option[DeferredDeltaFiles] = synchronized {
+      Option(cache.get(key))
+        .filter(e => e.fingerprint == fp && (e.files.sessionOf eq spark))
+        .map { e => cacheHits.incrementAndGet(); e.files }
+    }
+    lookup().getOrElse {
+      // build OUTSIDE the lock: eager construction runs Spark collects
+      // (v2 integrity gates) and parquet-footer / object-store I/O —
+      // holding the one companion lock across that would serialize every
+      // deferred scan and every commit's checksum across ALL tables. Two
+      // racing builders of one key both succeed; the loser's frame is
+      // unpersisted and dropped.
       val built = new DeferredDeltaFiles(spark, tablePath, version, cp, tailCommits)
-      cache.put(key, Entry(built, fp))
-      while (cache.size() > MaxEntries) {
-        val eldest = cache.keySet().iterator().next()
-        Option(cache.remove(eldest)).foreach(_.files.unpersist())
+      synchronized {
+        lookup() match {
+          case Some(winner) =>
+            built.unpersist()
+            winner
+          case None =>
+            Option(cache.remove(key)).foreach(_.files.unpersist())
+            // newer version of the same table supersedes older cached
+            // frames. NB an evicted frame still held by an in-flight
+            // reader stays CORRECT (an unpersisted DataFrame recomputes);
+            // it just re-pays the parse on its next materialization —
+            // acceptable for the rare reader that spans a concurrent
+            // writer's commit.
+            val stale = cache.keySet().iterator()
+            val toDrop = Seq.newBuilder[Key]
+            while (stale.hasNext) {
+              val k = stale.next()
+              if (k.tablePath == tablePath && k.version < version) toDrop += k
+            }
+            toDrop.result().foreach(k =>
+              Option(cache.remove(k)).foreach(_.files.unpersist()))
+            cache.put(key, Entry(built, fp))
+            while (cache.size() > MaxEntries) {
+              val eldest = cache.keySet().iterator().next()
+              Option(cache.remove(eldest)).foreach(_.files.unpersist())
+            }
+            built
+        }
       }
-      built
     }
   }
 
@@ -995,7 +1040,14 @@ object DeltaLog {
       spark: SparkSession,
       tablePath: String,
       versionAsOf: Option[Long] = None,
-      timestampAsOf: Option[String] = None)
+      timestampAsOf: Option[String] = None,
+      /** false = skip materializing the DV-carrying adds into
+        * `snapshot.files` — for metadata/stats consumers (the per-commit
+        * checksum) that never open data files: on a mass-DV'd table the
+        * unconditional DV collect is O(DV'd files) driver heap per call,
+        * paid for nothing. The SCAN path must keep the default true (the
+        * file format needs its dvByPath input). */
+      withDvAdds: Boolean = true)
       : (DeltaSnapshot, Option[DeferredDeltaFiles]) = {
     val (target, cp, tailCommits) =
       resolveReplay(spark, tablePath, versionAsOf, timestampAsOf)
@@ -1040,7 +1092,8 @@ object DeltaLog {
     // as `files`, which is all forSnapshot consumes on the scan path;
     // listFiles itself routes through the deferred frame.
     val dvFiles: Seq[DeltaAddFile] =
-      if (!gated.protocol.impliedReaderFeatures.contains("deletionVectors")) Nil
+      if (!withDvAdds ||
+        !gated.protocol.impliedReaderFeatures.contains("deletionVectors")) Nil
       else {
         val dvs = deferredFiles.dvAdds
         // visibility: the DV map is the one O(per-table) driver cost left

@@ -173,22 +173,34 @@ object DeltaMaintenance {
       snap: DeltaSnapshot,
       d: DeferredDeltaFiles,
       predicate: Option[String],
-      metaFilter: org.apache.spark.sql.Column): Seq[DeltaAddFile] = {
-    val pvFilter: org.apache.spark.sql.Column = predicate match {
-      case None => lit(true)
-      case Some(p) =>
-        val pvs: Seq[Map[String, String]] = d.aggregate(
-          _.select(col("partitionValues")).distinct().collect().toSeq
-            .map(r => Option(r.getAs[scala.collection.Map[String, String]](0))
-              .map(_.toMap).getOrElse(Map.empty[String, String])),
-          Seq.empty)
-        val kept = keptPartitionTuples(spark, snap, pvs, p)
-        val keep = org.apache.spark.sql.functions.udf(
-          (pv: Map[String, String]) =>
-            kept.contains(Option(pv).getOrElse(Map.empty[String, String])))
-        keep(col("partitionValues"))
-    }
-    d.collectCandidates(pvFilter && metaFilter, pruner = None)
+      metaFilter: org.apache.spark.sql.Column): Seq[DeltaAddFile] =
+    d.collectCandidates(
+      partitionScopeFilter(spark, snap, d, predicate) && metaFilter,
+      pruner = None)
+
+  /** The `OPTIMIZE … WHERE` partition scope as an executor-side Column
+    * over the winners frame's `partitionValues` — exposed separately from
+    * [[deferredScoped]] because the clustered candidate search must apply
+    * the SAME scope inside its cube-totals aggregation (cube stability is
+    * judged against in-scope bytes on the eager plane; unscoped totals
+    * would call a cube stable that the scoped view must rewrite). */
+  private def partitionScopeFilter(
+      spark: SparkSession,
+      snap: DeltaSnapshot,
+      d: DeferredDeltaFiles,
+      predicate: Option[String]): org.apache.spark.sql.Column = predicate match {
+    case None => lit(true)
+    case Some(p) =>
+      val pvs: Seq[Map[String, String]] = d.aggregate(
+        _.select(col("partitionValues")).distinct().collect().toSeq
+          .map(r => Option(r.getAs[scala.collection.Map[String, String]](0))
+            .map(_.toMap).getOrElse(Map.empty[String, String])),
+        Seq.empty)
+      val kept = keptPartitionTuples(spark, snap, pvs, p)
+      val keep = org.apache.spark.sql.functions.udf(
+        (pv: Map[String, String]) =>
+          kept.contains(Option(pv).getOrElse(Map.empty[String, String])))
+      keep(col("partitionValues"))
   }
 
   /** Bin-packing compaction of files smaller than `targetFileBytes`,
@@ -253,9 +265,13 @@ object DeltaMaintenance {
           // construction: every file of an UNSTABLE cube survives the
           // filter (per-cube-id membership), so cube totals recompute
           // identically, and stable cubes contribute nothing to either
-          // plane's candidate set.
-          deferredScoped(spark, snap, d, predicate,
-            Clustering.deferredCandidateFilter(snap, d, clusterCols))
+          // plane's candidate set. The partition scope feeds the cube-
+          // totals aggregation too (stability is judged IN-SCOPE, exactly
+          // like the eager plane's scoped-first ordering).
+          val scope = partitionScopeFilter(spark, snap, d, predicate)
+          d.collectCandidates(
+            scope && Clustering.deferredCandidateFilter(snap, d, clusterCols, scope),
+            pruner = None)
         case Some(d) =>
           deferredScoped(spark, snap, d, predicate, lit(true))
         case None => filterByPartitionPredicate(spark, snap, snap.files, predicate)
@@ -355,6 +371,10 @@ object DeltaMaintenance {
     // materialization per retry on job-plane tables)
     val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath)
     snap.assertWritable("OPTIMIZE ZORDER")
+    // validate BEFORE the candidate collection: on a job-plane table the
+    // collection is an O(files) distributed job — invalid input (bad
+    // arity, partition column, unsupported type) must refuse for free
+    validateZorderBy(snap, zorderBy)
     val candidates = deferred match {
       case Some(d) => deferredScoped(spark, snap, d, predicate, lit(true))
       case None => filterByPartitionPredicate(spark, snap, snap.files, predicate)
@@ -362,6 +382,26 @@ object DeltaMaintenance {
     zorderImpl(spark, tablePath, zorderBy, targetFileBytes, outputFiles,
       predicate, candidatesOverride = Some((snap, candidates)),
       deferredBase = deferred.isDefined)
+  }
+
+  /** The ZORDER BY column contract, shared by [[zorder]] (which must
+    * refuse BEFORE collecting candidates — free on invalid input) and
+    * [[zorderImpl]] (the clustered-OPTIMIZE route enters there directly):
+    * 1–4 columns, none a partition column, every type quantizable. */
+  private def validateZorderBy(snap: DeltaSnapshot, zorderBy: Seq[String]): Unit = {
+    require(zorderBy.nonEmpty && zorderBy.size <= 4,
+      s"ZORDER BY expects 1 to 4 columns, got ${zorderBy.size}")
+    val badPart = zorderBy.filter(snap.partitionColumns.contains)
+    require(badPart.isEmpty,
+      s"cannot ZORDER BY partition column(s) ${badPart.mkString(",")} " +
+        "(they are constant within every rewritten file)")
+    val unsupported = zorderBy.filter { c =>
+      val dt = snap.schema(c).dataType
+      !dt.isInstanceOf[NumericType] && dt != DateType && dt != TimestampType &&
+        dt != StringType
+    }
+    require(unsupported.isEmpty,
+      s"ZORDER BY supports numeric/date/timestamp/string columns; got ${unsupported.mkString(",")}")
   }
 
   /** The rewrite body behind [[zorder]] and the clustered-OPTIMIZE route:
@@ -384,15 +424,10 @@ object DeltaMaintenance {
         * `.files` is NOT the live set) — the commit loop must use the
         * incremental conflict rule. */
       deferredBase: Boolean = false): OptimizeMetrics = {
-    require(zorderBy.nonEmpty && zorderBy.size <= 4,
-      s"ZORDER BY expects 1 to 4 columns, got ${zorderBy.size}")
     val snap = candidatesOverride.map(_._1)
       .getOrElse(DeltaLog.snapshot(spark, tablePath))
     snap.assertWritable("OPTIMIZE ZORDER")
-    val badPart = zorderBy.filter(snap.partitionColumns.contains)
-    require(badPart.isEmpty,
-      s"cannot ZORDER BY partition column(s) ${badPart.mkString(",")} " +
-        "(they are constant within every rewritten file)")
+    validateZorderBy(snap, zorderBy)
     // numeric + temporal columns quantize linearly; temporal types map to
     // their integer epoch representation first (DATE does not cast to
     // DOUBLE directly); strings map to their first 6 UTF-8 bytes read as a
@@ -410,13 +445,6 @@ object DeltaMaintenance {
         case _ => s"CAST($c AS DOUBLE)"
       }
     }
-    val unsupported = zorderBy.filter { c =>
-      val dt = snap.schema(c).dataType
-      !dt.isInstanceOf[NumericType] && dt != DateType && dt != TimestampType &&
-        dt != StringType
-    }
-    require(unsupported.isEmpty,
-      s"ZORDER BY supports numeric/date/timestamp/string columns; got ${unsupported.mkString(",")}")
     val candidates = candidatesOverride.map(_._2).getOrElse(
       filterByPartitionPredicate(spark, snap, snap.files, predicate))
     if (candidates.isEmpty) return OptimizeMetrics(0, 0, 0, snap.version)

@@ -863,7 +863,14 @@ object DeltaWriter {
     * (`<v>.checkpoint.<uuid>.parquet` with a `checkpointMetadata`
     * self-description action) — both replayed by [[DeltaLog.snapshot]]. */
   def writeCheckpoint(spark: SparkSession, tablePath: String, version: Long): Unit = {
-    val snap = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(version))
+    // scanSnapshot: on job-plane tables the ADD plane of the checkpoint is
+    // written DISTRIBUTED from the winners frame — the eager snapshot here
+    // made every checkpoint-interval-th deferred-plane commit collect the
+    // full live set (O(files) driver heap, ~340 MB/1M files), exactly the
+    // bound the deferred DML plane removed from the statements themselves.
+    // Small tables keep the driver-built rows (deferred = None).
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath,
+      versionAsOf = Some(version), withDvAdds = false)
     val v2Policy = snap.metadata.configuration
       .get("delta.checkpointPolicy").exists(_.trim.equalsIgnoreCase("v2"))
     val mapT = MapType(StringType, StringType)
@@ -920,8 +927,20 @@ object DeltaWriter {
       Row(f.path, f.partitionValues, f.size, f.modificationTime, true, f.stats.orNull, dvRow(f),
         f.baseRowId.map(Long.box).orNull, f.defaultRowCommitVersion.map(Long.box).orNull,
         if (f.tags.isEmpty) null else f.tags)
-    val addRows: Seq[Row] = snap.files.map(f => Row(null, null, addStructOf(f), null, null))
-    val rows3: Seq[Row] =
+    // the ADD plane: a distributed frame on job-plane tables, driver rows
+    // on small ones — either way a single-column ("add") DataFrame
+    val addOnlySchema = StructType(Seq(schema("add")))
+    val (addOnlyDf, addCount): (org.apache.spark.sql.DataFrame, Long) = deferred match {
+      case Some(d) =>
+        (d.checkpointAdds().getOrElse(
+          spark.createDataFrame(Seq.empty[Row].asJava, addOnlySchema)),
+          d.fileCount)
+      case None =>
+        (spark.createDataFrame(
+          snap.files.map(f => Row(addStructOf(f))).asJava, addOnlySchema),
+          snap.files.size.toLong)
+    }
+    val metaRows3: Seq[Row] =
       Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
         if (snap.protocol.readerFeatures.isEmpty) null else snap.protocol.readerFeatures.toSeq.sorted,
         if (snap.protocol.writerFeatures.isEmpty) null else snap.protocol.writerFeatures.toSeq.sorted),
@@ -929,12 +948,11 @@ object DeltaWriter {
       Row(null, Row(snap.metadata.id, Row("parquet", Map.empty[String, String]),
         snap.metadata.schemaString, snap.metadata.partitionColumns,
         snap.metadata.configuration), null, null, null) +:
-      (addRows ++
-       // the latest SetTransaction per appId is checkpoint state (spec):
-       // dropping one would let a retired commit's redelivery double-apply
-       snap.transactions.toSeq.sortBy(_._1).map { case (appId, v) =>
-         Row(null, null, null, Row(appId, v), null)
-       } ++
+      // the latest SetTransaction per appId is checkpoint state (spec):
+      // dropping one would let a retired commit's redelivery double-apply
+      (snap.transactions.toSeq.sortBy(_._1).map { case (appId, v) =>
+        Row(null, null, null, Row(appId, v), null)
+      } ++
        // live domainMetadata is checkpoint state (spec): dropping a domain
        // would roll a row-id high water mark (or a foreign engine's
        // clustering state) back to whatever the pre-checkpoint JSON said —
@@ -942,10 +960,20 @@ object DeltaWriter {
        snap.domainMetadata.toSeq.sortBy(_._1).map { case (domain, conf) =>
          Row(null, null, null, null, Row(domain, conf, false))
        })
-    val rows: Seq[Row] =
-      if (!v2Policy) rows3
-      else rows3.map(r => Row(r(0), r(1), r(2), r(3), r(4), null, null)) :+
+    // metadata-plane rows in the full checkpoint schema (v2 appends the
+    // checkpointMetadata self-description)
+    val metaRows: Seq[Row] =
+      if (!v2Policy) metaRows3
+      else metaRows3.map(r => Row(r(0), r(1), r(2), r(3), r(4), null, null)) :+
         Row(null, null, null, null, null, Row(version), null)
+    // the add-only frame null-padded to the full schema (positional union
+    // with the driver metadata rows — field order fixed by `schema`)
+    def fullOf(addDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val cols = schema.fields.map { f =>
+        if (f.name == "add") col("add") else lit(null).cast(f.dataType).as(f.name)
+      }
+      addDf.select(cols.toIndexedSeq: _*)
+    }
     val tmp = new Path(tablePath, s"_cp-${UUID.randomUUID()}")
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     // Typed stats on the WRITE side (production's
@@ -986,22 +1014,30 @@ object DeltaWriter {
         df.withColumn("add", when(col("add").isNotNull, struct(grown: _*)))
       }
     }
-    def writeOne(someRows: Seq[Row], targetName: String): Unit = {
-      withTypedStats(spark.createDataFrame(someRows.asJava, schema)).repartition(1)
+    /** Stage `df` to the tmp dir as `parts` parquet files, returning them
+      * name-sorted (deterministic part order). */
+    def stageParts(df: org.apache.spark.sql.DataFrame, parts: Int): Seq[Path] = {
+      withTypedStats(df).repartition(math.max(1, parts))
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val part = fs.listStatus(tmp).map(_.getPath)
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+      fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).toSeq
+    }
+    def publish(src: Path, targetName: String): Unit = {
       val target = new Path(DeltaLog.logDir(tablePath), targetName)
       // a false return here (dest exists from a crashed prior attempt, or
       // HDFS-style no-throw semantics) would otherwise silently skip a
       // part — exactly the partial multipart set replay must never see
-      if (!fs.rename(part, target)) {
+      if (!fs.rename(src, target)) {
         fs.delete(target, false)
-        if (!fs.rename(part, target))
+        if (!fs.rename(src, target))
           throw new java.io.IOException(s"failed to publish checkpoint $target")
       }
     }
+    def writeOne(df: org.apache.spark.sql.DataFrame, targetName: String): Unit =
+      publish(stageParts(df, 1).headOption.getOrElse(
+        throw new IllegalStateException("checkpoint write produced no parquet")),
+        targetName)
+    val metaDf = spark.createDataFrame(metaRows.asJava, schema)
     // classic multipart checkpoints (`delta.checkpoint.partSize` actions
     // per part — production's escape hatch when a single checkpoint file
     // of a 10M-file table outgrows comfortable single-object writes):
@@ -1009,51 +1045,54 @@ object DeltaWriter {
     // v2 policy ignores partSize — its scale mechanism is sidecars.
     val partSize = snap.metadata.configuration.get("delta.checkpoint.partSize")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0)
+    val totalRows = addCount + metaRows.size
     val nParts: Int =
-      if (v2Policy && partSize.exists(addRows.size > _)) {
-        // v2 SIDECAR layout (production's v2 scale mechanism): file
-        // actions split into _delta_log/_sidecars/<uuid>.parquet files of
-        // partSize adds each; the UUID-named manifest carries only
-        // protocol/metaData/txn/checkpointMetadata plus one `sidecar`
-        // action per file. The replay side already unions sidecar adds.
+      if (v2Policy && partSize.exists(addCount > _)) {
+        // v2 SIDECAR layout (production's v2 scale mechanism): the add
+        // frame is written DISTRIBUTED as ceil(adds/partSize) parquet
+        // files moved into _delta_log/_sidecars/<uuid>.parquet; the
+        // UUID-named manifest carries only protocol/metaData/txn/
+        // checkpointMetadata plus one `sidecar` action per file. partSize
+        // is advisory sizing (round-robin repartition distributes evenly);
+        // replay unions whatever sidecars the manifest lists.
         val sidecarDir = new Path(DeltaLog.logDir(tablePath), "_sidecars")
         fs.mkdirs(sidecarDir)
-        val sidecarSchema = StructType(Seq(schema("add")))
-        val sidecarRows = snap.files.grouped(partSize.get).toSeq.map { chunk =>
-          withTypedStats(spark.createDataFrame(
-            chunk.map(f => Row(addStructOf(f))).asJava, sidecarSchema))
-            .repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          val part = fs.listStatus(tmp).map(_.getPath)
-            .find(_.getName.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException("sidecar write produced no parquet"))
+        val n = math.max(1, math.ceil(addCount.toDouble / partSize.get).toInt)
+        val sidecarRows = stageParts(addOnlyDf, n).map { p =>
           val name = s"${UUID.randomUUID()}.parquet"
           val target = new Path(sidecarDir, name)
-          if (!fs.rename(part, target))
+          if (!fs.rename(p, target))
             throw new java.io.IOException(s"failed to publish sidecar $target")
           val st = fs.getFileStatus(target)
           Row(null, null, null, null, null, null,
             Row(name, st.getLen, st.getModificationTime))
         }
-        val manifest = rows.filter(r => r.isNullAt(2)) ++ sidecarRows
-        writeOne(manifest, f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet")
+        writeOne(spark.createDataFrame((metaRows ++ sidecarRows).asJava, schema),
+          f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet")
         1
-      } else if (v2Policy || partSize.forall(rows.size <= _)) {
-        writeOne(rows,
+      } else if (v2Policy || partSize.forall(totalRows <= _)) {
+        writeOne(metaDf.union(fullOf(addOnlyDf)),
           if (v2Policy) f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet"
           else f"$version%020d.checkpoint.parquet")
         1
       } else {
-        val chunks = rows.grouped(partSize.get).toSeq
-        chunks.zipWithIndex.foreach { case (chunk, i) =>
-          writeOne(chunk,
-            f"$version%020d.checkpoint.${i + 1}%010d.${chunks.size}%010d.parquet")
+        // classic multipart: the adds distributed over ceil(adds/partSize)
+        // parts, the metadata rows as the final part — partSize is
+        // advisory sizing; COMPLETENESS (every i of 1..n present) is the
+        // replay contract and each staged file becomes exactly one part
+        val nAdd = math.max(1, math.ceil(addCount.toDouble / partSize.get).toInt)
+        val staged = stageParts(fullOf(addOnlyDf), nAdd)
+        val n = staged.size + 1
+        staged.zipWithIndex.foreach { case (p, i) =>
+          publish(p, f"$version%020d.checkpoint.${i + 1}%010d.$n%010d.parquet")
         }
-        chunks.size
+        writeOne(metaDf, f"$version%020d.checkpoint.$n%010d.$n%010d.parquet")
+        n
       }
     fs.delete(tmp, true)
     val last = mapper.createObjectNode()
     last.put("version", version)
-    last.put("size", rows.size)
+    last.put("size", totalRows)
     if (nParts > 1) last.put("parts", nParts)
     val lastPath = new Path(DeltaLog.logDir(tablePath), "_last_checkpoint")
     val out = fs.create(lastPath, true)
