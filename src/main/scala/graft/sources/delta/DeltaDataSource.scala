@@ -112,7 +112,8 @@ class DeltaDataSource extends RelationProvider
 
   private def streamSchema(
       sqlContext: SQLContext, parameters: Map[String, String]): StructType = {
-    val base = DeltaLog.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema
+    // metadata-only: schema resolution never needs the live set
+    val base = DeltaLog.metadataSnapshot(sqlContext.sparkSession, pathOf(parameters)).schema
     if (!cdfRequested(parameters)) base
     else base.add(DeltaCdf.TypeCol, "string")
       .add(DeltaCdf.VersionCol, "bigint")
@@ -144,7 +145,7 @@ class DeltaDataSource extends RelationProvider
       startingVersion = fromVersion.map { v =>
         // "latest" (production surface): only commits AFTER stream start
         if (v.trim.equalsIgnoreCase("latest"))
-          DeltaLog.snapshot(sqlContext.sparkSession, path).version + 1
+          DeltaLog.latestVersion(sqlContext.sparkSession, path) + 1
         else v.trim.toLong
       }.orElse(fromTimestamp.map(ts =>
         // commits at or after ts (the production startingTimestamp)

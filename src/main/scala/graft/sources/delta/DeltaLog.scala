@@ -1111,6 +1111,16 @@ object DeltaLog {
     (gated.copy(files = dvFiles), Some(deferredFiles))
   }
 
+  /** Latest version from ONE log listing — no replay, no live set, no
+    * metadata: what the streaming source polls per trigger (an eager
+    * snapshot here made every microbatch offset check of a big table pay
+    * a full live-set materialization). */
+  def latestVersion(spark: SparkSession, tablePath: String): Long = {
+    val (commits, checkpoints) = listLog(spark, tablePath)
+    require(commits.nonEmpty || checkpoints.nonEmpty, s"$tablePath: empty _delta_log")
+    (commits.map(_._1) ++ checkpoints.map(_._1)).max
+  }
+
   /** Metadata planes (protocol / metaData / txn / domainMetadata) of the
     * LATEST version with NO live-set materialization on job-plane tables —
     * what a deferred-plane DML/OPTIMIZE commit loop re-reads per attempt:

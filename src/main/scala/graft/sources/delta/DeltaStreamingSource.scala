@@ -56,7 +56,7 @@ class DeltaStreamingSource(
   @volatile private var availableNowEnd: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(DeltaLog.snapshot(spark, path).version)
+    availableNowEnd = Some(DeltaLog.latestVersion(spark, path))
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -72,7 +72,8 @@ class DeltaStreamingSource(
     * 'insert' rows and the stream only errors on a later batch when
     * [[DeltaCdf.read]] hits a commit without change actions. */
   private def requireCdfEnabled(): Unit = {
-    val meta = DeltaLog.snapshot(spark, path).metadata
+    // metadata-only: the gate never needs the live set
+    val meta = DeltaLog.metadataSnapshot(spark, path).metadata
     require(DeltaCdf.enabled(meta),
       s"$path: change data feed is not enabled (set ${DeltaCdf.EnableKey}=true); " +
       "a readChangeFeed stream needs CDF on the table")
@@ -228,7 +229,10 @@ class DeltaStreamingSource(
       // commits wait for the version cursor that follows
       case Some(i) => nextSnapshotOffset(base, i, limit)
       case None =>
-        val latest = availableNowEnd.getOrElse(DeltaLog.snapshot(spark, path).version)
+        // version poll per trigger: ONE log listing, never a live-set
+        // materialization (a big table's microbatch cadence must not pay
+        // a snapshot replay per tick)
+        val latest = availableNowEnd.getOrElse(DeltaLog.latestVersion(spark, path))
         if (latest <= base) LongOffset(math.max(base, latest))
         // a fresh query with no explicit start: an append-only history
         // replays per-version under the rate limits (identical rows); a
@@ -247,7 +251,7 @@ class DeltaStreamingSource(
 
   /** Unlimited fallback for engines that ignore admission control. */
   override def getOffset: Option[Offset] =
-    Some(LongOffset(DeltaLog.snapshot(spark, path).version))
+    Some(LongOffset(DeltaLog.latestVersion(spark, path)))
 
   /** Commit timestamp of `to` for synthetic initial-snapshot CDF rows:
     * ICT when enabled, else the commit file's mtime. */

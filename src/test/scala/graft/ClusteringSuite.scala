@@ -169,6 +169,45 @@ class ClusteringSuite extends AnyFunSuite {
     assert(Clustering.clusteringColumnsOf(DeltaLog.snapshot(spark, d)) === Seq("k"))
   }
 
+  test("clustered OPTIMIZE on the DEFERRED plane matches the eager incrementality decisions") {
+    // the executor-side candidate filter (Clustering.deferredCandidateFilter)
+    // must reproduce incrementalCandidates' decisions exactly: stable cubes
+    // skipped, new files rewritten, steady state a structural no-op,
+    // re-declaration invalidating provenance — the whole lifecycle under
+    // DeferredScanMode=always, asserting the same file-level outcomes the
+    // eager test above pins
+    val d = dir("incr-deferred")
+    seed(d)
+    Clustering.clusterBy(spark, d, Seq("k"))
+    spark.sql(s"ALTER TABLE delta.`$d` SET TBLPROPERTIES " +
+      "('delta.clustering.minCubeSize'='1')")
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      val m1 = DeltaMaintenance.optimize(spark, d)
+      assert(m1.filesRemoved === 16, "first OPTIMIZE clusters the whole seed")
+      val cube = DeltaLog.snapshot(spark, d).files
+      assert(cube.forall(_.tags.contains(Clustering.TagZcubeId)))
+      DeltaWriter.write(Seq((200, 1, "a"), (201, 2, "b")).toDF("k", "grp", "name")
+        .coalesce(1), d, SaveMode.Append, Nil)
+      DeltaWriter.write(Seq((202, 3, "c")).toDF("k", "grp", "name")
+        .coalesce(1), d, SaveMode.Append, Nil)
+      val m2 = DeltaMaintenance.optimize(spark, d)
+      assert(m2.filesRemoved === 2, s"only the 2 new files rewrite: $m2")
+      val after = DeltaLog.snapshot(spark, d).files
+      assert(cube.map(_.path).toSet.subsetOf(after.map(_.path).toSet),
+        "the stable cube's files are untouched on the deferred plane")
+      val v = DeltaLog.snapshot(spark, d).version
+      val m3 = DeltaMaintenance.optimize(spark, d)
+      assert(m3.filesRemoved === 0 && m3.filesAdded === 0 && m3.committedVersion === v,
+        "steady state must stay a structural no-op on the deferred plane")
+      Clustering.clusterBy(spark, d, Seq("grp"))
+      val m4 = DeltaMaintenance.optimize(spark, d)
+      assert(m4.filesRemoved === after.size,
+        "superseded-declaration cubes rejoin the candidate set")
+      assert(DeltaTable.read(spark, d).count() === 67)
+    } finally DeltaLog.DeferredScanMode = "auto"
+  }
+
   test("clustering + row tracking compose: ids survive the auto-cluster") {
     val d = dir("rt")
     DeltaWriter.write(
