@@ -507,4 +507,43 @@ class DeltaCheckpointSuite extends AnyFunSuite {
     }
     assert(e.getMessage.contains("writeStatsAsStruct"))
   }
+
+  test("multipart and sidecar checkpoints write their add plane from the DEFERRED frame") {
+    import spark.implicits._
+    // the checkpoint writer's distributed add plane (r18): under the
+    // deferred pin the adds come from the winners frame, staged as
+    // multiple parquet files per layout — both layouts must replay WHOLE
+    // with the pre-checkpoint JSONs retired, exactly like the eager plane
+    Seq(
+      ("('delta.checkpoint.partSize' = '3')",
+        """0*2\.checkpoint\.\d{10}\.\d{10}\.parquet"""),
+      ("('delta.checkpointPolicy' = 'v2', 'delta.checkpoint.partSize' = '3')",
+        """0*2\.checkpoint\.[^.]+\.parquet""")
+    ).foreach { case (props, cpPattern) =>
+      val dir = Files.createTempDirectory("graft-cp-deferred").toString
+      DeltaWriter.write((0 until 10).map(i => (i, s"r$i")).toDF("id", "name"),
+        dir, SaveMode.Append, Nil)
+      spark.sql(s"ALTER TABLE delta.`$dir` SET TBLPROPERTIES $props")
+      DeltaWriter.write((10 until 20).map(i => (i, s"r$i")).toDF("id", "name")
+        .repartition(9), dir, SaveMode.Append, Nil)
+      DeltaLog.DeferredScanMode = "always"
+      try {
+        val before = DeltaLog.deferredScans.get()
+        DeltaWriter.writeCheckpoint(spark, dir, 2)
+        assert(DeltaLog.deferredScans.get() > before,
+          s"[$props] checkpoint writer did not take the deferred plane")
+        deleteJsonsThrough(dir, 2)
+        val snap = DeltaLog.snapshot(spark, dir)
+        assert(snap.files.size >= 10, s"[$props] replay lost adds: ${snap.files.size}")
+        assert(DeltaTable.read(spark, dir).select("id").as[Int].collect().sorted.toSeq
+          === (0 until 20), s"[$props]")
+      } finally DeltaLog.DeferredScanMode = "auto"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_delta_log"))
+        .map(_.getPath.getName)
+      assert(names.exists(_.matches(cpPattern)),
+        s"[$props] expected checkpoint matching $cpPattern, log: ${names.mkString(",")}")
+    }
+  }
 }
