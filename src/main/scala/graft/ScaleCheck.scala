@@ -130,6 +130,17 @@ object ScaleCheck {
       dmlPlane.add(dmlPlaneProbe(spark, 10000000, eager = false))
     }
 
+    // ---- stage 3d: streaming initial-snapshot pacing plane at 1M and 10M
+    // synthetic adds (the residual the r17 round named): a rate-limited
+    // FRESH stream's admission walk must not hold the path-sorted live
+    // set on the driver. Targeted: SPARK_GRAFT_SCALE_ONLY=streamplane.
+    val streamPlane = mapperR.createArrayNode()
+    if (scaleOnly.forall(_.exists(s => "streamplane".startsWith(s)))) {
+      streamPlane.add(streamPlaneProbe(spark, 1000000, eager = true))
+      streamPlane.add(streamPlaneProbe(spark, 1000000, eager = false))
+      streamPlane.add(streamPlaneProbe(spark, 10000000, eager = false))
+    }
+
     // ---- stage 4: quantizer assignment growth (r14 verdict #4) — the
     // adaptive-K argmax costs K = √N dot products per row, so total
     // assignment time should grow ~N^1.5 across 1×/10×/30× (a fixed
@@ -493,6 +504,22 @@ object ScaleCheck {
         "HEAP shape.")
       dp.set("points", dmlPlane)
     }
+    if (streamPlane.size() > 0) {
+      val sp = root.putObject("stream_plane")
+      sp.put("note", "streaming initial-snapshot pacing (r18): a fresh " +
+        "rate-limited stream over N synthetic adds (history made " +
+        "non-replayable by one data-change remove) plans its first paced " +
+        "offsets. The eager 1M point holds the whole path-sorted file " +
+        "list on the driver for the admission walk — its " +
+        "planning_retained_mb is the O(files) bound the deferred " +
+        "OrderedSnapshotIndex removes: deferred points must stay ~flat " +
+        "1M -> 10M. first_offset_sec includes the one-time index build " +
+        "(distributed parse + range-sort + persist); next_offset_sec is " +
+        "the steady per-trigger admission cost mid-drain (two small " +
+        "jobs over the persisted index). The decision-grade signal is " +
+        "the HEAP shape.")
+      sp.set("points", streamPlane)
+    }
     cloptProbes.foreach { case (b, sc) =>
       val co = root.putObject("clustered_optimize")
       co.put("note", "incrementality proof: CLUSTER BY + full OPTIMIZE on a " +
@@ -730,6 +757,66 @@ object ScaleCheck {
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       catch { case _: Exception => () }
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      catch { case _: Exception => () }
+    }
+    node
+  }
+
+  /** Streaming initial-snapshot pacing at nFiles synthetic adds: the heap
+    * a rate-limited FRESH stream retains while walking its paced offsets.
+    * One data-change remove is appended so the history is NOT replayable —
+    * the stream takes the initial-snapshot branch, whose pacing is exactly
+    * where the eager plane holds the path-sorted live set on the driver.
+    * Only the OFFSET walk runs (the synthetic adds have no parquet behind
+    * them, and the admission plane is what the deferral moves): the eager
+    * 1M point shows the O(files) list, the deferred points must stay flat
+    * 1M -> 10M with the [[graft.sources.delta.OrderedSnapshotIndex]]
+    * holding the order executor-side. */
+  private def streamPlaneProbe(
+      spark: SparkSession, nFiles: Int, eager: Boolean)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    import graft.sources.delta.{DeferredDeltaFiles, DeltaStreamingSource}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    val (dir, relOpt) = writeSyntheticLogWithTarget(nFiles, targetIdx = 0)
+    val rel = relOpt.getOrElse(sys.error("no add generated at index 0"))
+    val removeV = math.max(1, (nFiles + SyntheticPerCommit - 1) / SyntheticPerCommit) + 1
+    val w = new java.io.PrintWriter(f"$dir/_delta_log/$removeV%020d.json")
+    w.println("""{"commitInfo":{"timestamp":1700000000000,"operation":"DELETE"}}""")
+    w.println(s"""{"remove":{"path":"$rel","deletionTimestamp":1700000000000,"dataChange":true}}""")
+    w.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("files", nFiles)
+    node.put("plane", if (eager) "eager" else "deferred")
+    if (eager) DeltaLog.DeferredScanMode = "never"
+    try {
+      val schema = DeltaLog.metadataSnapshot(spark, dir).schema
+      val src = new DeltaStreamingSource(spark.sqlContext, dir, schema,
+        ignoreDataChangeRemoves = false, maxFilesPerTrigger = Some(1000))
+      val lim = ReadLimit.maxFiles(1000)
+      System.gc(); Thread.sleep(200)
+      val baseline = usedHeapMb()
+      val t0 = System.nanoTime()
+      val o1 = src.latestOffset(null, lim)
+      node.put("first_offset_sec",
+        math.round((System.nanoTime() - t0) / 1e6) / 1000.0)
+      require(o1.json.contains("snapshotVersion"),
+        s"expected a paced initial-snapshot offset, got ${o1.json}")
+      // the pacing plane is still strongly referenced via the source's
+      // memoized slice plane — exactly the footprint the deferral removes
+      System.gc(); Thread.sleep(200)
+      node.put("planning_retained_mb", math.max(usedHeapMb() - baseline, 0L))
+      val t1 = System.nanoTime()
+      val o2 = src.latestOffset(SerializedOffset(o1.json), lim)
+      node.put("next_offset_sec",
+        math.round((System.nanoTime() - t1) / 1e6) / 1000.0)
+      require(o2.json.contains("snapshotVersion"),
+        s"a ${nFiles}-file drain must still be mid-snapshot: ${o2.json}")
+    } finally {
+      DeltaLog.DeferredScanMode = "auto"
+      DeferredDeltaFiles.clearCache()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       catch { case _: Exception => () }
     }
     node

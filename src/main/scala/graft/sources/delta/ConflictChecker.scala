@@ -79,10 +79,10 @@ private[delta] object ConflictChecker {
     * but aborts here — a spurious retry, never a corruption; every abort
     * the eager rule would raise, this raises too (a changed/removed
     * touched entry implies an action on its path in the range). A range
-    * with missing commit JSONs aborts (unvalidatable). Known cost: an
-    * attempt that also runs [[checkReadSet]] parses the same (immutable)
-    * range twice — bounded by the handful of concurrent commits per
-    * retry, a rounding error next to the O(files) re-read it replaced. */
+    * with missing commit JSONs aborts (unvalidatable). An attempt that
+    * also runs [[checkReadSet]] shares ONE parse of the (immutable) range
+    * with it — both rules read through [[DeltaLog.conflictRange]]'s
+    * memoized summary. */
   def checkRewriteIncremental(
       op: String,
       spark: org.apache.spark.sql.SparkSession,

@@ -365,20 +365,25 @@ final class DeferredDeltaFiles private[delta] (
     false
   }
 
+  /** Re-resolve the replay at the pinned version and rebuild the frame —
+    * the FileNotFound recovery (retired replay input: checkpoint retention
+    * / log cleanup between snapshot time and a lazy materialization). */
+  private def recoverFrame(): Unit = synchronized {
+    frameRef.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Exception => () }
+    }
+    val (_, c, t) = DeltaLog.resolveReplay(spark, tablePath, Some(version), None)
+    inputs = (c, t)
+    frameRef = buildFrame()
+  }
+
   /** Run `f` over the frame; on a FileNotFound (retired replay input),
     * rebuild from a re-resolved replay at the pinned version and retry
     * ONCE. */
   private def withFrame[T](f: Option[DataFrame] => T): T =
     try f(frameRef)
     catch { case e: Throwable if isFileNotFound(e) =>
-      synchronized {
-        frameRef.foreach { df =>
-          try df.unpersist(blocking = false) catch { case _: Exception => () }
-        }
-        val (_, c, t) = DeltaLog.resolveReplay(spark, tablePath, Some(version), None)
-        inputs = (c, t)
-        frameRef = buildFrame()
-      }
+      recoverFrame()
       f(frameRef)
     }
 
@@ -468,6 +473,49 @@ final class DeferredDeltaFiles private[delta] (
     * unfiltered scan re-planned twice should not pay the job twice). */
   lazy val all: Seq[DeltaAddFile] = collect(None)
 
+  // ---- streaming initial-snapshot pacing plane ----
+  //
+  // A rate-limited fresh stream slices this version's live set by rank in
+  // path order ([[DeltaStreamingSource]]); on the eager plane that rank
+  // comes from a driver-held sorted list — O(files) heap per stream. Here
+  // it is served by [[OrderedSnapshotIndex]], built ONCE from the shared
+  // winners frame (memoized: the walk re-enters every trigger) and read
+  // through small distributed jobs — O(batch) driver heap per trigger.
+  @volatile private var orderedRef: Option[OrderedSnapshotIndex] = None
+
+  private def orderedIndex(): OrderedSnapshotIndex = synchronized {
+    orderedRef.getOrElse {
+      val built = withFrame(fr => OrderedSnapshotIndex.build(spark, fr))
+      orderedRef = Some(built)
+      built
+    }
+  }
+
+  /** Like [[withFrame]], for jobs over the derived ordered index: a
+    * FileNotFound (persisted blocks evicted AND the underlying replay
+    * input retired) recovers the winners frame at the pinned version and
+    * rebuilds the index once. */
+  private def withOrdered[T](f: OrderedSnapshotIndex => T): T =
+    try f(orderedIndex())
+    catch { case e: Throwable if isFileNotFound(e) =>
+      synchronized { orderedRef.foreach(_.unpersist()); orderedRef = None }
+      recoverFrame()
+      f(orderedIndex())
+    }
+
+  /** Live-file count of the pacing plane (the drain's end condition). */
+  def orderedCount: Long = withOrdered(_.count)
+
+  /** Admission walk over the path-ordered live set: largest end index
+    * whose slice [from, end) fits the caps, at least one file admitted. */
+  def orderedAdmit(
+      from: Long, maxFiles: Option[Long], maxBytes: Option[Long]): Long =
+    withOrdered(_.admit(from, maxFiles, maxBytes))
+
+  /** Files [i, j) in path order — one micro-batch of descriptors. */
+  def orderedSlice(i: Long, j: Long): Seq[DeltaAddFile] =
+    withOrdered(_.slice(i, j))
+
   /** Bytes + count in ONE distributed agg — O(1) driver heap, and one log
     * parse serves both [[DeltaFileIndex.sizeInBytes]] (join-strategy
     * estimates) and the count surface. */
@@ -485,11 +533,14 @@ final class DeferredDeltaFiles private[delta] (
   /** Live-file count. */
   def fileCount: Long = sizeStats._2
 
-  /** Drop the persisted frame (cache eviction / test hygiene). */
-  private[delta] def unpersist(): Unit =
+  /** Drop the persisted frame and any derived ordered index (cache
+    * eviction / test hygiene). */
+  private[delta] def unpersist(): Unit = {
+    orderedRef.foreach(_.unpersist())
     frameRef.foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Exception => () }
     }
+  }
 
   // the cache compares sessions by identity: a frame planned against a
   // stopped/replaced session must be rebuilt, never served
@@ -1129,7 +1180,7 @@ object DeltaLog {
     * the eager re-read made every retry pay O(files) driver heap). Small
     * tables keep the eager driver replay (files populated, harmless);
     * job-plane callers MUST NOT consult `.files` (empty there). */
-  private[delta] def metadataSnapshot(spark: SparkSession, tablePath: String): DeltaSnapshot = {
+  private[graft] def metadataSnapshot(spark: SparkSession, tablePath: String): DeltaSnapshot = {
     val (target, cp, tailCommits) = resolveReplay(spark, tablePath, None, None)
     val useJob = DistributedReplayMode match {
       case "always" => true
@@ -1253,6 +1304,115 @@ object DeltaLog {
       }
   }
 
+  /** Both incremental conflict surfaces of one intervening commit range,
+    * from ONE pass over its (immutable) commit JSONs:
+    *  - `pathActions`: every add/remove path — what
+    *    [[ConflictChecker.checkRewriteIncremental]] intersects with a
+    *    transaction's touched set;
+    *  - `nonBlindAdds`: dataChange adds from NON-blind-append commits —
+    *    [[ConflictChecker.checkReadSet]]'s overlap surface.
+    * A commit attempt runs BOTH rules, so parsing per-rule paid the range
+    * twice (the r17-documented residual); the parse is shared and memoized
+    * instead. */
+  private[graft] final case class ConflictRange(
+      pathActions: Seq[String], nonBlindAdds: Seq[DeltaAddFile])
+
+  // Memoized per (table, range, statuses-fingerprint): commit JSONs are
+  // immutable, but a table DELETED AND RECREATED at the same path reuses
+  // version numbers — the (path, length, mtime) fingerprint (same guard as
+  // the DeferredDeltaFiles cache) makes a stale hit structurally
+  // impossible. Oversized ranges (a concurrent bulk commit's add list)
+  // are not cached: re-parsing costs what it always did, while pinning
+  // millions of descriptors in this map would not.
+  private val conflictRangeCache =
+    new java.util.LinkedHashMap[(String, Long, Long, String), ConflictRange](
+      8, 0.75f, /*accessOrder=*/ true)
+  private val ConflictRangeMaxEntries = 4
+  private val ConflictRangeCacheableActions = 100000
+
+  /** Test seam: actual range parses (cache misses) — pins that one commit
+    * attempt's two rules share a parse, which result equality alone
+    * cannot observe. */
+  private[graft] val conflictRangeParses = new java.util.concurrent.atomic.AtomicLong
+
+  /** Throws if any commit JSON in the range is missing (cleaned up
+    * mid-flight): an unvalidatable range must abort, not pass. `purpose`
+    * names the failing rule in that message. */
+  private[graft] def conflictRange(
+      spark: SparkSession,
+      tablePath: String,
+      fromExclusive: Long,
+      toInclusive: Long,
+      purpose: String): ConflictRange = {
+    val (commits, _) = listLog(spark, tablePath)
+    val inRange = commits.filter { case (v, _) => v > fromExclusive && v <= toInclusive }
+    val expected = (fromExclusive + 1) to toInclusive
+    if (inRange.map(_._1) != expected)
+      throw new java.io.IOException(
+        s"cannot validate $purpose on $tablePath: commit JSONs for versions " +
+          s"${expected.mkString(",")} are not all present (log cleaned up mid-transaction?)")
+    val fp = inRange.map { case (_, s) =>
+      s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+    }.mkString("|")
+    val key = (tablePath, fromExclusive, toInclusive, fp)
+    conflictRangeCache.synchronized(Option(conflictRangeCache.get(key))) match {
+      case Some(hit) => hit
+      case None =>
+        conflictRangeParses.incrementAndGet()
+        val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+        val paths = Seq.newBuilder[String]
+        val nonBlind = Seq.newBuilder[DeltaAddFile]
+        inRange.foreach { case (_, status) =>
+          val in = fs.open(status.getPath)
+          val content =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          val adds = Seq.newBuilder[DeltaAddFile]
+          var hasRemove = false
+          var blindFlag: Option[Boolean] = None
+          var operation: String = null
+          var writeMode: String = null
+          content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+            val node = mapper.readTree(line)
+            if (node.has("add")) {
+              val a = node.get("add")
+              paths += a.get("path").asText()
+              if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
+                adds += parseJsonAdd(a)
+            } else if (node.has("remove")) {
+              hasRemove = true
+              paths += node.get("remove").get("path").asText()
+            } else if (node.has("commitInfo")) {
+              val ci = node.get("commitInfo")
+              if (ci.has("operation")) operation = ci.get("operation").asText()
+              if (ci.has("isBlindAppend")) blindFlag = Some(ci.get("isBlindAppend").asBoolean())
+              if (ci.has("operationParameters") && ci.get("operationParameters").has("mode"))
+                writeMode = ci.get("operationParameters").get("mode").asText()
+            }
+          }
+          // blind = the commit READ nothing. Keyed on the writer's explicit
+          // commitInfo.isBlindAppend (production's signal — our own appends
+          // stamp it), with an Append-mode WRITE fallback for older logs; a
+          // structural no-remove guard on top. Everything else — MERGE
+          // inserts, RESTORE re-adds, Overwrite of an empty table (no removes
+          // to emit!), foreign commits without commitInfo — is NON-blind: its
+          // adds came from decisions or histories a concurrent reader's
+          // snapshot never saw, and misclassifying it blind is silent
+          // duplicate/lost-row territory, while the converse is only a retry.
+          val blindAppend = !hasRemove &&
+            blindFlag.getOrElse(operation == "WRITE" && writeMode == "Append")
+          if (!blindAppend) nonBlind ++= adds.result()
+        }
+        val built = ConflictRange(paths.result(), nonBlind.result())
+        if (built.pathActions.size + built.nonBlindAdds.size <= ConflictRangeCacheableActions)
+          conflictRangeCache.synchronized {
+            conflictRangeCache.put(key, built)
+            while (conflictRangeCache.size() > ConflictRangeMaxEntries)
+              conflictRangeCache.remove(conflictRangeCache.keySet().iterator().next())
+          }
+        built
+    }
+  }
+
   /** DATA-CHANGE add actions from NON-BLIND-APPEND commits in versions
     * (fromExclusive, toInclusive] — the read-set conflict surface for
     * [[ConflictChecker.checkReadSet]]. A commit is a blind append when it
@@ -1260,92 +1420,27 @@ object DeltaLog {
     * decisions computed FROM a read of the table); only non-blind commits'
     * dataChange adds can invalidate another transaction's reads under
     * WriteSerializable — blind appends serialize before the reader by
-    * definition (production Delta's isBlindAppend exemption).
-    *
-    * Throws if any commit JSON in the range is missing (cleaned up
-    * mid-flight): an unvalidatable range must abort, not pass. */
+    * definition (production Delta's isBlindAppend exemption). One shared
+    * parse with [[commitPathActions]] (see [[conflictRange]]). */
   private[graft] def nonBlindDataAdds(
       spark: SparkSession,
       tablePath: String,
       fromExclusive: Long,
-      toInclusive: Long): Seq[DeltaAddFile] = {
-    val (commits, _) = listLog(spark, tablePath)
-    val inRange = commits.filter { case (v, _) => v > fromExclusive && v <= toInclusive }
-    val expected = (fromExclusive + 1) to toInclusive
-    if (inRange.map(_._1) != expected)
-      throw new java.io.IOException(
-        s"cannot validate read set on $tablePath: commit JSONs for versions " +
-          s"${expected.mkString(",")} are not all present (log cleaned up mid-transaction?)")
-    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
-    inRange.flatMap { case (_, status) =>
-      val in = fs.open(status.getPath)
-      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val adds = Seq.newBuilder[DeltaAddFile]
-      var hasRemove = false
-      var blindFlag: Option[Boolean] = None
-      var operation: String = null
-      var writeMode: String = null
-      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
-        if (node.has("add")) {
-          val a = node.get("add")
-          if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
-            adds += parseJsonAdd(a)
-        } else if (node.has("remove")) hasRemove = true
-        else if (node.has("commitInfo")) {
-          val ci = node.get("commitInfo")
-          if (ci.has("operation")) operation = ci.get("operation").asText()
-          if (ci.has("isBlindAppend")) blindFlag = Some(ci.get("isBlindAppend").asBoolean())
-          if (ci.has("operationParameters") && ci.get("operationParameters").has("mode"))
-            writeMode = ci.get("operationParameters").get("mode").asText()
-        }
-      }
-      // blind = the commit READ nothing. Keyed on the writer's explicit
-      // commitInfo.isBlindAppend (production's signal — our own appends
-      // stamp it), with an Append-mode WRITE fallback for older logs; a
-      // structural no-remove guard on top. Everything else — MERGE
-      // inserts, RESTORE re-adds, Overwrite of an empty table (no removes
-      // to emit!), foreign commits without commitInfo — is NON-blind: its
-      // adds came from decisions or histories a concurrent reader's
-      // snapshot never saw, and misclassifying it blind is silent
-      // duplicate/lost-row territory, while the converse is only a retry.
-      val blindAppend = !hasRemove &&
-        blindFlag.getOrElse(operation == "WRITE" && writeMode == "Append")
-      if (blindAppend) Nil else adds.result()
-    }
-  }
+      toInclusive: Long): Seq[DeltaAddFile] =
+    conflictRange(spark, tablePath, fromExclusive, toInclusive, "read set").nonBlindAdds
 
   /** Every add/remove path referenced by commits in versions
     * (fromExclusive, toInclusive] — the deferred-plane conflict surface:
     * [[ConflictChecker.checkRewriteIncremental]] intersects these with a
     * transaction's touched set, O(intervening commits) driver work where
-    * the eager rule needed the full live map. Throws when any commit JSON
-    * in the range is missing (an unvalidatable range must abort, not
-    * pass — same contract as [[nonBlindDataAdds]]). */
+    * the eager rule needed the full live map. One shared parse with
+    * [[nonBlindDataAdds]] (see [[conflictRange]]). */
   private[graft] def commitPathActions(
       spark: SparkSession,
       tablePath: String,
       fromExclusive: Long,
-      toInclusive: Long): Seq[String] = {
-    val (commits, _) = listLog(spark, tablePath)
-    val inRange = commits.filter { case (v, _) => v > fromExclusive && v <= toInclusive }
-    val expected = (fromExclusive + 1) to toInclusive
-    if (inRange.map(_._1) != expected)
-      throw new java.io.IOException(
-        s"cannot validate rewrite on $tablePath: commit JSONs for versions " +
-          s"${expected.mkString(",")} are not all present (log cleaned up mid-transaction?)")
-    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
-    inRange.flatMap { case (_, status) =>
-      val in = fs.open(status.getPath)
-      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      content.linesIterator.filter(_.trim.nonEmpty).flatMap { line =>
-        val node = mapper.readTree(line)
-        if (node.has("add")) Some(node.get("add").get("path").asText())
-        else if (node.has("remove")) Some(node.get("remove").get("path").asText())
-        else None
-      }
-    }
-  }
+      toInclusive: Long): Seq[String] =
+    conflictRange(spark, tablePath, fromExclusive, toInclusive, "rewrite").pathActions
 
   /** Can versions `(fromExclusive, toInclusive]` be replayed as a pure
     * add-feed? True iff every commit JSON is still present AND none
@@ -1354,6 +1449,17 @@ object DeltaLog {
     * (append-only history: identical rows, rate limits honored) and the
     * initial-snapshot jump (histories with overwrites/deletes, where a
     * replay would fail or serve rows deleted before the stream began). */
+  /** Replayability-probe cap: deciding "pure add-feed?" is an O(history)
+    * driver-side parse, paid BEFORE a fresh stream's first batch. Past
+    * this many commits the probe answers false unconditionally and the
+    * stream takes the initial-snapshot jump — production Delta's default
+    * for every fresh stream, identical rows on append-only histories
+    * (served as one snapshot / file-paced slices instead of per-version
+    * batches), and the pre-first-batch driver work stays bounded on a
+    * year-old table. Deterministic, so latestOffset and getBatch (which
+    * both probe) cannot disagree. */
+  private[graft] val RangeReplayableMaxCommits = 64
+
   private[graft] def rangeReplayable(
       spark: SparkSession,
       tablePath: String,
@@ -1361,6 +1467,7 @@ object DeltaLog {
       toInclusive: Long): Boolean = {
     val (commits, _) = listLog(spark, tablePath)
     val inRange = commits.filter { case (v, _) => v > fromExclusive && v <= toInclusive }
+    if (inRange.size > RangeReplayableMaxCommits) return false
     if (inRange.map(_._1) != ((fromExclusive + 1) to toInclusive)) return false
     val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     !inRange.exists { case (_, status) =>

@@ -385,32 +385,41 @@ private[delta] object DeltaStateReconstruction {
               p.keep(Option(pv).getOrElse(Map.empty), Option(stats)))
             df.filter(keep(col("partitionValues"), col("stats")))
         }
-        pruned
-          .sort("path") // deterministic snapshot order across runs
-          .collect().toSeq.map { r =>
-            val dv =
-              if (r.isNullAt(5)) None
-              else {
-                val d = r.getStruct(5)
-                Some(DvDescriptor(
-                  d.getAs[String]("storageType"),
-                  d.getAs[String]("pathOrInlineDv"),
-                  if (d.isNullAt(d.fieldIndex("offset"))) None
-                  else Some(d.getAs[Int]("offset")),
-                  d.getAs[Int]("sizeInBytes"),
-                  d.getAs[Long]("cardinality")))
-              }
-            DeltaAddFile(
-              r.getString(0),
-              Option(r.getAs[scala.collection.Map[String, String]](1))
-                .map(_.toMap).getOrElse(Map.empty),
-              r.getLong(2), r.getLong(3),
-              Option(r.getAs[String](4)), dv,
-              if (r.isNullAt(6)) None else Some(r.getLong(6)),
-              if (r.isNullAt(7)) None else Some(r.getLong(7)),
-              Option(r.getAs[scala.collection.Map[String, String]](8))
-                .map(_.toMap).getOrElse(Map.empty))
-          }
+        decodeAddRows(
+          pruned
+            .sort("path") // deterministic snapshot order across runs
+            .collect())
+    }
+
+  /** Winners-frame rows (the 9 add columns, in [[winnersFrame]] order) →
+    * driver-side [[DeltaAddFile]]s — shared by [[collectLive]] and the
+    * streaming pacing plane's slices ([[OrderedSnapshotIndex]]) so the
+    * decoding cannot drift between them. */
+  private[delta] def decodeAddRows(
+      rows: Array[org.apache.spark.sql.Row]): Seq[DeltaAddFile] =
+    rows.toSeq.map { r =>
+      val dv =
+        if (r.isNullAt(5)) None
+        else {
+          val d = r.getStruct(5)
+          Some(DvDescriptor(
+            d.getAs[String]("storageType"),
+            d.getAs[String]("pathOrInlineDv"),
+            if (d.isNullAt(d.fieldIndex("offset"))) None
+            else Some(d.getAs[Int]("offset")),
+            d.getAs[Int]("sizeInBytes"),
+            d.getAs[Long]("cardinality")))
+        }
+      DeltaAddFile(
+        r.getString(0),
+        Option(r.getAs[scala.collection.Map[String, String]](1))
+          .map(_.toMap).getOrElse(Map.empty),
+        r.getLong(2), r.getLong(3),
+        Option(r.getAs[String](4)), dv,
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        Option(r.getAs[scala.collection.Map[String, String]](8))
+          .map(_.toMap).getOrElse(Map.empty))
     }
 
   /** A checkpoint/sidecar frame's adds, normalized to the action-frame

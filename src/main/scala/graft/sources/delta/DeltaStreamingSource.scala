@@ -35,7 +35,14 @@ import org.apache.spark.sql.types.StructType
   * Scale posture: a micro-batch plans one pruned parquet scan per commit
   * in the range (file lists come from the log, not directory listing); the
   * per-batch work is proportional to the NEW data, never the table size.
-  * The cap walk reads only backlog commit JSONs — metadata plane. */
+  * The cap walk reads only backlog commit JSONs — metadata plane; the
+  * per-trigger version poll is one log listing ([[DeltaLog.latestVersion]]),
+  * never a snapshot replay. The rate-limited INITIAL SNAPSHOT routes
+  * through [[DeltaLog.scanSnapshot]]: on job-plane tables its pacing is
+  * served by the distributed [[OrderedSnapshotIndex]] (admission and
+  * slices are small Spark jobs over the shared winners frame), so a fresh
+  * paced stream over a 10M-file table never holds the path-sorted file
+  * list on the driver. */
 class DeltaStreamingSource(
     sqlContext: SQLContext,
     path: String,
@@ -169,19 +176,66 @@ class DeltaStreamingSource(
     } else (j.toLong, None)
   }
 
-  /** The pinned snapshot's file list in DETERMINISTIC (path) order — the
-    * slice cursor must mean the same files across triggers and restarts.
-    * Memoized per version: the walk is re-entered every trigger. */
-  @volatile private var sliceCache: Option[(Long, IndexedSeq[DeltaAddFile])] = None
-  private def snapshotSliceFiles(ver: Long): IndexedSeq[DeltaAddFile] =
-    sliceCache match {
-      case Some((v, fs)) if v == ver => fs
-      case _ =>
-        val fs = DeltaLog.snapshot(spark, path, versionAsOf = Some(ver))
-          .files.sortBy(_.path).toIndexedSeq
-        sliceCache = Some((ver, fs))
-        fs
+  /** Pacing plane of one pinned snapshot version: the slice cursor ranks
+    * files in DETERMINISTIC (path) order, and must mean the same files
+    * across triggers and restarts. EAGER on driver-plane tables (the
+    * path-sorted list any small table holds anyway); DEFERRED on job-plane
+    * tables ([[OrderedSnapshotIndex]] via the shared per-(table, version)
+    * winners frame — admission and slices are small distributed jobs, so
+    * the driver holds one micro-batch of descriptors, never the 10M-file
+    * list). The snapshot rides along for the slice relation's schema and
+    * DV inputs. */
+  private sealed trait SlicePlane {
+    def snap: DeltaSnapshot
+    def fileCount: Long
+    /** Largest end index whose slice [from, end) fits the caps, admitting
+      * at least one file (progress guarantee). */
+    def admit(from: Long, maxFiles: Option[Long], maxBytes: Option[Long]): Long
+    def slice(i: Long, j: Long): Seq[DeltaAddFile]
+  }
+
+  private final class EagerSlicePlane(val snap: DeltaSnapshot) extends SlicePlane {
+    private val files = snap.files.sortBy(_.path).toIndexedSeq
+    def fileCount: Long = files.length.toLong
+    def admit(from: Long, mf: Option[Long], mb: Option[Long]): Long = {
+      val n = files.length.toLong
+      var i = from; var f = 0L; var b = 0L; var open = true
+      while (open && i < n) {
+        val f2 = f + 1
+        val b2 = b + files(i.toInt).size
+        val within = mf.forall(f2 <= _) && mb.forall(b2 <= _)
+        if (within || i == from) {
+          i += 1; f = f2; b = b2
+          if (!within) open = false
+        } else open = false
+      }
+      i
     }
+    def slice(i: Long, j: Long): Seq[DeltaAddFile] = files.slice(i.toInt, j.toInt)
+  }
+
+  private final class DeferredSlicePlane(
+      val snap: DeltaSnapshot, d: DeferredDeltaFiles) extends SlicePlane {
+    def fileCount: Long = d.orderedCount
+    def admit(from: Long, mf: Option[Long], mb: Option[Long]): Long =
+      d.orderedAdmit(from, mf, mb)
+    def slice(i: Long, j: Long): Seq[DeltaAddFile] = d.orderedSlice(i, j)
+  }
+
+  /** Memoized per version: the walk is re-entered every trigger, and
+    * [[DeltaLog.scanSnapshot]] pays a metadata replay per call. */
+  @volatile private var planeCache: Option[(Long, SlicePlane)] = None
+  private def slicePlane(ver: Long): SlicePlane = planeCache match {
+    case Some((v, p)) if v == ver => p
+    case _ =>
+      val (snap, deferred) = DeltaLog.scanSnapshot(spark, path, versionAsOf = Some(ver))
+      val p = deferred match {
+        case Some(d) => new DeferredSlicePlane(snap, d)
+        case None => new EagerSlicePlane(snap)
+      }
+      planeCache = Some((ver, p))
+      p
+  }
 
   /** Effective (maxFiles, maxBytes) caps of a ReadLimit; (None, None) when
     * unlimited (row-based limits don't map to a file cursor). */
@@ -199,21 +253,12 @@ class DeltaStreamingSource(
     * under the caps (at least one — progress guarantee), collapsing to
     * LongOffset(ver) when the list is exhausted. */
   private def nextSnapshotOffset(ver: Long, from: Long, limit: ReadLimit): OffsetV2 = {
-    val files = snapshotSliceFiles(ver)
-    val n = files.length.toLong
+    val plane = slicePlane(ver)
+    val n = plane.fileCount
     if (from >= n) return LongOffset(ver)
     val (mf, mb) = capsOf(limit)
     if (mf.isEmpty && mb.isEmpty) return LongOffset(ver)
-    var i = from; var f = 0L; var b = 0L; var open = true
-    while (open && i < n) {
-      val f2 = f + 1
-      val b2 = b + files(i.toInt).size
-      val within = mf.forall(f2 <= _) && mb.forall(b2 <= _)
-      if (within || i == from) {
-        i += 1; f = f2; b = b2
-        if (!within) open = false
-      } else open = false
-    }
+    val i = plane.admit(from, mf, mb)
     if (i >= n) LongOffset(ver) else SnapshotSliceOffset(ver, i)
   }
 
@@ -270,8 +315,12 @@ class DeltaStreamingSource(
     * exactly as in a full scan. CDF streams get the synthetic 'insert'
     * decoration of the initial-snapshot contract. */
   private def snapshotSlice(ver: Long, i: Long, j: Long): DataFrame = {
-    val snap = DeltaLog.snapshot(spark, path, versionAsOf = Some(ver))
-    val slice = snapshotSliceFiles(ver).slice(i.toInt, j.toInt)
+    val plane = slicePlane(ver)
+    val snap = plane.snap
+    val slice = plane.slice(i, j)
+    // NB on the deferred plane `snap.files` is the DV-carrying adds only —
+    // exactly what forSnapshot's dvByPath needs; the slice's own index is
+    // built below from the materialized descriptors on both planes.
     val rel = new org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       location = new DeltaFileIndex(spark, snap.copy(files = slice)),
       partitionSchema = snap.partitionSchema,
@@ -301,8 +350,7 @@ class DeltaStreamingSource(
         return toStreaming(snapshotSlice(to, si.getOrElse(0L), j))
       case (None, Some(i)) if from == to =>
         // closing batch: the snapshot's tail files [i, n)
-        return toStreaming(
-          snapshotSlice(to, i, snapshotSliceFiles(to).length.toLong))
+        return toStreaming(snapshotSlice(to, i, slicePlane(to).fileCount))
       case _ => ()
     }
     // A NEW query with NO explicit startingVersion: an append-only

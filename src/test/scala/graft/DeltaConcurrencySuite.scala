@@ -290,4 +290,25 @@ class DeltaConcurrencySuite extends AnyFunSuite {
     }
     assert(DeltaTable.read(spark, dir).filter("p = 2").count() === 3)
   }
+
+  test("a deferred commit attempt's two incremental rules share ONE range parse") {
+    // checkRewriteIncremental and checkReadSet both read the intervening
+    // commit JSONs; the r17-documented residual was parsing that
+    // (immutable) range twice per attempt — they must now share one
+    // memoized parse (DeltaLog.conflictRange). Result equality cannot see
+    // the difference, so pin the parse counter.
+    val dir = partitionedTable()
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      val before = DeltaLog.conflictRangeParses.get()
+      val m = DeltaDml.delete(spark, dir, "p = 1", beforeCommit = () => {
+        DeltaWriter.write(Seq((100L, "late", 2)).toDF("id", "payload", "p"),
+          dir, SaveMode.Append, Nil)
+      })
+      assert(m.committedVersion === 2L, "disjoint concurrent append: DML commits")
+      val parses = DeltaLog.conflictRangeParses.get() - before
+      assert(parses === 1L,
+        s"rewrite + read-set rules over one intervening range must cost ONE parse, got $parses")
+    } finally DeltaLog.DeferredScanMode = "auto"
+  }
 }

@@ -125,6 +125,137 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
       .count() === 1)
   }
 
+  test("job-plane tables pace the initial snapshot through the DEFERRED ordered index") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    import graft.sources.delta.{DeltaLog, DeltaStreamingSource, OrderedSnapshotIndex}
+    import org.apache.spark.sql.graft.GraftStreamingBridge.asBatch
+    val dir = Files.createTempDirectory("graft-stream-defsnap").toString
+    DeltaWriter.write((1 to 6).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1),
+      dir, SaveMode.Append, Nil)                    // v0
+    DeltaDml.delete(spark, dir, "id <= 2")          // v1: snapshot mode
+    DeltaWriter.write(Seq((7, "r7")).toDF("id", "name").coalesce(1), dir, SaveMode.Append, Nil) // v2
+    DeltaWriter.write(Seq((8, "r8")).toDF("id", "name").coalesce(1), dir, SaveMode.Append, Nil) // v3
+    val schema = DeltaLog.snapshot(spark, dir).schema // 3 live files at v3
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      val builds0 = OrderedSnapshotIndex.builds.get()
+      val src = new DeltaStreamingSource(spark.sqlContext, dir, schema,
+        ignoreDataChangeRemoves = false, maxFilesPerTrigger = Some(1))
+      val lim = ReadLimit.maxFiles(1)
+      // same offset shape as the eager plane: the index must rank files in
+      // path order exactly like the driver-held sorted list
+      val o1 = src.latestOffset(null, lim)
+      assert(o1.json === """{"snapshotVersion":3,"index":1}""", o1.json)
+      val o2 = src.latestOffset(SerializedOffset(o1.json), lim)
+      assert(o2.json === """{"snapshotVersion":3,"index":2}""", o2.json)
+      val o3 = src.latestOffset(SerializedOffset(o2.json), lim)
+      assert(o3.json === "3", s"drained snapshot collapses to the version cursor: ${o3.json}")
+      val r1 = asBatch(src.getBatch(None, SerializedOffset(o1.json))).count()
+      val r2 = asBatch(src.getBatch(Some(SerializedOffset(o1.json)),
+        SerializedOffset(o2.json))).count()
+      val r3 = asBatch(src.getBatch(Some(SerializedOffset(o2.json)),
+        SerializedOffset(o3.json))).count()
+      assert(r1 + r2 + r3 === 6, s"slices partition the snapshot: $r1+$r2+$r3")
+      assert(r1 > 0 && r2 > 0 && r3 > 0, "three one-file slices")
+      // the pacing plane was the distributed index, built ONCE for the
+      // whole drain (memoized per version) — never the driver-held list
+      assert(OrderedSnapshotIndex.builds.get() - builds0 === 1L,
+        "deferred pacing must build exactly one ordered index")
+    } finally DeltaLog.DeferredScanMode = "auto"
+  }
+
+  test("byte-cap admission walks identically on the eager and deferred pacing planes") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    import graft.sources.delta.{DeltaLog, DeltaStreamingSource}
+    val dir = Files.createTempDirectory("graft-stream-bytepar").toString
+    DeltaWriter.write((1 to 6).map(i => (i, s"row$i")).toDF("id", "name").coalesce(1),
+      dir, SaveMode.Append, Nil)                    // v0
+    DeltaDml.delete(spark, dir, "id = 1")           // v1: snapshot mode
+    (7 to 9).foreach { i =>
+      DeltaWriter.write(Seq((i, s"row$i")).toDF("id", "name").coalesce(1),
+        dir, SaveMode.Append, Nil)                  // v2..v4
+    }
+    val snap = DeltaLog.snapshot(spark, dir)        // 4 live files
+    val schema = snap.schema
+    // cap below two files: every batch admits exactly one file on both
+    // planes, and the cumBytes walk must agree with the driver walk
+    val cap = snap.files.map(_.size).max
+    def offsetsUnder(mode: String): Seq[String] = {
+      DeltaLog.DeferredScanMode = mode
+      try {
+        val src = new DeltaStreamingSource(spark.sqlContext, dir, schema,
+          ignoreDataChangeRemoves = false, maxBytesPerTrigger = Some(cap))
+        val lim = ReadLimit.maxBytes(cap)
+        val out = Seq.newBuilder[String]
+        var o = src.latestOffset(null, lim)
+        out += o.json
+        var guard = 0
+        while (o.json.trim.startsWith("{") && guard < 10) {
+          o = src.latestOffset(new SerializedOffset(o.json), lim)
+          out += o.json
+          guard += 1
+        }
+        out.result()
+      } finally DeltaLog.DeferredScanMode = "auto"
+    }
+    val eager = offsetsUnder("never")
+    val deferred = offsetsUnder("always")
+    assert(deferred === eager,
+      s"admission parity broken: eager=$eager deferred=$deferred")
+    assert(eager.length >= 4, s"the cap must actually pace the drain: $eager")
+  }
+
+  test("ordered-index admission matches the reference driver walk for every start and cap") {
+    import graft.sources.delta.{DeltaAddFile, DeltaLog}
+    val dir = Files.createTempDirectory("graft-stream-admitpar").toString
+    // 10 single-file appends of varying row counts → varying file sizes
+    (1 to 10).foreach { i =>
+      DeltaWriter.write((1 to i * 7).map(j => (i * 100 + j, s"r$i-$j"))
+        .toDF("id", "name").coalesce(1), dir, SaveMode.Append, Nil)
+    }
+    val files: IndexedSeq[DeltaAddFile] =
+      DeltaLog.snapshot(spark, dir).files.sortBy(_.path).toIndexedSeq
+    // reference implementation: the eager plane's driver walk (admit at
+    // least one; stop at the first file that crosses a cap)
+    def walk(from: Long, mf: Option[Long], mb: Option[Long]): Long = {
+      val n = files.length.toLong
+      var i = from; var f = 0L; var b = 0L; var open = true
+      while (open && i < n) {
+        val f2 = f + 1
+        val b2 = b + files(i.toInt).size
+        val within = mf.forall(f2 <= _) && mb.forall(b2 <= _)
+        if (within || i == from) {
+          i += 1; f = f2; b = b2
+          if (!within) open = false
+        } else open = false
+      }
+      i
+    }
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      val (_, deferred) = DeltaLog.scanSnapshot(spark, dir)
+      val d = deferred.getOrElse(fail("expected the deferred plane"))
+      assert(d.orderedCount === files.length.toLong)
+      val sizes = files.map(_.size)
+      val caps: Seq[(Option[Long], Option[Long])] = Seq(
+        (Some(1L), None), (Some(3L), None), (Some(100L), None),
+        (None, Some(1L)),                       // below every file: one-at-a-time
+        (None, Some(sizes.min)), (None, Some(sizes.max)),
+        (None, Some(sizes.sum / 3)), (None, Some(sizes.sum)),
+        (Some(2L), Some(sizes.max)), (Some(5L), Some(sizes.sum / 4)))
+      for (from <- 0L until files.length.toLong; (mf, mb) <- caps) {
+        val expected = walk(from, mf, mb)
+        val got = d.orderedAdmit(from, mf, mb)
+        assert(got === expected, s"admit(from=$from, maxFiles=$mf, maxBytes=$mb)")
+      }
+      // slices agree with the eager list file-for-file
+      assert(d.orderedSlice(3, 7).map(_.path) === files.slice(3, 7).map(_.path))
+      assert(d.orderedSlice(0, files.length.toLong).map(_.path) === files.map(_.path))
+    } finally DeltaLog.DeferredScanMode = "auto"
+  }
+
   test("rate-limited CDF initial snapshot: paced synthetic inserts pinned to one version, then row-level changes") {
     val dir = Files.createTempDirectory("graft-stream-cdflimit").toString
     DeltaWriter.write(Seq((1, "a"), (2, "b")).toDF("id", "name").coalesce(1),
