@@ -130,6 +130,17 @@ object ScaleCheck {
       dmlPlane.add(dmlPlaneProbe(spark, 10000000, eager = false))
     }
 
+    // ---- stage 3e: vacuum walk plane at 1M and 10M synthetic adds: the
+    // eligibility decision ("is this listed file live? when was it
+    // removed?") must not hold the live-path Set / tombstone Map on the
+    // driver. Targeted: SPARK_GRAFT_SCALE_ONLY=vacuumplane.
+    val vacuumPlane = mapperR.createArrayNode()
+    if (scaleOnly.forall(_.exists(s => "vacuumplane".startsWith(s)))) {
+      vacuumPlane.add(vacuumPlaneProbe(spark, 1000000, eager = true))
+      vacuumPlane.add(vacuumPlaneProbe(spark, 1000000, eager = false))
+      vacuumPlane.add(vacuumPlaneProbe(spark, 10000000, eager = false))
+    }
+
     // ---- stage 3d: streaming initial-snapshot pacing plane at 1M and 10M
     // synthetic adds (the residual the r17 round named): a rate-limited
     // FRESH stream's admission walk must not hold the path-sorted live
@@ -504,6 +515,20 @@ object ScaleCheck {
         "HEAP shape.")
       dp.set("points", dmlPlane)
     }
+    if (vacuumPlane.size() > 0) {
+      val vp = root.putObject("vacuum_plane")
+      vp.put("note", "vacuum walk plane (r18): a dry-run over N synthetic " +
+        "LIVE adds plus one orphan candidate, heap measured inside the " +
+        "eligibility callback while the walk's state is strongly " +
+        "referenced. The eager point holds the live-path Set (+ tombstone " +
+        "Map) on the driver — the O(files) bound the distributed walk " +
+        "removes (candidates anti-join the live frame executor-side): " +
+        "deferred points must stay ~flat 1M -> 10M. dryrun_sec includes " +
+        "the distributed O(N) log parse on the deferred plane — executor " +
+        "work that scales out on a real cluster; the decision-grade " +
+        "signal is the HEAP shape.")
+      vp.set("points", vacuumPlane)
+    }
     if (streamPlane.size() > 0) {
       val sp = root.putObject("stream_plane")
       sp.put("note", "streaming initial-snapshot pacing (r18): a fresh " +
@@ -757,6 +782,53 @@ object ScaleCheck {
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       catch { case _: Exception => () }
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      catch { case _: Exception => () }
+    }
+    node
+  }
+
+  /** Vacuum eligibility plane at nFiles synthetic LIVE adds + one orphan:
+    * heap measured INSIDE the walk's eligibility callback (the dml-plane
+    * seam pattern — the eager walk's live Set and tombstone Map are still
+    * strongly referenced there; gc + used-heap delta, not ambient peak).
+    * All synthetic adds are live so the one orphan is the only eligible
+    * file — the decision cost is pure "test a candidate against N live
+    * paths", which is exactly what moves planes. */
+  private def vacuumPlaneProbe(
+      spark: SparkSession, nFiles: Int, eager: Boolean)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    import graft.sources.delta.{DeferredDeltaFiles, DeltaMaintenance}
+    val dir = writeSyntheticLog(nFiles)
+    val orphan = new java.io.File(dir, "orphan-stray.snappy.parquet")
+    val os = new java.io.FileOutputStream(orphan)
+    os.write(Array[Byte](1, 2, 3)); os.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("files", nFiles)
+    node.put("plane", if (eager) "eager" else "deferred")
+    if (eager) DeltaLog.DeferredScanMode = "never"
+    try {
+      System.gc(); Thread.sleep(200)
+      val baseline = usedHeapMb()
+      var walkMb = -1L
+      val out = Seq.newBuilder[String]
+      val t0 = System.nanoTime()
+      DeltaMaintenance.vacuumWalk(spark, dir, -60000L) { p =>
+        if (walkMb < 0) {
+          System.gc(); Thread.sleep(200)
+          walkMb = math.max(usedHeapMb() - baseline, 0L)
+        }
+        out += p.toUri.getPath
+      }
+      node.put("dryrun_sec", math.round((System.nanoTime() - t0) / 1e6) / 1000.0)
+      node.put("walk_retained_mb", walkMb)
+      val eligible = out.result()
+      require(eligible.size == 1 && eligible.head.endsWith("orphan-stray.snappy.parquet"),
+        s"expected exactly the orphan to be eligible, got $eligible")
+    } finally {
+      DeltaLog.DeferredScanMode = "auto"
+      DeferredDeltaFiles.clearCache()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       catch { case _: Exception => () }
     }
     node

@@ -449,6 +449,31 @@ final class DeferredDeltaFiles private[delta] (
         fr.map(_.filter(col("deletionVector").isNotNull)), pruner = None)
     }
 
+  /** Every ABSOLUTE filesystem path the live set references — data files
+    * plus on-disk deletion vectors ("u"/"p" forms) — as one distributed
+    * column, VACUUM's anti-join side: a 10M-file table's vacuum must test
+    * "is this listed file live?" executor-side, never against a
+    * driver-held Set (the last O(files) driver surface of the walk). The
+    * path form matches the driver walk exactly (both go through
+    * [[DeltaMaintenance.decodeRel]] / [[DvDescriptor.absolutePath]] —
+    * shared code, shipped in the closure). None = empty table. */
+  def livePathsFrame(): Option[DataFrame] = withFrame(_.map { fr =>
+    val table = tablePath
+    val dataPath = udf((rel: String) =>
+      new org.apache.hadoop.fs.Path(table, DeltaMaintenance.decodeRel(rel))
+        .toUri.getPath)
+    val dvPath = udf((storageType: String, pathOrInlineDv: String) =>
+      DvDescriptor(storageType, pathOrInlineDv, None, 0, 0L)
+        .absolutePath(table).toUri.getPath)
+    fr.select(dataPath(col("path")).as("path"))
+      .unionByName(
+        fr.filter(col("deletionVector").isNotNull &&
+          col("deletionVector.storageType").isin("u", "p"))
+          .select(dvPath(
+            col("deletionVector.storageType"),
+            col("deletionVector.pathOrInlineDv")).as("path")))
+  })
+
   /** The winners frame projected as checkpoint-shaped `add` structs
     * (field order = [[DeltaWriter.writeCheckpoint]]'s add schema) — the
     * checkpoint writer's DISTRIBUTED add plane: a 10M-file table's

@@ -679,6 +679,30 @@ object DeltaMaintenance {
     * old by mtime, but must survive another full retention). Tombstones
     * live in the commit JSONs; `delta.logRetentionDuration` (default 30d)
     * keeps those around longer than any sane vacuum retention. */
+  /** [[tombstoneTimes]] as a still-distributed frame — `(path, ts)` with
+    * the LATEST deletionTimestamp per absolute path, parsed executor-side
+    * from the same retained commit JSONs (shared reader:
+    * [[DeltaStateReconstruction.tailActionsFrame]]); the job-plane vacuum
+    * left-joins it instead of holding the O(removed files) Map on the
+    * driver. Missing timestamps default to 0 exactly like the driver Map
+    * (older-than-any-cutoff: an undated tombstone never blocks vacuum). */
+  private def tombstoneFrame(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val (commits, _) = DeltaLog.listLog(spark, tablePath)
+    val table = tablePath
+    val abs = udf((rel: String) =>
+      new Path(table, decodeRel(rel)).toUri.getPath)
+    DeltaStateReconstruction.tailActionsFrame(spark, commits) match {
+      case None => Seq.empty[(String, Long)].toDF("path", "ts")
+      case Some(raw) => raw
+        .filter(col("a.remove").isNotNull)
+        .select(abs(col("a.remove.path")).as("path"),
+          coalesce(col("a.remove.deletionTimestamp"), lit(0L)).as("ts"))
+        .groupBy(col("path"))
+        .agg(max(col("ts")).as("ts"))
+    }
+  }
+
   private def tombstoneTimes(spark: SparkSession, tablePath: String): Map[String, Long] = {
     val (commits, _) = DeltaLog.listLog(spark, tablePath)
     val fs = DeltaLog.logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
@@ -708,12 +732,20 @@ object DeltaMaintenance {
     * Eligibility: not under `_delta_log`, a data/DV artifact, not live in
     * the current snapshot, and past retention measured from its
     * remove-tombstone's deletionTimestamp (an ORPHAN with no tombstone —
-    * crashed staging output — falls back to its modification time). */
-  private def vacuumWalk(
+    * crashed staging output — falls back to its modification time).
+    *
+    * Two planes, one predicate: DRIVER on small tables (the in-memory
+    * live Set + tombstone Map below), DISTRIBUTED on job-plane tables —
+    * the listed candidates anti-join the still-distributed live-path
+    * frame and left-join the tombstone frame executor-side, so a
+    * 10M-file table's vacuum never holds its live set or removal history
+    * on the driver (the same bound the scan/DML/streaming planes closed).
+    * The listing itself streams through the store's paged iterator on
+    * both planes. */
+  private[graft] def vacuumWalk(
       spark: SparkSession,
       tablePath: String,
       retentionMs: Long)(onEligible: Path => Unit): Unit = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
     // the spec's vacuumProtocolCheck contract (supported feature): VACUUM
     // must verify it understands the table's WRITER protocol before
     // deleting anything — an unknown writer feature may reference physical
@@ -722,8 +754,22 @@ object DeltaMaintenance {
     // as good as the feature list it was computed under. The check is the
     // PROTOCOL half only: legacy-invariants row validation is irrelevant
     // to deleting unreferenced files. Shared with DRY RUN so the audit can
-    // never claim deletions the real run would refuse.
+    // never claim deletions the real run would refuse. withDvAdds=false:
+    // the deferred plane's DV paths come distributed (livePathsFrame),
+    // never as an up-front driver materialization.
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath, withDvAdds = false)
     snap.assertKnownWriterFeatures("VACUUM")
+    deferred match {
+      case Some(d) => vacuumWalkDistributed(spark, tablePath, retentionMs, d)(onEligible)
+      case None => vacuumWalkDriver(spark, tablePath, retentionMs, snap)(onEligible)
+    }
+  }
+
+  private def vacuumWalkDriver(
+      spark: SparkSession,
+      tablePath: String,
+      retentionMs: Long,
+      snap: DeltaSnapshot)(onEligible: Path => Unit): Unit = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val live: Set[String] =
@@ -746,6 +792,65 @@ object DeltaMaintenance {
         val clock = tombstones.getOrElse(rel, f.getModificationTime)
         if (clock < cutoff) onEligible(p)
       }
+    }
+  }
+
+  /** Job-plane vacuum: the recursive listing streams into a temp parquet
+    * of candidates (O(batch) driver heap), eligibility is ONE distributed
+    * plan — candidates ANTI JOIN live paths, LEFT JOIN tombstones, clock
+    * filter — and the survivors stream back through toLocalIterator for
+    * the (driver-side, bulk-batched) deletes. The predicate is the same
+    * as the driver walk's, term for term; VacuumPlaneSuite pins the two
+    * planes emit identical file sets. */
+  private def vacuumWalkDistributed(
+      spark: SparkSession,
+      tablePath: String,
+      retentionMs: Long,
+      deferred: DeferredDeltaFiles)(onEligible: Path => Unit): Unit = {
+    import spark.implicits._
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vacuum-cand").toString
+    try {
+      var any = false
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      def flush(): Unit = if (batch.nonEmpty) {
+        spark.createDataset(batch.toSeq).toDF("path", "full", "mtime")
+          .write.mode(SaveMode.Append).parquet(tmp)
+        any = true
+        batch.clear()
+      }
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val p = f.getPath
+        val rel = p.toUri.getPath
+        val inLog = rel.contains(s"/${DeltaLog.LogDirName}/")
+        val vacuumable = p.getName.endsWith(".parquet") ||
+          (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin"))
+        if (!inLog && vacuumable) {
+          // `path` (scheme-stripped) is the join key the driver walk
+          // compares on; `full` keeps the qualified form onEligible gets
+          batch += ((rel, p.toString, f.getModificationTime))
+          if (batch.size >= 100000) flush()
+        }
+      }
+      flush()
+      if (!any) return
+      val candidates = spark.read.parquet(tmp)
+      val live = deferred.livePathsFrame()
+        .getOrElse(Seq.empty[String].toDF("path"))
+      val cutoff = System.currentTimeMillis() - retentionMs
+      val eligible = candidates
+        .join(live, Seq("path"), "left_anti")
+        .join(tombstoneFrame(spark, tablePath), Seq("path"), "left")
+        .filter(coalesce(col("ts"), col("mtime")) < cutoff)
+        .select(col("full"))
+      val out = eligible.toLocalIterator()
+      while (out.hasNext) onEligible(new Path(out.next().getString(0)))
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      catch { case _: Exception => () }
     }
   }
 

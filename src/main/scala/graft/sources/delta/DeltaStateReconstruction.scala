@@ -73,7 +73,10 @@ private[delta] object DeltaStateReconstruction {
       StructField("defaultRowCommitVersion", LongType),
       StructField("tags", pvType)))),
     StructField("remove", StructType(Seq(
-      StructField("path", StringType)))),
+      StructField("path", StringType),
+      // replay ignores it; the distributed VACUUM tombstone plane needs
+      // the removal clock (retention starts at REMOVAL, not creation)
+      StructField("deletionTimestamp", LongType)))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))),

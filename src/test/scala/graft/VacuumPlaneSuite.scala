@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.delta.{DeltaDml, DeltaLog, DeltaMaintenance, DeltaTable, DeltaWriter}
+
+/** VACUUM's two walk planes — driver (small tables) and distributed
+  * (job-plane tables: candidates anti-join the live-path frame, left-join
+  * the tombstone frame executor-side) — must emit IDENTICAL file sets:
+  * one predicate, two evaluation sites. A divergence here is data loss
+  * (the distributed walk deleting a live file) or a silent leak (never
+  * collecting an aged tombstone), so parity is pinned on a table whose
+  * history exercises every input: rewrites (tombstones with removal
+  * clocks), deletion vectors (live AND superseded .bin files), and an
+  * orphan (no tombstone — mtime fallback). */
+class VacuumPlaneSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** appends → copy-on-write DELETE (tombstones) → two DV deletes (one
+    * live .bin, one superseded) → one orphan stray parquet. */
+  private def richTable(): String = {
+    val dir = Files.createTempDirectory("graft-vacplane").toString
+    DeltaWriter.write((1 to 40).map(i => (i.toLong, s"r$i")).toDF("id", "name")
+      .coalesce(2), dir, SaveMode.Append, Nil)        // v0: 2 files
+    DeltaDml.delete(spark, dir, "id <= 5")            // v1: rewrite + tombstone
+    DeltaDml.deleteWithDv(spark, dir, "id >= 38")     // v2: DV .bin #1
+    DeltaDml.deleteWithDv(spark, dir, "id >= 35")     // v3: DV .bin #2 supersedes #1
+    Files.write(Paths.get(dir, "orphan-stray.snappy.parquet"), Array[Byte](1, 2, 3))
+    dir
+  }
+
+  private def dryRunUnder(mode: String, dir: String, retentionMs: Long): Seq[String] = {
+    DeltaLog.DeferredScanMode = mode
+    try DeltaMaintenance.vacuumDryRun(spark, dir, retentionMs)
+    finally DeltaLog.DeferredScanMode = "auto"
+  }
+
+  test("driver and distributed walks emit identical eligible sets") {
+    val dir = richTable()
+    // retention -60s: everything unreferenced is past the cutoff,
+    // including the just-created orphan (clock skew immaterial)
+    val eager = dryRunUnder("never", dir, -60000L)
+    val deferred = dryRunUnder("always", dir, -60000L)
+    assert(deferred === eager, "the two planes must agree file-for-file")
+    assert(eager.exists(_.endsWith("orphan-stray.snappy.parquet")),
+      "the orphan (mtime fallback) must be eligible on both planes")
+    assert(eager.exists(_.contains("deletion_vector_")),
+      "the superseded DV .bin must be eligible on both planes")
+    assert(eager.size >= 3, s"tombstoned rewrite sources expected too: $eager")
+    // an infinite retention protects everything, on both planes
+    assert(dryRunUnder("never", dir, Long.MaxValue / 4) === Nil)
+    assert(dryRunUnder("always", dir, Long.MaxValue / 4) === Nil)
+  }
+
+  test("distributed vacuum deletes exactly the eligible set; live reads survive") {
+    val dir = richTable()
+    val expected = dryRunUnder("always", dir, -60000L)
+    DeltaLog.DeferredScanMode = "always"
+    val deleted =
+      try DeltaMaintenance.vacuum(spark, dir, -60000L)
+      finally DeltaLog.DeferredScanMode = "auto"
+    assert(deleted === expected.size.toLong)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    expected.foreach(p => assert(!fs.exists(new org.apache.hadoop.fs.Path(p)),
+      s"eligible file survived: $p"))
+    // the current snapshot (DV-masked rows excluded) reads intact
+    val ids = DeltaTable.read(spark, dir).select("id").as[Long].collect().sorted
+    assert(ids.toSeq === (6L to 34L), "live rows exact after distributed vacuum")
+    // live DV .bin kept: the masked rows stay masked, not resurrected
+    assert(!ids.contains(35L) && !ids.contains(40L))
+  }
+
+  test("a second dry run after vacuum is empty on both planes") {
+    val dir = richTable()
+    DeltaLog.DeferredScanMode = "always"
+    try DeltaMaintenance.vacuum(spark, dir, -60000L)
+    finally DeltaLog.DeferredScanMode = "auto"
+    assert(dryRunUnder("never", dir, -60000L) === Nil)
+    assert(dryRunUnder("always", dir, -60000L) === Nil)
+  }
+}
