@@ -1346,14 +1346,18 @@ object DeltaLog {
   // immutable, but a table DELETED AND RECREATED at the same path reuses
   // version numbers — the (path, length, mtime) fingerprint (same guard as
   // the DeferredDeltaFiles cache) makes a stale hit structurally
-  // impossible. Oversized ranges (a concurrent bulk commit's add list)
-  // are not cached: re-parsing costs what it always did, while pinning
-  // millions of descriptors in this map would not.
+  // impossible. Oversized ranges are not cached — re-parsing costs what it
+  // always did, while pinning them would not: the add-descriptor bound is
+  // deliberately tight (adds carry multi-KB stats strings, so a "100k
+  // actions" bound would quietly pin hundreds of MB of a concurrent bulk
+  // load for process lifetime — the O(files) driver-heap class this plane
+  // exists to remove); bare path strings are two orders cheaper.
   private val conflictRangeCache =
     new java.util.LinkedHashMap[(String, Long, Long, String), ConflictRange](
       8, 0.75f, /*accessOrder=*/ true)
   private val ConflictRangeMaxEntries = 4
-  private val ConflictRangeCacheableActions = 100000
+  private val ConflictRangeCacheablePaths = 100000
+  private val ConflictRangeCacheableAdds = 4096
 
   /** Test seam: actual range parses (cache misses) — pins that one commit
     * attempt's two rules share a parse, which result equality alone
@@ -1428,7 +1432,8 @@ object DeltaLog {
           if (!blindAppend) nonBlind ++= adds.result()
         }
         val built = ConflictRange(paths.result(), nonBlind.result())
-        if (built.pathActions.size + built.nonBlindAdds.size <= ConflictRangeCacheableActions)
+        if (built.pathActions.size <= ConflictRangeCacheablePaths &&
+          built.nonBlindAdds.size <= ConflictRangeCacheableAdds)
           conflictRangeCache.synchronized {
             conflictRangeCache.put(key, built)
             while (conflictRangeCache.size() > ConflictRangeMaxEntries)
@@ -1482,8 +1487,8 @@ object DeltaLog {
     * (served as one snapshot / file-paced slices instead of per-version
     * batches), and the pre-first-batch driver work stays bounded on a
     * year-old table. Deterministic, so latestOffset and getBatch (which
-    * both probe) cannot disagree. */
-  private[graft] val RangeReplayableMaxCommits = 64
+    * both probe) cannot disagree (var: test seam only). */
+  private[graft] var RangeReplayableMaxCommits = 64
 
   private[graft] def rangeReplayable(
       spark: SparkSession,

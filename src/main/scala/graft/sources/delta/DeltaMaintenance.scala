@@ -765,6 +765,24 @@ object DeltaMaintenance {
     }
   }
 
+  /** ONE listing + candidacy filter for both walk planes: recurse the
+    * table root, skip `_delta_log`, keep data/DV artifacts by name. Any
+    * future change to what counts as vacuumable lands on both planes by
+    * construction (the parity invariant VacuumPlaneSuite pins). */
+  private def foreachVacuumCandidate(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path)(
+      f: org.apache.hadoop.fs.LocatedFileStatus => Unit): Unit = {
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val inLog = p.toUri.getPath.contains(s"/${DeltaLog.LogDirName}/")
+      val vacuumable = p.getName.endsWith(".parquet") ||
+        (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin"))
+      if (!inLog && vacuumable) f(st)
+    }
+  }
+
   private def vacuumWalkDriver(
       spark: SparkSession,
       tablePath: String,
@@ -780,17 +798,11 @@ object DeltaMaintenance {
         }
     val tombstones = tombstoneTimes(spark, tablePath)
     val cutoff = System.currentTimeMillis() - retentionMs
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath
-      val rel = p.toUri.getPath
-      val inLog = rel.contains(s"/${DeltaLog.LogDirName}/")
-      val vacuumable = p.getName.endsWith(".parquet") ||
-        (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin"))
-      if (!inLog && vacuumable && !live.contains(rel)) {
+    foreachVacuumCandidate(fs, root) { f =>
+      val rel = f.getPath.toUri.getPath
+      if (!live.contains(rel)) {
         val clock = tombstones.getOrElse(rel, f.getModificationTime)
-        if (clock < cutoff) onEligible(p)
+        if (clock < cutoff) onEligible(f.getPath)
       }
     }
   }
@@ -810,34 +822,32 @@ object DeltaMaintenance {
     import spark.implicits._
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = java.nio.file.Files.createTempDirectory("graft-vacuum-cand").toString
+    // staging lives under the TABLE's own filesystem (the `.tmp` log
+    // subdir, production Delta's staging convention): a driver-local temp
+    // dir would shear on a real cluster — executors commit their parquet
+    // parts to THEIR local disks and the driver reads back an empty
+    // frame, i.e. a silent "nothing eligible". `_delta_log` is excluded
+    // from candidacy and its non-commit-named entries are ignored by
+    // listLog, so the staging can never vacuum or replay itself.
+    val tmp = new Path(DeltaLog.logDir(tablePath), s".tmp/vacuum-${UUID.randomUUID()}")
     try {
       var any = false
       val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       def flush(): Unit = if (batch.nonEmpty) {
         spark.createDataset(batch.toSeq).toDF("path", "full", "mtime")
-          .write.mode(SaveMode.Append).parquet(tmp)
+          .write.mode(SaveMode.Append).parquet(tmp.toString)
         any = true
         batch.clear()
       }
-      val it = fs.listFiles(root, true)
-      while (it.hasNext) {
-        val f = it.next()
-        val p = f.getPath
-        val rel = p.toUri.getPath
-        val inLog = rel.contains(s"/${DeltaLog.LogDirName}/")
-        val vacuumable = p.getName.endsWith(".parquet") ||
-          (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin"))
-        if (!inLog && vacuumable) {
-          // `path` (scheme-stripped) is the join key the driver walk
-          // compares on; `full` keeps the qualified form onEligible gets
-          batch += ((rel, p.toString, f.getModificationTime))
-          if (batch.size >= 100000) flush()
-        }
+      foreachVacuumCandidate(fs, root) { f =>
+        // `path` (scheme-stripped) is the join key the driver walk
+        // compares on; `full` keeps the qualified form onEligible gets
+        batch += ((f.getPath.toUri.getPath, f.getPath.toString, f.getModificationTime))
+        if (batch.size >= 100000) flush()
       }
       flush()
       if (!any) return
-      val candidates = spark.read.parquet(tmp)
+      val candidates = spark.read.parquet(tmp.toString)
       val live = deferred.livePathsFrame()
         .getOrElse(Seq.empty[String].toDF("path"))
       val cutoff = System.currentTimeMillis() - retentionMs
@@ -849,8 +859,7 @@ object DeltaMaintenance {
       val out = eligible.toLocalIterator()
       while (out.hasNext) onEligible(new Path(out.next().getString(0)))
     } finally {
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      catch { case _: Exception => () }
+      try fs.delete(tmp, true) catch { case _: Exception => () }
     }
   }
 

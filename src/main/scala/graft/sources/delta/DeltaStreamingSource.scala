@@ -195,7 +195,14 @@ class DeltaStreamingSource(
   }
 
   private final class EagerSlicePlane(val snap: DeltaSnapshot) extends SlicePlane {
-    private val files = snap.files.sortBy(_.path).toIndexedSeq
+    // UTF-8 BINARY path order, not Scala's UTF-16 string order: the
+    // deferred plane ranks with Spark's UTF8String comparison, and the two
+    // orders diverge on supplementary characters (4-byte UTF-8 sorts above
+    // U+E000..U+FFFF, surrogates below) — e.g. an emoji in a partition
+    // value. A checkpointed mid-drain index must mean the SAME files if a
+    // restart lands on the other plane.
+    private val files = snap.files.sortBy(f =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(f.path)).toIndexedSeq
     def fileCount: Long = files.length.toLong
     def admit(from: Long, mf: Option[Long], mb: Option[Long]): Long = {
       val n = files.length.toLong

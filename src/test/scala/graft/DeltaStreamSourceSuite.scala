@@ -207,6 +207,52 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
     assert(eager.length >= 4, s"the cap must actually pace the drain: $eager")
   }
 
+  test("a fresh stream over a LONG append-only history jumps to the snapshot, a short one replays") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.delta.{DeltaLog, DeltaStreamingSource}
+    // the replayability probe is an O(history) driver parse paid before
+    // the first batch; past RangeReplayableMaxCommits the snapshot jump
+    // must be taken unconditionally — and latestOffset/getBatch must
+    // AGREE (a disagreement here is duplicated or dropped rows). Shrink
+    // the cap (seam) instead of writing 65 commits.
+    val dir = Files.createTempDirectory("graft-stream-longhist").toString
+    (0 until 6).foreach { i =>
+      DeltaWriter.write(Seq((i, s"r$i")).toDF("id", "name").coalesce(1),
+        dir, SaveMode.Append, Nil)                  // v0..v5, append-only
+    }
+    val schema = graft.sources.delta.DeltaLog.snapshot(spark, dir).schema
+    val lim = ReadLimit.maxFiles(1)
+    def firstOffsetJson(cap: Int): String = {
+      val before = DeltaLog.RangeReplayableMaxCommits
+      DeltaLog.RangeReplayableMaxCommits = cap
+      try new DeltaStreamingSource(spark.sqlContext, dir, schema,
+        ignoreDataChangeRemoves = false, maxFilesPerTrigger = Some(1))
+        .latestOffset(null, lim).json
+      finally DeltaLog.RangeReplayableMaxCommits = before
+    }
+    // 6 commits > cap 5: snapshot branch (file-paced slice offsets)
+    assert(firstOffsetJson(5) === """{"snapshotVersion":5,"index":1}""")
+    // 6 commits <= cap 6: the per-version replay keeps its version cursor
+    assert(firstOffsetJson(6) === "0", "short append-only history replays")
+    // content parity: the capped stream drains to the same rows via a
+    // real query (getBatch must take the same branch latestOffset did)
+    val before = DeltaLog.RangeReplayableMaxCommits
+    DeltaLog.RangeReplayableMaxCommits = 5
+    try {
+      val q = spark.readStream.format("delta")
+        .option("maxFilesPerTrigger", "1").load(dir)
+        .writeStream.format("memory").queryName("dss_longhist")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-stream-longhist-ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("dss_longhist").orderBy("id").collect()
+          .map(_.getInt(0)).toSeq === (0 until 6), "snapshot-jump rows exact")
+      } finally q.stop()
+    } finally DeltaLog.RangeReplayableMaxCommits = before
+  }
+
   test("ordered-index admission matches the reference driver walk for every start and cap") {
     import graft.sources.delta.{DeltaAddFile, DeltaLog}
     val dir = Files.createTempDirectory("graft-stream-admitpar").toString
