@@ -449,6 +449,14 @@ final class DeferredDeltaFiles private[delta] (
         fr.map(_.filter(col("deletionVector").isNotNull)), pruner = None)
     }
 
+  /** The raw winners frame (the 9 add columns, [[DeltaStateReconstruction
+    * .winnersFrame]] order) — for consumers that JOIN two versions' live
+    * sets (RESTORE's distributed diff) rather than materialize one. Like
+    * [[checkpointAdds]], the returned frame escapes the FileNotFound
+    * retry wrapper; a retired replay input surfaces on the consumer's
+    * action. None = empty table. */
+  private[graft] def addsFrame(): Option[DataFrame] = withFrame(identity)
+
   /** Every ABSOLUTE filesystem path the live set references — data files
     * plus on-disk deletion vectors ("u"/"p" forms) — as one distributed
     * column, VACUUM's anti-join side: a 10M-file table's vacuum must test
@@ -1123,7 +1131,14 @@ object DeltaLog {
         * unconditional DV collect is O(DV'd files) driver heap per call,
         * paid for nothing. The SCAN path must keep the default true (the
         * file format needs its dvByPath input). */
-      withDvAdds: Boolean = true)
+      withDvAdds: Boolean = true,
+      /** true = build the deferred handle even when the size estimate
+        * calls the table small — for consumers (RESTORE's distributed
+        * diff) that need BOTH sides of a two-version join as frames when
+        * EITHER side is big. The test pins still outrank it: an explicit
+        * DeferredScanMode="never" (or the stronger driver-replay pin)
+        * keeps the eager plane. */
+      forceDefer: Boolean = false)
       : (DeltaSnapshot, Option[DeferredDeltaFiles]) = {
     val (target, cp, tailCommits) =
       resolveReplay(spark, tablePath, versionAsOf, timestampAsOf)
@@ -1134,13 +1149,13 @@ object DeltaLog {
     // snapshotResolved (it opens _last_checkpoint — a remote GET on
     // object stores, not worth paying twice per relation).
     val bigOpt: Option[Boolean] =
-      if (DeferredScanMode == "auto" && DistributedReplayMode != "never")
+      if (!forceDefer && DeferredScanMode == "auto" && DistributedReplayMode != "never")
         Some(estimateBig(spark, tablePath, cp, tailCommits))
       else None
     val defer = DeferredScanMode match {
       case "always" => true
       case "never" => false
-      case _ => bigOpt.contains(true)
+      case _ => forceDefer || bigOpt.contains(true)
     }
     if (!defer)
       return (snapshotResolved(spark, tablePath, target, cp, tailCommits, bigOpt), None)

@@ -765,22 +765,54 @@ object DeltaMaintenance {
     }
   }
 
-  /** ONE listing + candidacy filter for both walk planes: recurse the
-    * table root, skip `_delta_log`, keep data/DV artifacts by name. Any
-    * future change to what counts as vacuumable lands on both planes by
-    * construction (the parity invariant VacuumPlaneSuite pins). */
-  private def foreachVacuumCandidate(
-      fs: org.apache.hadoop.fs.FileSystem, root: Path)(
-      f: org.apache.hadoop.fs.LocatedFileStatus => Unit): Unit = {
+  /** Not under `_delta_log`. Shared by every recursive-listing consumer
+    * (vacuum candidacy, restore's existence check). */
+  private def outsideLog(p: Path): Boolean =
+    !p.toUri.getPath.contains(s"/${DeltaLog.LogDirName}/")
+
+  /** ONE candidacy predicate for both vacuum walk planes: a data/DV
+    * artifact by name, outside the log. Any future change to what counts
+    * as vacuumable lands on both planes by construction (the parity
+    * invariant VacuumPlaneSuite pins). */
+  private def isVacuumCandidate(p: Path): Boolean =
+    outsideLog(p) && (p.getName.endsWith(".parquet") ||
+      (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin")))
+
+  /** Stream the table root's recursive listing (filtered by `keep`) into
+    * a staged parquet of `(path, full, mtime)` rows — `path` is the
+    * scheme-stripped join key, `full` the qualified form. Staging lives
+    * under the TABLE's own `_delta_log/.tmp` (see the vacuum note:
+    * driver-local temp dirs shear on multi-node clusters); the caller
+    * runs the returned cleanup when done consuming. None = nothing kept.
+    * Driver heap is O(batch): this is how an O(files) listing becomes a
+    * join side without ever living on the driver. */
+  private def stagedListing(
+      spark: SparkSession,
+      tablePath: String,
+      keep: Path => Boolean): (Option[DataFrame], () => Unit) = {
+    import spark.implicits._
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(DeltaLog.logDir(tablePath), s".tmp/listing-${UUID.randomUUID()}")
+    var any = false
+    val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def flush(): Unit = if (batch.nonEmpty) {
+      spark.createDataset(batch.toSeq).toDF("path", "full", "mtime")
+        .write.mode(SaveMode.Append).parquet(tmp.toString)
+      any = true
+      batch.clear()
+    }
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
-      val p = st.getPath
-      val inLog = p.toUri.getPath.contains(s"/${DeltaLog.LogDirName}/")
-      val vacuumable = p.getName.endsWith(".parquet") ||
-        (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin"))
-      if (!inLog && vacuumable) f(st)
+      if (keep(st.getPath)) {
+        batch += ((st.getPath.toUri.getPath, st.getPath.toString, st.getModificationTime))
+        if (batch.size >= 100000) flush()
+      }
     }
+    flush()
+    (if (any) Some(spark.read.parquet(tmp.toString)) else None,
+      () => try fs.delete(tmp, true) catch { case _: Exception => () })
   }
 
   private def vacuumWalkDriver(
@@ -798,11 +830,15 @@ object DeltaMaintenance {
         }
     val tombstones = tombstoneTimes(spark, tablePath)
     val cutoff = System.currentTimeMillis() - retentionMs
-    foreachVacuumCandidate(fs, root) { f =>
-      val rel = f.getPath.toUri.getPath
-      if (!live.contains(rel)) {
-        val clock = tombstones.getOrElse(rel, f.getModificationTime)
-        if (clock < cutoff) onEligible(f.getPath)
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (isVacuumCandidate(f.getPath)) {
+        val rel = f.getPath.toUri.getPath
+        if (!live.contains(rel)) {
+          val clock = tombstones.getOrElse(rel, f.getModificationTime)
+          if (clock < cutoff) onEligible(f.getPath)
+        }
       }
     }
   }
@@ -820,34 +856,16 @@ object DeltaMaintenance {
       retentionMs: Long,
       deferred: DeferredDeltaFiles)(onEligible: Path => Unit): Unit = {
     import spark.implicits._
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // staging lives under the TABLE's own filesystem (the `.tmp` log
-    // subdir, production Delta's staging convention): a driver-local temp
-    // dir would shear on a real cluster — executors commit their parquet
+    // staging lives under the TABLE's own filesystem (_delta_log/.tmp,
+    // production Delta's staging convention): a driver-local temp dir
+    // would shear on a real cluster — executors commit their parquet
     // parts to THEIR local disks and the driver reads back an empty
     // frame, i.e. a silent "nothing eligible". `_delta_log` is excluded
     // from candidacy and its non-commit-named entries are ignored by
     // listLog, so the staging can never vacuum or replay itself.
-    val tmp = new Path(DeltaLog.logDir(tablePath), s".tmp/vacuum-${UUID.randomUUID()}")
+    val (candidatesOpt, cleanup) = stagedListing(spark, tablePath, isVacuumCandidate)
     try {
-      var any = false
-      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      def flush(): Unit = if (batch.nonEmpty) {
-        spark.createDataset(batch.toSeq).toDF("path", "full", "mtime")
-          .write.mode(SaveMode.Append).parquet(tmp.toString)
-        any = true
-        batch.clear()
-      }
-      foreachVacuumCandidate(fs, root) { f =>
-        // `path` (scheme-stripped) is the join key the driver walk
-        // compares on; `full` keeps the qualified form onEligible gets
-        batch += ((f.getPath.toUri.getPath, f.getPath.toString, f.getModificationTime))
-        if (batch.size >= 100000) flush()
-      }
-      flush()
-      if (!any) return
-      val candidates = spark.read.parquet(tmp.toString)
+      val candidates = candidatesOpt.getOrElse(return)
       val live = deferred.livePathsFrame()
         .getOrElse(Seq.empty[String].toDF("path"))
       val cutoff = System.currentTimeMillis() - retentionMs
@@ -858,9 +876,7 @@ object DeltaMaintenance {
         .select(col("full"))
       val out = eligible.toLocalIterator()
       while (out.hasNext) onEligible(new Path(out.next().getString(0)))
-    } finally {
-      try fs.delete(tmp, true) catch { case _: Exception => () }
-    }
+    } finally cleanup()
   }
 
   /** Delete data files not referenced by the CURRENT snapshot whose
@@ -919,14 +935,47 @@ object DeltaMaintenance {
     * version committed at or before it (same rule as read-side time
     * travel), then restore to that version. */
   def restoreTimestamp(spark: SparkSession, tablePath: String, timestamp: String): Long = {
-    val snap = DeltaLog.snapshot(spark, tablePath, timestampAsOf = Some(timestamp))
+    // metadata-only version resolution: the restore itself re-reads state
+    val (snap, _) = DeltaLog.scanSnapshot(spark, tablePath,
+      timestampAsOf = Some(timestamp), withDvAdds = false)
     restore(spark, tablePath, snap.version)
   }
 
+  /** Two restore planes, one commit shape: DRIVER on small tables (the
+    * in-memory (path, dv) Sets), DISTRIBUTED when EITHER version is
+    * job-plane — the diff is two anti-joins over the versions' winners
+    * frames (O(diff) driver descriptors, which the commit file must hold
+    * anyway) and the vacuumed-file check is an anti-join against the
+    * staged table listing (one paged recursion instead of O(files)
+    * sequential exists round-trips). The eager plane's per-file exists
+    * check and full live Sets were the remaining avoidable O(files)
+    * driver costs of the op. */
   def restore(spark: SparkSession, tablePath: String, toVersion: Long): Long = {
-    val head = DeltaLog.snapshot(spark, tablePath)
+    val (head, headDef) = DeltaLog.scanSnapshot(spark, tablePath, withDvAdds = false)
     head.assertWritable("RESTORE")
     head.assertRemovable("RESTORE")
+    val (target0, targetDef0) = DeltaLog.scanSnapshot(spark, tablePath,
+      versionAsOf = Some(toVersion), withDvAdds = false)
+    // plane choice, made ONCE: if either side is big, force the other
+    // side's handle too so the diff has two frames to join. The replay
+    // pins (DeferredScanMode="never" / driver-replay) outrank the force —
+    // a missing handle there falls back to the driver plane whole.
+    val planes: Option[(DeltaSnapshot, DeferredDeltaFiles)] =
+      if (headDef.isEmpty && targetDef0.isEmpty) None
+      else targetDef0.orElse(
+        DeltaLog.scanSnapshot(spark, tablePath, versionAsOf = Some(toVersion),
+          withDvAdds = false, forceDefer = true)._2)
+        .map(td => (target0, td))
+    planes match {
+      case Some((target, td)) => restoreDistributed(spark, tablePath, toVersion,
+        target, td, head.metadata.configuration)
+      case None => restoreDriver(spark, tablePath, toVersion, head.metadata.configuration)
+    }
+  }
+
+  private def restoreDriver(
+      spark: SparkSession, tablePath: String, toVersion: Long,
+      headConfig: Map[String, String]): Long = {
     val target = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(toVersion))
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     val missing = target.files.filterNot { f =>
@@ -937,21 +986,107 @@ object DeltaMaintenance {
     if (missing.nonEmpty) throw new IllegalStateException(
       s"cannot RESTORE $tablePath to version $toVersion: ${missing.size} " +
         s"file(s) already vacuumed (e.g. ${missing.head.path})")
+    // file identity for the diff is (path, deletionVector): a DV attach
+    // between toVersion and now keeps the path but hides rows — a
+    // path-only diff would keep the CURRENT (DV'd) add and the restore
+    // would silently serve the post-delete row set. Same-path
+    // remove+add in one commit nets to the add (replay applies removes
+    // first), so the DV'd form is replaced by the target's form.
+    def fileKey(f: DeltaAddFile): (String, Option[DvDescriptor]) =
+      (f.path, f.deletionVector)
+    restoreLoop(spark, tablePath, toVersion, target, headConfig) { () =>
+      val current = DeltaLog.snapshot(spark, tablePath)
+      val currentPaths = current.files.map(fileKey).toSet
+      val targetPaths = target.files.map(fileKey).toSet
+      (current,
+        current.files.filterNot(f => targetPaths.contains(fileKey(f))).map(_.path),
+        target.files.filterNot(f => currentPaths.contains(fileKey(f))))
+    }
+  }
+
+  private def restoreDistributed(
+      spark: SparkSession, tablePath: String, toVersion: Long,
+      target: DeltaSnapshot, td: DeferredDeltaFiles,
+      headConfig: Map[String, String]): Long = {
+    import spark.implicits._
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // vacuumed-file check: every path the target references must still
+    // exist — membership in ONE staged recursive listing replaces the
+    // per-file exists round-trips. "p"-form DVs may point OUTSIDE the
+    // table root (never in the listing): those few fall back to exists.
+    val (listingOpt, cleanup) = stagedListing(spark, tablePath, outsideLog)
+    try {
+      val targetPaths = td.livePathsFrame().getOrElse(Seq.empty[String].toDF("path"))
+      val rootPrefix = root.toUri.getPath + "/"
+      val inside = targetPaths.filter(col("path").startsWith(rootPrefix))
+      val insideMissing = listingOpt match {
+        case None => inside
+        case Some(l) => inside.join(l.select(col("path")), Seq("path"), "left_anti")
+      }
+      val outsideMissing = targetPaths
+        .filter(!col("path").startsWith(rootPrefix))
+        .select(col("path")).collect().map(_.getString(0)).toSeq
+        .filterNot(p => fs.exists(new Path(p)))
+      val missingCount = insideMissing.count() + outsideMissing.size
+      if (missingCount > 0) {
+        val example = outsideMissing.headOption.getOrElse(
+          insideMissing.limit(1).collect()(0).getString(0))
+        throw new IllegalStateException(
+          s"cannot RESTORE $tablePath to version $toVersion: $missingCount " +
+            s"file(s) already vacuumed (e.g. $example)")
+      }
+    } finally cleanup()
+    restoreLoop(spark, tablePath, toVersion, target, headConfig) { () =>
+      val (current, cdOpt) = DeltaLog.scanSnapshot(spark, tablePath,
+        withDvAdds = false, forceDefer = true)
+      val cd = cdOpt.getOrElse(throw new IllegalStateException(
+        s"RESTORE on $tablePath lost its deferred plane mid-run (replay-mode pin changed?)"))
+      val (removePaths, readds) = restoreDiffFrames(cd, td)
+      (current, removePaths, readds)
+    }
+  }
+
+  /** The distributed (path, deletionVector)-keyed two-way diff: removes =
+    * current ∖ target, re-adds = target ∖ current, each an anti-join over
+    * the winners frames with NULL-SAFE dv comparison (same identity rule
+    * as the driver Sets — a DV attach between the versions must surface
+    * as remove+re-add, see [[restoreDriver]]). Both results are O(diff):
+    * exactly what the commit file must hold. Path-sorted for
+    * deterministic commit layout across planes. */
+  private def restoreDiffFrames(
+      cd: DeferredDeltaFiles, td: DeferredDeltaFiles): (Seq[String], Seq[DeltaAddFile]) = {
+    (cd.addsFrame(), td.addsFrame()) match {
+      case (None, None) => (Nil, Nil)
+      case (Some(c), None) =>
+        (c.select(col("path")).sort("path").collect().map(_.getString(0)).toSeq, Nil)
+      case (None, Some(t)) =>
+        (Nil, DeltaStateReconstruction.decodeAddRows(t.sort("path").collect()))
+      case (Some(c), Some(t)) =>
+        def cond(l: DataFrame, r: DataFrame) =
+          l("path") === r("path") && l("deletionVector") <=> r("deletionVector")
+        val removes = c.join(t, cond(c, t), "left_anti")
+          .select(c("path")).sort("path").collect().map(_.getString(0)).toSeq
+        val readds = DeltaStateReconstruction.decodeAddRows(
+          t.join(c, cond(t, c), "left_anti").sort("path").collect())
+        (removes, readds)
+    }
+  }
+
+  /** The shared RESTORE commit loop: per attempt, `currentAndDiff` reads
+    * the latest state and produces (current snapshot, remove paths,
+    * re-add descriptors); the commit shape — commitInfo, target metadata
+    * with the identity-hwm exception, removes, full re-add lines — is ONE
+    * implementation for both planes. */
+  private def restoreLoop(
+      spark: SparkSession, tablePath: String, toVersion: Long,
+      target: DeltaSnapshot, headConfig: Map[String, String])(
+      currentAndDiff: () => (DeltaSnapshot, Seq[String], Seq[DeltaAddFile])): Long = {
     var attempt = 0
     var committed = -1L
     while (committed < 0 && attempt < 20) {
-      val current = DeltaLog.snapshot(spark, tablePath)
+      val (current, removePaths, readds) = currentAndDiff()
       if (current.version == toVersion) return current.version // no-op
-      // file identity for the diff is (path, deletionVector): a DV attach
-      // between toVersion and now keeps the path but hides rows — a
-      // path-only diff would keep the CURRENT (DV'd) add and the restore
-      // would silently serve the post-delete row set. Same-path
-      // remove+add in one commit nets to the add (replay applies removes
-      // first), so the DV'd form is replaced by the target's form.
-      def fileKey(f: DeltaAddFile): (String, Option[DvDescriptor]) =
-        (f.path, f.deletionVector)
-      val currentPaths = current.files.map(fileKey).toSet
-      val targetPaths = target.files.map(fileKey).toSet
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
       val ci = ciLine.putObject("commitInfo")
@@ -1001,15 +1136,15 @@ object DeltaMaintenance {
       val cfg = m.putObject("configuration")
       target.metadata.configuration.foreach { case (k, v) => cfg.put(k, v) }
       lines += mapper.writeValueAsString(mdLine)
-      current.files.filterNot(f => targetPaths.contains(fileKey(f))).foreach { f =>
+      removePaths.foreach { p =>
         val rm = mapper.createObjectNode()
         val r = rm.putObject("remove")
-        r.put("path", f.path)
+        r.put("path", p)
         r.put("deletionTimestamp", System.currentTimeMillis())
         r.put("dataChange", true)
         lines += mapper.writeValueAsString(rm)
       }
-      target.files.filterNot(f => currentPaths.contains(fileKey(f))).foreach { f =>
+      readds.foreach { f =>
         val ad = mapper.createObjectNode()
         val a = ad.putObject("add")
         a.put("path", f.path)
@@ -1038,7 +1173,7 @@ object DeltaMaintenance {
     }
     if (committed < 0) throw new java.io.IOException(
       s"RESTORE could not commit to $tablePath after $attempt attempts")
-    DeltaWriter.maybeCheckpoint(spark, tablePath, committed, head.metadata.configuration)
+    DeltaWriter.maybeCheckpoint(spark, tablePath, committed, headConfig)
     committed
   }
 
