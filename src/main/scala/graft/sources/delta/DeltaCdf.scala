@@ -122,7 +122,11 @@ object DeltaCdf {
       tablePath: String,
       fromExclusive: Long,
       toInclusive: Long): DataFrame = {
-    val endSnap = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(toInclusive))
+    // metadata planes only (schema/partitioning/protocol/enablement): a
+    // CDF read's unit of work is the RANGE's commits, and a streaming
+    // consumer calls this per micro-batch — an eager snapshot here made
+    // every batch of a job-plane table pay a live-set materialization
+    val endSnap = DeltaLog.metadataSnapshot(spark, tablePath, Some(toInclusive))
     require(enabled(endSnap.metadata),
       s"$tablePath: change data feed is not enabled (set $EnableKey=true)")
     val meta = endSnap.metadata
@@ -185,8 +189,8 @@ object DeltaCdf {
     // range start.
     var cdfOnNow: Boolean =
       if (fromExclusive < 0) false
-      else enabled(DeltaLog.snapshot(spark, tablePath,
-        versionAsOf = Some(fromExclusive)).metadata)
+      else enabled(DeltaLog.metadataSnapshot(spark, tablePath,
+        Some(fromExclusive)).metadata)
     val frames: Seq[DataFrame] = inRange
       .flatMap { case (v, status) =>
         val in = fs.open(status.getPath)
@@ -289,11 +293,18 @@ object DeltaCdf {
                     .withColumn(TypeCol, lit("delete"))
                 }.toSeq
               } else {
-                val prior = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(v - 1))
+                // the prior state of exactly the REMOVED paths: a pruned
+                // distributed lookup on job-plane tables (O(removed)
+                // driver heap), the materialized filter on small ones
+                val (prior, priorDef) = DeltaLog.scanSnapshot(spark, tablePath,
+                  versionAsOf = Some(v - 1), withDvAdds = false)
                 val removedPaths = removes.map(_._1).toSet
                 // paths absent from the prior snapshot are idempotent
                 // tombstones (spec-legal) — nothing was live, nothing to serve
-                val removedAdds = prior.files.filter(f => removedPaths.contains(f.path))
+                val removedAdds = priorDef match {
+                  case Some(d) => d.collectByPath(removedPaths.contains)
+                  case None => prior.files.filter(f => removedPaths.contains(f.path))
+                }
                 // surface END-version logical names BY NAME (the provider
                 // scan emits data columns first, partition columns last —
                 // positional renames would mislabel partitioned tables);

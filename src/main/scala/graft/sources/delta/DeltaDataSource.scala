@@ -232,7 +232,10 @@ object DeltaTable {
       toInclusive: Long,
       ignoreDataChangeRemoves: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val snap = DeltaLog.snapshot(spark, path)
+    // schema/partitioning/mapping only — the per-version file lists come
+    // from the range's commit JSONs below, so a streaming consumer's
+    // per-batch call must not pay a live-set materialization here
+    val snap = DeltaLog.metadataSnapshot(spark, path)
     val outSchema = snap.schema.add("_commit_version", "bigint")
     val perVersion = for {
       (version, adds) <- DeltaLog.changes(spark, path, fromExclusive, toInclusive,

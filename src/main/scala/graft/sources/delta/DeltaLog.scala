@@ -1220,8 +1220,10 @@ object DeltaLog {
     * the eager re-read made every retry pay O(files) driver heap). Small
     * tables keep the eager driver replay (files populated, harmless);
     * job-plane callers MUST NOT consult `.files` (empty there). */
-  private[graft] def metadataSnapshot(spark: SparkSession, tablePath: String): DeltaSnapshot = {
-    val (target, cp, tailCommits) = resolveReplay(spark, tablePath, None, None)
+  private[graft] def metadataSnapshot(
+      spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): DeltaSnapshot = {
+    val (target, cp, tailCommits) = resolveReplay(spark, tablePath, versionAsOf, None)
     val useJob = DistributedReplayMode match {
       case "always" => true
       case "never" => false
