@@ -216,7 +216,9 @@ object Clustering {
   def clusterBy(spark: SparkSession, tablePath: String, cols: Seq[String]): Long = {
     var attempt = 0
     while (attempt < 10) {
-      val snap = DeltaLog.snapshot(spark, tablePath)
+      // metadata planes only: a CLUSTER BY declaration commits domain
+      // metadata — it never consults the live set
+      val snap = DeltaLog.metadataSnapshot(spark, tablePath)
       snap.assertWritable("ALTER TABLE CLUSTER BY")
       require(cols.size <= MaxColumns,
         s"CLUSTER BY expects at most $MaxColumns columns, got ${cols.size}")

@@ -95,9 +95,13 @@ object DeltaChecksum {
     * unvalidatable (no `.crc` published). */
   def validate(spark: SparkSession, tablePath: String,
       version: Option[Long] = None): Option[(Crc, Crc)] = {
-    val snap = DeltaLog.snapshot(spark, tablePath, versionAsOf = version)
+    // totals from the deferred plane's ONE distributed agg on job-plane
+    // tables — the audit must not materialize the live set to count it
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath,
+      versionAsOf = version, withDvAdds = false)
     read(spark, tablePath, snap.version).flatMap { recorded =>
-      val actual = Crc(snap.files.map(_.size).sum, snap.files.size.toLong)
+      val actual = deferred.map(d => Crc(d.totalBytes, d.fileCount))
+        .getOrElse(Crc(snap.files.map(_.size).sum, snap.files.size.toLong))
       if (recorded == actual) None else Some((recorded, actual))
     }
   }

@@ -33,7 +33,7 @@ object DeltaConstraints {
   def addCheckConstraint(
       spark: SparkSession, tablePath: String, name: String, expression: String): Long = {
     require(name.nonEmpty && !name.contains("="), s"bad constraint name: $name")
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.metadataSnapshot(spark, tablePath)
     if (snap.metadata.configuration.contains(ConfPrefix + name))
       throw new IllegalArgumentException(s"constraint $name already exists")
     val existingViolation = DeltaTable.read(spark, tablePath)
@@ -49,7 +49,7 @@ object DeltaConstraints {
 
   /** `ALTER TABLE … DROP CONSTRAINT name`. */
   def dropConstraint(spark: SparkSession, tablePath: String, name: String): Long = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.metadataSnapshot(spark, tablePath)
     if (!snap.metadata.configuration.contains(ConfPrefix + name))
       throw new IllegalArgumentException(s"no such constraint: $name")
     commitMetadata(spark, tablePath,
@@ -115,7 +115,7 @@ object DeltaConstraints {
     var attempt = 0
     var committed = -1L
     while (committed < 0 && attempt < 20) {
-      val current = DeltaLog.snapshot(spark, tablePath)
+      val current = DeltaLog.metadataSnapshot(spark, tablePath)
       // a metadata/DDL commit is a write too; `newProtocol` upgrades the
       // table's own demands, which this engine satisfies by construction
       current.assertWritable(op)

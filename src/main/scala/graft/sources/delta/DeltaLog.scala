@@ -1222,8 +1222,10 @@ object DeltaLog {
     * job-plane callers MUST NOT consult `.files` (empty there). */
   private[graft] def metadataSnapshot(
       spark: SparkSession, tablePath: String,
-      versionAsOf: Option[Long] = None): DeltaSnapshot = {
-    val (target, cp, tailCommits) = resolveReplay(spark, tablePath, versionAsOf, None)
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[String] = None): DeltaSnapshot = {
+    val (target, cp, tailCommits) =
+      resolveReplay(spark, tablePath, versionAsOf, timestampAsOf)
     val useJob = DistributedReplayMode match {
       case "always" => true
       case "never" => false

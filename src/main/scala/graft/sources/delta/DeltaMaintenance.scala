@@ -1526,15 +1526,21 @@ object DeltaMaintenance {
     StructField("operationMetrics", StringType)))
 
   def detail(spark: SparkSession, tablePath: String): DataFrame = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    // file count/bytes from the deferred plane's ONE distributed agg on
+    // job-plane tables; everything else is metadata
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath, withDvAdds = false)
+    val (numFiles, totalBytes) = deferred match {
+      case Some(d) => (d.fileCount, d.totalBytes)
+      case None => (snap.files.size.toLong, snap.files.map(_.size).sum)
+    }
     val row = Row(
       "delta",
       snap.metadata.id,
       tablePath,
       snap.version,
       snap.partitionColumns.mkString(","),
-      snap.files.size.toLong,
-      snap.files.map(_.size).sum,
+      numFiles,
+      totalBytes,
       snap.metadata.configuration.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(";"),
       snap.protocol.minReaderVersion,
       snap.protocol.minWriterVersion,
@@ -1655,7 +1661,7 @@ object DeltaMaintenance {
     * @return number of log files deleted */
   def cleanupMetadata(spark: SparkSession, tablePath: String): Long =
     cleanupMetadata(spark, tablePath,
-      DeltaLog.snapshot(spark, tablePath).metadata.configuration)
+      DeltaLog.metadataSnapshot(spark, tablePath).metadata.configuration)
 
   private[delta] def cleanupMetadata(
       spark: SparkSession, tablePath: String,
@@ -1702,15 +1708,34 @@ object DeltaMaintenance {
     }
   }
 
+  /** Live distinct partitionValues maps (PHYSICAL-name keys on mapped
+    * tables) with the snapshot they came from — ONE implementation for
+    * both SHOW PARTITIONS surfaces (SQL command + this API): a
+    * distributed distinct over the winners frame on job-plane tables
+    * (O(partitions) driver heap), the in-memory group on small ones. */
+  private[delta] def distinctPartitionValues(
+      spark: SparkSession, tablePath: String): (DeltaSnapshot, Seq[Map[String, String]]) = {
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath, withDvAdds = false)
+    val pvs = deferred match {
+      case Some(d) => d.aggregate(fr =>
+        fr.select(col("partitionValues")).distinct().collect().map { r =>
+          Option(r.getAs[scala.collection.Map[String, String]](0))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+        }.toSeq.distinct, Seq.empty[Map[String, String]])
+      case None => snap.files.map(_.partitionValues).distinct
+    }
+    (snap, pvs)
+  }
+
   /** `SHOW PARTITIONS`: the live distinct partition tuples, from the
     * snapshot's add actions — metadata-plane, no scan. */
   def showPartitions(spark: SparkSession, tablePath: String): DataFrame = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val (snap, pvs) = distinctPartitionValues(spark, tablePath)
     require(snap.partitionColumns.nonEmpty, s"$tablePath is not partitioned")
     val schema = StructType(snap.partitionColumns.map(c =>
       StructField(c, StringType, nullable = true)))
     val rows: java.util.List[Row] = java.util.Arrays.asList(
-      snap.files.map(_.partitionValues).distinct.map(pv =>
+      pvs.map(pv =>
         // physical-name keys on column-mapped tables
         Row.fromSeq(snap.partitionColumns.map(c =>
           pv.getOrElse(snap.metadata.physicalOf(c), null)))): _*)
@@ -1724,27 +1749,78 @@ object DeltaMaintenance {
     * FileSystemCheck. The repair is a normal commit (removes with
     * `dataChange=true`, retried through the standard conflict loop), so
     * history and CDF consumers see it; `dryRun` only reports.
-    * O(files) existence probes — the metadata plane, same as listing.
+    * Existence on job-plane tables = membership in ONE staged recursive
+    * listing anti-joined against the adds frame (O(missing) driver heap;
+    * outside-root "p"-form DV blobs keep a per-file probe — they are
+    * never in the table listing); small tables keep per-file probes.
     * @return the relative paths of missing files (removed unless dryRun) */
   def fsck(spark: SparkSession, tablePath: String, dryRun: Boolean = false): Seq[String] = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath, withDvAdds = false)
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     // a file is unreadable when its DATA file OR its deletion-vector blob
     // is gone — the DV is load-bearing (the scan must anti-filter through
     // it; restore() probes the same way)
-    val missing = snap.files.filterNot { f =>
-      fs.exists(new Path(tablePath, decodeRel(f.path))) &&
-        f.deletionVector.forall(d =>
-          d.storageType == "i" || fs.exists(d.absolutePath(tablePath)))
-    }.map(_.path)
-    if (dryRun || missing.isEmpty) return missing
+    val missing: Seq[String] = deferred match {
+      case None =>
+        snap.files.filterNot { f =>
+          fs.exists(new Path(tablePath, decodeRel(f.path))) &&
+            f.deletionVector.forall(d =>
+              d.storageType == "i" || fs.exists(d.absolutePath(tablePath)))
+        }.map(_.path)
+      case Some(d) => d.addsFrame() match {
+        case None => Nil
+        case Some(fr) =>
+          import spark.implicits._
+          val (listingOpt, cleanup) = stagedListing(spark, tablePath, outsideLog)
+          try {
+            val table = tablePath
+            val rootPrefix = new Path(tablePath).toUri.getPath + "/"
+            val dataAbs = udf((rel: String) =>
+              new Path(table, decodeRel(rel)).toUri.getPath)
+            val dvAbs = udf((st: String, p: String) =>
+              if (st == null || st == "i") null
+              else DvDescriptor(st, p, None, 0, 0L).absolutePath(table).toUri.getPath)
+            val withAbs = fr.select(col("path"),
+              dataAbs(col("path")).as("dataAbs"),
+              dvAbs(col("deletionVector.storageType"),
+                col("deletionVector.pathOrInlineDv")).as("dvAbs"))
+            val listing = listingOpt.map(_.select(col("path").as("lp")))
+              .getOrElse(Seq.empty[String].toDF("lp"))
+            val dataMissing = withAbs
+              .join(listing, withAbs("dataAbs") === listing("lp"), "left_anti")
+              .select(col("path"))
+            val dvInRoot = withAbs.filter(
+              col("dvAbs").isNotNull && col("dvAbs").startsWith(rootPrefix))
+            val dvMissing = dvInRoot
+              .join(listing, dvInRoot("dvAbs") === listing("lp"), "left_anti")
+              .select(col("path"))
+            // "p"-form DVs outside the table root: never in the listing —
+            // the (rare) per-file probe stays, O(outside-root DVs)
+            val dvOutside = withAbs
+              .filter(col("dvAbs").isNotNull && !col("dvAbs").startsWith(rootPrefix))
+              .select(col("path"), col("dvAbs")).collect()
+              .filterNot(r => fs.exists(new Path(r.getString(1))))
+              .map(r => Row(r.getString(0)))
+            dataMissing.union(dvMissing).distinct()
+              .sort("path").collect().map(_.getString(0)).toSeq ++
+              dvOutside.map(_.getString(0))
+          } finally cleanup()
+      }
+    }
+    if (dryRun || missing.isEmpty) return missing.distinct.sorted
     snap.assertWritable("FSCK")
     snap.assertRemovable("FSCK")
     var attempt = 0
     var done = false
     while (!done && attempt < 20) {
-      val current = DeltaLog.snapshot(spark, tablePath)
-      val still = current.files.map(_.path).toSet.intersect(missing.toSet)
+      // per attempt: which of the missing adds are STILL live — a pruned
+      // path lookup on the deferred plane, never a full re-materialization
+      val (current, curDef) = DeltaLog.scanSnapshot(spark, tablePath, withDvAdds = false)
+      val missingSet = missing.toSet
+      val still = curDef match {
+        case Some(d) => d.collectByPath(missingSet.contains).map(_.path).toSet
+        case None => current.files.map(_.path).toSet.intersect(missingSet)
+      }
       if (still.isEmpty) done = true
       else {
         val lines = Seq.newBuilder[String]

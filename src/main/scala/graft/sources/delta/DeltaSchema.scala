@@ -32,7 +32,7 @@ object DeltaSchema {
 
   def addColumns(spark: SparkSession, tablePath: String, cols: Seq[StructField]): Long = {
     require(cols.nonEmpty, "ADD COLUMNS requires at least one column")
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.metadataSnapshot(spark, tablePath)
     val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
     val dup = cols.filter(c => existing.contains(c.name.toLowerCase))
     require(dup.isEmpty, s"column(s) already exist: ${dup.map(_.name).mkString(",")}")
@@ -103,7 +103,7 @@ object DeltaSchema {
   def addColumnWithDefault(
       spark: SparkSession, tablePath: String,
       col: StructField, defaultSql: String): Long = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.metadataSnapshot(spark, tablePath)
     snap.assertWritable("ADD COLUMN DEFAULT")
     require(!snap.schema.fieldNames.map(_.toLowerCase)
       .contains(col.name.toLowerCase), s"column ${col.name} already exists")
@@ -132,7 +132,7 @@ object DeltaSchema {
   def setColumnDefault(
       spark: SparkSession, tablePath: String,
       colName: String, defaultSql: Option[String]): Long = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.metadataSnapshot(spark, tablePath)
     snap.assertWritable("ALTER COLUMN DEFAULT")
     val field = snap.schema.fields.find(_.name.equalsIgnoreCase(colName))
       .getOrElse(throw new IllegalArgumentException(s"no such column: $colName"))
@@ -171,7 +171,7 @@ object DeltaSchema {
     *    leaving them dangling would corrupt every later validation. */
   def renameColumn(spark: SparkSession, tablePath: String,
       oldName: String, newName: String): Long = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.metadataSnapshot(spark, tablePath)
     val schema = snap.schema
     require(schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
       s"no such column: $oldName")
@@ -267,7 +267,7 @@ object DeltaSchema {
     * Same loud-failure scope as rename: partition columns and columns
     * referenced by CHECK constraints / generation expressions refuse. */
   def dropColumn(spark: SparkSession, tablePath: String, name: String): Long = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.metadataSnapshot(spark, tablePath)
     val schema = snap.schema
     require(schema.fieldNames.exists(_.equalsIgnoreCase(name)), s"no such column: $name")
     require(schema.fields.length > 1, s"cannot drop the only column of $tablePath")
@@ -316,7 +316,7 @@ object DeltaSchema {
       case (FloatType, DoubleType) => true
       case _ => false
     }
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.metadataSnapshot(spark, tablePath)
     val field = snap.schema.fields.find(_.name.equalsIgnoreCase(colName))
       .getOrElse(throw new IllegalArgumentException(s"no such column: $colName"))
     require(!snap.partitionColumns.exists(_.equalsIgnoreCase(colName)),
@@ -353,10 +353,10 @@ object DeltaSchema {
     if (props.get(RowTracking.EnableKey).exists(_.trim.equalsIgnoreCase("true"))) {
       RowTracking.enable(spark, tablePath)
       val rest = props - RowTracking.EnableKey
-      if (rest.isEmpty) return DeltaLog.snapshot(spark, tablePath).version
+      if (rest.isEmpty) return DeltaLog.metadataSnapshot(spark, tablePath).version
       return setTblProperties(spark, tablePath, rest)
     }
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val snap = DeltaLog.metadataSnapshot(spark, tablePath)
     // protocol side effects of specific properties:
     //  - change data feed is a writer capability (legacy → writer v4;
     //    table features → list changeDataFeed);

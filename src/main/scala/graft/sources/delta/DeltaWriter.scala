@@ -251,8 +251,12 @@ object DeltaWriter {
     val spark = data.sparkSession
     val exists = try DeltaLog.isDeltaTable(spark, tablePath) catch { case _: Exception => false }
 
+    // metadata planes only (schema/config/protocol/txns): the write path
+    // never consults `existing.files` — Overwrite's removes come from the
+    // commit loop's per-attempt `current` — so the hot append path of a
+    // job-plane table must not pay a live-set materialization per write
     val existing: Option[DeltaSnapshot] =
-      if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
+      if (exists) Some(DeltaLog.metadataSnapshot(spark, tablePath)) else None
     existing.foreach(_.assertWritable("WRITE"))
 
     existing match {
@@ -472,8 +476,13 @@ object DeltaWriter {
     // auto-compact flag check so a disabled flag costs no extra replay
     var lastKnownConfig: Option[Map[String, String]] = None
     while (!committed && attempt < 20) {
+      // Overwrite is the ONE mode that needs the live set here (its
+      // remove lines, emitted below — O(files) commit content by
+      // definition); every other mode re-reads metadata planes only
       val current: Option[DeltaSnapshot] =
-        if (DeltaLog.isDeltaTable(spark, tablePath)) Some(DeltaLog.snapshot(spark, tablePath)) else None
+        if (!DeltaLog.isDeltaTable(spark, tablePath)) None
+        else if (mode == SaveMode.Overwrite) Some(DeltaLog.snapshot(spark, tablePath))
+        else Some(DeltaLog.metadataSnapshot(spark, tablePath))
       lastKnownConfig = current.map(_.metadata.configuration)
       val version = current.map(_.version + 1).getOrElse(0L)
       // identity safety: the ids were assigned from `assignedFromHwm`; a
@@ -670,16 +679,26 @@ object DeltaWriter {
     // when available — the common disabled case must not pay a fresh full
     // log replay per append just to read one key
     val enabled = knownConfig
-      .getOrElse(DeltaLog.snapshot(spark, tablePath).metadata.configuration)
+      .getOrElse(DeltaLog.metadataSnapshot(spark, tablePath).metadata.configuration)
       .get("delta.autoOptimize.autoCompact")
       .exists(_.trim.equalsIgnoreCase("true"))
     if (!enabled) return
-    val snap = DeltaLog.snapshot(spark, tablePath)
     val minN = spark.conf.getOption("spark.graft.delta.autoCompact.minNumFiles")
       .map(_.trim.toInt).getOrElse(50)
     val target = 128L << 20
-    val creeping = snap.files.filter(_.size < target)
-      .groupBy(_.partitionValues).exists(_._2.size >= minN)
+    // "any partition with >= minN small files?" — a distributed agg on
+    // job-plane tables (one boolean to the driver), the in-memory group
+    // on small ones: the post-append trigger check must not cost O(files)
+    val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath, withDvAdds = false)
+    val creeping = deferred match {
+      case Some(d) => d.aggregate(fr =>
+        fr.filter(col("size") < target)
+          .groupBy(col("partitionValues")).count()
+          .filter(col("count") >= minN.toLong)
+          .limit(1).count() > 0, false)
+      case None => snap.files.filter(_.size < target)
+        .groupBy(_.partitionValues).exists(_._2.size >= minN)
+    }
     if (creeping)
       try DeltaMaintenance.optimize(spark, tablePath, target)
       catch { case _: java.util.ConcurrentModificationException => () }

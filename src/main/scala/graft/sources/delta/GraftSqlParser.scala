@@ -236,13 +236,14 @@ private[graft] object GraftSqlCommands {
           case Some(ts) => DeltaLog.earliestVersionAtOrAfter(spark, path, ts)
           case None => rawFrom.toLong
         }
-        val latest = DeltaLog.snapshot(spark, path).version
+        val latest = DeltaLog.latestVersion(spark, path)
         require(from <= latest,
           s"table_changes: start $rawFrom resolves past the latest version $latest of $path")
         val to = Option(m.group(3)).map { rawTo =>
           quoted(rawTo) match {
             // latest at-or-before: the same resolution time travel uses
-            case Some(ts) => DeltaLog.snapshot(spark, path, timestampAsOf = Some(ts)).version
+            case Some(ts) =>
+              DeltaLog.metadataSnapshot(spark, path, timestampAsOf = Some(ts)).version
             case None => rawTo.toLong
           }
         }.getOrElse(latest)
@@ -630,9 +631,10 @@ case class DeltaShowPartitionsCommand(path: String)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("partition", org.apache.spark.sql.types.StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val snap = DeltaLog.snapshot(spark, path)
+    // distributed distinct on job-plane tables — O(partitions) driver
+    val (snap, pvs) = DeltaMaintenance.distinctPartitionValues(spark, path)
     require(snap.partitionColumns.nonEmpty, s"$path is not partitioned")
-    snap.files.map(_.partitionValues).distinct
+    pvs
       // partitionValues are keyed by PHYSICAL column names on mapped
       // tables (same lookup convention as DeltaFileIndex.partitionRow)
       .map(pv => snap.partitionColumns.map(c =>
@@ -723,7 +725,7 @@ case class DeltaMergeCommand(
           // so the merge's explicit-assignment guard rejects it — the same
           // outcome the autoMerge branch (source-schema expansion) gives,
           // and production Delta's INSERT * contract
-          val sch = DeltaLog.snapshot(spark, targetPath).schema
+          val sch = DeltaLog.metadataSnapshot(spark, targetPath).schema
           val identity = DeltaWriter.identityFieldsOf(sch).map(_.name).toSet
           val srcCols = src.columns.toSet
           sch.fieldNames.filterNot(c => identity(c) && !srcCols(c))

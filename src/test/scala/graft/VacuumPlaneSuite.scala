@@ -76,6 +76,35 @@ class VacuumPlaneSuite extends AnyFunSuite {
     assert(!ids.contains(35L) && !ids.contains(40L))
   }
 
+  test("fsck planes agree: missing data files and DV blobs detected identically") {
+    val dir = richTable()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val snap = graft.sources.delta.DeltaLog.snapshot(spark, dir)
+    // break the table behind the log's back: one data file, one DV blob
+    val victim = snap.files.find(_.deletionVector.isEmpty).get
+    fs.delete(new org.apache.hadoop.fs.Path(dir, victim.path), false)
+    val dvVictim = snap.files.find(_.deletionVector.exists(_.storageType == "u")).get
+    fs.delete(dvVictim.deletionVector.get.absolutePath(dir), false)
+    def dryUnder(mode: String): Seq[String] = {
+      DeltaLog.DeferredScanMode = mode
+      try DeltaMaintenance.fsck(spark, dir, dryRun = true)
+      finally DeltaLog.DeferredScanMode = "auto"
+    }
+    val eager = dryUnder("never")
+    val deferred = dryUnder("always")
+    assert(deferred === eager, "fsck planes must agree file-for-file")
+    assert(eager.toSet === Set(victim.path, dvVictim.path),
+      s"exactly the broken add entries: $eager")
+    // repair on the distributed plane drops exactly those entries
+    DeltaLog.DeferredScanMode = "always"
+    try DeltaMaintenance.fsck(spark, dir, dryRun = false)
+    finally DeltaLog.DeferredScanMode = "auto"
+    val after = graft.sources.delta.DeltaLog.snapshot(spark, dir).files.map(_.path).toSet
+    assert(!after.contains(victim.path) && !after.contains(dvVictim.path))
+    DeltaTable.read(spark, dir).count() // table readable again
+  }
+
   test("a second dry run after vacuum is empty on both planes") {
     val dir = richTable()
     DeltaLog.DeferredScanMode = "always"
