@@ -191,8 +191,11 @@ object DeltaMaintenance {
       predicate: Option[String]): org.apache.spark.sql.Column = predicate match {
     case None => lit(true)
     case Some(p) =>
+      // groupBy, not distinct(): Spark rejects set operations on MAP
+      // columns (SET_OPERATION_ON_MAP_TYPE) but groups by them fine
       val pvs: Seq[Map[String, String]] = d.aggregate(
-        _.select(col("partitionValues")).distinct().collect().toSeq
+        _.groupBy(col("partitionValues")).count()
+          .select(col("partitionValues")).collect().toSeq
           .map(r => Option(r.getAs[scala.collection.Map[String, String]](0))
             .map(_.toMap).getOrElse(Map.empty[String, String])),
         Seq.empty)
@@ -969,14 +972,17 @@ object DeltaMaintenance {
     planes match {
       case Some((target, td)) => restoreDistributed(spark, tablePath, toVersion,
         target, td, head.metadata.configuration)
-      case None => restoreDriver(spark, tablePath, toVersion, head.metadata.configuration)
+      case None => restoreDriver(spark, tablePath, toVersion, target0,
+        head.metadata.configuration)
     }
   }
 
   private def restoreDriver(
       spark: SparkSession, tablePath: String, toVersion: Long,
+      /** the already-materialized eager target snapshot from [[restore]] —
+        * re-replaying it here would double the O(files) driver replay */
+      target: DeltaSnapshot,
       headConfig: Map[String, String]): Long = {
-    val target = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(toVersion))
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     val missing = target.files.filterNot { f =>
       fs.exists(new Path(tablePath, decodeRel(f.path))) &&
@@ -1716,12 +1722,18 @@ object DeltaMaintenance {
   private[delta] def distinctPartitionValues(
       spark: SparkSession, tablePath: String): (DeltaSnapshot, Seq[Map[String, String]]) = {
     val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath, withDvAdds = false)
+    // unpartitioned: let the caller's "not partitioned" require fire
+    // instead of running a pointless distributed agg
+    if (snap.partitionSchema.isEmpty) return (snap, Nil)
     val pvs = deferred match {
+      // groupBy, not distinct(): Spark rejects set operations on MAP
+      // columns (SET_OPERATION_ON_MAP_TYPE) but groups by them fine
       case Some(d) => d.aggregate(fr =>
-        fr.select(col("partitionValues")).distinct().collect().map { r =>
-          Option(r.getAs[scala.collection.Map[String, String]](0))
-            .map(_.toMap).getOrElse(Map.empty[String, String])
-        }.toSeq.distinct, Seq.empty[Map[String, String]])
+        fr.groupBy(col("partitionValues")).count()
+          .select(col("partitionValues")).collect().map { r =>
+            Option(r.getAs[scala.collection.Map[String, String]](0))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+          }.toSeq.distinct, Seq.empty[Map[String, String]])
       case None => snap.files.map(_.partitionValues).distinct
     }
     (snap, pvs)
@@ -1786,24 +1798,34 @@ object DeltaMaintenance {
                 col("deletionVector.pathOrInlineDv")).as("dvAbs"))
             val listing = listingOpt.map(_.select(col("path").as("lp")))
               .getOrElse(Seq.empty[String].toDF("lp"))
-            val dataMissing = withAbs
-              .join(listing, withAbs("dataAbs") === listing("lp"), "left_anti")
+            // OUT-OF-ROOT paths are never in the table listing, so the
+            // anti-join would report them all missing: a SHALLOW CLONE's
+            // adds reference the SOURCE table by absolute URI, and
+            // fsck(dryRun=false) would then remove the clone's entire
+            // live set. They keep the per-file probe the eager plane
+            // runs (same cost class — the eager walk probes every file).
+            val dataInRoot = withAbs.filter(col("dataAbs").startsWith(rootPrefix))
+            val dataMissing = dataInRoot
+              .join(listing, dataInRoot("dataAbs") === listing("lp"), "left_anti")
               .select(col("path"))
+            val dataOutside = withAbs
+              .filter(!col("dataAbs").startsWith(rootPrefix))
+              .select(col("path"), col("dataAbs")).collect()
+              .filterNot(r => fs.exists(new Path(r.getString(1))))
+              .map(_.getString(0))
             val dvInRoot = withAbs.filter(
               col("dvAbs").isNotNull && col("dvAbs").startsWith(rootPrefix))
             val dvMissing = dvInRoot
               .join(listing, dvInRoot("dvAbs") === listing("lp"), "left_anti")
               .select(col("path"))
-            // "p"-form DVs outside the table root: never in the listing —
-            // the (rare) per-file probe stays, O(outside-root DVs)
             val dvOutside = withAbs
               .filter(col("dvAbs").isNotNull && !col("dvAbs").startsWith(rootPrefix))
               .select(col("path"), col("dvAbs")).collect()
               .filterNot(r => fs.exists(new Path(r.getString(1))))
-              .map(r => Row(r.getString(0)))
-            dataMissing.union(dvMissing).distinct()
-              .sort("path").collect().map(_.getString(0)).toSeq ++
-              dvOutside.map(_.getString(0))
+              .map(_.getString(0))
+            (dataMissing.union(dvMissing).distinct()
+              .collect().map(_.getString(0)).toSeq ++
+              dataOutside ++ dvOutside).distinct.sorted
           } finally cleanup()
       }
     }

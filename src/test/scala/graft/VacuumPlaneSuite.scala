@@ -105,6 +105,35 @@ class VacuumPlaneSuite extends AnyFunSuite {
     DeltaTable.read(spark, dir).count() // table readable again
   }
 
+  test("SHOW PARTITIONS and OPTIMIZE WHERE work on the deferred plane (map-typed groupBy, not distinct)") {
+    // regression pin: the winners frame's partitionValues is a MAP column,
+    // and Spark rejects set operations on maps (SET_OPERATION_ON_MAP_TYPE)
+    // — the deferred distinct-partitions path must group, never distinct()
+    val dir = Files.createTempDirectory("graft-vacplane-parts").toString
+    DeltaWriter.write((1 to 24).map(i => (i.toLong, s"r$i", i % 3))
+      .toDF("id", "name", "p"), dir, SaveMode.Append, Seq("p"))
+    (1 to 3).foreach { _ =>
+      DeltaWriter.write(Seq((100L, "x", 1)).toDF("id", "name", "p"),
+        dir, SaveMode.Append, Seq("p"))
+    }
+    def partsUnder(mode: String): Seq[String] = {
+      DeltaLog.DeferredScanMode = mode
+      try DeltaMaintenance.showPartitions(spark, dir)
+        .collect().map(_.getString(0)).toSeq.sorted
+      finally DeltaLog.DeferredScanMode = "auto"
+    }
+    assert(partsUnder("always") === partsUnder("never"))
+    assert(partsUnder("always") === Seq("0", "1", "2"))
+    // OPTIMIZE … WHERE routes its partition scope through the same
+    // map-typed rollup on the deferred plane
+    DeltaLog.DeferredScanMode = "always"
+    val m =
+      try DeltaMaintenance.optimize(spark, dir, 128L << 20, Some("p = 1"))
+      finally DeltaLog.DeferredScanMode = "auto"
+    assert(m.filesRemoved >= 2, s"partition 1's small files compact: $m")
+    assert(DeltaTable.read(spark, dir).count() === 27)
+  }
+
   test("a second dry run after vacuum is empty on both planes") {
     val dir = richTable()
     DeltaLog.DeferredScanMode = "always"
