@@ -548,6 +548,42 @@ class DeltaStateReconstructionSuite extends AnyFunSuite {
     }
   }
 
+  test("ordered pacing plane survives log cleanup via re-resolve at the pinned version") {
+    import graft.sources.delta.DeferredDeltaFiles
+    val dir = tmpDir()
+    (0 until 3).foreach { c =>
+      DeltaWriter.write(
+        (c * 10 until c * 10 + 10).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+        dir, SaveMode.Append, Nil)
+    }
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      DeferredDeltaFiles.clearCache()
+      val (snap, deferred) = DeltaLog.scanSnapshot(spark, dir)
+      val d = deferred.getOrElse(fail("expected the deferred plane"))
+      val first = d.orderedSlice(0, 1) // builds + persists the index
+      assert(first.size === 1)
+      // checkpoint covers the pinned version, the commit JSONs retire, AND
+      // the persisted frame/index blocks are dropped — the next slice's
+      // recompute hits the retired files and must re-resolve, not fail the
+      // stream (same contract the scan plane pins above)
+      graft.sources.delta.DeltaWriter.writeCheckpoint(spark, dir, snap.version)
+      (0L to snap.version).foreach { v =>
+        val f = new java.io.File(s"$dir/_delta_log/" + f"$v%020d.json")
+        assert(f.delete(), s"could not retire $f")
+      }
+      spark.catalog.clearCache()
+      assert(d.orderedCount === 3L)
+      val all = d.orderedSlice(0, 3)
+      assert(all.map(_.path) === all.map(_.path).sorted, "path rank preserved")
+      assert(all.head.path === first.head.path,
+        "the recovered index ranks the same file first")
+    } finally {
+      DeltaLog.DeferredScanMode = "auto"
+      DeferredDeltaFiles.clearCache()
+    }
+  }
+
   test("v2 checkpoint integrity gates fire AT scanSnapshot, not mid-query") {
     import graft.sources.delta.DeferredDeltaFiles
     val dir = tmpDir()
