@@ -165,6 +165,34 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
     } finally DeltaLog.DeferredScanMode = "auto"
   }
 
+  test("deferred paced initial snapshot of a DV-bearing table anti-filters masked rows") {
+    import graft.sources.delta.{DeltaLog, DeltaDml}
+    // merge-on-read DELETE leaves the file in place with a deletion
+    // vector: the paced slices must serve the file THROUGH the DV filter
+    // on the deferred plane too (the slice relation's dv map comes from
+    // the deferred snapshot's DV-adds-only `files`)
+    val dir = Files.createTempDirectory("graft-stream-dvsnap").toString
+    DeltaWriter.write((1 to 8).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1),
+      dir, SaveMode.Append, Nil)                    // v0
+    DeltaDml.deleteWithDv(spark, dir, "id <= 2")    // v1: DV, not rewrite
+    DeltaWriter.write(Seq((9, "r9")).toDF("id", "name").coalesce(1),
+      dir, SaveMode.Append, Nil)                    // v2
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      val q = spark.readStream.format("delta")
+        .option("maxFilesPerTrigger", "1").load(dir)
+        .writeStream.format("memory").queryName("dss_dvsnap")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-stream-dvsnap-ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("dss_dvsnap").orderBy("id").collect().map(_.getInt(0)).toSeq
+          === (3 to 9), "DV-masked rows 1-2 must NOT stream")
+      } finally q.stop()
+    } finally DeltaLog.DeferredScanMode = "auto"
+  }
+
   test("byte-cap admission walks identically on the eager and deferred pacing planes") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
