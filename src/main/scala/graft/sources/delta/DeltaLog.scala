@@ -457,29 +457,51 @@ final class DeferredDeltaFiles private[delta] (
     * action. None = empty table. */
   private[graft] def addsFrame(): Option[DataFrame] = withFrame(identity)
 
-  /** Every ABSOLUTE filesystem path the live set references — data files
-    * plus on-disk deletion vectors ("u"/"p" forms) — as one distributed
-    * column, VACUUM's anti-join side: a 10M-file table's vacuum must test
-    * "is this listed file live?" executor-side, never against a
-    * driver-held Set (the last O(files) driver surface of the walk). The
-    * path form matches the driver walk exactly (both go through
+  /** Every filesystem path the live set references — data files plus
+    * on-disk deletion vectors ("u"/"p" forms) — as one distributed frame
+    * with three columns:
+    *  - `key`: the scheme-stripped path RESOLVED AGAINST THE QUALIFIED
+    *    table root ([[DeltaMaintenance.qualifiedRootPath]]) — the join
+    *    form matching a recursive listing's resolved statuses (a raw
+    *    relative tablePath would otherwise build keys that can never
+    *    match, and "not live" is one anti-join away from deleting live
+    *    files);
+    *  - `full`: the path's OWN form (decoded rel / the "p" descriptor's
+    *    absolute URI) — the probe form, scheme preserved;
+    *  - `external`: true when the path's own form is absolute (clone
+    *    references, "p"-form DVs) — never under the table root, so
+    *    listing-membership cannot decide its existence.
+    * VACUUM's anti-join side and RESTORE's existence input: a 10M-file
+    * table must test "is this listed file live?" executor-side, never
+    * against a driver-held Set. The path forms go through
     * [[DeltaMaintenance.decodeRel]] / [[DvDescriptor.absolutePath]] —
-    * shared code, shipped in the closure). None = empty table. */
+    * shared code, shipped in the closure. None = empty table. */
   def livePathsFrame(): Option[DataFrame] = withFrame(_.map { fr =>
-    val table = tablePath
-    val dataPath = udf((rel: String) =>
-      new org.apache.hadoop.fs.Path(table, DeltaMaintenance.decodeRel(rel))
+    val qual = DeltaMaintenance.qualifiedRootPath(spark, tablePath)
+    val dataKey = udf((rel: String) =>
+      new org.apache.hadoop.fs.Path(qual, DeltaMaintenance.decodeRel(rel))
         .toUri.getPath)
-    val dvPath = udf((storageType: String, pathOrInlineDv: String) =>
+    val dataFull = udf((rel: String) => DeltaMaintenance.decodeRel(rel))
+    val dataExt = udf((rel: String) => DeltaMaintenance.isExternalAddPath(rel))
+    val dvKey = udf((storageType: String, pathOrInlineDv: String) =>
       DvDescriptor(storageType, pathOrInlineDv, None, 0, 0L)
-        .absolutePath(table).toUri.getPath)
-    fr.select(dataPath(col("path")).as("path"))
+        .absolutePath(qual).toUri.getPath)
+    val dvFull = udf((storageType: String, pathOrInlineDv: String) =>
+      if (storageType == "p") pathOrInlineDv
+      else DvDescriptor(storageType, pathOrInlineDv, None, 0, 0L)
+        .absolutePath(qual).toString)
+    fr.select(dataKey(col("path")).as("key"),
+        dataFull(col("path")).as("full"),
+        dataExt(col("path")).as("external"))
       .unionByName(
         fr.filter(col("deletionVector").isNotNull &&
           col("deletionVector.storageType").isin("u", "p"))
-          .select(dvPath(
-            col("deletionVector.storageType"),
-            col("deletionVector.pathOrInlineDv")).as("path")))
+          .select(
+            dvKey(col("deletionVector.storageType"),
+              col("deletionVector.pathOrInlineDv")).as("key"),
+            dvFull(col("deletionVector.storageType"),
+              col("deletionVector.pathOrInlineDv")).as("full"),
+            (col("deletionVector.storageType") === "p").as("external")))
   })
 
   /** The winners frame projected as checkpoint-shaped `add` structs

@@ -191,15 +191,7 @@ object DeltaMaintenance {
       predicate: Option[String]): org.apache.spark.sql.Column = predicate match {
     case None => lit(true)
     case Some(p) =>
-      // groupBy, not distinct(): Spark rejects set operations on MAP
-      // columns (SET_OPERATION_ON_MAP_TYPE) but groups by them fine
-      val pvs: Seq[Map[String, String]] = d.aggregate(
-        _.groupBy(col("partitionValues")).count()
-          .select(col("partitionValues")).collect().toSeq
-          .map(r => Option(r.getAs[scala.collection.Map[String, String]](0))
-            .map(_.toMap).getOrElse(Map.empty[String, String])),
-        Seq.empty)
-      val kept = keptPartitionTuples(spark, snap, pvs, p)
+      val kept = keptPartitionTuples(spark, snap, framePartitionValues(d), p)
       val keep = org.apache.spark.sql.functions.udf(
         (pv: Map[String, String]) =>
           kept.contains(Option(pv).getOrElse(Map.empty[String, String])))
@@ -692,9 +684,11 @@ object DeltaMaintenance {
   private def tombstoneFrame(spark: SparkSession, tablePath: String): DataFrame = {
     import spark.implicits._
     val (commits, _) = DeltaLog.listLog(spark, tablePath)
-    val table = tablePath
+    // QUALIFIED root: keys must match the listing's resolved statuses
+    // even when the caller handed a relative tablePath
+    val qual = qualifiedRootPath(spark, tablePath)
     val abs = udf((rel: String) =>
-      new Path(table, decodeRel(rel)).toUri.getPath)
+      new Path(qual, decodeRel(rel)).toUri.getPath)
     DeltaStateReconstruction.tailActionsFrame(spark, commits) match {
       case None => Seq.empty[(String, Long)].toDF("path", "ts")
       case Some(raw) => raw
@@ -763,15 +757,79 @@ object DeltaMaintenance {
     val (snap, deferred) = DeltaLog.scanSnapshot(spark, tablePath, withDvAdds = false)
     snap.assertKnownWriterFeatures("VACUUM")
     deferred match {
-      case Some(d) => vacuumWalkDistributed(spark, tablePath, retentionMs, d)(onEligible)
+      case Some(d) =>
+        // staging failure (read-only credentials probing a DRY RUN, a
+        // listing abort) happens strictly BEFORE any eligibility callback
+        // fires — falling back to the driver walk is then safe and keeps
+        // the audit available where the eager plane always was (it just
+        // re-pays the O(files) driver Set the staging avoided). A failure
+        // AFTER the first callback must propagate: re-walking would
+        // re-emit already-handled files.
+        var emitted = false
+        try vacuumWalkDistributed(spark, tablePath, retentionMs, d) { p =>
+          emitted = true; onEligible(p)
+        } catch { case e: java.io.IOException if !emitted =>
+          System.err.println(
+            s"[graft] WARN: distributed vacuum walk on $tablePath fell back " +
+              s"to the driver plane (${e.getMessage})")
+          vacuumWalkDriver(spark, tablePath, retentionMs,
+            DeltaLog.snapshot(spark, tablePath))(onEligible)
+        }
       case None => vacuumWalkDriver(spark, tablePath, retentionMs, snap)(onEligible)
     }
   }
+
+  /** Distinct live partitionValues maps off the deferred frame — the ONE
+    * rollup shape OPTIMIZE…WHERE's scope and SHOW PARTITIONS share.
+    * groupBy, not distinct(): Spark rejects set operations on MAP columns
+    * (SET_OPERATION_ON_MAP_TYPE) but groups by them fine. The trailing
+    * dedupe is load-bearing: a null map and an empty map are distinct
+    * GROUPS but normalize to the same Scala map. */
+  private def framePartitionValues(d: DeferredDeltaFiles): Seq[Map[String, String]] =
+    d.aggregate(
+      _.groupBy(col("partitionValues")).count()
+        .select(col("partitionValues")).collect().toSeq
+        .map(r => Option(r.getAs[scala.collection.Map[String, String]](0))
+          .map(_.toMap).getOrElse(Map.empty[String, String]))
+        .distinct,
+      Seq.empty)
 
   /** Not under `_delta_log`. Shared by every recursive-listing consumer
     * (vacuum candidacy, restore's existence check). */
   private def outsideLog(p: Path): Boolean =
     !p.toUri.getPath.contains(s"/${DeltaLog.LogDirName}/")
+
+  /** The table root FULLY QUALIFIED against its filesystem, as a
+    * scheme-stripped path — every distributed-plane join key derives from
+    * this: a RELATIVE tablePath otherwise builds keys that can never
+    * match the listing's resolved statuses, and "not live" is one
+    * anti-join away from deleting live files. */
+  private[delta] def qualifiedRootPath(spark: SparkSession, tablePath: String): String = {
+    val p = new Path(tablePath)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toUri.getPath
+  }
+
+  /** An add whose DECODED path is absolute (rooted or scheme-carrying —
+    * shallow-clone references, foreign-engine absolute adds): never under
+    * the table root, possibly another filesystem entirely. Such paths
+    * must be probed by their OWN form, never anti-joined against the
+    * table's listing (which cannot contain them) and never stripped of
+    * their scheme (a cross-bucket reference stripped to a bare key would
+    * probe the wrong store). */
+  private[delta] def isExternalAddPath(rel: String): Boolean = {
+    val d = decodeRel(rel)
+    d.startsWith("/") ||
+      (try new java.net.URI(d).getScheme != null catch { case _: Exception => false })
+  }
+
+  /** Existence probe that respects the path's own scheme: a
+    * scheme-carrying path resolves its own filesystem; a bare path keeps
+    * the TABLE's (the eager planes' semantics). */
+  private[delta] def probeExists(
+      tableFs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      p: Path): Boolean =
+    (if (p.toUri.getScheme == null) tableFs else p.getFileSystem(conf)).exists(p)
 
   /** ONE candidacy predicate for both vacuum walk planes: a data/DV
     * artifact by name, outside the log. Any future change to what counts
@@ -798,22 +856,29 @@ object DeltaMaintenance {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(DeltaLog.logDir(tablePath), s".tmp/listing-${UUID.randomUUID()}")
     var any = false
-    val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    def flush(): Unit = if (batch.nonEmpty) {
-      spark.createDataset(batch.toSeq).toDF("path", "full", "mtime")
-        .write.mode(SaveMode.Append).parquet(tmp.toString)
-      any = true
-      batch.clear()
-    }
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (keep(st.getPath)) {
-        batch += ((st.getPath.toUri.getPath, st.getPath.toString, st.getModificationTime))
-        if (batch.size >= 100000) flush()
+    try {
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      def flush(): Unit = if (batch.nonEmpty) {
+        spark.createDataset(batch.toSeq).toDF("path", "full", "mtime")
+          .write.mode(SaveMode.Append).parquet(tmp.toString)
+        any = true
+        batch.clear()
       }
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (keep(st.getPath)) {
+          batch += ((st.getPath.toUri.getPath, st.getPath.toString, st.getModificationTime))
+          if (batch.size >= 100000) flush()
+        }
+      }
+      flush()
+    } catch { case e: Throwable =>
+      // a failed staging (read-only creds, listing abort) must not leak
+      // its flushed parts under _delta_log/.tmp
+      try fs.delete(tmp, true) catch { case _: Exception => () }
+      throw e
     }
-    flush()
     (if (any) Some(spark.read.parquet(tmp.toString)) else None,
       () => try fs.delete(tmp, true) catch { case _: Exception => () })
   }
@@ -869,7 +934,11 @@ object DeltaMaintenance {
     val (candidatesOpt, cleanup) = stagedListing(spark, tablePath, isVacuumCandidate)
     try {
       val candidates = candidatesOpt.getOrElse(return)
+      // `key` is the qualified-root join form; external live paths ride
+      // along harmlessly (their stripped keys can only OVER-match a
+      // candidate — protecting a file, never deleting a live one)
       val live = deferred.livePathsFrame()
+        .map(_.select(col("key").as("path")))
         .getOrElse(Seq.empty[String].toDF("path"))
       val cutoff = System.currentTimeMillis() - retentionMs
       val eligible = candidates
@@ -1019,21 +1088,23 @@ object DeltaMaintenance {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // vacuumed-file check: every path the target references must still
     // exist — membership in ONE staged recursive listing replaces the
-    // per-file exists round-trips. "p"-form DVs may point OUTSIDE the
-    // table root (never in the listing): those few fall back to exists.
+    // per-file exists round-trips. EXTERNAL references (clone adds,
+    // "p"-form DVs — absolute by their own form, possibly another
+    // filesystem) are never in the table's listing: those few keep a
+    // per-file probe, scheme preserved.
     val (listingOpt, cleanup) = stagedListing(spark, tablePath, outsideLog)
     try {
-      val targetPaths = td.livePathsFrame().getOrElse(Seq.empty[String].toDF("path"))
-      val rootPrefix = root.toUri.getPath + "/"
-      val inside = targetPaths.filter(col("path").startsWith(rootPrefix))
+      val targetPaths = td.livePathsFrame()
+        .getOrElse(Seq.empty[(String, String, Boolean)].toDF("key", "full", "external"))
+      val inside = targetPaths.filter(!col("external")).select(col("key").as("path"))
       val insideMissing = listingOpt match {
         case None => inside
         case Some(l) => inside.join(l.select(col("path")), Seq("path"), "left_anti")
       }
-      val outsideMissing = targetPaths
-        .filter(!col("path").startsWith(rootPrefix))
-        .select(col("path")).collect().map(_.getString(0)).toSeq
-        .filterNot(p => fs.exists(new Path(p)))
+      val conf = spark.sessionState.newHadoopConf()
+      val outsideMissing = targetPaths.filter(col("external"))
+        .select(col("full")).collect().map(_.getString(0)).toSeq
+        .filterNot(p => probeExists(fs, conf, new Path(p)))
       val missingCount = insideMissing.count() + outsideMissing.size
       if (missingCount > 0) {
         val example = outsideMissing.headOption.getOrElse(
@@ -1726,14 +1797,7 @@ object DeltaMaintenance {
     // instead of running a pointless distributed agg
     if (snap.partitionSchema.isEmpty) return (snap, Nil)
     val pvs = deferred match {
-      // groupBy, not distinct(): Spark rejects set operations on MAP
-      // columns (SET_OPERATION_ON_MAP_TYPE) but groups by them fine
-      case Some(d) => d.aggregate(fr =>
-        fr.groupBy(col("partitionValues")).count()
-          .select(col("partitionValues")).collect().map { r =>
-            Option(r.getAs[scala.collection.Map[String, String]](0))
-              .map(_.toMap).getOrElse(Map.empty[String, String])
-          }.toSeq.distinct, Seq.empty[Map[String, String]])
+      case Some(d) => framePartitionValues(d)
       case None => snap.files.map(_.partitionValues).distinct
     }
     (snap, pvs)
@@ -1785,43 +1849,50 @@ object DeltaMaintenance {
           import spark.implicits._
           val (listingOpt, cleanup) = stagedListing(spark, tablePath, outsideLog)
           try {
-            val table = tablePath
-            val rootPrefix = new Path(tablePath).toUri.getPath + "/"
-            val dataAbs = udf((rel: String) =>
-              new Path(table, decodeRel(rel)).toUri.getPath)
-            val dvAbs = udf((st: String, p: String) =>
+            // QUALIFIED root for the join keys (a relative tablePath must
+            // not turn "every key mismatches" into "remove every add");
+            // EXTERNAL paths — clone adds, "p"-form DVs, absolute by
+            // their OWN form and possibly another filesystem — are never
+            // in this table's listing, so they keep a per-file probe with
+            // their scheme preserved (a stripped cross-bucket reference
+            // would probe the wrong store, and fsck(dryRun=false) would
+            // then remove the clone's entire live set).
+            val qual = qualifiedRootPath(spark, tablePath)
+            val dataKey = udf((rel: String) =>
+              new Path(qual, decodeRel(rel)).toUri.getPath)
+            val dataExt = udf((rel: String) => isExternalAddPath(rel))
+            val dataFull = udf((rel: String) => decodeRel(rel))
+            val dvKey = udf((st: String, p: String) =>
               if (st == null || st == "i") null
-              else DvDescriptor(st, p, None, 0, 0L).absolutePath(table).toUri.getPath)
+              else DvDescriptor(st, p, None, 0, 0L).absolutePath(qual).toUri.getPath)
             val withAbs = fr.select(col("path"),
-              dataAbs(col("path")).as("dataAbs"),
-              dvAbs(col("deletionVector.storageType"),
-                col("deletionVector.pathOrInlineDv")).as("dvAbs"))
+              dataKey(col("path")).as("dataKey"),
+              dataExt(col("path")).as("dataExt"),
+              dataFull(col("path")).as("dataFull"),
+              dvKey(col("deletionVector.storageType"),
+                col("deletionVector.pathOrInlineDv")).as("dvKey"),
+              (col("deletionVector.storageType") === "p").as("dvExt"),
+              col("deletionVector.pathOrInlineDv").as("dvRaw"))
             val listing = listingOpt.map(_.select(col("path").as("lp")))
               .getOrElse(Seq.empty[String].toDF("lp"))
-            // OUT-OF-ROOT paths are never in the table listing, so the
-            // anti-join would report them all missing: a SHALLOW CLONE's
-            // adds reference the SOURCE table by absolute URI, and
-            // fsck(dryRun=false) would then remove the clone's entire
-            // live set. They keep the per-file probe the eager plane
-            // runs (same cost class — the eager walk probes every file).
-            val dataInRoot = withAbs.filter(col("dataAbs").startsWith(rootPrefix))
+            val conf = spark.sessionState.newHadoopConf()
+            val dataInRoot = withAbs.filter(!col("dataExt"))
             val dataMissing = dataInRoot
-              .join(listing, dataInRoot("dataAbs") === listing("lp"), "left_anti")
+              .join(listing, dataInRoot("dataKey") === listing("lp"), "left_anti")
               .select(col("path"))
-            val dataOutside = withAbs
-              .filter(!col("dataAbs").startsWith(rootPrefix))
-              .select(col("path"), col("dataAbs")).collect()
-              .filterNot(r => fs.exists(new Path(r.getString(1))))
+            val dataOutside = withAbs.filter(col("dataExt"))
+              .select(col("path"), col("dataFull")).collect()
+              .filterNot(r => probeExists(fs, conf, new Path(r.getString(1))))
               .map(_.getString(0))
             val dvInRoot = withAbs.filter(
-              col("dvAbs").isNotNull && col("dvAbs").startsWith(rootPrefix))
+              col("dvKey").isNotNull && !coalesce(col("dvExt"), lit(false)))
             val dvMissing = dvInRoot
-              .join(listing, dvInRoot("dvAbs") === listing("lp"), "left_anti")
+              .join(listing, dvInRoot("dvKey") === listing("lp"), "left_anti")
               .select(col("path"))
             val dvOutside = withAbs
-              .filter(col("dvAbs").isNotNull && !col("dvAbs").startsWith(rootPrefix))
-              .select(col("path"), col("dvAbs")).collect()
-              .filterNot(r => fs.exists(new Path(r.getString(1))))
+              .filter(coalesce(col("dvExt"), lit(false)))
+              .select(col("path"), col("dvRaw")).collect()
+              .filterNot(r => probeExists(fs, conf, new Path(r.getString(1))))
               .map(_.getString(0))
             (dataMissing.union(dvMissing).distinct()
               .collect().map(_.getString(0)).toSeq ++

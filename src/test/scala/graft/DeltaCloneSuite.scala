@@ -83,6 +83,25 @@ class DeltaCloneSuite extends AnyFunSuite {
     assert(rows(src).nonEmpty)
   }
 
+  test("fsck and vacuum on the DEFERRED plane treat a clone's absolute references as external") {
+    // the clone's adds reference the SOURCE by absolute URI: the
+    // distributed walks must probe those by their OWN form, never
+    // anti-join them against the CLONE's listing (where they can never
+    // appear) — a miss there would report the whole live set missing and
+    // fsck(dryRun=false) would empty the clone
+    val src = freshSource()
+    val dst = Files.createTempDirectory("graft-clone-dstd").toString + "/t"
+    DeltaMaintenance.shallowClone(spark, src, dst)
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      assert(DeltaMaintenance.fsck(spark, dst, dryRun = true) === Nil,
+        "healthy clone: no add may be reported missing")
+      assert(DeltaMaintenance.vacuum(spark, dst, retentionMs = 0L) === 0L,
+        "clone vacuum must not delete shared source files")
+      assert(rows(dst) === rows(src))
+    } finally DeltaLog.DeferredScanMode = "auto"
+  }
+
   test("cloning a clone resolves already-absolute paths") {
     val src = freshSource()
     val mid = Files.createTempDirectory("graft-clone-mid").toString + "/t"

@@ -134,6 +134,38 @@ class VacuumPlaneSuite extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).count() === 27)
   }
 
+  test("relative table paths build matching join keys (no phantom missing/eligible)") {
+    // a RELATIVE tablePath resolves against the fs working directory; the
+    // distributed walks must QUALIFY it before building join keys, or
+    // every live file looks "not live"/"missing" — one anti-join away
+    // from deleting live data
+    val rel = s"target/vacrel-${java.util.UUID.randomUUID()}"
+    try {
+      // the WRITE path wants the canonical absolute form; the hazard is a
+      // maintenance op later ADDRESSING the same table relatively
+      val abs = new java.io.File(rel).getAbsolutePath
+      DeltaWriter.write((1 to 12).map(i => (i.toLong, s"r$i")).toDF("id", "name")
+        .coalesce(2), abs, SaveMode.Append, Nil)
+      DeltaDml.delete(spark, abs, "id <= 3")
+      DeltaLog.DeferredScanMode = "always"
+      try {
+        assert(DeltaMaintenance.fsck(spark, rel, dryRun = true) === Nil,
+          "nothing is actually missing on a healthy relative-path table")
+        assert(DeltaMaintenance.vacuumDryRun(spark, rel, Long.MaxValue / 4) === Nil,
+          "infinite retention protects everything")
+        val eligible = DeltaMaintenance.vacuumDryRun(spark, rel, -60000L)
+        val live = graft.sources.delta.DeltaLog.snapshot(spark, rel)
+          .files.map(_.path).toSet
+        assert(eligible.nonEmpty, "the tombstoned originals age out")
+        assert(!eligible.exists(p => live.exists(lp => p.endsWith("/" + lp))),
+          s"live files must NEVER be eligible: $eligible")
+      } finally DeltaLog.DeferredScanMode = "auto"
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rel))
+      catch { case _: Exception => () }
+    }
+  }
+
   test("a second dry run after vacuum is empty on both planes") {
     val dir = richTable()
     DeltaLog.DeferredScanMode = "always"
