@@ -81,21 +81,23 @@ private[delta] object ConflictChecker {
     * touched entry implies an action on its path in the range). A range
     * with missing commit JSONs aborts (unvalidatable). An attempt that
     * also runs [[checkReadSet]] shares ONE parse of the (immutable) range
-    * with it — both rules read through [[DeltaLog.conflictRange]]'s
-    * memoized summary. */
+    * with it STRUCTURALLY: both rules read the attempt's
+    * [[DeltaLog.sharedConflictRange]] memo, so even a range too big for
+    * the cross-attempt cache (which deliberately refuses to pin oversized
+    * ranges) is parsed once per attempt — the r18-documented residual. */
   def checkRewriteIncremental(
       op: String,
       spark: org.apache.spark.sql.SparkSession,
       base: DeltaSnapshot,
       latest: DeltaSnapshot,
       touched: Seq[DeltaAddFile],
-      onAbort: () => Unit): Unit = {
+      onAbort: () => Unit,
+      range: () => DeltaLog.ConflictRange): Unit = {
     if (latest.version == base.version) return
     checkTableState(op, base, latest, onAbort)
     val touchedPaths = touched.map(_.path).toSet
     val hit =
-      try DeltaLog.commitPathActions(spark, base.tablePath, base.version, latest.version)
-        .find(touchedPaths.contains)
+      try range().pathActions.find(touchedPaths.contains)
       catch { case e: java.io.IOException => abort(op, base, onAbort, e.getMessage) }
     hit.foreach { p =>
       abort(op, base, onAbort,
@@ -117,10 +119,11 @@ private[delta] object ConflictChecker {
       base: DeltaSnapshot,
       latest: DeltaSnapshot,
       readPredicate: Option[String],
-      onAbort: () => Unit): Unit = {
+      onAbort: () => Unit,
+      range: () => DeltaLog.ConflictRange): Unit = {
     if (latest.version == base.version) return
     val added =
-      try DeltaLog.nonBlindDataAdds(spark, base.tablePath, base.version, latest.version)
+      try range().nonBlindAdds
       catch { case e: java.io.IOException => abort(op, base, onAbort, e.getMessage) }
     if (added.isEmpty) return
     val overlapping = pruneByPartitionConjuncts(spark, base, added, readPredicate)

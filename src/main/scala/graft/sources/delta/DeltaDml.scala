@@ -300,12 +300,17 @@ object DeltaDml {
         }
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
       }
+      // ONE shared range parse per attempt, both rules (see ConflictChecker)
+      val range = DeltaLog.sharedConflictRange(
+        spark, tablePath, snap.version, latest.version)
       if (deferred.isDefined)
-        ConflictChecker.checkRewriteIncremental(op, spark, snap, latest, touched, onAbort)
+        ConflictChecker.checkRewriteIncremental(op, spark, snap, latest, touched,
+          onAbort, range)
       else ConflictChecker.checkRewrite(op, snap, latest, touched, onAbort)
       // the find READ the predicate's scope beyond the touched files: a
       // concurrent non-blind-append add in that scope invalidates it
-      ConflictChecker.checkReadSet(op, spark, snap, latest, Some(condition), onAbort)
+      ConflictChecker.checkReadSet(op, spark, snap, latest, Some(condition),
+        onAbort, range)
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
@@ -564,13 +569,15 @@ object DeltaDml {
         dvFilePaths.foreach(p => fs.delete(p, false))
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
       }
+      val range = DeltaLog.sharedConflictRange(
+        spark, tablePath, snap.version, latest.version)
       if (deferred.isDefined)
         ConflictChecker.checkRewriteIncremental("DELETE (merge-on-read)", spark,
-          snap, latest, touched, onAbort)
+          snap, latest, touched, onAbort, range)
       else
         ConflictChecker.checkRewrite("DELETE (merge-on-read)", snap, latest, touched, onAbort)
       ConflictChecker.checkReadSet("DELETE (merge-on-read)", spark, snap, latest,
-        Some(condition), onAbort)
+        Some(condition), onAbort, range)
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()

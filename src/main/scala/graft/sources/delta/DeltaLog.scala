@@ -589,9 +589,15 @@ final class DeferredDeltaFiles private[delta] (
   def fileCount: Long = sizeStats._2
 
   /** Drop the persisted frame and any derived ordered index (cache
-    * eviction / test hygiene). */
-  private[delta] def unpersist(): Unit = {
+    * eviction / test hygiene). `orderedRef` is CLEARED, not just
+    * unpersisted: a stream still mid-drain after cache eviction would
+    * otherwise keep issuing admit/slice jobs against the unpersisted
+    * plan — a silent full log re-parse per trigger where one
+    * rebuild+re-persist (the next [[withOrdered]] call) restores the
+    * O(batch) trigger cost. */
+  private[delta] def unpersist(): Unit = synchronized {
     orderedRef.foreach(_.unpersist())
+    orderedRef = None
     frameRef.foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Exception => () }
     }
@@ -1397,8 +1403,28 @@ object DeltaLog {
     new java.util.LinkedHashMap[(String, Long, Long, String), ConflictRange](
       8, 0.75f, /*accessOrder=*/ true)
   private val ConflictRangeMaxEntries = 4
-  private val ConflictRangeCacheablePaths = 100000
-  private val ConflictRangeCacheableAdds = 4096
+  // vars, test-only: DeltaConcurrencySuite shrinks them to force the
+  // oversized-range (cache-refusing) path and pin that one ATTEMPT still
+  // costs one parse (the sharedConflictRange memo, not the cache)
+  private[graft] var ConflictRangeCacheablePaths = 100000
+  private[graft] var ConflictRangeCacheableAdds = 4096
+
+  /** One commit ATTEMPT's shared handle on its intervening range: both
+    * incremental rules read through the same lazy parse, so an attempt
+    * costs exactly ONE parse even when the range is too big for the
+    * cross-attempt cache above (which deliberately refuses to pin
+    * oversized ranges — r18's documented residual was each rule
+    * re-parsing those). The memo lives only as long as the attempt's
+    * stack frame: nothing oversized gets pinned past the commit. */
+  private[delta] def sharedConflictRange(
+      spark: SparkSession,
+      tablePath: String,
+      fromExclusive: Long,
+      toInclusive: Long): () => ConflictRange = {
+    lazy val r = conflictRange(spark, tablePath, fromExclusive, toInclusive,
+      "conflict rules")
+    () => r
+  }
 
   /** Test seam: actual range parses (cache misses) — pins that one commit
     * attempt's two rules share a parse, which result equality alone

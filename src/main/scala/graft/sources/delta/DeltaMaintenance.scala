@@ -593,7 +593,8 @@ object DeltaMaintenance {
       }
       if (deferredBase)
         ConflictChecker.checkRewriteIncremental(abortOp, spark, base, latest,
-          removed, onAbort)
+          removed, onAbort,
+          DeltaLog.sharedConflictRange(spark, tablePath, base.version, latest.version))
       else ConflictChecker.checkRewrite(abortOp, base, latest, removed, onAbort)
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
@@ -766,9 +767,15 @@ object DeltaMaintenance {
         // AFTER the first callback must propagate: re-walking would
         // re-emit already-handled files.
         var emitted = false
+        // staging now runs through a Spark job (the distributed listing),
+        // so the read-only-credentials IOException arrives WRAPPED in a
+        // SparkException — a bare-IOException match would let exactly the
+        // failure this fallback exists for (write-denied staging on a
+        // DRY RUN) propagate instead of falling back (r18 ADVICE)
         try vacuumWalkDistributed(spark, tablePath, retentionMs, d) { p =>
           emitted = true; onEligible(p)
-        } catch { case e: java.io.IOException if !emitted =>
+        } catch { case scala.util.control.NonFatal(e)
+            if !emitted && causeChainHasIo(e) =>
           System.err.println(
             s"[graft] WARN: distributed vacuum walk on $tablePath fell back " +
               s"to the driver plane (${e.getMessage})")
@@ -793,6 +800,20 @@ object DeltaMaintenance {
           .map(_.toMap).getOrElse(Map.empty[String, String]))
         .distinct,
       Seq.empty)
+
+  /** An IOException anywhere in the cause chain (Spark wraps executor
+    * and job-submission failures in SparkException layers) — the signal
+    * the distributed-walk fallback keys on. */
+  private def causeChainHasIo(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 20) {
+      if (c.isInstanceOf[java.io.IOException]) return true
+      c = if (c.getCause eq c) null else c.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** Not under `_delta_log`. Shared by every recursive-listing consumer
     * (vacuum candidacy, restore's existence check). */
@@ -839,21 +860,48 @@ object DeltaMaintenance {
     outsideLog(p) && (p.getName.endsWith(".parquet") ||
       (p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin")))
 
+  /** Staged-listing row schema — explicit so an empty distributed write
+    * (directory created, zero parts) still reads back as a valid empty
+    * frame instead of failing schema inference. */
+  private val ListingSchema = StructType(Seq(
+    StructField("path", StringType), StructField("full", StringType),
+    StructField("mtime", org.apache.spark.sql.types.LongType)))
+
   /** Stream the table root's recursive listing (filtered by `keep`) into
     * a staged parquet of `(path, full, mtime)` rows — `path` is the
     * scheme-stripped join key, `full` the qualified form. Staging lives
     * under the TABLE's own `_delta_log/.tmp` (see the vacuum note:
     * driver-local temp dirs shear on multi-node clusters); the caller
     * runs the returned cleanup when done consuming. None = nothing kept.
-    * Driver heap is O(batch): this is how an O(files) listing becomes a
-    * join side without ever living on the driver. */
+    *
+    * The walk is DISTRIBUTED (r18 verdict #2): the driver lists only
+    * LEVEL 0 (one paged, non-recursive iteration — root-level files
+    * flush straight to the staging parquet, O(batch) heap), and every
+    * root-level DIRECTORY becomes an executor task that recursively
+    * lists its prefix and streams matches into its own staged part. On a
+    * partitioned/clustered table — the only realistic 10M-file layout —
+    * that turns the old O(files) sequential driver round-trips (~20 min
+    * against real S3 paging at 10M files) into O(files/cores) parallel
+    * ones. A FLAT 10M-file directory keeps the serial paged LIST at
+    * level 0: no store API can parallelize a single prefix's page chain,
+    * so that bound is the store's, not this plan's.
+    *
+    * `_delta_log` is skipped STRUCTURALLY, not by predicate: both
+    * consumers (vacuum candidacy, restore/fsck existence) exclude log
+    * paths anyway, and walking it while THIS VERY STAGING flushes parts
+    * under `_delta_log/.tmp` made some filesystems throw transient
+    * FileNotFoundExceptions from the open iterator (r18 ADVICE — the
+    * listing racing its own output). A prefix directory that vanishes
+    * mid-walk (concurrent maintenance) lists as empty: its files are
+    * genuinely gone, which is the correct answer for every consumer. */
   private def stagedListing(
       spark: SparkSession,
       tablePath: String,
       keep: Path => Boolean): (Option[DataFrame], () => Unit) = {
     import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = root.getFileSystem(conf)
     val tmp = new Path(DeltaLog.logDir(tablePath), s".tmp/listing-${UUID.randomUUID()}")
     var any = false
     try {
@@ -864,23 +912,77 @@ object DeltaMaintenance {
         any = true
         batch.clear()
       }
-      val it = fs.listFiles(root, true)
+      val prefixes = Seq.newBuilder[String]
+      val it = fs.listStatusIterator(fs.makeQualified(root))
       while (it.hasNext) {
         val st = it.next()
-        if (keep(st.getPath)) {
+        if (st.isDirectory) {
+          if (st.getPath.getName != DeltaLog.LogDirName)
+            prefixes += st.getPath.toString
+        } else if (keep(st.getPath)) {
           batch += ((st.getPath.toUri.getPath, st.getPath.toString, st.getModificationTime))
           if (batch.size >= 100000) flush()
         }
       }
       flush()
+      val dirs = prefixes.result()
+      if (dirs.nonEmpty) {
+        val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val slices = math.min(dirs.size,
+          math.max(1, spark.sparkContext.defaultParallelism * 2))
+        // one executor task per slice of prefixes; each task's recursive
+        // listing streams through the parquet writer (iterator-pulled, so
+        // executor heap stays O(writer buffer), never O(prefix files))
+        spark.createDataset(dirs)
+          .repartition(slices)
+          .mapPartitions(_.flatMap { dirStr =>
+            val dir = new Path(dirStr)
+            listPrefix(dir.getFileSystem(sconf.value), dir, keep)
+          })
+          .toDF("path", "full", "mtime")
+          .write.mode(SaveMode.Append).parquet(tmp.toString)
+        any = true
+      }
     } catch { case e: Throwable =>
       // a failed staging (read-only creds, listing abort) must not leak
       // its flushed parts under _delta_log/.tmp
       try fs.delete(tmp, true) catch { case _: Exception => () }
       throw e
     }
-    (if (any) Some(spark.read.parquet(tmp.toString)) else None,
+    (if (any) Some(spark.read.schema(ListingSchema).parquet(tmp.toString)) else None,
       () => try fs.delete(tmp, true) catch { case _: Exception => () })
+  }
+
+  /** One prefix's recursive listing as a lazy iterator of staged-listing
+    * rows — the executor-side half of [[stagedListing]]. A prefix gone by
+    * open time (concurrent maintenance deleted the directory) lists as
+    * empty. */
+  private def listPrefix(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path,
+      keep: Path => Boolean): Iterator[(String, String, Long)] = {
+    val it =
+      try fs.listFiles(dir, true)
+      catch { case _: java.io.FileNotFoundException =>
+        return Iterator.empty
+      }
+    new Iterator[(String, String, Long)] {
+      private var nextRow: (String, String, Long) = _
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && it.hasNext) {
+          val st = it.next()
+          if (keep(st.getPath))
+            nextRow =
+              (st.getPath.toUri.getPath, st.getPath.toString, st.getModificationTime)
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): (String, String, Long) = {
+        val r = nextRow; advance(); r
+      }
+    }
   }
 
   private def vacuumWalkDriver(
@@ -1071,11 +1173,14 @@ object DeltaMaintenance {
       (f.path, f.deletionVector)
     restoreLoop(spark, tablePath, toVersion, target, headConfig) { () =>
       val current = DeltaLog.snapshot(spark, tablePath)
-      val currentPaths = current.files.map(fileKey).toSet
-      val targetPaths = target.files.map(fileKey).toSet
-      (current,
-        current.files.filterNot(f => targetPaths.contains(fileKey(f))).map(_.path),
-        target.files.filterNot(f => currentPaths.contains(fileKey(f))))
+      if (current.version == toVersion) (current, Nil, Nil) // no-op: skip the diff
+      else {
+        val currentPaths = current.files.map(fileKey).toSet
+        val targetPaths = target.files.map(fileKey).toSet
+        (current,
+          current.files.filterNot(f => targetPaths.contains(fileKey(f))).map(_.path),
+          target.files.filterNot(f => currentPaths.contains(fileKey(f))))
+      }
     }
   }
 
@@ -1117,10 +1222,20 @@ object DeltaMaintenance {
     restoreLoop(spark, tablePath, toVersion, target, headConfig) { () =>
       val (current, cdOpt) = DeltaLog.scanSnapshot(spark, tablePath,
         withDvAdds = false, forceDefer = true)
-      val cd = cdOpt.getOrElse(throw new IllegalStateException(
-        s"RESTORE on $tablePath lost its deferred plane mid-run (replay-mode pin changed?)"))
-      val (removePaths, readds) = restoreDiffFrames(cd, td)
-      (current, removePaths, readds)
+      // no-op short-circuit BEFORE diffing: when head == target the cached
+      // per-(table, version) plane serves the SAME DeferredDeltaFiles
+      // instance for both sides, and restoreDiffFrames would join a frame
+      // with itself — Spark resolves the same-Dataset condition as a
+      // trivially-true predicate (warning + a full diff computed just to
+      // be discarded by restoreLoop's own version check)
+      if (current.version == toVersion || (cdOpt.exists(_ eq td)))
+        (current, Nil, Nil)
+      else {
+        val cd = cdOpt.getOrElse(throw new IllegalStateException(
+          s"RESTORE on $tablePath lost its deferred plane mid-run (replay-mode pin changed?)"))
+        val (removePaths, readds) = restoreDiffFrames(cd, td)
+        (current, removePaths, readds)
+      }
     }
   }
 
@@ -1133,6 +1248,10 @@ object DeltaMaintenance {
     * deterministic commit layout across planes. */
   private def restoreDiffFrames(
       cd: DeferredDeltaFiles, td: DeferredDeltaFiles): (Seq[String], Seq[DeltaAddFile]) = {
+    // identical planes diff empty by definition — and joining a cached
+    // frame with ITSELF would lean on Spark's lenient same-Dataset join
+    // handling (trivially-true condition) to get there the slow way
+    if (cd eq td) return (Nil, Nil)
     (cd.addsFrame(), td.addsFrame()) match {
       case (None, None) => (Nil, Nil)
       case (Some(c), None) =>

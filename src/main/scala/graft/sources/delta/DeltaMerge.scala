@@ -529,15 +529,18 @@ object DeltaMerge {
         }
         DeltaCdf.cleanup(spark, tablePath, cdcFiles)
       }
+      // ONE shared range parse per attempt, both rules (see ConflictChecker)
+      val range = DeltaLog.sharedConflictRange(
+        spark, tablePath, snap.version, latest.version)
       if (deferred.isDefined)
         ConflictChecker.checkRewriteIncremental("MERGE", spark, snap, latest,
-          touched, onAbort)
+          touched, onAbort, range)
       else ConflictChecker.checkRewrite("MERGE", snap, latest, touched, onAbort)
       // the merge's decisions READ the whole target (matched-find inner
       // join, insert anti-join): any concurrent non-blind-append data add
       // invalidates them — two concurrent upserts of the same absent key
       // would otherwise BOTH insert it (read predicate None = table-wide)
-      ConflictChecker.checkReadSet("MERGE", spark, snap, latest, None, onAbort)
+      ConflictChecker.checkReadSet("MERGE", spark, snap, latest, None, onAbort, range)
       val version = latest.version + 1
       val lines = Seq.newBuilder[String]
       val ciLine = mapper.createObjectNode()
