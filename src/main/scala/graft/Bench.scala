@@ -33,6 +33,63 @@ object Bench {
   private[graft] val Sf1Headline = Seq("q01", "q12", "dd02", "dd03", "dd09",
     "dd10", "dd12", "ss01", "ss07", "ss10", "pp01", "tx09", "dl09", "mm06")
 
+  /** Above this anchor spread a measurement window is machine-noise
+    * polluted (the documented "discount this run" threshold) — the record
+    * now DEFENDS itself (r18 verdict #1): a polluted pass is retried up to
+    * [[anchorRetries]] times keeping the healthiest window, and a record
+    * that stays polluted carries `"anchor_polluted":true` so neither
+    * builder nor judge can read its values as plan cost. */
+  private[graft] val AnchorSpreadGate = 1.5
+
+  private[graft] def anchorRetries: Int =
+    sys.env.getOrElse("SPARK_GRAFT_ANCHOR_RETRIES", "2").toInt
+
+  /** Merge per-query results across repeated passes: machine noise can
+    * only INFLATE a timing, never deflate it, so each query's cost is the
+    * min across passes (keeping that attempt's spread); a query crashed in
+    * every pass stays -1. The anchor stats come from the HEALTHIEST pass —
+    * the window whose machine state the surviving minima are closest to. */
+  private[graft] def mergePasses(passes: Seq[Pass]): Pass = {
+    require(passes.nonEmpty, "mergePasses needs at least one pass")
+    if (passes.size == 1) return passes.head
+    val byName = passes.map(_.results.map(r => r._1 -> r).toMap)
+    val merged = passes.head.results.map(_._1).map { n =>
+      val ok = byName.flatMap(_.get(n)).filter(_._2 >= 0)
+      if (ok.isEmpty) (n, -1.0, 1.0) else ok.minBy(_._2)
+    }
+    val healthiest = passes.filter(_.aSpread > 0)
+      .minByOption(_.aSpread).getOrElse(passes.head)
+    Pass(merged, passes.head.reps, passes.head.sfDir,
+      healthiest.aMin, healthiest.aMax, healthiest.aSpread)
+  }
+
+  /** One sf1 child's result; `best`/`anchor` merge across retries by min
+    * (noise only inflates), `spread` follows whichever attempt won. */
+  private[graft] case class ChildRes(
+      name: String, best: Double, spread: Double, anchor: Double)
+
+  private[graft] def combineChild(prev: ChildRes, next: ChildRes): ChildRes = {
+    val best =
+      if (prev.best < 0) next.best
+      else if (next.best < 0) prev.best
+      else math.min(prev.best, next.best)
+    val spread =
+      if (next.best >= 0 && (prev.best < 0 || next.best <= prev.best)) next.spread
+      else prev.spread
+    val anchor =
+      if (prev.anchor <= 0) next.anchor
+      else if (next.anchor <= 0) prev.anchor
+      else math.min(prev.anchor, next.anchor)
+    ChildRes(prev.name, best, spread, anchor)
+  }
+
+  /** A child is re-run when its window was unhealthy relative to the best
+    * window seen (its anchor >gate× the min), its anchor is missing, or
+    * its query crashed. */
+  private[graft] def childNeedsRetry(c: ChildRes, minAnchor: Double): Boolean =
+    c.best < 0 || c.anchor <= 0 ||
+      (minAnchor > 0 && c.anchor > AnchorSpreadGate * minAnchor)
+
   private[graft] def runPass(
       spark: SparkSession, sfDir: String,
       names: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
@@ -206,7 +263,34 @@ object Bench {
     // warm predictably
     val names = selected.toSeq.sortBy(_._1)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val main = runPass(spark, sfDir, names, reps)
+    // anchor-gated record (r18 verdict #1): a polluted pass (anchor_spread
+    // past the gate) is re-run up to anchorRetries times; the merged
+    // record keeps each query's min and the healthiest window's anchors
+    var passes = List(runPass(spark, sfDir, names, reps))
+    def healthSpread: Double = {
+      val s = passes.map(_.aSpread).filter(_ > 0)
+      if (s.isEmpty) -1.0 else s.min
+    }
+    var mainRetries = 0
+    while (healthSpread > AnchorSpreadGate && mainRetries < anchorRetries) {
+      mainRetries += 1
+      System.err.println(s"[bench] sf0.1 anchor_spread $healthSpread > " +
+        s"$AnchorSpreadGate: machine-noise window — retry $mainRetries")
+      // dropFirstAnchor=false: a retry pass runs in an already-warm JVM,
+      // so its first anchor sample is valid steady state (the drop exists
+      // only for the near-fresh-JVM systematic fast sample — see runPass)
+      passes = passes :+ runPass(spark, sfDir, names, reps, dropFirstAnchor = false)
+    }
+    val main = mergePasses(passes)
+    val mainPolluted = main.aSpread > AnchorSpreadGate
+    // line 1 (full precision, kept in logs) carries the retry count and
+    // the pollution marker; the tail-budgeted FINAL line carries only the
+    // load-bearing marker — "anchor_polluted":true is what forbids reading
+    // the values as plan cost, while the retry count is diagnostics (43
+    // chars of it would push the worst-case ds rung past the tail budget)
+    val healthFull = s""""anchor_retries":$mainRetries,""" +
+      (if (mainPolluted) """"anchor_polluted":true,""" else "")
+    val healthCompact = if (mainPolluted) """"anchor_polluted":true,""" else ""
 
     // ---- second anchor at ~sf1 (10× data), ONE FRESH CHILD JVM PER
     // QUERY: r15's in-context sf1 pass recorded dd02 at 32.6s where the
@@ -233,33 +317,60 @@ object Bench {
         ScaleCheck.generate(spark, sfDir, workDir, copies = 10)
         val reps = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "2").toInt
         val all = SparkEntry.queries.keys.toSeq.sorted
-        val results: Seq[(String, Double, Double, Double)] = Sf1Headline.map { prefix =>
-          val name = all.find(_.startsWith(prefix)).getOrElse(
-            sys.error(s"no registered query with prefix $prefix"))
+        def runChild(name: String): ChildRes =
           sf1QueryChild(name, workDir, reps) match {
-            case Right((best, spread, anchorSec)) => (name, best, spread, anchorSec)
+            case Right((best, spread, anchorSec)) =>
+              ChildRes(name, best, spread, anchorSec)
             case Left(err) =>
               // one crashed child must not blind the other 13 headliners;
               // the -1 rides into the line's `failed` count
               System.err.println(s"[bench] sf1 child $name failed: $err")
-              (name, -1.0, 1.0, -1.0)
+              ChildRes(name, -1.0, 1.0, -1.0)
           }
+        var results: Seq[ChildRes] = Sf1Headline.map { prefix =>
+          val name = all.find(_.startsWith(prefix)).getOrElse(
+            sys.error(s"no registered query with prefix $prefix"))
+          runChild(name)
         }
         // cross-child anchor spread: each child samples the SAME trivial
         // probe in its own fresh JVM, so spread across children measures
         // machine health over the whole sf1 window (the per-pass
         // interference signal the single-child design got from
         // interleaving) — all samples are steady-state-comparable
-        // (identical JVM age at sample time), so none is dropped
-        val anchors = results.map(_._4).filter(_ > 0)
-        val (aMin, aMax) =
-          if (anchors.isEmpty) (-1.0, -1.0) else (anchors.min, anchors.max)
-        val p = Pass(results.map(r => (r._1, r._2, r._3)), reps, workDir,
+        // (identical JVM age at sample time), so none is dropped.
+        // ANCHOR-GATED (r18 verdict #1): children whose window was noisy
+        // relative to the best window (or that crashed) are re-run up to
+        // anchorRetries times; min-merge per child, pollution marker when
+        // the final spread still exceeds the gate.
+        def anchors = results.map(_.anchor).filter(_ > 0)
+        def crossSpread = {
+          val a = anchors
+          if (a.isEmpty) -1.0 else a.max / math.max(a.min, 1e-9)
+        }
+        var sf1Retried = 0
+        var tries = 0
+        while (crossSpread > AnchorSpreadGate && tries < anchorRetries) {
+          tries += 1
+          val minA = anchors.min
+          System.err.println(s"[bench] sf1 cross-child anchor_spread " +
+            s"$crossSpread > $AnchorSpreadGate: re-running noisy children " +
+            s"(round $tries)")
+          results = results.map { r =>
+            if (!childNeedsRetry(r, minA)) r
+            else { sf1Retried += 1; combineChild(r, runChild(r.name)) }
+          }
+        }
+        val a = anchors
+        val (aMin, aMax) = if (a.isEmpty) (-1.0, -1.0) else (a.min, a.max)
+        val p = Pass(results.map(r => (r.name, r.best, r.spread)), reps, workDir,
           aMin, aMax, if (aMin <= 0) -1.0 else aMax / math.max(aMin, 1e-9))
+        val sf1Health = s""""anchor_retried":$sf1Retried,""" +
+          (if (p.aSpread > AnchorSpreadGate) """"anchor_polluted":true,""" else "")
         // "plane" says what this line certifies: one fresh process per
         // query — plan cost with NO within-child ordering wear (the r17
         // ambiguity) — at the stamped parallelism (the r16 ambiguity)
-        Right(lineOf(p, 3, """"plane":"fresh_jvm_per_query",""" + planeExtra(cpus)))
+        Right(lineOf(p, 3,
+          """"plane":"fresh_jvm_per_query",""" + sf1Health + planeExtra(cpus)))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 pass skipped: ${e.getMessage}")
         Left(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
@@ -278,9 +389,9 @@ object Bench {
     // — ~9 chars/entry keeps every query visible at the 0.1s precision the
     // cross-round compare actually uses.
     val plane = planeExtra(cpus)
-    println(lineOf(main, 3, plane))
+    println(lineOf(main, 3, healthFull + plane))
     sf1Line.foreach(println)
-    val sf1Parsed: Option[(Double, Double, Int, Seq[(String, Double)])] =
+    val sf1Parsed: Option[(Double, Double, Int, Boolean, Seq[(String, Double)])] =
       sf1Line.toOption.flatMap { l =>
         try {
           val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
@@ -288,15 +399,24 @@ object Bench {
           val it = n.path("queries").properties().iterator()
           while (it.hasNext) { val e = it.next(); qs += e.getKey -> e.getValue.asDouble() }
           Some((n.path("value").asDouble(), n.path("anchor_spread").asDouble(),
-            n.path("reps").asInt(), qs.result()))
+            n.path("reps").asInt(), n.path("anchor_polluted").asBoolean(false),
+            qs.result()))
         } catch { case _: Exception => None }
       }
-    def sf1Extra(topQueries: Int): String = sf1Parsed.map { case (total, aSpread, reps, qs) =>
+    // topQueries = -1 is the MINIMAL rung: pollution marker + total only
+    // (the worst-case polluted record would otherwise push the ds rung
+    // ~20 chars past the tail budget and lose the whole per-query map)
+    def sf1Extra(topQueries: Int): String = sf1Parsed.map {
+      case (total, aSpread, reps, polluted, qs) =>
       val qPart =
         if (topQueries <= 0) ""
         else qs.sortBy(-_._2).take(topQueries).map { case (k, v) =>
           "\"" + k + "\":" + ms(v) }.mkString(""","queries":{""", ",", "}")
-      s""""sf1":{"total":${ms(total)},"anchor_spread":${ms(aSpread)},"reps":$reps$qPart},"""
+      val pollutedPart = if (polluted) """"anchor_polluted":true,""" else ""
+      if (topQueries < 0)
+        s""""sf1":{$pollutedPart"total":${ms(total)}},"""
+      else
+        s""""sf1":{$pollutedPart"total":${ms(total)},"anchor_spread":${ms(aSpread)},"reps":$reps$qPart},"""
     }.getOrElse {
       // explicit skip marker: a missing/unparseable sf1 pass must be
       // VISIBLE to the driver parse, never a silently-absent key. Every
@@ -308,7 +428,7 @@ object Bench {
         .replaceAll("[\"\\\\]", "'").take(60)
       s""""sf1":{"skipped":"$reason"},"""
     }
-    println(finalLine(main, n => plane + sf1Extra(n)))
+    println(finalLine(main, n => healthCompact + plane + sf1Extra(n)))
     spark.stop()
   }
 
@@ -323,7 +443,7 @@ object Bench {
     def dsLine(extra: String): String = render(main, dsMapOf(main), extra)
     val candidates =
       Seq(3, 2, 1).map(s => lineOf(main, s, sf1Extra(6))) ++
-        Seq(dsLine(sf1Extra(6)), dsLine(sf1Extra(0)),
+        Seq(dsLine(sf1Extra(6)), dsLine(sf1Extra(0)), dsLine(sf1Extra(-1)),
           lineOf(main, -1, sf1Extra(0)))
     candidates.find(_.length <= TailBudget).getOrElse(lineOf(main, -1))
   }

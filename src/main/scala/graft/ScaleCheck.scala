@@ -141,6 +141,20 @@ object ScaleCheck {
       vacuumPlane.add(vacuumPlaneProbe(spark, 10000000, eager = false))
     }
 
+    // ---- stage 3f: maintenance LISTING plane on a real directory tree
+    // (r18 verdict #3 done-bar): vacuum/restore/fsck existence checks walk
+    // the table root — the r18 walk was driver-serial (O(files) sequential
+    // round-trips); the distributed stagedListing fans root-level prefixes
+    // out to executor tasks, so its wall must scale ~flat in files/cores
+    // while the serial reference walk stays ~linear. Real empty files: the
+    // cost being measured IS the filesystem metadata iteration.
+    // Targeted: SPARK_GRAFT_SCALE_ONLY=listing.
+    val listingPlane = mapperR.createArrayNode()
+    if (scaleOnly.forall(_.exists(s => "listing".startsWith(s)))) {
+      listingPlane.add(listingPlaneProbe(spark, 1000000))
+      listingPlane.add(listingPlaneProbe(spark, 10000000))
+    }
+
     // ---- stage 3d: streaming initial-snapshot pacing plane at 1M and 10M
     // synthetic adds (the residual the r17 round named): a rate-limited
     // FRESH stream's admission walk must not hold the path-sorted live
@@ -339,6 +353,43 @@ object ScaleCheck {
         c -> (childRun(c, baseDir), childRun(c, workDir))
       }.toMap)
 
+    // ---- stage 4e: isolated sf1 numbers for ALL 14 bench headliners
+    // (r18 verdict #2): BENCH_r*.json's sf1 values are per-query
+    // fresh-JVM; the 1.5x done-bar needs an isolated comparable for EVERY
+    // headliner, measured by the SAME child entry the bench uses
+    // (BenchSf1QueryChild: untimed warm pass, GC, min over reps, plus the
+    // calibration anchor), so the two artifacts certify one plane.
+    // Targeted: SPARK_GRAFT_SCALE_ONLY=sf1isolated.
+    val sf1Isolated: Option[Seq[(String, Double, Double)]] =
+      if (!scaleOnly.forall(_.exists(s => "sf1isolated".startsWith(s)))) None
+      else {
+        val all = SparkEntry.queries.keys.toSeq.sorted
+        Some(Bench.Sf1Headline.map { prefix =>
+          val name = all.find(_.startsWith(prefix)).getOrElse(
+            sys.error(s"no registered query with prefix $prefix"))
+          val javaBin = s"${sys.props("java.home")}/bin/java"
+          val cmd = Seq(javaBin) ++ JvmOpens.asArgv ++ Seq(
+            "-Dspark.ui.enabled=false",
+            "-Dspark.sql.session.timeZone=UTC",
+            s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+            "-cp", sys.props("java.class.path"),
+            "graft.BenchSf1QueryChild", name, workDir, "2")
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectErrorStream(true)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+          val code = proc.waitFor()
+          require(code == 0, s"sf1-isolated child $name failed (exit $code):\n" +
+            out.linesIterator.toSeq.takeRight(10).mkString("\n"))
+          out.linesIterator.toSeq.reverse
+            .collectFirst { case l if l.startsWith(s"SF1Q $name ") =>
+              val parts = l.split(' ')
+              (name, parts(2).toDouble, parts(4).toDouble)
+            }
+            .getOrElse(sys.error(s"no SF1Q line from sf1-isolated child $name"))
+        })
+      }
+
     // ---- stage 5: bounded-heap completion proof for the worst heap
     // probes. Spark's memory manager CONSUMES whatever heap exists
     // (bigger JVM = lazier spill), so the peak_heap numbers above measure
@@ -529,6 +580,19 @@ object ScaleCheck {
         "signal is the HEAP shape.")
       vp.set("points", vacuumPlane)
     }
+    if (listingPlane.size() > 0) {
+      val lp = root.putObject("listing_plane")
+      lp.put("note", "maintenance-plane recursive listing (r19): a real " +
+        "64-dir tree of empty data files under a table root. " +
+        "serial_walk_sec = the r18-shaped driver-serial fs.listFiles " +
+        "recursion (reference); staged_sec = the distributed " +
+        "stagedListing (driver lists level 0, executor task per prefix, " +
+        "staged parquet join side). On a real object store each serial " +
+        "LIST page is a ~100ms round-trip, so the ratio understates the " +
+        "production win; the decision-grade signal is staged_sec scaling " +
+        "~flat in files/cores vs the serial walk's linear growth.")
+      lp.set("points", listingPlane)
+    }
     if (streamPlane.size() > 0) {
       val sp = root.putObject("stream_plane")
       sp.put("note", "streaming initial-snapshot pacing (r18): a fresh " +
@@ -539,10 +603,14 @@ object ScaleCheck {
         "planning_retained_mb is the O(files) bound the deferred " +
         "OrderedSnapshotIndex removes: deferred points must stay ~flat " +
         "1M -> 10M. first_offset_sec includes the one-time index build " +
-        "(distributed parse + range-sort + persist); next_offset_sec is " +
-        "the steady per-trigger admission cost mid-drain (two small " +
-        "jobs over the persisted index). The decision-grade signal is " +
-        "the HEAP shape.")
+        "(distributed parse + sort + exact bucket layout + persist); " +
+        "steady_offset_sec is the per-trigger admission cost averaged " +
+        "over 20 mid-drain triggers — with the r19 bucketed index a " +
+        "file-capped admission is driver arithmetic (no job), so it must " +
+        "be ~0 and FLAT in files (the r18 shape re-scanned the whole " +
+        "persisted index per trigger); slice_sec is one 1000-file " +
+        "mid-drain slice, reading only its buckets. Decision-grade " +
+        "signals: the HEAP shape and the steady/slice flatness.")
       sp.set("points", streamPlane)
     }
     cloptProbes.foreach { case (b, sc) =>
@@ -579,6 +647,26 @@ object ScaleCheck {
         o.put("base_sec", math.round(b * 1000) / 1000.0)
         o.put("scaled_sec", math.round(s * 1000) / 1000.0)
         o.put("ratio", math.round(s / math.max(b, 1e-9) * 100) / 100.0)
+      }
+    }
+
+    sf1Isolated.foreach { rows =>
+      val si = root.putObject("sf1_isolated")
+      si.put("note", "isolated sf1 seconds for ALL 14 bench headliners " +
+        "(r18 verdict #2), measured by graft.BenchSf1QueryChild — the " +
+        "exact entry the recorded BENCH sf1 pass runs per query — so " +
+        "every recorded sf1 value has a same-plane comparable and the " +
+        "1.5x gate is decidable for each. anchor_spread across these " +
+        "children is the window's machine-health signal; values measured " +
+        "in a window whose spread exceeds ~1.5 are noise-inflated, not " +
+        "plan cost.")
+      val anchors = rows.map(_._3).filter(_ > 0)
+      if (anchors.nonEmpty)
+        si.put("anchor_spread",
+          math.round(anchors.max / math.max(anchors.min, 1e-9) * 1000) / 1000.0)
+      val qs = si.putObject("queries")
+      rows.foreach { case (n, sec, _) =>
+        qs.put(n, math.round(sec * 1000) / 1000.0)
       }
     }
 
@@ -787,6 +875,86 @@ object ScaleCheck {
     node
   }
 
+  /** Maintenance-listing plane at nFiles REAL (empty) files across 64
+    * root-level dirs: times the driver-serial recursive walk (the r18
+    * shape, kept here as the reference) against the distributed
+    * [[graft.sources.delta.DeltaMaintenance.stagedListing]]. Creation and
+    * cleanup are themselves distributed (one task per dir) so a 10M-file
+    * point stays minutes, not tens of minutes. ENOSPC/inode exhaustion
+    * marks the point skipped instead of failing the whole ScaleCheck. */
+  private def listingPlaneProbe(spark: SparkSession, nFiles: Int)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    import org.apache.hadoop.fs.Path
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    val dirs = 64
+    node.put("files", nFiles)
+    node.put("dirs", dirs)
+    val root = new java.io.File(
+      s"/tmp/graft-scalecheck/listing-$nFiles-${java.util.UUID.randomUUID()}")
+    val perDir = (nFiles + dirs - 1) / dirs
+    val sc = spark.sparkContext
+    def cleanup(): Unit = {
+      // distributed delete: one task per dir, then the root
+      val r = root.getAbsolutePath
+      sc.parallelize(0 until dirs, dirs).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$r/d$d"))
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+    }
+    try {
+      val r = root.getAbsolutePath
+      val per = perDir
+      val total = nFiles
+      val tGen = System.nanoTime()
+      sc.parallelize(0 until dirs, dirs).foreach { d =>
+        val dir = new java.io.File(s"$r/d$d")
+        dir.mkdirs()
+        var i = d * per
+        val end = math.min((d + 1) * per, total)
+        while (i < end) {
+          new java.io.File(dir, f"part-$i%08d.parquet").createNewFile()
+          i += 1
+        }
+      }
+      node.put("create_sec", math.round((System.nanoTime() - tGen) / 1e6) / 1000.0)
+      val rootPath = new Path(root.getAbsolutePath)
+      val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      // reference: a driver-serial recursion over plain status iterators —
+      // the r18 SHAPE without its local-fs artifact (the r18 code used
+      // listFiles, whose located statuses fork-exec a shell per file on
+      // RawLocalFileSystem; timing that would flatter the distributed
+      // number ~100x dishonestly)
+      val tSer = System.nanoTime()
+      var serialSeen = 0L
+      val stack = scala.collection.mutable.Stack[Path](rootPath)
+      while (stack.nonEmpty) {
+        val it = fs.listStatusIterator(stack.pop())
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isDirectory) stack.push(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) serialSeen += 1
+        }
+      }
+      node.put("serial_walk_sec", math.round((System.nanoTime() - tSer) / 1e6) / 1000.0)
+      require(serialSeen == nFiles, s"serial walk saw $serialSeen of $nFiles")
+      // the distributed staged listing (what vacuum/restore/fsck now run)
+      val tDist = System.nanoTime()
+      val (frameOpt, stagedCleanup) = graft.sources.delta.DeltaMaintenance
+        .stagedListing(spark, root.getAbsolutePath,
+          (p: Path) => p.getName.endsWith(".parquet"))
+      try {
+        val stagedSeen = frameOpt.map(_.count()).getOrElse(0L)
+        node.put("staged_sec", math.round((System.nanoTime() - tDist) / 1e6) / 1000.0)
+        require(stagedSeen == nFiles, s"staged listing saw $stagedSeen of $nFiles")
+      } finally stagedCleanup()
+    } catch { case e: java.io.IOException =>
+      node.put("skipped", s"filesystem refused the probe: ${e.getMessage}")
+    } finally cleanup()
+    node
+  }
+
   /** Vacuum eligibility plane at nFiles synthetic LIVE adds + one orphan:
     * heap measured INSIDE the walk's eligibility callback (the dml-plane
     * seam pattern — the eager walk's live Set and tombstone Map are still
@@ -885,6 +1053,35 @@ object ScaleCheck {
         math.round((System.nanoTime() - t1) / 1e6) / 1000.0)
       require(o2.json.contains("snapshotVersion"),
         s"a ${nFiles}-file drain must still be mid-snapshot: ${o2.json}")
+      // steady-state drain cost past the noise floor (r18 verdict #4's
+      // done-bar): 20 more triggers, total/20 — with the bucketed index a
+      // file-capped admission is driver arithmetic, so this must be ~0
+      // and FLAT in nFiles (the r18 shape re-scanned the whole persisted
+      // index every trigger)
+      var prev = o2
+      val walked = 20
+      val t2 = System.nanoTime()
+      (0 until walked).foreach { _ =>
+        prev = src.latestOffset(SerializedOffset(prev.json), lim)
+      }
+      node.put("steady_offset_sec",
+        math.round((System.nanoTime() - t2) / 1e6 / walked) / 1000.0)
+      require(prev.json.contains("snapshotVersion"),
+        s"a ${nFiles}-file drain must still be mid-snapshot after " +
+          s"${walked + 2} triggers: ${prev.json}")
+      // one mid-drain SLICE (what getBatch serves): with block skipping it
+      // reads O(batch) buckets, so it too must stay ~flat in nFiles
+      // (deferred plane only — the eager walk has no index to slice)
+      if (!eager) {
+        val (_, dOpt) = DeltaLog.scanSnapshot(spark, dir)
+        val dd = dOpt.getOrElse(sys.error("expected the deferred plane"))
+        val mid = nFiles / 2L
+        dd.orderedSlice(mid, mid + 100) // warm the targeted-read path
+        val t3 = System.nanoTime()
+        val sliced = dd.orderedSlice(mid, mid + 1000)
+        node.put("slice_sec", math.round((System.nanoTime() - t3) / 1e6) / 1000.0)
+        require(sliced.size == 1000, s"expected a 1000-file slice, got ${sliced.size}")
+      }
     } finally {
       DeltaLog.DeferredScanMode = "auto"
       DeferredDeltaFiles.clearCache()

@@ -540,7 +540,10 @@ final class DeferredDeltaFiles private[delta] (
 
   private def orderedIndex(): OrderedSnapshotIndex = synchronized {
     orderedRef.getOrElse {
-      val built = withFrame(fr => OrderedSnapshotIndex.build(spark, fr))
+      // fileCount (memoized distributed agg) sizes the exact bucket
+      // layout — the build's partition placement is then arithmetic on
+      // idx, no sampling pass over the 10M-row frame
+      val built = withFrame(fr => OrderedSnapshotIndex.build(spark, fr, fileCount))
       orderedRef = Some(built)
       built
     }

@@ -5,7 +5,7 @@ import java.util.UUID
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -893,8 +893,9 @@ object DeltaMaintenance {
     * FileNotFoundExceptions from the open iterator (r18 ADVICE — the
     * listing racing its own output). A prefix directory that vanishes
     * mid-walk (concurrent maintenance) lists as empty: its files are
-    * genuinely gone, which is the correct answer for every consumer. */
-  private def stagedListing(
+    * genuinely gone, which is the correct answer for every consumer.
+    * private[graft] for ScaleCheck's listing-plane probe only. */
+  private[graft] def stagedListing(
       spark: SparkSession,
       tablePath: String,
       keep: Path => Boolean): (Option[DataFrame], () => Unit) = {
@@ -954,27 +955,43 @@ object DeltaMaintenance {
   }
 
   /** One prefix's recursive listing as a lazy iterator of staged-listing
-    * rows — the executor-side half of [[stagedListing]]. A prefix gone by
-    * open time (concurrent maintenance deleted the directory) lists as
-    * empty. */
+    * rows — the executor-side half of [[stagedListing]]. Manual recursion
+    * over `listStatusIterator` rather than `listFiles(dir, true)`: the
+    * located-status variant copies permissions into every entry, which on
+    * the local filesystem fork-execs a shell PER FILE (Hadoop's
+    * RawLocalFileSystem permission loading — measured ~ms/file, turning a
+    * 1M-file walk into tens of minutes), while plain statuses load
+    * permissions lazily and never pay it; object stores page the plain
+    * iterator the same way. A directory gone by open time (concurrent
+    * maintenance) lists as empty — its files are genuinely gone. */
   private def listPrefix(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: Path,
-      keep: Path => Boolean): Iterator[(String, String, Long)] = {
-    val it =
-      try fs.listFiles(dir, true)
-      catch { case _: java.io.FileNotFoundException =>
-        return Iterator.empty
-      }
+      keep: Path => Boolean): Iterator[(String, String, Long)] =
     new Iterator[(String, String, Long)] {
+      private val pending = scala.collection.mutable.Stack[Path](dir)
+      private var current: org.apache.hadoop.fs.RemoteIterator[FileStatus] = _
       private var nextRow: (String, String, Long) = _
+      private def openNext(): Boolean = {
+        current = null
+        while (current == null && pending.nonEmpty) {
+          val d = pending.pop()
+          try current = fs.listStatusIterator(d)
+          catch { case _: java.io.FileNotFoundException => () } // vanished dir
+        }
+        current != null
+      }
       private def advance(): Unit = {
         nextRow = null
-        while (nextRow == null && it.hasNext) {
-          val st = it.next()
-          if (keep(st.getPath))
-            nextRow =
-              (st.getPath.toUri.getPath, st.getPath.toString, st.getModificationTime)
+        while (nextRow == null && (current != null || openNext())) {
+          if (!current.hasNext) current = null
+          else {
+            val st = current.next()
+            if (st.isDirectory) pending.push(st.getPath)
+            else if (keep(st.getPath))
+              nextRow = (st.getPath.toUri.getPath, st.getPath.toString,
+                st.getModificationTime)
+          }
         }
       }
       advance()
@@ -983,7 +1000,6 @@ object DeltaMaintenance {
         val r = nextRow; advance(); r
       }
     }
-  }
 
   private def vacuumWalkDriver(
       spark: SparkSession,

@@ -24,18 +24,23 @@ class BenchEmissionSuite extends AnyFunSuite {
   }
 
   private def sf1Extra(top: Int): String = {
+    if (top < 0) return """"sf1":{"anchor_polluted":true,"total":48.094},"""
     val qs =
       if (top <= 0) ""
       else Seq("dd02" -> 4.22, "dd12" -> 10.26, "pp01" -> 7.79,
         "dd03" -> 5.65, "ss07" -> 4.91, "dd10" -> 4.29).take(top)
         .map { case (k, v) => "\"" + k + "\":" + Bench.ms(v) }
         .mkString(""","queries":{""", ",", "}")
-    s""""sf1":{"total":48.094,"anchor_spread":1.410,"reps":2$qs},"""
+    s""""sf1":{"anchor_polluted":true,"total":48.094,"anchor_spread":1.410,"reps":2$qs},"""
   }
 
-  // the production composition: plane fields ride EVERY candidate rung
+  // the production composition, WORST CASE for the budget: the compact
+  // pollution marker (r19 — the final line carries only the load-bearing
+  // "anchor_polluted"; retry counts stay on the full-precision line 1)
+  // + plane fields ride EVERY candidate rung
   private def extraWithPlane(top: Int): String =
-    Bench.planeExtra(Bench.defaultCpus) + sf1Extra(top)
+    """"anchor_polluted":true,""" +
+      Bench.planeExtra(Bench.defaultCpus) + sf1Extra(top)
 
   test("final line fits the tail budget and keeps EVERY per-query value") {
     Seq(true, false).foreach { spike =>
