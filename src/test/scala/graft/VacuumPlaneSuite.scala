@@ -174,4 +174,83 @@ class VacuumPlaneSuite extends AnyFunSuite {
     assert(dryRunUnder("never", dir, -60000L) === Nil)
     assert(dryRunUnder("always", dir, -60000L) === Nil)
   }
+
+  test("write-denied staging falls back to the driver walk (WRAPPED IOException)") {
+    // the r18 ADVICE scenario: the distributed listing stages its parquet
+    // through a Spark JOB, so a read-only-credentials failure surfaces as
+    // SparkException(...cause IOException), which a bare-IOException
+    // catch would let propagate — exactly the DRY RUN audit case the
+    // fallback exists for. ListingDeniedFileSystem denies file creates
+    // under the listing staging prefix ONLY (table writes proceed), so
+    // the distributed walk CANNOT succeed here: a correct dry-run result
+    // proves the fallback fired.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.rolist.impl", classOf[ListingDeniedFileSystem].getName)
+    val local = Files.createTempDirectory("graft-vac-rolist").toString
+    val dir = "rolist://" + local
+    // PARTITIONED: root-level dirs force the distributed (executor-task)
+    // listing branch, the one whose failure arrives wrapped
+    DeltaWriter.write((1 to 24).map(i => (i.toLong, s"r$i", i % 3))
+      .toDF("id", "name", "p"), dir, SaveMode.Append, Seq("p"))
+    DeltaDml.delete(spark, dir, "id <= 4") // tombstoned rewrite sources
+    Files.write(Paths.get(local, "orphan-stray.snappy.parquet"), Array[Byte](1, 2, 3))
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      val eligible = DeltaMaintenance.vacuumDryRun(spark, dir, -60000L)
+      assert(eligible.exists(_.endsWith("orphan-stray.snappy.parquet")),
+        s"fallback walk must still find the orphan: $eligible")
+      val live = DeltaLog.snapshot(spark, dir).files.map(_.path).toSet
+      assert(!eligible.exists(p => live.exists(lp => p.endsWith("/" + lp))),
+        s"live files must NEVER be eligible, fallback included: $eligible")
+    } finally {
+      DeltaLog.DeferredScanMode = "auto"
+      conf.unset("fs.rolist.impl")
+    }
+  }
+}
+
+/** Test-only local filesystem that refuses to CREATE files under the
+  * staged-listing prefix (`_delta_log/.tmp/listing-…`) while allowing all
+  * other IO — the deterministic stand-in for read-only staging
+  * credentials. Directory creation stays allowed so the failure lands in
+  * the write JOB's tasks (the wrapped-exception path under test), not at
+  * driver-side job setup. */
+class ListingDeniedFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "rolist"
+  override def getUri: java.net.URI = java.net.URI.create("rolist:///")
+  // RawLocal's DeprecatedRawLocalFileStatus lazy-loads permissions via
+  // `new java.io.File(status URI)`, which rejects any scheme but "file" —
+  // return plain statuses with eager permissions instead
+  private def eager(st: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory,
+      st.getReplication, st.getBlockSize, st.getModificationTime,
+      st.getAccessTime, org.apache.hadoop.fs.permission.FsPermission.getDefault,
+      "test", "test", st.getPath)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus =
+    eager(super.getFileStatus(f))
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(eager)
+  private def deny(f: org.apache.hadoop.fs.Path): Unit =
+    if (f.toString.contains("/.tmp/listing-"))
+      throw new java.io.IOException(s"injected: listing staging is write-denied ($f)")
+  override def create(
+      f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    deny(f)
+    super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
+  override def createNonRecursive(
+      f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag],
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    deny(f)
+    super.createNonRecursive(f, permission, flags, bufferSize, replication,
+      blockSize, progress)
+  }
 }
