@@ -1016,15 +1016,16 @@ object DeltaMaintenance {
         }
     val tombstones = tombstoneTimes(spark, tablePath)
     val cutoff = System.currentTimeMillis() - retentionMs
-    val it = fs.listFiles(root, true)
+    // same plain-iterator recursion as the distributed walk's tasks:
+    // listFiles' located statuses fork-exec a shell PER FILE on local
+    // filesystems (permission loading) — a 100k-file eager table would
+    // pay ~100s of pure exec overhead for a walk that reads no permission
+    val it = listPrefix(fs, root, isVacuumCandidate)
     while (it.hasNext) {
-      val f = it.next()
-      if (isVacuumCandidate(f.getPath)) {
-        val rel = f.getPath.toUri.getPath
-        if (!live.contains(rel)) {
-          val clock = tombstones.getOrElse(rel, f.getModificationTime)
-          if (clock < cutoff) onEligible(f.getPath)
-        }
+      val (rel, full, mtime) = it.next()
+      if (!live.contains(rel)) {
+        val clock = tombstones.getOrElse(rel, mtime)
+        if (clock < cutoff) onEligible(new Path(full))
       }
     }
   }
