@@ -165,6 +165,48 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
     } finally DeltaLog.DeferredScanMode = "auto"
   }
 
+  test("a mid-drain stream survives cache eviction with ONE index rebuild") {
+    // the r18 ADVICE: unpersist() cleared the ordered index's blocks but
+    // left orderedRef set, so an evicted mid-drain stream kept issuing
+    // admit/slice jobs against an unpersisted plan — a silent full
+    // re-plan per trigger that the builds counter can see (zero rebuilds
+    // = the bug; one = the fix; per-trigger = a worse regression).
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    import graft.sources.delta.{DeferredDeltaFiles, DeltaLog, DeltaStreamingSource, OrderedSnapshotIndex}
+    val dir = Files.createTempDirectory("graft-stream-evict").toString
+    DeltaWriter.write((1 to 6).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1),
+      dir, SaveMode.Append, Nil)                    // v0
+    DeltaDml.delete(spark, dir, "id <= 2")          // v1: snapshot mode
+    DeltaWriter.write(Seq((7, "r7")).toDF("id", "name").coalesce(1),
+      dir, SaveMode.Append, Nil)                    // v2
+    DeltaWriter.write(Seq((8, "r8")).toDF("id", "name").coalesce(1),
+      dir, SaveMode.Append, Nil)                    // v3: 3 live files
+    val schema = DeltaLog.snapshot(spark, dir).schema
+    DeltaLog.DeferredScanMode = "always"
+    try {
+      val src = new DeltaStreamingSource(spark.sqlContext, dir, schema,
+        ignoreDataChangeRemoves = false, maxFilesPerTrigger = Some(1))
+      val lim = ReadLimit.maxFiles(1)
+      val o1 = src.latestOffset(null, lim)
+      assert(o1.json === """{"snapshotVersion":3,"index":1}""", o1.json)
+      val builds0 = OrderedSnapshotIndex.builds.get()
+      // eviction mid-drain: the source still holds the (now-unpersisted)
+      // DeferredDeltaFiles through its memoized slice plane
+      DeferredDeltaFiles.clearCache()
+      val o2 = src.latestOffset(SerializedOffset(o1.json), lim)
+      val o3 = src.latestOffset(SerializedOffset(o2.json), lim)
+      assert(o2.json === """{"snapshotVersion":3,"index":2}""", o2.json)
+      assert(o3.json === "3", s"drain completes across the eviction: ${o3.json}")
+      assert(OrderedSnapshotIndex.builds.get() - builds0 === 1L,
+        "an evicted mid-drain stream must rebuild its index exactly ONCE " +
+          "(zero = jobs against an unpersisted plan; more = rebuild per trigger)")
+    } finally {
+      DeltaLog.DeferredScanMode = "auto"
+      DeferredDeltaFiles.clearCache()
+    }
+  }
+
   test("ordered-index triggers read ONLY the buckets their range touches (block skipping)") {
     // r18 verdict #4: each trigger's admission/slice used to filter the
     // WHOLE persisted index — O(files) cached-block reads per micro-batch
