@@ -596,7 +596,10 @@ object ScaleCheck {
         "deferred points must stay ~flat 1M -> 10M. dryrun_sec includes " +
         "the distributed O(N) log parse on the deferred plane — executor " +
         "work that scales out on a real cluster; the decision-grade " +
-        "signal is the HEAP shape.")
+        "signal is the HEAP shape. The WALK wall-time bound (r18 verdict " +
+        "#3) is measured in listing_plane: this probe's synthetic table " +
+        "has no real data files, so its listing is trivial by " +
+        "construction — the listing cost needed a real file tree.")
       vp.set("points", vacuumPlane)
     }
     if (listingPlane.size() > 0) {
