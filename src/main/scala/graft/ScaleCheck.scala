@@ -973,8 +973,14 @@ object ScaleCheck {
         node.put("staged_sec", math.round((System.nanoTime() - tDist) / 1e6) / 1000.0)
         require(stagedSeen == nFiles, s"staged listing saw $stagedSeen of $nFiles")
       } finally stagedCleanup()
-    } catch { case e: java.io.IOException =>
-      node.put("skipped", s"filesystem refused the probe: ${e.getMessage}")
+    } catch {
+      // ENOSPC/inode exhaustion strikes INSIDE a Spark job (file creation
+      // and stagedListing's staging write both run as tasks), so it
+      // arrives wrapped in SparkException — match the cause chain, not
+      // the bare IOException (the DeltaMaintenance fallback's pattern)
+      case scala.util.control.NonFatal(e)
+          if graft.sources.delta.DeltaMaintenance.causeChainHasIo(e) =>
+        node.put("skipped", s"filesystem refused the probe: ${e.getMessage}")
     } finally cleanup()
     node
   }

@@ -1406,11 +1406,29 @@ object DeltaLog {
     new java.util.LinkedHashMap[(String, Long, Long, String), ConflictRange](
       8, 0.75f, /*accessOrder=*/ true)
   private val ConflictRangeMaxEntries = 4
-  // vars, test-only: DeltaConcurrencySuite shrinks them to force the
-  // oversized-range (cache-refusing) path and pin that one ATTEMPT still
-  // costs one parse (the sharedConflictRange memo, not the cache)
-  private[graft] var ConflictRangeCacheablePaths = 100000
-  private[graft] var ConflictRangeCacheableAdds = 4096
+  // Production bounds are fixed; the ONLY mutation path is the scoped
+  // test override below (DeltaConcurrencySuite shrinks them to force the
+  // oversized-range, cache-refusing path and pin that one ATTEMPT still
+  // costs one parse — the sharedConflictRange memo, not the cache).
+  @volatile private var conflictRangeCacheablePaths = 100000
+  @volatile private var conflictRangeCacheableAdds = 4096
+  private val conflictRangeBoundsLock = new Object
+
+  /** Test-scoped override of the conflict-range cacheability bounds:
+    * holds a lock for the body's duration (parallel suites serialize
+    * instead of racing a bare var) and restores the defaults in a
+    * finally, so no failure path leaks shrunken bounds into production
+    * code running in the same JVM. */
+  private[graft] def withConflictRangeBounds[T](paths: Int, adds: Int)(f: => T): T =
+    conflictRangeBoundsLock.synchronized {
+      val (p0, a0) = (conflictRangeCacheablePaths, conflictRangeCacheableAdds)
+      conflictRangeCacheablePaths = paths
+      conflictRangeCacheableAdds = adds
+      try f finally {
+        conflictRangeCacheablePaths = p0
+        conflictRangeCacheableAdds = a0
+      }
+    }
 
   /** One commit ATTEMPT's shared handle on its intervening range: both
     * incremental rules read through the same lazy parse, so an attempt
@@ -1502,8 +1520,8 @@ object DeltaLog {
           if (!blindAppend) nonBlind ++= adds.result()
         }
         val built = ConflictRange(paths.result(), nonBlind.result())
-        if (built.pathActions.size <= ConflictRangeCacheablePaths &&
-          built.nonBlindAdds.size <= ConflictRangeCacheableAdds)
+        if (built.pathActions.size <= conflictRangeCacheablePaths &&
+          built.nonBlindAdds.size <= conflictRangeCacheableAdds)
           conflictRangeCache.synchronized {
             conflictRangeCache.put(key, built)
             while (conflictRangeCache.size() > ConflictRangeMaxEntries)

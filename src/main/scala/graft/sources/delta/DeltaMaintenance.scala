@@ -803,8 +803,11 @@ object DeltaMaintenance {
 
   /** An IOException anywhere in the cause chain (Spark wraps executor
     * and job-submission failures in SparkException layers) — the signal
-    * the distributed-walk fallback keys on. */
-  private def causeChainHasIo(e: Throwable): Boolean = {
+    * the distributed-walk fallback keys on. Exposed package-wide because
+    * ScaleCheck's filesystem probes hit the same wrapped-exception
+    * pattern: an ENOSPC inside a Spark job arrives as SparkException,
+    * not as the bare IOException the probe's skip path documents. */
+  private[graft] def causeChainHasIo(e: Throwable): Boolean = {
     var c: Throwable = e
     var depth = 0
     while (c != null && depth < 20) {
@@ -984,14 +987,21 @@ object DeltaMaintenance {
       private def advance(): Unit = {
         nextRow = null
         while (nextRow == null && (current != null || openNext())) {
-          if (!current.hasNext) current = null
-          else {
-            val st = current.next()
-            if (st.isDirectory) pending.push(st.getPath)
-            else if (keep(st.getPath))
-              nextRow = (st.getPath.toUri.getPath, st.getPath.toString,
-                st.getModificationTime)
-          }
+          // the "vanished dir lists as empty" contract must also hold
+          // MID-pagination: object stores under concurrent maintenance
+          // can drop a directory between pages, surfacing FNF from
+          // hasNext/next on the open RemoteIterator — treat the rest of
+          // that directory as gone, same as a vanished open
+          try {
+            if (!current.hasNext) current = null
+            else {
+              val st = current.next()
+              if (st.isDirectory) pending.push(st.getPath)
+              else if (keep(st.getPath))
+                nextRow = (st.getPath.toUri.getPath, st.getPath.toString,
+                  st.getModificationTime)
+            }
+          } catch { case _: java.io.FileNotFoundException => current = null }
         }
       }
       advance()

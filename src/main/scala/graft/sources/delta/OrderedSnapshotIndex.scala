@@ -113,10 +113,22 @@ private[graft] object OrderedSnapshotIndex {
 
   /** Rows per final index bucket: small enough that a trigger's targeted
     * read is a bounded fraction of a 10M-file index (~150 buckets there),
-    * large enough that a small table stays in a handful of blocks. A var
-    * only as a test seam — the suite shrinks it to force a multi-bucket
-    * layout at test scale and pin which buckets a trigger touches. */
-  private[graft] var TargetRowsPerBucket = 65536L
+    * large enough that a small table stays in a handful of blocks.
+    * Mutation goes ONLY through the scoped test override below, which
+    * serializes suites and restores the default in a finally. */
+  @volatile private var TargetRowsPerBucket = 65536L
+  private val targetRowsLock = new Object
+
+  /** Test-scoped bucket-size override: suites shrink it to force a
+    * multi-bucket layout at test scale and pin which buckets a trigger
+    * touches. Lock-held for the body so parallel suites serialize; the
+    * default is restored on every exit path. */
+  private[graft] def withTargetRowsPerBucket[T](rows: Long)(f: => T): T =
+    targetRowsLock.synchronized {
+      val r0 = TargetRowsPerBucket
+      TargetRowsPerBucket = rows
+      try f finally TargetRowsPerBucket = r0
+    }
 
   private val MaxBuckets = 2048
 
@@ -309,6 +321,12 @@ private[graft] object OrderedSnapshotIndex {
           new OrderedSnapshotIndex(
             Some(new Plane(spark, df, rows, bucketSize, rowCount, lastCum, ip, cp)),
             rowCount)
+        } catch { case scala.util.control.NonFatal(e) =>
+          // a failed summary job or cross-check abandons the bucketed
+          // frame — release its DISK_ONLY cache too (only `parted` is in
+          // the finally; df's lifetime otherwise belongs to the Plane)
+          try df.unpersist(blocking = false) catch { case _: Exception => () }
+          throw e
         } finally {
           // the intermediate exchange is only needed until the final
           // layout is materialized; recomputes stay deterministic via the

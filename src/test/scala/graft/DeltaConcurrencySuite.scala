@@ -322,11 +322,7 @@ class DeltaConcurrencySuite extends AnyFunSuite {
     // shrinking the cacheable bounds to zero.
     val dir = partitionedTable()
     DeltaLog.DeferredScanMode = "always"
-    val (paths0, adds0) =
-      (DeltaLog.ConflictRangeCacheablePaths, DeltaLog.ConflictRangeCacheableAdds)
-    DeltaLog.ConflictRangeCacheablePaths = 0
-    DeltaLog.ConflictRangeCacheableAdds = 0
-    try {
+    try DeltaLog.withConflictRangeBounds(paths = 0, adds = 0) {
       val before = DeltaLog.conflictRangeParses.get()
       val m = DeltaDml.delete(spark, dir, "p = 1", beforeCommit = () => {
         DeltaWriter.write(Seq((101L, "late", 2)).toDF("id", "payload", "p"),
@@ -336,10 +332,6 @@ class DeltaConcurrencySuite extends AnyFunSuite {
       val parses = DeltaLog.conflictRangeParses.get() - before
       assert(parses === 1L,
         s"an uncacheable range must still parse ONCE per attempt (shared memo), got $parses")
-    } finally {
-      DeltaLog.DeferredScanMode = "auto"
-      DeltaLog.ConflictRangeCacheablePaths = paths0
-      DeltaLog.ConflictRangeCacheableAdds = adds0
-    }
+    } finally DeltaLog.DeferredScanMode = "auto"
   }
 }

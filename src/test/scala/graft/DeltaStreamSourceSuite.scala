@@ -219,9 +219,7 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
     DeltaWriter.write((1 to 12).map(i => (i, s"r$i")).toDF("id", "name")
       .repartition(6), dir, SaveMode.Append, Nil) // 6 live files
     DeltaLog.DeferredScanMode = "always"
-    val tgt0 = OrderedSnapshotIndex.TargetRowsPerBucket
-    OrderedSnapshotIndex.TargetRowsPerBucket = 2L // 6 files -> 3 buckets
-    try {
+    try OrderedSnapshotIndex.withTargetRowsPerBucket(2L) { // 6 files -> 3 buckets
       val (_, dOpt) = DeltaLog.scanSnapshot(spark, dir)
       val d = dOpt.getOrElse(fail("expected the deferred plane"))
       assert(d.orderedCount === 6L) // builds the index; count is summary-side
@@ -247,7 +245,6 @@ class DeltaStreamSourceSuite extends AnyFunSuite {
       assert(all.size === 6 && all === all.sorted,
         s"slices must serve the path-ordered live set, got $all")
     } finally {
-      OrderedSnapshotIndex.TargetRowsPerBucket = tgt0
       DeltaLog.DeferredScanMode = "auto"
       DeferredDeltaFiles.clearCache()
     }
