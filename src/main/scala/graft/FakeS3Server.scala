@@ -36,11 +36,22 @@ class FakeS3Server(accessKey: String, secretKey: String) {
   @volatile var multipartCompletions = 0 // observability for specs
   @volatile var bulkDeletes = 0
   @volatile var multipartAborts = 0
+  /** LIST request count — lets suites assert the sharded lister actually
+    * paid pages concurrently rather than re-walking the whole chain. */
+  val listPages = new java.util.concurrent.atomic.AtomicLong()
+  /** Per-LIST latency injection: localhost answers in ~0.1ms where real
+    * object stores take ~10-40ms per page, which is the entire reason a
+    * serial 10k-page chain hurts — probes set this to measure the
+    * sharded-vs-serial shape at honest round-trip costs. */
+  @volatile var listDelayMs = 0L
   private val faults = new java.util.concurrent.ConcurrentLinkedQueue[S3Fault]()
   private var server: HttpServer = _
 
   def port: Int = server.getAddress.getPort
   def keys: Set[String] = objects.keySet().asScala.toSet
+  /** Direct test seeding ("bucket/key") — listing-scale suites need tens
+    * of thousands of keys without paying one signed PUT each. */
+  def seed(key: String, bytes: Array[Byte]): Unit = objects.put(key, bytes)
   def get(key: String): Array[Byte] = objects.get(key)
   def activeUploads: Int = uploads.size()
   def injectFault(f: S3Fault): Unit = faults.add(f)
@@ -273,26 +284,57 @@ class FakeS3Server(accessKey: String, secretKey: String) {
   private def list(ex: HttpExchange, bucket: String, query: Map[String, String]): Unit = {
     val prefix = query.getOrElse("prefix", "")
     val delimiter = query.get("delimiter")
-    val all = objects.keySet().asScala.toSeq.sorted
+    // real ListObjectsV2 page semantics (needed by the sharded flat
+    // lister, which positions ranges via start-after): max-keys pages,
+    // continuation-token outranks start-after, NextContinuationToken is
+    // an opaque key-space position
+    val maxKeys = query.get("max-keys").map(_.toInt).getOrElse(1000)
+    val after = query.get("continuation-token").orElse(query.get("start-after"))
+    listPages.incrementAndGet()
+    if (listDelayMs > 0) Thread.sleep(listDelayMs)
+    val all0 = objects.keySet().asScala.toSeq.sorted
       .filter(_.startsWith(s"$bucket/$prefix"))
       .map(_.stripPrefix(s"$bucket/"))
-    val (objsOut, prefixesOut) = delimiter match {
-      case Some(d) =>
-        val (direct, deeper) = all.partition(k => !k.stripPrefix(prefix).contains(d))
-        (direct,
-          deeper.map(k => prefix + k.stripPrefix(prefix).takeWhile(_ != d.head) + d).distinct)
-      case None => (all, Nil)
+    val all = after match {
+      case Some(a) => all0.filter(_ > a)
+      case None => all0
     }
-    // keys containing '&'/'<' must be XML-escaped or the client's
-    // DocumentBuilder.parse fails on every listing of the prefix
+    // order-preserving grouping into direct objects + collapsed common
+    // prefixes, THEN the page cut — KeyCount covers both kinds, like S3.
+    // An entry's continuation position: its own key for an object; past
+    // the whole group for a prefix (resuming AT the prefix would re-list
+    // its members forever).
+    val entries = Vector.newBuilder[(String, String)] // (kind, key/prefix)
+    var lastPrefix = ""
+    all.foreach { k =>
+      val rel = k.stripPrefix(prefix)
+      delimiter match {
+        case Some(d) if rel.contains(d) =>
+          val p = prefix + rel.takeWhile(_ != d.head) + d
+          if (p != lastPrefix) { entries += (("p", p)); lastPrefix = p }
+        case _ => entries += (("o", k))
+      }
+    }
+    val allEntries = entries.result()
+    val page = allEntries.take(maxKeys)
+    val truncated = allEntries.size > maxKeys
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val xml = new StringBuilder("<?xml version=\"1.0\"?><ListBucketResult>")
-    objsOut.foreach { k =>
-      xml ++= s"<Contents><Key>${esc(k)}</Key><Size>${objects.get(s"$bucket/$k").length}</Size>" +
-        "<LastModified>2026-01-01T00:00:00Z</LastModified></Contents>"
+    page.foreach {
+      case ("o", k) =>
+        xml ++= s"<Contents><Key>${esc(k)}</Key><Size>${objects.get(s"$bucket/$k").length}</Size>" +
+          "<LastModified>2026-01-01T00:00:00Z</LastModified></Contents>"
+      case (_, p) =>
+        xml ++= s"<CommonPrefixes><Prefix>${esc(p)}</Prefix></CommonPrefixes>"
     }
-    prefixesOut.foreach(p => xml ++= s"<CommonPrefixes><Prefix>${esc(p)}</Prefix></CommonPrefixes>")
+    if (truncated) {
+      val token = page.last match {
+        case ("o", k) => k
+        case (_, p) => p + "￿"
+      }
+      xml ++= s"<NextContinuationToken>${esc(token)}</NextContinuationToken>"
+    }
     xml ++= "</ListBucketResult>"
     val bytes = xml.toString.getBytes(UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/xml")

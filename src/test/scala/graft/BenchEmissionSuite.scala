@@ -11,40 +11,48 @@ import org.scalatest.funsuite.AnyFunSuite
   * still carry one entry per registered query plus the sf1 summary. */
 class BenchEmissionSuite extends AnyFunSuite {
 
-  private def pass(spike: Boolean): Bench.Pass = {
+  /** realistic = the MEASURED r19 value distribution (124 of 161 queries
+    * under 1.0s → 1-digit deciseconds); pathological = every 13th query a
+    * 33s outlier, every value multi-digit — the shape that must degrade
+    * GRACEFULLY (sf1 map first, main map never). */
+  private def pass(pathological: Boolean): Bench.Pass = {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.zipWithIndex.map { case (n, i) =>
-      // realistic shape: mostly sub-second, a heavy tail, one outlier
       val v =
-        if (spike && i % 13 == 0) 33.3
-        else 0.9 + (i % 7) * 1.3
+        if (pathological) { if (i % 13 == 0) 33.3 else 0.9 + (i % 7) * 1.3 }
+        else if (i % 4 == 0) 1.0 + (i % 25) * 0.12
+        else 0.15 + (i % 8) * 0.09
       (n, v, 1.2)
     }
     Bench.Pass(results, 3, "/root/testdata/sf0.1", 0.151, 0.192, 1.272)
   }
 
-  private def sf1Extra(top: Int): String = {
-    if (top < 0) return """"sf1":{"anchor_polluted":true,"total":48.094},"""
-    val qs =
-      if (top <= 0) ""
-      else Seq("dd02" -> 4.22, "dd12" -> 10.26, "pp01" -> 7.79,
-        "dd03" -> 5.65, "ss07" -> 4.91, "dd10" -> 4.29).take(top)
-        .map { case (k, v) => "\"" + k + "\":" + Bench.ms(v) }
-        .mkString(""","queries":{""", ",", "}")
-    s""""sf1":{"anchor_polluted":true,"total":48.094,"anchor_spread":1.410,"reps":2$qs},"""
+  // the PRODUCTION sf1 renderer (not a re-implementation that could
+  // drift), fed every headliner (keyed exactly as line 2 keys them —
+  // family prefix), both pollution markers live, and a q_polluted stamp
+  private def sf1Summary(pathological: Boolean): Bench.Sf1Summary = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val qs = Bench.Sf1Headline.zipWithIndex.map { case (prefix, i) =>
+      val full = names.find(_.startsWith(prefix)).getOrElse(
+        fail(s"no registered query with headline prefix $prefix"))
+      full.takeWhile(_ != '_') ->
+        (if (pathological || i == 0) 20.342 else 2.0 + i * 0.7)
+    }
+    Bench.Sf1Summary(total = 159.094, aSpread = 1.483, reps = 2,
+      polluted = true, qPolluted = Seq("dd12"), qs = qs)
   }
 
-  // the production composition, WORST CASE for the budget: the compact
-  // pollution marker (r19 — the final line carries only the load-bearing
-  // "anchor_polluted"; retry counts stay on the full-precision line 1)
-  // + plane fields ride EVERY candidate rung
-  private def extraWithPlane(top: Int): String =
-    """"anchor_polluted":true,""" +
-      Bench.planeExtra(Bench.defaultCpus) + sf1Extra(top)
+  // the production composition, worst case for the budget: the compact
+  // pollution marker + the adaptive-rep counter (r20 — both load-bearing
+  // on the final line) + plane fields ride EVERY candidate rung
+  private def extraWithPlane(pathological: Boolean)(mode: Int): String =
+    """"extra_reps":9,"anchor_polluted":true,""" +
+      Bench.planeExtra(Bench.defaultCpus) +
+      Bench.sf1ExtraFor(Some(sf1Summary(pathological)), "unused")(mode)
 
   test("final line fits the tail budget and keeps EVERY per-query value") {
-    Seq(true, false).foreach { spike =>
-      val line = Bench.finalLine(pass(spike), extraWithPlane)
+    Seq(true, false).foreach { pathological =>
+      val line = Bench.finalLine(pass(pathological), extraWithPlane(pathological))
       assert(line.length <= Bench.TailBudget,
         s"final line is ${line.length} chars (budget ${Bench.TailBudget})")
       val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
@@ -54,6 +62,10 @@ class BenchEmissionSuite extends AnyFunSuite {
           "denser encoding exists")
       if (n.has("queries_ds")) assert(n.path("q_unit").asText() === "ds")
       assert(n.path("sf1").path("total").asDouble() > 0, "sf1 summary embedded")
+      // r19 verdict #1: a per-query pollution stamp is load-bearing and
+      // must survive EVERY winning rung, realistic or pathological
+      assert(n.path("sf1").path("q_polluted").elements().next().asText()
+        === "dd12")
       assert(n.path("anchor_spread").asDouble() > 0)
       assert(n.path("value").asDouble() > 0)
       // plane fields (r16 verdict #1): every number names its plane
@@ -62,9 +74,39 @@ class BenchEmissionSuite extends AnyFunSuite {
     }
   }
 
+  test("all 14 sf1 headliners survive to the final line at the measured shape") {
+    // r19 verdict #2: the old top-6 seconds map left 8 of 14 headliner
+    // values unrecorded. At the distribution the real record measures
+    // (r19: 124 of 161 queries 1-digit ds), the sf1_ds rung must fit —
+    // the per-query 1.5x done-bar is undecidable for a dropped value.
+    val line = Bench.finalLine(pass(pathological = false),
+      extraWithPlane(pathological = false))
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    val sf1Count = math.max(
+      n.path("sf1").path("queries").size(), n.path("sf1_ds").size())
+    assert(sf1Count === Bench.Sf1Headline.size,
+      s"got $sf1Count of ${Bench.Sf1Headline.size} sf1 headliners in: " +
+        line.takeRight(400))
+    // degradation order under the pathological shape: sf1 values may
+    // compress away, but the main map and the pollution stamps never
+    val worst = Bench.finalLine(pass(pathological = true),
+      extraWithPlane(pathological = true))
+    val w = new com.fasterxml.jackson.databind.ObjectMapper().readTree(worst)
+    assert(math.max(w.path("queries").size(), w.path("queries_ds").size())
+      === SparkEntry.queries.size)
+    assert(w.path("sf1").path("q_polluted").size() === 1)
+  }
+
+  test("the skip marker scrubs control chars and quotes from the reason") {
+    val frag = Bench.sf1ExtraFor(None, "boom\t\"quoted\"\nline")(2)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("{" + frag.stripSuffix(",") + "}")
+    assert(n.path("sf1").path("skipped").asText() === "boom 'quoted' line")
+  }
+
   test("a skipped sf1 anchor is an explicit marker, never a missing key") {
     val skipExtra = Bench.planeExtra("32") + """"sf1":{"skipped":"disabled"},"""
-    val line = Bench.finalLine(pass(spike = false), _ => skipExtra)
+    val line = Bench.finalLine(pass(pathological = false), _ => skipExtra)
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     assert(n.path("sf1").path("skipped").asText() === "disabled")
   }

@@ -548,4 +548,62 @@ class S3StoreSuite extends AnyFunSuite {
       }
     }
   }
+
+  test("stagedListing over s3:// takes the SHARDED flat plane and stays exact") {
+    import spark.implicits._
+    withS3 { (server, table) =>
+      import graft.sources.delta.DeltaMaintenance
+      // partitioned layout + enough files that the listing crosses a
+      // page boundary: the sharded plane must see exactly the parquet
+      // set the log knows, never a _delta_log artifact
+      DeltaTable.write(
+        (0 until 2200).map(i => (i.toLong, s"p${i % 4}")).toDF("id", "k")
+          .repartition(8), table, SaveMode.Append, partitionBy = Seq("k"))
+      val expected = server.keys.count(k =>
+        k.contains(new Path(table).toUri.getPath.stripPrefix("/") + "/") &&
+          k.endsWith(".parquet") && !k.contains("_delta_log"))
+      server.listPages.set(0)
+      val (frameOpt, cleanup) = DeltaMaintenance.stagedListing(
+        spark, table, (p: Path) => p.getName.endsWith(".parquet"))
+      try {
+        val frame = frameOpt.getOrElse(fail("expected staged rows"))
+        val got = frame.select("path").as[String].collect().toSeq
+        assert(got.size === expected && got.distinct.size === got.size,
+          s"sharded staged listing must be exactly-once: $expected files, " +
+            s"got ${got.size} (${got.size - got.distinct.size} dupes)")
+        assert(got.forall(!_.contains("_delta_log")),
+          "flat-mode listing must predicate-exclude the log dir")
+        assert(server.listPages.get() > 0, "took the store's LIST plane")
+      } finally cleanup()
+    }
+  }
+
+  test("vacuum DRY RUN over s3:// agrees with the log through the sharded plane") {
+    import spark.implicits._
+    withS3 { (server, table) =>
+      import graft.sources.delta.{DeltaMaintenance, DeltaDml}
+      DeltaTable.write((0 until 40).map(i => (i.toLong, i % 2)).toDF("id", "p")
+        .repartition(4), table, SaveMode.Append, partitionBy = Seq("p"))
+      DeltaDml.delete(spark, table, "p = 0") // tombstones half the adds
+      val eligible = Seq.newBuilder[String]
+      // retention 0ms with negative horizon => everything tombstoned or
+      // orphaned is eligible immediately
+      DeltaMaintenance.vacuumWalk(spark, table, -60000L) { p =>
+        eligible += p.toUri.getPath
+      }
+      val got = eligible.result()
+      assert(got.nonEmpty, "the rewritten partition's old files are eligible")
+      assert(got.forall(!_.contains("_delta_log")))
+      // parity: eligible ∪ live == every parquet object the store holds
+      val live = graft.sources.delta.DeltaLog.snapshot(spark, table).files
+        .map(f => new Path(table, f.path).toUri.getPath).toSet
+      val tableRel = new Path(table).toUri.getPath.stripPrefix("/")
+      val stored = server.keys.filter(k =>
+        k.endsWith(".parquet") && !k.contains("_delta_log") &&
+          k.startsWith(s"bucket/$tableRel/"))
+        .map(k => "/" + k.stripPrefix("bucket/"))
+      assert(got.toSet ++ live === stored,
+        "eligible + live must partition the stored parquet set")
+    }
+  }
 }
