@@ -355,14 +355,11 @@ object Bench {
     val diag =
       if (compactHeader) ""
       else s""""unit":"sec","spread_med":${ms(spreadMed)},"anchor_min":${ms(p.aMin)},"anchor_max":${ms(p.aMax)},"""
-    // compact trims that lose NOTHING load-bearing: "failed":0 is the
-    // healthy constant (any nonzero count always rides — it's what flags
-    // a crashed query); a total's sub-decisecond digits are run noise at
-    // 100+ second scale (the full-precision value stays on line 1)
-    val failedPart =
-      if (compactHeader && failed == 0) "" else s""""failed":$failed,"""
+    // compact total at 1 decimal: sub-decisecond digits are run noise at
+    // 100+ second scale (the full-precision value stays on line 1).
+    // "failed" rides EVERY rung — a crash count must never be absent.
     val totalStr = if (compactHeader) ms1(total) else ms(total)
-    s"""{"metric":"total","value":$totalStr,$failedPart"reps":${p.reps},"spread_max":${ms(spreadMax)},"spread_max_q":"$spreadQ",$diag"anchor_spread":${ms(p.aSpread)},$qsFragment$extra"sf":"${p.sfDir}"}"""
+    s"""{"metric":"total","value":$totalStr,"failed":$failed,"reps":${p.reps},"spread_max":${ms(spreadMax)},"spread_max_q":"$spreadQ",$diag"anchor_spread":${ms(p.aSpread)},$qsFragment$extra"sf":"${p.sfDir}"}"""
   }
 
   def main(args: Array[String]): Unit = {
