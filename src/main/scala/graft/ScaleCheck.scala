@@ -860,7 +860,7 @@ object ScaleCheck {
     * table-relative path of add #`targetIdx` so the DML probe can
     * materialize that ONE data file for real (the find scan must be able
     * to execute; every other add stays metadata-only). */
-  private def writeSyntheticLogWithTarget(
+  private[graft] def writeSyntheticLogWithTarget(
       nFiles: Int, targetIdx: Int, cdf: Boolean = false): (String, Option[String]) = {
     val perCommit = SyntheticPerCommit
     val dir = java.nio.file.Files.createTempDirectory("graft-scale-replay").toString
@@ -869,7 +869,12 @@ object ScaleCheck {
       if (cdf) """{"delta.enableChangeDataFeed":"true"}""" else "{}"
     val w0 = new java.io.PrintWriter(s"$dir/_delta_log/00000000000000000000.json")
     w0.println("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-    w0.println(s"""{"metaData":{"id":"scale-probe","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"double\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":$conf}}""")
+    // raw interpolator, NOT s: a triple-quoted string stops being
+    // escape-free the moment an interpolator is attached (StringContext.s
+    // runs processEscapes), so under s"" every \" in the embedded
+    // schemaString would collapse to a bare quote and corrupt the JSON —
+    // the same interpolator trap as the f"" note below
+    w0.println(raw"""{"metaData":{"id":"scale-probe","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"double\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":$conf}}""")
     w0.close()
     var targetPath: Option[String] = None
     (0 until math.max(1, (nFiles + perCommit - 1) / perCommit)).foreach { c =>
