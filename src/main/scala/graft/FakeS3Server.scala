@@ -30,7 +30,15 @@ case class S3Fault(method: String, pathContains: String, code: Int,
   * reference validates against MinIO (`/root/reference/tests/store.rs:20-70`,
   * `src/object_store.rs:42-47`). */
 class FakeS3Server(accessKey: String, secretKey: String) {
-  private val objects = new ConcurrentHashMap[String, Array[Byte]]() // "bucket/key" -> bytes
+  // "bucket/key" -> bytes. A SORTED concurrent map, not a hash map: LIST
+  // pages are tail-iterations from a key-space position, so each page
+  // costs O(page), never an O(N log N) sort of the whole store — at 200k
+  // keys the per-page sort was ~200ms of server CPU, drowning the
+  // injected page latency the listing probes measure (and serializing
+  // the sharded lister's concurrent pages behind server-side work the
+  // real service doesn't do).
+  private val objects =
+    new java.util.concurrent.ConcurrentSkipListMap[String, Array[Byte]]()
   private val uploads = // uploadId -> (path, partNumber -> bytes)
     new ConcurrentHashMap[String, (String, ConcurrentHashMap[Int, Array[Byte]])]()
   @volatile var multipartCompletions = 0 // observability for specs
@@ -79,6 +87,16 @@ class FakeS3Server(accessKey: String, secretKey: String) {
           ex.sendResponseHeaders(500, -1); ex.close()
         }
     })
+    // a real thread pool, NOT the default null executor (= the accept
+    // thread serving every request serially): the sharded flat lister
+    // issues up to 16 concurrent LIST pages, and with a serial server
+    // they'd queue behind each other's injected page delay — the probe
+    // would measure the fake's accept loop, not the sharding
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "fake-s3-handler")
+      t.setDaemon(true)
+      t
+    }))
     server.start()
   }
   def stop(): Unit = server.stop(0)
@@ -292,27 +310,38 @@ class FakeS3Server(accessKey: String, secretKey: String) {
     val after = query.get("continuation-token").orElse(query.get("start-after"))
     listPages.incrementAndGet()
     if (listDelayMs > 0) Thread.sleep(listDelayMs)
-    val all0 = objects.keySet().asScala.toSeq.sorted
-      .filter(_.startsWith(s"$bucket/$prefix"))
-      .map(_.stripPrefix(s"$bucket/"))
-    val all = after match {
-      case Some(a) => all0.filter(_ > a)
-      case None => all0
+    // STREAMED page build over the sorted map's tail view: start at the
+    // later of (prefix, after) in key order, group/collapse as entries
+    // arrive (prefix-sharing keys are consecutive under the sort), and
+    // stop at the first non-matching key or at maxKeys+1 entries — so a
+    // page costs O(page), independent of store size. Order-preserving
+    // grouping into direct objects + collapsed common prefixes, THEN the
+    // page cut — KeyCount covers both kinds, like S3. An entry's
+    // continuation position: its own key for an object; past the whole
+    // group for a prefix (resuming AT the prefix would re-list its
+    // members forever).
+    val prefixFull = s"$bucket/$prefix"
+    val fromTail = after.map(a => s"$bucket/$a") match {
+      case Some(fa) if fa >= prefixFull => objects.keySet().tailSet(fa, false)
+      case _ => objects.keySet().tailSet(prefixFull, true)
     }
-    // order-preserving grouping into direct objects + collapsed common
-    // prefixes, THEN the page cut — KeyCount covers both kinds, like S3.
-    // An entry's continuation position: its own key for an object; past
-    // the whole group for a prefix (resuming AT the prefix would re-list
-    // its members forever).
     val entries = Vector.newBuilder[(String, String)] // (kind, key/prefix)
+    var nEntries = 0
     var lastPrefix = ""
-    all.foreach { k =>
-      val rel = k.stripPrefix(prefix)
-      delimiter match {
-        case Some(d) if rel.contains(d) =>
-          val p = prefix + rel.takeWhile(_ != d.head) + d
-          if (p != lastPrefix) { entries += (("p", p)); lastPrefix = p }
-        case _ => entries += (("o", k))
+    val it = fromTail.iterator()
+    var scanning = true
+    while (scanning && it.hasNext && nEntries <= maxKeys) {
+      val full = it.next()
+      if (!full.startsWith(prefixFull)) scanning = false
+      else {
+        val k = full.stripPrefix(s"$bucket/")
+        val rel = k.stripPrefix(prefix)
+        delimiter match {
+          case Some(d) if rel.contains(d) =>
+            val p = prefix + rel.takeWhile(_ != d.head) + d
+            if (p != lastPrefix) { entries += (("p", p)); nEntries += 1; lastPrefix = p }
+          case _ => entries += (("o", k)); nEntries += 1
+        }
       }
     }
     val allEntries = entries.result()

@@ -77,13 +77,24 @@ class DeltaStreamingSource(
     * batch CDF surface, [[DeltaCdf.read]]) — without this gate the
     * initial-snapshot branch silently serves a first batch of synthetic
     * 'insert' rows and the stream only errors on a later batch when
-    * [[DeltaCdf.read]] hits a commit without change actions. */
+    * [[DeltaCdf.read]] hits a commit without change actions.
+    *
+    * Checked ONCE per source: the gate is an upfront-error contract, and
+    * [[DeltaCdf.read]] independently enforces enablement over every
+    * version range a later batch actually reads (a mid-stream disable
+    * still fails, at the batch that crosses it). Re-running the
+    * metadata replay per trigger made every CDF `latestOffset` O(log) —
+    * 31s/trigger at 10M adds where the plain source's admission is
+    * driver arithmetic (r19 verdict #7's probe caught it). */
+  @volatile private var cdfGatePassed = false
   private def requireCdfEnabled(): Unit = {
+    if (cdfGatePassed) return
     // metadata-only: the gate never needs the live set
     val meta = DeltaLog.metadataSnapshot(spark, path).metadata
     require(DeltaCdf.enabled(meta),
       s"$path: change data feed is not enabled (set ${DeltaCdf.EnableKey}=true); " +
       "a readChangeFeed stream needs CDF on the table")
+    cdfGatePassed = true
   }
 
   /** `startingVersion = Some(0)` and "no startingVersion" both make
@@ -306,14 +317,23 @@ class DeltaStreamingSource(
     Some(LongOffset(DeltaLog.latestVersion(spark, path)))
 
   /** Commit timestamp of `to` for synthetic initial-snapshot CDF rows:
-    * ICT when enabled, else the commit file's mtime. */
-  private def commitTs(to: Long): java.sql.Timestamp = {
-    val ts = InCommitTimestamps.readIct(spark, path, to).getOrElse {
-      DeltaLog.listLog(spark, path)._1
-        .collectFirst { case (v, st) if v == to => st.getModificationTime }
-        .getOrElse(System.currentTimeMillis())
-    }
-    new java.sql.Timestamp(ts)
+    * ICT when enabled, else the commit file's mtime. Memoized per
+    * version (one entry suffices — every slice of a paced drain shares
+    * the pinned snapshot version): the fallback lists the log, and a
+    * 10k-batch drain re-listing a 10k-commit log per batch is a
+    * quadratic getBatch plane. */
+  @volatile private var commitTsMemo: Option[(Long, java.sql.Timestamp)] = None
+  private def commitTs(to: Long): java.sql.Timestamp = commitTsMemo match {
+    case Some((v, ts)) if v == to => ts
+    case _ =>
+      val ts = InCommitTimestamps.readIct(spark, path, to).getOrElse {
+        DeltaLog.listLog(spark, path)._1
+          .collectFirst { case (v, st) if v == to => st.getModificationTime }
+          .getOrElse(System.currentTimeMillis())
+      }
+      val stamped = new java.sql.Timestamp(ts)
+      commitTsMemo = Some((to, stamped))
+      stamped
   }
 
   /** Read files [i, j) of the pinned snapshot `ver` — the provider's own
