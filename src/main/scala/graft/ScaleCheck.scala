@@ -155,8 +155,11 @@ object ScaleCheck {
       listingPlane.add(listingPlaneProbe(spark, 10000000))
       // the r19-stated residual: ONE flat prefix's page chain is serial
       // through the Hadoop FS API, but the first-party store owns its
-      // LIST protocol and shards it (r19 verdict #5)
-      listingPlane.add(s3ListingPlaneProbe(200000))
+      // LIST protocol and shards it (r19 verdict #5). 600 pages: the
+      // speedup is latency-bound (serial wall ≈ pages × delay), so a
+      // longer chain shows the sharding's real shape — at 200 pages the
+      // fixed split ramp-up ate half the win
+      listingPlane.add(s3ListingPlaneProbe(600000))
     }
 
     // ---- stage 3d: streaming initial-snapshot pacing plane at 1M and 10M
