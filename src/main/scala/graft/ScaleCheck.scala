@@ -410,7 +410,15 @@ object ScaleCheck {
             .foreach(json => stageAttempts += ((name, res.anchor, json)))
           res
         }
-        var results = Bench.Sf1Headline.map { prefix =>
+        // SPARK_GRAFT_SF1_ONLY: comma-separated headliner-prefix filter
+        // for targeted stage-breakdown captures (e.g. recording dd12's
+        // breakdown under a deliberate antagonist without re-measuring
+        // all 14 comparables). A filtered run's sf1_isolated node is
+        // PARTIAL — merge only its sf1_stage_breakdown attempts.
+        val sf1Only = sys.env.get("SPARK_GRAFT_SF1_ONLY").map(_.split(',').toSeq)
+        val headliners = Bench.Sf1Headline.filter(p =>
+          sf1Only.forall(_.exists(p.startsWith)))
+        var results = headliners.map { prefix =>
           runChild(all.find(_.startsWith(prefix)).getOrElse(
             sys.error(s"no registered query with prefix $prefix")))
         }
