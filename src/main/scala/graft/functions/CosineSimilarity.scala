@@ -163,6 +163,10 @@ object GraftFunctions {
       require(exprs.length == 1, s"hp_bucket8 expects 1 argument, got ${exprs.length}")
       HyperplaneBucket(exprs.head)
     },
+    "pq_encode" -> { exprs =>
+      require(exprs.length == 2, s"pq_encode expects 2 arguments, got ${exprs.length}")
+      PqEncode(exprs.head, exprs(1))
+    },
     "byte_ngram_hashes" -> { exprs =>
       require(exprs.length == 2 || exprs.length == 3,
         s"byte_ngram_hashes expects 2 or 3 arguments, got ${exprs.length}")

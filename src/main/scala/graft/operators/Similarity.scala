@@ -481,9 +481,17 @@ object Similarity {
   /** The PQ index shared by ss07/ss10: per-vector subspace codes (c0..c7)
     * plus the [code][sub][dim] codebook and per-(code, sub) norm literals
     * (tiny trained artifacts, broadcast as plan literals — the honest
-    * production shape). Encoding is L2-nearest code per subspace via
-    * broadcast seeds + map-side partial argmin (the dd10/ss03 assignment
-    * shape). */
+    * production shape). Encoding is L2-nearest code per subspace AGAINST
+    * THE LITERAL CODEBOOK: one codegen'd projection per row
+    * (array_min over 16 (d2, code) structs per subspace — the same
+    * lexicographic (d2 asc, code asc) ordering as the min(struct(...))
+    * aggregate it replaces, over the same left-assoc d2 chains with the
+    * same float→double widening, so codes are bit-identical). The
+    * earlier formulation joined broadcast(seeds) (16× row inflation) and
+    * argmin'd with a groupBy — one broadcast build + one hash-aggregate
+    * EXCHANGE of every corpus row that a 16-entry literal table never
+    * needed (guide §2.4: remove shuffles outright). At 100 TB the encode
+    * pass becomes embarrassingly parallel map work with zero network. */
   private def pqIndex(v: DataFrame): (DataFrame, org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     // deterministic hash-sampled codebook seeds; code = 1..16 by (h, vec_id)
     val seeds = v
@@ -503,20 +511,17 @@ object Similarity {
     // the oracle uses
     val cbNorm: Seq[Seq[Double]] =
       cb.map(_.map(subv => subv.map(x => x * x).reduceLeft(_ + _)))
-    def d2(sub: Int): org.apache.spark.sql.Column =
-      (1 to 8).map { j =>
-        val d = elemD(col("e"), sub, j) - elemD(col("ce"), sub, j)
-        d * d
-      }.reduceLeft(_ + _)
-    val paired = v.join(broadcast(seeds))
-    val withD2 = (0 until 8).foldLeft(paired) { (df, sub) =>
-      df.withColumn(s"d2_$sub", d2(sub))
-    }
-    val codes = withD2.groupBy(col("vec_id"))
-      .agg(
-        min(struct(col("d2_0"), col("code"))).as("m0"),
-        (1 until 8).map(sub => min(struct(col(s"d2_$sub"), col("code"))).as(s"m$sub")): _*)
-      .select(col("vec_id") +: (0 until 8).map(sub => col(s"m$sub.code").as(s"c$sub")): _*)
+    // native pq_encode: the argmin per subspace against the literal
+    // codebook as three small loops (the unrolled declarative argmin —
+    // 8 subs × 16 codes × 8-term chains — overflowed janino's 64 KB
+    // method limit once fused into a codegen span and collapsed the
+    // stage to interpreted eval; PqEncodeSuite pins bit-identity to that
+    // declarative form). element_at on the pq attribute is a cheap
+    // extraction; the encode itself is one projection, computed once.
+    val codes = v
+      .withColumn("pq", call_function("pq_encode", col("e"), typedLit(cb)))
+      .select(col("vec_id") +:
+        (0 until 8).map(sub => element_at(col("pq"), sub + 1).as(s"c$sub")): _*)
     (codes, typedLit(cb), typedLit(cbNorm))
   }
 

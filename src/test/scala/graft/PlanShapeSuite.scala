@@ -219,12 +219,18 @@ class PlanShapeSuite extends AnyFunSuite {
       s"the 1-row total must broadcast, never cartesian:\n$p")
   }
 
-  test("ss07: PQ encoding argmin aggregates map-side; ADC scoring never cartesians") {
+  test("ss07: PQ encoding is a shuffle-free native projection; ADC scoring never cartesians") {
     val p = finalPlanOf("ss07_pq_adc")
-    // per-subspace code assignment must collapse the N×16 seed fan-out
-    // map-side (partial min-struct), like every assignment in the module
-    assert(p.contains("partial_min(struct"),
-      s"expected map-side partial argmin code assignment in:\n$p")
+    // r21: per-subspace code assignment is the native pq_encode projection
+    // against the literal codebook — NO seed join, NO argmin aggregate, NO
+    // exchange anywhere in the encode (the r13-r20 form joined
+    // broadcast(seeds) and collapsed N×16 rows with a partial min-struct
+    // aggregate: one broadcast build + one hash exchange of every corpus
+    // row that a 16-entry literal table never needed)
+    assert(p.contains("pq_encode"),
+      s"expected the native pq_encode projection in:\n$p")
+    assert(!p.contains("partial_min(struct"),
+      s"the encode argmin aggregate should be gone (native projection):\n$p")
     assert(!p.contains("CartesianProduct"), "PQ scoring must never cartesian")
     // scoring reads CODES, not embeddings: the corpus-side embedding column
     // must not survive into the scoring join
