@@ -641,10 +641,24 @@ object Dedup {
           / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 4) >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     val lsh = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val hit = truth.join(lsh, Seq("doc_a", "doc_b"))
-    truth.agg(count(lit(1)).as("n_true")).crossJoin(
-        lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    // all three counts from ONE pass over each side: a FULL OUTER join of
+    // the two (unique-keyed) pair sets with presence markers, then one
+    // aggregate — n_true = rows with a truth marker, n_lsh = rows with an
+    // lsh marker, n_hit = rows with both. The earlier form ran
+    // truth.agg × lsh.agg × hit-join.agg as three cross-joined subplans,
+    // and ReuseExchange could NOT dedupe them (column pruning under each
+    // count() canonicalizes the subtrees differently), so the whole
+    // capped-pair machinery — including the million-row pair-count
+    // exchange — executed TWICE per side (measured in the r21 AQE-final
+    // plan; guide §2.4: remove shuffles outright). Counts are identical
+    // by construction: both sides are distinct on (doc_a, doc_b).
+    val marked = truth.withColumn("t", lit(1))
+      .join(lsh.withColumn("l", lit(1)), Seq("doc_a", "doc_b"), "full")
+    marked
+      .agg(
+        count(col("t")).as("n_true"),
+        count(col("l")).as("n_lsh"),
+        count(when(col("t").isNotNull && col("l").isNotNull, lit(1))).as("n_hit"))
       .select(
         col("n_true"), col("n_lsh"), col("n_hit"),
         (floor(col("n_hit").cast("double")

@@ -238,6 +238,20 @@ class PlanShapeSuite extends AnyFunSuite {
       s"expected the 5-query side broadcast in:\n$p")
   }
 
+  test("dd12: quality counts come from ONE full-outer marker join per side") {
+    // r21: n_true/n_lsh/n_hit derive from a single FULL OUTER join of the
+    // truth and lsh pair sets with presence markers — each side's pair
+    // machinery executes once. The earlier cross-joined count subplans
+    // re-executed the whole capped-pair pipeline per count (ReuseExchange
+    // cannot dedupe them: column pruning under each count() canonicalizes
+    // the subtrees differently).
+    val p = finalPlanOf("dd12_lsh_quality")
+    assert(p.contains("FullOuter"),
+      s"expected the single full-outer marker join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin Cross"),
+      s"cross-joined 1-row count subplans should be gone:\n$p")
+  }
+
   test("dd11: substring dedup joins keyed on the shingle, islands window per-doc") {
     val p = finalPlanOf("dd11_substring_dedup")
     // the duplicated-shingle set joins BACK on the shingle text — a keyed
