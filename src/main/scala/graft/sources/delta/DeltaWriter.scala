@@ -743,7 +743,12 @@ object DeltaWriter {
 
   /** One distributed scan over the just-written files: per file (group key =
     * input_file_name) count + min/max/nullCount per supported column. */
-  private[delta] def collectFileStats(
+  /** Test seams: files whose add-action stats came from parquet footers
+    * vs the fallback distributed scan (FooterStatsSuite pins the split). */
+  private[graft] val footerStatsServed = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val scanStatsServed = new java.util.concurrent.atomic.AtomicLong
+
+  private[graft] def collectFileStats(
       spark: SparkSession,
       files: Seq[String],
       dataSchema: StructType,
@@ -756,6 +761,76 @@ object DeltaWriter {
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(32)
     val indexed = if (limit < 0) dataSchema.fields else dataSchema.fields.take(limit)
     val statable = indexed.filter(f => isStatsType(f.dataType))
+
+    // ---- primary path: aggregate the stats the parquet writer already
+    // recorded per row group (FooterStats scaladoc: exactness contract,
+    // per-file fallback). The scan below — a SECOND full read of every
+    // just-written byte — now runs only for files the footers cannot
+    // serve bit-exactly (guide §1.2: don't recompute what you have).
+    // Footer reads are O(files) metadata I/O, the same class as the
+    // publish loop's per-file renames directly above this call on the
+    // write path; beyond `footerDriverMax` they run as one executor job
+    // (no exchange) instead of the driver pool.
+    val footersOn =
+      spark.conf.getOption("spark.graft.stats.footers").forall(_ != "off")
+    val driverMax = spark.conf.getOption("spark.graft.stats.footerDriverMax")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(1024)
+    val statableSeq: Seq[StructField] = statable.toSeq
+    val footerOf: Map[String, FooterStats.FileStats] =
+      if (!footersOn || files.isEmpty) Map.empty
+      else if (files.size <= driverMax) {
+        val hconf = spark.sessionState.newHadoopConf()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, math.max(1, files.size)))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: java.util.List[java.util.concurrent.Callable[
+            (String, Option[FooterStats.FileStats])]] =
+            files.map { f =>
+              new java.util.concurrent.Callable[(String, Option[FooterStats.FileStats])] {
+                override def call() = f -> FooterStats.tryExtract(hconf, f, statableSeq)
+              }
+            }.asJava
+          pool.invokeAll(tasks).asScala
+            .flatMap { fut => val (f, r) = fut.get(); r.map(f -> _) }.toMap
+        } finally pool.shutdownNow()
+      } else {
+        val sconf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        spark.sparkContext
+          .parallelize(files, math.max(1, math.min(files.size, 64)))
+          .map(f => f -> FooterStats.tryExtract(sconf.value, f, statableSeq))
+          .collect().collect { case (f, Some(r)) => f -> r }.toMap
+      }
+    val needScan = files.filterNot(footerOf.contains)
+    footerStatsServed.addAndGet(footerOf.size)
+    scanStatsServed.addAndGet(needScan.size)
+    val fromFooters: Map[String, ObjectNode] = footerOf.map { case (f, r) =>
+      val node = mapper.createObjectNode()
+      node.put("numRecords", r.numRecords)
+      val mins = node.putObject("minValues")
+      val maxs = node.putObject("maxValues")
+      val nulls = node.putObject("nullCount")
+      if (r.numRecords > 0L) statable.foreach { fld =>
+        val (mn, mx, nc) = r.cols(fld.name)
+        putStatValue(mins, fld, mn)
+        putStatValue(maxs, fld, mx)
+        nulls.put(fld.name, nc)
+      }
+      f -> node
+    }
+    if (needScan.isEmpty) return files.map(f => f -> fromFooters(f)).toMap
+    fromFooters ++ scanFileStats(spark, needScan, dataSchema, statable)
+  }
+
+  /** The original distributed-aggregate stats pass — now the per-file
+    * fallback behind [[FooterStats]] (and the reference semantics its
+    * parity suite compares against). */
+  private[graft] def scanFileStats(
+      spark: SparkSession,
+      files: Seq[String],
+      dataSchema: StructType,
+      statable: Array[StructField]): Map[String, ObjectNode] = {
     val df = spark.read.schema(dataSchema).parquet(files: _*)
     val aggs =
       statable.flatMap { f =>
