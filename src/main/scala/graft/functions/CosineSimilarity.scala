@@ -167,6 +167,35 @@ object GraftFunctions {
       require(exprs.length == 2, s"pq_encode expects 2 arguments, got ${exprs.length}")
       PqEncode(exprs.head, exprs(1))
     },
+    "pq_adc_sim" -> { exprs =>
+      require(exprs.length == 5, s"pq_adc_sim expects 5 arguments, got ${exprs.length}")
+      // the codebook/norm literals are consumed at BUILD time into the
+      // opaque flattened holder — they must never live on as plan-tree
+      // literal nodes (every AQE plan print would stringify them; see
+      // PqPlanLiterals)
+      def litArray(e: Expression, what: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+        require(e.resolved && e.foldable, s"pq_adc_sim: $what must be a foldable literal")
+        e.eval(null) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+          case other => throw new IllegalArgumentException(
+            s"pq_adc_sim: $what must be an array literal, got $other")
+        }
+      }
+      val cbRoot = litArray(exprs(3), "codebook")
+      val cb: Seq[Seq[Seq[Double]]] = (0 until cbRoot.numElements()).map { c =>
+        val subs = cbRoot.getArray(c)
+        (0 until subs.numElements()).map { s =>
+          val dims = subs.getArray(s)
+          (0 until dims.numElements()).map(dims.getDouble)
+        }
+      }
+      val nRoot = litArray(exprs(4), "norms")
+      val norms: Seq[Seq[Double]] = (0 until nRoot.numElements()).map { c =>
+        val subs = nRoot.getArray(c)
+        (0 until subs.numElements()).map(subs.getDouble)
+      }
+      PqAdcSim(exprs.head, exprs(1), exprs(2), PqPlanLiterals(cb, norms))
+    },
     "byte_ngram_hashes" -> { exprs =>
       require(exprs.length == 2 || exprs.length == 3,
         s"byte_ngram_hashes expects 2 or 3 arguments, got ${exprs.length}")

@@ -475,13 +475,11 @@ object Similarity {
     * bit-identical and floor-scaled. The codebook is a 16×8×8 plan
     * literal — the honest production shape (codebooks are tiny trained
     * artifacts broadcast to executors). */
-  private def elemD(c: org.apache.spark.sql.Column, sub: Int, j: Int): org.apache.spark.sql.Column =
-    element_at(c, sub * 8 + j).cast("double")
-
-  /** The PQ index shared by ss07/ss10: per-vector subspace codes (c0..c7)
-    * plus the [code][sub][dim] codebook and per-(code, sub) norm literals
-    * (tiny trained artifacts, broadcast as plan literals — the honest
-    * production shape). Encoding is L2-nearest code per subspace AGAINST
+  /** The PQ index shared by ss07/ss10: the per-vector subspace-code array
+    * (`pq`, 8 bytes of payload per vector) plus the [code][sub][dim]
+    * codebook and per-(code, sub) norms as driver-side Seqs (tiny trained
+    * artifacts; [[adcSimCol]] folds them into its native expression at
+    * build time). Encoding is L2-nearest code per subspace AGAINST
     * THE LITERAL CODEBOOK: one codegen'd projection per row
     * (array_min over 16 (d2, code) structs per subspace — the same
     * lexicographic (d2 asc, code asc) ordering as the min(struct(...))
@@ -492,7 +490,7 @@ object Similarity {
     * EXCHANGE of every corpus row that a 16-entry literal table never
     * needed (guide §2.4: remove shuffles outright). At 100 TB the encode
     * pass becomes embarrassingly parallel map work with zero network. */
-  private def pqIndex(v: DataFrame): (DataFrame, org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+  private def pqIndex(v: DataFrame): (DataFrame, Seq[Seq[Seq[Double]]], Seq[Seq[Double]]) = {
     // deterministic hash-sampled codebook seeds; code = 1..16 by (h, vec_id)
     val seeds = v
       .withColumn("h", md5(col("vec_id").cast("string")))
@@ -516,35 +514,35 @@ object Similarity {
     // 8 subs × 16 codes × 8-term chains — overflowed janino's 64 KB
     // method limit once fused into a codegen span and collapsed the
     // stage to interpreted eval; PqEncodeSuite pins bit-identity to that
-    // declarative form). element_at on the pq attribute is a cheap
-    // extraction; the encode itself is one projection, computed once.
+    // declarative form). The codes stay ONE array<bigint> column (the
+    // 8-byte-per-vector index) through the downstream joins.
     val codes = v
-      .withColumn("pq", call_function("pq_encode", col("e"), typedLit(cb)))
-      .select(col("vec_id") +:
-        (0 until 8).map(sub => element_at(col("pq"), sub + 1).as(s"c$sub")): _*)
-    (codes, typedLit(cb), typedLit(cbNorm))
+      .select(col("vec_id"),
+        call_function("pq_encode", col("e"), typedLit(cb)).as("pq"))
+    (codes, cb, cbNorm)
   }
 
   /** ADC similarity of an exact query (`qe`, `qnrm`) against a coded
-    * corpus row (c0..c7): Σ_sub dot(qe_sub, codebook[c_sub][sub]) over
-    * √(qnrm · Σ_sub ‖codebook[c_sub][sub]‖²), floor-scaled. */
-  private def adcSimCol(cbLit: org.apache.spark.sql.Column,
-      normLit: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    def cbVal(sub: Int, j: Int): org.apache.spark.sql.Column =
-      element_at(element_at(element_at(cbLit, col(s"c$sub").cast("int")),
-        lit(sub + 1)), lit(j))
-    def dotSub(sub: Int): org.apache.spark.sql.Column =
-      (1 to 8).map(j => elemD(col("qe"), sub, j) * cbVal(sub, j)).reduceLeft(_ + _)
-    val adc = (0 until 8).map(dotSub).reduceLeft(_ + _)
-    val recn = (0 until 8).map(sub =>
-      element_at(element_at(normLit, col(s"c$sub").cast("int")), lit(sub + 1)))
-      .reduceLeft(_ + _)
-    floor(adc / sqrt(col("qnrm") * recn) * lit(1000000.0)) / lit(1000000.0)
-  }
+    * corpus row (`pq`): Σ_sub dot(qe_sub, codebook[pq_sub][sub]) over
+    * √(qnrm · Σ_sub ‖codebook[pq_sub][sub]‖²), floor-scaled. Native
+    * pq_adc_sim expression: the earlier declarative column repeated the
+    * 16×8×8 codebook literal in ~72 expression nodes, and every AQE
+    * plan-update event stringified all of them (GenericArrayData.toString
+    * under AdaptiveSparkPlanExec.withFinalPlanUpdate — DriverHotspots
+    * measured 60-70%% of ss07's wall at sf0.1 as pure plan printing). The
+    * expression consumes both literals at BUILD time into an opaque
+    * flattened holder (plan prints are O(1)) and computes the same
+    * left-assoc chains in two small loops (PqAdcSimSuite pins
+    * bit-identity). */
+  private def adcSimCol(cb: Seq[Seq[Seq[Double]]],
+      cbNorm: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    floor(call_function("pq_adc_sim",
+      col("qe"), col("qnrm"), col("pq"), typedLit(cb), typedLit(cbNorm))
+      * lit(1000000.0)) / lit(1000000.0)
 
   private def ss07PqAdc(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
-    val (codes, cbLit, normLit) = pqIndex(v)
+    val (codes, cb, cbNorm) = pqIndex(v)
     // ---- ADC scoring: queries keep exact vectors, corpus is codes-only
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
@@ -553,7 +551,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     broadcast(q)
       .join(codes, col("qid") =!= col("vec_id"))
-      .withColumn("sim", adcSimCol(cbLit, normLit))
+      .withColumn("sim", adcSimCol(cb, cbNorm))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
@@ -575,7 +573,7 @@ object Similarity {
     val v = vecs(s, dir)
     val cents = centroids(v)
     val assigned = assignedFrame(v, cents)
-    val (codes, cbLit, normLit) = pqIndex(v)
+    val (codes, cb, cbNorm) = pqIndex(v)
     // codes carry their inverted-list id: one keyed join, built once
     val listed = codes.join(assigned.select(col("vec_id"), col("cid")), "vec_id")
     // top-2 probe centroids per query (the ss04 recall knob)
@@ -594,7 +592,7 @@ object Similarity {
     broadcast(probes)
       .join(listed, col("pcid") === col("cid"))
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("sim", adcSimCol(cbLit, normLit))
+      .withColumn("sim", adcSimCol(cb, cbNorm))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
