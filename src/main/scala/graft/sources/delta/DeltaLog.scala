@@ -900,12 +900,155 @@ object DeltaLog {
       return finishSnapshot(tablePath, target, p, m, files, txns, doms, driverPlane = false)
     }
 
+    driverReplay(spark, tablePath, target, cp, tailCommits)
+  }
+
+  /** Mutable accumulator for the driver-plane replay — the same five
+    * planes the pre-r21 inline replay kept as locals, factored out so a
+    * replay can START from a memoized prior state instead of empty. */
+  private final class ReplayAcc {
     var protocol: Option[DeltaProtocol] = None
     var metadata: Option[DeltaMetadata] = None
     val live = mutable.LinkedHashMap.empty[String, DeltaAddFile]
     val txns = mutable.Map.empty[String, Long]
     val domains = mutable.LinkedHashMap.empty[String, String]
-    cp.foreach { case (cpVersion, parts) =>
+  }
+
+  /** Memoized driver-plane state (r21 optimization; the shape production
+    * delta clients use for SnapshotManagement's incremental update): the
+    * last state built per table plus a fingerprint — (len, mtime), the
+    * DeferredDeltaFiles standard — of every replay input it consumed.
+    * A later replay of the same log verifies the overlapping inputs still
+    * match and applies ONLY the new commits, so a lifecycle of V
+    * statements pays O(V) total commit reads instead of O(V²), and the
+    * checkpoint parquet is read by a Spark job ONCE when it first appears
+    * instead of on every post-checkpoint replay. Extend-only: time travel
+    * below the memo version rebuilds from scratch and never replaces the
+    * memo. Any fingerprint mismatch (recreated table, cleaned log, foreign
+    * checkpoint) falls back to the full rebuild — the memo can skip work,
+    * never change the result (DriverSnapshotMemoSuite pins
+    * scratch-vs-extended equality and every rejection path). */
+  private final case class DriverSnapEntry(
+      version: Long,
+      /** version -> (len, mtime) of every tail-commit JSON consumed —
+        * covers (checkpoint version, version] of the build. */
+      commitFp: Map[Long, (Long, Long)],
+      /** The checkpoint built through, as (version, per-part
+        * (path, len, mtime)) — None for a JSON-only build. */
+      cpFp: Option[(Long, Seq[(String, Long, Long)])],
+      adds: Vector[DeltaAddFile],
+      txns: Map[String, Long],
+      domains: Vector[(String, String)],
+      protocol: Option[DeltaProtocol],
+      metadata: Option[DeltaMetadata])
+
+  /** ≤ 8 tables, LRU; every entry is driver-plane by construction (below
+    * the replay threshold's live-file count) so the heap bound is the
+    * plane's own comfort zone, not a new one. */
+  private val driverSnapCache =
+    new java.util.LinkedHashMap[String, DriverSnapEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DriverSnapEntry]): Boolean = size > 8
+    }
+  /** Test seams: replays served by EXTENDING the memo vs full rebuilds. */
+  private[graft] val driverSnapExtends = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val driverSnapBuilds = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def clearDriverSnapCache(): Unit =
+    driverSnapCache.synchronized { driverSnapCache.clear() }
+
+  private def driverReplay(
+      spark: SparkSession,
+      tablePath: String,
+      target: Long,
+      cp: Option[(Long, Seq[FileStatus])],
+      tailCommits: Seq[(Long, FileStatus)]): DeltaSnapshot = {
+    val firstTail: Long = cp.map(_._1 + 1).getOrElse(0L)
+    def cpMatches(c: DriverSnapEntry): Boolean = (c.cpFp, cp) match {
+      case (Some((v, partsFp)), Some((cv, parts))) =>
+        v == cv && partsFp == parts.map(p =>
+          (p.getPath.toString, p.getLen, p.getModificationTime))
+      case _ => false
+    }
+    val cached = driverSnapCache.synchronized {
+      Option(driverSnapCache.get(tablePath))
+    }
+    val reusable = cached.filter { c =>
+      val prefix = tailCommits.filter(_._1 <= c.version)
+      c.version <= target &&
+        // the memo already folded in everything up to and including any
+        // checkpoint at or below its version
+        cp.forall(_._1 <= c.version) &&
+        // the current log must list exactly the versions the memo consumed
+        // in the overlap (no gaps, no extras — a cleaned or recreated log
+        // rebuilds) and each must fingerprint-match
+        prefix.map(_._1) == (firstTail to c.version) &&
+        prefix.forall { case (v, st) =>
+          c.commitFp.get(v).contains((st.getLen, st.getModificationTime))
+        } &&
+        // zero verified overlap (memo exactly at the checkpoint version):
+        // accept only the checkpoint the memo was built THROUGH — a
+        // foreign/recreated checkpoint must rebuild
+        (prefix.nonEmpty || cp.isEmpty || cpMatches(c))
+    }
+    val acc = new ReplayAcc
+    val toApply: Seq[(Long, FileStatus)] = reusable match {
+      case Some(c) =>
+        driverSnapExtends.incrementAndGet()
+        acc.protocol = c.protocol
+        acc.metadata = c.metadata
+        c.adds.foreach(a => acc.live(a.path) = a)
+        acc.txns ++= c.txns
+        c.domains.foreach { case (d, v) => acc.domains(d) = v }
+        tailCommits.filter(_._1 > c.version)
+      case None =>
+        driverSnapBuilds.incrementAndGet()
+        cp.foreach { case (v, parts) =>
+          applyCheckpoint(spark, tablePath, v, parts, acc)
+        }
+        tailCommits
+    }
+    if (toApply.nonEmpty) {
+      val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+      toApply.foreach { case (_, status) => applyCommit(fs, status, acc) }
+    }
+    // memoize the new state (a pure re-serve stores nothing — identical)
+    if ((reusable.isEmpty || toApply.nonEmpty) &&
+        acc.live.size <= SnapshotFileCountWarnThreshold) {
+      val entry = DriverSnapEntry(
+        version = target,
+        commitFp =
+          reusable.map(_.commitFp.filter(_._1 >= firstTail)).getOrElse(Map.empty) ++
+            toApply.map { case (v, st) => v -> ((st.getLen, st.getModificationTime)) },
+        cpFp = reusable.map(_.cpFp).getOrElse(
+          cp.map { case (v, parts) =>
+            (v, parts.map(p => (p.getPath.toString, p.getLen, p.getModificationTime)))
+          }),
+        adds = acc.live.values.toVector,
+        txns = acc.txns.toMap,
+        domains = acc.domains.toVector,
+        protocol = acc.protocol,
+        metadata = acc.metadata)
+      driverSnapCache.synchronized {
+        // extend-only: a time-travel rebuild below the memo never demotes it
+        if (Option(driverSnapCache.get(tablePath)).forall(_.version <= entry.version))
+          driverSnapCache.put(tablePath, entry)
+      }
+    }
+    finishSnapshot(tablePath, target, acc.protocol, acc.metadata,
+      acc.live.values.toSeq, acc.txns.toMap, acc.domains.toMap, driverPlane = true)
+  }
+
+  /** Fold one checkpoint (classic single-file, classic multipart, or v2
+    * with sidecars) into `acc` — the body is the pre-r21 inline replay,
+    * factored out so a memoized replay can skip it. */
+  private def applyCheckpoint(
+      spark: SparkSession,
+      tablePath: String,
+      cpVersion: Long,
+      parts: Seq[FileStatus],
+      acc: ReplayAcc): Unit = {
+    import acc._
+    {
       val cpDf = spark.read.parquet(parts.map(_.getPath.toString): _*)
       replayReads.addAndGet(parts.size.toLong)
       val cols = cpDf.schema.fieldNames.toSet
@@ -988,10 +1131,15 @@ object DeltaLog {
         }
       }
     }
+  }
 
-    // 2. JSON deltas after the checkpoint, up to target
-    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
-    tailCommits.foreach { case (_, status) =>
+  /** Parse one commit JSON and fold its actions into `acc`. */
+  private def applyCommit(
+      fs: org.apache.hadoop.fs.FileSystem,
+      status: FileStatus,
+      acc: ReplayAcc): Unit = {
+    import acc._
+    {
       replayReads.incrementAndGet()
       val in = fs.open(status.getPath)
       val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -1059,9 +1207,6 @@ object DeltaLog {
       commitRemoves.foreach(live.remove)
       commitAdds.foreach(a => live(a.path) = a)
     }
-
-    finishSnapshot(tablePath, target, protocol, metadata,
-      live.values.toSeq, txns.toMap, domains.toMap, driverPlane = true)
   }
 
   /** Shared snapshot finalization for the driver-map and Spark-job replay

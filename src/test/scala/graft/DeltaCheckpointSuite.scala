@@ -234,7 +234,9 @@ class DeltaCheckpointSuite extends AnyFunSuite {
     assert(new java.io.File(s"$dir/_delta_log/" + f"${10L}%020d.checkpoint.parquet").exists())
     assert(new java.io.File(s"$dir/_delta_log/" + f"${20L}%020d.checkpoint.parquet").exists())
 
-    // measured replay: exactly 1 checkpoint file + the tail JSONs
+    // measured replay: exactly 1 checkpoint file + the tail JSONs —
+    // from scratch, so drop the incremental memo the writes above warmed
+    DeltaLog.clearDriverSnapCache()
     DeltaLog.replayReads.set(0)
     val snap = DeltaLog.snapshot(spark, dir)
     val reads = DeltaLog.replayReads.get()
