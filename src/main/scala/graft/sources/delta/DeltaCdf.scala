@@ -67,6 +67,7 @@ object DeltaCdf {
     val staging = new Path(tablePath, s"_staging-cdc-${UUID.randomUUID()}")
     val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
     val writer = phys.write.mode(SaveMode.Overwrite)
+      .options(DeltaWriter.StagingWriteOptions)
     (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*) else writer)
       .parquet(staging.toString)
     val staged = DeltaWriter.listParquetFilesRecursively(fs, staging)

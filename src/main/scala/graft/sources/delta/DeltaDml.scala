@@ -220,6 +220,7 @@ object DeltaDml {
       val staged = if (physPartCols.nonEmpty) staged0.repartition(physPartCols.map(col): _*)
                    else staged0
       val writer = staged.write.mode(SaveMode.Overwrite)
+        .options(DeltaWriter.StagingWriteOptions)
       (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
        else writer).parquet(stagingDir.toString)
 

@@ -526,6 +526,7 @@ object DeltaMaintenance {
     // stats keys) — the incoming frame is logical
     val physPartCols = snap.partitionColumns.map(snap.metadata.physicalOf)
     val writer = DeltaWriter.physicalized(df, snap.metadata).write.mode(SaveMode.Overwrite)
+      .options(DeltaWriter.StagingWriteOptions)
     (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
      else writer).parquet(stagingDir.toString)
     val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)

@@ -661,6 +661,7 @@ object DeltaMerge {
       staged0.repartition(physPartCols.map(org.apache.spark.sql.functions.col): _*)
     else staged0
     val writer = staged.write.mode(SaveMode.Overwrite)
+      .options(DeltaWriter.StagingWriteOptions)
     (if (physPartCols.nonEmpty) writer.partitionBy(physPartCols: _*)
      else writer).parquet(stagingDir.toString)
     val stagedFiles = DeltaWriter.listParquetFilesRecursively(fs, stagingDir)

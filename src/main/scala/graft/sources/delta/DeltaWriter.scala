@@ -238,6 +238,21 @@ object DeltaWriter {
     *        (column → (start, step)); GENERATED ALWAYS — later writes must
     *        OMIT the column and get values assigned (existing tables
     *        declare via their schema metadata, not this parameter) */
+  /** Hadoop-committer options for every STAGING parquet write (guide §6):
+    * a staging dir is private to one statement — its files are published
+    * by OUR rename loop and the whole dir is deleted on failure — so the
+    * default v1 committer's two-phase rename (task → `_temporary/<job>`,
+    * then a SEQUENTIAL driver-side rename pass at job commit) buys no
+    * atomicity here and costs an extra O(files) driver rename pass per
+    * commit: at production file counts that pass, not the data, bounds
+    * commit latency (and on object stores each rename is a copy).
+    * Algorithm v2 renames straight to the staging dir at task commit; the
+    * `_SUCCESS` marker is skipped because the only consumer is our own
+    * recursive `.parquet` lister. */
+  private[delta] val StagingWriteOptions: Map[String, String] = Map(
+    "mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false")
+
   def write(
       data: DataFrame,
       tablePath: String,
@@ -438,7 +453,7 @@ object DeltaWriter {
     // guard firing mid-write is now a routine path, not just I/O errors)
     // must not leak the _staging dir or the pinned identity frame
     val adds = try {
-      val writer = toWrite.write.mode(SaveMode.Overwrite)
+      val writer = toWrite.write.mode(SaveMode.Overwrite).options(StagingWriteOptions)
       (if (physPartitionCols.nonEmpty) writer.partitionBy(physPartitionCols: _*) else writer)
         .parquet(stagingDir.toString)
 
@@ -1112,7 +1127,7 @@ object DeltaWriter {
       * name-sorted (deterministic part order). */
     def stageParts(df: org.apache.spark.sql.DataFrame, parts: Int): Seq[Path] = {
       withTypedStats(df).repartition(math.max(1, parts))
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        .write.mode(SaveMode.Overwrite).options(StagingWriteOptions).parquet(tmp.toString)
       fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
         .sortBy(_.getName).toSeq
     }
