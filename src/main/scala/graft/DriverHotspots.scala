@@ -56,6 +56,22 @@ object DriverHotspots {
             s"${f.getClassName.split('.').last}.${f.getMethodName}").mkString(" <- ")
           pairCounts.merge(if (sig.isEmpty) "(non-spark)" else sig, 1L, (a, b) => a + b)
           val all = st.map(_.getClassName).mkString("\n")
+          // attribute shell forks / raw-FS permission loads to the nearest
+          // graft or hadoop-fs CALLER so the fork site has a name
+          if (all.contains("hadoop.util.Shell") || all.contains("loadPermissionInfo")) {
+            val caller = st.find { f =>
+              val c = f.getClassName
+              c.startsWith("graft") || c.startsWith("org.apache.spark")
+            }.map(f => s"${f.getClassName.split('.').last}.${f.getMethodName}")
+              .getOrElse("(unattributed)")
+            pairCounts.merge(s"SHELL-FORK via $caller", 1L, (a, b) => a + b)
+          }
+          // name what AQE's plan-update lambda is doing (stringify vs else)
+          if (st.exists(_.getMethodName.contains("withFinalPlanUpdate"))) {
+            val top = st.take(5).map(f =>
+              s"${f.getClassName.split('.').last}.${f.getMethodName}").mkString(" <- ")
+            pairCounts.merge(s"AQE-UPDATE: $top", 1L, (a, b) => a + b)
+          }
           val bucket =
             if (all.contains("janino") || all.contains("CodeGenerator")) "codegen-compile"
             else if (all.contains("catalyst.optimizer") || all.contains("RuleExecutor")) "analysis/optimizer"

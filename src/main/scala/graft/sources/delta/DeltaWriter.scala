@@ -720,12 +720,18 @@ object DeltaWriter {
   }
 
   private[delta] def listParquetFilesRecursively(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {
+    // PLAIN statuses, never fs.listFiles: located statuses eagerly load
+    // block locations + permissions, and on RawLocalFileSystem the
+    // permission load fork-execs a shell PER FILE (~ms each — sampled at
+    // 13% of dl06's driver wall through this lister). The r19
+    // stagedListing lesson, applied to the staging-dir walk; ordering is
+    // unchanged (depth-first in listStatus order, as listFiles iterates).
     val out = Seq.newBuilder[Path]
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) out += st.getPath
     }
+    walk(dir)
     out.result()
   }
 
