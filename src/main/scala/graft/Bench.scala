@@ -572,6 +572,16 @@ object Bench {
       }
     println(finalLine(main, n => healthCompact + plane +
       sf1ExtraFor(sf1Parsed, sf1Line.left.getOrElse("unparseable child line"))(n)))
+    // the TRUE final line: the driver-contract record (float-second
+    // "queries" map). Kept leanest-possible so it always fits the tail
+    // budget whole — a clipped head loses the entire parse (r13's lesson),
+    // so the richer diagnostic rungs above stay on the penultimate line.
+    val pollutedOnly = if (mainPolluted) """"anchor_polluted":true,""" else ""
+    println(contractLine(main, {
+      case -2 => pollutedOnly + plane
+      case m => pollutedOnly + plane +
+        sf1ExtraFor(sf1Parsed, sf1Line.left.getOrElse("unparseable child line"))(m)
+    }))
     spark.stop()
   }
 
@@ -619,6 +629,37 @@ object Bench {
         .replaceAll("[\"\\\\]", "'").take(60)
       s""""sf1":{"skipped":"$reason"},"""
     }
+
+  /** The LAST stdout line, shaped exactly as the driver parses it (r21
+    * verdict #2: `parsed: null` in every BENCH artifact since ~r14 — the
+    * driver reads `"queries":{<q>: <float seconds>}` and never understood
+    * the decisecond map, so PERF per_query/geomean/scaling ran blind for
+    * seven rounds): `{"metric","value","unit":"sec","failed",` +
+    * `"queries":{short-key: seconds},` + health/plane/sf1 extras + `"sf"}`.
+    * Values are float SECONDS (1-decimal fits all 161 queries in the tail
+    * budget; 2-decimal wins when the registry is filtered). The diagnostic
+    * ladder line with `queries_ds` still prints immediately before this
+    * one — continuity for the cross-round hand-parse — but the tail's
+    * final line is now the driver-parsable record. `extra` is mode→
+    * fragment like [[sf1ExtraFor]], with mode -2 = no sf1 block at all
+    * (the last-resort rung; sf1 detail then lives only on lines 2-3). */
+  private[graft] def contractLine(main: Pass, extra: Int => String): String = {
+    val ok = main.results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    val failed = main.results.count(_._2 < 0)
+    def qm(scale: Int): String = main.results.map { case (k, v, _) =>
+      val s = if (v < 0) "-1" else {
+        val r = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+        if (r.contains('.')) r.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else r
+      }
+      "\"" + shortKey(k) + "\":" + s
+    }.mkString("{", ",", "}")
+    def line(scale: Int, mode: Int): String =
+      s"""{"metric":"total","value":${ms1(total)},"unit":"sec","failed":$failed,""" +
+        s""""queries":${qm(scale)},${extra(mode)}"sf":"${main.sfDir}"}"""
+    Seq(line(2, 0), line(1, 0), line(1, -1), line(1, -2))
+      .find(_.length <= TailBudget).getOrElse(line(1, -2))
+  }
 
   private[graft] def finalLine(main: Pass, sf1Extra: Int => String): String = {
     // the ds rung is emitted STRUCTURALLY via render (r16 ADVICE: the old

@@ -726,10 +726,20 @@ object DeltaWriter {
     // 13% of dl06's driver wall through this lister). The r19
     // stagedListing lesson, applied to the staging-dir walk; ordering is
     // unchanged (depth-first in listStatus order, as listFiles iterates).
+    // A staged write that produced ZERO rows creates no objects: with the
+    // v2 committer suppressing _SUCCESS, the staging prefix does not exist
+    // at all on object stores (local FS still has the mkdir'd directory).
+    // Absent prefix == zero staged files; the empty-adds path downstream
+    // already handles it. Guard both the root and mid-walk races.
     val out = Seq.newBuilder[Path]
-    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
-      if (st.isDirectory) walk(st.getPath)
-      else if (st.getPath.getName.endsWith(".parquet")) out += st.getPath
+    def walk(d: Path): Unit = {
+      val statuses =
+        try fs.listStatus(d)
+        catch { case _: java.io.FileNotFoundException => return }
+      statuses.foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) out += st.getPath
+      }
     }
     walk(dir)
     out.result()

@@ -97,6 +97,37 @@ class BenchEmissionSuite extends AnyFunSuite {
     assert(w.path("sf1").path("q_polluted").size() === 1)
   }
 
+  test("driver-contract line: float-second queries map for EVERY query, within budget") {
+    // r21 verdict #2: the driver parses the LAST line's `"queries"` as
+    // {name: float seconds}; the ds-only rung left PERF blind since ~r14.
+    Seq(true, false).foreach { pathological =>
+      val extra: Int => String = {
+        case -2 => """"anchor_polluted":true,""" + Bench.planeExtra(Bench.defaultCpus)
+        case m => """"anchor_polluted":true,""" + Bench.planeExtra(Bench.defaultCpus) +
+          Bench.sf1ExtraFor(Some(sf1Summary(pathological)), "unused")(m)
+      }
+      val line = Bench.contractLine(pass(pathological), extra)
+      assert(line.length <= Bench.TailBudget,
+        s"contract line is ${line.length} chars (budget ${Bench.TailBudget})")
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      assert(n.path("metric").asText() === "total")
+      assert(n.path("unit").asText() === "sec")
+      assert(n.path("value").asDouble() > 0)
+      assert(n.path("sf").asText().nonEmpty)
+      // SECONDS, never deciseconds, and never a dropped query
+      assert(!n.has("queries_ds"))
+      assert(n.path("queries").size() === SparkEntry.queries.size)
+      // plane fields ride the contract line too
+      assert(n.path("master").asText().startsWith("local["))
+      assert(n.path("shuffle_partitions").asInt() > 0)
+      // sanity: a representative value round-trips as a float second
+      val it = n.path("queries").properties().iterator()
+      var any = false
+      while (it.hasNext) { val e = it.next(); if (e.getValue.asDouble() > 0) any = true }
+      assert(any, "at least one positive float-second value")
+    }
+  }
+
   test("the skip marker scrubs control chars and quotes from the reason") {
     val frag = Bench.sf1ExtraFor(None, "boom\t\"quoted\"\nline")(2)
     val n = new com.fasterxml.jackson.databind.ObjectMapper()

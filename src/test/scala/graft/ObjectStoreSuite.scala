@@ -90,6 +90,33 @@ class ObjectStoreSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("DML emptying a whole partition over s3a: absent staging prefix reads as zero staged files") {
+    import spark.implicits._
+    val server = new FakeS3Server("graft-access", "graft-secret")
+    server.start()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3a.impl", classOf[graft.sources.S3ACompatFileSystem].getName)
+      hc.set("fs.s3a.endpoint", s"http://127.0.0.1:${server.port}")
+      hc.set("fs.s3a.access.key", "graft-access")
+      hc.set("fs.s3a.secret.key", "graft-secret")
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      val table = s"s3a://bucket/tbl-${java.util.UUID.randomUUID().toString.take(8)}"
+      DeltaTable.write(Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "k"),
+        table, SaveMode.Append, partitionBy = Seq("k"))
+      // DELETE every row of partition k=b: the rewrite of the touched files
+      // produces ZERO output rows, so the v2/no-_SUCCESS staging write
+      // leaves no objects — on a real object store the staging prefix does
+      // not exist at all. The lister must read that as "zero staged files",
+      // not FileNotFoundException (r21 regression, DeltaWriter.scala:729).
+      graft.sources.delta.DeltaDml.delete(spark, table, "k = 'b'")
+      assert(DeltaTable.read(spark, table).select("id").as[Long].collect().toSeq === Seq(1L))
+      // UPDATE matching nothing after a predicate rewrite narrows to the same path
+      graft.sources.delta.DeltaDml.delete(spark, table, "k = 'zzz'")
+      assert(DeltaTable.read(spark, table).count() === 1L)
+    } finally server.stop()
+  }
+
   test("s3a store mapping (reference object_store.rs:42-47) — needs hadoop-aws jar") {
     val s3aPresent =
       try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); true }
