@@ -196,6 +196,15 @@ object GraftFunctions {
       }
       PqAdcSim(exprs.head, exprs(1), exprs(2), PqPlanLiterals(cb, norms))
     },
+    "collect_capped" -> { exprs =>
+      require(exprs.length == 2, s"collect_capped expects 2 arguments, got ${exprs.length}")
+      val cap = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"collect_capped: cap must be an integer literal, got $other")
+      }
+      CollectCapped(exprs.head, cap)
+    },
     "byte_ngram_hashes" -> { exprs =>
       require(exprs.length == 2 || exprs.length == 3,
         s"byte_ngram_hashes expects 2 or 3 arguments, got ${exprs.length}")

@@ -65,61 +65,58 @@ object Dedup {
         expr("count_if(c > 1)").as("n_dup_groups"),
         (sum(col("c")) - count(lit(1))).as("n_dropped"))
 
-  /** The df-capped (≤ 20) shingle-occurrence universe (doc_id, g) —
-    * dd02's exact-Jaccard machinery, shared VERBATIM by the dd12 quality
-    * gate so the gate's truth can never desync from the operator it
-    * validates. word_ngrams is a custom Generator (one evaluation per
-    * document by Generate's contract). The document-frequency cap exists
-    * because hot shingles produce quadratic bucket fan-out and carry no
-    * near-dup signal; Jaccard downstream is exact over the capped
-    * universe (sizes and intersections in the same universe, both
-    * derived from this frame in [[cappedPairStats]]). */
-  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
+  /** The df-capped (≤ 20) inverted index (g, sorted ids) — dd02's
+    * exact-Jaccard machinery, shared VERBATIM by the dd12 quality gate so
+    * the gate's truth can never desync from the operator it validates.
+    * word_ngrams is a custom Generator (one evaluation per document by
+    * Generate's contract). The document-frequency cap exists because hot
+    * shingles produce quadratic bucket fan-out and carry no near-dup
+    * signal; Jaccard downstream is exact over the capped universe (sizes
+    * and intersections in the same universe, both derived from this frame
+    * in [[cappedPairStats]]).
+    *
+    * ONE pass over the corpus (r22; guide §1.2/§2.4): the old shape ran
+    * a full `groupBy(g).count` to find hot shingles, anti-joined them off
+    * the occurrence stream, and collected posting lists over the survivor
+    * stream — with sizes as a third consumer, the docs scan + word_ngrams
+    * Generate subtree executed THREE times (the consumers hang off
+    * different exchanges; ReuseExchange cannot help, and persisting the
+    * wider-than-input shingle stream measured 2× WORSE at 10× data).
+    * [[graft.functions.CollectCapped]] folds the cap into the posting
+    * aggregation itself — a group that exceeds 20 ids evaluates to NULL
+    * while buffering at most 21 — so hot-set detection, the cap, and the
+    * posting build are one aggregation over one scan, and the one
+    * hash-exchange on g is shared by both [[cappedPairStats]] consumers
+    * (ReuseExchange: identical subplan). Capped lists are exactly the old
+    * anti-join survivors: df > 20 ⇔ collect_capped = NULL. */
+  private def cappedPostings(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // DELIBERATELY NOT persisted: the occurrence stream feeds the hot-set
-    // aggregate and the anti-join probe side (and the capped result feeds
-    // sizes and pairs in [[cappedPairStats]]), so the docs scan +
-    // word_ngrams Generate re-executes once per consumer — and that is
-    // the MEASURED winner: the recompute is pipelined columnar-scan +
-    // codegen'd Generate work, while caching materializes a shingle
-    // stream LARGER than its input (ScaleCheck at 10× data: persisting
-    // here took dd12 from ~4.8s to reproducibly ~8.5s scaled and +350 MB
-    // peak heap — cache write/read beats recompute only for frames
-    // SMALLER than the work that builds them)
-    val ex = docs(s, dir)
+    docs(s, dir)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .select(col("doc_id"), expr("word_ngrams(toks, 3)").as("g"))
-    // df via groupBy (map-side partial combine) + ANTI-join of the small
-    // hot set, NOT count().over(Window.partitionBy(g)): the window would
-    // shuffle EVERY occurrence of a hot shingle into one partition before
-    // the cap could drop it — boilerplate shingles, the very keys the cap
-    // exists to kill, are exactly the skewed ones. groupBy pre-aggregates
-    // per input partition (a hot shingle ships one (g, count) row per
-    // partition, not all its occurrences), and the hot set itself
-    // (df > 20) is tiny relative to the shingle universe, so the anti-join
-    // broadcasts under AQE and the occurrence stream never hash-exchanges
-    // on g at this stage at all.
-    val hot = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 20)
-      .select(col("g"))
-    ex.join(hot, Seq("g"), "left_anti")
+      .groupBy(col("g"))
+      .agg(expr("collect_capped(doc_id, 20)").as("ids"))
+      .filter(col("ids").isNotNull)
   }
 
   /** Capped-universe pair statistics: (doc_a, doc_b, sz_a, sz_b, n_inter)
-    * by ENUMERATING pairs from per-shingle posting lists — groupBy g →
-    * sorted ≤20-doc list → bounded explode of its ≤190 ordered pairs →
-    * pair group-count. Replaces the earlier sort-merge SELF-JOIN on g:
-    * same pair set and counts (word_ngrams emits distinct shingles per
-    * doc, so per-pair occurrence count IS the intersection size), but one
-    * hash-aggregate exchange instead of two sorted join sides, no window
-    * for the per-doc size (a second groupBy), and the df cap bounds every
-    * posting list so the explode can never skew. The two size joins run
-    * on the DISTINCT-pair frame (post-aggregation, output-sized). */
-  private def cappedPairStats(capped: DataFrame): DataFrame = {
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = capped.groupBy(col("g"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    * by ENUMERATING pairs from per-shingle posting lists — sorted ≤20-doc
+    * list → bounded explode of its ≤190 ordered pairs → pair group-count.
+    * Replaces the earlier sort-merge SELF-JOIN on g: same pair set and
+    * counts (word_ngrams emits distinct shingles per doc, so per-pair
+    * occurrence count IS the intersection size), and the df cap bounds
+    * every posting list so the explode can never skew. Sizes come from
+    * exploding the SAME posting frame (a doc's capped-universe size is
+    * its occurrence count across capped lists), so both consumers share
+    * the one exchange on g instead of re-deriving the occurrence stream.
+    * The two size joins run on the DISTINCT-pair frame (post-aggregation,
+    * output-sized). */
+  private def cappedPairStats(postings: DataFrame): DataFrame = {
+    val sizes = postings.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = postings
       .filter(size(col("ids")) > 1)
+      .select(col("ids"))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
              transform(slice(ids, i + 2, size(ids) - i - 1),
@@ -133,7 +130,7 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join-count. */
   private def dd02NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    cappedPairStats(cappedShingles(s, dir))
+    cappedPairStats(cappedPostings(s, dir))
       .select(
         col("doc_a"), col("doc_b"), col("n_inter"),
         round(col("n_inter").cast("double")
@@ -475,7 +472,7 @@ object Dedup {
     * times), and `row_number().over(Window.partitionBy(h))` would shuffle
     * EVERY occurrence of the hottest segment into one task with no
     * map-side combine (the same anti-pattern the dd02 df count removed —
-    * see [[cappedShingles]]). `groupBy(h).agg(min(struct(doc_id, chunk)))`
+    * see [[cappedPostings]]). `groupBy(h).agg(min(struct(doc_id, chunk)))`
     * is skew-proof by construction: the hottest segment ships ONE partial
     * min row per input partition, never its occurrence stream. The
     * affected-docs count works at DOC granularity (a doc is affected iff
@@ -635,7 +632,7 @@ object Dedup {
     * pairs whose similarity rides on hot shingles). All counts
     * deterministic, so the gate itself is oracle-hash-exact. */
   private def dd12LshQuality(s: SparkSession, dir: String): DataFrame = {
-    val truth = cappedPairStats(cappedShingles(s, dir))
+    val truth = cappedPairStats(cappedPostings(s, dir))
       .filter(
         round(col("n_inter").cast("double")
           / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 4) >= 0.5)
@@ -721,7 +718,7 @@ object Dedup {
   }
 
   /** Shared oracle CTE chain for the df-capped pair statistics (mirrors
-    * [[cappedShingles]]+[[cappedPairStats]]; `src` is a CTE of
+    * [[cappedPostings]]+[[cappedPairStats]]; `src` is a CTE of
     * (doc_id, shingles)): cap_ex → capped → cap_sizes → cap_inter. */
   private def duckCappedPairCtes(src: String): String = s"""
       cap_ex AS (SELECT doc_id, unnest(shingles) AS g FROM $src),

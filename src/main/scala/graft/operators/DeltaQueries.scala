@@ -656,7 +656,7 @@ object DeltaQueries {
     // from checkpoint parquet + JSON tail on disk, exactly the claim the
     // oracle hashes (values are identical either way by the memo's
     // contract; DriverSnapshotMemoSuite pins that separately)
-    graft.sources.delta.DeltaLog.clearDriverSnapCache()
+    graft.sources.delta.DeltaLog.clearDriverSnapCache(path)
     agg(DeltaTable.read(s, path), "full")
       .unionByName(agg(DeltaTable.readVersion(s, path, 5L), "v5"))
       .select(col("stage"), col("n"), col("key_sum"), col("n_regions"))

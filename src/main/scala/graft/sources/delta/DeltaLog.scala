@@ -942,19 +942,51 @@ object DeltaLog {
       protocol: Option[DeltaProtocol],
       metadata: Option[DeltaMetadata])
 
-  /** ≤ 8 tables, LRU; every entry is driver-plane by construction (below
-    * the replay threshold's live-file count) so the heap bound is the
-    * plane's own comfort zone, not a new one. */
+  /** ≤ 8 tables, LRU, AND byte-bounded (r22, ADVICE item): entry count
+    * alone pinned up to 8 × 100k DeltaAddFile entries — path + stats-JSON
+    * strings — on the driver heap indefinitely, heap that was transient
+    * per replay before the memo existed. Estimated retained bytes across
+    * all entries are capped; the eldest entries are evicted past the cap
+    * (an evicted table just pays one full rebuild on next touch — the
+    * memo may skip work, never change results). */
+  private val DriverSnapCacheMaxBytes: Long = 64L << 20
+  private def entryBytes(e: DriverSnapEntry): Long =
+    e.adds.iterator.map { a =>
+      // 2 bytes/char for the two dominant strings + a fixed estimate for
+      // the boxed fields, maps and object headers
+      2L * (a.path.length + a.stats.map(_.length).getOrElse(0)) + 160L
+    }.sum + 4096L
   private val driverSnapCache =
     new java.util.LinkedHashMap[String, DriverSnapEntry](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, DriverSnapEntry]): Boolean = size > 8
     }
+  /** Evict eldest entries until the estimated retained bytes fit the cap;
+    * call with the monitor held, after a put. The just-inserted entry is
+    * never evicted (a single over-budget table still memoizes — its own
+    * replay plane already tolerates that heap transiently). */
+  private def enforceSnapCacheBytes(): Unit = {
+    var total = 0L
+    val it0 = driverSnapCache.values().iterator()
+    while (it0.hasNext) total += entryBytes(it0.next())
+    val it = driverSnapCache.entrySet().iterator()
+    while (total > DriverSnapCacheMaxBytes && driverSnapCache.size() > 1 && it.hasNext) {
+      val eldest = it.next()
+      total -= entryBytes(eldest.getValue)
+      it.remove()
+    }
+  }
   /** Test seams: replays served by EXTENDING the memo vs full rebuilds. */
   private[graft] val driverSnapExtends = new java.util.concurrent.atomic.AtomicLong
   private[graft] val driverSnapBuilds = new java.util.concurrent.atomic.AtomicLong
   private[graft] def clearDriverSnapCache(): Unit =
     driverSnapCache.synchronized { driverSnapCache.clear() }
+  /** Per-table clear (r22, ADVICE item): dl25's checkpoint-replay gate
+    * needs ITS table's memo dropped so the read reconstructs from disk;
+    * wiping every table's memo at query-build time would invalidate
+    * unrelated tables under concurrent or multi-table use. */
+  private[graft] def clearDriverSnapCache(tablePath: String): Unit =
+    driverSnapCache.synchronized { driverSnapCache.remove(tablePath); () }
 
   private def driverReplay(
       spark: SparkSession,
@@ -1030,8 +1062,10 @@ object DeltaLog {
         metadata = acc.metadata)
       driverSnapCache.synchronized {
         // extend-only: a time-travel rebuild below the memo never demotes it
-        if (Option(driverSnapCache.get(tablePath)).forall(_.version <= entry.version))
+        if (Option(driverSnapCache.get(tablePath)).forall(_.version <= entry.version)) {
           driverSnapCache.put(tablePath, entry)
+          enforceSnapCacheBytes()
+        }
       }
     }
     finishSnapshot(tablePath, target, acc.protocol, acc.metadata,

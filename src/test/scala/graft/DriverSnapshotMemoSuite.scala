@@ -73,6 +73,27 @@ class DriverSnapshotMemoSuite extends AnyFunSuite {
       "an exact-version memo hit must not re-read any log file")
   }
 
+  test("per-table clear drops only that table's memo") {
+    import spark.implicits._
+    val d1 = Files.createTempDirectory("graft-snapmemo-pt1").toString
+    val d2 = Files.createTempDirectory("graft-snapmemo-pt2").toString
+    DeltaLog.clearDriverSnapCache()
+    Seq(d1, d2).foreach { d =>
+      DeltaWriter.write(Seq((1, "a")).toDF("id", "s"), d, SaveMode.Append, Nil)
+      snapshotFingerprint(d) // warm the memo
+    }
+    DeltaLog.clearDriverSnapCache(d1)
+    val builds0 = DeltaLog.driverSnapBuilds.get()
+    val extends0 = DeltaLog.driverSnapExtends.get()
+    snapshotFingerprint(d1)
+    assert(DeltaLog.driverSnapBuilds.get() === builds0 + 1,
+      "the cleared table must rebuild from scratch")
+    snapshotFingerprint(d2)
+    assert(DeltaLog.driverSnapBuilds.get() === builds0 + 1,
+      "the OTHER table's memo must survive a per-table clear")
+    assert(DeltaLog.driverSnapExtends.get() === extends0 + 1)
+  }
+
   test("time travel below the memo rebuilds and never demotes it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-snapmemo-tt").toString

@@ -95,12 +95,24 @@ class PqAdcSimSuite extends AnyFunSuite {
         .collect().toSeq.map(_.getDouble(0))
     val withCodegen = run()
     val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
     try {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      // NO_CODEGEN forces InterpretedUnsafeProjection, so nullSafeEval —
+      // the true interpreted path — actually executes; with wholeStage
+      // off alone, Spark still compiles a generated projection (r21
+      // ADVICE: the interpreted half of this parity test never ran)
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val interpreted = run()
       assert(withCodegen.map(java.lang.Double.doubleToRawLongBits)
         === interpreted.map(java.lang.Double.doubleToRawLongBits))
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
   }
 
   test("the plan never carries the codebook as a literal node") {
