@@ -326,13 +326,9 @@ object DeltaMerge {
         //    left join would duplicate carried rows.
         val rw: DataFrame =
           if (matched.nonEmpty) {
-            val matchCounts = joined.groupBy(col("_tid"))
-              .agg(count(when(srcMatched, 1)).as("_m"))
-            val violations = matchCounts.filter(col("_m") > 1).limit(1).count()
-            if (violations > 0) throw new UnsupportedOperationException(
-              "MERGE cardinality violation: a target row matched more than one " +
-                "source row; the result would be nondeterministic (production " +
-                "Delta raises the same error)")
+            // cardinality gate rides the metrics aggregation below (one
+            // action instead of two, and one fewer execution of the join
+            // subplan — r22, guide §1.2): see gateAndCounts
             joined
           } else {
             val flags = joined.groupBy(col("_tid"))
@@ -353,10 +349,34 @@ object DeltaMerge {
         }
         val withAct = rw.withColumn("_act", actChain)
 
-        // one pass for the metrics: rows per resolved action
-        val actCounts: Map[Int, Long] = withAct.groupBy(col("_act"))
-          .agg(count(lit(1)).as("_n")).collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // ONE pass for the cardinality gate AND the per-action metrics
+        // (r22; the old shape ran gate-count and metrics-count as two
+        // actions, each re-executing the tt-join subplan). Two-level
+        // aggregation: per target row id, the source-match count and the
+        // resolved action; then rows per action with the max match count
+        // riding along. When no row multi-matches, every _tid contributes
+        // exactly one joined row, so per-_tid counts ARE per-act row
+        // counts; when one does, the gate throws and the metrics are
+        // never read. By-source-only merges keep their flags path (rw is
+        // already one row per target row there; no gate by semantics).
+        val actCounts: Map[Int, Long] =
+          if (matched.nonEmpty) {
+            val summary = withAct.groupBy(col("_tid"))
+              .agg(count(when(srcMatched, 1)).as("_m"),
+                max(col("_act")).as("_a"),
+                count(lit(1)).as("_rows"))
+              .groupBy(col("_a"))
+              .agg(sum(col("_rows")).as("_n"), max(col("_m")).as("_mm"))
+              .collect()
+            if (summary.exists(_.getLong(2) > 1))
+              throw new UnsupportedOperationException(
+                "MERGE cardinality violation: a target row matched more than one " +
+                  "source row; the result would be nondeterministic (production " +
+                  "Delta raises the same error)")
+            summary.map(r => r.getInt(0) -> r.getLong(1)).toMap
+          } else withAct.groupBy(col("_act"))
+            .agg(count(lit(1)).as("_n")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
         val updIdSet = updateActs.map(_._1).toSet
         rowsUpdated = actCounts.collect { case (id, n) if updIdSet.contains(id) => n }.sum
         rowsDeleted = actCounts.collect { case (id, n) if deleteActs.contains(id) => n }.sum
